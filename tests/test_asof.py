@@ -1,0 +1,41 @@
+"""As-of join semantics (SURVEY §2.C8)."""
+
+from datetime import datetime
+
+from clickhub_spark.operators.asof import asof_join
+
+
+def test_asof_backward_with_equal_ts_visible(spark):
+    left = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 12, 0), 1),
+         ("u1", datetime(2024, 1, 1, 10, 0), 2),
+         ("u2", datetime(2024, 1, 1, 12, 0), 3)],
+        "user string, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 11, 0), 100.0),
+         ("u1", datetime(2024, 1, 1, 12, 0), 200.0),  # equal ts → visible
+         ("u1", datetime(2024, 1, 1, 13, 0), 300.0)],
+        "user string, ts timestamp, price double",
+    )
+    out = {r.lid: (r.asof_price, r.asof_ts) for r in asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="ts",
+        right_values=["price"]).collect()}
+    assert out[1] == (200.0, datetime(2024, 1, 1, 12, 0))  # exact match wins
+    assert out[2] == (None, None)  # nothing at or before 10:00
+    assert out[3] == (None, None)  # no right rows for u2
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 12, 0), 1)], "user string, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 9, 0), 5.0)], "user string, ts timestamp, price double"
+    )
+    hit = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                    right_values=["price"], tolerance=4 * 3600).first()
+    miss = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                     right_values=["price"], tolerance=3600).first()
+    assert hit.asof_price == 5.0
+    assert miss.asof_price is None

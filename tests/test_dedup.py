@@ -1,0 +1,107 @@
+"""ReplacingMergeTree FINAL semantics (SURVEY §2.E1) + LLM dedup ops
+(§2.J4-J5), on hand-built duplicate-key fixtures mirroring the
+reference's dedup contract (reference README.md:133-134)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from clickhub_spark.operators.dedup import (
+    exact_dup_groups,
+    final_view,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _commits(spark):
+    rows = [
+        # (repo, hash, time, updated_at, lines) — two versions of (r1,h1,t1)
+        ("r1", "h1", datetime(2023, 1, 1), datetime(2023, 1, 1, 10), 10),
+        ("r1", "h1", datetime(2023, 1, 1), datetime(2023, 1, 2, 10), 99),
+        ("r1", "h2", datetime(2023, 1, 2), datetime(2023, 1, 1, 10), 20),
+        ("r2", "h1", datetime(2023, 1, 1), datetime(2023, 1, 1, 10), 30),
+    ]
+    return spark.createDataFrame(
+        rows, "repo_name string, hash string, time timestamp, updated_at timestamp, lines long"
+    )
+
+
+def test_final_view_keeps_latest_version(spark):
+    df = _commits(spark)
+    out = final_view(df, keys=["repo_name", "time", "hash"], version=["updated_at"])
+    got = {(r.repo_name, r.hash): r.lines for r in out.collect()}
+    assert got[("r1", "h1")] == 99  # latest updated_at wins
+    assert got[("r1", "h2")] == 20
+    assert got[("r2", "h1")] == 30
+    assert out.count() == 3
+
+
+def test_final_view_idempotent_reimport(spark):
+    """Re-importing the same increment then reading FINAL dedups —
+    the reference's append + ReplacingMergeTree pattern
+    (repo/importer.py:95,107 + README.md:133)."""
+    df = _commits(spark)
+    doubled = df.unionByName(df)
+    out = final_view(doubled, keys=["repo_name", "time", "hash"], version=["updated_at"])
+    assert out.count() == 3
+
+
+def test_exact_dup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    out = {r.canonical_id: r.n_dups for r in exact_dup_groups(docs, "text", "doc_id").collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_finds_exact_dups_and_skips_disjoint(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_text_identical_hash(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark window merge join"), (2, "spark window merge join"),
+         (3, "utterly different content stream")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_approx_distinct_bounded_error(spark):
+    from clickhub_spark.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey").alias("n")).first().n
+    approx = li.select(F.approx_count_distinct("l_partkey", 0.01).alias("n")).first().n
+    assert abs(approx - exact) / exact < 0.05

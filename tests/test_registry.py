@@ -1,0 +1,45 @@
+"""Registry + driver-contract sanity."""
+
+import __spark_entry__ as entrymod
+from clickhub_spark.plans import all_specs
+
+from tests.conftest import SF_DIR
+
+
+def test_every_query_has_builder_and_doc():
+    specs = all_specs()
+    assert len(specs) >= 40
+    for name, spec in specs.items():
+        assert name.startswith("q_")
+        assert callable(spec.builder)
+        assert spec.doc, f"{name} lacks a docstring"
+
+
+def test_oracle_map_is_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is one of the documented engine-internal ops
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "q_agg_approx_distinct",
+        "q_llm_dedup_minhash",
+        "q_llm_simhash",
+        "q_llm_knn_lsh",
+    }
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_column_names_match_oracle_aliases(spark):
+    """Driver compares columns sorted by name — builders must not leak
+    unaliased aggregate names like sum(l_quantity)."""
+    for name, spec in all_specs().items():
+        df = spec.builder(spark, SF_DIR)
+        for c in df.columns:
+            assert "(" not in c, f"{name} has unaliased column {c}"
