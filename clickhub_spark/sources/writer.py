@@ -1,0 +1,83 @@
+"""Sorted/partitioned parquet writer + incremental high-water-mark
+append — the MergeTree storage analog.
+
+- ``write_sorted``: ``ORDER BY (repo_name, time, hash)`` clustering +
+  sparse index (reference README.md:133-134, index_granularity 8192)
+  maps to repartition-by-key + sortWithinPartitions before a parquet
+  write: partition dirs give Catalyst partition pruning, the sort
+  gives parquet row-group min/max skipping — the same two pruning
+  levels the sparse primary index provides.
+
+- ``incremental_append``: the reference's idempotent re-import
+  (``SELECT max(time) WHERE repo_name=…`` then ``WHERE time >
+  '{max_time}'`` — repo/importer.py:95,107).  Appending is safe under
+  replay because reads go through the FINAL dedup view
+  (operators/dedup.final_view), exactly like ReplacingMergeTree
+  absorbing duplicate keys at merge.
+
+Scale notes (100 TB): partition column must be coarse (repo bucket /
+date, not raw repo_name — 128k repos would mean 128k dirs,
+reference repos.txt); `maxRecordsPerFile` bounds file sizes; writers
+never coordinate — idempotency comes from append+dedup-view, not
+locks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None,
+    sort_cols: list[str],
+    mode: str = "append",
+) -> None:
+    """Cluster rows for pruning: partition dirs + in-file sort order."""
+    out = df
+    if partition_by:
+        out = out.repartition(F.col(partition_by))
+    out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+
+
+def high_water_mark(spark: SparkSession, path: str, time_col: str, key_col: str, key: str):
+    """Read the incremental watermark (≙ SELECT max(time) … WHERE
+    repo_name=…, reference repo/importer.py:95).  Returns None when
+    the table doesn't exist yet or holds no rows for the key."""
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        return None
+    row = (
+        existing.where(F.col(key_col) == key)
+        .agg(F.max(time_col).alias("hwm"))
+        .first()
+    )
+    return row.hwm if row else None
+
+
+def incremental_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    time_col: str,
+    key_col: str,
+    key: str,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Append only rows past the stored high-water mark for ``key``
+    (≙ the `WHERE time > '{max_time}'` cut, repo/importer.py:107).
+    Returns the number of rows appended."""
+    hwm = high_water_mark(spark, path, time_col, key_col, key)
+    fresh = df if hwm is None else df.where(F.col(time_col) > F.lit(hwm))
+    n = fresh.count()
+    if n:
+        out = fresh.sortWithinPartitions(*(sort_cols or [time_col]))
+        out.write.mode("append").parquet(path)
+    return n

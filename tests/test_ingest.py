@@ -1,0 +1,60 @@
+"""Ingest path: positional TSV cast (≙ reference types.json:6), write
+clustering, high-water-mark incremental append (repo/importer.py:95,107)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from clickhub_spark.catalog import COMMITS_SCHEMA
+from clickhub_spark.operators.dedup import final_view
+from clickhub_spark.sources.tsv import (
+    read_positional_tsv,
+    stamp_updated_at,
+    validate_enum,
+    validate_non_negative,
+)
+from clickhub_spark.sources.writer import high_water_mark, incremental_append
+
+FIXTURE = "/root/repo/tests/fixtures/commits.tsv"
+
+
+def test_positional_cast_and_literal_injection(spark):
+    df = read_positional_tsv(
+        spark, FIXTURE, COMMITS_SCHEMA, literals={"repo_name": "acme/widgets"}
+    )
+    assert df.columns == [f.name for f in COMMITS_SCHEMA.fields]
+    row = df.first()
+    assert row.repo_name == "acme/widgets"
+    assert isinstance(row.time, datetime)
+    assert df.count() == 21
+    assert dict(df.dtypes)["lines_added"] == "bigint"
+
+
+def test_validators(spark):
+    df = read_positional_tsv(spark, FIXTURE, COMMITS_SCHEMA, literals={"repo_name": "r"})
+    assert validate_non_negative(df, "lines_added", "files_added").count() == 21
+    neg = df.withColumn("lines_added", F.lit(-1))
+    assert validate_non_negative(neg, "lines_added").count() == 0
+    ev = spark.createDataFrame([("Add",), ("Bogus",)], "change_type string")
+    assert validate_enum(ev, "change_type", ("Add", "Delete")).count() == 1
+
+
+def test_incremental_append_idempotent(spark, tmp_path):
+    """Append + watermark cut + FINAL view ≙ the reference's idempotent
+    re-import (repo/importer.py:95,107 + README.md:133)."""
+    path = str(tmp_path / "commits_tbl")
+    df = stamp_updated_at(
+        read_positional_tsv(spark, FIXTURE, COMMITS_SCHEMA, literals={"repo_name": "r"})
+    )
+    n1 = incremental_append(spark, df, path, "time", "repo_name", "r")
+    assert n1 == 21
+    assert high_water_mark(spark, path, "time", "repo_name", "r") is not None
+    # replaying the same increment appends nothing (all rows <= hwm)
+    n2 = incremental_append(spark, df, path, "time", "repo_name", "r")
+    assert n2 == 0
+    # FINAL view dedups the duplicate-key fixture rows
+    stored = spark.read.parquet(path)
+    finals = final_view(
+        stored, keys=["repo_name", "time", "hash"], version=["updated_at", "lines_added"]
+    )
+    assert finals.count() == stored.select("repo_name", "time", "hash").distinct().count()

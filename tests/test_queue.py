@@ -1,0 +1,77 @@
+"""Queue claim semantics (SURVEY §2.I5-I7) — mirrors the reference's
+KeeperMap contract: duplicate-insert rejection (repo/schedule.py:60-63),
+priority claim order (repo/importer.py:138-139), CAS + verify-read
+(repo/importer.py:146-155), release-even-on-failure (repo/importer.py:175)."""
+
+import threading
+
+import pytest
+
+from clickhub_spark.queue import AlreadyScheduled, QueueFull, WorkQueue
+
+
+def test_duplicate_insert_rejected(tmp_path):
+    q = WorkQueue(str(tmp_path))
+    q.schedule("apache/spark")
+    with pytest.raises(AlreadyScheduled):
+        q.schedule("apache/spark")
+
+
+def test_queue_full(tmp_path):
+    q = WorkQueue(str(tmp_path), max_queue_length=2)
+    q.schedule("a/a")
+    q.schedule("b/b")
+    with pytest.raises(QueueFull):
+        q.schedule("c/c")
+
+
+def test_claim_order_priority_desc_then_fifo(tmp_path):
+    q = WorkQueue(str(tmp_path))
+    q.schedule("low/1", priority=1)
+    q.schedule("high/1", priority=9)
+    q.schedule("low/2", priority=1)
+    job = q.claim("w1")
+    assert job.repo_name == "high/1"
+    assert job.worker_id == "w1"
+
+
+def test_concurrent_claim_exactly_one_winner(tmp_path):
+    """Two racing claimants, one job — exactly one wins (the CAS heart
+    of the system, repo/importer.py:145-155)."""
+    q = WorkQueue(str(tmp_path))
+    q.schedule("contested/repo")
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def worker(wid):
+        barrier.wait()
+        results[wid] = q.claim(wid)
+
+    ts = [threading.Thread(target=worker, args=(w,)) for w in ("w1", "w2")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    winners = [w for w, job in results.items() if job is not None]
+    assert len(winners) == 1
+    assert results[winners[0]].repo_name == "contested/repo"
+
+
+def test_release_even_on_failure_drops_job(tmp_path):
+    q = WorkQueue(str(tmp_path))
+    q.schedule("will/fail")
+
+    def handler(job):
+        raise RuntimeError("import blew up")
+
+    with pytest.raises(RuntimeError):
+        q.work("w1", handler)
+    assert not q.is_scheduled("will/fail")  # dropped, not retried
+
+
+def test_work_loop_processes_and_releases(tmp_path):
+    q = WorkQueue(str(tmp_path))
+    q.schedule("a/a", priority=2)
+    q.schedule("b/b", priority=1)
+    seen = []
+    done = q.work("w1", lambda job: seen.append(job.repo_name), max_polls=3)
+    assert done == ["a/a", "b/b"]
+    assert q.list_jobs() == []

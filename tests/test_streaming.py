@@ -1,0 +1,56 @@
+"""Structured Streaming ≡ batch equivalence (SURVEY §5.2, §7 M7):
+the streaming MV drained with availableNow must equal the batch
+oracle-checked query."""
+
+import pytest
+
+from clickhub_spark.catalog import load
+from clickhub_spark.streaming.mv import (
+    read_event_stream,
+    run_available_now,
+    session_counts,
+    stars_mv,
+    tumbling_counts,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Materialize events (ns→µs converted) as a stream source dir,
+    split into multiple files to exercise multi-trigger ingestion."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _batch_events(spark):
+    return load(spark, SF_DIR, "events")
+
+
+def test_stars_mv_stream_equals_batch(spark, events_stream_dir, tmp_path):
+    schema = _batch_events(spark).schema
+    stream = read_event_stream(spark, events_stream_dir, schema, max_files=2)
+    got = run_available_now(stars_mv(stream), str(tmp_path / "ck1"))
+    expect = stars_mv(_batch_events(spark))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream_dir, tmp_path):
+    schema = _batch_events(spark).schema
+    stream = read_event_stream(spark, events_stream_dir, schema, max_files=2)
+    got = run_available_now(tumbling_counts(stream), str(tmp_path / "ck2"))
+    expect = tumbling_counts(_batch_events(spark))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_session_stream_runs_and_covers_all_users(spark, events_stream_dir, tmp_path):
+    schema = _batch_events(spark).schema
+    stream = read_event_stream(spark, events_stream_dir, schema, max_files=2)
+    got = run_available_now(session_counts(stream), str(tmp_path / "ck3"))
+    rows = got.collect()
+    assert sum(r.n_events for r in rows) == _batch_events(spark).count()
+    assert {r.user_id for r in rows} == {
+        r.user_id for r in _batch_events(spark).select("user_id").distinct().collect()
+    }
