@@ -66,20 +66,36 @@ def exact_dup_groups(df: DataFrame, content: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input before CPU-heavy explode work.
+
+    Document tables often arrive as a handful of files (one partition
+    each); the shingle/hash pipeline is compute-bound, so a small
+    input would otherwise run on one core.  At scale inputs already
+    have many partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
-    Built-in fns only (split → transform over indices → explode) so the
-    hot path stays in whole-stage codegen — no Python UDF.
+    Built-in fns only (split → transform over indices → explode) so
+    the hot path stays in whole-stage codegen — no Python UDF.  The
+    word array is materialized once per row (``__words``) so the
+    per-shingle slice doesn't re-split the text.
     """
-    words = F.split(F.col(text), " ")
+    words = F.col("__words")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
-    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     return (
-        df.where(n >= k)
+        _spread(df)
+        .withColumn("__words", F.split(F.col(text), " "))
+        .where(n >= k)
         .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
@@ -136,17 +152,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures via xxhash64 with per-permutation seeds.
 
-    (id, perm, minhash): min over shingles of xxhash64(shingle, seed=p).
-    Everything JVM-side (xxhash64 is a builtin); one shuffle on id.
+    Wide-column form: one groupBy(id) with ``num_perm`` min-aggregates
+    (columns h0..hN), each min over xxhash64(shingle, seed=p).  This
+    keeps the shuffled row count at |shingles| instead of
+    |shingles|×num_perm — at 100 TB the explode form would multiply
+    shuffle volume 32×; the wide form's partial aggregation collapses
+    each doc to a single row map-side.
     """
     sh = shingles(df, text, id_col, k)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    return (
-        sh.select(id_col, "shingle", perms)
-        .withColumn("h", F.xxhash64(F.col("shingle"), F.col("perm")))
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -159,19 +177,24 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (SURVEY §2.J5).
 
-    Band the signature (rows = num_perm/bands per band), hash each
-    band, group docs sharing a (band, band_hash) bucket, emit pairs.
-    This is the 100 TB near-dup path: cost is O(docs × num_perm) +
-    bucket-local pair expansion, no global self-join.
+    Hash each band of the signature (num_perm/bands columns → one
+    xxhash64), explode to (id, band, band_hash), group docs sharing a
+    bucket, emit pairs.  This is the 100 TB near-dup path: cost is
+    O(docs × num_perm) + bucket-local pair expansion — no global
+    self-join, and the bucket join shuffles only (band, hash, id)
+    triples.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text, id_col, k, num_perm)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
-        .withColumn("band_hash", F.xxhash64(F.to_json(F.col("sig"))))
-        .select(id_col, "band", "band_hash")
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band", "band_hash"),
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -191,7 +214,8 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     fns; one shuffle on (id, bit) then one on id.
     """
     words = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
         .withColumn("h", F.xxhash64("w"))
     )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")

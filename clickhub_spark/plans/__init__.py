@@ -6,6 +6,7 @@ Importing this package registers every query into
 
 from clickhub_spark.plans import (  # noqa: F401
     queries_core,
+    queries_extra,
     queries_fn,
     queries_join,
     queries_llm,

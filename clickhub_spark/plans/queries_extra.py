@@ -1,0 +1,90 @@
+"""Additional coverage: sliding windows, embedding-cosine near-dup,
+approximate quantiles (SURVEY §2.I3, §2.J5-J6, §2.D13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhub_spark.catalog import load
+from clickhub_spark.functions.vectors import as_double, cosine
+from clickhub_spark.plans.registry import query
+
+
+@query(
+    "q_stream_slide",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                - i * INTERVAL '30 minutes' AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events, UNNEST([0, 1]) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h width, 30 min slide, SURVEY §2.I3): every
+    event lands in two overlapping windows.  Spark's window() handles
+    the expansion natively; the oracle unnests the two candidate
+    starts — both epoch-aligned to :00/:30."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "q_llm_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY sim DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates (SURVEY north-star dedup):
+    pairs blocked by label (the IVF-style partition key — at 100 TB
+    the blocking key is a coarse quantizer cell, so the self-join is
+    bucket-local, never all-pairs), top-20 most similar."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        as_double(F.col("embedding")).alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label"),
+        as_double(F.col("embedding")).alias("vb"),
+    )
+    return (
+        a.join(b, ["label"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .orderBy(F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+        .select("id_a", "id_b", "label", "sim")
+    )
+
+
+@query("q_agg_approx_quantile", oracle=None)  # sketch-based, engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (≙ ClickHouse quantile() default which
+    is approximate; SURVEY §2.D13 scale path).  Rows-only check; the
+    unit test bounds error against exact percentiles."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        )
+    )

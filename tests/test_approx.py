@@ -1,0 +1,43 @@
+"""Error bounds for the approximate (sketch-based) operators that
+have no DuckDB oracle."""
+
+from pyspark.sql import functions as F
+
+from clickhub_spark.catalog import load
+from clickhub_spark.plans import all_specs
+
+from tests.conftest import SF_DIR
+
+
+def test_approx_quantile_close_to_exact(spark):
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in all_specs()["q_agg_approx_quantile"].builder(spark, SF_DIR).collect()
+    }
+    # percentile_approx returns an actual data point (no interpolation)
+    # — bound it by a bracket of exact quantiles instead of a distance
+    exact = {
+        r.event_type: (r.p40, r.p60, r.p90, r.p99)
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.40).alias("p40"),
+            F.percentile("value", 0.60).alias("p60"),
+            F.percentile("value", 0.90).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    for et, (a50, a95) in approx.items():
+        p40, p60, p90, p99 = exact[et]
+        assert p40 <= a50 <= p60
+        assert p90 <= a95 <= p99
+
+
+def test_lsh_knn_recall_against_brute_force(spark):
+    brute = {r.vec_id for r in all_specs()["q_llm_knn"].builder(spark, SF_DIR).collect()}
+    lsh = {r.vec_id for r in all_specs()["q_llm_knn_lsh"].builder(spark, SF_DIR).collect()}
+    # 4-bit LSH halves the space 4×; require meaningful overlap with
+    # the exact top-10 (random data → recall is probabilistic but the
+    # planes are deterministic, so this is a fixed value per dataset)
+    assert len(brute & lsh) >= 2

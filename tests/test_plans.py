@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions (SURVEY §4): the optimizations we
+rely on at 100 TB must actually appear in the plan — pushed filters,
+pruned scan schemas, broadcast joins, partial aggregation, top-k
+without full sort, codegen in the hot path."""
+
+from clickhub_spark.plans import all_specs
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    plan = _plan(spark, "q_scan_parquet")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_scan_schema_pruned_to_selected_columns(spark):
+    plan = _plan(spark, "q_scan_parquet")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_extendedprice" in read_schema
+    # untouched wide columns must not be read
+    assert "l_returnflag" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_time_range_pushed_down(spark):
+    plan = _plan(spark, "q_filter_range_time")
+    assert "PushedFilters" in plan and "GreaterThan(l_shipdate" in plan
+
+
+def test_small_dims_broadcast(spark):
+    plan = _plan(spark, "q_join_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "q_topk_multi")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = _plan(spark, "q_agg_multi")
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_hot_path_stays_in_codegen(spark):
+    """Executed plan must show whole-stage-codegen'd stages (the *(n)
+    markers) — AQE hides them in pre-execution formatted explain."""
+    df = all_specs()["q_agg_multi"].builder(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in _plan(spark, "q_join_semi")
+    assert "LeftAnti" in _plan(spark, "q_join_anti")
