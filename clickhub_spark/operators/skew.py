@@ -1,0 +1,55 @@
+"""Skew mitigation helpers (SURVEY §7 M9; 100 TB posture).
+
+AQE's skew-join splitting handles joins automatically
+(spark.sql.adaptive.skewJoin.enabled, on in session.py), but two
+cases need explicit salting:
+
+- **Skewed aggregation**: one hot group key (one repo with 10% of all
+  events) serializes into a single reducer.  ``salted_agg`` does a
+  two-phase aggregate: phase 1 groups on (key, salt) — spreading the
+  hot key over N partial groups — phase 2 merges the partials.  Works
+  for any algebraic aggregate (sum/count/min/max) supplied as
+  (partial_exprs, merge_exprs).
+
+- **Skewed window/broadcast-miss joins**: ``explode_small_side``
+  replicates the small side N times with a salt column so the big
+  side's salted key joins co-located.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    merge_aggs: Sequence[Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a salted key.
+
+    ``partial_aggs`` run per (keys, salt); ``merge_aggs`` combine the
+    partials per keys.  Example (count + sum):
+
+        salted_agg(ev, ["user_id"],
+                   [F.count("*").alias("n"), F.sum("value").alias("v")],
+                   [F.sum("n").alias("n"), F.sum("v").alias("v")])
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def explode_small_side(
+    small: DataFrame, salt_buckets: int = 16, salt_col: str = "__salt"
+) -> DataFrame:
+    """Replicate the small side once per salt bucket; join it on
+    (key, salt) against a big side salted with rand()%buckets."""
+    return small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )

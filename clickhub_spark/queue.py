@@ -141,8 +141,15 @@ class WorkQueue:
     # -- worker loop (reference repo/importer.py:161-179) ----------------
 
     def work(self, worker_id: str, handler, max_polls: int = 1, sleep_time: float = 0.0):
-        """Poll → claim → handle → always release (I7)."""
+        """Poll → claim → handle → always release (I7).
+
+        Handler failures are swallowed like the reference worker loop
+        (repo/importer.py:161-179 keeps the worker alive; the job is
+        dropped, not retried — comment repo/importer.py:174).  Failed
+        repo names are recorded on ``self.failures``.
+        """
         done = []
+        self.failures: list[tuple[str, str]] = []
         for _ in range(max_polls):
             job = self.claim(worker_id)
             if job is None:
@@ -151,7 +158,9 @@ class WorkQueue:
                 continue
             try:
                 handler(job)
+                done.append(job.repo_name)
+            except Exception as e:  # dropped, not retried
+                self.failures.append((job.repo_name, repr(e)))
             finally:
                 self.release(job.repo_name, worker_id)
-            done.append(job.repo_name)
         return done

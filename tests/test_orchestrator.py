@@ -1,0 +1,62 @@
+"""End-to-end app lifecycle (≙ reference test.py's black-box checks +
+the full schedule→claim→import→read loop)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clickhub_spark.operators.mutate import delete_where, insert_rows, update_where
+from clickhub_spark.orchestrator import Orchestrator
+from clickhub_spark.queue import WorkQueue
+
+FIXTURE = "/root/repo/tests/fixtures/commits.tsv"
+
+
+@pytest.fixture()
+def orch(spark, tmp_path):
+    return Orchestrator(
+        spark, str(tmp_path / "commits_tbl"), WorkQueue(str(tmp_path / "queue"))
+    )
+
+
+def test_add_new_repo_status_codes(orch):
+    assert orch.add_new_repo("not-a-repo").code == 400  # test.py:22-24
+    assert orch.add_new_repo("acme/widgets").code == 201
+    assert orch.add_new_repo("acme/widgets").status == "ALREADY_SCHEDULED"  # test.py:33-43
+
+
+def test_full_lifecycle_schedule_claim_import_read(orch):
+    assert orch.add_new_repo("acme/widgets").code == 201
+    done = orch.run_worker("w1", tsv_for=lambda repo: FIXTURE)
+    assert done == ["acme/widgets"]
+    assert orch.queue.list_jobs() == []  # released
+    # re-import is incremental: nothing new past the high-water mark
+    assert orch.import_repo("acme/widgets", FIXTURE) == 0
+    finals = orch.commits_final()
+    assert finals.count() == 20  # 21 fixture rows, one duplicate key
+    # processed repos report ALREADY_PROCESSED (the documented intent
+    # of app.py:51's buggy >= 0 check)
+    assert orch.add_new_repo("acme/widgets").status == "ALREADY_PROCESSED"
+
+
+def test_update_all_repos_schedules_stale_not_queued(orch):
+    orch.add_new_repo("acme/widgets")
+    orch.run_worker("w1", tsv_for=lambda repo: FIXTURE)
+    orch.add_new_repo("other/queued")  # still in queue, must be excluded
+    scheduled = orch.update_all_repos(limit=10)
+    assert scheduled == ["acme/widgets"]
+
+
+def test_point_update_delete_insert(spark, tmp_path):
+    """Copy-on-write mutations (≙ ALTER UPDATE repo/importer.py:146-147,
+    DELETE repo/importer.py:175, INSERT test.py:36)."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    ).write.parquet(path)
+    update_where(spark, path, F.col("k") == "b", {"v": F.lit(99)})
+    assert spark.read.parquet(path).where("k='b'").first().v == 99
+    delete_where(spark, path, F.col("k") == "a")
+    assert spark.read.parquet(path).count() == 2
+    insert_rows(spark, path, spark.createDataFrame([("d", 4)], "k string, v int"))
+    assert spark.read.parquet(path).count() == 3

@@ -55,16 +55,23 @@ def test_concurrent_claim_exactly_one_winner(tmp_path):
     assert results[winners[0]].repo_name == "contested/repo"
 
 
-def test_release_even_on_failure_drops_job(tmp_path):
+def test_release_even_on_failure_drops_job_and_worker_survives(tmp_path):
+    """Worker loop mirrors repo/importer.py:161-179: a failing import
+    is logged and released (dropped, not retried); the loop continues
+    to the next job."""
     q = WorkQueue(str(tmp_path))
-    q.schedule("will/fail")
+    q.schedule("will/fail", priority=9)
+    q.schedule("will/work", priority=1)
 
     def handler(job):
-        raise RuntimeError("import blew up")
+        if job.repo_name == "will/fail":
+            raise RuntimeError("import blew up")
 
-    with pytest.raises(RuntimeError):
-        q.work("w1", handler)
+    done = q.work("w1", handler, max_polls=2)
+    assert done == ["will/work"]
+    assert q.failures == [("will/fail", "RuntimeError('import blew up')")]
     assert not q.is_scheduled("will/fail")  # dropped, not retried
+    assert q.list_jobs() == []
 
 
 def test_work_loop_processes_and_releases(tmp_path):
