@@ -1,0 +1,108 @@
+"""CLI — command-for-command parity with the reference's clickhub.py
+(reference clickhub.py:29-49: schedule, bulk_schedule, start_worker,
+import, update_all_repos), driving the Spark engine instead of a
+ClickHouse server.
+
+    python -m clickhub_spark schedule --repo_name apache/spark
+    python -m clickhub_spark bulk_schedule --repo_file repos.txt --limit 100
+    python -m clickhub_spark import --repo_name acme/widgets --tsv commits.tsv
+    python -m clickhub_spark start_worker --tsv-dir /data/tsv --polls 10
+    python -m clickhub_spark update_all_repos --limit 50000
+    python -m clickhub_spark query --name q_agg_multi --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import uuid
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="clickhub_spark")
+    p.add_argument("--data-dir", default=os.environ.get("CLICKHUB_SPARK_DATA", "./data"))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("schedule")  # reference clickhub.py:89-96
+    s.add_argument("--repo_name", required=True)
+    s.add_argument("--priority", type=int, default=0)
+
+    b = sub.add_parser("bulk_schedule")  # reference clickhub.py:97-108
+    b.add_argument("--repo_file", required=True)
+    b.add_argument("--limit", type=int, default=None)
+
+    i = sub.add_parser("import")  # reference clickhub.py:116-120
+    i.add_argument("--repo_name", required=True)
+    i.add_argument("--tsv", required=True)
+
+    w = sub.add_parser("start_worker")  # reference clickhub.py:122-132
+    w.add_argument("--tsv-dir", required=True)
+    w.add_argument("--polls", type=int, default=1)
+
+    u = sub.add_parser("update_all_repos")  # reference clickhub.py:109-114
+    u.add_argument("--limit", type=int, default=50_000)
+
+    q = sub.add_parser("query")  # run any registered engine query
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--show", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    from clickhub_spark.orchestrator import Orchestrator
+    from clickhub_spark.queue import WorkQueue
+    from clickhub_spark.session import get_spark
+
+    spark = get_spark("clickhub-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    orch = Orchestrator(
+        spark,
+        os.path.join(args.data_dir, "commits"),
+        WorkQueue(os.path.join(args.data_dir, "queue")),
+    )
+
+    if args.cmd == "schedule":
+        r = orch.add_new_repo(args.repo_name, args.priority)
+        print(r.code, r.status)
+    elif args.cmd == "bulk_schedule":
+        n = 0
+        with open(args.repo_file) as f:
+            for line in f:
+                name = line.strip()
+                if not name:
+                    continue
+                if orch.add_new_repo(name).code == 201:
+                    n += 1
+                if args.limit and n >= args.limit:
+                    break
+        print(f"scheduled {n}")
+    elif args.cmd == "import":
+        print(f"appended {orch.import_repo(args.repo_name, args.tsv)} rows")
+    elif args.cmd == "start_worker":
+        wid = f"worker-{uuid.uuid4().hex[:8]}"  # ≙ clickhub.py:38 per-worker UUID
+        done = orch.run_worker(
+            wid,
+            tsv_for=lambda repo: os.path.join(args.tsv_dir, repo.replace("/", "%2F") + ".tsv"),
+            max_polls=args.polls,
+        )
+        print(f"{wid} imported {done}; failures {orch.queue.failures}")
+    elif args.cmd == "update_all_repos":
+        print(f"scheduled {orch.update_all_repos(args.limit)}")
+    elif args.cmd == "query":
+        from clickhub_spark.plans import all_specs
+
+        specs = all_specs()
+        if args.name not in specs:
+            print(
+                f"unknown query {args.name!r}; available: {', '.join(sorted(specs))}",
+                file=sys.stderr,
+            )
+            return 2
+        df = specs[args.name].builder(spark, args.sf_dir)
+        df.show(args.show, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

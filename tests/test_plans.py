@@ -66,3 +66,23 @@ def test_hot_path_stays_in_codegen(spark):
 def test_semi_anti_join_operators(spark):
     assert "LeftSemi" in _plan(spark, "q_join_semi")
     assert "LeftAnti" in _plan(spark, "q_join_anti")
+
+
+def test_partition_pruning_on_sorted_write(spark, tmp_path):
+    """write_sorted partition layout must yield partition-filter
+    pruning, not a full scan (the sparse-index analog, SURVEY §4)."""
+    from clickhub_spark.catalog import load
+    from clickhub_spark.sources.writer import write_sorted
+
+    path = str(tmp_path / "events_part")
+    write_sorted(
+        load(spark, SF_DIR, "events"), path, "event_type", ["ts"], mode="overwrite"
+    )
+    df = spark.read.parquet(path).where("event_type = 'click'")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the equality predicate prunes directories: it must appear in
+    # PartitionFilters (attribute ids like event_type#14 vary by run)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "= click)" in pf_lines[0] and "isnotnull(event_type" in pf_lines[0]
