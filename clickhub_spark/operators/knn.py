@@ -71,6 +71,55 @@ def hyperplane_signature(vec: F.Column, n_bits: int = 16, dim: int = 64) -> F.Co
     return sig
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: KMeans coarse quantizer → scan
+    only the query's ``nprobe`` nearest cells.
+
+    The index build (KMeans fit + cell assignment) is a one-time
+    distributed job; at query time the scan is pruned to
+    nprobe/n_cells of the data — the standard IVF trade-off.  At
+    100 TB the cell id becomes the table's partition column so the
+    probe is partition pruning, not a filter scan.  Centroids are tiny
+    (n_cells × dim) and ship driver-side for the probe selection —
+    a parameter lookup, not a data collect.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn("__f", array_to_vector(as_double(F.col(vec_col))))
+    model = KMeans(k=n_cells, seed=42, featuresCol="__f", predictionCol="__cell").fit(feats)
+    assigned = model.transform(feats).drop("__f")
+
+    qvec = np.array(
+        emb.where(F.col(id_col) == query_id).select(vec_col).first()[0], dtype="float64"
+    )
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    probe_cells = [int(c) for c in np.argsort(((centers - qvec) ** 2).sum(1))[:nprobe]]
+
+    query = (
+        emb.where(F.col(id_col) == query_id)
+        .select(as_double(F.col(vec_col)).alias("__qvec"))
+    )
+    cand = assigned.where(
+        F.col("__cell").isin(probe_cells) & (F.col(id_col) != query_id)
+    )
+    return (
+        _scored(cand, vec_col, id_col, query)
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "sim", F.col("__cell").alias("cell"))
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_id: int,

@@ -160,3 +160,15 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w_all).alias("last_type"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@query("q_llm_knn_ivf", oracle=None)  # KMeans cells are engine-internal
+def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-10 via a KMeans coarse quantizer (SURVEY §2.J6
+    scale path alongside LSH): scan pruned to the 4 nearest of 16
+    cells.  Rows-only check; unit test measures recall vs q_llm_knn."""
+    from clickhub_spark.operators.knn import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=16, nprobe=4
+    )

@@ -32,6 +32,15 @@ def get_spark(app_name: str = "clickhub-spark", cpus: str | int | None = None) -
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
+        # Split small-but-CPU-heavy scans across cores: the bench SFs
+        # arrive as single ~10 MB files, which the 128 MB default maps
+        # to ONE partition (one core).  4 MB saturates local[32]
+        # (q_agg_multi 2.7× faster); on a real cluster with many files
+        # per table, override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

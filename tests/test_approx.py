@@ -41,3 +41,10 @@ def test_lsh_knn_recall_against_brute_force(spark):
     # the exact top-10 (random data → recall is probabilistic but the
     # planes are deterministic, so this is a fixed value per dataset)
     assert len(brute & lsh) >= 2
+
+
+def test_ivf_knn_recall_against_brute_force(spark):
+    brute = {r.vec_id for r in all_specs()["q_llm_knn"].builder(spark, SF_DIR).collect()}
+    ivf = {r.vec_id for r in all_specs()["q_llm_knn_ivf"].builder(spark, SF_DIR).collect()}
+    # probing 4/16 cells of random vectors: require meaningful recall
+    assert len(brute & ivf) >= 3
