@@ -364,3 +364,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.lit("utf8-text").alias("media_type"),
     )
+
+
+@query(
+    "q_llm_token_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')
+                ) AS INT) AS n_tokens_bpe,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws
+    FROM documents
+    """,
+)
+def q_llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization vs whitespace (SURVEY north-star
+    token counting): alpha runs, digit runs, and lone symbols — the
+    pre-tokenizer split GPT-style BPE vocabularies assume.  Pure
+    regexp_count, stays in codegen."""
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_tokens_bpe"),
+        F.size(F.split("text", " ")).alias("n_tokens_ws"),
+    )

@@ -81,3 +81,31 @@ def incremental_append(
         out = fresh.sortWithinPartitions(*(sort_cols or [time_col]))
         out.write.mode("append").parquet(path)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed table write — the co-located-join layout (SURVEY §7
+    M9: pre-shuffle once at write time, then every join/agg on the
+    bucket column runs shuffle-free).  This is the Spark analog of
+    sharding MergeTree tables by sort-key prefix: at 100 TB the big
+    fact↔fact joins (lineitem↔orders) should both be bucketed on the
+    join key so neither side exchanges at query time."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session's managed-table dir survives the in-memory
+    # catalog; remove it or saveAsTable raises LOCATION_ALREADY_EXISTS
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

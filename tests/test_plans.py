@@ -86,3 +86,30 @@ def test_partition_pruning_on_sorted_write(spark, tmp_path):
     # PartitionFilters (attribute ids like event_type#14 vary by run)
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines and "= click)" in pf_lines[0] and "isnotnull(event_type" in pf_lines[0]
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Two tables bucketed on the join key must join with no Exchange
+    on either side (SURVEY §7 M9 co-located joins)."""
+    from clickhub_spark.catalog import load
+    from clickhub_spark.sources.writer import write_bucketed
+
+    write_bucketed(load(spark, SF_DIR, "orders"), "orders_b", "o_orderkey", 8)
+    write_bucketed(
+        load(spark, SF_DIR, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", "o_orderkey", 8,
+    )
+    # sf0.001 tables fit the broadcast threshold, which would bypass
+    # bucketing entirely; disable it to expose the co-located path a
+    # fact↔fact join takes at scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" not in executed  # no shuffle either side
+    assert "SortMergeJoin" in executed or "ShuffledHashJoin" in executed
+    assert "Bucketed: true" in executed
