@@ -172,3 +172,25 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=16, nprobe=4
     )
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (SURVEY §7 M9 skew path): the hot
+    key is spread over 16 salt buckets before the final merge; the
+    result is provably identical to the direct group-by — which is
+    exactly what the oracle checks."""
+    from clickhub_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        load(spark, sf_dir, "events"),
+        ["user_id"],
+        [F.count("*").alias("pn"), F.sum("value").alias("pv")],
+        [F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")],
+    )
