@@ -54,6 +54,78 @@ def stub_decode(payload: bytes, n_feat: int = 8) -> list[float]:
     return [round(x / total, 6) for x in acc]
 
 
+def stub_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
+    """Deterministic fake resize (STUB — no codecs).  Real deployments
+    decode → resample → re-encode; the contract is bytes → bytes with
+    target dims carried in metadata."""
+    if payload is None:
+        raise NotImplementedError("real image resize requires codec libraries")
+    n = max(1, width * height // 8)
+    rep = (payload * (n // max(1, len(payload)) + 1))[:n]
+    return bytes(rep)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas resize pass: emits (id, resized binary, w, h).
+
+    Runs before feature extraction in a real pipeline so the decode
+    UDF sees fixed-size inputs (stable Arrow batch memory)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": [stub_resize(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return src.mapInPandas(run, "doc_id long, resized binary, width int, height int")
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 4,
+    max_frames: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one row per sampled
+    frame (id, frame_idx, frame bytes).  The STUB treats the payload
+    as a concatenation of fixed-size 16-byte 'frames'; real decoders
+    swap in keyframe extraction.  This is the UDTF-shaped multimodal
+    op: one row → many, schema-stable for downstream joins."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    frame_sz = 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    raise NotImplementedError("real frame sampling requires codecs")
+                total = len(p) // frame_sz
+                for j, f in enumerate(range(0, total, every_nth)):
+                    if j >= max_frames:
+                        break
+                    ids.append(i)
+                    idxs.append(f)
+                    frames.append(bytes(p[f * frame_sz : (f + 1) * frame_sz]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    out = src.mapInPandas(run, "doc_id long, frame_idx int, frame binary")
+    return out
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",

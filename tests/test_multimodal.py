@@ -7,7 +7,10 @@ from clickhub_spark.catalog import load
 from clickhub_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
+    resize_images,
+    sample_frames,
     stub_decode,
+    stub_resize,
 )
 
 from tests.conftest import SF_DIR
@@ -37,3 +40,25 @@ def test_stub_decode_contract():
     assert stub_decode(b"abc") == stub_decode(b"abc")
     with pytest.raises(NotImplementedError):
         stub_decode(None)
+
+
+def test_resize_contract(spark):
+    docs = attach_binary_payload(load(spark, SF_DIR, "documents").limit(10))
+    out = resize_images(docs, width=16, height=16)
+    rows = out.collect()
+    assert out.columns == ["doc_id", "resized", "width", "height"]
+    assert all(len(r.resized) == 16 * 16 // 8 for r in rows)
+    assert stub_resize(b"xy", 16, 16) == stub_resize(b"xy", 16, 16)
+
+
+def test_frame_sampling_one_to_many(spark):
+    docs = attach_binary_payload(load(spark, SF_DIR, "documents").limit(10))
+    frames = sample_frames(docs, every_nth=2, max_frames=3)
+    rows = frames.collect()
+    assert frames.columns == ["doc_id", "frame_idx", "frame"]
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(1 <= len(v) <= 3 for v in per_doc.values())
+    assert all(idx % 2 == 0 for v in per_doc.values() for idx in v)
+    assert all(len(r.frame) == 16 for r in rows)
