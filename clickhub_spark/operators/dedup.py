@@ -255,3 +255,49 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
             "simhash"
         )
     )
+
+
+def minhash_candidate_pairs_md5(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH with engine-portable hashing (md5 string-min).
+
+    Same banding scheme as minhash_candidate_pairs, but the per-
+    permutation hash is ``min(md5(shingle || ':' || p))`` — a string
+    minimum, identical in any engine — so the WHOLE near-dup pipeline
+    is oracle-checkable, not just rows-only.  xxhash64 remains the
+    production default (integer compares beat 32-char string
+    compares); this variant doubles as its cross-engine test vector.
+    """
+    rows_per_band = num_perm // bands
+    sh = shingles(df, text, id_col, k)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{p}")))).alias(f"h{p}")
+            for p in range(num_perm)
+        ]
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -387,3 +387,38 @@ def q_llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_tokens_bpe"),
         F.size(F.split("text", " ")).alias("n_tokens_ws"),
     )
+
+
+@query(
+    "q_llm_dedup_minhash_md5",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), mins AS (
+        SELECT doc_id, p, min(md5(shingle || ':' || p)) AS mh
+        FROM sh, UNNEST(range(0, 16)) t(p)
+        GROUP BY doc_id, p
+    ), bands AS (
+        SELECT doc_id, p // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY p)) AS bh
+        FROM mins GROUP BY doc_id, p // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def q_llm_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with engine-portable md5 hashing —
+    the fully oracle-checked variant of q_llm_dedup_minhash (16 perms,
+    4 bands of 4).  Proves the banding/bucketing pipeline itself, not
+    just its row count."""
+    from clickhub_spark.operators.dedup import minhash_candidate_pairs_md5
+
+    return minhash_candidate_pairs_md5(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_perm=16, bands=4
+    )
