@@ -9,13 +9,14 @@ applies replacement lazily at merge time; we apply it lazily at read
 time, which yields the same visible semantics for any query routed
 through the view.
 
-Scale notes (100 TB): the window dedup shuffles once on the key —
-identical cost to the groupBy/max_by formulation, but keeps the whole
-row without an extra self-join.  If the table is bucketed/partitioned
-by the key the shuffle is avoided entirely (Catalyst recognizes the
-existing distribution).  Ties on the version column are broken by the
-full ordering so results are deterministic (ClickHouse keeps an
-arbitrary row; we document and fix — SURVEY §7 M4 hard part #1).
+Scale notes (100 TB): both strategies shuffle once on the dedup key;
+the default max_by-aggregate form additionally collapses partials
+map-side (measured ~3× the window form locally).  If the table is
+bucketed/partitioned by the key the shuffle is avoided entirely
+(Catalyst recognizes the existing distribution).  Supply enough
+version columns to make the ordering total and survivors are
+deterministic (ClickHouse keeps an arbitrary row on ties; we document
+the fix — SURVEY §7 M4 hard part #1).
 
 The LLM-pipeline dedup family (exact hash, MinHash-LSH, SimHash,
 n-gram Jaccard) lives in plans/queries_llm.py as composed DataFrame

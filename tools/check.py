@@ -8,6 +8,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -39,12 +40,25 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from clickhub_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    spark = get_spark("check")
+    if os.environ.get("CHECK_VANILLA"):
+        # driver-like plain session: no engine configs, so any query
+        # silently depending on session.py settings fails HERE first
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-vanilla")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from clickhub_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
