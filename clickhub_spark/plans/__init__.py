@@ -8,6 +8,7 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_core,
     queries_extra,
     queries_fn,
+    queries_fn2,
     queries_join,
     queries_llm,
     queries_stream,
