@@ -1,0 +1,100 @@
+"""ClickHouse-SQL compatibility shim — lets the reference app's
+literal SQL strings run on the Spark engine unchanged.
+
+The reference issues a small, well-defined SQL dialect (every
+statement it ever runs is cited below); ``translate`` rewrites the
+ClickHouse-isms to Spark SQL and ``run`` executes against registered
+views.  This is a conservative, pattern-scoped translator for the
+app-surface dialect + the common ClickHouse function names — not a
+general SQL transpiler.  Known limitation: rewrites are textual, so a
+ClickHouse-ism *inside a string literal* (e.g. ``LIKE '%count()%'``)
+is also rewritten — none of the reference's statements do this; a
+tokenizer would be the upgrade path if user SQL needs it.
+
+Reference statements covered (all of them):
+- SELECT max(time) as max_time FROM git.commits WHERE repo_name='x'
+  (repo/importer.py:95)
+- SELECT count() as count FROM git.work_queue (repo/schedule.py:31)
+- SELECT COUNT(repo_name) FROM git.commits WHERE repo_name='x'
+  (app.py:49)
+- SELECT repo_name, min(updated_at) as last_updated FROM git.commits
+  GROUP BY repo_name ORDER BY last_updated ASC LIMIT 50000
+  (repo/schedule.py:81-83)
+- SELECT repo_name FROM queue WHERE worker_id='' ORDER BY priority
+  DESC, started_time ASC LIMIT 2 (repo/importer.py:138-139)
+- SELECT repo_name, count() FROM github_events WHERE event_type =
+  'WatchEvent' GROUP BY repo_name (README.md:258-262)
+- countIf(...) (README.md:265); IN-list probes (repo/schedule.py:94)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: ClickHouse function name → Spark SQL equivalent (1:1 renames).
+_FN_RENAMES = {
+    "toYear": "year",
+    "toMonth": "month",
+    "toDayOfMonth": "dayofmonth",
+    "toHour": "hour",
+    "toDate": "to_date",
+    "toStartOfHour": "date_trunc('hour', ",  # handled specially below
+    "toStartOfWeek": "date_trunc('week', ",
+    "toStartOfDay": "date_trunc('day', ",
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "countIf": "count_if",
+    "sumIf": "sum_if",
+    "uniq": "approx_count_distinct",
+    "arrayJoin": "explode",
+    "has": "array_contains",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "intDiv": "div",
+    "cityHash64": "xxhash64",
+    "JSONExtractString": "get_json_object",
+}
+
+_START_OF = {"toStartOfHour": "hour", "toStartOfWeek": "week", "toStartOfDay": "day"}
+
+
+def translate(sql: str) -> str:
+    """Rewrite ClickHouse SQL to Spark SQL."""
+    out = sql
+    # db-qualified tables: git.commits → commits (our views are flat)
+    out = re.sub(r"\b(?:git|default)\.(\w+)", r"\1", out)
+    # bare count() → count(*)
+    out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    # x::Type positional casts → CAST(x AS type)
+    out = re.sub(
+        r"(\w+)::DateTime\('UTC'\)", r"CAST(\1 AS TIMESTAMP)", out
+    )
+    out = re.sub(r"(\w+)::DateTime\b", r"CAST(\1 AS TIMESTAMP)", out)
+    out = re.sub(r"(\w+)::String\b", r"CAST(\1 AS STRING)", out)
+    out = re.sub(r"(\w+)::U?Int\d+\b", r"CAST(\1 AS BIGINT)", out)
+    out = re.sub(r"'([^']*)'::String\b", r"'\1'", out)
+    # uniqExact(x) → count(DISTINCT x)  (count_distinct is not a SQL name)
+    out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
+    # toStartOf* → date_trunc
+    for ch, unit in _START_OF.items():
+        out = re.sub(
+            rf"\b{ch}\(([^)]+)\)", rf"date_trunc('{unit}', \1)", out
+        )
+    # simple function renames (word-boundary, call position only)
+    for ch, sp in _FN_RENAMES.items():
+        if ch in _START_OF:
+            continue
+        out = re.sub(rf"\b{ch}\s*\(", f"{sp}(", out)
+    # now() is identical; FINAL keyword: route via dedup view upstream
+    out = re.sub(r"\bFINAL\b", "", out)
+    return out
+
+
+def run(spark: SparkSession, sql: str) -> DataFrame:
+    """Translate and execute a ClickHouse-dialect statement against
+    the session's registered views."""
+    return spark.sql(translate(sql))

@@ -1,0 +1,99 @@
+"""The reference app's literal SQL must run unchanged through the
+compat shim (every statement the reference ever issues, SURVEY §3)."""
+
+import pytest
+
+from clickhub_spark.catalog import COMMITS_SCHEMA, load
+from clickhub_spark.sources.tsv import read_positional_tsv, stamp_updated_at
+from clickhub_spark.sql_compat import run, translate
+
+from tests.conftest import SF_DIR
+
+FIXTURE = "/root/repo/tests/fixtures/commits.tsv"
+
+
+@pytest.fixture(scope="module")
+def commits_view(spark):
+    df = stamp_updated_at(
+        read_positional_tsv(spark, FIXTURE, COMMITS_SCHEMA, literals={"repo_name": "acme/widgets"})
+    )
+    df.createOrReplaceTempView("commits")
+    return df
+
+
+def test_importer_high_water_mark_sql(spark, commits_view):
+    # reference repo/importer.py:95
+    row = run(
+        spark,
+        "SELECT max(time) as max_time FROM git.commits WHERE repo_name = 'acme/widgets'",
+    ).first()
+    assert row.max_time is not None
+
+
+def test_schedule_count_sql(spark, commits_view):
+    # reference repo/schedule.py:31 (count() with no args)
+    assert run(spark, "SELECT count() as count FROM git.commits").first()["count"] == 21
+
+
+def test_app_membership_probe_sql(spark, commits_view):
+    # reference app.py:48-50
+    row = run(
+        spark,
+        "SELECT COUNT(repo_name) as count FROM git.commits WHERE repo_name = 'acme/widgets'",
+    ).first()
+    assert row["count"] == 21
+
+
+def test_update_all_repos_sql(spark, commits_view):
+    # reference repo/schedule.py:81-83 — the biggest query in the app
+    rows = run(
+        spark,
+        "SELECT repo_name, min(updated_at) as last_updated FROM git.commits "
+        "GROUP BY repo_name ORDER BY last_updated ASC LIMIT 50000",
+    ).collect()
+    assert [r.repo_name for r in rows] == ["acme/widgets"]
+
+
+def test_in_list_probe_sql(spark, commits_view):
+    # reference repo/schedule.py:86-94 batched IN probes
+    rows = run(
+        spark,
+        "SELECT repo_name FROM git.commits WHERE repo_name IN ('acme/widgets', 'x/y') "
+        "GROUP BY repo_name",
+    ).collect()
+    assert [r.repo_name for r in rows] == ["acme/widgets"]
+
+
+def test_stars_mv_sql(spark):
+    # reference README.md:258-262 (WatchEvent ≙ 'view' in testdata)
+    load(spark, SF_DIR, "events").createOrReplaceTempView("github_events")
+    rows = run(
+        spark,
+        "SELECT user_id, count() as stars FROM github_events "
+        "WHERE event_type = 'view' GROUP BY user_id",
+    ).collect()
+    assert sum(r.stars for r in rows) == 188
+
+
+def test_countif_and_date_fns(spark):
+    # reference README.md:265 + ClickHouse date fns
+    load(spark, SF_DIR, "events").createOrReplaceTempView("github_events")
+    row = run(
+        spark,
+        "SELECT countIf(event_type = 'view') as n_watch, "
+        "uniqExact(user_id) as n_users, "
+        "toYear(min(ts)) as first_year FROM github_events",
+    ).first()
+    assert row.n_watch == 188
+    assert row.n_users == 15
+    assert row.first_year == 2024
+
+
+def test_positional_cast_translation():
+    # reference types.json:6 ingest statement fragment
+    t = translate("SELECT c1::String as hash, c3::DateTime('UTC') as time, "
+                  "c5::UInt32 as files_added, '{r}'::String as repo_name FROM tsv")
+    assert "CAST(c1 AS STRING)" in t
+    assert "CAST(c3 AS TIMESTAMP)" in t
+    assert "CAST(c5 AS BIGINT)" in t
+    assert "'{r}'" in t
