@@ -4,12 +4,14 @@ AQE's skew-join splitting handles joins automatically
 (spark.sql.adaptive.skewJoin.enabled, on in session.py), but two
 cases need explicit salting:
 
-- **Skewed aggregation**: one hot group key (one repo with 10% of all
-  events) serializes into a single reducer.  ``salted_agg`` does a
-  two-phase aggregate: phase 1 groups on (key, salt) — spreading the
-  hot key over N partial groups — phase 2 merges the partials.  Works
-  for any algebraic aggregate (sum/count/min/max) supplied as
-  (partial_exprs, merge_exprs).
+- **Skewed aggregation**: measured reality first — for algebraic
+  aggregates (sum/count/min/max) Spark's map-side partial aggregation
+  already collapses a hot key to one row per map task, and
+  countDistinct plans its own two-phase expansion; salting buys
+  nothing there (verified at 6M rows, 50% on one key: naive ==
+  salted).  ``salted_agg`` exists for what the planner can't spread:
+  holistic custom UDAFs and pipelines that must pre-partition by the
+  hot key (e.g. a window function downstream).
 
 - **Skewed window/broadcast-miss joins**: ``explode_small_side``
   replicates the small side N times with a salt column so the big

@@ -271,3 +271,48 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@query(
+    "q_win_pctrank",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution windows (SURVEY §2.H) —
+    per-priority price percentiles with a total ordering."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           o_orderdate - INTERVAL 1 MONTH AS month_before,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + calendar functions (≙ ClickHouse
+    addDays/subtractMonths/toLastDayOfMonth, SURVEY §2.G2 extension)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 MONTH")).alias("month_before"),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+    )
