@@ -5,6 +5,7 @@ Importing this package registers every query into
 """
 
 from clickhub_spark.plans import (  # noqa: F401
+    queries_ch,
     queries_core,
     queries_extra,
     queries_fn,

@@ -109,3 +109,24 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+def compact(spark: SparkSession, path: str, sort_cols: list[str], target_files: int = 8) -> int:
+    """Compact a table's small files (streaming foreachBatch appends
+    accumulate one file per micro-batch) into ``target_files`` sorted
+    files — the MergeTree background-merge analog.  Atomic dir swap, so
+    concurrent readers see old or new, never partial.  Returns row count."""
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    (df.repartition(target_files).sortWithinPartitions(*sort_cols)
+       .write.mode("overwrite").parquet(tmp))
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

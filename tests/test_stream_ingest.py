@@ -3,6 +3,7 @@ replay tolerance (the reference's append + ReplacingMergeTree loop)."""
 
 from clickhub_spark.catalog import load
 from clickhub_spark.operators.dedup import final_view
+from clickhub_spark.sources.writer import compact
 from clickhub_spark.streaming.ingest import stream_ingest
 
 from tests.conftest import SF_DIR
@@ -33,3 +34,18 @@ def test_stream_ingest_then_checkpoint_skips_replay(spark, tmp_path):
         doubled, keys=["event_id"], version=["updated_at", "ts"]
     )
     assert finals.count() == ev.count()
+
+
+def test_compact_preserves_rows_reduces_files(spark, tmp_path):
+    import glob
+    ev = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "landing")
+    ev.repartition(6).write.parquet(src)
+    table = str(tmp_path / "tbl")
+    stream_ingest(spark, src, ev.schema, table, str(tmp_path / "ck"), max_files=1)
+    before = len(glob.glob(table + "/*.parquet"))
+    n = compact(spark, table, ["ts"], target_files=2)
+    after = len(glob.glob(table + "/*.parquet"))
+    assert n == ev.count()
+    assert spark.read.parquet(table).count() == n
+    assert after <= 2 < before
