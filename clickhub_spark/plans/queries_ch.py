@@ -152,3 +152,75 @@ def q_agg_array_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("rm"), 4).alias("avg_max_dim"),
         )
     )
+
+
+@query(
+    "q_seq_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           regexp_matches(seq, '.*v.*c.*p.*') AS matched,
+           CAST(length(seq) AS INT) AS n_events
+    FROM seqs
+    """,
+)
+def q_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch analog: did the user's time-ordered event stream
+    contain view → … → click → … → purchase?  Events collapse to an
+    ordered initial-letter string per user (one shuffle), then a
+    regex — the same pattern-over-sequence semantics as ClickHouse's
+    sequenceMatch('(?1).*(?2).*(?3)')."""
+    ev = load(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda r: F.substring(r["event_type"], 1, 1),
+                ),
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.col("seq").rlike(".*v.*c.*p.*").alias("matched"),
+        F.length("seq").alias("n_events"),
+    )
+
+
+@query(
+    "q_topk_freq",
+    oracle="""
+    SELECT user_id, event_type, n FROM (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               rank() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC) AS rnk
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rnk <= 2
+    """,
+)
+def q_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topK / LIMIT BY analog: the 2 most frequent event types per
+    user (ties included via rank, so the selected SET is
+    deterministic).  Aggregate then window over the small aggregate —
+    never a window over raw events."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("user_id", "event_type", "n")
+    )
