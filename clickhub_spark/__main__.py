@@ -88,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"{wid} imported {done}; failures {orch.queue.failures}")
     elif args.cmd == "update_all_repos":
-        print(f"scheduled {orch.update_all_repos(args.limit)}")
+        scheduled = orch.update_all_repos(args.limit)
+        print(f"scheduled {len(scheduled)}: {scheduled[:10]}{'...' if len(scheduled) > 10 else ''}")
     elif args.cmd == "query":
         from clickhub_spark.plans import all_specs
 

@@ -69,6 +69,8 @@ def final_view(
             .select("__r.*")
         )
         return out
+    if strategy != "window":
+        raise ValueError(f"unknown dedup strategy {strategy!r}; use 'agg' or 'window'")
     w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in version])
     return df.withColumn(_RN, F.row_number().over(w)).where(F.col(_RN) == 1).drop(_RN)
 

@@ -95,13 +95,23 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        # unknown query id: empty result with the output schema, before
+        # paying for the index build (mirrors brute_force_topk's
+        # graceful empty result)
+        return (
+            emb.select(id_col)
+            .where(F.lit(False))
+            .withColumn("sim", F.lit(0.0))
+            .withColumn("cell", F.lit(0))
+        )
+    qvec = np.array(qrow[0], dtype="float64")
+
     feats = emb.withColumn("__f", array_to_vector(as_double(F.col(vec_col))))
     model = KMeans(k=n_cells, seed=42, featuresCol="__f", predictionCol="__cell").fit(feats)
     assigned = model.transform(feats).drop("__f")
 
-    qvec = np.array(
-        emb.where(F.col(id_col) == query_id).select(vec_col).first()[0], dtype="float64"
-    )
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     probe_cells = [int(c) for c in np.argsort(((centers - qvec) ** 2).sum(1))[:nprobe]]
 

@@ -35,8 +35,11 @@ def get_spark(app_name: str = "clickhub-spark", cpus: str | int | None = None) -
         # Split small-but-CPU-heavy scans across cores: the bench SFs
         # arrive as single ~10 MB files, which the 128 MB default maps
         # to ONE partition (one core).  4 MB saturates local[32]
-        # (q_agg_multi 2.7× faster); on a real cluster with many files
-        # per table, override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        # (q_agg_multi 2.7× faster).  This factory always builds a
+        # local[] session (the driver/bench/test surface), so the small
+        # default is safe; a cluster deployment supplies its own
+        # session or overrides SPARK_GRAFT_MAX_PARTITION_BYTES — the
+        # 128 MB default is right when tables have many files.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),

@@ -114,8 +114,15 @@ def write_bucketed(
 def compact(spark: SparkSession, path: str, sort_cols: list[str], target_files: int = 8) -> int:
     """Compact a table's small files (streaming foreachBatch appends
     accumulate one file per micro-batch) into ``target_files`` sorted
-    files — the MergeTree background-merge analog.  Atomic dir swap, so
-    concurrent readers see old or new, never partial.  Returns row count."""
+    files — the MergeTree background-merge analog.  Returns row count.
+
+    Concurrency contract: run with WRITERS PAUSED (exactly like
+    MergeTree merges, which lock the parts they rewrite) — a file
+    appended between the snapshot read and the swap would be lost.
+    The dir swap is two renames, not atomic: a reader listing files in
+    that instant can see a transient path-not-found and should retry;
+    readers mid-scan on the old file handles are unaffected on POSIX
+    until the old dir is removed."""
     import os
     import shutil
     import uuid

@@ -40,13 +40,9 @@ _FN_RENAMES = {
     "toDayOfMonth": "dayofmonth",
     "toHour": "hour",
     "toDate": "to_date",
-    "toStartOfHour": "date_trunc('hour', ",  # handled specially below
-    "toStartOfWeek": "date_trunc('week', ",
-    "toStartOfDay": "date_trunc('day', ",
     "lowerUTF8": "lower",
     "upperUTF8": "upper",
     "countIf": "count_if",
-    "sumIf": "sum_if",
     "uniq": "approx_count_distinct",
     "arrayJoin": "explode",
     "has": "array_contains",
@@ -59,7 +55,40 @@ _FN_RENAMES = {
     "JSONExtractString": "get_json_object",
 }
 
-_START_OF = {"toStartOfHour": "hour", "toStartOfWeek": "week", "toStartOfDay": "day"}
+_START_OF = {"toStartOfHour": "hour", "toStartOfDay": "day"}
+
+
+def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
+    """Rewrite every ``name(...)`` call, scanning balanced parentheses
+    so nested calls like ``toStartOfWeek(CAST(x AS DATE))`` work.
+    ``render`` receives the list of top-level comma-split arguments."""
+    out = []
+    i = 0
+    pat = re.compile(rf"\b{name}\s*\(")
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i : m.start()])
+        depth, j, args, start = 1, m.end(), [], m.end()
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[start:j].strip())
+            elif ch == "," and depth == 1:
+                args.append(sql[start:j].strip())
+                start = j + 1
+            j += 1
+        if depth or len(args) < nargs:
+            out.append(sql[m.start() : j])  # malformed: leave untouched
+        else:
+            out.append(render(args))
+        i = j
 
 
 def translate(sql: str) -> str:
@@ -79,11 +108,21 @@ def translate(sql: str) -> str:
     out = re.sub(r"'([^']*)'::String\b", r"'\1'", out)
     # uniqExact(x) → count(DISTINCT x)  (count_distinct is not a SQL name)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
+    # sumIf(col, cond) → sum(CASE WHEN cond THEN col END); Spark has no
+    # sum_if.  Balanced-paren argument scan so nested calls work.
+    out = _rewrite_call(
+        out, "sumIf", lambda args: f"sum(CASE WHEN {args[1]} THEN {args[0]} END)", nargs=2
+    )
+    # toStartOfWeek default mode 0 starts weeks on SUNDAY; Spark's
+    # date_trunc('week') is Monday-based, so shift by one day around it.
+    out = _rewrite_call(
+        out,
+        "toStartOfWeek",
+        lambda args: f"date_sub(date_trunc('week', date_add({args[0]}, 1)), 1)",
+    )
     # toStartOf* → date_trunc
     for ch, unit in _START_OF.items():
-        out = re.sub(
-            rf"\b{ch}\(([^)]+)\)", rf"date_trunc('{unit}', \1)", out
-        )
+        out = _rewrite_call(out, ch, lambda args, u=unit: f"date_trunc('{u}', {args[0]})")
     # simple function renames (word-boundary, call position only)
     for ch, sp in _FN_RENAMES.items():
         if ch in _START_OF:
