@@ -1,0 +1,80 @@
+"""Connected components over near-duplicate candidate pairs — the
+step that turns pairwise dedup output into droppable duplicate GROUPS
+(each component keeps one canonical doc; SURVEY §2.J5 completes here).
+
+Algorithm: iterative min-label propagation (the standard large-graph
+connected-components on Spark — e.g. the Hash-to-Min formulation):
+every node starts labeled with its own id; each round, a node adopts
+the minimum label among itself and its neighbors; converged when no
+label changes.  Rounds are O(graph diameter) — near-dup graphs are
+overwhelmingly tiny star/clique clusters, so 2-4 rounds in practice.
+
+Scale notes: each round is one join + one aggregate on (node, label)
+— all shuffles on node id; no driver-side graph state (the driver
+only sees the one-number convergence check per round).  The round
+DataFrames are checkpoint-truncated via localCheckpoint to keep the
+lineage from growing unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    component = min node id reachable through the pair graph."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_groups(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Duplicate groups from candidate pairs: (component, n_members,
+    canonical_id = min member) — drop everything whose id != canonical."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy(F.col("comp").alias("component")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("canonical_id"),
+    )

@@ -422,3 +422,58 @@ def q_llm_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs_md5(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_perm=16, bands=4
     )
+
+
+@query(
+    "q_llm_dedup_groups",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), mins AS (
+        SELECT doc_id, p, min(md5(shingle || ':' || p)) AS mh
+        FROM sh, UNNEST(range(0, 16)) t(p)
+        GROUP BY doc_id, p
+    ), bands AS (
+        SELECT doc_id, p // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY p)) AS bh
+        FROM mins GROUP BY doc_id, p // 4
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), bidir AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM bidir
+            UNION
+            SELECT r.src, e.b FROM r JOIN bidir e ON r.dst = e.a
+        ) SELECT * FROM r
+    ), comp AS (
+        SELECT src AS node, least(src, min(dst)) AS comp
+        FROM reach GROUP BY src
+    )
+    SELECT comp AS component, COUNT(*) AS n_members,
+           min(node) AS canonical_id
+    FROM comp GROUP BY comp
+    """,
+)
+def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the oracle-checkable
+    md5 MinHash-LSH candidate pairs — the step that turns pairwise
+    output into droppable duplicate clusters (keep canonical_id, drop
+    the rest).  Spark side: iterative min-label propagation
+    (operators/components.py); oracle side: recursive-CTE transitive
+    closure — two completely different algorithms, same fixpoint."""
+    from clickhub_spark.operators.components import dedup_groups
+    from clickhub_spark.operators.dedup import minhash_candidate_pairs_md5
+
+    pairs = minhash_candidate_pairs_md5(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_perm=16, bands=4
+    )
+    return dedup_groups(pairs)

@@ -105,3 +105,20 @@ def test_approx_distinct_bounded_error(spark):
     exact = li.select(F.countDistinct("l_partkey").alias("n")).first().n
     approx = li.select(F.approx_count_distinct("l_partkey", 0.01).alias("n")).first().n
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, and isolated pair must resolve to min-id
+    components regardless of propagation order."""
+    from clickhub_spark.operators.components import connected_components, dedup_groups
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, pair 10-11, triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    groups = {r.component: (r.n_members, r.canonical_id)
+              for r in dedup_groups(pairs).collect()}
+    assert groups == {1: (4, 1), 10: (2, 10), 20: (3, 20)}
