@@ -94,3 +94,36 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, mode: str = "comple
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 1800,
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (SURVEY §2.I): purchases matched to a
+    same-user click in the preceding ``window_seconds``.  Watermarks on
+    BOTH sides bound the join state — without them the engine would
+    buffer the streams forever.  Batch form: the identical DataFrame
+    expression on static inputs (tested equal)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", delay)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", delay)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts", "value")

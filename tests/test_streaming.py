@@ -7,6 +7,7 @@ import pytest
 from clickhub_spark.catalog import load
 from clickhub_spark.streaming.mv import (
     read_event_stream,
+    stream_stream_join,
     run_available_now,
     session_counts,
     stars_mv,
@@ -54,3 +55,34 @@ def test_session_stream_runs_and_covers_all_users(spark, events_stream_dir, tmp_
     assert {r.user_id for r in rows} == {
         r.user_id for r in _batch_events(spark).select("user_id").distinct().collect()
     }
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream_dir, tmp_path):
+    """Purchases joined to preceding clicks: streaming (watermarked
+    stream-stream join, append mode) must equal the same expression
+    on static inputs."""
+    ev = _batch_events(spark)
+    schema = ev.schema
+    stream = read_event_stream(spark, events_stream_dir, schema, max_files=2)
+    s_clicks = stream.where("event_type = 'click'")
+    s_purch = stream.where("event_type = 'purchase'")
+    # replaying a month of history in arbitrary file order: the
+    # watermark must cover the whole span or rows arriving "late"
+    # relative to earlier batches are expired (correct streaming
+    # semantics, but not what this equality test is probing)
+    joined = stream_stream_join(s_clicks, s_purch, delay="40 days")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ssj_sink").collect()))
+    b_clicks = ev.where("event_type = 'click'")
+    b_purch = ev.where("event_type = 'purchase'")
+    expect = sorted(map(tuple, stream_stream_join(b_clicks, b_purch, delay="40 days").collect()))
+    assert got == expect
+    assert len(got) > 0
