@@ -477,3 +477,26 @@ def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_perm=16, bands=4
     )
     return dedup_groups(pairs)
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling for training-data balancing (north star):
+    keep ~50% of 'en' docs and ~10% of everything else, selected by a
+    hash of the id so the sample is deterministic, repeatable, and
+    consistent across engines/runs (unlike rand()-based sampleBy).
+    At 100 TB this is a single scan with a cheap predicate — no
+    shuffle, no state."""
+    rate = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < rate)
+        .select("doc_id", "lang")
+    )
