@@ -500,3 +500,28 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < rate)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "q_llm_dedup_apply",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    JOIN (
+        SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    ) k ON d.doc_id = k.keep_id
+    """,
+)
+def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: the corpus with exact duplicates dropped
+    (keep the min-id member of every content-hash group) — what a
+    training pipeline actually feeds downstream.  Semi-join against
+    the canonical set; one hash shuffle + one join."""
+    docs = load(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    return docs.join(
+        keep, docs.doc_id == keep.keep_id, "left_semi"
+    ).select("doc_id", "lang", "n_chars")

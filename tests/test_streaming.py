@@ -86,3 +86,30 @@ def test_stream_stream_join_equals_batch(spark, events_stream_dir, tmp_path):
     expect = sorted(map(tuple, stream_stream_join(b_clicks, b_purch, delay="40 days").collect()))
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_join(spark, events_stream_dir, tmp_path):
+    """Stream-static join: streaming events enriched with a static
+    dimension (no watermark needed on the static side)."""
+    ev = _batch_events(spark)
+    segments = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(15)], "user_id long, segment string"
+    )
+    stream = read_event_stream(spark, events_stream_dir, ev.schema, max_files=2)
+    enriched = (
+        stream.join(segments, "user_id")
+        .groupBy("segment")
+        .count()
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_en"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM enrich_sink").collect()))
+    expect = sorted(map(tuple, ev.join(segments, "user_id").groupBy("segment").count().collect()))
+    assert got == expect
