@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -64,6 +66,39 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+#: dedup metadata for the git fact tables: (keys, version) per table —
+#: the ReplacingMergeTree ORDER BY prefix + version column
+#: (reference README.md:133-134; types.json:7,13,19).
+FINAL_KEYS = {
+    "commits": (["repo_name", "time", "hash"], ["updated_at"]),
+    "file_changes": (["repo_name", "time", "commit_hash", "path"], ["updated_at"]),
+    "line_changes": (
+        ["repo_name", "time", "commit_hash", "path", "line_number_new", "sign"],
+        ["updated_at"],
+    ),
+}
+
+
+def register_final_views(spark: SparkSession, base_path: str) -> list[str]:
+    """Register ``<table>_final`` temp views applying the FINAL dedup
+    over each stored git fact table — the view-level form of the
+    'auto-FINAL' Catalyst rule (SURVEY §7 optional item): SQL users
+    query ``commits_final`` and never see duplicate versions."""
+    from clickhub_spark.operators.dedup import final_view
+
+    registered = []
+    for table, (keys, version) in FINAL_KEYS.items():
+        try:
+            df = spark.read.parquet(f"{base_path}/{table}")
+        except Exception:
+            continue
+        final_view(df, keys=keys, version=version).createOrReplaceTempView(
+            f"{table}_final"
+        )
+        registered.append(f"{table}_final")
+    return registered
+
+
 def _long(name: str) -> StructField:
     # ClickHouse UInt32 → widen to LongType to preserve range
     # (SURVEY §1.2; unsigned ints have no Spark equivalent).
@@ -91,7 +126,128 @@ COMMITS_SCHEMA = StructType(
     ]
 )
 
+def _str(name: str) -> StructField:
+    return StructField(name, StringType(), True)
+
+
+def _ts(name: str) -> StructField:
+    return StructField(name, TimestampType(), True)
+
+
+#: git.file_changes — reference README.md:138-167, positional cast
+#: reference types.json:12 (c1..c22 + injected repo_name).
+FILE_CHANGES_SCHEMA = StructType(
+    [
+        _str("change_type"),  # Enum8 label, validated via CHANGE_TYPE_LABELS
+        _str("path"),
+        _str("old_path"),
+        _str("file_extension"),
+        _long("lines_added"),
+        _long("lines_deleted"),
+        _long("hunks_added"),
+        _long("hunks_removed"),
+        _long("hunks_changed"),
+        _str("commit_hash"),
+        _str("author"),
+        _ts("time"),
+        _str("commit_message"),
+        _long("commit_files_added"),
+        _long("commit_files_deleted"),
+        _long("commit_files_renamed"),
+        _long("commit_files_modified"),
+        _long("commit_lines_added"),
+        _long("commit_lines_deleted"),
+        _long("commit_hunks_added"),
+        _long("commit_hunks_removed"),
+        _long("commit_hunks_changed"),
+        _str("repo_name"),
+    ]
+)
+
+#: git.line_changes — reference README.md:170-213, positional cast
+#: reference types.json:18 (c1..c37 + injected repo_name).  The
+#: prev_* columns are the materialized as-of lineage our asof_join
+#: computes at runtime (README.md:184-186).
+LINE_CHANGES_SCHEMA = StructType(
+    [
+        StructField("sign", IntegerType(), True),  # Int8 ±1 diff sign
+        _long("line_number_old"),
+        _long("line_number_new"),
+        _long("hunk_num"),
+        _long("hunk_start_line_number_old"),
+        _long("hunk_start_line_number_new"),
+        _long("hunk_lines_added"),
+        _long("hunk_lines_deleted"),
+        _str("hunk_context"),
+        _str("line"),
+        StructField("indent", IntegerType(), True),  # UInt8
+        _str("line_type"),  # Enum8 label, LINE_TYPE_LABELS
+        _str("prev_commit_hash"),
+        _str("prev_author"),
+        _ts("prev_time"),
+        _str("file_change_type"),  # Enum8 label, CHANGE_TYPE_LABELS
+        _str("path"),
+        _str("old_path"),
+        _str("file_extension"),
+        _long("file_lines_added"),
+        _long("file_lines_deleted"),
+        _long("file_hunks_added"),
+        _long("file_hunks_removed"),
+        _long("file_hunks_changed"),
+        _str("commit_hash"),
+        _str("author"),
+        _ts("time"),
+        _str("commit_message"),
+        _long("commit_files_added"),
+        _long("commit_files_deleted"),
+        _long("commit_files_renamed"),
+        _long("commit_files_modified"),
+        _long("commit_lines_added"),
+        _long("commit_lines_deleted"),
+        _long("commit_hunks_added"),
+        _long("commit_hunks_removed"),
+        _long("commit_hunks_changed"),
+        _str("repo_name"),
+    ]
+)
+
+#: git.github_events (subset) — reference create_db.py:69-128: enum
+#: event_type, actor/repo, event-time, arrays of labels/assignees.
+GITHUB_EVENTS_SCHEMA = StructType(
+    [
+        _str("event_type"),  # Enum8 label (WatchEvent, PushEvent, …)
+        _str("actor_login"),
+        _str("repo_name"),
+        _ts("created_at"),
+        _str("action"),
+        _long("number"),
+        StructField("labels", ArrayType(StringType()), True),
+        StructField("assignees", ArrayType(StringType()), True),
+        _str("state"),
+        _long("comments"),
+        StructField("merged", IntegerType(), True),  # UInt8 flag
+    ]
+)
+
 #: Enum8 label maps (SURVEY §1.2) — query-visible type is the label
 #: string; maps kept for ingest-time validation / compact storage.
 CHANGE_TYPE_LABELS = ("Add", "Delete", "Modify", "Rename", "Copy", "Type")  # reference README.md:140
 LINE_TYPE_LABELS = ("Empty", "Comment", "Punct", "Code")  # reference README.md:183
+EVENT_TYPE_LABELS = (  # reference create_db.py:72
+    "CommitCommentEvent",
+    "CreateEvent",
+    "DeleteEvent",
+    "ForkEvent",
+    "GollumEvent",
+    "IssueCommentEvent",
+    "IssuesEvent",
+    "MemberEvent",
+    "PublicEvent",
+    "PullRequestEvent",
+    "PullRequestReviewCommentEvent",
+    "PushEvent",
+    "ReleaseEvent",
+    "SponsorshipEvent",
+    "WatchEvent",
+    "PullRequestReviewEvent",
+)
