@@ -73,7 +73,9 @@ FINAL_KEYS = {
     "commits": (["repo_name", "time", "hash"], ["updated_at"]),
     "file_changes": (["repo_name", "time", "commit_hash", "path"], ["updated_at"]),
     "line_changes": (
-        ["repo_name", "time", "commit_hash", "path", "line_number_new", "sign"],
+        # reference types.json:19 ORDER BY (repo_name, time, commit_hash,
+        # path, line_number_old, line_number_new)
+        ["repo_name", "time", "commit_hash", "path", "line_number_old", "line_number_new"],
         ["updated_at"],
     ),
 }
@@ -86,12 +88,14 @@ def register_final_views(spark: SparkSession, base_path: str) -> list[str]:
     query ``commits_final`` and never see duplicate versions."""
     from clickhub_spark.operators.dedup import final_view
 
+    import os
+
     registered = []
     for table, (keys, version) in FINAL_KEYS.items():
-        try:
-            df = spark.read.parquet(f"{base_path}/{table}")
-        except Exception:
-            continue
+        path = f"{base_path}/{table}"
+        if not os.path.exists(path):
+            continue  # table absent; real read errors propagate below
+        df = spark.read.parquet(path)
         final_view(df, keys=keys, version=version).createOrReplaceTempView(
             f"{table}_final"
         )
@@ -233,7 +237,7 @@ GITHUB_EVENTS_SCHEMA = StructType(
 #: string; maps kept for ingest-time validation / compact storage.
 CHANGE_TYPE_LABELS = ("Add", "Delete", "Modify", "Rename", "Copy", "Type")  # reference README.md:140
 LINE_TYPE_LABELS = ("Empty", "Comment", "Punct", "Code")  # reference README.md:183
-EVENT_TYPE_LABELS = (  # reference create_db.py:72
+EVENT_TYPE_LABELS = (  # reference create_db.py:72, all 22 labels
     "CommitCommentEvent",
     "CreateEvent",
     "DeleteEvent",
@@ -249,5 +253,11 @@ EVENT_TYPE_LABELS = (  # reference create_db.py:72
     "ReleaseEvent",
     "SponsorshipEvent",
     "WatchEvent",
+    "GistEvent",
+    "FollowEvent",
+    "DownloadEvent",
     "PullRequestReviewEvent",
+    "ForkApplyEvent",
+    "Event",
+    "TeamAddEvent",
 )

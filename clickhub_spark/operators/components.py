@@ -41,6 +41,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -64,9 +65,16 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()  # release the previous round's checkpoint
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("node", "comp")
 
 

@@ -140,6 +140,32 @@ def q_llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
+#: shared oracle fragment: the md5 MinHash-LSH candidate-pair CTE
+#: chain (kept single-source so the Spark pipeline and every oracle
+#: that builds on it change together).
+_MINHASH_PAIRS_CTE = """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), mins AS (
+        SELECT doc_id, p, min(md5(shingle || ':' || p)) AS mh
+        FROM sh, UNNEST(range(0, 16)) t(p)
+        GROUP BY doc_id, p
+    ), bands AS (
+        SELECT doc_id, p // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY p)) AS bh
+        FROM mins GROUP BY doc_id, p // 4
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+"""
+
+
 
 @query(
     "q_llm_textstats",
@@ -391,26 +417,7 @@ def q_llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_dedup_minhash_md5",
-    oracle="""
-    WITH words AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), sh AS (
-        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
-        WHERE len(ws) >= 3
-    ), mins AS (
-        SELECT doc_id, p, min(md5(shingle || ':' || p)) AS mh
-        FROM sh, UNNEST(range(0, 16)) t(p)
-        GROUP BY doc_id, p
-    ), bands AS (
-        SELECT doc_id, p // 4 AS band,
-               md5(string_agg(mh, '|' ORDER BY p)) AS bh
-        FROM mins GROUP BY doc_id, p // 4
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    """,
+    oracle=_MINHASH_PAIRS_CTE + "SELECT id_a, id_b FROM pairs",
 )
 def q_llm_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with engine-portable md5 hashing —
@@ -426,26 +433,9 @@ def q_llm_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_dedup_groups",
-    oracle="""
-    WITH words AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), sh AS (
-        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
-        WHERE len(ws) >= 3
-    ), mins AS (
-        SELECT doc_id, p, min(md5(shingle || ':' || p)) AS mh
-        FROM sh, UNNEST(range(0, 16)) t(p)
-        GROUP BY doc_id, p
-    ), bands AS (
-        SELECT doc_id, p // 4 AS band,
-               md5(string_agg(mh, '|' ORDER BY p)) AS bh
-        FROM mins GROUP BY doc_id, p // 4
-    ), pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    ), bidir AS (
+    oracle=_MINHASH_PAIRS_CTE
+    + """
+    , bidir AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ), reach AS (
@@ -516,11 +506,11 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep the min-id member of every content-hash group) — what a
     training pipeline actually feeds downstream.  Semi-join against
     the canonical set; one hash shuffle + one join."""
+    from clickhub_spark.operators.dedup import exact_dup_groups
+
     docs = load(spark, sf_dir, "documents")
-    keep = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("keep_id"))
-        .select("keep_id")
+    keep = exact_dup_groups(docs, "text", "doc_id").select(
+        F.col("canonical_id").alias("keep_id")
     )
     return docs.join(
         keep, docs.doc_id == keep.keep_id, "left_semi"
