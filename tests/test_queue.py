@@ -82,3 +82,26 @@ def test_work_loop_processes_and_releases(tmp_path):
     done = q.work("w1", lambda job: seen.append(job.repo_name), max_polls=3)
     assert done == ["a/a", "b/b"]
     assert q.list_jobs() == []
+
+
+def test_many_workers_many_jobs_each_processed_once(tmp_path):
+    """8 racing workers, 20 jobs: every job processed exactly once
+    across the fleet (the linear-scale-out claim, reference
+    README.md:8, start_workers.sh)."""
+    q = WorkQueue(str(tmp_path))
+    for i in range(20):
+        q.schedule(f"org/repo{i:02d}", priority=i % 3)
+    processed = []
+    lock = threading.Lock()
+
+    def worker(wid):
+        done = q.work(wid, lambda job: None, max_polls=10)
+        with lock:
+            processed.extend(done)
+
+    ts = [threading.Thread(target=worker, args=(f"w{i}",)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(processed) == sorted(f"org/repo{i:02d}" for i in range(20))
+    assert len(processed) == len(set(processed))  # no double-processing
+    assert q.list_jobs() == []
