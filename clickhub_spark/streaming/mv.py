@@ -127,3 +127,14 @@ def stream_stream_join(
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")
         ),
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts", "value")
+
+
+def stream_dedup(events: DataFrame, key: str = "event_id", ts_col: str = "ts",
+                 delay: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the real-time half of the
+    ReplacingMergeTree contract (SURVEY §2.E/I4): duplicates arriving
+    within the watermark are dropped in-flight
+    (dropDuplicatesWithinWatermark keeps state only for ``delay``);
+    anything later is absorbed by the batch FINAL view downstream.
+    State is bounded: one entry per key seen within the watermark."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key])

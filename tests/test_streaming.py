@@ -7,6 +7,7 @@ import pytest
 from clickhub_spark.catalog import load
 from clickhub_spark.streaming.mv import (
     read_event_stream,
+    stream_dedup,
     stream_stream_join,
     run_available_now,
     session_counts,
@@ -113,3 +114,25 @@ def test_stream_static_enrichment_join(spark, events_stream_dir, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM enrich_sink").collect()))
     expect = sorted(map(tuple, ev.join(segments, "user_id").groupBy("segment").count().collect()))
     assert got == expect
+
+
+def test_stream_dedup_drops_in_flight_duplicates(spark, tmp_path):
+    """A stream carrying every event twice dedups to the distinct set
+    (the streaming ReplacingMergeTree path)."""
+    ev = load(spark, SF_DIR, "events")
+    doubled_dir = str(tmp_path / "doubled")
+    ev.unionByName(ev).repartition(4).write.parquet(doubled_dir)
+    stream = read_event_stream(spark, doubled_dir, ev.schema, max_files=2)
+    deduped = stream_dedup(stream, delay="40 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS nd FROM dedup_sink").first()
+    assert got.n == ev.count()      # every event exactly once
+    assert got.nd == got.n
