@@ -97,3 +97,36 @@ def test_positional_cast_translation():
     assert "CAST(c3 AS TIMESTAMP)" in t
     assert "CAST(c5 AS BIGINT)" in t
     assert "'{r}'" in t
+
+
+def test_sumif_rewrite_executes(spark):
+    load(spark, SF_DIR, "events").createOrReplaceTempView("github_events")
+    got = run(spark, "SELECT sumIf(value, event_type = 'view') as s FROM github_events").first().s
+    expect = (
+        load(spark, SF_DIR, "events")
+        .where("event_type = 'view'")
+        .agg({"value": "sum"})
+        .first()[0]
+    )
+    assert abs(got - expect) < 1e-6
+
+
+def test_tostartofweek_is_sunday_based(spark):
+    # ClickHouse toStartOfWeek mode 0: weeks start Sunday
+    row = spark.sql(
+        translate(
+            "SELECT toStartOfWeek(CAST('2024-01-07' AS DATE)) AS sun, "
+            "toStartOfWeek(CAST('2024-01-08' AS DATE)) AS mon, "
+            "toStartOfWeek(CAST('2024-01-13' AS DATE)) AS sat"
+        )
+    ).first()
+    assert str(row.sun) == "2024-01-07"  # a Sunday maps to itself
+    assert str(row.mon) == "2024-01-07"
+    assert str(row.sat) == "2024-01-07"
+
+
+def test_nested_paren_arguments_translate(spark):
+    t = translate("SELECT toStartOfHour(CAST(x AS TIMESTAMP)) FROM t")
+    assert t == "SELECT date_trunc('hour', CAST(x AS TIMESTAMP)) FROM t"
+    # malformed call left untouched rather than mangled
+    assert "sumIf(" in translate("SELECT sumIf(value FROM t")
