@@ -132,18 +132,41 @@ def jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index
     (SURVEY §2.J5 exact variant).
 
     Distributed shape: explode to (id, shingle) → self-join on shingle
     (co-occurrence counts = |A∩B|) → join per-doc shingle counts →
-    jaccard = inter / (|A| + |B| - inter).  At 100 TB the self-join is
-    bounded by dropping ultra-frequent shingles (stop-shingles) first —
-    here df is small enough to skip that; the LSH variant
-    (minhash_candidate_pairs) is the scale path.
+    jaccard = inter / (|A| + |B| - inter).
+
+    ``max_doc_freq`` bounds the self-join at scale: a shingle present
+    in d documents emits d·(d-1)/2 pairs, so one viral boilerplate
+    shingle at 100 TB quadratically explodes a single join bucket.
+    Shingles appearing in more than ``max_doc_freq`` documents are
+    dropped from BOTH the inverted index and the per-doc size counts,
+    i.e. Jaccard is computed exactly over the non-stop shingle space —
+    the standard stop-shingle semantics, applied identically in the
+    oracle SQL so the check stays value-exact.  The filter is a window
+    count over ``shingle`` — the same shuffle key the self-join needs,
+    so it adds no extra exchange.  ``None`` disables the cap.
+
+    The filtered shingle index is consumed three times (sizes + both
+    join sides); it is materialized once via an eager
+    ``localCheckpoint`` whose blocks the ContextCleaner frees when the
+    plan is garbage-collected — unlike ``.cache()``, repeated calls in
+    a long-lived session do not accumulate executor storage.
     """
-    sh = shingles(df, text, id_col, k).cache()
+    sh = shingles(df, text, id_col, k)
+    if max_doc_freq is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(w))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -45,10 +45,14 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), sh AS (
+    ), sh0 AS (
         SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
         FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
         WHERE len(ws) >= 3
+    ), sh AS (
+        -- stop-shingle cap, mirroring jaccard_pairs(max_doc_freq=1000)
+        SELECT doc_id, shingle FROM sh0
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
@@ -71,7 +75,12 @@ def q_llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhub_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.15
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.15,
+        max_doc_freq=1000,
     )
 
 

@@ -72,6 +72,37 @@ def test_jaccard_identical_docs_score_one(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_jaccard_stop_shingle_cap_bounds_viral_pairs(spark):
+    """One boilerplate shingle shared by every doc must not produce
+    O(n²) pairs when it exceeds max_doc_freq: the docs below share
+    ONLY the viral shingle, so with the cap they yield zero pairs,
+    while the uncapped run yields all 45."""
+    docs = spark.createDataFrame(
+        [(i, f"viral boiler plate u{i}a u{i}b u{i}c") for i in range(10)],
+        "doc_id long, text string",
+    )
+    capped = jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.0, max_doc_freq=5)
+    assert capped.count() == 0
+    uncapped = jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.0, max_doc_freq=None)
+    assert uncapped.count() == 45
+
+
+def test_jaccard_cap_above_max_freq_is_exact(spark):
+    """A cap larger than any shingle's doc frequency changes nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5,
+                           max_doc_freq=1000).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
 def test_minhash_finds_exact_dups_and_skips_disjoint(spark):
     docs = spark.createDataFrame(
         [
