@@ -165,8 +165,10 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_llm_knn_ivf", oracle=None)  # KMeans cells are engine-internal
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN top-10 via a KMeans coarse quantizer (SURVEY §2.J6
-    scale path alongside LSH): scan pruned to the 4 nearest of 16
-    cells.  Rows-only check; unit test measures recall vs q_llm_knn."""
+    scale path alongside LSH): a build-once cell-partitioned index
+    (reused across calls, keyed on input files+mtimes), probe pruned
+    to the 4 nearest of 16 cells via parquet partition pruning.
+    Rows-only check; unit test measures recall vs q_llm_knn."""
     from clickhub_spark.operators.knn import ivf_topk
 
     return ivf_topk(

@@ -48,3 +48,32 @@ def test_ivf_knn_recall_against_brute_force(spark):
     ivf = {r.vec_id for r in all_specs()["q_llm_knn_ivf"].builder(spark, SF_DIR).collect()}
     # probing 4/16 cells of random vectors: require meaningful recall
     assert len(brute & ivf) >= 3
+
+
+def test_ivf_index_built_once_and_probe_prunes_partitions(spark, tmp_path):
+    """Build/probe split: the KMeans fit runs only when the index is
+    absent, and the probe's parquet scan prunes cell partitions at
+    file-listing level (nprobe=2 of 4 cells)."""
+    import os
+
+    from clickhub_spark.operators.knn import build_ivf_index, ivf_probe_topk, ivf_topk
+
+    emb = load(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=4)
+    built_at = os.path.getmtime(idx)
+    cells = {d for d in os.listdir(idx + "/data") if d.startswith("cell=")}
+    assert cells == {f"cell={i}" for i in range(4)}
+
+    # probe reuses the existing index — no rebuild
+    out = ivf_topk(emb, query_id=0, k=5, n_cells=4, nprobe=2, index_path=idx)
+    rows = out.collect()
+    assert 1 <= len(rows) <= 5
+    assert os.path.getmtime(idx) == built_at
+
+    # partition pruning visible in the physical plan of the probe scan
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    plan = ivf_probe_topk(
+        spark, idx, list(qvec), k=5, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
