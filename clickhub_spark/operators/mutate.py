@@ -8,8 +8,12 @@ ClickHouse mutations rewrite whole parts in the background; the Spark
 analog rewrites the table (or, at scale, only the partitions whose
 files can contain matching rows — pass ``partition_col`` + values and
 everything else is untouched).  Writes go to a temp dir then swap via
-atomic rename, so a concurrent reader sees the old or the new table,
-never a half-written one.
+two renames: a concurrent reader never sees a half-written table, but
+between the two renames the path briefly does not exist — readers must
+tolerate a transient path-not-found by retrying, the same contract
+``sources.writer.compact`` documents.  (A truly atomic swap needs a
+metadata layer — table-format pointers à la Iceberg/Delta — which is
+out of scope for these small coordination tables.)
 
 Scale notes: mutations here are for the small coordination/metadata
 tables (the queue holds ≤10k rows, reference config.yml:11).  Fact

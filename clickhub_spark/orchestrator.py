@@ -95,6 +95,11 @@ class Orchestrator:
             commits = self.spark.read.parquet(self.commits_path)
         except Exception:
             return []
+        # The collect below is control-plane by design, but bound it by
+        # the queue's capacity: scheduling past max_queue_length always
+        # raises QueueFull, so a misconfigured limit can never pull an
+        # unbounded repo list driver-side.
+        limit = min(limit, self.queue.max_queue_length)
         stale = (
             commits.groupBy("repo_name")
             .agg(F.min("updated_at").alias("last_updated"))
@@ -114,8 +119,10 @@ class Orchestrator:
             try:
                 self.queue.schedule(name)
                 scheduled.append(name)
-            except (AlreadyScheduled, QueueFull):
+            except AlreadyScheduled:
                 continue
+            except QueueFull:
+                break  # capacity cannot free mid-loop; stop probing
         return scheduled
 
     # -- worker loop (≙ clickhub.py start_worker →

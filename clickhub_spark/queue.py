@@ -70,6 +70,14 @@ class WorkQueue:
     def schedule(self, repo_name: str, priority: int = 0) -> Job:
         if len(self.list_jobs()) >= self.max_queue_length:
             raise QueueFull(f"queue holds {self.max_queue_length} jobs")
+        # A claimed job lives at <repo>.job.claimed.<worker>, so the
+        # O_EXCL insert below would not see it — check in-flight claims
+        # first, matching the reference where the KeeperMap row persists
+        # until the post-import DELETE (repo/importer.py:175): scheduling
+        # a repo whose import is running must fail, or two workers can
+        # import the same repo concurrently.
+        if self.is_scheduled(repo_name):
+            raise AlreadyScheduled(repo_name)
         job = Job(repo_name, priority, scheduled=time.time())
         path = os.path.join(self.root, _safe(repo_name) + ".job")
         try:

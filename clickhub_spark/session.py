@@ -17,34 +17,75 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "clickhub-spark", cpus: str | int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "clickhub-spark",
+    cpus: str | int | None = None,
+    profile: str = "local",
+) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
-    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+    ``profile``:
+    - ``"local"`` (default): the driver/bench/test surface.  Always a
+      ``local[cpus]`` master (``cpus`` defaults to ``$SPARK_GRAFT_CPUS``
+      or all cores); small ``maxPartitionBytes`` so single-file bench
+      tables still fan out across cores.
+    - ``"cluster"``: settings for a real multi-executor deployment —
+      no master is set (spark-submit supplies it), 128 MB
+      maxPartitionBytes (tables have many files there; tiny splits
+      would flood the scheduler with tasks), shuffle partitions sized
+      from the cluster's default parallelism at first action via AQE
+      coalescing from a high initial count rather than a fixed 32.
+
+    Shared settings (both profiles): UTC session time, AQE with skew
+    join + partition coalescing, Arrow batching for every
+    pandas_udf/mapInPandas boundary.
     """
-    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return _builder(app_name, cpus, profile).getOrCreate()
+
+
+def _builder(
+    app_name: str, cpus: str | int | None, profile: str
+) -> SparkSession.Builder:
+    """The config assembly behind ``get_spark`` (separate so tests can
+    inspect a profile's settings without creating a second session —
+    ``getOrCreate`` merges configs into any live session)."""
+    if profile not in ("local", "cluster"):
+        raise ValueError(f"unknown profile {profile!r}; use 'local' or 'cluster'")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if profile == "cluster":
+        # AQE coalesces down from a high initial partition count; the
+        # fixed-32 local setting would bottleneck a 1000-core cluster.
+        builder = (
+            builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2000")
+            .config(
+                "spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+            )
+        )
+        return builder
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
         # Split small-but-CPU-heavy scans across cores: the bench SFs
         # arrive as single ~10 MB files, which the 128 MB default maps
         # to ONE partition (one core).  4 MB saturates local[32]
-        # (q_agg_multi 2.7× faster).  This factory always builds a
-        # local[] session (the driver/bench/test surface), so the small
-        # default is safe; a cluster deployment supplies its own
-        # session or overrides SPARK_GRAFT_MAX_PARTITION_BYTES — the
-        # 128 MB default is right when tables have many files.
+        # (q_agg_multi 2.7× faster).  This branch always builds a
+        # local[] session, so the small default is safe; the cluster
+        # profile keeps the 128 MB default — right when tables have
+        # many files.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    return builder

@@ -52,7 +52,6 @@ _FN_RENAMES = {
     "argMin": "min_by",
     "intDiv": "div",
     "cityHash64": "xxhash64",
-    "JSONExtractString": "get_json_object",
 }
 
 _START_OF = {"toStartOfHour": "hour", "toStartOfDay": "day"}
@@ -120,6 +119,16 @@ def translate(sql: str) -> str:
         "toStartOfWeek",
         lambda args: f"date_sub(date_trunc('week', date_add({args[0]}, 1)), 1)",
     )
+    # JSONExtractString(j, 'k') → get_json_object(j, '$.k'): ClickHouse
+    # takes a bare key, Spark needs a JSONPath — a pure rename would
+    # silently return NULL for every call.  Non-literal or already-
+    # JSONPath keys pass through unprefixed.
+    def _json_extract(args: list[str]) -> str:
+        m = re.fullmatch(r"'([^'$][^']*)'", args[1])
+        key = f"'$.{m.group(1)}'" if m else args[1]
+        return f"get_json_object({args[0]}, {key})"
+
+    out = _rewrite_call(out, "JSONExtractString", _json_extract, nargs=2)
     # toStartOf* → date_trunc
     for ch, unit in _START_OF.items():
         out = _rewrite_call(out, ch, lambda args, u=unit: f"date_trunc('{u}', {args[0]})")

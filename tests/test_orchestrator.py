@@ -47,6 +47,22 @@ def test_update_all_repos_schedules_stale_not_queued(orch):
     assert scheduled == ["acme/widgets"]
 
 
+def test_update_all_repos_bounded_by_queue_capacity(spark, tmp_path):
+    """A misconfigured limit cannot pull an unbounded list driver-side:
+    the stale batch is capped at the queue's max_queue_length, and the
+    loop stops at the first QueueFull."""
+    orch = Orchestrator(
+        spark,
+        str(tmp_path / "commits_tbl"),
+        WorkQueue(str(tmp_path / "queue"), max_queue_length=2),
+    )
+    for repo in ("a/one", "b/two", "c/three"):
+        orch.add_new_repo(repo)
+        orch.run_worker("w1", tsv_for=lambda r: FIXTURE)
+    scheduled = orch.update_all_repos(limit=10**9)
+    assert len(scheduled) == 2  # queue capacity, not the stale count
+
+
 def test_point_update_delete_insert(spark, tmp_path):
     """Copy-on-write mutations (≙ ALTER UPDATE repo/importer.py:146-147,
     DELETE repo/importer.py:175, INSERT test.py:36)."""

@@ -17,6 +17,20 @@ def test_duplicate_insert_rejected(tmp_path):
         q.schedule("apache/spark")
 
 
+def test_reschedule_while_claimed_rejected(tmp_path):
+    """An in-flight job (claimed, not yet released) must still block
+    scheduling — the reference's KeeperMap row persists until the
+    post-import DELETE (repo/importer.py:175), so two workers can
+    never import the same repo concurrently."""
+    q = WorkQueue(str(tmp_path))
+    q.schedule("apache/spark")
+    assert q.claim("w1").repo_name == "apache/spark"
+    with pytest.raises(AlreadyScheduled):
+        q.schedule("apache/spark")
+    q.release("apache/spark", "w1")
+    q.schedule("apache/spark")  # released → schedulable again
+
+
 def test_queue_full(tmp_path):
     q = WorkQueue(str(tmp_path), max_queue_length=2)
     q.schedule("a/a")

@@ -125,6 +125,45 @@ def test_tostartofweek_is_sunday_based(spark):
     assert str(row.sat) == "2024-01-07"
 
 
+def test_json_extract_string_gets_jsonpath(spark):
+    """JSONExtractString takes a bare key in ClickHouse; Spark's
+    get_json_object needs a JSONPath — a pure rename silently returns
+    NULL for every call."""
+    from clickhub_spark.sql_compat import run, translate
+
+    assert (
+        translate("SELECT JSONExtractString(j, 'k') FROM t")
+        == "SELECT get_json_object(j, '$.k') FROM t"
+    )
+    # already-JSONPath keys pass through unprefixed
+    assert "get_json_object(j, '$.a.b')" in translate("SELECT JSONExtractString(j, '$.a.b') FROM t")
+    spark.sql("SELECT '{\"k\": \"v\"}' AS j").createOrReplaceTempView("jt")
+    assert run(spark, "SELECT JSONExtractString(j, 'k') AS v FROM jt").first().v == "v"
+
+
+def test_session_profiles():
+    """Cluster profile: no hardcoded master, 128m splits, AQE sizing
+    from a high initial partition count; local profile keeps the
+    bench-fast 4m splits and fixed 32 shuffle partitions."""
+    import pytest as _pytest
+
+    from clickhub_spark.session import _builder
+
+    cluster = _builder("t", None, "cluster")._options
+    assert "spark.master" not in cluster
+    assert cluster["spark.sql.files.maxPartitionBytes"] == "128m"
+    assert cluster["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] == "2000"
+    assert cluster["spark.sql.adaptive.enabled"] == "true"
+
+    local = _builder("t", 8, "local")._options
+    assert local["spark.master"] == "local[8]"
+    assert local["spark.sql.files.maxPartitionBytes"] == "4m"
+    assert local["spark.sql.shuffle.partitions"] == "32"
+
+    with _pytest.raises(ValueError):
+        _builder("t", None, "yarn")
+
+
 def test_nested_paren_arguments_translate(spark):
     t = translate("SELECT toStartOfHour(CAST(x AS TIMESTAMP)) FROM t")
     assert t == "SELECT date_trunc('hour', CAST(x AS TIMESTAMP)) FROM t"
