@@ -9,6 +9,7 @@ ClickHouse server.
     python -m clickhub_spark start_worker --tsv-dir /data/tsv --polls 10
     python -m clickhub_spark update_all_repos --limit 50000
     python -m clickhub_spark query --name q_agg_multi --sf-dir /root/testdata/sf0.01
+    python -m clickhub_spark serve --port 5000
 """
 
 from __future__ import annotations
@@ -47,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--show", type=int, default=20)
+
+    v = sub.add_parser("serve")  # reference app.py:65 (Flask, port 5000)
+    v.add_argument("--host", default="0.0.0.0")
+    v.add_argument("--port", type=int, default=5000)
 
     args = p.parse_args(argv)
 
@@ -90,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "update_all_repos":
         scheduled = orch.update_all_repos(args.limit)
         print(f"scheduled {len(scheduled)}: {scheduled[:10]}{'...' if len(scheduled) > 10 else ''}")
+    elif args.cmd == "serve":
+        from clickhub_spark.server import serve
+
+        print(f"serving /add_new_repo on {args.host}:{args.port}")
+        serve(orch, args.host, args.port)
     elif args.cmd == "query":
         from clickhub_spark.plans import all_specs
 
