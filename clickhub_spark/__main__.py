@@ -10,6 +10,7 @@ ClickHouse server.
     python -m clickhub_spark update_all_repos --limit 50000
     python -m clickhub_spark query --name q_agg_multi --sf-dir /root/testdata/sf0.01
     python -m clickhub_spark serve --port 5000
+    python -m clickhub_spark extract --repo /path/or/url --out-dir /data/tsv
 """
 
 from __future__ import annotations
@@ -53,7 +54,22 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--host", default="0.0.0.0")
     v.add_argument("--port", type=int, default=5000)
 
+    e = sub.add_parser("extract")  # ≙ clone + git-import (repo/importer.py:86-90)
+    e.add_argument("--repo", required=True, help="git URL or local path")
+    e.add_argument("--out-dir", required=True)
+    e.add_argument("--workdir", default=None, help="clone here (default: out-dir/clone)")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "extract":  # no Spark session needed
+        from clickhub_spark.sources.git_extract import clone, extract_git_history
+
+        src = args.repo
+        if not os.path.isdir(os.path.join(src, ".git")) and not src.endswith(".git"):
+            src = clone(args.repo, args.workdir or os.path.join(args.out_dir, "clone"))
+        for name, path in extract_git_history(src, args.out_dir).items():
+            print(f"{name}: {path}")
+        return 0
 
     from clickhub_spark.orchestrator import Orchestrator
     from clickhub_spark.queue import WorkQueue
