@@ -33,9 +33,12 @@ HEADLINE = [
     "q_agg_quantile",     # percentiles
     "q_llm_dedup_exact",  # hash dedup
     "q_llm_dedup_minhash",  # MinHash-LSH near-dup
+    "q_llm_dedup_groups",  # near-dup connected components (iterative)
     "q_llm_knn",          # brute-force cosine top-k
     "q_fn_json",          # JSON extraction aggregate
     "q_join_asof",        # as-of join
+    "q_tpch_q3",          # TPC-H Q3: 3-way join + agg + top-k
+    "q_win_running",      # running-sum / moving-avg window frames
 ]
 
 
