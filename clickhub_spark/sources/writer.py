@@ -73,14 +73,24 @@ def incremental_append(
 ) -> int:
     """Append only rows past the stored high-water mark for ``key``
     (≙ the `WHERE time > '{max_time}'` cut, repo/importer.py:107).
-    Returns the number of rows appended."""
+    Returns the number of rows appended.
+
+    The count comes from an ``Observation`` on the write itself (the
+    ingest-scale shape: no second full pass over the input).  The only
+    pre-write action is ``isEmpty()`` — an early-terminating take(1)
+    that guards no-op replays from appending empty part files."""
+    from pyspark.sql import Observation
+
     hwm = high_water_mark(spark, path, time_col, key_col, key)
     fresh = df if hwm is None else df.where(F.col(time_col) > F.lit(hwm))
-    n = fresh.count()
-    if n:
-        out = fresh.sortWithinPartitions(*(sort_cols or [time_col]))
-        out.write.mode("append").parquet(path)
-    return n
+    if fresh.isEmpty():
+        return 0
+    obs = Observation()
+    out = fresh.observe(obs, F.count(F.lit(1)).alias("n")).sortWithinPartitions(
+        *(sort_cols or [time_col])
+    )
+    out.write.mode("append").parquet(path)
+    return int(obs.get["n"])
 
 
 def write_bucketed(
