@@ -106,8 +106,12 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingles(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle).
+def shingles(
+    df: DataFrame, text: str, id_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """k-word shingles per document: (id, shingle) — distinct per doc
+    by default (the dedup/Jaccard form); ``distinct=False`` keeps every
+    occurrence (the repetition-scoring form).
 
     Built-in fns only (split → transform over indices → explode) so
     the hot path stays in whole-stage codegen — no Python UDF.  The
@@ -118,11 +122,13 @@ def shingles(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    if distinct:
+        sh = F.array_distinct(sh)
     return (
         _spread(df)
         .withColumn("__words", F.split(F.col(text), " "))
         .where(n >= k)
-        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
     )
 
 

@@ -1,0 +1,92 @@
+"""Training-data text operators beyond the reference's analytics
+surface — the filters a 100 TB pretraining pipeline runs between raw
+crawl and tokenizer (no reference parallel; these extend SURVEY §2.J7
+alongside the dedup family in operators/dedup.py).
+
+All three are pure builtin-function plans (regexp/array/aggregate
+expressions inside whole-stage codegen — no Python in the hot path):
+
+- ``scrub_patterns``: PII redaction.  Counts and replaces a pattern
+  list (emails, phone numbers, denylist terms) per document in one
+  projection — a map-only operator, no shuffle, linear scan at any
+  scale.
+- ``contamination``: benchmark-contamination check.  Benchmark suites
+  are tiny next to the corpus, so their shingle set is BROADCAST and
+  the corpus never shuffles — the join cost is one scan of the corpus
+  regardless of corpus size.
+- ``repetition_ratio``: Gopher-style intra-document repetition score
+  (duplicate k-gram fraction); one shuffle on doc id with map-side
+  partial aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhub_spark.operators.dedup import shingles
+
+
+def scrub_patterns(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    patterns: Sequence[str],
+    replacement: str = "<REDACTED>",
+) -> DataFrame:
+    """Redact every regex in ``patterns`` (applied in order, each seeing
+    the previous pattern's output) and count total redactions.
+
+    Returns (id, n_redactions, scrubbed).  Patterns must stay in the
+    Java∩RE2 common regex subset (no backreferences/lookaround) so the
+    same pattern list is portable to other engines.
+    """
+    t = F.col(text)
+    total = F.lit(0)
+    for pat in patterns:
+        total = total + F.regexp_count(t, F.lit(pat))
+        t = F.regexp_replace(t, pat, replacement)
+    return df.select(
+        F.col(id_col),
+        total.cast("int").alias("n_redactions"),
+        t.alias("scrubbed"),
+    )
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Corpus documents sharing ≥ ``min_shared`` distinct k-gram
+    shingles with a benchmark set — the pre-training decontamination
+    pass.  The benchmark shingle set is broadcast (benchmarks are
+    KB-MB against a TB-PB corpus), so the corpus side never
+    exchanges: scan → broadcast-hash-join → partial-aggregated count
+    per document."""
+    corpus_sh = shingles(df, text, id_col, k)
+    bench_sh = shingles(bench, text, id_col, k).select("shingle").distinct()
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def repetition_ratio(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
+    """Duplicate k-gram fraction per document (0 = no repetition) —
+    the Gopher repetition filter's core signal.  Non-distinct shingles
+    aggregated once per doc; rep_ratio = 1 - distinct/total."""
+    sh = shingles(df, text, id_col, k, distinct=False)
+    return sh.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("shingle") / F.count("*"), 4
+        ).alias("rep_ratio"),
+    )

@@ -524,3 +524,118 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         keep, docs.doc_id == keep.keep_id, "left_semi"
     ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline filters: PII scrub, decontamination, repetition (§2.J7 extension)
+# ---------------------------------------------------------------------------
+
+#: Java∩RE2-portable patterns: email, phone-number shape, and a
+#: denylist term standing in for a named-entity blocklist.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d .-]{7,}\d"
+_PII_DENY = r"\bcustomer\b"
+
+
+@query(
+    "q_llm_pii_scrub",
+    oracle=rf"""
+    WITH s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS c1,
+               regexp_replace(text, '{_PII_EMAIL}', '<REDACTED>', 'g') AS t
+        FROM documents
+    ), s2 AS (
+        SELECT doc_id, c1,
+               len(regexp_extract_all(t, '{_PII_PHONE}')) AS c2,
+               regexp_replace(t, '{_PII_PHONE}', '<REDACTED>', 'g') AS t FROM s1
+    ), s3 AS (
+        SELECT doc_id, c1, c2,
+               len(regexp_extract_all(t, '{_PII_DENY}')) AS c3,
+               regexp_replace(t, '{_PII_DENY}', '<REDACTED>', 'g') AS t FROM s2
+    )
+    SELECT doc_id, CAST(c1 + c2 + c3 AS INT) AS n_redactions,
+           md5(t) AS scrubbed_md5
+    FROM s3
+    """,
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data redaction pass): count + replace
+    email/phone/denylist patterns per document in ONE map-only
+    projection — regexp builtins in codegen, no shuffle, no UDF.
+    Output carries md5(scrubbed) so the redacted text itself is
+    value-checked cross-engine."""
+    from clickhub_spark.operators.textops import scrub_patterns
+
+    out = scrub_patterns(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        [_PII_EMAIL, _PII_PHONE, _PII_DENY],
+    )
+    return out.select(
+        "doc_id", "n_redactions", F.md5("scrubbed").alias("scrubbed_md5")
+    )
+
+
+@query(
+    "q_llm_contamination",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ), corpus AS (
+        SELECT * FROM sh WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id HAVING COUNT(*) >= 2
+    """,
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥2 distinct
+    3-gram shingles with the benchmark slice (doc_id % 50 = 0 stands
+    in for an eval suite).  The benchmark shingle set is BROADCAST —
+    benchmarks are KB-MB against a TB-PB corpus — so the corpus side
+    never shuffles for the join."""
+    from clickhub_spark.operators.textops import contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return contamination(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        "text",
+        "doc_id",
+        k=3,
+        min_shared=2,
+    )
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*), 4)
+               AS rep_ratio
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: duplicate 3-gram fraction
+    per document (1 - distinct/total) — non-distinct shingle explode,
+    one partial-aggregated shuffle on doc_id."""
+    from clickhub_spark.operators.textops import repetition_ratio
+
+    return repetition_ratio(load(spark, sf_dir, "documents"), "text", "doc_id", k=3)

@@ -113,3 +113,17 @@ def test_bucketed_join_avoids_shuffle(spark):
     assert "Exchange hashpartitioning" not in executed  # no shuffle either side
     assert "SortMergeJoin" in executed or "ShuffledHashJoin" in executed
     assert "Bucketed: true" in executed
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The decontamination join must broadcast the (tiny) benchmark
+    shingle set — the corpus side must not exchange for the join."""
+    plan = _plan(spark, "q_llm_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    """Redaction is a single projection: no shuffle anywhere."""
+    plan = _plan(spark, "q_llm_pii_scrub")
+    assert "Exchange" not in plan
