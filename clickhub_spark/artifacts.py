@@ -1,0 +1,32 @@
+"""Deterministic locations for build-once derived artifacts (ANN
+indexes, signature stores): keyed on the source DataFrame's input
+files + mtimes + a tag, so the same data reuses the artifact and
+regenerated data triggers a rebuild.  In-memory frames (tests) get a
+throwaway temp location."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def derived_artifact_path(df: DataFrame, tag: str) -> str:
+    files = sorted(df.inputFiles())
+    if not files:
+        return tempfile.mkdtemp(prefix=f"clickhub_{tag}_") + "/artifact"
+    sig = hashlib.md5()
+    for f in files:
+        local = f.removeprefix("file:")
+        try:
+            st = os.stat(local)
+            sig.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+        except OSError:
+            sig.update(f.encode())
+    sig.update(tag.encode())
+    base = df.sparkSession.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    return os.path.join(base, tag, sig.hexdigest())

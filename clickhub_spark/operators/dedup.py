@@ -289,7 +289,7 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs_md5(
+def md5_banded_signatures(
     df: DataFrame,
     text: str,
     id_col: str,
@@ -297,15 +297,13 @@ def minhash_candidate_pairs_md5(
     num_perm: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """MinHash-LSH with engine-portable hashing (md5 string-min).
-
-    Same banding scheme as minhash_candidate_pairs, but the per-
-    permutation hash is ``min(md5(shingle || ':' || p))`` — a string
-    minimum, identical in any engine — so the WHOLE near-dup pipeline
-    is oracle-checkable, not just rows-only.  xxhash64 remains the
-    production default (integer compares beat 32-char string
-    compares); this variant doubles as its cross-engine test vector.
-    """
+    """Banded MinHash signatures with engine-portable hashing:
+    (id, band, bh) where the per-permutation hash is
+    ``min(md5(shingle || ':' || p))`` — a string minimum, identical in
+    any engine — so pipelines built on it are oracle-checkable, not
+    just rows-only.  xxhash64 remains the production default (integer
+    compares beat 32-char string compares); this form doubles as its
+    cross-engine test vector."""
     rows_per_band = num_perm // bands
     sh = shingles(df, text, id_col, k)
     sig = sh.groupBy(id_col).agg(
@@ -324,7 +322,21 @@ def minhash_candidate_pairs_md5(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    return sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def minhash_candidate_pairs_md5(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over the md5 banded signatures
+    (see md5_banded_signatures) — the fully oracle-checked variant of
+    minhash_candidate_pairs."""
+    banded = md5_banded_signatures(df, text, id_col, k, num_perm, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
@@ -333,3 +345,65 @@ def minhash_candidate_pairs_md5(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def write_minhash_store(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    path: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> str:
+    """One-time signature store for INCREMENTAL dedup: banded md5
+    MinHash signatures of the historical corpus, written partitioned
+    by band.  At 100 TB this is the operating mode that matters —
+    signatures of the existing corpus are computed once at ingest,
+    and each new batch only hashes itself and joins the store; the
+    alternative (re-minhashing the whole corpus per batch) is
+    quadratic in total ingest."""
+    banded = md5_banded_signatures(df, text, id_col, k, num_perm, bands)
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    return path
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    store_path: str,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW batch against a prebuilt
+    signature store (write_minhash_store) plus within-batch pairs.
+
+    The new batch's banded signatures are BROADCAST against the store
+    (a daily/hourly batch is tiny next to the historical corpus), so
+    the store side — the big side — never shuffles; with the store
+    partitioned by band the scan is also partition-local.  Pair ids
+    are normalized (least, greatest) so results match a from-scratch
+    run restricted to pairs involving the new batch.
+    """
+    spark = new_docs.sparkSession
+    nb = md5_banded_signatures(new_docs, text, id_col, k, num_perm, bands)
+    nb = nb.select(F.col(id_col).alias("__nid"), "band", "bh").localCheckpoint(
+        eager=True
+    )
+    store = spark.read.parquet(store_path).select(
+        F.col(id_col).alias("__sid"), "band", "bh"
+    )
+    vs_store = store.join(F.broadcast(nb), ["band", "bh"]).select(
+        F.least("__nid", "__sid").alias("id_a"),
+        F.greatest("__nid", "__sid").alias("id_b"),
+    )
+    a = nb.select(F.col("__nid").alias("id_a"), "band", "bh")
+    b = nb.select(F.col("__nid").alias("id_b"), "band", "bh")
+    vs_new = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return vs_store.unionByName(vs_new).distinct()

@@ -162,25 +162,9 @@ def ivf_probe_topk(
 def _default_index_path(emb: DataFrame, n_cells: int) -> str:
     """Deterministic index location derived from the input files and
     their mtimes — same data → reuse, regenerated data → rebuild."""
-    import hashlib
-    import tempfile
+    from clickhub_spark.artifacts import derived_artifact_path
 
-    files = sorted(emb.inputFiles())
-    if not files:  # in-memory test frame: unique throwaway location
-        return tempfile.mkdtemp(prefix="clickhub_ivf_") + "/idx"
-    sig = hashlib.md5()
-    for f in files:
-        local = f.removeprefix("file:")
-        try:
-            st = os.stat(local)
-            sig.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
-        except OSError:
-            sig.update(f.encode())
-    sig.update(str(n_cells).encode())
-    base = emb.sparkSession.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    return os.path.join(base, "ivf", sig.hexdigest())
+    return derived_artifact_path(emb, f"ivf{n_cells}")
 
 
 def ivf_topk(

@@ -639,3 +639,37 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhub_spark.operators.textops import repetition_ratio
 
     return repetition_ratio(load(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+@query(
+    "q_llm_dedup_incremental",
+    oracle=_MINHASH_PAIRS_CTE
+    + """
+    SELECT id_a, id_b FROM pairs
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """,
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the continuous-ingestion operating
+    mode: the historical corpus' banded MinHash signatures live in a
+    build-once store (written on first call, keyed on input files),
+    and the NEW batch (doc_id % 10 = 0 stands in for today's crawl)
+    only hashes itself, broadcasts against the store, and adds its
+    within-batch pairs.  Value-equal to a from-scratch LSH run
+    restricted to pairs involving the new batch — which is exactly
+    what the oracle computes."""
+    import os
+
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        write_minhash_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    new_batch = docs.where(F.col("doc_id") % 10 == 0)
+    store = derived_artifact_path(docs, "minhash_store")
+    if not os.path.isdir(store):
+        write_minhash_store(corpus, "text", "doc_id", store)
+    return incremental_candidate_pairs(new_batch, store, "text", "doc_id")

@@ -153,3 +153,41 @@ def test_connected_components_shapes(spark):
     groups = {r.component: (r.n_members, r.canonical_id)
               for r in dedup_groups(pairs).collect()}
     assert groups == {1: (4, 1), 10: (2, 10), 20: (3, 20)}
+
+
+def test_incremental_pairs_match_full_run_and_reuse_store(spark, tmp_path):
+    """Incremental dedup (new batch vs prebuilt signature store) must
+    equal the from-scratch LSH restricted to pairs involving the new
+    batch, without rebuilding the store."""
+    import os
+
+    from clickhub_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        minhash_candidate_pairs_md5,
+        write_minhash_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (20, "alpha beta gamma delta epsilon zeta eta theta iota"),  # dup of 2
+            (30, "alpha beta gamma delta epsilon zeta eta theta iota"),  # dup of 2+20
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.where("doc_id < 10")
+    new = docs.where("doc_id >= 10")
+    store = str(tmp_path / "store")
+    write_minhash_store(corpus, "text", "doc_id", store)
+    built_at = os.path.getmtime(store)
+
+    inc = {(r.id_a, r.id_b) for r in
+           incremental_candidate_pairs(new, store, "text", "doc_id").collect()}
+    full = {(r.id_a, r.id_b) for r in
+            minhash_candidate_pairs_md5(docs, "text", "doc_id").collect()}
+    expected = {p for p in full if p[0] >= 10 or p[1] >= 10}
+    assert inc == expected
+    assert (1, 10) in inc and (20, 30) in inc  # cross-store and within-batch
+    assert os.path.getmtime(store) == built_at  # store untouched
