@@ -673,3 +673,35 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(store):
         write_minhash_store(corpus, "text", "doc_id", store)
     return incremental_candidate_pairs(new_batch, store, "text", "doc_id")
+
+
+@query(
+    "q_llm_embed_centroid",
+    oracle="""
+    WITH pv AS (
+        SELECT label, i AS pos, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS v
+        FROM embeddings, UNNEST(range(1, 65)) t(i)
+        GROUP BY label, i
+    )
+    SELECT label, array_agg(v ORDER BY pos) AS centroid
+    FROM pv GROUP BY label
+    """,
+)
+def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the coarse-quantizer / cluster-
+    profile build, cross-engine-checkable unlike KMeans): posexplode
+    to (label, pos, v), partial-aggregated mean per component, then
+    ordered re-assembly.  Map-side combine collapses each partition to
+    labels×64 rows before the shuffle, so exchange volume is
+    O(labels × dim × partitions) regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    pv = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("v"))
+    )
+    return pv.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
+        ).alias("centroid")
+    )
