@@ -52,7 +52,26 @@ _FN_RENAMES = {
     "argMin": "min_by",
     "intDiv": "div",
     "cityHash64": "xxhash64",
+    # identical argument order, different name:
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "match": "regexp_like",
+    "replaceRegexpAll": "regexp_replace",
+    "replaceAll": "replace",
+    "indexOf": "array_position",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "sort_array",
+    "arrayReverse": "reverse",
+    "lengthUTF8": "length",
+    "substringUTF8": "substring",
+    "position": "instr",  # CH position(haystack, needle) = instr order
+    "ifNull": "coalesce",
+    "today": "current_date",
 }
+
+#: <agg>If(x, cond) → <agg>(CASE WHEN cond THEN x END); Spark only has
+#: count_if, the other -If combinators need the CASE rewrite.
+_IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
 _START_OF = {"toStartOfHour": "hour", "toStartOfDay": "day"}
 
@@ -90,6 +109,48 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
         i = j
 
 
+def _rewrite_parametric(sql: str, name: str, render) -> str:
+    """Rewrite ClickHouse parameterized aggregates ``name(params)(args)``
+    (e.g. ``quantile(0.5)(x)``); ``render`` receives (params, args)."""
+    out = []
+    i = 0
+    pat = re.compile(rf"\b{name}\s*\(")
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+
+        def scan(start: int) -> tuple[list[str], int]:
+            depth, j, args, s = 1, start, [], start
+            while j < len(sql) and depth:
+                ch = sql[j]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        args.append(sql[s:j].strip())
+                elif ch == "," and depth == 1:
+                    args.append(sql[s:j].strip())
+                    s = j + 1
+                j += 1
+            return (args, j) if depth == 0 else ([], -1)
+
+        params, j = scan(m.end())
+        if j < 0 or j >= len(sql) or sql[j] != "(":
+            out.append(sql[i : max(j, m.end())])
+            i = max(j, m.end())
+            continue
+        args, j2 = scan(j + 1)
+        if j2 < 0:
+            out.append(sql[i:j2])
+            return "".join(out)
+        out.append(sql[i : m.start()])
+        out.append(render(params, args))
+        i = j2
+
+
 def translate(sql: str) -> str:
     """Rewrite ClickHouse SQL to Spark SQL."""
     out = sql
@@ -107,11 +168,61 @@ def translate(sql: str) -> str:
     out = re.sub(r"'([^']*)'::String\b", r"'\1'", out)
     # uniqExact(x) → count(DISTINCT x)  (count_distinct is not a SQL name)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
-    # sumIf(col, cond) → sum(CASE WHEN cond THEN col END); Spark has no
-    # sum_if.  Balanced-paren argument scan so nested calls work.
-    out = _rewrite_call(
-        out, "sumIf", lambda args: f"sum(CASE WHEN {args[1]} THEN {args[0]} END)", nargs=2
+    # <agg>If(col, cond) → <agg>(CASE WHEN cond THEN col END); Spark
+    # only has count_if.  Balanced-paren argument scan so nested calls
+    # work.
+    for ch_name, spark_agg in _IF_COMBINATORS.items():
+        out = _rewrite_call(
+            out,
+            ch_name,
+            lambda args, a=spark_agg: f"{a}(CASE WHEN {args[1]} THEN {args[0]} END)",
+            nargs=2,
+        )
+    # parameterized quantile combinators: quantileExact(p)(x) is exact
+    # percentile, quantile(p)(x) the sketch form, quantiles(p…)(x) the
+    # array form.
+    out = _rewrite_parametric(
+        out, "quantileExact", lambda ps, args: f"percentile({args[0]}, {ps[0]})"
     )
+    out = _rewrite_parametric(
+        out, "quantiles", lambda ps, args: f"percentile_approx({args[0]}, array({', '.join(ps)}))"
+    )
+    out = _rewrite_parametric(
+        out, "quantile", lambda ps, args: f"percentile_approx({args[0]}, {ps[0]})"
+    )
+    # multiIf(c1, v1, …, else) → CASE chain
+    def _multi_if(args: list[str]) -> str:
+        whens = "".join(
+            f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+        )
+        return f"CASE{whens} ELSE {args[-1]} END"
+
+    out = _rewrite_call(out, "multiIf", _multi_if, nargs=3)
+    # argument-order / shape differences
+    out = _rewrite_call(
+        out, "splitByChar", lambda args: f"split({args[1]}, {args[0]})", nargs=2
+    )
+    out = _rewrite_call(
+        out, "extractAll", lambda args: f"regexp_extract_all({args[0]}, {args[1]}, 0)", nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayMap", lambda args: f"transform({args[1]}, {args[0]})", nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayFilter", lambda args: f"filter({args[1]}, {args[0]})", nargs=2
+    )
+    out = _rewrite_call(out, "arrayUniq", lambda args: f"size(array_distinct({args[0]}))")
+    out = _rewrite_call(
+        out,
+        r"toU?Int(?:8|16|32|64)OrZero",
+        lambda args: f"coalesce(try_cast({args[0]} AS BIGINT), 0)",
+    )
+    out = _rewrite_call(
+        out,
+        "toYYYYMM",
+        lambda args: f"CAST(date_format({args[0]}, 'yyyyMM') AS INT)",
+    )
+    out = re.sub(r"\byesterday\(\s*\)", "date_sub(current_date(), 1)", out)
     # toStartOfWeek default mode 0 starts weeks on SUNDAY; Spark's
     # date_trunc('week') is Monday-based, so shift by one day around it.
     out = _rewrite_call(

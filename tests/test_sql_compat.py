@@ -169,3 +169,64 @@ def test_nested_paren_arguments_translate(spark):
     assert t == "SELECT date_trunc('hour', CAST(x AS TIMESTAMP)) FROM t"
     # malformed call left untouched rather than mangled
     assert "sumIf(" in translate("SELECT sumIf(value FROM t")
+
+
+def test_extended_function_surface(spark):
+    """Round-trip the extended ClickHouse function coverage through a
+    live Spark session — renames, arg swaps, -If combinators,
+    parameterized quantiles, multiIf, OrZero casts."""
+    from clickhub_spark.sql_compat import run, translate
+
+    r = run(spark, """
+        SELECT multiIf(1 = 2, 'a', 2 = 2, 'b', 'c') AS m,
+               splitByChar('-', 'x-y-z') AS parts,
+               extractAll('a1b22c', '\\\\d+') AS nums,
+               arrayMap(x -> x * 2, array(1, 2, 3)) AS doubled,
+               arrayFilter(x -> x > 1, array(1, 2, 3)) AS filtered,
+               arrayUniq(array(1, 1, 2)) AS nu,
+               indexOf(array(10, 20), 20) AS idx,
+               toUInt32OrZero('12') AS ok_cast,
+               toUInt32OrZero('nope') AS zero_cast,
+               ifNull(NULL, 7) AS ifn,
+               startsWith('spark', 'sp') AS sw,
+               position('haystack', 'st') AS pos,
+               toYYYYMM(toDate('2023-07-09')) AS ym
+    """).first()
+    assert r.m == "b"
+    assert r.parts == ["x", "y", "z"]
+    assert r.nums == ["1", "22"]
+    assert r.doubled == [2, 4, 6]
+    assert r.filtered == [2, 3]
+    assert r.nu == 2
+    assert r.idx == 2
+    assert (r.ok_cast, r.zero_cast) == (12, 0)
+    assert r.ifn == 7
+    assert r.sw is True
+    assert r.pos == 4
+    assert r.ym == 202307
+
+
+def test_quantile_combinators_and_if_aggregates(spark):
+    from clickhub_spark.sql_compat import run, translate
+
+    assert (
+        translate("SELECT quantileExact(0.5)(x) FROM t")
+        == "SELECT percentile(x, 0.5) FROM t"
+    )
+    assert (
+        translate("SELECT quantiles(0.25, 0.75)(x) FROM t")
+        == "SELECT percentile_approx(x, array(0.25, 0.75)) FROM t"
+    )
+    spark.range(1, 101).selectExpr("id AS v").createOrReplaceTempView("qt")
+    r = run(spark, """
+        SELECT quantileExact(0.5)(v) AS med,
+               quantile(0.5)(v) AS med_approx,
+               avgIf(v, v > 50) AS hi_avg,
+               minIf(v, v > 50) AS hi_min,
+               maxIf(v, v < 50) AS lo_max
+        FROM qt
+    """).first()
+    assert r.med == 50.5
+    assert 45 <= r.med_approx <= 55
+    assert r.hi_avg == 75.5
+    assert (r.hi_min, r.lo_max) == (51, 49)
