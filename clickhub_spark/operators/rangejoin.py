@@ -1,0 +1,54 @@
+"""Binned range join — the scale-safe plan for point-in-interval
+predicates (SURVEY §2.C7 extension; complements the equi-prefix range
+join in plans/queries_join.py).
+
+A bare ``p BETWEEN start AND end`` join has no equi-key, so Spark
+plans BroadcastNestedLoopJoin (fine only while one side broadcasts)
+or a cartesian product (never fine).  Binning converts it to an
+equi-join: every interval is exploded to the coarse bins it covers,
+every point carries its bin, the join runs hash-partitioned on the
+bin key, and the exact range predicate is applied as a residual
+filter.  Cost: |intervals| × (len/bin_width + 1) replicated interval
+rows — pick ``bin_width`` near the typical interval length so the
+blow-up is ~2×.  Both sides shuffle once on the bin; no nested loop
+at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to half-open intervals [start, end) on numeric
+    columns (convert dates with unix_date first).  Each (point,
+    interval) pair meets in exactly one bin — the point's — so no
+    post-join dedup is needed."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width),
+                # end is exclusive: a bin is covered only if the
+                # interval reaches past its first value
+                F.floor((F.col(end_col) - 1) / bin_width),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bin", how)
+        .where((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col)))
+        .drop("__bin")
+    )

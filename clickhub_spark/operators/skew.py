@@ -55,3 +55,29 @@ def explode_small_side(
     return small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Full salted-join composition for extreme key skew: the big side
+    gets a random salt, the small side is replicated once per bucket,
+    and the join key becomes (key, salt) — a hot key's rows spread
+    over ``salt_buckets`` reducers instead of one.
+
+    Use when AQE's skew split can't apply: the join output must stay
+    partitioned for a downstream window/aggregate on the same key, or
+    the skewed side is mid-pipeline (AQE splits only leaf shuffle
+    stats).  Cost: small side ×``salt_buckets`` — keep the small side
+    genuinely small or bucket counts modest.  Inner/left joins only
+    (the replicated small side makes right/full multiplicities wrong).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    big_s = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    small_s = explode_small_side(small, salt_buckets)
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")

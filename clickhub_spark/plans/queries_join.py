@@ -213,3 +213,41 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts", right_values=[]
     ).select("event_id", "user_id", "ts", "asof_ts")
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped_7d
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey % 1000 = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi-key) via binning: lineitems shipped
+    within 7 days of each sampled order's date.  A bare BETWEEN join
+    plans a nested loop; binning both sides on floor(day/7) makes it
+    an equi-join with a residual filter — hash-partitioned on the bin
+    at any scale (operators/rangejoin.point_in_interval_join)."""
+    from clickhub_spark.operators.rangejoin import point_in_interval_join
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            "o_orderkey",
+            F.unix_date(F.to_date("o_orderdate")).alias("start_d"),
+            (F.unix_date(F.to_date("o_orderdate")) + 7).alias("end_d"),
+        )
+    )
+    pts = load(spark, sf_dir, "lineitem").select(
+        F.unix_date(F.to_date("l_shipdate")).alias("ship_d")
+    )
+    return (
+        point_in_interval_join(pts, o, "ship_d", "start_d", "end_d", bin_width=7)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped_7d"))
+    )

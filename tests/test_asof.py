@@ -39,3 +39,23 @@ def test_asof_tolerance(spark):
                      right_values=["price"], tolerance=3600).first()
     assert hit.asof_price == 5.0
     assert miss.asof_price is None
+
+
+def test_point_in_interval_join_boundaries(spark):
+    """Half-open [start, end): boundary points land exactly once, and
+    intervals spanning bin edges still match points in later bins."""
+    from clickhub_spark.operators.rangejoin import point_in_interval_join
+
+    pts = spark.createDataFrame([(0,), (5,), (9,), (10,), (23,)], "p long")
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 24), (3, 10, 11)], "iv_id long, s long, e long"
+    )
+    got = {
+        (r.iv_id, r.p)
+        for r in point_in_interval_join(pts, iv, "p", "s", "e", bin_width=7).collect()
+    }
+    assert got == {
+        (1, 0), (1, 5), (1, 9),          # 10 excluded (half-open)
+        (2, 5), (2, 9), (2, 10), (2, 23),  # spans 4 bins
+        (3, 10),
+    }

@@ -127,3 +127,11 @@ def test_pii_scrub_is_map_only(spark):
     """Redaction is a single projection: no shuffle anywhere."""
     plan = _plan(spark, "q_llm_pii_scrub")
     assert "Exchange" not in plan
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    """The pure range join must plan as an equi-join on the bin key —
+    no BroadcastNestedLoopJoin, no CartesianProduct."""
+    plan = _plan(spark, "q_join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan

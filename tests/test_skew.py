@@ -40,3 +40,31 @@ def test_salted_join_matches_plain(spark):
         salted_big.join(salted_dim, ["user_id", "__salt"]).groupBy("segment").count()
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join must be value-identical to the plain join on skewed
+    data (one key holding most rows)."""
+    from pyspark.sql import functions as F
+
+    from clickhub_spark.operators.skew import salted_join
+
+    big = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), F.col("id") % 7)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3)], "k string, w int"
+    )
+    plain = big.join(small, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(big, small, ["k"]).groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_join(spark):
+    import pytest
+    from clickhub_spark.operators.skew import salted_join
+
+    df = spark.range(1).selectExpr("id AS k")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="right")
