@@ -51,3 +51,66 @@ def stream_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    table_path: str,
+    store_path: str,
+    checkpoint: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    pairs_path: str | None = None,
+    max_files: int = 4,
+) -> None:
+    """Streaming ingest WITH near-dup screening — the continuous form
+    of operators/dedup.incremental_candidate_pairs: every micro-batch
+    is LSH-hashed, joined (broadcast) against the historical signature
+    store, its near-dup pairs are recorded, and its own signatures are
+    APPENDED to the store so later batches dedup against it too.
+
+    State lives in the store (parquet, partitioned by band), not in
+    streaming state — restarts resume from the checkpoint and the
+    store reflects exactly the batches that committed.  At-least-once
+    appends on crash-replay are absorbed downstream: pairs are
+    re-derivable duplicates and the store tolerates duplicate
+    signature rows (the pair join is distinct)."""
+    from clickhub_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        md5_banded_signatures,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        import os
+
+        if os.path.isdir(store_path):
+            pairs = incremental_candidate_pairs(
+                batch_df, store_path, text, id_col
+            )
+        else:  # first batch: only within-batch pairs
+            from clickhub_spark.operators.dedup import minhash_candidate_pairs_md5
+
+            pairs = minhash_candidate_pairs_md5(batch_df, text, id_col)
+        if pairs_path:
+            pairs.write.mode("append").parquet(pairs_path)
+        batch_df.write.mode("append").parquet(table_path)
+        md5_banded_signatures(batch_df, text, id_col).write.mode(
+            "append"
+        ).partitionBy("band").parquet(store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -49,3 +49,56 @@ def test_compact_preserves_rows_reduces_files(spark, tmp_path):
     assert n == ev.count()
     assert spark.read.parquet(table).count() == n
     assert after <= 2 < before
+
+
+def test_stream_dedup_ingest_flags_cross_batch_dups(spark, tmp_path):
+    """Micro-batch near-dup screening against the growing signature
+    store: a doc arriving in batch 2 that duplicates a batch-1 doc
+    must be flagged, and the store must cover both batches at the end."""
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.streaming.ingest import stream_dedup_ingest
+
+    schema = (
+        StructType()
+        .add("doc_id", "long")
+        .add("text", "string")
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (11, "nothing like anything else in this tiny corpus here"),
+        ],
+        schema,
+    )
+
+    table = str(tmp_path / "docs_tbl")
+    store = str(tmp_path / "sig_store")
+    pairs = str(tmp_path / "pairs")
+
+    # batch 1: maxFilesPerTrigger=1 → one file = one micro-batch
+    stream_dedup_ingest(
+        spark, str(src), schema, table, store,
+        checkpoint=str(tmp_path / "ckpt"), pairs_path=pairs, max_files=1,
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    stream_dedup_ingest(
+        spark, str(src), schema, table, store,
+        checkpoint=str(tmp_path / "ckpt"), pairs_path=pairs, max_files=1,
+    )
+
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 10) in got                     # cross-batch duplicate flagged
+    assert spark.read.parquet(table).count() == 4
+    store_ids = {r.doc_id for r in spark.read.parquet(store).select("doc_id").distinct().collect()}
+    assert store_ids == {1, 2, 10, 11}        # store grew with every batch
