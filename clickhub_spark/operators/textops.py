@@ -90,3 +90,44 @@ def repetition_ratio(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataF
             F.lit(1.0) - F.count_distinct("shingle") / F.count("*"), 4
         ).alias("rep_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    chunk_tokens: int = 40,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step before embedding/indexing.  Stride =
+    chunk_tokens - overlap; a tail start is kept only if it
+    contributes tokens beyond the previous chunk's overlap (s == 0 or
+    s + overlap < n).  Pure builtins (split → filtered sequence of
+    starts → slice → posexplode): map-only, no shuffle, no Python —
+    chunking 100 TB is a linear scan.
+
+    Returns (id, chunk_start, n_chunk_tokens, chunk)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text), " ")
+    n = F.size(words)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap < n),
+    )
+    return (
+        df.select(F.col(id_col), words.alias("__w"), F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            "chunk_start",
+            F.slice(F.col("__w"), F.col("chunk_start") + 1, chunk_tokens).alias("__c"),
+        )
+        .select(
+            id_col,
+            "chunk_start",
+            F.size("__c").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk"),
+        )
+    )

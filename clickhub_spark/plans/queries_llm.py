@@ -705,3 +705,36 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
         ).alias("centroid")
     )
+
+
+@query(
+    "q_llm_chunk",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), starts AS (
+        SELECT doc_id, ws, s
+        FROM words, UNNEST(range(0, len(ws), 30)) t(s)
+        WHERE s = 0 OR s + 10 < len(ws)
+    )
+    SELECT doc_id, CAST(s AS INT) AS chunk_start,
+           CAST(len(ws[s + 1 : s + 40]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(ws[s + 1 : s + 40], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (40-token chunks, 10-token
+    overlap) — the pre-embedding prep step; map-only builtins, chunk
+    content value-checked via md5."""
+    from clickhub_spark.operators.textops import chunk_documents
+
+    out = chunk_documents(
+        load(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=40, overlap=10
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        "n_chunk_tokens",
+        F.md5("chunk").alias("chunk_md5"),
+    )

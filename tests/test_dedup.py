@@ -191,3 +191,29 @@ def test_incremental_pairs_match_full_run_and_reuse_store(spark, tmp_path):
     assert inc == expected
     assert (1, 10) in inc and (20, 30) in inc  # cross-store and within-batch
     assert os.path.getmtime(store) == built_at  # store untouched
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk windows: full chunks at stride, a tail only when it adds
+    tokens beyond the overlap, single short doc = one chunk."""
+    from clickhub_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # 10 tokens: 1 chunk
+            (2, " ".join(f"w{i}" for i in range(12))),   # 12: starts 0,8 → 8+2<12 keep
+            (3, " ".join(f"w{i}" for i in range(11))),   # 11: start 8 → 8+2<11 keep
+            (4, " ".join(f"w{i}" for i in range(9))),    # 9: start 8 → 8+2=10 ≥ 9 drop
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_start): r.n_chunk_tokens
+        for r in chunk_documents(docs, "text", "doc_id", chunk_tokens=10, overlap=2).collect()
+    }
+    assert got == {
+        (1, 0): 10,
+        (2, 0): 10, (2, 8): 4,
+        (3, 0): 10, (3, 8): 3,
+        (4, 0): 9,
+    }
