@@ -39,6 +39,9 @@ HEADLINE = [
     "q_join_asof",        # as-of join
     "q_tpch_q3",          # TPC-H Q3: 3-way join + agg + top-k
     "q_win_running",      # running-sum / moving-avg window frames
+    "q_join_range_binned",  # point-in-interval join via binning
+    "q_llm_pii_scrub",    # map-only regex redaction throughput
+    "q_llm_dedup_incremental",  # new batch vs signature store (build-once)
 ]
 
 
