@@ -159,3 +159,72 @@ def extract_features(
             )
 
     return src.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def probe_image(payload: bytes) -> tuple[str | None, int, int]:
+    """REAL (non-stub) media op: parse (format, width, height) straight
+    from header bytes — PNG IHDR, GIF logical screen descriptor, BMP
+    info header, JPEG SOFn marker scan.  No codec library needed,
+    which is exactly why a 100 TB pipeline runs this triage pass
+    (resolution/format pruning) BEFORE any real decode.  Returns
+    (None, -1, -1) for unrecognized payloads."""
+    import struct
+
+    if payload is None or len(payload) < 10:
+        return (None, -1, -1)
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))
+    if b[:2] == b"\xff\xd8":  # JPEG: scan for a SOFn frame header
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seg_len
+        return ("jpeg", -1, -1)  # valid SOI but no frame header found
+    return (None, -1, -1)
+
+
+def probe_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas triage pass over binary payloads: (id, img_format,
+    width, height, n_bytes).  Cheap header parsing only — the pruning
+    columns a media pipeline filters on before paying for decode."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [probe_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "img_format": [p[0] for p in probed],
+                    "width": [p[1] for p in probed],
+                    "height": [p[2] for p in probed],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                }
+            )
+
+    return src.mapInPandas(
+        run, "doc_id long, img_format string, width int, height int, n_bytes int"
+    )
