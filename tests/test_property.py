@@ -45,3 +45,68 @@ def test_final_view_idempotent(spark, rows):
         df.unionByName(df), keys=["k"], version=["ver", "v"]
     )
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, replay.collect()))
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"]),
+        min_size=1,
+        max_size=25,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=texts_strategy)
+def test_chunk_documents_cover_and_reassemble(spark, texts):
+    """For ANY documents: chunk starts are stride-aligned and sorted,
+    every token index is covered by some chunk, and concatenating each
+    chunk's non-overlap prefix tokens reassembles the document."""
+    from clickhub_spark.operators.textops import chunk_documents
+
+    chunk, overlap = 10, 3
+    stride = chunk - overlap
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=chunk, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_start, r.chunk))
+    for doc_id, text in docs:
+        words = text.split(" ")
+        chunks = sorted(by_doc[doc_id])
+        assert all(s % stride == 0 for s, _ in chunks)
+        # coverage: last chunk reaches the end of the doc
+        last_s, last_c = chunks[-1]
+        assert last_s + len(last_c.split(" ")) == len(words)
+        # reassembly: each chunk's tokens occupy [start, start+len)
+        rebuilt = {}
+        for s, c in chunks:
+            for j, w in enumerate(c.split(" ")):
+                rebuilt[s + j] = w
+        assert [rebuilt[i] for i in range(len(words))] == words
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=texts_strategy)
+def test_jaccard_cap_never_adds_pairs(spark, texts):
+    """Tightening max_doc_freq can only REMOVE candidate pairs, and an
+    infinite cap equals no cap."""
+    from clickhub_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def pairs(cap):
+        return {
+            (r.id_a, r.id_b)
+            for r in jaccard_pairs(df, "text", "doc_id", k=2, threshold=0.0,
+                                   max_doc_freq=cap).collect()
+        }
+
+    uncapped = pairs(None)
+    assert pairs(10**9) == uncapped
+    assert pairs(2) <= uncapped
