@@ -2,10 +2,18 @@
 an external binary (SURVEY §2.A5): the reference shells out to
 ``clickhouse git-import`` inside a clone (reference
 repo/importer.py:86-90) and then ingests the TSVs it drops; this
-module produces ``commits.tsv`` and ``file_changes.tsv`` in the exact
-positional layout of the reference's ingest casts (reference
-types.json:6 c1..c13, types.json:12 c1..c22) from any local git
-repository using one ``git log --raw --numstat`` pass.
+module produces ``commits.tsv``, ``file_changes.tsv`` AND
+``line_changes.tsv`` in the exact positional layout of the
+reference's ingest casts (reference types.json:6 c1..c13,
+types.json:12 c1..c22, types.json:18 c1..c37) from any local git
+repository using one ``git log --raw --numstat -p -U0`` pass: raw
+status lines give change types, numstat gives per-file line counts,
+and the zero-context patch gives hunks and individual line changes —
+so hunk counts are REAL (classified added/removed/changed per the
+hunk's content), and per-line rows carry line numbers, indent, a
+line-type classification (Empty/Comment/Punct/Code) and prev-commit
+lineage (the last commit that touched the same path, tracked
+oldest→newest; renames carry lineage from the old path).
 
 Like the reference's producer this is deliberately an OUT-OF-ENGINE,
 driver-side step: one subprocess per repo clone, emitting bounded TSV
@@ -16,15 +24,14 @@ history is small; 128k repos × one subprocess each is the reference's
 own scaling model (config.yml: workers poll the queue).
 
 Divergences from ``clickhouse git-import``, all documented:
-- hunk counts (hunks_added/removed/changed and the per-file
-  equivalents) are 0 — computing them needs full patch parsing
-  (``line_changes``, which SURVEY scopes out as the reference's
-  external-binary territory).
 - merge commits are listed in ``commits`` with zero diff stats
   (git log suppresses combined diffs by default); the reference
   binary diffs against the first parent.
-- tabs/newlines inside commit messages, author names, or paths are
-  replaced by spaces so the TSV framing is unambiguous.
+- added lines carry line_number_old=0 and deleted lines
+  line_number_new=0 (the reference binary's exact numbering of the
+  opposite side is undocumented; ours is deterministic and stated).
+- tabs/newlines inside commit messages, author names, paths, or line
+  content are replaced by spaces so the TSV framing is unambiguous.
 """
 
 from __future__ import annotations
@@ -69,8 +76,8 @@ def _ext(path: str) -> str:
 def git_log_raw(repo_dir: str) -> str:
     """One-pass history dump: per commit a \\x02-framed header
     (hash/author/date/subject), then ``--raw`` status lines, then
-    ``--numstat`` line counts.  UTC timestamps to match the
-    reference's DateTime('UTC') columns (types.json:6)."""
+    ``--numstat`` line counts, then the ``-U0`` patch.  UTC timestamps
+    to match the reference's DateTime('UTC') columns (types.json:6)."""
     out = subprocess.run(
         [
             "git",
@@ -79,6 +86,9 @@ def git_log_raw(repo_dir: str) -> str:
             "-C",
             "--raw",
             "--numstat",
+            "-p",
+            "-U0",
+            "--no-color",
             "--date=format-local:%Y-%m-%d %H:%M:%S",
             f"--pretty=format:{_HDR}%H{_SEP}%an{_SEP}%ad{_SEP}%s",
         ],
@@ -86,6 +96,7 @@ def git_log_raw(repo_dir: str) -> str:
         env={**os.environ, "TZ": "UTC"},
         capture_output=True,
         text=True,
+        errors="replace",  # repos may mix encodings in patch content
     )
     if out.returncode != 0:
         if "does not have any commits" in out.stderr:
@@ -94,20 +105,119 @@ def git_log_raw(repo_dir: str) -> str:
     return out.stdout
 
 
-def parse_history(log_text: str) -> tuple[list[list], list[list]]:
-    """Parse the combined log into (commits_rows, file_changes_rows)
-    matching types.json:6 / types.json:12 positional layouts."""
+_HUNK_RE = re.compile(r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@ ?(.*)$")
+_NUMSTAT_RE = re.compile(r"^(\d+|-)\t(\d+|-)\t(.+)$")
+
+#: prev_time when no earlier commit touched the path (DateTime zero).
+_EPOCH = "1970-01-01 00:00:00"
+
+
+def _line_type(content: str) -> str:
+    """Enum8('Empty'=0,'Comment'=1,'Punct'=2,'Code'=3) classification
+    (types.json:18 c12) — the same cheap lexical heuristic class the
+    reference's binary applies."""
+    t = content.strip()
+    if not t:
+        return "Empty"
+    if t.startswith(("//", "#", "/*", "*", "--", ";", "'")):
+        return "Comment"
+    if all(not c.isalnum() for c in t):
+        return "Punct"
+    return "Code"
+
+
+def _indent(content: str) -> int:
+    return len(content) - len(content.lstrip(" \t"))
+
+
+class _Hunk:
+    __slots__ = ("num", "old_start", "new_start", "context", "lines")
+
+    def __init__(self, num: int, old_start: int, new_start: int, context: str):
+        self.num = num
+        self.old_start = old_start
+        self.new_start = new_start
+        self.context = context
+        self.lines: list[tuple[int, int, int, str]] = []  # sign, old_ln, new_ln, text
+
+    @property
+    def added(self) -> int:
+        return sum(1 for s, *_ in self.lines if s == 1)
+
+    @property
+    def deleted(self) -> int:
+        return sum(1 for s, *_ in self.lines if s == -1)
+
+    def kind(self) -> str:
+        if self.added and self.deleted:
+            return "changed"
+        return "added" if self.added else "removed"
+
+
+def _parse_patch(lines: list[str]) -> dict[str, list[_Hunk]]:
+    """Parse the -U0 patch section into {new_path: [hunks]}."""
+    by_file: dict[str, list[_Hunk]] = {}
+    cur: list[_Hunk] | None = None
+    hunk: _Hunk | None = None
+    old_ln = new_ln = 0
+    path_old = path_new = ""
+    for ln in lines:
+        if ln.startswith("diff --git "):
+            cur, hunk = None, None
+            path_old = path_new = ""
+            continue
+        if cur is None:
+            if ln.startswith("--- "):
+                path_old = ln[4:].removeprefix("a/")
+            elif ln.startswith("+++ "):
+                path_new = ln[4:].removeprefix("b/")
+                path = path_new if path_new != "/dev/null" else path_old
+                cur = by_file.setdefault(path, [])
+            continue
+        m = _HUNK_RE.match(ln)
+        if m:
+            old_ln, new_ln = int(m.group(1)), int(m.group(3))
+            hunk = _Hunk(len(cur) + 1, old_ln, new_ln, _clean(m.group(5)))
+            cur.append(hunk)
+            continue
+        if hunk is None or ln.startswith("\\"):  # '\ No newline at end of file'
+            continue
+        if ln.startswith("+"):
+            hunk.lines.append((1, 0, new_ln, ln[1:]))
+            new_ln += 1
+        elif ln.startswith("-"):
+            hunk.lines.append((-1, old_ln, 0, ln[1:]))
+            old_ln += 1
+    return by_file
+
+
+def parse_history(log_text: str) -> tuple[list[list], list[list], list[list]]:
+    """Parse the combined log into (commits_rows, file_changes_rows,
+    line_changes_rows) matching the types.json:6/12/18 positional
+    layouts.  Commits are processed oldest→newest so per-path
+    prev-commit lineage (line_changes c13..c15) is a single forward
+    scan."""
     commits: list[list] = []
     changes: list[list] = []
-    for block in log_text.split(_HDR):
-        if not block.strip():
-            continue
+    line_rows: list[list] = []
+    last_touch: dict[str, tuple[str, str, str]] = {}  # path -> (hash, author, time)
+
+    blocks = [b for b in log_text.split(_HDR) if b.strip()]
+    for block in reversed(blocks):  # git log prints newest first
         lines = block.splitlines()
         chash, author, when, message = (lines[0].split(_SEP) + ["", "", ""])[:4]
         author, message = _clean(author), _clean(message)
-        # pass 1: --raw status lines (:mode mode sha sha S\tpath[\tnew])
+
+        # split the block: raw/numstat prelude vs patch
+        patch_start = next(
+            (i for i, ln in enumerate(lines) if ln.startswith("diff --git ")),
+            len(lines),
+        )
+        prelude, patch = lines[1:patch_start], lines[patch_start:]
+
+        # --raw status lines (:mode mode sha sha S\tpath[\tnew])
         files: dict[str, list] = {}  # new_path -> [change_type, old_path]
-        for ln in lines[1:]:
+        for ln in prelude:
             if not ln.startswith(":"):
                 continue
             parts = ln.split("\t")
@@ -119,26 +229,44 @@ def parse_history(log_text: str) -> tuple[list[list], list[list]]:
                 files[parts[2]] = [label, parts[1]]
             else:
                 files[parts[1]] = [label, ""]
-        # pass 2: --numstat lines (added\tdeleted\tpath)
+        # --numstat lines (added\tdeleted\tpath)
         counts: dict[str, tuple[int, int]] = {}
-        for ln in lines[1:]:
-            if ln.startswith(":") or "\t" not in ln:
+        for ln in prelude:
+            m = _NUMSTAT_RE.match(ln)
+            if not m:
                 continue
-            a, d, path = (ln.split("\t", 2) + [""])[:3]
-            added = int(a) if a.isdigit() else 0  # '-' = binary
-            deleted = int(d) if d.isdigit() else 0
-            counts[_resolve_numstat_path(path)] = (added, deleted)
+            a, d = (int(x) if x.isdigit() else 0 for x in (m.group(1), m.group(2)))
+            counts[_resolve_numstat_path(m.group(3))] = (a, d)
+
+        hunks_by_file = _parse_patch(patch)
 
         n_by = {"Add": 0, "Delete": 0, "Rename": 0, "Modify": 0}
         lines_added = lines_deleted = 0
-        rows = []
+        c_hk = {"added": 0, "removed": 0, "changed": 0}
+        file_rows: list[tuple[list, str, str]] = []  # (row, path, old_path)
         for path, (label, old) in files.items():
             a, d = counts.get(path, (0, 0))
             lines_added += a
             lines_deleted += d
             if label in n_by:
                 n_by[label] += 1
-            rows.append([label, _clean(path), _clean(old), _ext(path), a, d, 0, 0, 0])
+            f_hk = {"added": 0, "removed": 0, "changed": 0}
+            for h in hunks_by_file.get(path, []):
+                f_hk[h.kind()] += 1
+                c_hk[h.kind()] += 1
+            row = [
+                label,
+                _clean(path),
+                _clean(old),
+                _ext(path),
+                a,
+                d,
+                f_hk["added"],
+                f_hk["removed"],
+                f_hk["changed"],
+            ]
+            file_rows.append((row, path, old))
+
         commit = [
             chash,
             author,
@@ -150,25 +278,61 @@ def parse_history(log_text: str) -> tuple[list[list], list[list]]:
             n_by["Modify"],
             lines_added,
             lines_deleted,
-            0,
-            0,
-            0,
+            c_hk["added"],
+            c_hk["removed"],
+            c_hk["changed"],
         ]
         commits.append(commit)
-        for r in rows:
+        for row, path, old in file_rows:
             # c10..c22: commit hash/author/time/message + commit stats
-            changes.append(r + [chash, author, when, message] + commit[4:])
-    return commits, changes
+            changes.append(row + [chash, author, when, message] + commit[4:])
+            # line_changes: one row per +/- line of every hunk
+            prev = last_touch.get(path) or (last_touch.get(old) if old else None)
+            p_hash, p_author, p_time = prev or ("", "", _EPOCH)
+            for h in hunks_by_file.get(path, []):
+                for sign, o_ln, n_ln, content in h.lines:
+                    line_rows.append(
+                        [
+                            sign,
+                            o_ln,
+                            n_ln,
+                            h.num,
+                            h.old_start,
+                            h.new_start,
+                            h.added,
+                            h.deleted,
+                            h.context,
+                            _clean(content),
+                            _indent(content),
+                            _line_type(content),
+                            p_hash,
+                            p_author,
+                            p_time,
+                        ]
+                        + row  # c16..c24: file change cols
+                        + [chash, author, when, message]  # c25..c28
+                        + commit[4:]  # c29..c37: commit stats
+                    )
+        for _, path, _old in file_rows:  # update lineage AFTER emitting
+            last_touch[path] = (chash, author, when)
+
+    commits.reverse()  # newest-first like git log, matching prior layout
+    return commits, changes, line_rows
 
 
 def extract_git_history(repo_dir: str, out_dir: str) -> dict[str, str]:
-    """Produce ``commits.tsv`` + ``file_changes.tsv`` for a local
-    clone, in the layout the reference ingests (types.json:6,12).
-    Returns {table_name: tsv_path}."""
+    """Produce ``commits.tsv`` + ``file_changes.tsv`` +
+    ``line_changes.tsv`` for a local clone, in the layout the
+    reference ingests (types.json:6,12,18).  Returns
+    {table_name: tsv_path}."""
     os.makedirs(out_dir, exist_ok=True)
-    commits, changes = parse_history(git_log_raw(repo_dir))
+    commits, changes, line_rows = parse_history(git_log_raw(repo_dir))
     paths = {}
-    for name, rows in (("commits", commits), ("file_changes", changes)):
+    for name, rows in (
+        ("commits", commits),
+        ("file_changes", changes),
+        ("line_changes", line_rows),
+    ):
         p = os.path.join(out_dir, f"{name}.tsv")
         with open(p, "w") as f:
             for row in rows:

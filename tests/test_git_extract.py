@@ -40,7 +40,7 @@ def test_parse_history_statuses_counts_and_sanitization(tmp_path):
     from clickhub_spark.sources.git_extract import git_log_raw
 
     repo = _mkrepo(tmp_path)
-    commits, changes = parse_history(git_log_raw(repo))
+    commits, changes, line_rows = parse_history(git_log_raw(repo))
     assert len(commits) == 3
     by_msg = {c[3]: c for c in commits}
     # tab in the message is sanitized to a space → framing stays 13 cols
@@ -48,14 +48,44 @@ def test_parse_history_statuses_counts_and_sanitization(tmp_path):
     rename = by_msg["rename and grow"]
     assert rename[6] == 1  # files_renamed
     assert rename[8] == 1 and rename[9] == 0  # +1/-0 lines
+    assert rename[10] == 1  # hunks_added: the one pure-addition hunk
     add = by_msg["add a"]
     assert add[4] == 1 and add[8] == 3  # files_added, lines_added
+    assert add[10] == 1  # one added hunk
     binary = by_msg["binary file"]
     assert binary[4] == 1 and binary[8] == 0  # binary: counted file, 0 lines
+    assert binary[10:13] == [0, 0, 0]  # no hunks in a binary patch
 
     rrow = next(r for r in changes if r[0] == "Rename")
     assert (rrow[1], rrow[2], rrow[3]) == ("b.py", "a.py", "py")
     assert len(rrow) == 22  # c1..c22 layout
+    assert rrow[6] == 1  # file hunks_added
+
+
+def test_line_changes_rows_numbers_lineage_and_classification(tmp_path):
+    from clickhub_spark.sources.git_extract import git_log_raw
+
+    repo = _mkrepo(tmp_path)
+    commits, _, line_rows = parse_history(git_log_raw(repo))
+    assert all(len(r) == 37 for r in line_rows)  # c1..c37 layout
+    by_commit: dict = {}
+    for r in line_rows:
+        by_commit.setdefault(r[27], []).append(r)  # c28 commit_message
+
+    adds = sorted(by_commit["add a"], key=lambda r: r[2])
+    assert [(r[0], r[2], r[9]) for r in adds] == [
+        (1, 1, "one"), (1, 2, "two"), (1, 3, "three"),
+    ]  # sign, line_number_new, content
+    assert adds[0][12] == ""  # no prev commit for a brand-new file
+    assert adds[0][11] == "Code"  # line_type
+    assert adds[0][6] == 3 and adds[0][7] == 0  # hunk +3/-0
+
+    grow = by_commit["rename and grow"]
+    assert [(r[0], r[2], r[9]) for r in grow] == [(1, 4, "four")]
+    # prev lineage: the rename's line rows point at the 'add a' commit
+    add_hash = next(c[0] for c in commits if c[3] == "add a")
+    assert grow[0][12] == add_hash
+    assert grow[0][16] == "b.py" and grow[0][17] == "a.py"  # path, old_path
 
 
 def test_numstat_brace_rename_resolution():
@@ -101,9 +131,25 @@ def test_clone_extract_load_final_loop(spark, tmp_path):
     assert orch.import_repo("acme/src", tsvs["commits"]) == 0
 
 
+def test_line_changes_load_through_catalog_schema(spark, tmp_path):
+    from clickhub_spark.catalog import LINE_CHANGES_SCHEMA
+
+    repo = _mkrepo(tmp_path)
+    tsvs = extract_git_history(repo, str(tmp_path / "tsv"))
+    lc = read_positional_tsv(
+        spark, tsvs["line_changes"], LINE_CHANGES_SCHEMA, literals={"repo_name": "acme/src"}
+    )
+    rows = lc.collect()
+    assert len(rows) == 4  # 3 adds + 1 grow line
+    assert {r.sign for r in rows} == {1}
+    assert {r.line_type for r in rows} <= {"Empty", "Comment", "Punct", "Code"}
+    assert all(r.time is not None for r in rows)
+
+
 def test_empty_repo_yields_empty_tsvs(tmp_path):
     repo = str(tmp_path / "empty")
     subprocess.run(["git", "init", "-q", repo], check=True)
     tsvs = extract_git_history(repo, str(tmp_path / "out"))
     assert open(tsvs["commits"]).read() == ""
     assert open(tsvs["file_changes"]).read() == ""
+    assert open(tsvs["line_changes"]).read() == ""
