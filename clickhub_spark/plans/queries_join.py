@@ -251,3 +251,30 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_shipped_7d"))
     )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CASE WHEN COUNT(c.c_custkey) > 0 THEN 1 ELSE 0 END AS has_customer
+    FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_custkey % 3 = 0) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY COALESCE(c.c_custkey, o.o_custkey)
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (SURVEY §2.C3 completion: ClickHouse supports
+    FULL JOIN) — each side filtered so both unmatched directions
+    occur; aggregated to make the null-side semantics visible."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 3 == 0)
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey")
+    ).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.when(F.count(c.c_custkey) > 0, 1).otherwise(0).alias("has_customer"),
+    )

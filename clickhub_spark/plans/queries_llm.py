@@ -738,3 +738,43 @@ def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+@query(
+    "q_llm_dedup_apply_near",
+    oracle=_MINHASH_PAIRS_CTE
+    + """
+    , bidir AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM bidir
+            UNION
+            SELECT r.src, e.b FROM r JOIN bidir e ON r.dst = e.a
+        ) SELECT * FROM r
+    ), comp AS (
+        SELECT src AS node, least(src, min(dst)) AS comp
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+    """,
+)
+def q_llm_dedup_apply_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup END PRODUCT: the corpus with non-canonical
+    members of every near-dup cluster dropped (exact-dup apply is
+    q_llm_dedup_apply; this is the fuzzy counterpart a training
+    pipeline actually ships).  LSH pairs → connected components →
+    anti-join of the non-canonical node set."""
+    from clickhub_spark.operators.components import connected_components
+    from clickhub_spark.operators.dedup import minhash_candidate_pairs_md5
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs_md5(docs, "text", "doc_id", k=3, num_perm=16, bands=4)
+    drop = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")

@@ -132,3 +132,33 @@ def q_win_topn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice")
     )
+
+
+@query(
+    "q_win_dist",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(cume_dist() OVER w, 4) AS cdist,
+           nth_value(p_partkey, 2) OVER w AS second_cheapest
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (SURVEY §2.H5 completion):
+    cume_dist percentile position + nth_value over a total per-brand
+    ordering (unique tiebreaker keeps both engines on one row set).
+
+    cume_dist needs the default RANGE frame while nth_value needs the
+    full partition, so the two share a partition/order but use their
+    own frames — still ONE window sort in the plan."""
+    base = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.cume_dist().over(base), 4).alias("cdist"),
+        F.nth_value("p_partkey", 2).over(full).alias("second_cheapest"),
+    )

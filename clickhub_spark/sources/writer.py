@@ -34,13 +34,20 @@ def write_sorted(
     partition_by: str | None,
     sort_cols: list[str],
     mode: str = "append",
+    compression: str = "zstd",
 ) -> None:
-    """Cluster rows for pruning: partition dirs + in-file sort order."""
+    """Cluster rows for pruning: partition dirs + in-file sort order.
+
+    Default codec is zstd: at 100 TB the fact tables are storage- and
+    scan-bandwidth-bound, and zstd's ~30% smaller files than snappy
+    (on sorted analytics data) buy strictly more than its extra CPU —
+    the same trade the reference's MergeTree makes with its ZSTD
+    column codecs."""
     out = df
     if partition_by:
         out = out.repartition(F.col(partition_by))
     out = out.sortWithinPartitions(*sort_cols)
-    writer = out.write.mode(mode)
+    writer = out.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
@@ -141,7 +148,7 @@ def compact(spark: SparkSession, path: str, sort_cols: list[str], target_files: 
     n = df.count()
     tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
     (df.repartition(target_files).sortWithinPartitions(*sort_cols)
-       .write.mode("overwrite").parquet(tmp))
+       .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
     old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
