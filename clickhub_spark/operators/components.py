@@ -48,25 +48,23 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
+        # carry the previous label through the round so convergence is
+        # a filter on the already-checkpointed result, not another join
+        with_old = (
+            labels.withColumnRenamed("comp", "__old")
+            .join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("__old"), F.coalesce(F.col("nbr_comp"), F.col("__old"))
                 ).alias("comp"),
+                "__old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        changed = with_old.where(F.col("comp") != F.col("__old")).limit(1).count()
         labels.unpersist()  # release the previous round's checkpoint
-        labels = new_labels
+        labels = with_old.drop("__old")
         if changed == 0:
             converged = True
             break
