@@ -23,7 +23,12 @@ import uuid
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="clickhub_spark")
-    p.add_argument("--data-dir", default=os.environ.get("CLICKHUB_SPARK_DATA", "./data"))
+    p.add_argument("--data-dir", default=os.environ.get("CLICKHUB_SPARK_DATA", None))
+    p.add_argument(
+        "-c", "--config", default=None,
+        help="YAML config (reference config.yml keys: data_cache, "
+        "max_queue_length, sleep_time; unknown keys ignored)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("schedule")  # reference clickhub.py:89-96
@@ -71,16 +76,22 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}: {path}")
         return 0
 
+    from clickhub_spark.config import load_config
     from clickhub_spark.orchestrator import Orchestrator
     from clickhub_spark.queue import WorkQueue
     from clickhub_spark.session import get_spark
 
+    cfg = load_config(args.config)
+    data_dir = args.data_dir or cfg["data_dir"]
     spark = get_spark("clickhub-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     orch = Orchestrator(
         spark,
-        os.path.join(args.data_dir, "commits"),
-        WorkQueue(os.path.join(args.data_dir, "queue")),
+        os.path.join(data_dir, "commits"),
+        WorkQueue(
+            os.path.join(data_dir, "queue"),
+            max_queue_length=cfg["max_queue_length"],
+        ),
     )
 
     if args.cmd == "schedule":

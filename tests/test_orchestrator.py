@@ -76,3 +76,21 @@ def test_point_update_delete_insert(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
     insert_rows(spark, path, spark.createDataFrame([("d", 4)], "k string, v int"))
     assert spark.read.parquet(path).count() == 3
+
+
+def test_load_config_defaults_and_reference_file(tmp_path):
+    """A reference user's config.yml drops in unchanged: known
+    operational keys override, unknown ClickHouse keys are ignored."""
+    from clickhub_spark.config import load_config
+
+    assert load_config()["max_queue_length"] == 10_000
+    cfg_file = tmp_path / "config.yml"
+    cfg_file.write_text(
+        "host: 'ch.example'\nport: 8443\nmax_queue_length: 3\nsleep_time: 1\n"
+        "data_cache: '/tmp/cache'\n"
+    )
+    cfg = load_config(str(cfg_file))
+    assert cfg["max_queue_length"] == 3
+    assert cfg["sleep_time"] == 1
+    assert cfg["data_cache"] == "/tmp/cache"
+    assert cfg["host"] == "ch.example"  # accepted, unused
