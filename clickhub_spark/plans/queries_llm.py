@@ -679,7 +679,11 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_embed_centroid",
     oracle="""
     WITH pv AS (
-        SELECT label, i AS pos, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS v
+        SELECT label, i AS pos,
+               -- + 0 normalizes IEEE -0.0 (a tiny negative mean can
+               -- round to negative zero in one engine and positive
+               -- zero in the other)
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0 AS v
         FROM embeddings, UNNEST(range(1, 65)) t(i)
         GROUP BY label, i
     )
@@ -693,12 +697,15 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (label, pos, v), partial-aggregated mean per component, then
     ordered re-assembly.  Map-side combine collapses each partition to
     labels×64 rows before the shuffle, so exchange volume is
-    O(labels × dim × partitions) regardless of corpus size."""
+    O(labels × dim × partitions) regardless of corpus size.  The
+    ``+ 0.0`` after rounding normalizes IEEE negative zero on both
+    engines (found at sf0.1: a -0.00001 mean rounds to -0.0 in one
+    engine and 0.0 in the other)."""
     emb = load(spark, sf_dir, "embeddings")
     pv = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("v"))
+        .agg((F.round(F.avg(F.col("v").cast("double")), 4) + 0.0).alias("v"))
     )
     return pv.groupBy("label").agg(
         F.transform(
