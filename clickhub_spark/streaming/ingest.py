@@ -31,10 +31,19 @@ def stream_ingest(
     table_path: str,
     checkpoint: str,
     max_files: int = 4,
+    exactly_once: bool = False,
 ) -> None:
     """Drain everything currently in ``source_dir`` into the table
     (availableNow trigger — deterministic for tests; swap for a
-    processingTime trigger in continuous deployments)."""
+    processingTime trigger in continuous deployments).
+
+    ``exactly_once``: write each micro-batch to its own
+    ``__batch_id=<n>/`` partition with overwrite — a replayed batch
+    (crash between the write and the checkpoint commit) overwrites
+    its own directory instead of appending duplicates.  This is the
+    standard idempotent-foreachBatch pattern; the default (plain
+    append) relies on the FINAL dedup view to absorb replays, exactly
+    like the ReplacingMergeTree contract."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
@@ -42,7 +51,13 @@ def stream_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        stamp_updated_at(batch_df).write.mode("append").parquet(table_path)
+        out = stamp_updated_at(batch_df)
+        if exactly_once:
+            out.write.mode("overwrite").parquet(
+                f"{table_path}/__batch_id={batch_id}"
+            )
+        else:
+            out.write.mode("append").parquet(table_path)
 
     q = (
         stream.writeStream.foreachBatch(sink)
