@@ -11,6 +11,7 @@ ClickHouse server.
     python -m clickhub_spark query --name q_agg_multi --sf-dir /root/testdata/sf0.01
     python -m clickhub_spark serve --port 5000
     python -m clickhub_spark extract --repo /path/or/url --out-dir /data/tsv
+    python -m clickhub_spark sql --query "SELECT count() FROM git.commits FINAL"
 """
 
 from __future__ import annotations
@@ -63,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--repo", required=True, help="git URL or local path")
     e.add_argument("--out-dir", required=True)
     e.add_argument("--workdir", default=None, help="clone here (default: out-dir/clone)")
+
+    x = sub.add_parser("sql")  # ClickHouse-dialect SQL over registered tables
+    x.add_argument("--query", required=True, help="ClickHouse-dialect SQL")
+    x.add_argument("--sf-dir", default=None, help="also register testdata tables")
+    x.add_argument("--show", type=int, default=20)
 
     args = p.parse_args(argv)
 
@@ -127,6 +133,18 @@ def main(argv: list[str] | None = None) -> int:
 
         print(f"serving /add_new_repo on {args.host}:{args.port}")
         serve(orch, args.host, args.port)
+    elif args.cmd == "sql":
+        from clickhub_spark.catalog import register_final_views, register_views
+        from clickhub_spark.sql_compat import run
+
+        if args.sf_dir:
+            register_views(spark, args.sf_dir)
+        for table in ("commits", "file_changes", "line_changes"):
+            path = os.path.join(data_dir, table)
+            if os.path.isdir(path):
+                spark.read.parquet(path).createOrReplaceTempView(table)
+        register_final_views(spark, data_dir)
+        run(spark, args.query).show(args.show, truncate=False)
     elif args.cmd == "query":
         from clickhub_spark.plans import all_specs
 

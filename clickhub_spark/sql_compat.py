@@ -248,7 +248,11 @@ def translate(sql: str) -> str:
         if ch in _START_OF:
             continue
         out = re.sub(rf"\b{ch}\s*\(", f"{sp}(", out)
-    # now() is identical; FINAL keyword: route via dedup view upstream
+    # now() is identical.  FINAL: route `<table> FINAL` to the
+    # registered `<table>_final` dedup view (catalog.register_final_views)
+    # so the ReplacingMergeTree read semantics survive translation; a
+    # bare trailing FINAL with no preceding table name is dropped.
+    out = re.sub(r"\b(\w+)\s+FINAL\b", r"\1_final", out)
     out = re.sub(r"\bFINAL\b", "", out)
     return out
 

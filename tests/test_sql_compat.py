@@ -230,3 +230,26 @@ def test_quantile_combinators_and_if_aggregates(spark):
     assert 45 <= r.med_approx <= 55
     assert r.hi_avg == 75.5
     assert (r.hi_min, r.lo_max) == (51, 49)
+
+
+def test_final_routes_to_dedup_view(spark, tmp_path):
+    """`SELECT ... FROM git.commits FINAL` must read the registered
+    commits_final dedup view, not the raw duplicated table."""
+    from clickhub_spark.catalog import COMMITS_SCHEMA, register_final_views
+    from clickhub_spark.sql_compat import run, translate
+
+    assert "commits_final" in translate("SELECT count() FROM git.commits FINAL")
+
+    df = stamp_updated_at(
+        read_positional_tsv(spark, FIXTURE, COMMITS_SCHEMA, literals={"repo_name": "acme/w"})
+    )
+    path = str(tmp_path / "commits")
+    df.write.parquet(path)
+    df.write.mode("append").parquet(path)  # replayed import: every row twice
+    assert register_final_views(spark, str(tmp_path)) == ["commits_final"]
+    spark.read.parquet(path).createOrReplaceTempView("commits")
+
+    raw = run(spark, "SELECT count() AS n FROM git.commits").first().n
+    fin = run(spark, "SELECT count() AS n FROM git.commits FINAL").first().n
+    assert raw == 42  # 21 fixture rows x 2
+    assert fin == 20  # dedup: one duplicate key in the fixture + replay absorbed
