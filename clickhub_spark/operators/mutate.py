@@ -67,3 +67,39 @@ def update_where(
 def insert_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
     """INSERT INTO <path> (append; dedup visibility via FINAL view)."""
     rows.write.mode("append").parquet(path)
+
+
+def optimize_final(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    version: list[str],
+    target_files: int = 8,
+) -> int:
+    """``OPTIMIZE TABLE … FINAL`` analog: physically rewrite the table
+    keeping only the latest version per key (the dedup the FINAL view
+    applies at read time), sorted and compacted.  Run it when the
+    duplicate ratio makes the read-time dedup's shuffle noticeable —
+    after it, FINAL reads are scans.  Same writers-paused /
+    transient-path-not-found contract as ``compact``.  Returns the
+    surviving row count."""
+    from clickhub_spark.operators.dedup import final_view
+
+    return _rewrite(
+        spark,
+        path,
+        lambda df: final_view(df, keys=keys, version=version)
+        .repartition(target_files)
+        .sortWithinPartitions(*keys),
+    )
+
+
+def apply_ttl(spark: SparkSession, path: str, ts_col: str, cutoff) -> int:
+    """``TTL <ts_col> + INTERVAL …`` analog: drop rows older than
+    ``cutoff`` (copy-on-write).  At 100 TB, date-partitioned tables
+    should instead drop whole partition directories — this rewrite
+    form is for the small state tables, same as the other mutations
+    here.  Returns the surviving row count."""
+    from pyspark.sql import functions as F
+
+    return _rewrite(spark, path, lambda df: df.where(F.col(ts_col) >= F.lit(cutoff)))

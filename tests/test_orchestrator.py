@@ -94,3 +94,39 @@ def test_load_config_defaults_and_reference_file(tmp_path):
     assert cfg["sleep_time"] == 1
     assert cfg["data_cache"] == "/tmp/cache"
     assert cfg["host"] == "ch.example"  # accepted, unused
+
+
+def test_optimize_final_ttl_and_parts(spark, tmp_path):
+    """OPTIMIZE FINAL physically dedups (read-time FINAL becomes a
+    scan), TTL drops expired rows, and the system.parts analog reads
+    footer stats without a Spark job."""
+    from datetime import datetime
+
+    from clickhub_spark.introspect import table_stats
+    from clickhub_spark.operators.dedup import final_view
+    from clickhub_spark.operators.mutate import apply_ttl, optimize_final
+
+    path = str(tmp_path / "tbl")
+    rows = [
+        ("k1", datetime(2023, 1, 1), 1, 10),
+        ("k1", datetime(2023, 1, 1), 2, 20),  # newer version of k1
+        ("k2", datetime(2024, 6, 1), 1, 30),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, ver int, v int")
+    df.write.parquet(path)
+    df.write.mode("append").parquet(path)  # replay: everything twice
+
+    assert table_stats(path)["rows"] == 6
+    n = optimize_final(spark, path, keys=["k", "ts"], version=["ver"], target_files=1)
+    assert n == 2
+    stats = table_stats(path)
+    assert stats["rows"] == 2 and stats["files"] == 1
+    survivors = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert survivors == {"k1": 20, "k2": 30}
+    # after the physical dedup, the FINAL view is the identity
+    assert final_view(
+        spark.read.parquet(path), keys=["k", "ts"], version=["ver"]
+    ).count() == 2
+
+    assert apply_ttl(spark, path, "ts", datetime(2024, 1, 1)) == 1
+    assert spark.read.parquet(path).first().k == "k2"
