@@ -212,6 +212,22 @@ def translate(sql: str) -> str:
         out, "arrayFilter", lambda args: f"filter({args[1]}, {args[0]})", nargs=2
     )
     out = _rewrite_call(out, "arrayUniq", lambda args: f"size(array_distinct({args[0]}))")
+    # dictGet('d', 'attr', k) → correlated scalar subquery against the
+    # registered dict view (functions/dicts.register_dict); Catalyst
+    # decorrelates it into a (broadcast-able) left join — per-row
+    # lookup semantics, no UDF.  dictHas('d', k) → EXISTS.
+    def _dict_get(args: list[str]) -> str:
+        d, attr, key = args[0].strip("'\""), args[1].strip("'\""), args[2]
+        return f"(SELECT `{attr}` FROM `{d}` WHERE `{d}`.`key` = {key})"
+
+    out = _rewrite_call(out, "dictGetOrDefault", lambda a: f"coalesce({_dict_get(a)}, {a[3]})", nargs=4)
+    out = _rewrite_call(out, "dictGet", _dict_get, nargs=3)
+    out = _rewrite_call(
+        out,
+        "dictHas",
+        lambda a: f"EXISTS (SELECT 1 FROM `{a[0].strip(chr(39))}` WHERE `{a[0].strip(chr(39))}`.`key` = {a[1]})",
+        nargs=2,
+    )
     out = _rewrite_call(
         out,
         r"toU?Int(?:8|16|32|64)OrZero",

@@ -253,3 +253,42 @@ def test_final_routes_to_dedup_view(spark, tmp_path):
     fin = run(spark, "SELECT count() AS n FROM git.commits FINAL").first().n
     assert raw == 42  # 21 fixture rows x 2
     assert fin == 20  # dedup: one duplicate key in the fixture + replay absorbed
+
+
+def test_dict_get_sql_and_dataframe(spark):
+    """dictGet parity: SQL form (correlated scalar subquery Catalyst
+    decorrelates into a join) and DataFrame form (broadcast left join)
+    both equal a plain join, with dictGetOrDefault/dictHas covered."""
+    from clickhub_spark.catalog import load
+    from clickhub_spark.functions.dicts import dict_get, register_dict
+    from clickhub_spark.sql_compat import run
+
+    from pyspark.sql import functions as F
+
+    nation = load(spark, SF_DIR, "nation")
+    register_dict(spark, "nation_dict", nation.select("n_nationkey", "n_name"), "n_nationkey")
+    cust = load(spark, SF_DIR, "customer")
+    cust.createOrReplaceTempView("customer")
+
+    got = run(spark, """
+        SELECT c_custkey,
+               dictGet('nation_dict', 'n_name', c_nationkey) AS nation,
+               dictGetOrDefault('nation_dict', 'n_name', 999, 'UNKNOWN') AS fallback,
+               dictHas('nation_dict', c_nationkey) AS present
+        FROM customer
+    """)
+    expect = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left")
+        .select("c_custkey", F.col("n_name").alias("nation"))
+    )
+    assert sorted((r.c_custkey, r.nation) for r in got.collect()) == sorted(
+        (r.c_custkey, r.nation) for r in expect.collect()
+    )
+    first = got.first()
+    assert first.fallback == "UNKNOWN"
+    assert first.present is True
+
+    df_form = dict_get(
+        cust, spark.table("nation_dict"), F.col("c_nationkey"), "n_name", out_col="nation"
+    ).select("c_custkey", "nation")
+    assert sorted(map(tuple, df_form.collect())) == sorted(map(tuple, expect.collect()))
