@@ -186,3 +186,45 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.substring(F.md5("lang"), 1, 8).alias("lang_bucket"),
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://github.com/' || source || '/' || lang
+                   || '?doc=' || doc_id || '&v=2' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]doc=([^&#]*)', 1) AS doc_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL functions (ClickHouse protocol/domain/path/
+    extractURLParameter) via Spark's parse_url — JVM builtin, no UDF;
+    URLs synthesized deterministically from documents columns."""
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://github.com/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("?doc="),
+            F.col("doc_id"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
+    )

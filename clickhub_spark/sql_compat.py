@@ -212,6 +212,16 @@ def translate(sql: str) -> str:
         out, "arrayFilter", lambda args: f"filter({args[1]}, {args[0]})", nargs=2
     )
     out = _rewrite_call(out, "arrayUniq", lambda args: f"size(array_distinct({args[0]}))")
+    # URL functions → parse_url
+    out = _rewrite_call(out, "protocol", lambda a: f"lower(parse_url({a[0]}, 'PROTOCOL'))")
+    out = _rewrite_call(out, "domain", lambda a: f"parse_url({a[0]}, 'HOST')")
+    out = _rewrite_call(out, "path", lambda a: f"parse_url({a[0]}, 'PATH')")
+    out = _rewrite_call(
+        out,
+        "extractURLParameter",
+        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+        nargs=2,
+    )
     # dictGet('d', 'attr', k) → correlated scalar subquery against the
     # registered dict view (functions/dicts.register_dict); Catalyst
     # decorrelates it into a (broadcast-able) left join — per-row

@@ -292,3 +292,15 @@ def test_dict_get_sql_and_dataframe(spark):
         cust, spark.table("nation_dict"), F.col("c_nationkey"), "n_name", out_col="nation"
     ).select("c_custkey", "nation")
     assert sorted(map(tuple, df_form.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_url_functions(spark):
+    from clickhub_spark.sql_compat import run
+
+    r = run(spark, """
+        SELECT domain('https://github.com/a/b?x=1') AS d,
+               path('https://github.com/a/b?x=1') AS p,
+               protocol('https://github.com/a/b?x=1') AS pr,
+               extractURLParameter('https://github.com/a/b?x=1&y=2', 'y') AS y
+    """).first()
+    assert (r.d, r.p, r.pr, r.y) == ("github.com", "/a/b", "https", "2")
