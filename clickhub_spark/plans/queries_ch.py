@@ -224,3 +224,79 @@ def q_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 2)
         .select("user_id", "event_type", "n")
     )
+
+
+@query(
+    "q_fill_gaps",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), bounds AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), spine AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        FROM bounds
+    )
+    SELECT s.day, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (≙ ClickHouse ORDER BY … WITH FILL):
+    daily purchase counts with missing days present as zeros.  The
+    date spine is sequence()+explode over the aggregate's own min/max
+    — generated from a one-row bound, so the spine build is free and
+    the only real work is the (broadcast) join back to the daily
+    aggregate."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(FLOOR(value / 10.0) AS INT) AS bucket
+        FROM events WHERE value >= 0 AND value < 100
+    )
+    SELECT event_type, bucket,
+           CAST(bucket * 10.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 10.0 AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (≙ ClickHouse histogram()): 10 buckets of
+    width 10 over value per event type — floor-binning is a map-side
+    expression, so the aggregate shuffles only (type, bucket) pairs."""
+    b = (
+        load(spark, sf_dir, "events")
+        .where((F.col("value") >= 0) & (F.col("value") < 100))
+        .select(
+            "event_type", F.floor(F.col("value") / 10.0).cast("int").alias("bucket")
+        )
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        (F.col("bucket") * 10.0).alias("lo"),
+        ((F.col("bucket") + 1) * 10.0).alias("hi"),
+        F.count("*").alias("n"),
+    )
