@@ -785,3 +785,44 @@ def q_llm_dedup_apply_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_llm_pack",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), runs AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
+    FROM runs
+    """,
+)
+def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (context-window fill): documents
+    in deterministic order are assigned to 2048-token bins by running
+    token count — the standard streaming pack that turns a ragged
+    corpus into fixed-budget training sequences.
+
+    Scale note: a single global running sum is an anti-pattern at
+    100 TB (one ordered partition); the production form packs within
+    shards (partitionBy(shard) windows) since bins never need to span
+    shards — the global form here is the cross-engine-checkable
+    semantics on one window."""
+    from pyspark.sql.window import Window
+
+    sized = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).alias("bin_id"),
+    )

@@ -79,3 +79,15 @@ def test_schedule_and_queue_full_codes(served):
 def test_unknown_path_404(served):
     _, base = served
     assert _get(f"{base}/nope")[0] == 404
+
+
+def test_full_app_loop_over_http(served):
+    """The reference's whole lifecycle driven from the HTTP edge:
+    schedule over HTTP → worker claims and imports → FINAL read →
+    the same HTTP call now reports ALREADY_PROCESSED."""
+    orch, base = served
+    assert _get(f"{base}/add_new_repo?repo=acme/widgets") == (201, "OK")
+    done = orch.run_worker("w1", tsv_for=lambda repo: FIXTURE)
+    assert done == ["acme/widgets"]
+    assert orch.commits_final().count() == 20
+    assert _get(f"{base}/add_new_repo?repo=acme/widgets") == (200, "ALREADY_PROCESSED")
