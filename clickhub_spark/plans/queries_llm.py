@@ -826,3 +826,79 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).alias("bin_id"),
     )
+
+
+@query(
+    "q_llm_corpus_pipeline",
+    oracle=_MINHASH_PAIRS_CTE
+    + """
+    , bidir AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM bidir
+            UNION
+            SELECT r.src, e.b FROM r JOIN bidir e ON r.dst = e.a
+        ) SELECT * FROM r
+    ), comp AS (
+        SELECT src AS node, least(src, min(dst)) AS comp
+        FROM reach GROUP BY src
+    ), toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), quality AS (
+        SELECT doc_id FROM toks GROUP BY doc_id
+        HAVING COUNT(*) >= 20
+           AND CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) >= 0.3
+    ), bench_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ), contaminated AS (
+        SELECT c.doc_id FROM sh c JOIN bench_sh b USING (shingle)
+        WHERE c.doc_id % 50 <> 0
+        GROUP BY c.doc_id HAVING COUNT(*) >= 2
+    )
+    SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0                                   -- not eval data
+      AND d.doc_id IN (SELECT doc_id FROM quality)             -- quality gate
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)    -- decontaminated
+      AND d.doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)  -- near-dedup
+    """,
+)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining corpus filter — what actually ships
+    to the tokenizer: drop the eval slice, gate on quality
+    (length + lexical diversity), remove benchmark-contaminated docs
+    (broadcast shingle join), and keep only near-dup canonicals (LSH →
+    connected components).  One composed plan: every stage is an
+    already-verified operator; this query verifies their COMPOSITION
+    end-to-end against a single oracle."""
+    from clickhub_spark.operators.components import connected_components
+    from clickhub_spark.operators.dedup import minhash_candidate_pairs_md5
+    from clickhub_spark.operators.textops import contamination
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    quality = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.count_distinct("w").alias("d"))
+        .where((F.col("n") >= 20) & (F.col("d").cast("double") / F.col("n") >= 0.3))
+        .select("doc_id")
+    )
+    contaminated = contamination(corpus, bench, "text", "doc_id", k=3, min_shared=2) \
+        .select("doc_id")
+    pairs = minhash_candidate_pairs_md5(docs, "text", "doc_id", k=3, num_perm=16, bands=4)
+    non_canonical = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        corpus.join(quality, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(non_canonical, "doc_id", "left_anti")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    )
