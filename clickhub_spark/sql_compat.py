@@ -73,7 +73,22 @@ _FN_RENAMES = {
 #: count_if, the other -If combinators need the CASE rewrite.
 _IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
-_START_OF = {"toStartOfHour": "hour", "toStartOfDay": "day"}
+_START_OF = {
+    "toStartOfHour": "hour",
+    "toStartOfDay": "day",
+    "toStartOfMonth": "month",
+    "toStartOfQuarter": "quarter",
+    "toStartOfYear": "year",
+    "toStartOfMinute": "minute",
+}
+
+#: ClickHouse formatDateTime %-tokens → Spark datetime pattern letters
+#: (the subset both dialects define identically).
+_FMT_TOKENS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+    "%e": "d", "%j": "DDD", "%a": "EEE", "%b": "MMM",
+}
 
 
 def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
@@ -212,6 +227,25 @@ def translate(sql: str) -> str:
         out, "arrayFilter", lambda args: f"filter({args[1]}, {args[0]})", nargs=2
     )
     out = _rewrite_call(out, "arrayUniq", lambda args: f"size(array_distinct({args[0]}))")
+    # formatDateTime(x, '%Y-%m-%d') → date_format with translated tokens
+    def _fmt_datetime(args: list[str]) -> str:
+        fmt = args[1]
+        for ch_tok, spark_tok in _FMT_TOKENS.items():
+            fmt = fmt.replace(ch_tok, spark_tok)
+        return f"date_format({args[0]}, {fmt})"
+
+    out = _rewrite_call(out, "formatDateTime", _fmt_datetime, nargs=2)
+    # dateDiff('unit', a, b) → timestampdiff(UNIT, a, b)
+    out = _rewrite_call(
+        out,
+        "dateDiff",
+        lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
+        nargs=3,
+    )
+    out = _rewrite_call(out, "addDays", lambda a: f"date_add({a[0]}, {a[1]})", nargs=2)
+    out = _rewrite_call(out, "subtractDays", lambda a: f"date_sub({a[0]}, {a[1]})", nargs=2)
+    out = re.sub(r"\btoUnixTimestamp\s*\(", "unix_timestamp(", out)
+    out = re.sub(r"\bfromUnixTimestamp\s*\(", "from_unixtime(", out)
     # URL functions → parse_url
     out = _rewrite_call(out, "protocol", lambda a: f"lower(parse_url({a[0]}, 'PROTOCOL'))")
     out = _rewrite_call(out, "domain", lambda a: f"parse_url({a[0]}, 'HOST')")

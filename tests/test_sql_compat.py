@@ -304,3 +304,27 @@ def test_url_functions(spark):
                extractURLParameter('https://github.com/a/b?x=1&y=2', 'y') AS y
     """).first()
     assert (r.d, r.p, r.pr, r.y) == ("github.com", "/a/b", "https", "2")
+
+
+def test_datetime_function_surface(spark):
+    from clickhub_spark.sql_compat import run
+
+    r = run(spark, """
+        SELECT formatDateTime(CAST('2023-07-09 13:05:07' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS f,
+               formatDateTime(CAST('2023-07-09' AS DATE), '%F') AS iso,
+               dateDiff('day', CAST('2023-07-01' AS DATE), CAST('2023-07-09' AS DATE)) AS dd,
+               dateDiff('hour', CAST('2023-07-09 00:00:00' AS TIMESTAMP),
+                        CAST('2023-07-09 06:30:00' AS TIMESTAMP)) AS dh,
+               addDays(CAST('2023-07-09' AS DATE), 3) AS plus3,
+               subtractDays(CAST('2023-07-09' AS DATE), 9) AS minus9,
+               toStartOfMonth(CAST('2023-07-09' AS DATE)) AS som,
+               toStartOfQuarter(CAST('2023-08-09' AS DATE)) AS soq,
+               toUnixTimestamp(CAST('1970-01-02 00:00:00' AS TIMESTAMP)) AS unix
+    """).first()
+    assert r.f == "2023-07-09 13:05:07"
+    assert r.iso == "2023-07-09"
+    assert (r.dd, r.dh) == (8, 6)
+    assert str(r.plus3) == "2023-07-12" and str(r.minus9) == "2023-06-30"
+    assert str(r.som).startswith("2023-07-01")
+    assert str(r.soq).startswith("2023-07-01")
+    assert r.unix == 86400
