@@ -135,3 +135,13 @@ def test_binned_range_join_avoids_nested_loop(spark):
     plan = _plan(spark, "q_join_range_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Cartesian" not in plan
+
+
+def test_corpus_pipeline_composition_plan(spark):
+    """The end-to-end corpus filter must keep its stages' plan
+    properties when composed: broadcast joins for the gates, no
+    cartesian/nested-loop anywhere."""
+    plan = _plan(spark, "q_llm_corpus_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
