@@ -308,6 +308,20 @@ def translate(sql: str) -> str:
         if ch in _START_OF:
             continue
         out = re.sub(rf"\b{ch}\s*\(", f"{sp}(", out)
+    # PREWHERE is ClickHouse's manual predicate-pushdown hint; Catalyst
+    # pushes predicates itself, so it is plain WHERE here.  (A query
+    # using BOTH clauses is not in the supported dialect subset.)
+    out = re.sub(r"\bPREWHERE\b", "WHERE", out)
+    # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ()): the totals
+    # row is the empty grouping set (its group columns read NULL, like
+    # ClickHouse's zero-value row).  Non-greedy up to WITH TOTALS keeps
+    # trailing HAVING/ORDER BY/LIMIT intact.
+    out = re.sub(
+        r"GROUP BY\s+(.+?)\s+WITH TOTALS",
+        r"GROUP BY GROUPING SETS ((\1), ())",
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
     # now() is identical.  FINAL: route `<table> FINAL` to the
     # registered `<table>_final` dedup view (catalog.register_final_views)
     # so the ReplacingMergeTree read semantics survive translation; a

@@ -328,3 +328,19 @@ def test_datetime_function_surface(spark):
     assert str(r.som).startswith("2023-07-01")
     assert str(r.soq).startswith("2023-07-01")
     assert r.unix == 86400
+
+
+def test_with_totals_and_prewhere(spark):
+    from clickhub_spark.sql_compat import run
+
+    load(spark, SF_DIR, "events").createOrReplaceTempView("github_events")
+    rows = run(spark, """
+        SELECT event_type, count() AS n FROM github_events
+        PREWHERE value > 0
+        GROUP BY event_type WITH TOTALS
+        ORDER BY n DESC
+    """).collect()
+    totals = [r for r in rows if r.event_type is None]
+    per_type = [r for r in rows if r.event_type is not None]
+    assert len(totals) == 1
+    assert totals[0].n == sum(r.n for r in per_type)  # totals row = grand total
