@@ -41,6 +41,8 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    from pyspark.sql import Observation
+
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -48,8 +50,10 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # carry the previous label through the round so convergence is
-        # a filter on the already-checkpointed result, not another join
+        # carry the previous label through the round and OBSERVE the
+        # change count inside the checkpoint's own materialization job
+        # — one Spark job per round, not checkpoint + count
+        obs = Observation()
         with_old = (
             labels.withColumnRenamed("comp", "__old")
             .join(neighbor_min, "node", "left")
@@ -60,9 +64,10 @@ def connected_components(
                 ).alias("comp"),
                 "__old",
             )
+            .observe(obs, F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = with_old.where(F.col("comp") != F.col("__old")).limit(1).count()
+        changed = int(obs.get["changed"] or 0)
         labels.unpersist()  # release the previous round's checkpoint
         labels = with_old.drop("__old")
         if changed == 0:
