@@ -30,3 +30,26 @@ def derived_artifact_path(df: DataFrame, tag: str) -> str:
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     return os.path.join(base, tag, sig.hexdigest())
+
+
+def prune_stale(artifact_path: str, keep: int = 8) -> int:
+    """Drop the oldest sibling artifacts beyond ``keep``: every
+    regenerated source dataset mints a new key, so long-lived
+    deployments would otherwise accumulate orphaned indexes/stores.
+    Call after a successful build; the just-built artifact is always
+    retained (it is the newest).  Returns the number removed."""
+    import shutil
+
+    parent = os.path.dirname(artifact_path)
+    if not os.path.isdir(parent):
+        return 0
+    siblings = sorted(
+        (os.path.join(parent, d) for d in os.listdir(parent)),
+        key=lambda p: os.path.getmtime(p),
+        reverse=True,
+    )
+    removed = 0
+    for stale in siblings[keep:]:
+        shutil.rmtree(stale, ignore_errors=True)
+        removed += 1
+    return removed

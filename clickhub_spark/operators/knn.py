@@ -201,7 +201,10 @@ def ivf_topk(
     if index_path is None:
         index_path = _default_index_path(emb, n_cells)
     if not os.path.isdir(index_path + "/data"):
+        from clickhub_spark.artifacts import prune_stale
+
         build_ivf_index(emb, index_path, n_cells, vec_col, id_col)
+        prune_stale(index_path)  # drop indexes of regenerated datasets
     return ivf_probe_topk(
         emb.sparkSession,
         index_path,

@@ -671,7 +671,10 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = docs.where(F.col("doc_id") % 10 == 0)
     store = derived_artifact_path(docs, "minhash_store")
     if not os.path.isdir(store):
+        from clickhub_spark.artifacts import prune_stale
+
         write_minhash_store(corpus, "text", "doc_id", store)
+        prune_stale(store)  # drop stores of regenerated datasets
     return incremental_candidate_pairs(new_batch, store, "text", "doc_id")
 
 

@@ -77,3 +77,22 @@ def test_ivf_index_built_once_and_probe_prunes_partitions(spark, tmp_path):
         spark, idx, list(qvec), k=5, nprobe=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_prune_stale_keeps_newest(tmp_path):
+    import os
+    import time
+
+    from clickhub_spark.artifacts import prune_stale
+
+    parent = tmp_path / "tag"
+    parent.mkdir()
+    for i in range(5):
+        d = parent / f"key{i}"
+        d.mkdir()
+        (d / "f").write_text("x")
+        t = 1_700_000_000 + i
+        os.utime(d, (t, t))
+    newest = str(parent / "key4")
+    assert prune_stale(newest, keep=2) == 3
+    assert sorted(os.listdir(parent)) == ["key3", "key4"]
