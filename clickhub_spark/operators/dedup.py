@@ -436,3 +436,75 @@ def incremental_candidate_pairs(
         .select("id_a", "id_b")
     )
     return vs_store.unionByName(vs_new).distinct()
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 8,
+    min_len: int = 12,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication — the suffix-array
+    dedup family (long verbatim overlaps that MinHash's bag-of-
+    shingles similarity underweights), distributed as k-gram DIAGONAL
+    RUNS instead of a suffix array:
+
+    explode positional k-grams → self-join on the gram → matches
+    between doc a position i and doc b position j lie on diagonal
+    d = i - j; a contiguous run of matches on one diagonal IS an exact
+    common substring of length run + k - 1.  One shuffle on the gram,
+    one aggregate on (a, b, diagonal).
+
+    Returns (id_a, id_b, a_start, b_start, span_len) for maximal
+    single-run diagonals with span_len ≥ min_len (tokens).  A diagonal
+    whose matches are non-contiguous (several separate repeats) is
+    conservatively skipped — each run is still reported through the
+    other diagonals it creates.  ``max_doc_freq`` drops boilerplate
+    grams before the self-join (same rationale and mechanism as
+    jaccard_pairs' stop-shingle cap).
+    """
+    words = F.col("__words")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(words, i + j + 1) for j in range(k)])
+    )
+    pos_grams = (
+        _spread(df)
+        .withColumn("__words", F.split(F.col(text), " "))
+        .where(n >= k)
+        .select(F.col(id_col), F.posexplode(gram).alias("pos", "g"))
+    )
+    if max_doc_freq is not None:
+        w = Window.partitionBy("g")
+        pos_grams = (
+            pos_grams.withColumn("__df", F.count("*").over(w))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    pos_grams = pos_grams.localCheckpoint(eager=True)
+    a = pos_grams.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "g")
+    b = pos_grams.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "g")
+    runs = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("pa") - F.col("pb")).alias("diag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pa").alias("a_start"),
+            F.max("pa").alias("a_end"),
+        )
+        # single contiguous run: every position between min and max hit
+        .where(F.col("n") == F.col("a_end") - F.col("a_start") + 1)
+        .withColumn("span_len", F.col("n") + F.lit(k - 1))
+        .where(F.col("span_len") >= min_len)
+    )
+    return runs.select(
+        "id_a",
+        "id_b",
+        "a_start",
+        (F.col("a_start") - F.col("diag")).alias("b_start"),
+        "span_len",
+    )

@@ -905,3 +905,52 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(non_canonical, "doc_id", "left_anti")
         .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     )
+
+
+@query(
+    "q_llm_dedup_substring",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pg AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS g
+        FROM words, UNNEST(range(1, len(ws) - 6)) t(i)
+        WHERE len(ws) >= 8
+    ), capped AS (
+        SELECT doc_id, pos, g FROM pg
+        QUALIFY COUNT(*) OVER (PARTITION BY g) <= 1000
+    ), m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT id_a, id_b, pa - pb AS diag, COUNT(*) AS n,
+               MIN(pa) AS a_start, MAX(pa) AS a_end
+        FROM m GROUP BY id_a, id_b, pa - pb
+    )
+    SELECT id_a, id_b, CAST(a_start AS INT) AS a_start,
+           CAST(a_start - diag AS INT) AS b_start,
+           CAST(n + 7 AS BIGINT) AS span_len
+    FROM runs
+    WHERE n = a_end - a_start + 1 AND n + 7 >= 12
+    """,
+)
+def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring duplication ≥12 tokens — the
+    suffix-array dedup family (verbatim overlaps that bag-of-shingles
+    similarity underweights), distributed as 8-gram diagonal runs
+    (operators/dedup.substring_dup_spans).  The output carries only
+    positions and span lengths, so it is value-checkable even though
+    the Spark side joins on word-hash grams and the oracle on gram
+    strings."""
+    from clickhub_spark.operators.dedup import substring_dup_spans
+
+    out = substring_dup_spans(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_len=12
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("a_start").cast("int").alias("a_start"),
+        F.col("b_start").cast("int").alias("b_start"),
+        "span_len",
+    )

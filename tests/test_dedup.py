@@ -217,3 +217,23 @@ def test_chunk_documents_boundaries(spark):
         (3, 0): 10, (3, 8): 3,
         (4, 0): 9,
     }
+
+
+def test_substring_dup_spans_positions_and_lengths(spark):
+    """A known 14-token verbatim run shared at different offsets must
+    be reported with exact start positions and length; disjoint docs
+    and short overlaps must not."""
+    from clickhub_spark.operators.dedup import substring_dup_spans
+
+    run = " ".join(f"s{i}" for i in range(14))  # the shared substring
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {run} z1 z2"),            # run at pos 3
+            (2, f"b1 {run} y1 y2 y3 y4"),            # run at pos 1
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): (r.a_start, r.b_start, r.span_len) for r in
+           substring_dup_spans(docs, "text", "doc_id", k=8, min_len=12).collect()}
+    assert got == {(1, 2): (3, 1, 14)}
