@@ -397,3 +397,19 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# Registered here (late in registration order) rather than in
+# queries_llm: q_llm_simhash is rows-only (engine-internal xxhash64),
+# so its prefix-window verification slot is better spent on a fully
+# value-checked query; the SimHash operator itself lives with its
+# family in operators/dedup.py and is unit-tested for
+# self-consistency.
+@query("q_llm_simhash", oracle=None)  # xxhash64 is engine-internal
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (SURVEY §2.J5 SimHash variant) —
+    near-dups differ in few bits; rows-only check, unit-tested for
+    self-consistency (identical text → identical simhash)."""
+    from clickhub_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")

@@ -97,16 +97,6 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_simhash", oracle=None)  # xxhash64 is engine-internal
-def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (SURVEY §2.J5 SimHash variant) —
-    near-dups differ in few bits; rows-only check, unit-tested for
-    self-consistency (identical text → identical simhash)."""
-    from clickhub_spark.operators.dedup import simhash
-
-    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
-
-
 # ---------------------------------------------------------------------------
 # Similarity search (§2.J6)
 # ---------------------------------------------------------------------------
