@@ -413,3 +413,30 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhub_spark.operators.dedup import simhash
 
     return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_pop(l_quantity), 4) AS sd_qty,
+           ROUND(var_pop(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_discount), 4) AS covar_qty_disc,
+           ROUND(avg(l_quantity), 4) AS mean_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (≙ ClickHouse stddevPop/varPop/corr/
+    covarPop): all single-pass algebraic moments — partial+final
+    combine map-side like any sum, so the shuffle carries one moment
+    tuple per (group, partition)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+    )
