@@ -67,6 +67,16 @@ _FN_RENAMES = {
     "position": "instr",  # CH position(haystack, needle) = instr order
     "ifNull": "coalesce",
     "today": "current_date",
+    # statistical aggregates (same arg order); ClickHouse's bare `any`
+    # is deliberately NOT mapped — it would collide with SQL's
+    # `= ANY(subquery)`.
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "anyLast": "last_value",
 }
 
 #: <agg>If(x, cond) → <agg>(CASE WHEN cond THEN x END); Spark only has
@@ -205,6 +215,7 @@ def translate(sql: str) -> str:
     out = _rewrite_parametric(
         out, "quantile", lambda ps, args: f"percentile_approx({args[0]}, {ps[0]})"
     )
+    out = _rewrite_call(out, "median", lambda a: f"percentile_approx({a[0]}, 0.5)")
     # multiIf(c1, v1, …, else) → CASE chain
     def _multi_if(args: list[str]) -> str:
         whens = "".join(

@@ -344,3 +344,19 @@ def test_with_totals_and_prewhere(spark):
     per_type = [r for r in rows if r.event_type is not None]
     assert len(totals) == 1
     assert totals[0].n == sum(r.n for r in per_type)  # totals row = grand total
+
+
+def test_statistical_aggregate_renames(spark):
+    from clickhub_spark.sql_compat import run, translate
+
+    spark.range(1, 11).selectExpr("CAST(id AS DOUBLE) AS v").createOrReplaceTempView("st")
+    r = run(spark, """
+        SELECT ROUND(stddevPop(v), 4) AS sd, ROUND(varPop(v), 4) AS vp,
+               ROUND(covarPop(v, v), 4) AS cv, median(v) AS med
+        FROM st
+    """).first()
+    assert r.vp == 8.25 and r.cv == 8.25
+    assert abs(r.sd - 8.25 ** 0.5) < 1e-3
+    assert 5 <= r.med <= 6
+    # `= ANY(subquery)` must survive untouched
+    assert "ANY(SELECT" in translate("SELECT * FROM t WHERE x = ANY(SELECT y FROM u)")
