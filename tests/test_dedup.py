@@ -237,3 +237,16 @@ def test_substring_dup_spans_positions_and_lengths(spark):
     got = {(r.id_a, r.id_b): (r.a_start, r.b_start, r.span_len) for r in
            substring_dup_spans(docs, "text", "doc_id", k=8, min_len=12).collect()}
     assert got == {(1, 2): (3, 1, 14)}
+
+
+def test_substring_identical_docs_full_span(spark):
+    """Two identical n-token docs must yield exactly one maximal span
+    of length n starting at 0/0."""
+    from clickhub_spark.operators.dedup import substring_dup_spans
+
+    text = " ".join(f"t{i}" for i in range(30))
+    docs = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    rows = substring_dup_spans(docs, "text", "doc_id", k=8, min_len=12).collect()
+    assert [(r.id_a, r.id_b, r.a_start, r.b_start, r.span_len) for r in rows] == [
+        (1, 2, 0, 0, 30)
+    ]

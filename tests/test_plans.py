@@ -145,3 +145,11 @@ def test_corpus_pipeline_composition_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_dup_join_is_hash_based(spark):
+    """The diagonal-run self-join must be a hash join on the gram —
+    no cartesian/nested loop."""
+    plan = _plan(spark, "q_llm_dedup_substring")
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
