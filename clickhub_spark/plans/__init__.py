@@ -5,22 +5,25 @@ Importing this package registers every query into
 
 Import order IS registration order (the registry dict preserves
 insertion order), and external harnesses may verify only a prefix of
-the registered queries.  Round 1 verified the first 50 registrations
-(ch, core, extra, fn — exactly 50); this order front-loads the
-families that fell outside that window (joins §2.C, windows §2.H,
-LLM pipeline §2.J, streaming §2.I, fn2), so that across rounds every
-query lands inside a verification window at least once.
+the registered queries (50 in rounds 1-2).  ``registry.ROUND_PRIORITY``
+additionally front-loads specific names (new/changed queries and ones
+that have never had a driver row) ahead of registration order, and
+``SPARK_GRAFT_QUERY_ORDER`` overrides ad hoc.  Round 1's window
+covered ch/core/extra/fn; round 2's covered join/window/llm/stream/
+fn2; round 3 front-loads the priority list then returns to the
+round-1 families so every query's driver evidence stays ≤2 rounds
+old.
 """
 
 from clickhub_spark.plans import (  # noqa: F401
+    queries_core,
+    queries_ch,
+    queries_extra,
+    queries_fn,
     queries_join,
     queries_window,
     queries_llm,
     queries_stream,
     queries_fn2,
-    queries_core,
-    queries_ch,
-    queries_extra,
-    queries_fn,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

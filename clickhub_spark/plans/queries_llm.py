@@ -671,39 +671,35 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_embed_centroid",
     oracle="""
-    WITH pv AS (
-        SELECT label, i AS pos,
-               -- + 0 normalizes IEEE -0.0 (a tiny negative mean can
-               -- round to negative zero in one engine and positive
-               -- zero in the other)
-               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0 AS v
-        FROM embeddings, UNNEST(range(1, 65)) t(i)
-        GROUP BY label, i
-    )
-    SELECT label, array_agg(v ORDER BY pos) AS centroid
-    FROM pv GROUP BY label
+    SELECT label, i - 1 AS pos,
+           -- + 0 normalizes IEEE -0.0 (a tiny negative mean can
+           -- round to negative zero in one engine and positive
+           -- zero in the other)
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0 AS v
+    FROM embeddings, UNNEST(range(1, 65)) t(i)
+    GROUP BY label, i
     """,
 )
 def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (the coarse-quantizer / cluster-
     profile build, cross-engine-checkable unlike KMeans): posexplode
-    to (label, pos, v), partial-aggregated mean per component, then
-    ordered re-assembly.  Map-side combine collapses each partition to
-    labels×64 rows before the shuffle, so exchange volume is
-    O(labels × dim × partitions) regardless of corpus size.  The
-    ``+ 0.0`` after rounding normalizes IEEE negative zero on both
-    engines (found at sf0.1: a -0.00001 mean rounds to -0.0 in one
-    engine and 0.0 in the other)."""
+    to (label, pos, v), partial-aggregated mean per component.
+    Map-side combine collapses each partition to labels×64 rows before
+    the shuffle, so exchange volume is O(labels × dim × partitions)
+    regardless of corpus size.  Output stays in the exploded
+    (label, pos, v) scalar shape — driver-hashable (the round-2
+    correctness driver cannot canonicalize array columns); callers
+    wanting the assembled vector apply
+    ``groupBy(label).agg(sort_array(collect_list(struct(pos, v))))``
+    (exercised in tests/test_llm_ops.py).  The ``+ 0.0`` after
+    rounding normalizes IEEE negative zero on both engines (found at
+    sf0.1: a -0.00001 mean rounds to -0.0 in one engine and 0.0 in
+    the other)."""
     emb = load(spark, sf_dir, "embeddings")
-    pv = (
+    return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg((F.round(F.avg(F.col("v").cast("double")), 4) + 0.0).alias("v"))
-    )
-    return pv.groupBy("label").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
-        ).alias("centroid")
     )
 
 

@@ -1,0 +1,36 @@
+"""LLM-pipeline query value checks that don't fit the DuckDB oracle
+harness — e.g. re-assembling the exploded centroid rows back into the
+vector shape a downstream consumer (IVF coarse quantizer) would use."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from clickhub_spark.plans import all_specs
+
+from tests.conftest import SF_DIR
+
+
+def test_embed_centroid_assembles_to_correct_vectors(spark):
+    """q_llm_embed_centroid emits driver-hashable (label, pos, v) rows;
+    the assembled per-label vector must equal the numpy mean of that
+    label's embeddings (rounded as the query rounds)."""
+    pv = all_specs()["q_llm_embed_centroid"].builder(spark, SF_DIR)
+    assembled = (
+        pv.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    got = {r.label: np.array(r.centroid) for r in assembled}
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label", "embedding")
+        .toPandas()
+    )
+    for label, grp in emb.groupby("label"):
+        expect = np.round(np.stack(grp["embedding"].values).mean(axis=0), 4)
+        assert label in got and got[label].shape == (64,)
+        assert np.allclose(got[label], expect, atol=1e-9), label
