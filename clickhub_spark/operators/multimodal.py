@@ -2,12 +2,16 @@
 payloads as opaque ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` UDFs.
 
-The container has no image/audio codecs, so the decode step is a
-STUB (deterministic fake features) behind ``decode_fn`` — the Spark-
-side plumbing is real and tested: schema contract, Arrow batch
-iteration, partition-size control, and the metadata columns a 100 TB
-media pipeline needs before any decode (size, hash, type tag) so
-pruning happens on cheap columns first.
+Image decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
+filters) and 24-bit BMP — pure stdlib zlib+struct, no codec library
+(``decode_png`` / ``decode_bmp`` / ``real_decode``).  Audio/video
+decode and image re-encode (resize output, frame extraction) remain
+STUBS behind ``decode_fn``-style hooks: the container ships no
+codecs, and re-encoding needs one.  The Spark-side plumbing is real
+and tested either way: schema contract, Arrow batch iteration,
+partition-size control, and the metadata columns a 100 TB media
+pipeline needs before any decode (size, hash, type tag) so pruning
+happens on cheap columns first.
 
 Scale notes: media rows are huge — ``repartition`` by a size-aware
 bucket before mapInPandas so one Arrow batch never exceeds executor
@@ -130,14 +134,18 @@ def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    decode_fn: Callable[[bytes], list[float]] = stub_decode,
+    decode_fn: Callable[[bytes], list[float]] = None,
     batch_partitions: int | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Emits (id, media_type, n_bytes, feat) — the downstream join key +
-    prune columns + fixed-width features.
+    prune columns + fixed-width features.  Default ``decode_fn`` is
+    ``real_decode``: real pixel stats for PNG/BMP payloads, byte-stat
+    stub for everything else.
     """
+    if decode_fn is None:
+        decode_fn = real_decode
     src = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(payload_col).alias("payload"),
@@ -159,6 +167,150 @@ def extract_features(
             )
 
     return src.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL dependency-free PNG decode (zlib + struct only): returns
+    (width, height, channels, raw pixel bytes row-major).  Supports
+    the non-interlaced 8-bit-depth color types — gray (1ch),
+    gray+alpha (2ch), RGB (3ch), RGBA (4ch) — with full scanline
+    unfiltering (None/Sub/Up/Average/Paeth).  Palette (type 3),
+    16-bit, and Adam7 payloads raise ValueError so callers fall back
+    to the metadata-only path instead of silently mis-decoding."""
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing unsupported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return (width, height, channels, bytes(out))
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL dependency-free BMP decode: uncompressed (BI_RGB) 24-bit
+    BITMAPINFOHEADER payloads → (width, height, 3, RGB bytes row-major
+    top-down).  BMP stores rows bottom-up padded to 4 bytes in BGR
+    order; both are normalized here."""
+    import struct
+
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    width, height = struct.unpack("<ii", b[18:26])
+    bpp, compression = struct.unpack("<HI", b[28:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_sz = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = b[data_off + src_y * row_sz : data_off + src_y * row_sz + width * 3]
+        for x in range(width):
+            out[(y * width + x) * 3 + 0] = row[x * 3 + 2]  # R ← BGR
+            out[(y * width + x) * 3 + 1] = row[x * 3 + 1]
+            out[(y * width + x) * 3 + 2] = row[x * 3 + 0]
+    return (width, height, 3, bytes(out))
+
+
+def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
+    """Pixel-statistic feature extractor backed by the REAL PNG/BMP
+    decoders for the formats ``probe_image`` detects; other payloads
+    (including the utf8-text fakes the testdata derives) keep the
+    deterministic byte-stat stub so the mapInPandas contract never
+    raises on mixed corpora.  Features (fixed n_feat wide, zero-padded):
+    [width, height, channels, mean/255, std/255, min/255, max/255,
+    mean |horizontal gradient|/255] — the cheap stats a quality-filter
+    or near-dup prefilter runs before any model inference."""
+    import math
+
+    fmt, _, _ = probe_image(payload)
+    try:
+        if fmt == "png":
+            w, h, ch, px = decode_png(payload)
+        elif fmt == "bmp":
+            w, h, ch, px = decode_bmp(payload)
+        else:
+            return stub_decode(payload, n_feat)
+    except ValueError:  # detected format, unsupported variant
+        return stub_decode(payload, n_feat)
+    n = len(px)
+    mean = sum(px) / n
+    var = sum((v - mean) ** 2 for v in px) / n
+    grad = [
+        abs(px[i] - px[i - ch])
+        for y in range(h)
+        for i in range(y * w * ch + ch, (y + 1) * w * ch)
+    ]
+    mean_grad = sum(grad) / len(grad) if grad else 0.0
+    feats = [
+        float(w),
+        float(h),
+        float(ch),
+        round(mean / 255.0, 6),
+        round(math.sqrt(var) / 255.0, 6),
+        round(min(px) / 255.0, 6),
+        round(max(px) / 255.0, 6),
+        round(mean_grad / 255.0, 6),
+    ]
+    return (feats + [0.0] * n_feat)[:n_feat]
 
 
 def probe_image(payload: bytes) -> tuple[str | None, int, int]:

@@ -102,6 +102,132 @@ def test_probe_image_parses_real_headers():
     assert probe_image(None) == (None, -1, -1)
 
 
+def _png_full(w, h, pixels, channels=3, filters=None):
+    """Minimal real PNG encoder for tests: 8-bit, per-row filter types
+    (cycling through `filters`) so every unfilter branch of decode_png
+    is exercised.  `pixels` is raw row-major bytes, len == w*h*channels."""
+    import struct, zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    filters = filters or [0]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _bmp_full(w, h, rgb):
+    """Minimal real 24-bit BMP encoder (bottom-up, BGR, 4-byte padded
+    rows); `rgb` is top-down row-major RGB bytes."""
+    import struct
+
+    row_sz = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            body += bytes([b, g, r])
+        body += b"\x00" * (row_sz - w * 3)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info + bytes(body)
+
+
+def _gradient(w, h, channels):
+    return bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(channels)
+    )
+
+
+def test_decode_png_roundtrip_all_filters():
+    from clickhub_spark.operators.multimodal import decode_png
+
+    for channels in (1, 2, 3, 4):
+        px = _gradient(9, 7, channels)
+        blob = _png_full(9, 7, px, channels, filters=[0, 1, 2, 3, 4])
+        assert decode_png(blob) == (9, 7, channels, px)
+
+
+def test_decode_bmp_roundtrip():
+    from clickhub_spark.operators.multimodal import decode_bmp
+
+    px = _gradient(5, 4, 3)
+    assert decode_bmp(_bmp_full(5, 4, px)) == (5, 4, 3, px)
+
+
+def test_real_decode_pixel_stats_and_fallback():
+    import math
+
+    from clickhub_spark.operators.multimodal import real_decode
+
+    px = _gradient(8, 8, 3)
+    feat = real_decode(_png_full(8, 8, px, 3, filters=[4]))
+    mean = sum(px) / len(px)
+    assert feat[:3] == [8.0, 8.0, 3.0]
+    assert abs(feat[3] - round(mean / 255.0, 6)) < 1e-9
+    sd = math.sqrt(sum((v - mean) ** 2 for v in px) / len(px))
+    assert abs(feat[4] - round(sd / 255.0, 6)) < 1e-9
+    assert feat[5] == round(min(px) / 255.0, 6)
+    assert feat[6] == round(max(px) / 255.0, 6)
+    # same image as BMP → identical pixel stats
+    assert real_decode(_bmp_full(8, 8, px)) == feat
+    # non-image payloads keep the deterministic byte-stat stub
+    assert real_decode(b"plain text") == stub_decode(b"plain text")
+
+
+def test_extract_features_real_png_in_dataframe(spark):
+    """End-to-end: real PNG bytes through the mapInPandas extraction —
+    the decode contract running distributed, not just in-process."""
+    px = _gradient(6, 5, 3)
+    rows = [(1, bytearray(_png_full(6, 5, px, 3, filters=[1, 2])), ("img/png", 99)),
+            (2, bytearray(b"not an image"), ("utf8-text", 12))]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, media_meta struct<media_type:string,n_bytes:int>",
+    )
+    got = {r.doc_id: r.feat for r in extract_features(df).collect()}
+    assert got[1][:3] == [6.0, 5.0, 3.0]
+    assert abs(sum(got[2]) - 1.0) < 1e-3  # stub path normalizes
+
+
 def test_probe_images_dataframe_triage(spark):
     """The distributed triage pass: mixed real formats + junk in one
     binary column, pruning columns out the other side."""
