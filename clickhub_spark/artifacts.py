@@ -1,16 +1,29 @@
 """Deterministic locations for build-once derived artifacts (ANN
 indexes, signature stores): keyed on the source DataFrame's input
-files + mtimes + a tag, so the same data reuses the artifact and
-regenerated data triggers a rebuild.  In-memory frames (tests) get a
+files + mtimes + its normalized logical plan + a tag, so the same
+data AND the same transformations reuse the artifact, while
+regenerated data or a filtered/projected variant of the same files
+triggers a rebuild (a files-only key would silently serve an index
+built from different row content).  In-memory frames (tests) get a
 throwaway temp location."""
 
 from __future__ import annotations
 
 import hashlib
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame
+
+
+def _plan_fingerprint(df: DataFrame) -> bytes:
+    """Analyzed-plan text with per-session expression ids (#123)
+    stripped, so the same logical pipeline fingerprints identically
+    across sessions and different pipelines over the same files do
+    not collide."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return re.sub(r"#\d+", "#", plan).encode()
 
 
 def derived_artifact_path(df: DataFrame, tag: str) -> str:
@@ -25,6 +38,7 @@ def derived_artifact_path(df: DataFrame, tag: str) -> str:
             sig.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
         except OSError:
             sig.update(f.encode())
+    sig.update(_plan_fingerprint(df))
     sig.update(tag.encode())
     base = df.sparkSession.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"

@@ -461,9 +461,15 @@ def substring_dup_spans(
     single-run diagonals with span_len ≥ min_len (tokens).  A diagonal
     whose matches are non-contiguous (several separate repeats) is
     conservatively skipped — each run is still reported through the
-    other diagonals it creates.  ``max_doc_freq`` drops boilerplate
-    grams before the self-join (same rationale and mechanism as
-    jaccard_pairs' stop-shingle cap).
+    other diagonals it creates.  ``max_doc_freq`` drops grams
+    appearing in more than that many DISTINCT documents before the
+    self-join (same rationale as jaccard_pairs' stop-shingle cap;
+    here it needs a distinct-docs aggregate because positional grams
+    repeat within one document, so a raw occurrence count would let a
+    single self-repetitive document evict a gram corpus-wide).  The
+    viral-gram list is tiny by construction (only grams above the
+    cap), so it broadcast-anti-joins — the gram stream itself never
+    shuffles twice.
     """
     words = F.col("__words")
     n = F.size(words)
@@ -478,12 +484,15 @@ def substring_dup_spans(
         .select(F.col(id_col), F.posexplode(gram).alias("pos", "g"))
     )
     if max_doc_freq is not None:
-        w = Window.partitionBy("g")
-        pos_grams = (
-            pos_grams.withColumn("__df", F.count("*").over(w))
-            .where(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        viral = (
+            pos_grams.select("g", id_col)
+            .distinct()
+            .groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("g")
         )
+        pos_grams = pos_grams.join(F.broadcast(viral), "g", "left_anti")
     pos_grams = pos_grams.localCheckpoint(eager=True)
     a = pos_grams.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "g")
     b = pos_grams.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "g")

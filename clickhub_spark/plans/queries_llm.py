@@ -902,9 +902,12 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS g
         FROM words, UNNEST(range(1, len(ws) - 6)) t(i)
         WHERE len(ws) >= 8
+    ), viral AS (
+        SELECT g FROM (
+            SELECT g, COUNT(DISTINCT doc_id) AS df FROM pg GROUP BY g
+        ) WHERE df > 1000
     ), capped AS (
-        SELECT doc_id, pos, g FROM pg
-        QUALIFY COUNT(*) OVER (PARTITION BY g) <= 1000
+        SELECT doc_id, pos, g FROM pg WHERE g NOT IN (SELECT g FROM viral)
     ), m AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
         FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id

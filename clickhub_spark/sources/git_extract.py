@@ -107,6 +107,7 @@ def git_log_raw(repo_dir: str) -> str:
 
 _HUNK_RE = re.compile(r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@ ?(.*)$")
 _NUMSTAT_RE = re.compile(r"^(\d+|-)\t(\d+|-)\t(.+)$")
+_HASH_RE = re.compile(r"[0-9a-f]{40}")
 
 #: prev_time when no earlier commit touched the path (DateTime zero).
 _EPOCH = "1970-01-01 00:00:00"
@@ -202,10 +203,19 @@ def parse_history(log_text: str) -> tuple[list[list], list[list], list[list]]:
     line_rows: list[list] = []
     last_touch: dict[str, tuple[str, str, str]] = {}  # path -> (hash, author, time)
 
-    blocks = [b for b in log_text.split(_HDR) if b.strip()]
+    # Split on newline+\x02, not bare \x02: the pretty-format header
+    # always STARTS a line, while patch/subject content can legally
+    # contain a raw \x02 byte mid-line — a bare split would mis-frame
+    # that commit and silently shift its rows.
+    text = log_text[1:] if log_text.startswith(_HDR) else log_text
+    blocks = [b for b in text.split("\n" + _HDR) if b.strip()]
     for block in reversed(blocks):  # git log prints newest first
         lines = block.splitlines()
         chash, author, when, message = (lines[0].split(_SEP) + ["", "", ""])[:4]
+        if not _HASH_RE.fullmatch(chash):
+            # a mid-line \x01 in content can still corrupt ONE header;
+            # drop that block rather than emit rows under a bogus hash
+            continue
         author, message = _clean(author), _clean(message)
 
         # split the block: raw/numstat prelude vs patch

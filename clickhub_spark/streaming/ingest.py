@@ -41,9 +41,17 @@ def stream_ingest(
     ``__batch_id=<n>/`` partition with overwrite — a replayed batch
     (crash between the write and the checkpoint commit) overwrites
     its own directory instead of appending duplicates.  This is the
-    standard idempotent-foreachBatch pattern; the default (plain
-    append) relies on the FINAL dedup view to absorb replays, exactly
-    like the ReplacingMergeTree contract."""
+    standard idempotent-foreachBatch pattern.  It holds as stated only
+    for CHECKPOINT-RESUMED replays, where batch ids (and hence the
+    file→batch binning) are stable; a restart from a FRESH checkpoint
+    re-reads the whole source and may bin files differently (changed
+    ``max_files``, grown directory), so batch 0 of any run first
+    clears all existing ``__batch_id=*`` partitions — the stream is
+    about to rewrite the full source content, and stale partitions
+    from the old binning must not survive next to the new one.  One
+    exactly-once table therefore belongs to exactly one stream.  The
+    default (plain append) relies on the FINAL dedup view to absorb
+    replays, exactly like the ReplacingMergeTree contract."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
@@ -53,6 +61,12 @@ def stream_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = stamp_updated_at(batch_df)
         if exactly_once:
+            if batch_id == 0:
+                import glob
+                import shutil
+
+                for stale in glob.glob(f"{table_path}/__batch_id=*"):
+                    shutil.rmtree(stale, ignore_errors=True)
             out.write.mode("overwrite").parquet(
                 f"{table_path}/__batch_id={batch_id}"
             )

@@ -79,6 +79,21 @@ def test_ivf_index_built_once_and_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_artifact_key_tracks_logical_plan(spark):
+    """The build-once artifact key must distinguish a filtered or
+    projected variant of the same parquet files (different row content
+    → different index), while the identical pipeline rebuilt from
+    scratch keys to the same path (reuse across sessions)."""
+    from clickhub_spark.artifacts import derived_artifact_path
+
+    emb = load(spark, SF_DIR, "embeddings")
+    base = derived_artifact_path(emb, "ivf4")
+    again = derived_artifact_path(load(spark, SF_DIR, "embeddings"), "ivf4")
+    filtered = derived_artifact_path(emb.where(F.col("label") == 3), "ivf4")
+    assert base == again
+    assert filtered != base
+
+
 def test_prune_stale_keeps_newest(tmp_path):
     import os
     import time

@@ -239,6 +239,36 @@ def test_substring_dup_spans_positions_and_lengths(spark):
     assert got == {(1, 2): (3, 1, 14)}
 
 
+def test_substring_cap_is_document_frequency_not_occurrences(spark):
+    """max_doc_freq counts DISTINCT documents per gram: one document
+    repeating a gram many times must not evict that gram corpus-wide
+    (an occurrence-count cap would, killing a legitimate cross-doc
+    span), while a gram spread over more than max_doc_freq documents
+    must be dropped."""
+    from clickhub_spark.operators.dedup import substring_dup_spans
+
+    run = " ".join(f"s{i}" for i in range(14))
+    # doc 1 additionally repeats the run's FIRST 8-gram (s0..s7) four
+    # more times: 6 total occurrences across 2 docs.  An occurrence cap
+    # of 3 would drop that gram and shrink the reported span to 13
+    # starting at gram 1; the document-frequency cap (df=2 ≤ 3) keeps
+    # the full 14-token span.
+    echo = " ".join(["x"] + [" ".join(f"s{i}" for i in range(8))] * 4)
+    rows = [(1, f"{run} {echo}"), (2, f"pfx {run}")]
+    # 4 docs all sharing one viral 8-gram → df=4 > cap=3 → dropped
+    viral = "v1 v2 v3 v4 v5 v6 v7 v8"
+    rows += [(10 + i, f"u{i}a u{i}b u{i}c u{i}d {viral}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.a_start, r.b_start, r.span_len)
+        for r in substring_dup_spans(
+            docs, "text", "doc_id", k=8, min_len=12, max_doc_freq=3
+        ).collect()
+    }
+    # the full run survives doc 1's self-repetition; no viral-gram pairs
+    assert got == {(1, 2): (0, 1, 14)}
+
+
 def test_substring_identical_docs_full_span(spark):
     """Two identical n-token docs must yield exactly one maximal span
     of length n starting at 0/0."""

@@ -88,6 +88,32 @@ def test_line_changes_rows_numbers_lineage_and_classification(tmp_path):
     assert grow[0][16] == "b.py" and grow[0][17] == "a.py"  # path, old_path
 
 
+def test_control_bytes_in_content_do_not_misframe_blocks(tmp_path):
+    """A patch line or commit subject containing raw \\x01/\\x02 bytes
+    must not split or shift a commit block: the parser frames on
+    newline+\\x02 and validates the 40-hex hash, so every real commit
+    still parses with the right hash and counts."""
+    from clickhub_spark.sources.git_extract import git_log_raw
+
+    repo = _mkrepo(tmp_path)
+
+    def sh(*args):
+        subprocess.run(["git", *args], cwd=repo, check=True, capture_output=True)
+
+    # file content with framing bytes mid-line AND at line start
+    (tmp_path / "src" / "tricky.txt").write_text(
+        "plain\nmid\x02line\nmid\x01line\n\x02starts-line\n\x01starts-line\n"
+    )
+    sh("add", ".")
+    sh("commit", "-qm", "tricky \x02 subject \x01 bytes")
+    commits, changes, _ = parse_history(git_log_raw(repo))
+    assert len(commits) == 4
+    assert all(len(c[0]) == 40 for c in commits)
+    tricky = [c for c in commits if "tricky" in c[3]]
+    assert len(tricky) == 1
+    assert tricky[0][4] == 1 and tricky[0][8] == 5  # 1 file added, 5 lines
+
+
 def test_numstat_brace_rename_resolution():
     from clickhub_spark.sources.git_extract import _resolve_numstat_path
 

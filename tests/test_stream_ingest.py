@@ -131,9 +131,18 @@ def test_exactly_once_ingest_survives_full_replay(spark, tmp_path):
     assert df.count() == 2  # no duplicates
     assert "__batch_id" in df.columns  # provenance partition column
 
+    # worst case: fresh checkpoint AND different batch binning AND a
+    # grown source — the old run's partitions must not linger next to
+    # the re-binned ones
+    spark.createDataFrame([(2, "doc 2")], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream_ingest(spark, str(src), schema, table, str(tmp_path / "ck5"),
+                  max_files=3, exactly_once=True)
+    assert spark.read.parquet(table).count() == 3  # exactly the source
+
     # contrast: plain append duplicates on the same replay (absorbed
     # only by the FINAL view downstream)
     table2 = str(tmp_path / "tbl2")
     stream_ingest(spark, str(src), schema, table2, str(tmp_path / "ck3"), max_files=1)
     stream_ingest(spark, str(src), schema, table2, str(tmp_path / "ck4"), max_files=1)
-    assert spark.read.parquet(table2).count() == 4
+    assert spark.read.parquet(table2).count() == 6  # 3 source files ×2 runs
