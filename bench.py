@@ -58,14 +58,15 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     specs["q_agg_count"].builder(spark, sf_dir).collect()
 
-    # Two executions per query, report the best: the first run pays
+    # Three executions per query, report the best: the first run pays
     # one-time plan compilation + codegen (~0.5-1 s of JVM work that
-    # amortizes away in any real deployment); the second measures
-    # steady-state scan→shuffle→aggregate throughput.
+    # amortizes away in any real deployment); best-of-3 also damps
+    # machine-load noise (round 1→2 showed a uniform ~1.2× drift on
+    # byte-identical queries from concurrent load at bench time).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = specs[name].builder(spark, sf_dir)
             df.count() if name not in ("q_agg_multi",) else len(df.collect())
@@ -80,6 +81,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # machine-load context so cross-round comparisons can
+                # tell a code regression from a busy box
+                "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )
