@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out-dir", required=True)
     e.add_argument("--workdir", default=None, help="clone here (default: out-dir/clone)")
 
+    fr = sub.add_parser(  # ≙ the reference insert→MV loop (README.md:247-268)
+        "refresh_events",
+        help="one freshness cycle: landing files → events table → stars MV",
+    )
+    fr.add_argument("--landing", required=True, help="event parquet landing dir")
+    fr.add_argument("--show", type=int, default=20)
+
     x = sub.add_parser("sql")  # ClickHouse-dialect SQL over registered tables
     x.add_argument("--query", required=True, help="ClickHouse-dialect SQL")
     x.add_argument("--sf-dir", default=None, help="also register testdata tables")
@@ -128,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "update_all_repos":
         scheduled = orch.update_all_repos(args.limit)
         print(f"scheduled {len(scheduled)}: {scheduled[:10]}{'...' if len(scheduled) > 10 else ''}")
+    elif args.cmd == "refresh_events":
+        from clickhub_spark.streaming.freshness import refresh
+
+        from pyspark.sql import functions as F
+
+        wh = os.path.join(data_dir, "events_wh")
+        view = refresh(spark, args.landing, wh)
+        view.orderBy(F.col("stars").desc(), F.col("user_id")).show(
+            args.show, truncate=False
+        )
     elif args.cmd == "serve":
         from clickhub_spark.server import serve
 
