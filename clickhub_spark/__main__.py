@@ -7,6 +7,7 @@ ClickHouse server.
     python -m clickhub_spark bulk_schedule --repo_file repos.txt --limit 100
     python -m clickhub_spark import --repo_name acme/widgets --tsv commits.tsv
     python -m clickhub_spark start_worker --tsv-dir /data/tsv --polls 10
+    python -m clickhub_spark start_workers --tsv-dir /data/tsv --n 4
     python -m clickhub_spark update_all_repos --limit 50000
     python -m clickhub_spark query --name q_agg_multi --sf-dir /root/testdata/sf0.01
     python -m clickhub_spark serve --port 5000
@@ -48,6 +49,16 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--tsv-dir", required=True)
     w.add_argument("--polls", type=int, default=1)
 
+    ws = sub.add_parser("start_workers")  # ≙ reference start_workers.sh:3-8
+    ws.add_argument("--tsv-dir", required=True)
+    ws.add_argument(
+        "--n",
+        type=int,
+        default=int(os.environ.get("NUMBER_OF_WORKERS", "4")),
+        help="worker processes to fork (default $NUMBER_OF_WORKERS or 4)",
+    )
+    ws.add_argument("--polls", type=int, default=1)
+
     u = sub.add_parser("update_all_repos")  # reference clickhub.py:109-114
     u.add_argument("--limit", type=int, default=50_000)
 
@@ -88,6 +99,31 @@ def main(argv: list[str] | None = None) -> int:
         for name, path in extract_git_history(src, args.out_dir).items():
             print(f"{name}: {path}")
         return 0
+
+    if args.cmd == "start_workers":
+        # one OS process per worker, exactly like the reference's
+        # start_workers.sh fork loop; the filesystem queue's atomic
+        # rename-claim makes the races safe (queue.py).  Each child is
+        # its own `start_worker` invocation — same config, own
+        # SparkSession, crash-isolated from its siblings.
+        import subprocess
+
+        base = [sys.executable, "-m", "clickhub_spark"]
+        if args.data_dir:
+            base += ["--data-dir", args.data_dir]
+        if args.config:
+            base += ["-c", args.config]
+        procs = [
+            subprocess.Popen(
+                base
+                + ["start_worker", "--tsv-dir", args.tsv_dir, "--polls", str(args.polls)]
+            )
+            for _ in range(args.n)
+        ]
+        rc = 0
+        for proc in procs:
+            rc = rc or proc.wait()
+        return rc
 
     from clickhub_spark.config import load_config
     from clickhub_spark.orchestrator import Orchestrator

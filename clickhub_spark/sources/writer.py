@@ -24,6 +24,8 @@ locks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,7 +87,25 @@ def incremental_append(
     The count comes from an ``Observation`` on the write itself (the
     ingest-scale shape: no second full pass over the input).  The only
     pre-write action is ``isEmpty()`` — an early-terminating take(1)
-    that guards no-op replays from appending empty part files."""
+    that guards no-op replays from appending empty part files.
+
+    Concurrency: N worker PROCESSES append to one table (the
+    start_workers fleet), and concurrent ``mode("append")`` jobs from
+    separate Spark applications clobber each other's shared
+    ``_temporary`` committer directory — one worker's files vanish.
+    So each append writes to a private ``_staging_<uuid>`` dir first
+    (underscore-prefixed → invisible to readers) and then publishes by
+    renaming the part files into the table; part names carry a
+    per-task UUID, so publishes never collide.  Publish is atomic per
+    file, not per job — the same non-transactional-batch contract as
+    the reference's INSERT loop (repo/importer.py:107), with the
+    queue's insert-if-absent preventing two live jobs for one key.
+    Local/NFS filesystems here; on an object store this function is
+    the seam to swap for a committer or table format with atomic
+    multi-file commit."""
+    import shutil
+    import uuid
+
     from pyspark.sql import Observation
 
     hwm = high_water_mark(spark, path, time_col, key_col, key)
@@ -96,7 +116,15 @@ def incremental_append(
     out = fresh.observe(obs, F.count(F.lit(1)).alias("n")).sortWithinPartitions(
         *(sort_cols or [time_col])
     )
-    out.write.mode("append").parquet(path)
+    local = path.removeprefix("file:")
+    staging = os.path.join(local, f"_staging_{uuid.uuid4().hex}")
+    out.write.mode("overwrite").parquet(staging)
+    try:
+        for name in os.listdir(staging):
+            if name.startswith("part-"):
+                os.rename(os.path.join(staging, name), os.path.join(local, name))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return int(obs.get["n"])
 
 

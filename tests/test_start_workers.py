@@ -1,0 +1,57 @@
+"""Process-level N-worker launcher (≙ reference start_workers.sh):
+two forked worker PROCESSES race on one filesystem queue; every
+scheduled repo is imported exactly once across the fleet."""
+
+import subprocess
+import sys
+
+from tests.test_git_extract import _mkrepo
+
+
+def test_start_workers_forks_processes_and_drains_queue(spark, tmp_path):
+    import shutil
+
+    from clickhub_spark.queue import WorkQueue
+    from clickhub_spark.sources.git_extract import extract_git_history
+
+    src = _mkrepo(tmp_path)
+    tsvs = extract_git_history(src, str(tmp_path / "tsv"))
+    tsv_dir = tmp_path / "by_repo"
+    tsv_dir.mkdir()
+    repos = ["acme/alpha", "acme/beta"]
+    for r in repos:  # start_worker resolves tsv_dir/<repo with / as %2F>.tsv
+        shutil.copy(tsvs["commits"], tsv_dir / (r.replace("/", "%2F") + ".tsv"))
+
+    data_dir = tmp_path / "data"
+    queue = WorkQueue(str(data_dir / "queue"))
+    for r in repos:
+        queue.schedule(r)
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "clickhub_spark",
+            "--data-dir",
+            str(data_dir),
+            "start_workers",
+            "--tsv-dir",
+            str(tsv_dir),
+            "--n",
+            "2",
+            "--polls",
+            "3",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert queue.list_jobs() == []  # fleet drained the queue
+    imported = spark.read.parquet(str(data_dir / "commits"))
+    per_repo = {
+        r.repo_name: r.n
+        for r in imported.groupBy("repo_name").count().withColumnRenamed("count", "n").collect()
+    }
+    # each repo imported EXACTLY once (3 commits each, no double-claim)
+    assert per_repo == {"acme/alpha": 3, "acme/beta": 3}
