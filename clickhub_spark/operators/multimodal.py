@@ -2,12 +2,13 @@
 payloads as opaque ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` UDFs.
 
-Image decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
-filters) and 24-bit BMP — pure stdlib zlib+struct, no codec library
-(``decode_png`` / ``decode_bmp`` / ``real_decode``).  Audio/video
-decode and image re-encode (resize output, frame extraction) remain
-STUBS behind ``decode_fn``-style hooks: the container ships no
-codecs, and re-encoding needs one.  The Spark-side plumbing is real
+Media decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
+filters), 24-bit BMP, and PCM WAV (8/16-bit) — pure stdlib
+zlib+struct, no codec library (``decode_png`` / ``decode_bmp`` /
+``decode_wav`` / ``real_decode``).  Compressed audio/video decode and
+image re-encode (resize output, frame extraction) remain STUBS behind
+``decode_fn``-style hooks: the container ships no codecs, and
+re-encoding needs one.  The Spark-side plumbing is real
 and tested either way: schema contract, Arrow batch iteration,
 partition-size control, and the metadata columns a 100 TB media
 pipeline needs before any decode (size, hash, type tag) so pruning
@@ -270,15 +271,71 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     return (width, height, 3, bytes(out))
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL dependency-free WAV decode (struct only): RIFF/WAVE PCM
+    8-bit or 16-bit → (sample_rate, n_channels, samples in [-1, 1]
+    interleaved).  Float/ADPCM/extensible formats raise ValueError so
+    callers fall back to metadata-only triage."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (no fmt/data chunk)")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 8:  # unsigned
+        samples = [(v - 128) / 128.0 for v in data]
+    else:  # 16-bit signed little-endian
+        n = len(data) // 2
+        samples = [v / 32768.0 for v in struct.unpack(f"<{n}h", data[: n * 2])]
+    return (sample_rate, n_channels, samples)
+
+
+def probe_audio(payload: bytes) -> tuple[str | None, int, int, int]:
+    """Header-only audio triage: (format, sample_rate, n_channels,
+    n_samples) without decoding samples — the cheap prune columns."""
+    import struct
+
+    if payload is None or len(payload) < 44:
+        return (None, -1, -1, -1)
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, -1, -1, -1)
+    pos, rate, ch, bits, data_sz = 12, -1, -1, 8, 0
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data_sz = size
+        pos += 8 + size + (size & 1)
+    n = data_sz // max(1, (bits // 8) * max(1, ch))
+    return ("wav", rate, ch, n)
+
+
 def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
-    """Pixel-statistic feature extractor backed by the REAL PNG/BMP
-    decoders for the formats ``probe_image`` detects; other payloads
+    """Media-statistic feature extractor backed by the REAL PNG/BMP/WAV
+    decoders for the formats the header probes detect; other payloads
     (including the utf8-text fakes the testdata derives) keep the
     deterministic byte-stat stub so the mapInPandas contract never
-    raises on mixed corpora.  Features (fixed n_feat wide, zero-padded):
+    raises on mixed corpora.  Image features (fixed n_feat wide):
     [width, height, channels, mean/255, std/255, min/255, max/255,
-    mean |horizontal gradient|/255] — the cheap stats a quality-filter
-    or near-dup prefilter runs before any model inference."""
+    mean |horizontal gradient|/255]; audio features: [sample_rate,
+    n_channels, n_samples, rms, peak, zero-crossing rate, mean,
+    duration_sec] — the cheap stats a quality-filter or near-dup
+    prefilter runs before any model inference."""
     import math
 
     fmt, _, _ = probe_image(payload)
@@ -287,6 +344,23 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
             w, h, ch, px = decode_png(payload)
         elif fmt == "bmp":
             w, h, ch, px = decode_bmp(payload)
+        elif probe_audio(payload)[0] == "wav":
+            rate, ach, s = decode_wav(payload)
+            if not s:
+                return stub_decode(payload, n_feat)
+            rms = math.sqrt(sum(v * v for v in s) / len(s))
+            zc = sum(1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0))
+            feats = [
+                float(rate),
+                float(ach),
+                float(len(s)),
+                round(rms, 6),
+                round(max(abs(v) for v in s), 6),
+                round(zc / max(1, len(s) - 1), 6),
+                round(sum(s) / len(s), 6),
+                round(len(s) / ach / rate, 6),
+            ]
+            return (feats + [0.0] * n_feat)[:n_feat]
         else:
             return stub_decode(payload, n_feat)
     except ValueError:  # detected format, unsupported variant

@@ -213,6 +213,44 @@ def test_real_decode_pixel_stats_and_fallback():
     assert real_decode(b"plain text") == stub_decode(b"plain text")
 
 
+def _wav(rate, samples16, channels=1):
+    """Minimal real PCM WAV encoder (16-bit signed)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples16)}h", *samples16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_roundtrip_and_features():
+    import math
+
+    from clickhub_spark.operators.multimodal import (
+        decode_wav,
+        probe_audio,
+        real_decode,
+    )
+
+    # one full cycle of a 1 kHz square-ish wave at 8 kHz
+    samples = [16384 if (i // 4) % 2 == 0 else -16384 for i in range(8000)]
+    blob = _wav(8000, samples)
+    rate, ch, s = decode_wav(blob)
+    assert (rate, ch, len(s)) == (8000, 1, 8000)
+    assert abs(s[0] - 0.5) < 1e-4 and abs(s[4] + 0.5) < 1e-4
+    assert probe_audio(blob) == ("wav", 8000, 1, 8000)
+    feat = real_decode(blob)
+    assert feat[:3] == [8000.0, 1.0, 8000.0]
+    assert abs(feat[3] - 0.5) < 1e-3          # rms of a ±0.5 square wave
+    assert abs(feat[4] - 0.5) < 1e-3          # peak
+    assert abs(feat[5] - 0.25) < 1e-2         # zero crossings every 4 samples
+    assert abs(feat[7] - 1.0) < 1e-6          # 1 second
+    assert not math.isnan(feat[6])
+    # malformed/unsupported WAVs fall back to the byte-stat stub
+    assert real_decode(blob[:30]) == stub_decode(blob[:30])
+
+
 def test_extract_features_real_png_in_dataframe(spark):
     """End-to-end: real PNG bytes through the mapInPandas extraction —
     the decode contract running distributed, not just in-process."""
