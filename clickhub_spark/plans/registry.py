@@ -52,6 +52,8 @@ ROUND_PRIORITY = [
     "q_llm_simhash",
     "q_tpch_q5",
     "q_tpch_q10",
+    "q_tpch_q7",
+    "q_tpch_q14",
 ]
 
 

@@ -31,6 +31,23 @@ def test_oracle_map_is_subset_of_queries():
     }
 
 
+def test_round_priority_front_loads_window(monkeypatch):
+    """Driver windows verify a prefix: ROUND_PRIORITY names must lead,
+    SPARK_GRAFT_QUERY_ORDER must override, and neither may drop or
+    duplicate a registration."""
+    from clickhub_spark.plans import registry
+
+    names = list(all_specs())
+    want = [n for n in registry.ROUND_PRIORITY if n in names]
+    assert names[: len(want)] == want
+    assert len(names) == len(set(names)) == len(registry._REGISTRY)
+
+    monkeypatch.setenv("SPARK_GRAFT_QUERY_ORDER", "q_agg_count,q_join_inner")
+    override = list(all_specs())
+    assert override[:2] == ["q_agg_count", "q_join_inner"]
+    assert sorted(override) == sorted(names)
+
+
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
