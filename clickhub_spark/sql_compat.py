@@ -77,6 +77,9 @@ _FN_RENAMES = {
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
     "anyLast": "last_value",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "modulo": "mod",
 }
 
 #: <agg>If(x, cond) → <agg>(CASE WHEN cond THEN x END); Spark only has
@@ -101,9 +104,32 @@ _FMT_TOKENS = {
 }
 
 
+def _rewrite_array_literals(sql: str) -> str:
+    """ClickHouse ``[1, 2, 3]`` array literals → Spark ``array(1, 2, 3)``.
+    A ``[`` is a subscript opener (left unchanged — Spark accepts
+    ``x[1]``) only when it DIRECTLY follows an expression-ending char
+    (identifier char, ``)``, ``]``) with no whitespace, the way
+    subscripts are written; after a space, comma, operator, or at
+    start it is an array literal.  Balanced scan so nesting works."""
+    out = list(sql)
+    stack = []  # replacement for each open bracket's closer: ")" or "]"
+    for i, ch in enumerate(sql):
+        if ch == "[":
+            prev = sql[i - 1] if i else ""
+            literal = not (prev.isalnum() or prev in "_)]")
+            stack.append(")" if literal else "]")
+            if literal:
+                out[i] = "array("
+        elif ch == "]" and stack:
+            out[i] = stack.pop()
+    return "".join(out)
+
+
 def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
     """Rewrite every ``name(...)`` call, scanning balanced parentheses
-    so nested calls like ``toStartOfWeek(CAST(x AS DATE))`` work.
+    AND square brackets so nested calls like
+    ``toStartOfWeek(CAST(x AS DATE))`` and array literals like
+    ``arrayExists(x -> x > 2, [1, 2, 3])`` split correctly.
     ``render`` receives the list of top-level comma-split arguments."""
     out = []
     i = 0
@@ -115,6 +141,7 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
             return "".join(out)
         out.append(sql[i : m.start()])
         depth, j, args, start = 1, m.end(), [], m.end()
+        brackets = 0
         while j < len(sql) and depth:
             ch = sql[j]
             if ch == "(":
@@ -123,7 +150,11 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
                 depth -= 1
                 if depth == 0:
                     args.append(sql[start:j].strip())
-            elif ch == "," and depth == 1:
+            elif ch == "[":
+                brackets += 1
+            elif ch == "]":
+                brackets -= 1
+            elif ch == "," and depth == 1 and brackets == 0:
                 args.append(sql[start:j].strip())
                 start = j + 1
             j += 1
@@ -191,6 +222,17 @@ def translate(sql: str) -> str:
     out = re.sub(r"(\w+)::String\b", r"CAST(\1 AS STRING)", out)
     out = re.sub(r"(\w+)::U?Int\d+\b", r"CAST(\1 AS BIGINT)", out)
     out = re.sub(r"'([^']*)'::String\b", r"'\1'", out)
+    # function-style casts: toInt64(x)/toUInt32(x) → BIGINT,
+    # toFloat64(x) → DOUBLE, toDateTime(x) → TIMESTAMP
+    # (_rewrite_call embeds `name` in its regex, so a pattern works)
+    for ch_fn, sql_type in [
+        (r"toU?Int(?:8|16|32|64)", "BIGINT"),
+        (r"toFloat(?:32|64)", "DOUBLE"),
+        (r"toDateTime", "TIMESTAMP"),
+    ]:
+        out = _rewrite_call(
+            out, ch_fn, lambda a, t=sql_type: f"CAST({a[0]} AS {t})"
+        )
     # uniqExact(x) → count(DISTINCT x)  (count_distinct is not a SQL name)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
     # <agg>If(col, cond) → <agg>(CASE WHEN cond THEN col END); Spark
@@ -238,6 +280,18 @@ def translate(sql: str) -> str:
         out, "arrayFilter", lambda args: f"filter({args[1]}, {args[0]})", nargs=2
     )
     out = _rewrite_call(out, "arrayUniq", lambda args: f"size(array_distinct({args[0]}))")
+    out = _rewrite_call(
+        out, "arrayExists", lambda args: f"exists({args[1]}, {args[0]})", nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayAll", lambda args: f"forall({args[1]}, {args[0]})", nargs=2
+    )
+
+    def _array_string_concat(args: list[str]) -> str:
+        sep = args[1] if len(args) > 1 else "''"
+        return f"array_join({args[0]}, {sep})"
+
+    out = _rewrite_call(out, "arrayStringConcat", _array_string_concat)
     # formatDateTime(x, '%Y-%m-%d') → date_format with translated tokens
     def _fmt_datetime(args: list[str]) -> str:
         fmt = args[1]
@@ -339,6 +393,8 @@ def translate(sql: str) -> str:
     # bare trailing FINAL with no preceding table name is dropped.
     out = re.sub(r"\b(\w+)\s+FINAL\b", r"\1_final", out)
     out = re.sub(r"\bFINAL\b", "", out)
+    # [1, 2, 3] array literals → array(1, 2, 3); x[1] subscripts kept
+    out = _rewrite_array_literals(out)
     return out
 
 

@@ -360,3 +360,26 @@ def test_statistical_aggregate_renames(spark):
     assert 5 <= r.med <= 6
     # `= ANY(subquery)` must survive untouched
     assert "ANY(SELECT" in translate("SELECT * FROM t WHERE x = ANY(SELECT y FROM u)")
+
+
+def test_cast_functions_array_lambdas_and_padding(spark):
+    from clickhub_spark.sql_compat import run, translate
+
+    r = run(spark, """
+        SELECT toInt64('42') AS i, toUInt32('7') AS u, toFloat64('2.5') AS f,
+               toDateTime('2025-03-01 12:00:00') AS t,
+               arrayStringConcat(['a', 'b', 'c'], '-') AS joined,
+               arrayExists(x -> x > 2, [1, 2, 3]) AS ex,
+               arrayAll(x -> x > 0, [1, 2, 3]) AS al,
+               leftPad('7', 3, '0') AS lp,
+               modulo(10, 3) AS m
+    """).first()
+    assert (r.i, r.u, r.f) == (42, 7, 2.5)
+    assert str(r.t).startswith("2025-03-01 12:00:00")
+    assert r.joined == "a-b-c" and r.ex is True and r.al is True
+    assert r.lp == "007" and r.m == 1
+    # toDateTime64 (different function) must NOT be rewritten
+    assert "toDateTime64" in translate("SELECT toDateTime64(x, 3) FROM t")
+    # array LITERALS become array(); SUBSCRIPTS stay brackets
+    assert translate("SELECT [1, [2, 3]] AS a") == "SELECT array(1, array(2, 3)) AS a"
+    assert translate("SELECT x[1] FROM t") == "SELECT x[1] FROM t"
