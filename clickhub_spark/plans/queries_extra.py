@@ -517,6 +517,28 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_uniq_state", oracle=None)  # DataSketches state: engine-internal
+def q_agg_uniq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable aggregate states (AggregatingMergeTree analog,
+    operators/aggstate.py): per-(event_type, day) HLL partials merged
+    to per-event_type unique-user estimates — uniqState at insert
+    grain, uniqMerge at read grain, raw data scanned once.  Rows-only:
+    the sketch binary is engine-internal; correctness pinned by units
+    (merge ≡ global, error bound vs exact, append ≡ rebuild) in
+    tests/test_aggstate.py."""
+    from clickhub_spark.operators.aggstate import uniq_state
+
+    ev = load(spark, sf_dir, "events")
+    partials = uniq_state(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(F.hll_union_agg("uniq_state").alias("u"))
+        .select("event_type", F.hll_sketch_estimate("u").cast("long").alias("uniq_est"))
+    )
+
+
 @query(
     "q_tpch_q7",
     oracle="""

@@ -28,6 +28,7 @@ def test_oracle_map_is_subset_of_queries():
         "q_llm_knn_lsh",
         "q_agg_approx_quantile",
         "q_llm_knn_ivf",
+        "q_agg_uniq_state",
     }
 
 
