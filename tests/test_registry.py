@@ -29,6 +29,7 @@ def test_oracle_map_is_subset_of_queries():
         "q_agg_approx_quantile",
         "q_llm_knn_ivf",
         "q_agg_uniq_state",
+        "q_llm_knn_pq",
     }
 
 
