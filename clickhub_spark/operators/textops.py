@@ -131,3 +131,37 @@ def chunk_documents(
             F.concat_ws(" ", "__c").alias("chunk"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus-mixing sampler — the data-mixture step of
+    a training pipeline (downsample over-represented sources to target
+    weights).  Sampling is by md5(key) prefix against a per-group
+    threshold, NOT random: repeatable across runs/engines, joinable
+    across tables sampled on the same key (the ClickHouse SAMPLE
+    philosophy), and map-only — no shuffle, prunable when the table is
+    bucketed by the key.  ``rates`` maps group value → keep fraction
+    in [0, 1]; unlisted groups keep ``default_rate``.
+
+    The 16-bit hash prefix quantizes rates to 1/65536 steps —
+    deterministic parity beats sub-basis-point rate precision here."""
+    def threshold(rate: float) -> str:
+        if rate >= 1.0:
+            return "zzzz"  # above any hex digit → keep all
+        return format(max(0, int(rate * 65536)), "04x")
+
+    thr = F.lit(None).cast("string")
+    expr = None
+    for value, rate in rates.items():
+        cond = F.col(group_col) == value
+        expr = F.when(cond, threshold(rate)) if expr is None else expr.when(cond, threshold(rate))
+    thr = expr.otherwise(threshold(default_rate)) if expr is not None else F.lit(threshold(default_rate))
+    return df.where(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < thr
+    )

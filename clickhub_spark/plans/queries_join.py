@@ -164,6 +164,46 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_any",
+    oracle="""
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice,
+           l.l_linenumber, ROUND(l.l_quantity, 2) AS l_quantity
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) = 1
+    ) l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey <= 2000
+    """,
+)
+def q_join_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse LEFT ANY JOIN: each left row pairs with AT MOST ONE
+    right match.  CH picks an arbitrary one; for cross-engine
+    determinism this uses the canonical deterministic variant — the
+    right side is reduced to one row per key BEFORE the join — min of
+    struct(l_linenumber, l_quantity), a FULL lexicographic tiebreaker
+    because the synthetic lineitem repeats line numbers within an
+    order.  This is also the plan you want at scale: the dedup's
+    partial aggregation collapses the many-side pre-shuffle, so the
+    join never amplifies rows."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    l1 = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.struct("l_linenumber", "l_quantity")).alias("s"))
+        .select("l_orderkey", F.col("s.l_linenumber").alias("l_linenumber"),
+                F.col("s.l_quantity").alias("l_quantity"))
+    )
+    return o.join(l1, F.col("l_orderkey") == F.col("o_orderkey"), "left").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("l_quantity"),
+    )
+
+
+@query(
     "q_join_range",
     oracle="""
     SELECT o.o_orderkey, COUNT(*) AS n_shipped_90d

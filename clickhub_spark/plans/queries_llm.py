@@ -703,6 +703,34 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_mixture",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN 'zzzz'    -- keep all
+                    WHEN 'de' THEN '8000'    -- 1/2
+                    WHEN 'fr' THEN '4000'    -- 1/4
+                    ELSE '1000' END          -- 1/16
+    """,
+)
+def q_llm_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixture sampling (operators/textops.
+    mixture_sample) — downsample per-source to target data-mixing
+    weights by md5-prefix threshold: repeatable, joinable, map-only
+    (no shuffle; prunable under bucketing).  en kept whole, de 1/2,
+    fr 1/4, everything else 1/16."""
+    from clickhub_spark.operators.textops import mixture_sample
+
+    return mixture_sample(
+        load(spark, sf_dir, "documents"),
+        rates={"en": 1.0, "de": 0.5, "fr": 0.25},
+        group_col="lang",
+        key_col="doc_id",
+        default_rate=1 / 16,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 @query("q_llm_knn_pq", oracle=None)  # PQ codes: engine-internal quantization
 def q_llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-20 (SURVEY §2.J6 scale path #3,

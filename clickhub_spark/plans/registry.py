@@ -54,6 +54,10 @@ ROUND_PRIORITY = [
     "q_tpch_q10",
     "q_tpch_q7",
     "q_tpch_q14",
+    "q_join_any",
+    "q_llm_mixture",
+    "q_agg_uniq_state",
+    "q_llm_knn_pq",
 ]
 
 

@@ -34,3 +34,26 @@ def test_embed_centroid_assembles_to_correct_vectors(spark):
         expect = np.round(np.stack(grp["embedding"].values).mean(axis=0), 4)
         assert label in got and got[label].shape == (64,)
         assert np.allclose(got[label], expect, atol=1e-9), label
+
+
+def test_mixture_sample_realized_rates(spark):
+    """Realized per-group keep fractions must track the target weights
+    (md5 prefix is uniform; tolerance covers small-group variance)."""
+    from clickhub_spark.operators.textops import mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25}
+    sampled = mixture_sample(docs, rates, group_col="lang", key_col="doc_id",
+                             default_rate=0.0)
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert after.get("en") == before["en"]          # rate 1.0 keeps all
+    assert set(after) <= set(rates)                  # default 0 drops others
+    for lang, rate in [("de", 0.5), ("fr", 0.25)]:
+        realized = after.get(lang, 0) / before[lang]
+        assert abs(realized - rate) < 0.2, (lang, realized)
+    # determinism: same input → identical sample
+    again = {r.doc_id for r in sampled.select("doc_id").collect()}
+    assert again == {r.doc_id for r in mixture_sample(
+        docs, rates, group_col="lang", key_col="doc_id", default_rate=0.0
+    ).select("doc_id").collect()}
