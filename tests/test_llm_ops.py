@@ -36,6 +36,33 @@ def test_embed_centroid_assembles_to_correct_vectors(spark):
         assert np.allclose(got[label], expect, atol=1e-9), label
 
 
+def test_int8_quantization_preserves_similarity(spark):
+    """quantize_int8/dequantize_int8: reconstruction cosine ≥ 0.999
+    per vector, codes within int8, zero vector safe."""
+    from clickhub_spark.functions.vectors import (
+        as_double,
+        cosine,
+        dequantize_int8,
+        maxabs,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    v = as_double(F.col("embedding"))
+    out = emb.select(
+        F.col("vec_id"),
+        quantize_int8(v).alias("q"),
+        maxabs(v).alias("scale"),
+        F.round(cosine(v, dequantize_int8(quantize_int8(v), maxabs(v))), 5).alias("c"),
+    )
+    rows = out.collect()
+    assert all(r.c >= 0.999 for r in rows)
+    assert all(-127 <= code <= 127 for r in rows for code in r.q)
+    zero = spark.createDataFrame([([0.0] * 4,)], "embedding array<double>")
+    zq = zero.select(quantize_int8(F.col("embedding")).alias("q")).first().q
+    assert zq == [0, 0, 0, 0]
+
+
 def test_mixture_sample_realized_rates(spark):
     """Realized per-group keep fractions must track the target weights
     (md5 prefix is uniform; tolerance covers small-group variance)."""
