@@ -54,6 +54,8 @@ ROUND_PRIORITY = [
     "q_tpch_q10",
     "q_tpch_q7",
     "q_tpch_q14",
+    "q_tpch_q8",
+    "q_tpch_q13",
     "q_join_any",
     "q_llm_mixture",
     "q_agg_uniq_state",
