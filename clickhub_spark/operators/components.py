@@ -2,18 +2,21 @@
 step that turns pairwise dedup output into droppable duplicate GROUPS
 (each component keeps one canonical doc; SURVEY §2.J5 completes here).
 
-Algorithm: iterative min-label propagation (the standard large-graph
-connected-components on Spark — e.g. the Hash-to-Min formulation):
-every node starts labeled with its own id; each round, a node adopts
-the minimum label among itself and its neighbors; converged when no
-label changes.  Rounds are O(graph diameter) — near-dup graphs are
-overwhelmingly tiny star/clique clusters, so 2-4 rounds in practice.
+Algorithm: min-label propagation with POINTER DOUBLING: each round a
+node adopts the min label among (itself, its neighbors), then labels
+shortcut through their own target (comp ← label[comp]), halving
+label-chain lengths — convergence in O(log diameter) rounds instead
+of O(diameter).  Near-dup graphs are overwhelmingly tiny star/clique
+clusters (2-3 rounds either way), but substring/incremental pair
+streams can chain (A~B~C~…), and at 100 TB a 10^4-long chain must
+cost ~14 rounds, not 10^4 — the chain test pins an 80-node path
+converging within 10 rounds.
 
-Scale notes: each round is one join + one aggregate on (node, label)
-— all shuffles on node id; no driver-side graph state (the driver
-only sees the one-number convergence check per round).  The round
-DataFrames are checkpoint-truncated via localCheckpoint to keep the
-lineage from growing unboundedly.
+Scale notes: each round is two joins + one aggregate, all shuffled on
+node id; no driver-side graph state (the driver only sees the
+one-number convergence check per round).  The round DataFrames are
+checkpoint-truncated via localCheckpoint to keep lineage from growing
+unboundedly.
 """
 
 from __future__ import annotations
@@ -54,13 +57,28 @@ def connected_components(
         # change count inside the checkpoint's own materialization job
         # — one Spark job per round, not checkpoint + count
         obs = Observation()
-        with_old = (
+        propagated = (
             labels.withColumnRenamed("comp", "__old")
             .join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("__old"), F.coalesce(F.col("nbr_comp"), F.col("__old"))
+                ).alias("__mid"),
+                "__old",
+            )
+        )
+        # pointer doubling: shortcut each label through its target's
+        # label (comp ← label[comp]), halving chain lengths per round
+        target = propagated.select(
+            F.col("node").alias("__t_node"), F.col("__mid").alias("__t_comp")
+        )
+        with_old = (
+            propagated.join(target, propagated.__mid == target.__t_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("__mid"), F.coalesce(F.col("__t_comp"), F.col("__mid"))
                 ).alias("comp"),
                 "__old",
             )

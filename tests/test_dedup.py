@@ -155,6 +155,19 @@ def test_connected_components_shapes(spark):
     assert groups == {1: (4, 1), 10: (2, 10), 20: (3, 20)}
 
 
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: an 80-edge path must converge within 10
+    rounds (plain propagation needs 80 — it would blow the max_iter
+    guard), and every node must still land on the chain's min id."""
+    from clickhub_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "id_a long, id_b long"
+    )
+    cc = {r.node: r.comp for r in connected_components(pairs, max_iter=10).collect()}
+    assert cc == {i: 0 for i in range(81)}
+
+
 def test_incremental_pairs_match_full_run_and_reuse_store(spark, tmp_path):
     """Incremental dedup (new batch vs prebuilt signature store) must
     equal the from-scratch LSH restricted to pairs involving the new
