@@ -2,21 +2,24 @@
 step that turns pairwise dedup output into droppable duplicate GROUPS
 (each component keeps one canonical doc; SURVEY §2.J5 completes here).
 
-Algorithm: min-label propagation with POINTER DOUBLING: each round a
-node adopts the min label among (itself, its neighbors), then labels
+Algorithm: min-label propagation with ADAPTIVE POINTER DOUBLING.
+Each round a node adopts the min label among (itself, its
+neighbors); from round ``doubling_after`` on, labels additionally
 shortcut through their own target (comp ← label[comp]), halving
-label-chain lengths — convergence in O(log diameter) rounds instead
-of O(diameter).  Near-dup graphs are overwhelmingly tiny star/clique
-clusters (2-3 rounds either way), but substring/incremental pair
+label-chain lengths — O(log diameter) rounds instead of
+O(diameter).  The adaptivity matches the workload: near-dup graphs
+are overwhelmingly tiny star/clique clusters that converge in 2-3
+plain rounds (the shortcut join would only add cost there — measured
++60% on the sf0.1 bench graph), but substring/incremental pair
 streams can chain (A~B~C~…), and at 100 TB a 10^4-long chain must
-cost ~14 rounds, not 10^4 — the chain test pins an 80-node path
-converging within 10 rounds.
+cost ~17 rounds, not 10^4 — the chain test pins an 80-node path
+converging within 12 rounds.
 
-Scale notes: each round is two joins + one aggregate, all shuffled on
-node id; no driver-side graph state (the driver only sees the
-one-number convergence check per round).  The round DataFrames are
-checkpoint-truncated via localCheckpoint to keep lineage from growing
-unboundedly.
+Scale notes: each round is one join + one aggregate (+1 node-keyed
+join once doubling engages), all shuffled on node id; no driver-side
+graph state (the driver only sees the one-number convergence check
+per round).  The round DataFrames are checkpoint-truncated via
+localCheckpoint to keep lineage from growing unboundedly.
 """
 
 from __future__ import annotations
@@ -29,10 +32,13 @@ def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
+    doubling_after: int = 2,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
-    component = min node id reachable through the pair graph."""
+    component = min node id reachable through the pair graph.
+    ``doubling_after``: plain-propagation rounds before the pointer-
+    doubling shortcut engages (see module docstring)."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -47,7 +53,7 @@ def connected_components(
     from pyspark.sql import Observation
 
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -68,20 +74,24 @@ def connected_components(
                 "__old",
             )
         )
-        # pointer doubling: shortcut each label through its target's
-        # label (comp ← label[comp]), halving chain lengths per round
-        target = propagated.select(
-            F.col("node").alias("__t_node"), F.col("__mid").alias("__t_comp")
-        )
-        with_old = (
-            propagated.join(target, propagated.__mid == target.__t_node, "left")
-            .select(
+        if rnd >= doubling_after:
+            # pointer doubling: shortcut each label through its
+            # target's label (comp ← label[comp]) — halves chain
+            # lengths; engaged only once plain rounds didn't converge
+            target = propagated.select(
+                F.col("node").alias("__t_node"), F.col("__mid").alias("__t_comp")
+            )
+            propagated = propagated.join(
+                target, propagated.__mid == target.__t_node, "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("__mid"), F.coalesce(F.col("__t_comp"), F.col("__mid"))
-                ).alias("comp"),
+                ).alias("__mid"),
                 "__old",
             )
+        with_old = (
+            propagated.withColumnRenamed("__mid", "comp")
             .observe(obs, F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )

@@ -156,15 +156,15 @@ def test_connected_components_shapes(spark):
 
 
 def test_connected_components_long_chain_converges_logarithmically(spark):
-    """Pointer doubling: an 80-edge path must converge within 10
-    rounds (plain propagation needs 80 — it would blow the max_iter
+    """Adaptive pointer doubling: an 80-edge path must converge within
+    12 rounds (plain propagation needs 80 — it would blow the max_iter
     guard), and every node must still land on the chain's min id."""
     from clickhub_spark.operators.components import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(80)], "id_a long, id_b long"
     )
-    cc = {r.node: r.comp for r in connected_components(pairs, max_iter=10).collect()}
+    cc = {r.node: r.comp for r in connected_components(pairs, max_iter=12).collect()}
     assert cc == {i: 0 for i in range(81)}
 
 
