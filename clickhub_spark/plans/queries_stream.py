@@ -88,3 +88,41 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+           p.ts AS purchase_ts, c.event_id AS click_id,
+           c.ts AS click_ts, ROUND(p.value, 2) AS value
+    FROM events p
+    JOIN events c ON c.user_id = p.user_id
+                 AND c.event_type = 'click'
+                 AND c.ts <= p.ts
+                 AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, batch-equivalent form (SURVEY §2.I):
+    purchases matched to same-user clicks in the preceding 30 minutes
+    — the identical DataFrame expression streaming/mv.
+    stream_stream_join runs with watermarks on both sides (unit-tested
+    equal on static inputs).  The time-band predicate rides the
+    user_id equi-key, so Catalyst plans a hash join + residual range
+    filter, never a cartesian."""
+    from clickhub_spark.streaming.mv import stream_stream_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = stream_stream_join(clicks, purchases, window_seconds=1800)
+    return out.select(
+        "purchase_id",
+        "p_user",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.round("value", 2).alias("value"),
+    )

@@ -58,3 +58,36 @@ def test_incremental_append_idempotent(spark, tmp_path):
         stored, keys=["repo_name", "time", "hash"], version=["updated_at", "lines_added"]
     )
     assert finals.count() == stored.select("repo_name", "time", "hash").distinct().count()
+
+
+def test_tolerant_tsv_drops_and_quarantines_malformed_rows(spark, tmp_path):
+    """Malformed rows (wrong arity, uncastable cells) are dropped, not
+    fatal; quarantine captures them verbatim for offline repair; good
+    rows cast exactly as the strict reader."""
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.sources.tsv import read_positional_tsv_tolerant
+
+    schema = (
+        StructType()
+        .add("id", "long")
+        .add("name", "string")
+        .add("score", "double")
+        .add("repo_name", "string")
+    )
+    tsv = tmp_path / "rows.tsv"
+    tsv.write_text(
+        "1\talpha\t1.5\n"
+        "not-a-number\tbeta\t2.0\n"   # uncastable id
+        "3\tgamma\toops\n"            # uncastable score
+        "4\tdelta\n"                  # missing column
+        "5\tepsilon\t5.25\n"
+    )
+    q = str(tmp_path / "quarantine")
+    out = read_positional_tsv_tolerant(
+        spark, str(tsv), schema, literals={"repo_name": "acme/x"}, quarantine=q
+    )
+    rows = {r.id: (r.name, r.score, r.repo_name) for r in out.collect()}
+    assert rows == {1: ("alpha", 1.5, "acme/x"), 5: ("epsilon", 5.25, "acme/x")}
+    quarantined = {r.value for r in spark.read.text(q).collect()}
+    assert quarantined == {"not-a-number\tbeta\t2.0", "3\tgamma\toops", "4\tdelta"}
