@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--show", type=int, default=20)
+    q.add_argument(
+        "--format",
+        choices=["table", "json", "csv", "tsv"],
+        default="table",
+        help="output format (≙ clickhouse-client FORMAT Pretty/JSONEachRow/CSV/TSV)",
+    )
 
     v = sub.add_parser("serve")  # reference app.py:65 (Flask, port 5000)
     v.add_argument("--host", default="0.0.0.0")
@@ -87,6 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--query", required=True, help="ClickHouse-dialect SQL")
     x.add_argument("--sf-dir", default=None, help="also register testdata tables")
     x.add_argument("--show", type=int, default=20)
+    x.add_argument(
+        "--format", choices=["table", "json", "csv", "tsv"], default="table"
+    )
 
     args = p.parse_args(argv)
 
@@ -197,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
             if os.path.isdir(path):
                 spark.read.parquet(path).createOrReplaceTempView(table)
         register_final_views(spark, data_dir)
-        run(spark, args.query).show(args.show, truncate=False)
+        _emit(run(spark, args.query), args.show, getattr(args, "format", "table"))
     elif args.cmd == "query":
         from clickhub_spark.plans import all_specs
 
@@ -209,8 +218,28 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         df = specs[args.name].builder(spark, args.sf_dir)
-        df.show(args.show, truncate=False)
+        _emit(df, args.show, getattr(args, "format", "table"))
     return 0
+
+
+def _emit(df, limit: int, fmt: str) -> None:
+    """Print a result in the chosen output format (≙ clickhouse-client
+    FORMAT Pretty / JSONEachRow / CSV / TSV)."""
+    if fmt == "table":
+        df.show(limit, truncate=False)
+        return
+    rows = df.limit(limit).collect() if limit else df.collect()
+    cols = df.columns
+    if fmt == "json":
+        import json
+
+        for r in rows:
+            print(json.dumps(r.asDict(recursive=True), default=str))
+    else:
+        sep = "," if fmt == "csv" else "\t"
+        print(sep.join(cols))
+        for r in rows:
+            print(sep.join("" if v is None else str(v) for v in r))
 
 
 if __name__ == "__main__":
