@@ -110,11 +110,18 @@ def _rewrite_array_literals(sql: str) -> str:
     ``x[1]``) only when it DIRECTLY follows an expression-ending char
     (identifier char, ``)``, ``]``) with no whitespace, the way
     subscripts are written; after a space, comma, operator, or at
-    start it is an array literal.  Balanced scan so nesting works."""
+    start it is an array literal.  Balanced scan so nesting works;
+    brackets inside single-quoted string literals pass through
+    untouched."""
     out = list(sql)
     stack = []  # replacement for each open bracket's closer: ")" or "]"
+    in_string = False
     for i, ch in enumerate(sql):
-        if ch == "[":
+        if ch == "'":
+            in_string = not in_string
+        elif in_string:
+            continue
+        elif ch == "[":
             prev = sql[i - 1] if i else ""
             literal = not (prev.isalnum() or prev in "_)]")
             stack.append(")" if literal else "]")

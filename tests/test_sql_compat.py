@@ -383,3 +383,5 @@ def test_cast_functions_array_lambdas_and_padding(spark):
     # array LITERALS become array(); SUBSCRIPTS stay brackets
     assert translate("SELECT [1, [2, 3]] AS a") == "SELECT array(1, array(2, 3)) AS a"
     assert translate("SELECT x[1] FROM t") == "SELECT x[1] FROM t"
+    # brackets inside string literals are untouched
+    assert translate("SELECT '[not an array]' AS s") == "SELECT '[not an array]' AS s"
