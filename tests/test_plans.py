@@ -153,3 +153,49 @@ def test_substring_dup_join_is_hash_based(spark):
     plan = _plan(spark, "q_llm_dedup_substring")
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark 4's runtime bloom-filter join pruning (default-on,
+    spark.sql.optimizer.runtime.bloomFilter.enabled) injects a
+    might_contain() filter on the fact side of a shuffle join, built
+    from the selective dim side, so fact rows that can't match are
+    dropped BEFORE the shuffle.  At 100 TB this is a major lever: a
+    1%-selective dim predicate prunes ~99% of the fact shuffle.
+
+    Locally the 10 GB applicationSideScanSizeThreshold suppresses it,
+    so this test lowers the thresholds to prove the plan shape the
+    cluster would get; the session profile leaves the production
+    thresholds alone.
+    """
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_DIR
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        # force a shuffle join: broadcast joins get pruning for free
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("s"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter did not engage"
+        assert "bloom_filter_agg" in plan
+        joined.collect()  # the pruned plan must still execute
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
