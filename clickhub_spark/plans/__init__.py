@@ -25,5 +25,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_llm,
     queries_stream,
     queries_fn2,
+    queries_tpch,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

@@ -60,6 +60,19 @@ ROUND_PRIORITY = [
     "q_llm_mixture",
     "q_agg_uniq_state",
     "q_llm_knn_pq",
+    # TPC-H completion (new this round): the 12 remaining spec queries.
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
 ]
 
 
