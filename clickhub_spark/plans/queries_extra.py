@@ -798,3 +798,118 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
         F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
     )
+
+
+def _orders_projections(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once PROJECTION layouts for the orders table (ClickHouse
+    ADD PROJECTION analog, sources/projections.py): a sort projection
+    partitioned by o_orderpriority, and a mergeable pre-aggregation
+    keyed (o_orderpriority, o_orderstatus).  Keyed on source files +
+    plan like every derived artifact."""
+    import os
+
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.sources.projections import (
+        AggProjection,
+        SortProjection,
+        materialize,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    base_dir = derived_artifact_path(orders, "projections")
+    if not os.path.exists(os.path.join(base_dir, "_projections.json")):
+        materialize(
+            orders,
+            base_dir,
+            [
+                SortProjection(
+                    "by_priority",
+                    sort_cols=("o_orderdate",),
+                    partition_by="o_orderpriority",
+                ),
+                AggProjection(
+                    "prio_status_rollup",
+                    group_cols=("o_orderpriority", "o_orderstatus"),
+                    aggs={
+                        "cents": (
+                            "sum",
+                            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)",
+                        ),
+                        "n": ("count", "o_orderkey"),
+                    },
+                ),
+            ],
+        )
+    return base_dir
+
+
+@query(
+    "q_projection_filter",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-routed point+range filter: the router picks the copy
+    PARTITIONED by o_orderpriority (dir-level pruning skips 4/5 of the
+    files before listing) whose in-file o_orderdate sort gives
+    row-group skipping on the range — the two pruning levels a
+    ClickHouse projection's ORDER BY provides.  Values are identical
+    to a base-table scan, so the oracle reads the plain table."""
+    from clickhub_spark.sources.projections import read_for_filter
+
+    base_dir = _orders_projections(spark, sf_dir)
+    routed, chosen = read_for_filter(
+        spark, base_dir, ["o_orderpriority", "o_orderdate"]
+    )
+    assert chosen == "by_priority", chosen
+    return routed.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")) / 100.0
+        ).alias("total"),
+    )
+
+
+@query(
+    "q_projection_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-routed aggregation: grouping by a SUBSET of the
+    pre-aggregation's keys, so the router answers from the tiny
+    (priority, status) rollup copy with merge functions (sum-of-sums,
+    sum-of-counts) — the fact table is never scanned.  Exact integer
+    cents make the re-aggregated sum bitwise-equal to the oracle's
+    single-pass sum."""
+    from clickhub_spark.sources.projections import read_for_agg
+
+    base_dir = _orders_projections(spark, sf_dir)
+    merged, chosen = read_for_agg(
+        spark,
+        base_dir,
+        ["o_orderpriority"],
+        {
+            "cents": ("sum", "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"),
+            "n": ("count", "o_orderkey"),
+        },
+    )
+    assert chosen == "prio_status_rollup", chosen
+    return merged.select(
+        "o_orderpriority",
+        (F.col("cents") / 100.0).alias("total"),
+        F.col("n"),
+    ).orderBy("o_orderpriority")

@@ -73,6 +73,9 @@ ROUND_PRIORITY = [
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
+    # ClickHouse PROJECTION analog (new this round)
+    "q_projection_filter",
+    "q_projection_agg",
 ]
 
 

@@ -1,0 +1,122 @@
+"""ClickHouse PROJECTION analog (sources/projections.py): routing
+picks the right copy, pruning actually appears in the routed plan,
+and merge re-aggregation equals a base-table aggregate."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from clickhub_spark.sources.projections import (
+    AggProjection,
+    SortProjection,
+    materialize,
+    read_for_agg,
+    read_for_filter,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def proj_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("proj") / "orders")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    materialize(
+        orders,
+        base,
+        [
+            SortProjection(
+                "by_priority", sort_cols=("o_orderdate",), partition_by="o_orderpriority"
+            ),
+            SortProjection("by_date", sort_cols=("o_orderdate", "o_orderkey")),
+            AggProjection(
+                "rollup",
+                group_cols=("o_orderpriority", "o_orderstatus"),
+                aggs={
+                    "total": ("sum", "o_totalprice"),
+                    "n": ("count", "o_orderkey"),
+                    "mx": ("max", "o_totalprice"),
+                    "mn": ("min", "o_totalprice"),
+                },
+            ),
+        ],
+    )
+    return base
+
+
+def test_partition_predicate_routes_to_partitioned_copy(spark, proj_dir):
+    _, chosen = read_for_filter(spark, proj_dir, ["o_orderpriority"])
+    assert chosen == "by_priority"
+
+
+def test_sort_predicate_routes_to_sorted_copy(spark, proj_dir):
+    _, chosen = read_for_filter(spark, proj_dir, ["o_orderdate"])
+    assert chosen == "by_date"
+
+
+def test_unmatched_predicate_falls_back_to_base(spark, proj_dir):
+    _, chosen = read_for_filter(spark, proj_dir, ["o_custkey"])
+    assert chosen == "base"
+
+
+def test_routed_copy_is_row_identical_and_pruned(spark, proj_dir):
+    routed, chosen = read_for_filter(spark, proj_dir, ["o_orderpriority"])
+    filtered = routed.where(F.col("o_orderpriority") == "1-URGENT")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert filtered.count() == base.count()
+
+
+def test_agg_route_merges_partial_states_without_fact_scan(spark, proj_dir):
+    merged, chosen = read_for_agg(
+        spark,
+        proj_dir,
+        ["o_orderpriority"],
+        {
+            "total": ("sum", "o_totalprice"),
+            "n": ("count", "o_orderkey"),
+            "mx": ("max", "o_totalprice"),
+            "mn": ("min", "o_totalprice"),
+        },
+    )
+    assert chosen == "rollup"
+    assert all("proj_rollup" in f for f in merged.inputFiles())
+    base = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("total"),
+            F.count("o_orderkey").alias("n"),
+            F.max("o_totalprice").alias("mx"),
+            F.min("o_totalprice").alias("mn"),
+        )
+    )
+    got = {r["o_orderpriority"]: r for r in merged.collect()}
+    want = {r["o_orderpriority"]: r for r in base.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["mx"] == want[k]["mx"]
+        assert got[k]["mn"] == want[k]["mn"]
+        # sum of partial double sums vs one global sum: ulp tolerance
+        assert abs(got[k]["total"] - want[k]["total"]) < 1e-6 * abs(want[k]["total"])
+
+
+def test_agg_route_falls_back_when_agg_not_stored(spark, proj_dir):
+    _, chosen = read_for_agg(
+        spark, proj_dir, ["o_orderpriority"], {"avg_p": ("sum", "o_custkey")}
+    )
+    assert chosen == "base"
+
+
+def test_non_mergeable_agg_rejected(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    with pytest.raises(ValueError, match="non-mergeable"):
+        materialize(
+            orders,
+            str(tmp_path / "bad"),
+            [AggProjection("bad", ("o_orderstatus",), {"a": ("avg", "o_totalprice")})],
+        )
