@@ -37,6 +37,7 @@ def write_sorted(
     sort_cols: list[str],
     mode: str = "append",
     compression: str = "zstd",
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Cluster rows for pruning: partition dirs + in-file sort order.
 
@@ -44,12 +45,29 @@ def write_sorted(
     scan-bandwidth-bound, and zstd's ~30% smaller files than snappy
     (on sorted analytics data) buy strictly more than its extra CPU —
     the same trade the reference's MergeTree makes with its ZSTD
-    column codecs."""
+    column codecs.
+
+    ``bloom_cols`` writes a parquet bloom filter per listed column —
+    the ClickHouse `INDEX ... TYPE bloom_filter` skip-index analog.
+    The sort key already gives min/max row-group skipping; blooms
+    cover POINT lookups on high-cardinality columns that are NOT in
+    the sort prefix (actor id, session id), where min/max ranges span
+    everything and would skip nothing.  The parquet reader consults
+    the bloom before decompressing a row group, so at 100 TB an
+    `actor_id = X` probe touches ~the row groups that contain X
+    instead of every one.  Costs ~1 MB/row-group/column — list only
+    columns that are genuinely probed by equality.  Note parquet-mr
+    omits the bloom while a column stays fully dictionary-encoded
+    (the dictionary is already an exact membership filter), so the
+    option only materializes bytes on high-cardinality columns —
+    which is the only place it helps anyway."""
     out = df
     if partition_by:
         out = out.repartition(F.col(partition_by))
     out = out.sortWithinPartitions(*sort_cols)
     writer = out.write.mode(mode).option("compression", compression)
+    for col in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
