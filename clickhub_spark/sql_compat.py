@@ -214,6 +214,55 @@ def _rewrite_parametric(sql: str, name: str, render) -> str:
         i = j2
 
 
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse ``ORDER BY o LIMIT n BY g [LIMIT m]`` (first n rows
+    per group, then an optional overall limit) → a row_number window
+    subquery.  Spark has no LIMIT BY; the window PARTITION BY the BY
+    columns ordered by the statement's ORDER BY reproduces the
+    per-group cut exactly.  Scoped to a single top-level ORDER
+    BY/LIMIT BY tail — the dialect subset the shim supports."""
+    if not re.search(r"(?i)\bLIMIT\s+\d+\s+BY\b", sql):
+        return sql
+    m = re.search(
+        r"(?is)^\s*(?P<body>.*?)"
+        r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+        r"\s+LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<by>[\w`.\s,]+?)"
+        r"(?:\s+LIMIT\s+(?P<outer>\d+))?\s*;?\s*$",
+        sql,
+    )
+    if not m:
+        return sql
+    # with no ORDER BY, ClickHouse keeps an arbitrary n per group; the
+    # BY columns as window order make that choice deterministic here
+    order = m.group("order") or m.group("by")
+    outer = f" LIMIT {m.group('outer')}" if m.group("outer") else ""
+    return (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT __lb.*, row_number() OVER "
+        f"(PARTITION BY {m.group('by')} ORDER BY {order}) AS __rn "
+        f"FROM ({m.group('body')}) __lb) WHERE __rn <= {m.group('n')}{outer}"
+    )
+
+
+def _rewrite_array_join_clause(sql: str) -> str:
+    """ClickHouse's ``[LEFT] ARRAY JOIN <expr> AS <alias>`` CLAUSE
+    (unnest-per-row; distinct from the arrayJoin() function) → Spark
+    ``LATERAL VIEW [OUTER] explode``.  LEFT keeps rows whose array is
+    empty/NULL (alias reads NULL) — exactly LATERAL VIEW OUTER."""
+
+    def repl(m: re.Match) -> str:
+        outer = "OUTER " if m.group("left") else ""
+        return (
+            f"LATERAL VIEW {outer}explode({m.group('expr')}) "
+            f"__aj_{m.group('alias')} AS {m.group('alias')}"
+        )
+
+    return re.sub(
+        r"(?is)\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)",
+        repl,
+        sql,
+    )
+
+
 def translate(sql: str) -> str:
     """Rewrite ClickHouse SQL to Spark SQL."""
     out = sql
@@ -402,6 +451,9 @@ def translate(sql: str) -> str:
     out = re.sub(r"\bFINAL\b", "", out)
     # [1, 2, 3] array literals → array(1, 2, 3); x[1] subscripts kept
     out = _rewrite_array_literals(out)
+    # structural clauses last, over the function-translated text
+    out = _rewrite_array_join_clause(out)
+    out = _rewrite_limit_by(out)
     return out
 
 

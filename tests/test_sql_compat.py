@@ -385,3 +385,38 @@ def test_cast_functions_array_lambdas_and_padding(spark):
     assert translate("SELECT x[1] FROM t") == "SELECT x[1] FROM t"
     # brackets inside string literals are untouched
     assert translate("SELECT '[not an array]' AS s") == "SELECT '[not an array]' AS s"
+
+
+def test_limit_by_rewrites_to_per_group_window(spark):
+    """ClickHouse LIMIT n BY g: first n rows per group under the
+    statement's ORDER BY, with an optional trailing overall LIMIT."""
+    from clickhub_spark.sql_compat import run, translate
+
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 5), ("b", 1, 7), ("b", 2, 9)],
+        "g string, k int, v int",
+    ).createOrReplaceTempView("lb_t")
+    rows = run(spark, "SELECT g, k, v FROM lb_t ORDER BY v DESC LIMIT 2 BY g")
+    assert sorted((r.g, r.v) for r in rows.collect()) == [
+        ("a", 10), ("a", 20), ("b", 7), ("b", 9),
+    ]
+    assert "__rn" not in rows.columns  # helper column stripped
+    assert len(run(spark, "SELECT g, k, v FROM lb_t ORDER BY v DESC LIMIT 2 BY g LIMIT 3").collect()) == 3
+    # plain LIMIT must NOT trigger the rewrite
+    assert "row_number" not in translate("SELECT g FROM lb_t LIMIT 5")
+
+
+def test_array_join_clause_rewrites_to_lateral_view(spark):
+    """ARRAY JOIN clause (unnest) and LEFT ARRAY JOIN (keep empty
+    arrays as NULL) — distinct from the arrayJoin() function form."""
+    from clickhub_spark.sql_compat import run
+
+    spark.createDataFrame(
+        [("x", [1, 2]), ("y", [])], "id string, arr array<int>"
+    ).createOrReplaceTempView("aj_t")
+    inner = run(spark, "SELECT id, a FROM aj_t ARRAY JOIN arr AS a")
+    assert sorted((r.id, r.a) for r in inner.collect()) == [("x", 1), ("x", 2)]
+    left = run(spark, "SELECT id, a FROM aj_t LEFT ARRAY JOIN arr AS a")
+    assert sorted(((r.id, r.a) for r in left.collect()), key=str) == sorted(
+        [("x", 1), ("x", 2), ("y", None)], key=str
+    )
