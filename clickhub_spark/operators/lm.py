@@ -1,0 +1,92 @@
+"""Corpus n-gram language model + perplexity scoring — the
+CCNet-style quality-filter stage of an LLM data pipeline (documents
+far from the corpus distribution score high bits-per-bigram; the
+filter drops the tails).
+
+The classic pipeline trains a KenLM n-gram model on a reference
+corpus and scores candidate documents by perplexity.  Re-expressed
+Spark-first, with builtin functions only (no UDFs anywhere):
+
+- ``train_bigram_lm``: two hash aggregations (bigram and unigram
+  counts — map-side combined, one shuffle each on the word keys) plus
+  a 1-row vocabulary count.  Model size is bounded by the OBSERVED
+  bigram vocabulary, not the corpus size, so at 100 TB the model is
+  typically table-broadcastable after training (and can be persisted
+  and reused — training and scoring are separate operators).
+- ``score_bits``: bigram extraction is MAP-ONLY (slice + arrays_zip
+  + explode — no window over token position, so no per-token
+  shuffle), then one join to the model (Catalyst broadcasts it when
+  small; AQE handles the rest) and a per-document average.
+
+Probabilities use add-k smoothing: p(w|prev) = (c(prev,w) + k) /
+(c(prev) + k·V).  Bigrams unseen in the model (held-out scoring)
+fall back to the k/(c(prev)+kV) floor via the left join's NULL path;
+a prev unseen entirely scores the uniform 1/V.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: F.Column | str) -> F.Column:
+    """Whitespace tokens, empties dropped (map-only)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _bigrams(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """(id, prev, w) rows via slice+zip+explode — no window shuffle."""
+    toked = df.select(
+        F.col(id_col).alias("__id"), tokens(text).alias("toks")
+    ).where(F.size("toks") >= 2)
+    pairs = toked.select(
+        "__id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("prev"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w"),
+            )
+        ).alias("pair"),
+    )
+    return pairs.select("__id", F.col("pair.prev").alias("prev"), F.col("pair.w").alias("w"))
+
+
+def train_bigram_lm(df: DataFrame, text: str, id_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (bigram_counts[prev, w, cbw], unigram_counts[prev, cw],
+    vocab[v]) — the three relations of the smoothed model."""
+    bg = _bigrams(df, text, id_col)
+    bigram_counts = bg.groupBy("prev", "w").agg(F.count("*").alias("cbw"))
+    unigram_counts = bg.groupBy("prev").agg(F.count("*").alias("cw"))
+    vocab = (
+        df.select(F.explode(tokens(text)).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return bigram_counts, unigram_counts, vocab
+
+
+def score_bits(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    text: str,
+    id_col: str,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document average bits per bigram, -avg(log2 p(w|prev)) —
+    monotone in perplexity (ppl = 2^bits).  Columns: id_col,
+    n_bigrams, bits."""
+    bigram_counts, unigram_counts, vocab = model
+    bg = _bigrams(df, text, id_col)
+    p = (F.coalesce(F.col("cbw"), F.lit(0)) + F.lit(k)) / (
+        F.coalesce(F.col("cw"), F.lit(0)) + F.lit(k) * F.col("v")
+    )
+    scored = (
+        bg.join(bigram_counts, ["prev", "w"], "left")
+        .join(unigram_counts, ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("__id", (-F.log2(p)).alias("bits"))
+    )
+    return scored.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count("*").alias("n_bigrams"), F.avg("bits").alias("bits")
+    )

@@ -986,3 +986,46 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_start").cast("int").alias("b_start"),
         "span_len",
     )
+
+
+@query(
+    "q_llm_perplexity",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, u.pair[1] AS prev, u.pair[2] AS w
+        FROM toked,
+             UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) u(pair)
+        WHERE len(toks) >= 2
+    ), cbw AS (
+        SELECT prev, w, COUNT(*) AS cbw FROM bg GROUP BY 1, 2
+    ), cw AS (
+        SELECT prev, COUNT(*) AS cw FROM bg GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t.tok) AS v FROM toked, UNNEST(toks) t(tok)
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-log2((c.cbw + 0.5) / (u.cw + 0.5 * v.v))), 4) AS bits
+    FROM bg b JOIN cbw c USING (prev, w) JOIN cw u USING (prev), v
+    GROUP BY b.doc_id
+    """,
+)
+def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus LM quality scoring (operators/lm.py): train
+    an add-k-smoothed bigram model on the corpus, score every document
+    by average bits per bigram (monotone in perplexity) — the filter
+    stage that drops distribution-tail documents from training data.
+    Bigram extraction is map-only (slice+zip, no token window); the
+    model join is Catalyst-broadcastable because model size is bounded
+    by observed vocabulary, not corpus size."""
+    from clickhub_spark.operators.lm import score_bits, train_bigram_lm
+
+    docs = load(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs, "text", "doc_id")
+    scored = score_bits(docs, model, "text", "doc_id")
+    return scored.select(
+        "doc_id", "n_bigrams", F.round("bits", 4).alias("bits")
+    )

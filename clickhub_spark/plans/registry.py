@@ -76,6 +76,8 @@ ROUND_PRIORITY = [
     # ClickHouse PROJECTION analog (new this round)
     "q_projection_filter",
     "q_projection_agg",
+    # corpus-LM perplexity quality filter (new this round)
+    "q_llm_perplexity",
 ]
 
 

@@ -84,3 +84,32 @@ def test_mixture_sample_realized_rates(spark):
     assert again == {r.doc_id for r in mixture_sample(
         docs, rates, group_col="lang", key_col="doc_id", default_rate=0.0
     ).select("doc_id").collect()}
+
+
+def test_lm_heldout_scoring_uses_smoothing_floor(spark):
+    """Bigrams absent from the model must score the k/(cw+kV) floor
+    via the left join's NULL path, and a wholly-unseen prev the
+    uniform 1/V — not NULL/error (operators/lm.py)."""
+    import math
+
+    from clickhub_spark.operators.lm import score_bits, train_bigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "id long, text string"
+    )
+    model = train_bigram_lm(train, "text", "id")
+    # "c a": prev=c seen once (c->nothing? c is last token of doc2 so
+    # cw(c)=0 rows -> unseen prev), "a x": prev seen, bigram unseen
+    held = spark.createDataFrame([(10, "a x"), (11, "z q")], "id long, text string")
+    rows = {r["id"]: r for r in score_bits(held, model, "text", "id").collect()}
+    v = 3  # vocab {a, b, c}
+    k = 0.5
+    # a->x unseen bigram, cw(a)=3 (a->b x3): p = k/(cw + k*v)
+    want_ax = -math.log2(k / (3 + k * v))
+    assert abs(rows[10]["bits"] - want_ax) < 1e-9
+    # z->q: prev unseen entirely: p = k/(0 + k*v) = 1/v
+    want_zq = -math.log2(1.0 / v)
+    assert abs(rows[11]["bits"] - want_zq) < 1e-9
+    # self-scoring the training corpus: every bigram observed, finite
+    self_rows = score_bits(train, model, "text", "id").collect()
+    assert all(r["bits"] > 0 for r in self_rows)
