@@ -68,3 +68,45 @@ def test_salted_join_rejects_right_join(spark):
     df = spark.range(1).selectExpr("id AS k")
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="right")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's built-in skew-join handling (the no-code-change
+    complement to salted_join) must actually engage: a 90%-hot key
+    under a forced SortMergeJoin gets its partition split at runtime —
+    SortMergeJoin(skew=true) with an AQEShuffleRead marked skewed.
+    Production thresholds (256 MB) are correct for real scale; the
+    test lowers them to reproduce the decision on toy data.  The plan
+    must be read from the EXECUTED DataFrame's own QueryExecution —
+    derived actions like count() run a different plan."""
+    import pyspark.sql.functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.rand(1).alias("v"),
+        )
+        small = spark.range(50_000).select(
+            F.col("id").alias("k"), F.lit("x").alias("s")
+        )
+        joined = big.join(small, "k")
+        assert len(joined.collect()) == 365_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
