@@ -5,10 +5,16 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully executed (collected) so the number measures scan
-→ shuffle → aggregate end-to-end, not plan construction.  A warmup
-query first absorbs JVM/codegen startup so per-query numbers reflect
-steady-state throughput.
+Execution method (changed round 4): each query is written to Spark's
+``noop`` sink, which materializes EVERY output column JVM-side with no
+driver transfer.  The previous method (``df.count()``) let Catalyst's
+ColumnPruning delete unreferenced final projections, so map-only
+queries (e.g. q_llm_pii_scrub's regex scrub) were timed as bare scans.
+Under noop every projected expression actually evaluates, so map-only
+rows now measure real work.  r4 numbers are therefore NOT comparable
+to r3 for projection-heavy queries; aggregate/sort-terminated queries
+are unaffected.  A warmup query first absorbs JVM/codegen startup so
+per-query numbers reflect steady-state throughput.
 """
 
 from __future__ import annotations
@@ -45,6 +51,36 @@ HEADLINE = [
 ]
 
 
+def run_noop(df) -> None:
+    """Materialize every output column without driver transfer.
+
+    ``noop`` is a real DataSourceV2 sink: rows are fully produced
+    (all projections evaluated) and discarded executor-side, so the
+    timing covers scan → shuffle → compute for ALL columns — unlike
+    ``count()``, which lets ColumnPruning drop final projections.
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_set(spark, specs, names, sf_dir, runs: int = 3) -> dict[str, float]:
+    """Best-of-``runs`` noop-sink wall time per query.
+
+    Best-of-N: the first run pays one-time plan compilation + codegen
+    (~0.5-1 s of JVM work that amortizes away in any real deployment);
+    it also damps machine-load noise (round 1→2 showed a uniform
+    ~1.2× drift on byte-identical queries from concurrent load).
+    """
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            run_noop(specs[name].builder(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
+
 def main() -> None:
     from clickhub_spark.plans import all_specs
     from clickhub_spark.session import get_spark
@@ -58,35 +94,30 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     specs["q_agg_count"].builder(spark, sf_dir).collect()
 
-    # Three executions per query, report the best: the first run pays
-    # one-time plan compilation + codegen (~0.5-1 s of JVM work that
-    # amortizes away in any real deployment); best-of-3 also damps
-    # machine-load noise (round 1→2 showed a uniform ~1.2× drift on
-    # byte-identical queries from concurrent load at bench time).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            df = specs[name].builder(spark, sf_dir)
-            df.count() if name not in ("q_agg_multi",) else len(df.collect())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    timings = bench_set(spark, specs, HEADLINE, sf_dir)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # machine-load context so cross-round comparisons can
-                # tell a code regression from a busy box
-                "loadavg_1m": round(os.getloadavg()[0], 2),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # method provenance: r4+ uses the noop sink (all columns
+        # materialized); r1-r3 used df.count() (final projections
+        # pruned for map-only queries) — flag for cross-round reads
+        "method": "noop_sink_best_of_3",
+        # machine-load context so cross-round comparisons can
+        # tell a code regression from a busy box
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    # TPC-H 22-query suite as a second tracked section (same method),
+    # so join-decorrelation regressions surface numerically per round.
+    # SPARK_GRAFT_NO_TPCH=1 skips it for quick local iterations.
+    if not os.environ.get("SPARK_GRAFT_NO_TPCH"):
+        tpch = [f"q_tpch_q{i}" for i in range(1, 23)]
+        out["tpch"] = bench_set(spark, specs, tpch, sf_dir)
+        out["tpch_total"] = round(sum(out["tpch"].values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
