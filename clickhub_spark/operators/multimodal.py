@@ -5,14 +5,19 @@ by Arrow-batched ``mapInPandas`` UDFs.
 Media decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
 filters), 24-bit BMP, and PCM WAV (8/16-bit) — pure stdlib
 zlib+struct, no codec library (``decode_png`` / ``decode_bmp`` /
-``decode_wav`` / ``real_decode``).  Compressed audio/video decode and
-image re-encode (resize output, frame extraction) remain STUBS behind
-``decode_fn``-style hooks: the container ships no codecs, and
-re-encoding needs one.  The Spark-side plumbing is real
-and tested either way: schema contract, Arrow batch iteration,
-partition-size control, and the metadata columns a 100 TB media
-pipeline needs before any decode (size, hash, type tag) so pruning
-happens on cheap columns first.
+``decode_wav`` / ``real_decode``).  On top of those decoders, resize
+and frame sampling are REAL too for the same formats: ``real_resize``
+does nearest-neighbor resampling and re-encodes as 24-bit BMP
+(``encode_bmp``), and ``sample_frames`` extracts time-windowed PCM
+frames from WAV payloads, each re-encoded as a standalone playable
+WAV (``encode_wav``).  Only compressed formats stay stubbed —
+JPEG/GIF decode is header-probe-only and MP3/video need codec
+libraries the container doesn't ship; those payloads fall back to the
+deterministic byte-stat/byte-chunk stubs, per-format documented.  The
+Spark-side plumbing is identical either way: schema contract, Arrow
+batch iteration, partition-size control, and the metadata columns a
+100 TB media pipeline needs before any decode (size, hash, type tag)
+so pruning happens on cheap columns first.
 
 Scale notes: media rows are huge — ``repartition`` by a size-aware
 bucket before mapInPandas so one Arrow batch never exceeds executor
@@ -70,6 +75,80 @@ def stub_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
     return bytes(rep)
 
 
+def resample_nn(
+    w: int, h: int, ch: int, px: bytes, out_w: int, out_h: int
+) -> bytes:
+    """REAL nearest-neighbor resample over a raw row-major pixel buffer
+    (any channel count) — the standard triage resample a media pipeline
+    runs before batching into a model (bilinear is a decoder swap)."""
+    out = bytearray(out_w * out_h * ch)
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            si = (sy * w + sx) * ch
+            di = (y * out_w + x) * ch
+            out[di : di + ch] = px[si : si + ch]
+    return bytes(out)
+
+
+def to_rgb(ch: int, px: bytes) -> bytes:
+    """Normalize a decoded pixel buffer to 3-channel RGB: gray
+    replicates, alpha drops.  Identity for ch == 3."""
+    if ch == 3:
+        return bytes(px)
+    out = bytearray(len(px) // ch * 3)
+    for i in range(len(px) // ch):
+        v = px[i * ch]
+        if ch in (1, 2):  # gray / gray+alpha
+            out[i * 3 : i * 3 + 3] = bytes((v, v, v))
+        else:  # RGBA → drop alpha
+            out[i * 3 : i * 3 + 3] = px[i * ch : i * ch + 3]
+    return bytes(out)
+
+
+def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
+    """REAL dependency-free 24-bit BMP writer (BITMAPINFOHEADER,
+    bottom-up, BGR, 4-byte row padding) — the inverse of decode_bmp,
+    so resized outputs stay decodable by this module's own reader."""
+    import struct
+
+    row_sz = (w * 3 + 3) & ~3
+    img_sz = row_sz * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_sz, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_sz, 2835, 2835, 0, 0)
+    body = bytearray(img_sz)
+    for y in range(h):
+        src_y = h - 1 - y  # bottom-up
+        for x in range(w):
+            si = (src_y * w + x) * 3
+            di = y * row_sz + x * 3
+            body[di : di + 3] = bytes((rgb[si + 2], rgb[si + 1], rgb[si]))  # BGR
+    return header + bytes(body)
+
+
+def real_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
+    """REAL resize for the formats this module decodes (PNG/BMP):
+    decode → nearest-neighbor resample → 24-bit BMP re-encode, pure
+    stdlib.  JPEG/GIF (probe-only — no codec in the container) and
+    unrecognized payloads fall back to the deterministic stub so a
+    mixed corpus never kills the task."""
+    import struct
+    import zlib
+
+    try:
+        fmt, _, _ = probe_image(payload)
+        if fmt == "png":
+            w, h, ch, px = decode_png(payload)
+        elif fmt == "bmp":
+            w, h, ch, px = decode_bmp(payload)
+        else:
+            return stub_resize(payload, width, height)
+        return encode_bmp(width, height, to_rgb(ch, resample_nn(w, h, ch, px, width, height)))
+    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+        return stub_resize(payload, width, height)
+
+
 def resize_images(
     df: DataFrame,
     width: int = 32,
@@ -79,8 +158,10 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas resize pass: emits (id, resized binary, w, h).
 
-    Runs before feature extraction in a real pipeline so the decode
-    UDF sees fixed-size inputs (stable Arrow batch memory)."""
+    REAL for PNG/BMP payloads (decode → nearest-neighbor → BMP
+    re-encode); deterministic stub otherwise.  Runs before feature
+    extraction in a real pipeline so the decode UDF sees fixed-size
+    inputs (stable Arrow batch memory)."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,7 +169,7 @@ def resize_images(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "resized": [stub_resize(p, width, height) for p in pdf["payload"]],
+                    "resized": [real_resize(p, width, height) for p in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }
@@ -337,9 +418,11 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
     duration_sec] — the cheap stats a quality-filter or near-dup
     prefilter runs before any model inference."""
     import math
+    import struct
+    import zlib
 
-    fmt, _, _ = probe_image(payload)
     try:
+        fmt, _, _ = probe_image(payload)
         if fmt == "png":
             w, h, ch, px = decode_png(payload)
         elif fmt == "bmp":
@@ -363,7 +446,14 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
             return (feats + [0.0] * n_feat)[:n_feat]
         else:
             return stub_decode(payload, n_feat)
-    except ValueError:  # detected format, unsupported variant
+    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+        # A payload can pass the magic-byte probe yet still be corrupt:
+        # zlib.error from a truncated PNG IDAT, struct.error from a
+        # short WAV 'fmt ' chunk, IndexError from a bogus BMP data
+        # offset.  One bad blob must never kill the mapInPandas task
+        # (the 'never raises on mixed corpora' contract) — fall back to
+        # the deterministic byte-stat stub.  probe_audio is inside the
+        # try for the same reason: it header-parses arbitrary bytes.
         return stub_decode(payload, n_feat)
     n = len(px)
     mean = sum(px) / n

@@ -33,51 +33,107 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # check is oldest.  Names not in the registry are ignored, so entries
 # can be staged before their module lands.  Override ad hoc with
 # SPARK_GRAFT_QUERY_ORDER=comma,separated,names (prefix order).
-# Round-3 rationale (VERDICT.md r2 items 1-2, 5):
-#   - q_llm_embed_centroid: output reshaped this round after a driver
-#     canonicalizer error — must show green in the hard gate;
-#   - the next 7: registered in r2 but never inside any driver window;
-#   - q_tpch_q5/q10: new this round;
-#   - remainder: families last driver-verified in round 1, oldest
-#     evidence first (set ops / CH-signature / core scans-aggs), so the
-#     whole registry has a driver row on code ≤2 rounds old by r4.
+# Round-4 rationale (VERDICT.md r3 item 2): the driver window covers the
+# first ~50 names only, so order = driver-evidence age.
+#   1. q_stream_join — the ONLY query with zero driver evidence across
+#      r1∪r2∪r3 (judge-green r3); must get its first driver row.
+#   2. Queries new/changed in round 4 (staged; unknown names ignored).
+#   3. The 33 queries whose last driver row is round 1 (oldest).
+#   4. The 49 round-2-window queries (next oldest); the tail past the
+#      ~50-name window rolls into round 5's front.
+# Round-3-window queries are omitted — freshest evidence, checked last.
 ROUND_PRIORITY = [
-    "q_llm_embed_centroid",
-    "q_fill_gaps",
-    "q_agg_histogram",
-    "q_fn_url",
-    "q_tpch_q4",
-    "q_tpch_q18",
-    "q_agg_stats",
-    "q_llm_simhash",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q7",
-    "q_tpch_q14",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_join_any",
-    "q_llm_mixture",
-    "q_agg_uniq_state",
-    "q_llm_knn_pq",
-    # TPC-H completion (new this round): the 12 remaining spec queries.
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # ClickHouse PROJECTION analog (new this round)
-    "q_projection_filter",
-    "q_projection_agg",
-    # corpus-LM perplexity quality filter (new this round)
-    "q_llm_perplexity",
+    "q_stream_join",
+    # --- new in round 4 ---
+    "q_llm_simhash_md5",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_llm_perplexity_store",
+    "q_queue_sqlite",
+    # --- last driver row: round 1 ---
+    "q_agg_cube",
+    "q_agg_argmax",
+    "q_agg_quantile",
+    "q_dedup_replacing",
+    "q_topk_multi",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_json",
+    "q_fn_hash",
+    "q_stream_slide",
+    "q_llm_dedup_embed",
+    "q_agg_approx_quantile",
+    "q_agg_grouping_sets",
+    "q_set_union_all",
+    "q_win_firstlast",
+    "q_llm_knn_ivf",
+    "q_agg_salted",
+    "q_tpch_q6",
+    "q_tpch_q3",
+    "q_win_pctrank",
+    "q_fn_interval",
+    "q_sample_hash",
+    "q_funnel",
+    "q_retention",
+    "q_agg_array_combinator",
+    "q_seq_match",
+    "q_topk_freq",
+    # --- last driver row: round 2 ---
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_asof",
+    "q_join_range_binned",
+    "q_join_full_outer",
+    "q_win_rank",
+    "q_win_lag",
+    "q_win_running",
+    "q_win_range",
+    "q_win_topn_group",
+    "q_win_dist",
+    "q_stream_tumble",
+    "q_stream_session",
+    "q_fn_higher_order",
+    "q_fn_bitwise",
+    "q_join_cross",
+    "q_agg_collect",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_jaccard",
+    "q_llm_dedup_minhash",
+    "q_llm_knn",
+    "q_llm_knn_lsh",
+    "q_llm_textstats",
+    "q_llm_lang_id",
+    "q_llm_quality",
+    "q_llm_fingerprint",
+    "q_udf_scalar",
+    "q_udf_agg",
+    "q_udf_table",
+    "q_multimodal_meta",
+    "q_llm_token_bpe",
+    "q_llm_dedup_minhash_md5",
+    "q_llm_dedup_groups",
+    "q_sample_stratified",
+    "q_llm_dedup_apply",
+    "q_llm_pii_scrub",
+    "q_llm_contamination",
+    "q_llm_repetition",
+    "q_llm_dedup_incremental",
+    "q_llm_chunk",
+    "q_llm_dedup_apply_near",
+    "q_llm_pack",
+    "q_llm_corpus_pipeline",
+    "q_llm_dedup_substring",
 ]
 
 

@@ -14,10 +14,13 @@ appends its batch-local per-key partial counts, and readers collapse
 partials with a sum — exactly how SummingMergeTree absorbs inserts
 and merges lazily.  That choice is the 100 TB shape: state lives in
 the table (bounded by key cardinality per batch, compactable with
-write_sorted), the stream never holds a growing hash of all keys, and
-a crash-replayed batch appends duplicate partials that the FINAL-view
-sum absorbs after the at-least-once file-source contract, exactly
-like the plain-append ingest stage above it.
+write_sorted), and the stream never holds a growing hash of all keys.
+Because foreachBatch is at-least-once and the FINAL view is a plain
+SUM (which would double-count a replayed partial, unlike the
+ReplacingMergeTree dedup view), each batch writes to its own
+``__batch_id=<id>`` subdirectory with overwrite semantics: a crash
+between write and checkpoint commit replays the batch into the SAME
+directory, overwriting — not duplicating — its partials.
 
 ``refresh()`` drains both stages with availableNow triggers — the
 poll-loop analog of the reference worker: call it on a schedule (or
@@ -60,7 +63,12 @@ def maintain_stars_mv(
     stream = read_event_stream(spark, events_table, EVENTS_SCHEMA, max_files)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        stars_mv(batch_df, event_type).write.mode("append").parquet(stars_path)
+        # Idempotent per batch: foreachBatch is at-least-once, and the
+        # read view is a plain SUM, so a replayed batch must overwrite
+        # itself rather than append a second copy of its partials.
+        stars_mv(batch_df, event_type).write.mode("overwrite").parquet(
+            f"{stars_path}/__batch_id={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

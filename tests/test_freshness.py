@@ -44,9 +44,10 @@ def test_event_file_through_ingest_advances_mv(spark, tmp_path):
 
     # idle cycle: nothing new → same view, and no new partial files
     import glob
-    n_partials = len(glob.glob(f"{wh}/stars/*.parquet"))
+    n_partials = len(glob.glob(f"{wh}/stars/**/*.parquet", recursive=True))
+    assert n_partials > 0
     assert _rows(refresh(spark, landing, wh)) == {100: 3, 200: 1, 300: 1}
-    assert len(glob.glob(f"{wh}/stars/*.parquet")) == n_partials
+    assert len(glob.glob(f"{wh}/stars/**/*.parquet", recursive=True)) == n_partials
 
     # MV ≡ batch aggregate over the events table (stream/batch parity)
     batch = (
@@ -56,3 +57,27 @@ def test_event_file_through_ingest_advances_mv(spark, tmp_path):
         .agg(F.count("*").alias("stars"))
     )
     assert _rows(batch) == {100: 3, 200: 1, 300: 1}
+
+
+def test_replayed_mv_batch_overwrites_not_doubles(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the partial write
+    and the checkpoint commit replays the batch.  Simulate by wiping the
+    MV-stage checkpoint (so the SAME events replay under the SAME batch
+    ids) — the batch-id-keyed overwrite sink must leave sums unchanged."""
+    import datetime
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "warehouse")
+    ts = datetime.datetime(2025, 1, 1)
+
+    _land(spark, landing, [
+        (1, ts, 100, "view", 1.0, "{}"),
+        (2, ts, 100, "view", 1.0, "{}"),
+        (3, ts, 200, "view", 1.0, "{}"),
+    ])
+    assert _rows(refresh(spark, landing, wh)) == {100: 2, 200: 1}
+
+    # crash-replay: MV checkpoint lost, partials already on disk
+    shutil.rmtree(f"{wh}/_ck/stars_mv")
+    assert _rows(refresh(spark, landing, wh)) == {100: 2, 200: 1}
