@@ -318,6 +318,49 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     )
 
 
+def simhash_md5(df: DataFrame, text: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash with an engine-portable hash basis (SURVEY §2.J5): bit
+    votes derive from md5(word) hex nibbles instead of engine-internal
+    xxhash64, so the result is reproducible in any SQL engine and the
+    query built on it is fully oracle-checkable (the role
+    ``md5_banded_signatures`` plays for MinHash).  xxhash64 ``simhash``
+    stays the production default — integer hashing beats hex-string
+    slicing — and this form doubles as its cross-engine test vector.
+
+    Bit b of a word's hash = bit (b % 4) of the nibble value of hex
+    char b // 4 (1-based substring), where nibble value is the char's
+    0-based position in '0123456789abcdef'.  Same shuffle shape as
+    ``simhash``: one on (id, bit), one on id.
+    """
+    words = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .withColumn("hex", F.md5("w"))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        words.select(id_col, "hex", bit)
+        # per-row shift amounts need the SQL expression form (the
+        # Python DSL's shiftright takes a literal only)
+        .withColumn(
+            "vote",
+            F.expr(
+                "IF((shiftright(instr('0123456789abcdef',"
+                " substring(hex, (bit div 4) + 1, 1)) - 1, bit % 4) & 1) = 1,"
+                " 1, -1)"
+            ),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.expr("IF(v > 0, shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))")
+        ).alias("simhash_md5")
+    )
+
+
 def md5_banded_signatures(
     df: DataFrame,
     text: str,

@@ -774,6 +774,39 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_simhash_md5",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) u(w)
+        WHERE u.w <> ''
+    ), bits AS (
+        SELECT doc_id, t.b,
+               CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(md5(w), t.b // 4 + 1, 1)) - 1)
+                          >> (t.b % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END AS vote
+        FROM words, UNNEST(generate_series(0, 31)) t(b)
+    ), votes AS (
+        SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE 0 END) AS BIGINT) AS simhash_md5
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_llm_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with engine-portable md5 bit votes — the fully
+    value-checked twin of q_llm_simhash (VERDICT r3 item 5), mirroring
+    how q_llm_dedup_minhash_md5 oracle-checks the MinHash pipeline.
+    Proves the vote/assemble pipeline bit-for-bit, not just its row
+    count; xxhash64 stays the production basis."""
+    from clickhub_spark.operators.dedup import simhash_md5
+
+    return simhash_md5(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
     "q_agg_stats",
     oracle="""
     SELECT l_returnflag,

@@ -129,6 +129,36 @@ def test_simhash_identical_text_identical_hash(spark):
     assert got[1] != got[3]
 
 
+def test_simhash_md5_matches_pure_python(spark):
+    """The md5-basis SimHash must equal an independent pure-Python
+    computation of the same definition (bit b = bit b%4 of hex nibble
+    b//4) — the engine-portability property its DuckDB oracle relies
+    on — and agree on identical-text collision like the xxhash form."""
+    import hashlib
+
+    from clickhub_spark.operators.dedup import simhash_md5
+
+    texts = {1: "spark window merge join", 2: "spark window merge join",
+             3: "utterly different content stream"}
+
+    def expect(text: str) -> int:
+        votes = [0] * 32
+        for w in text.split(" "):
+            if not w:
+                continue
+            hx = hashlib.md5(w.encode()).hexdigest()
+            for b in range(32):
+                nib = int(hx[b // 4], 16)
+                votes[b] += 1 if (nib >> (b % 4)) & 1 else -1
+        return sum(1 << b for b in range(32) if votes[b] > 0)
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r.simhash_md5
+           for r in simhash_md5(docs, "text", "doc_id").collect()}
+    assert got == {i: expect(t) for i, t in texts.items()}
+    assert got[1] == got[2] != got[3]
+
+
 def test_approx_distinct_bounded_error(spark):
     from clickhub_spark.catalog import load
 
