@@ -66,6 +66,41 @@ def train_bigram_lm(df: DataFrame, text: str, id_col: str) -> tuple[DataFrame, D
     return bigram_counts, unigram_counts, vocab
 
 
+def write_lm_store(
+    model: tuple[DataFrame, DataFrame, DataFrame], path: str
+) -> str:
+    """Persist a trained bigram model (train_bigram_lm output) as three
+    parquet tables under ``path`` — the train-once/score-many operating
+    mode (mirrors write_minhash_store): at 100 TB the reference corpus
+    is scored-against for months, so training must not rerun per batch.
+    Model size is bounded by observed bigram vocabulary, so the store
+    is small (typically broadcastable on read)."""
+    bigram_counts, unigram_counts, vocab = model
+    bigram_counts.write.mode("overwrite").parquet(f"{path}/bigrams")
+    unigram_counts.write.mode("overwrite").parquet(f"{path}/unigrams")
+    vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    return path
+
+
+def read_lm_store(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a persisted model for score_bits — (bigram_counts,
+    unigram_counts, vocab), schema-identical to train_bigram_lm."""
+    return (
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/unigrams"),
+        spark.read.parquet(f"{path}/vocab"),
+    )
+
+
+def score_against_store(
+    df: DataFrame, path: str, text: str, id_col: str, k: float = 0.5
+) -> DataFrame:
+    """Score a (new) batch against a persisted model: touches only the
+    three small model tables plus the batch itself — the corpus that
+    trained the model is never re-read."""
+    return score_bits(df, read_lm_store(df.sparkSession, path), text, id_col, k)
+
+
 def score_bits(
     df: DataFrame,
     model: tuple[DataFrame, DataFrame, DataFrame],

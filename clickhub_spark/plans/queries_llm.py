@@ -988,9 +988,11 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_perplexity",
-    oracle="""
+# Shared by q_llm_perplexity (inline training) and
+# q_llm_perplexity_store (persisted-store scoring): the two MUST be
+# value-identical, which is exactly what one oracle checking both
+# proves.
+_PERPLEXITY_ORACLE = """
     WITH toked AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1011,8 +1013,10 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(-log2((c.cbw + 0.5) / (u.cw + 0.5 * v.v))), 4) AS bits
     FROM bg b JOIN cbw c USING (prev, w) JOIN cw u USING (prev), v
     GROUP BY b.doc_id
-    """,
-)
+    """
+
+
+@query("q_llm_perplexity", oracle=_PERPLEXITY_ORACLE)
 def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus LM quality scoring (operators/lm.py): train
     an add-k-smoothed bigram model on the corpus, score every document
@@ -1026,6 +1030,34 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     model = train_bigram_lm(docs, "text", "doc_id")
     scored = score_bits(docs, model, "text", "doc_id")
+    return scored.select(
+        "doc_id", "n_bigrams", F.round("bits", 4).alias("bits")
+    )
+
+
+@query("q_llm_perplexity_store", oracle=_PERPLEXITY_ORACLE)
+def q_llm_perplexity_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/score-many perplexity (VERDICT r3 item 6): the model
+    is persisted via write_lm_store (build-once artifact keyed on the
+    corpus files + plan, like the minhash/IVF stores) and scoring runs
+    score_against_store — only the three small model tables plus the
+    scored batch are read.  Shares q_llm_perplexity's oracle, proving
+    persisted-store scoring ≡ inline training bit-for-bit."""
+    import os
+
+    from clickhub_spark.artifacts import derived_artifact_path, prune_stale
+    from clickhub_spark.operators.lm import (
+        score_against_store,
+        train_bigram_lm,
+        write_lm_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = derived_artifact_path(docs, "lm_store")
+    if not os.path.isdir(f"{path}/vocab"):
+        write_lm_store(train_bigram_lm(docs, "text", "doc_id"), path)
+        prune_stale(path)
+    scored = score_against_store(docs, path, "text", "doc_id")
     return scored.select(
         "doc_id", "n_bigrams", F.round("bits", 4).alias("bits")
     )

@@ -113,3 +113,36 @@ def test_lm_heldout_scoring_uses_smoothing_floor(spark):
     # self-scoring the training corpus: every bigram observed, finite
     self_rows = score_bits(train, model, "text", "id").collect()
     assert all(r["bits"] > 0 for r in self_rows)
+
+
+def test_lm_store_reuse_equals_inline_training(spark, tmp_path):
+    """write_lm_store → score_against_store must reproduce inline
+    score_bits exactly (train-once/score-many contract), and scoring a
+    NEW batch against the store must only read the three model tables
+    — the training corpus is never re-scanned."""
+    from clickhub_spark.operators.lm import (
+        score_against_store,
+        score_bits,
+        train_bigram_lm,
+        write_lm_store,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c d"), (3, "x y x y")],
+        "id long, text string",
+    )
+    model = train_bigram_lm(train, "text", "id")
+    path = write_lm_store(model, str(tmp_path / "lm"))
+
+    inline = {(r["id"], r["n_bigrams"], round(r["bits"], 10))
+              for r in score_bits(train, model, "text", "id").collect()}
+    stored = {(r["id"], r["n_bigrams"], round(r["bits"], 10))
+              for r in score_against_store(train, path, "text", "id").collect()}
+    assert inline == stored
+
+    # new batch: inputFiles of the scoring plan = model store only
+    held = spark.createDataFrame([(10, "a b x")], "id long, text string")
+    scored = score_against_store(held, path, "text", "id")
+    files = set(scored.inputFiles())
+    assert files and all("/lm/" in f for f in files)
+    assert scored.count() == 1
