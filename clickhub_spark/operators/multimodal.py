@@ -178,34 +178,101 @@ def resize_images(
     return src.mapInPandas(run, "doc_id long, resized binary, width int, height int")
 
 
+def encode_wav(sample_rate: int, n_channels: int, bits: int, data: bytes) -> bytes:
+    """REAL dependency-free WAV writer (RIFF/WAVE, PCM fmt chunk) — the
+    inverse of decode_wav, so sampled frames stay standalone playable
+    and decodable by this module's own reader."""
+    import struct
+
+    block = max(1, (bits // 8) * max(1, n_channels))
+    byte_rate = sample_rate * block
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sample_wav_frames(
+    payload: bytes, every_nth: int, max_frames: int, frame_sz: int
+) -> list[tuple[int, bytes]]:
+    """REAL frame extraction for PCM WAV: parse the header, slice the
+    PCM data chunk into sample-aligned windows of ``frame_sz`` PCM
+    bytes, take every ``every_nth`` window up to ``max_frames``, and
+    re-encode each as a standalone WAV with the source's rate/channels/
+    depth.  Returns [(frame_idx, wav_bytes)]."""
+    import struct
+
+    b = bytes(payload)
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (no fmt/data chunk)")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    block = (bits // 8) * max(1, n_channels)
+    frame_sz -= frame_sz % block or 0  # sample-aligned windows
+    frame_sz = max(block, frame_sz)
+    out = []
+    total = len(data) // frame_sz
+    for j, f in enumerate(range(0, total, every_nth)):
+        if j >= max_frames:
+            break
+        pcm = data[f * frame_sz : (f + 1) * frame_sz]
+        out.append((f, encode_wav(sample_rate, n_channels, bits, pcm)))
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     every_nth: int = 4,
     max_frames: int = 3,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    frame_sz: int = 16,
 ) -> DataFrame:
-    """Frame sampling for video-like payloads: one row per sampled
-    frame (id, frame_idx, frame bytes).  The STUB treats the payload
-    as a concatenation of fixed-size 16-byte 'frames'; real decoders
-    swap in keyframe extraction.  This is the UDTF-shaped multimodal
-    op: one row → many, schema-stable for downstream joins."""
+    """Frame sampling: one row per sampled frame (id, frame_idx, frame
+    bytes).  REAL for PCM WAV payloads — the data chunk is sliced into
+    sample-aligned ``frame_sz``-byte windows and each sampled window is
+    re-encoded as a standalone playable WAV (``encode_wav``), the audio
+    analog of video keyframe extraction.  Non-WAV payloads keep the
+    deterministic stub (raw fixed-size byte windows) so a mixed corpus
+    never kills the task; MP3/video stay stubbed (no codecs in the
+    container).  This is the UDTF-shaped multimodal op: one row → many,
+    schema-stable for downstream joins."""
+    import struct
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    frame_sz = 16
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i, p in zip(pdf["doc_id"], pdf["payload"]):
                 if p is None:
-                    raise NotImplementedError("real frame sampling requires codecs")
-                total = len(p) // frame_sz
-                for j, f in enumerate(range(0, total, every_nth)):
-                    if j >= max_frames:
-                        break
+                    continue
+                sampled = None
+                try:
+                    if probe_audio(p)[0] == "wav":
+                        sampled = sample_wav_frames(p, every_nth, max_frames, frame_sz)
+                except (ValueError, IndexError, struct.error):
+                    sampled = None  # corrupt-after-probe → stub fallback
+                if sampled is None:
+                    total = len(p) // frame_sz
+                    sampled = [
+                        (f, bytes(p[f * frame_sz : (f + 1) * frame_sz]))
+                        for j, f in enumerate(range(0, total, every_nth))
+                        if j < max_frames
+                    ]
+                for f, frame in sampled:
                     ids.append(i)
                     idxs.append(f)
-                    frames.append(bytes(p[f * frame_sz : (f + 1) * frame_sz]))
+                    frames.append(frame)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     out = src.mapInPandas(run, "doc_id long, frame_idx int, frame binary")

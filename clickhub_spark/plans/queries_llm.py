@@ -392,6 +392,114 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           repeat(substr(md5(text), 1, 6) || substr(md5(text), 1, 6)
+               || substr(md5(text), 7, 6) || substr(md5(text), 7, 6), 2)
+        || repeat(substr(md5(text), 13, 6) || substr(md5(text), 13, 6)
+               || substr(md5(text), 19, 6) || substr(md5(text), 19, 6), 2)
+           AS px_hex,
+           4 AS width, 4 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-checked end to end: each doc gets a
+    2x2 24-bit BMP whose pixels are the first 12 bytes of md5(text)
+    (deterministic — the testdata ships no real media bytes), the BMP
+    runs the production ``resize_images`` pass (decode_bmp →
+    nearest-neighbor resample → encode_bmp, operators/multimodal.py),
+    and the resized payload is decoded BACK to its RGB buffer.  The
+    oracle reproduces the expected 4x4 pixel hex with pure string ops
+    on md5(text) — nearest-neighbor 2x2→4x4 duplicates each source
+    pixel into a 2x2 block — so the whole decode/resample/re-encode
+    round trip is value-verified by an independent engine.  At 100 TB
+    the shape is identical: binary column in, mapInPandas per Arrow
+    batch, small fixed-width outputs; only the payload source changes."""
+    from clickhub_spark.operators.multimodal import decode_bmp, encode_bmp, resize_images
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("m")
+    )
+
+    def make_bmp(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_bmp(2, 2, bytes(m)[:12]) for m in pdf["m"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(make_bmp, "doc_id long, payload binary")
+    resized = resize_images(payloads, width=4, height=4)
+
+    def to_pixels(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "px_hex": [decode_bmp(bytes(r))[3].hex() for r in pdf["resized"]],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                }
+            )
+
+    return resized.mapInPandas(
+        to_pixels, "doc_id long, px_hex string, width int, height int"
+    )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT d.doc_id, f.frame_idx,
+           substr(repeat(md5(d.text), 6), f.frame_idx * 32 + 1, 32) AS pcm_hex,
+           60 AS wav_bytes
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 2, 4]) AS frame_idx) f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame sampling, oracle-checked: each doc gets an
+    8-bit mono PCM WAV whose 96 data bytes are md5(text) repeated 6x,
+    the production ``sample_frames`` pass slices it into 16-byte
+    sample-aligned windows, keeps every 2nd up to 3, and re-encodes
+    each window as a standalone WAV (operators/multimodal.py
+    sample_wav_frames/encode_wav).  The output projects each frame's
+    PCM chunk back out as hex (the 44-byte canonical header offset) +
+    the total WAV size, which the oracle reproduces with substr over
+    repeat(md5(text), 6) — frame extraction verified value-for-value
+    by an independent engine, one row → many (UDTF shape)."""
+    from clickhub_spark.operators.multimodal import encode_wav, sample_frames
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("m")
+    )
+
+    def make_wav(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(8000, 1, 8, bytes(m) * 6) for m in pdf["m"]
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(make_wav, "doc_id long, payload binary")
+    frames = sample_frames(payloads, every_nth=2, max_frames=3, frame_sz=16)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex(F.substring("frame", 45, 16))).alias("pcm_hex"),
+        F.octet_length("frame").alias("wav_bytes"),
+    )
+
+
+@query(
     "q_llm_token_bpe",
     oracle="""
     SELECT doc_id,

@@ -285,3 +285,59 @@ def test_probe_images_dataframe_triage(spark):
         3: ("gif", 4, 5),
         4: (None, -1, -1),
     }
+
+
+def test_encode_wav_roundtrip():
+    from clickhub_spark.operators.multimodal import decode_wav, encode_wav
+
+    pcm = bytes(range(256)) * 2  # 8-bit mono, even length
+    blob = encode_wav(4000, 1, 8, pcm)
+    rate, ch, s = decode_wav(blob)
+    assert (rate, ch, len(s)) == (4000, 1, 512)
+    # odd-length data chunk gets the RIFF pad byte, still decodes
+    blob_odd = encode_wav(4000, 1, 8, pcm[:255])
+    assert len(blob_odd) % 2 == 0
+    assert len(decode_wav(blob_odd)[2]) == 255
+
+
+def test_sample_frames_real_wav_path(spark):
+    """WAV payloads take the REAL path: sample-aligned PCM windows,
+    each re-encoded as a standalone decodable WAV with the source's
+    rate/channels/depth; non-WAV payloads keep the raw-window stub."""
+    from clickhub_spark.operators.multimodal import decode_wav
+
+    samples = list(range(-60, 60))  # 120 16-bit samples = 240 PCM bytes
+    wav = _wav(8000, samples)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"0123456789abcdef" * 8))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames(df, every_nth=2, max_frames=3, frame_sz=32).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
+    # WAV: 240 bytes / 32 = 7 windows → sampled 0, 2, 4
+    assert sorted(got[1]) == [0, 2, 4]
+    for f, frame in got[1].items():
+        rate, ch, s = decode_wav(frame)  # standalone playable WAV
+        assert (rate, ch, len(s)) == (8000, 1, 16)
+        assert [round(v * 32768) for v in s] == samples[f * 16 : f * 16 + 16]
+    # non-WAV: raw 32-byte windows at stub indices
+    assert sorted(got[2]) == [0, 2]
+    assert got[2][0] == b"0123456789abcdef" * 2
+
+
+def test_sample_frames_alignment_and_corrupt_fallback(spark):
+    """frame_sz snaps down to the sample block size (16-bit stereo =
+    4 bytes); a corrupt-after-probe WAV falls back to the stub instead
+    of killing the task."""
+    from clickhub_spark.operators.multimodal import sample_wav_frames, decode_wav
+
+    samples = list(range(48))  # 24 stereo frames, 96 PCM bytes
+    wav = _wav(16000, samples, channels=2)
+    out = sample_wav_frames(wav, every_nth=1, max_frames=99, frame_sz=10)
+    # 10 → 8 (two stereo 16-bit sample-frames per window): 96/8 = 12
+    assert len(out) == 12
+    assert all(len(decode_wav(w)[2]) == 4 for _, w in out)
+    truncated = bytearray(wav[:30])  # RIFF/WAVE magic intact, chunks cut
+    df = spark.createDataFrame([(1, truncated)], "doc_id long, payload binary")
+    rows = sample_frames(df, every_nth=1, max_frames=2, frame_sz=16).collect()
+    assert all(len(r.frame) == 16 for r in rows)  # stub path, no crash
