@@ -568,3 +568,38 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "q_queue_sqlite",
+    oracle="""
+    SELECT CAST(5 - r_regionkey AS INT) AS claim_seq, r_name
+    FROM region
+    """,
+)
+def q_queue_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queue's second linearizable-KV backend exercised through the
+    driver contract (SURVEY §2.I5-I7; VERDICT r3 item 8): one job per
+    region is scheduled on a ``SqliteWorkQueue`` with priority =
+    r_regionkey, then a single worker drains the queue with the CAS
+    claim protocol (conditional UPDATE + verify-read + point DELETE).
+    The claim order — priority DESC, the reference's candidate scan
+    repo/importer.py:138-139 — is deterministic, so the oracle can
+    state it in SQL: claim_seq = 5 - r_regionkey.  Coordination state
+    is driver-local by design (≤10k rows, reference config.yml:11);
+    only the job SOURCE is a distributed table."""
+    import tempfile
+
+    from clickhub_spark.queue import SqliteWorkQueue
+
+    regions = load(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    with tempfile.TemporaryDirectory() as d:
+        q = SqliteWorkQueue(f"{d}/queue.db")
+        for r in regions:
+            q.schedule(r["r_name"], priority=int(r["r_regionkey"]))
+        claimed = []
+        q.work("w1", lambda job: claimed.append(job.repo_name), max_polls=len(regions))
+    return spark.createDataFrame(
+        [(i + 1, name) for i, name in enumerate(claimed)],
+        "claim_seq int, r_name string",
+    )

@@ -25,7 +25,10 @@ dataframe job: the reference holds ≤10,000 queue rows
 design and does not belong on the executors.  The documented
 scale-out seam (SURVEY §7 M4 hard part #2): swap the directory for
 any linearizable KV (the operations used are exactly put-if-absent /
-compare-and-swap / delete).
+compare-and-swap / delete).  ``SqliteWorkQueue`` below is that seam
+exercised — the identical protocol over sqlite-WAL transactions,
+race-tested by the same suite (tests/test_queue.py runs every test
+against both backends).
 """
 
 from __future__ import annotations
@@ -57,7 +60,36 @@ def _safe(name: str) -> str:
     return name.replace("/", "%2F")
 
 
-class WorkQueue:
+class _WorkLoop:
+    """Poll → claim → handle → always release (I7) — backend-agnostic;
+    subclasses supply schedule/claim/release over their own CAS
+    primitives."""
+
+    def work(self, worker_id: str, handler, max_polls: int = 1, sleep_time: float = 0.0):
+        """Handler failures are swallowed like the reference worker loop
+        (repo/importer.py:161-179 keeps the worker alive; the job is
+        dropped, not retried — comment repo/importer.py:174).  Failed
+        repo names are recorded on ``self.failures``.
+        """
+        done = []
+        self.failures: list[tuple[str, str]] = []
+        for _ in range(max_polls):
+            job = self.claim(worker_id)
+            if job is None:
+                if sleep_time:
+                    time.sleep(sleep_time)
+                continue
+            try:
+                handler(job)
+                done.append(job.repo_name)
+            except Exception as e:  # dropped, not retried
+                self.failures.append((job.repo_name, repr(e)))
+            finally:
+                self.release(job.repo_name, worker_id)
+        return done
+
+
+class WorkQueue(_WorkLoop):
     """Filesystem-CAS job queue with the reference's claim protocol."""
 
     def __init__(self, root: str, max_queue_length: int = 10_000):
@@ -146,29 +178,107 @@ class WorkQueue:
             except FileNotFoundError:
                 continue
 
-    # -- worker loop (reference repo/importer.py:161-179) ----------------
+class SqliteWorkQueue(_WorkLoop):
+    """The scale-out seam made concrete: the same claim protocol over a
+    second linearizable KV — sqlite in WAL mode.  Every primitive maps
+    to a transactional statement instead of a filesystem op:
 
-    def work(self, worker_id: str, handler, max_polls: int = 1, sleep_time: float = 0.0):
-        """Poll → claim → handle → always release (I7).
+    - insert-if-absent → ``INSERT`` against a PRIMARY KEY
+      (IntegrityError ≙ 'Node exists')
+    - claim CAS        → ``UPDATE ... WHERE repo_name=? AND
+      worker_id=''`` — rowcount tells exactly one racing worker it won
+    - verify-read      → re-``SELECT`` the owner after commit
+    - release          → point ``DELETE``
 
-        Handler failures are swallowed like the reference worker loop
-        (repo/importer.py:161-179 keeps the worker alive; the job is
-        dropped, not retried — comment repo/importer.py:174).  Failed
-        repo names are recorded on ``self.failures``.
-        """
-        done = []
-        self.failures: list[tuple[str, str]] = []
-        for _ in range(max_polls):
-            job = self.claim(worker_id)
-            if job is None:
-                if sleep_time:
-                    time.sleep(sleep_time)
-                continue
+    A fresh connection per operation (busy_timeout, WAL) keeps it safe
+    across processes — the same two-claimant race test runs against
+    both backends.  Swapping in ZooKeeper/etcd/DynamoDB is the same
+    exercise: implement these four statements."""
+
+    def __init__(self, path: str, max_queue_length: int = 10_000):
+        self.path = path
+        self.max_queue_length = max_queue_length
+        with self._conn() as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS jobs ("
+                " repo_name TEXT PRIMARY KEY, priority INT, scheduled REAL,"
+                " started_time REAL, worker_id TEXT)"
+            )
+
+    def _conn(self):
+        import contextlib
+        import sqlite3
+
+        # autocommit: each statement is its own transaction — the CAS
+        # granularity the protocol needs; fresh connection per op keeps
+        # the queue usable from any thread or process
+        con = sqlite3.connect(self.path, timeout=30.0, isolation_level=None)
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA busy_timeout=30000")
+        return contextlib.closing(con)
+
+    def schedule(self, repo_name: str, priority: int = 0) -> Job:
+        import sqlite3
+
+        job = Job(repo_name, priority, scheduled=time.time())
+        with self._conn() as con:
+            (n,) = con.execute("SELECT COUNT(*) FROM jobs").fetchone()
+            if n >= self.max_queue_length:
+                raise QueueFull(f"queue holds {self.max_queue_length} jobs")
             try:
-                handler(job)
-                done.append(job.repo_name)
-            except Exception as e:  # dropped, not retried
-                self.failures.append((job.repo_name, repr(e)))
-            finally:
-                self.release(job.repo_name, worker_id)
-        return done
+                con.execute(
+                    "INSERT INTO jobs VALUES (?, ?, ?, 0.0, '')",
+                    (repo_name, priority, job.scheduled),
+                )
+            except sqlite3.IntegrityError as e:
+                raise AlreadyScheduled(repo_name) from e
+        return job
+
+    def is_scheduled(self, repo_name: str) -> bool:
+        with self._conn() as con:
+            return (
+                con.execute(
+                    "SELECT 1 FROM jobs WHERE repo_name=?", (repo_name,)
+                ).fetchone()
+                is not None
+            )
+
+    def list_jobs(self) -> list[Job]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT repo_name, priority, scheduled, started_time, worker_id"
+                " FROM jobs ORDER BY repo_name"
+            ).fetchall()
+        return [Job(*r) for r in rows]
+
+    def claim(self, worker_id: str, retries: int = 2) -> Job | None:
+        """Same candidate scan as WorkQueue.claim (priority DESC,
+        scheduled ASC LIMIT ``retries``), CAS via conditional UPDATE."""
+        with self._conn() as con:
+            candidates = con.execute(
+                "SELECT repo_name, priority, scheduled FROM jobs"
+                " WHERE worker_id='' ORDER BY priority DESC, scheduled ASC,"
+                " repo_name LIMIT ?",
+                (retries,),
+            ).fetchall()
+        for name, priority, scheduled in candidates:
+            started = time.time()
+            with self._conn() as con:
+                cur = con.execute(
+                    "UPDATE jobs SET worker_id=?, started_time=?"
+                    " WHERE repo_name=? AND worker_id=''",
+                    (worker_id, started, name),
+                )
+                if cur.rowcount != 1:
+                    continue  # lost the race (≙ KeeperMap rejecting the UPDATE)
+            with self._conn() as con:  # verify-read after commit
+                row = con.execute(
+                    "SELECT worker_id FROM jobs WHERE repo_name=?", (name,)
+                ).fetchone()
+            if row and row[0] == worker_id:
+                return Job(name, priority, scheduled, started, worker_id)
+        return None
+
+    def release(self, repo_name: str, worker_id: str) -> None:
+        with self._conn() as con:
+            con.execute("DELETE FROM jobs WHERE repo_name=?", (repo_name,))

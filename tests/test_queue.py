@@ -7,22 +7,40 @@ import threading
 
 import pytest
 
-from clickhub_spark.queue import AlreadyScheduled, QueueFull, WorkQueue
+from clickhub_spark.queue import (
+    AlreadyScheduled,
+    QueueFull,
+    SqliteWorkQueue,
+    WorkQueue,
+)
 
 
-def test_duplicate_insert_rejected(tmp_path):
-    q = WorkQueue(str(tmp_path))
+@pytest.fixture(params=["fs", "sqlite"])
+def make_queue(request, tmp_path):
+    """Every test runs against BOTH backends — the filesystem-CAS queue
+    and the sqlite-WAL queue share one claim-protocol contract."""
+
+    def make(max_queue_length=10_000):
+        if request.param == "fs":
+            return WorkQueue(str(tmp_path / "q"), max_queue_length)
+        return SqliteWorkQueue(str(tmp_path / "q.db"), max_queue_length)
+
+    return make
+
+
+def test_duplicate_insert_rejected(make_queue):
+    q = make_queue()
     q.schedule("apache/spark")
     with pytest.raises(AlreadyScheduled):
         q.schedule("apache/spark")
 
 
-def test_reschedule_while_claimed_rejected(tmp_path):
+def test_reschedule_while_claimed_rejected(make_queue):
     """An in-flight job (claimed, not yet released) must still block
     scheduling — the reference's KeeperMap row persists until the
     post-import DELETE (repo/importer.py:175), so two workers can
     never import the same repo concurrently."""
-    q = WorkQueue(str(tmp_path))
+    q = make_queue()
     q.schedule("apache/spark")
     assert q.claim("w1").repo_name == "apache/spark"
     with pytest.raises(AlreadyScheduled):
@@ -31,16 +49,16 @@ def test_reschedule_while_claimed_rejected(tmp_path):
     q.schedule("apache/spark")  # released → schedulable again
 
 
-def test_queue_full(tmp_path):
-    q = WorkQueue(str(tmp_path), max_queue_length=2)
+def test_queue_full(make_queue):
+    q = make_queue(max_queue_length=2)
     q.schedule("a/a")
     q.schedule("b/b")
     with pytest.raises(QueueFull):
         q.schedule("c/c")
 
 
-def test_claim_order_priority_desc_then_fifo(tmp_path):
-    q = WorkQueue(str(tmp_path))
+def test_claim_order_priority_desc_then_fifo(make_queue):
+    q = make_queue()
     q.schedule("low/1", priority=1)
     q.schedule("high/1", priority=9)
     q.schedule("low/2", priority=1)
@@ -49,10 +67,10 @@ def test_claim_order_priority_desc_then_fifo(tmp_path):
     assert job.worker_id == "w1"
 
 
-def test_concurrent_claim_exactly_one_winner(tmp_path):
+def test_concurrent_claim_exactly_one_winner(make_queue):
     """Two racing claimants, one job — exactly one wins (the CAS heart
     of the system, repo/importer.py:145-155)."""
-    q = WorkQueue(str(tmp_path))
+    q = make_queue()
     q.schedule("contested/repo")
     results = {}
     barrier = threading.Barrier(2)
@@ -69,11 +87,11 @@ def test_concurrent_claim_exactly_one_winner(tmp_path):
     assert results[winners[0]].repo_name == "contested/repo"
 
 
-def test_release_even_on_failure_drops_job_and_worker_survives(tmp_path):
+def test_release_even_on_failure_drops_job_and_worker_survives(make_queue):
     """Worker loop mirrors repo/importer.py:161-179: a failing import
     is logged and released (dropped, not retried); the loop continues
     to the next job."""
-    q = WorkQueue(str(tmp_path))
+    q = make_queue()
     q.schedule("will/fail", priority=9)
     q.schedule("will/work", priority=1)
 
@@ -88,8 +106,8 @@ def test_release_even_on_failure_drops_job_and_worker_survives(tmp_path):
     assert q.list_jobs() == []
 
 
-def test_work_loop_processes_and_releases(tmp_path):
-    q = WorkQueue(str(tmp_path))
+def test_work_loop_processes_and_releases(make_queue):
+    q = make_queue()
     q.schedule("a/a", priority=2)
     q.schedule("b/b", priority=1)
     seen = []
@@ -98,11 +116,11 @@ def test_work_loop_processes_and_releases(tmp_path):
     assert q.list_jobs() == []
 
 
-def test_many_workers_many_jobs_each_processed_once(tmp_path):
+def test_many_workers_many_jobs_each_processed_once(make_queue):
     """8 racing workers, 20 jobs: every job processed exactly once
     across the fleet (the linear-scale-out claim, reference
     README.md:8, start_workers.sh)."""
-    q = WorkQueue(str(tmp_path))
+    q = make_queue()
     for i in range(20):
         q.schedule(f"org/repo{i:02d}", priority=i % 3)
     processed = []
