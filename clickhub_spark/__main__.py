@@ -236,10 +236,17 @@ def _emit(df, limit: int, fmt: str) -> None:
         for r in rows:
             print(json.dumps(r.asDict(recursive=True), default=str))
     else:
+        # csv.writer, not a naive join: a value containing the
+        # delimiter, a quote, or a newline (c_name, free text) must be
+        # quoted/escaped, not silently corrupt the row framing —
+        # matching clickhouse-client's escaped CSV/TSV formats
+        import csv
+
         sep = "," if fmt == "csv" else "\t"
-        print(sep.join(cols))
+        w = csv.writer(sys.stdout, delimiter=sep, lineterminator="\n")
+        w.writerow(cols)
         for r in rows:
-            print(sep.join("" if v is None else str(v) for v in r))
+            w.writerow(["" if v is None else str(v) for v in r])
 
 
 if __name__ == "__main__":

@@ -79,39 +79,36 @@ def read_positional_tsv_tolerant(
 
     Malformed rows are DROPPED from the result; with ``quarantine``
     set they are also written there as raw lines for offline repair
-    (the errors-table pattern).  Detection is cast-based: a positional
-    cell that casts to NULL while its raw text is non-null, or a
-    missing trailing column, marks the row bad — computed row-local
-    (map-only, no shuffle), so tolerance costs nothing at scale.
-    String columns accept any bytes by definition, exactly like
-    ClickHouse's String."""
+    (the errors-table pattern).  The line is read whole and split on
+    tabs (TSV has no quoting — escaping, not quoting, is the format's
+    rule), so the actual field COUNT is known per row: a row is bad
+    when it has fewer fields than the schema (true truncation) or a
+    non-string cell fails ``try_cast``.  A legitimately EMPTY string
+    field is therefore kept as ``''`` — it is not confused with a
+    missing trailing column the way a null-based check would (the CSV
+    reader returns null for both).  All row-local, map-only, no
+    shuffle: tolerance costs nothing at scale."""
     literals = literals or {}
     positional = [f for f in schema.fields if f.name not in literals]
-    raw = spark.read.csv(path, sep="\t", header=False, inferSchema=False)
-    bad = F.lit(False)
+    raw = spark.read.text(path)
+    # limit -1 keeps trailing empty fields, so "a\tb\t" counts 3
+    cells = F.split(F.col("value"), "\t", -1)
+    bad = F.size(cells) < len(positional)  # missing trailing column(s)
     for i, f in enumerate(positional):
-        cell = F.col(f"_c{i}")
-        if f.dataType.typeName() == "string":
-            bad = bad | cell.isNull()  # column missing entirely
-        else:
+        if f.dataType.typeName() != "string":
             # try_cast, not cast: ANSI mode makes a plain cast THROW on
             # the malformed cell we are trying to detect
-            bad = bad | (cell.isNull() | cell.try_cast(f.dataType).isNull())
-    flagged = raw.withColumn("__bad", bad)
+            bad = bad | cells[i].try_cast(f.dataType).isNull()
+    flagged = raw.withColumn("__cells", cells).withColumn("__bad", bad)
     if quarantine:
-        (
-            flagged.where("__bad")
-            .select(
-                F.concat_ws("\t", *[F.col(c) for c in raw.columns]).alias("line")
-            )
-            .write.mode("append")
-            .text(quarantine)
-        )
+        flagged.where("__bad").select("value").write.mode("append").text(quarantine)
     good = flagged.where(~F.col("__bad"))
-    # try_cast in the projection too: the optimizer may evaluate the
-    # cast before the __bad filter, and good rows cast losslessly
     cols = [
-        F.col(f"_c{i}").try_cast(f.dataType).alias(f.name)
+        (
+            F.col("__cells")[i]
+            if f.dataType.typeName() == "string"
+            else F.col("__cells")[i].try_cast(f.dataType)
+        ).alias(f.name)
         for i, f in enumerate(positional)
     ]
     cols += [

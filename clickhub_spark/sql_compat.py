@@ -108,27 +108,40 @@ def _rewrite_array_literals(sql: str) -> str:
     """ClickHouse ``[1, 2, 3]`` array literals → Spark ``array(1, 2, 3)``.
     A ``[`` is a subscript opener (left unchanged — Spark accepts
     ``x[1]``) only when it DIRECTLY follows an expression-ending char
-    (identifier char, ``)``, ``]``) with no whitespace, the way
+    (identifier char, ``)``, ``]``, a closing backquote or double
+    quote from a quoted identifier) with no whitespace, the way
     subscripts are written; after a space, comma, operator, or at
     start it is an array literal.  Balanced scan so nesting works;
     brackets inside single-quoted string literals pass through
-    untouched."""
+    untouched, honoring both backslash escapes and doubled ``''``.
+
+    Known unsupported form: a subscript separated from its base by
+    whitespace (``x [1]``) is classified as an array literal — the
+    whitespace rule cannot be relaxed without misreading ``SELECT
+    [1, 2]`` (keyword then literal), so write subscripts unspaced."""
     out = list(sql)
     stack = []  # replacement for each open bracket's closer: ")" or "]"
     in_string = False
-    for i, ch in enumerate(sql):
-        if ch == "'":
-            in_string = not in_string
-        elif in_string:
-            continue
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_string:
+            if ch == "\\":  # ClickHouse strings are backslash-escaped
+                i += 2
+                continue
+            if ch == "'":
+                in_string = False  # a doubled '' reads as close+reopen
+        elif ch == "'":
+            in_string = True
         elif ch == "[":
             prev = sql[i - 1] if i else ""
-            literal = not (prev.isalnum() or prev in "_)]")
+            literal = not (prev.isalnum() or prev in '_)]`"')
             stack.append(")" if literal else "]")
             if literal:
                 out[i] = "array("
         elif ch == "]" and stack:
             out[i] = stack.pop()
+        i += 1
     return "".join(out)
 
 

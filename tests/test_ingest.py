@@ -82,12 +82,34 @@ def test_tolerant_tsv_drops_and_quarantines_malformed_rows(spark, tmp_path):
         "3\tgamma\toops\n"            # uncastable score
         "4\tdelta\n"                  # missing column
         "5\tepsilon\t5.25\n"
+        "6\t\t6.5\n"                  # EMPTY string mid-row: legit, kept
     )
     q = str(tmp_path / "quarantine")
     out = read_positional_tsv_tolerant(
         spark, str(tsv), schema, literals={"repo_name": "acme/x"}, quarantine=q
     )
     rows = {r.id: (r.name, r.score, r.repo_name) for r in out.collect()}
-    assert rows == {1: ("alpha", 1.5, "acme/x"), 5: ("epsilon", 5.25, "acme/x")}
+    assert rows == {
+        1: ("alpha", 1.5, "acme/x"),
+        5: ("epsilon", 5.25, "acme/x"),
+        6: ("", 6.5, "acme/x"),  # empty string ≠ missing column
+    }
     quarantined = {r.value for r in spark.read.text(q).collect()}
     assert quarantined == {"not-a-number\tbeta\t2.0", "3\tgamma\toops", "4\tdelta"}
+
+
+def test_tolerant_tsv_empty_trailing_string_field(spark, tmp_path):
+    """A row ending in a tab has an EMPTY last string field (kept, as
+    '') while a row missing the tab is truncated (quarantined) — the
+    field-count check tells them apart, which a null-based check on the
+    CSV reader cannot (it returns null for both)."""
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.sources.tsv import read_positional_tsv_tolerant
+
+    schema = StructType().add("id", "long").add("msg", "string")
+    tsv = tmp_path / "rows.tsv"
+    tsv.write_text("1\thello\n2\t\n3\n")
+    out = read_positional_tsv_tolerant(spark, str(tsv), schema)
+    rows = {r.id: r.msg for r in out.collect()}
+    assert rows == {1: "hello", 2: ""}  # row 3 truncated → dropped

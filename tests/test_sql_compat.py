@@ -385,6 +385,13 @@ def test_cast_functions_array_lambdas_and_padding(spark):
     assert translate("SELECT x[1] FROM t") == "SELECT x[1] FROM t"
     # brackets inside string literals are untouched
     assert translate("SELECT '[not an array]' AS s") == "SELECT '[not an array]' AS s"
+    # ... including after a backslash-escaped quote inside the string
+    assert (
+        translate(r"SELECT 'it\'s [raw' AS s, [1] AS a")
+        == r"SELECT 'it\'s [raw' AS s, array(1) AS a"
+    )
+    # subscript on a backquoted identifier stays a subscript
+    assert translate("SELECT `col`[1] FROM t") == "SELECT `col`[1] FROM t"
 
 
 def test_limit_by_rewrites_to_per_group_window(spark):
