@@ -64,6 +64,15 @@ def write_sorted(
     out = df
     if partition_by:
         out = out.repartition(F.col(partition_by))
+    elif sort_cols:
+        # Range-cluster BEFORE the in-file sort: sortWithinPartitions
+        # alone leaves every output file spanning the full key range
+        # (each pre-existing partition holds a slice of everything), so
+        # min/max skipping prunes nothing table-wide.  repartitionByRange
+        # gives files DISJOINT key ranges — a one-month predicate then
+        # reads ~1/32 of the files instead of all of them, which is the
+        # entire point of a sort-clustered copy at 100 TB.
+        out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
     out = out.sortWithinPartitions(*sort_cols)
     writer = out.write.mode(mode).option("compression", compression)
     for col in bloom_cols or []:
