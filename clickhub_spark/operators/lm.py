@@ -125,3 +125,39 @@ def score_bits(
     return scored.groupBy(F.col("__id").alias(id_col)).agg(
         F.count("*").alias("n_bigrams"), F.avg("bits").alias("bits")
     )
+
+
+def build_vocab(
+    df: DataFrame, text: str, max_size: int = 1000, min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer prep: top-``max_size`` tokens by
+    frequency (count DESC, token ASC — deterministic ties), minimum
+    count ``min_count``.  Returns (t, c).  One hash agg on the token
+    key (map-side combined), then TakeOrdered for the cutoff — no
+    global-window rank, so the selection is a top-k, not a sort, at
+    any corpus size; the result is vocabulary-bounded and
+    broadcastable."""
+    counts = (
+        df.select(F.explode(tokens(text)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    return counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(max_size)
+
+
+def oov_stats(df: DataFrame, vocab: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Per-document out-of-vocabulary stats against a built vocab:
+    (doc_id, n_tokens, n_oov).  The vocab is broadcast (it is top-k
+    bounded by construction), so the token→vocab probe is map-only;
+    the only shuffle is the final per-document aggregation — the
+    coverage / OOV-rate filter stage a tokenizer-bound pipeline runs
+    before committing to a vocab size."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("t"))
+    probe = toks.join(
+        F.broadcast(vocab.select("t", F.lit(1).alias("__in"))), "t", "left"
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )

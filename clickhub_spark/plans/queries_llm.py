@@ -1169,3 +1169,46 @@ def q_llm_perplexity_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_bigrams", F.round("bits", 4).alias("bits")
     )
+
+
+@query(
+    "q_llm_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents
+    ), counts AS (
+        SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+    ), vocab AS (
+        SELECT t FROM counts ORDER BY c DESC, t ASC LIMIT 20
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS oov_rate
+    FROM toks k LEFT JOIN vocab v USING (t)
+    GROUP BY k.doc_id
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage (operators/lm.py): build the
+    top-20 corpus vocabulary (count DESC, token ASC — a TakeOrdered,
+    never a global sort) and score every document's out-of-vocabulary
+    rate against it via a broadcast probe.  This is the sizing loop a
+    tokenizer-bound pipeline runs before fixing a vocab: at 100 TB the
+    vocab stays top-k bounded and broadcastable, the probe is
+    map-only, and the only shuffles are the token-count agg and the
+    per-document rollup."""
+    from clickhub_spark.operators.lm import build_vocab, oov_stats
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", max_size=20)
+    stats = oov_stats(docs, vocab, "text", "doc_id")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+    )

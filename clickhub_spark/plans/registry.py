@@ -50,6 +50,7 @@ ROUND_PRIORITY = [
     "q_multimodal_frames",
     "q_llm_perplexity_store",
     "q_queue_sqlite",
+    "q_llm_vocab_coverage",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",

@@ -146,3 +146,24 @@ def test_lm_store_reuse_equals_inline_training(spark, tmp_path):
     files = set(scored.inputFiles())
     assert files and all("/lm/" in f for f in files)
     assert scored.count() == 1
+
+
+def test_vocab_build_and_oov_stats(spark):
+    """Top-k vocab with deterministic ties (count DESC, token ASC) and
+    per-doc OOV stats via the broadcast probe."""
+    from clickhub_spark.operators.lm import build_vocab, oov_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x y"), (3, "z z q")],
+        "id long, text string",
+    )
+    vocab = build_vocab(df, "text", max_size=3)
+    # counts: a=4, b=3, z=2, then c/x/y/q at 1 — top-3 cuts before ties
+    assert [(r["t"], r["c"]) for r in vocab.collect()] == [
+        ("a", 4), ("b", 3), ("z", 2)
+    ]
+    stats = {r["doc_id"]: (r["n_tokens"], r["n_oov"])
+             for r in oov_stats(df, vocab, "text", "id").collect()}
+    assert stats == {1: (6, 1), 2: (4, 2), 3: (3, 1)}
+    # min_count prunes the long tail before the top-k
+    assert build_vocab(df, "text", max_size=10, min_count=2).count() == 3
