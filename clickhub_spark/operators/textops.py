@@ -165,3 +165,31 @@ def mixture_sample(
     return df.where(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < thr
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "0",
+    shard_bits: int = 8,
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    permutation step of a data pipeline (decorrelate adjacent examples
+    before packing into batches).  The permutation key is
+    md5(key || ':' || seed): seeded, repeatable across runs and
+    engines, and resumable (a given doc's position never changes for a
+    fixed seed).  Emits (shard, pos_key, <row>): shard is the top
+    ``shard_bits`` of the hash (kept as the hex prefix string — engine-
+    portable, orders identically to the numeric value) — at 100 TB you
+    ``repartitionByRange`` on (shard, pos_key) and write one sorted
+    file per shard, which IS the shuffled dataset; readers stream
+    shards in order and get a uniform random document order without
+    ever materializing a global sort of the corpus on one node."""
+    if shard_bits % 4:
+        raise ValueError("shard_bits must be a multiple of 4 (hex prefix)")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":"), F.lit(seed)))
+    return df.select(
+        F.substring(h, 1, shard_bits // 4).alias("shard"),
+        h.alias("pos_key"),
+        "*",
+    )

@@ -1212,3 +1212,26 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
     )
+
+
+@query(
+    "q_llm_shuffle",
+    oracle="""
+    SELECT substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 2) AS shard,
+           md5(CAST(doc_id AS VARCHAR) || ':42') AS pos_key,
+           doc_id
+    FROM documents
+    """,
+)
+def q_llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators/textops.py):
+    seeded md5 permutation key + hex-prefix shard, the training-order
+    decorrelation step before sequence packing.  Map-only here; the
+    write path range-partitions on (shard, pos_key) so each shard
+    lands as one sorted file — a uniform random read order at 100 TB
+    without a single-node global sort.  Seeded + engine-portable, so
+    the oracle reproduces the exact permutation."""
+    from clickhub_spark.operators.textops import deterministic_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed="42", shard_bits=8)

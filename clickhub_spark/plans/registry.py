@@ -51,6 +51,7 @@ ROUND_PRIORITY = [
     "q_llm_perplexity_store",
     "q_queue_sqlite",
     "q_llm_vocab_coverage",
+    "q_llm_shuffle",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",

@@ -167,3 +167,32 @@ def test_vocab_build_and_oov_stats(spark):
     assert stats == {1: (6, 1), 2: (4, 2), 3: (3, 1)}
     # min_count prunes the long tail before the top-k
     assert build_vocab(df, "text", max_size=10, min_count=2).count() == 3
+
+
+def test_deterministic_shuffle_is_seeded_and_uniform(spark, tmp_path):
+    """Same seed → identical permutation; different seed → different
+    order; the sharded write round-trips to a complete, duplicate-free
+    corpus in shuffled order."""
+    from clickhub_spark.operators.textops import deterministic_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(df, "doc_id", seed="s1")
+    b = deterministic_shuffle(df, "doc_id", seed="s1")
+    c = deterministic_shuffle(df, "doc_id", seed="s2")
+    order = lambda frame: [r["doc_id"] for r in frame.orderBy("shard", "pos_key").collect()]
+    assert order(a) == order(b)
+    assert order(a) != order(c)
+    assert order(a) != list(range(200))  # actually permuted
+    # shard prefix is consistent with pos_key (range-partition safe)
+    assert all(r["pos_key"].startswith(r["shard"]) for r in a.collect())
+    # sharded sorted write = the shuffled dataset, complete and unique
+    out = str(tmp_path / "shuffled")
+    a.repartitionByRange(4, "shard", "pos_key").sortWithinPartitions(
+        "shard", "pos_key"
+    ).write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 200 and back.select("doc_id").distinct().count() == 200
+    import pytest
+
+    with pytest.raises(ValueError):
+        deterministic_shuffle(df, "doc_id", shard_bits=6)
