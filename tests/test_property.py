@@ -110,3 +110,43 @@ def test_jaccard_cap_never_adds_pairs(spark, texts):
     uncapped = pairs(None)
     assert pairs(10**9) == uncapped
     assert pairs(2) <= uncapped
+
+
+# -- SQL-shim bracket rewriting -------------------------------------------
+
+_sql_fragment = st.text(
+    alphabet=" abc_0123456789'\\[],()`\"x>-",
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(s=_sql_fragment)
+def test_rewrite_array_literals_structural_invariants(s):
+    """For ANY input: output length only grows at '[' sites (each
+    'array(' adds 5 chars), characters inside single-quoted strings
+    are byte-identical, and the rewrite is idempotent on inputs with
+    no brackets."""
+    from clickhub_spark.sql_compat import _rewrite_array_literals
+
+    out = _rewrite_array_literals(s)
+    n_lit = out.count("array(") - s.count("array(")
+    assert len(out) == len(s) + 5 * n_lit
+    if "[" not in s and "]" not in s:
+        assert out == s
+        assert _rewrite_array_literals(out) == out
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(inner=st.text(alphabet=" abc[],\\'x", min_size=0, max_size=20))
+def test_rewrite_array_literals_preserves_string_bodies(inner):
+    """A single-quoted literal (with escaped quotes/backslashes made
+    safe) passes through the rewriter untouched."""
+    from clickhub_spark.sql_compat import _rewrite_array_literals
+
+    body = inner.replace("\\", "\\\\").replace("'", "\\'")
+    sql = f"SELECT '{body}' AS s, [1] AS a"
+    out = _rewrite_array_literals(sql)
+    assert f"'{body}'" in out
+    assert out.endswith("array(1) AS a")
