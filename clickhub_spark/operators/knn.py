@@ -396,3 +396,62 @@ def pq_topk(
     return pq_probe_topk(
         emb.sparkSession, index_path, list(qvec), k=k, exclude_id=query_id
     )
+
+
+def hyperplane_signature_md5(vec: F.Column, n_bits: int = 4, dim: int = 64) -> F.Column:
+    """Engine-portable twin of ``hyperplane_signature``: plane weights
+    are ±1 from md5 hex parity (md5("p:i") first hex char ≤ '7' → +1),
+    so an external engine can recompute the exact bucket with its own
+    md5 — the same md5-basis trick the MinHash/SimHash oracle twins
+    use.  The weights are baked in as literal arrays (md5 is md5 —
+    hashlib here equals any engine's md5 there), so per-row work is
+    one codegen'd zip_with dot product per plane; the bucket is the
+    concatenated sign-bit string.  xxhash-based
+    ``hyperplane_signature`` stays the prod path (faster basis, int
+    bucket)."""
+    import hashlib
+
+    bits = []
+    for p in range(n_bits):
+        w = F.array(
+            *[
+                F.lit(1.0 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] <= "7" else -1.0)
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk_md5(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``lsh_bucket_topk`` over the md5-basis signature — identical
+    bucket-pruned plan shape (signature map-only, query row broadcast,
+    candidates = bucket equality, TakeOrdered top-k), but every value
+    is reproducible by an external engine for oracle checking."""
+    dim = 64
+    with_sig = emb.withColumn(
+        "bucket", hyperplane_signature_md5(as_double(F.col(vec_col)), n_bits, dim)
+    )
+    query = with_sig.where(F.col(id_col) == query_id).select(
+        as_double(F.col(vec_col)).alias("__qvec"), F.col("bucket").alias("__qbucket")
+    )
+    cand = (
+        with_sig.where(F.col(id_col) != query_id)
+        .join(F.broadcast(query), F.col("bucket") == F.col("__qbucket"))
+        .withColumn("sim", F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 4))
+    )
+    return (
+        cand.orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "sim", "bucket")
+    )

@@ -1235,3 +1235,50 @@ def q_llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(docs, "doc_id", seed="42", shard_bits=8)
+
+
+@query(
+    "q_llm_knn_lsh_md5",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, v,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> v[i] * CASE WHEN substr(md5('0:' || (i - 1)), 1, 1) <= '7'
+                                THEN 1.0 ELSE -1.0 END)) >= 0
+               THEN '1' ELSE '0' END
+            || CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> v[i] * CASE WHEN substr(md5('1:' || (i - 1)), 1, 1) <= '7'
+                                THEN 1.0 ELSE -1.0 END)) >= 0
+               THEN '1' ELSE '0' END
+            || CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> v[i] * CASE WHEN substr(md5('2:' || (i - 1)), 1, 1) <= '7'
+                                THEN 1.0 ELSE -1.0 END)) >= 0
+               THEN '1' ELSE '0' END
+            || CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> v[i] * CASE WHEN substr(md5('3:' || (i - 1)), 1, 1) <= '7'
+                                THEN 1.0 ELSE -1.0 END)) >= 0
+               THEN '1' ELSE '0' END AS bucket
+        FROM e
+    )
+    SELECT s.vec_id, ROUND(list_cosine_similarity(s.v, q.v), 4) AS sim, s.bucket
+    FROM sig s, (SELECT v, bucket FROM sig WHERE vec_id = 0) q
+    WHERE s.vec_id <> 0 AND s.bucket = q.bucket
+    ORDER BY sim DESC, s.vec_id ASC LIMIT 10
+    """,
+)
+def q_llm_knn_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable LSH ANN (SURVEY §2.J6 scale path): the md5-basis
+    hyperplane twin of q_llm_knn_lsh — same bucket-pruned plan
+    (map-only signatures, broadcast query row, candidates by bucket
+    equality, TakeOrdered top-k), but the plane weights derive from an
+    engine-portable md5 parity so DuckDB reproduces bucket AND
+    similarity value-for-value.  Both engines fold the dot product
+    sequentially over the array in index order, so the IEEE result is
+    identical — the sign bit cannot disagree."""
+    from clickhub_spark.operators.knn import lsh_bucket_topk_md5
+
+    return lsh_bucket_topk_md5(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4
+    )

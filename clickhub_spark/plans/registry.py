@@ -52,6 +52,7 @@ ROUND_PRIORITY = [
     "q_queue_sqlite",
     "q_llm_vocab_coverage",
     "q_llm_shuffle",
+    "q_llm_knn_lsh_md5",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",

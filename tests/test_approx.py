@@ -131,3 +131,16 @@ def test_prune_stale_keeps_newest(tmp_path):
     newest = str(parent / "key4")
     assert prune_stale(newest, keep=2) == 3
     assert sorted(os.listdir(parent)) == ["key3", "key4"]
+
+
+def test_lsh_md5_twin_recall_and_bucket_consistency(spark):
+    """The md5-basis LSH twin behaves like the prod xxhash path:
+    meaningful recall vs brute force, every returned candidate shares
+    the query's bucket, and the bucket is a 4-char bit string."""
+    brute = {r.vec_id for r in all_specs()["q_llm_knn"].builder(spark, SF_DIR).collect()}
+    rows = all_specs()["q_llm_knn_lsh_md5"].builder(spark, SF_DIR).collect()
+    assert len({r.vec_id for r in rows} & brute) >= 2
+    buckets = {r.bucket for r in rows}
+    assert len(buckets) == 1  # all candidates in the query's bucket
+    b = next(iter(buckets))
+    assert len(b) == 4 and set(b) <= {"0", "1"}
