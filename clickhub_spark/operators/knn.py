@@ -9,9 +9,10 @@
 - ``lsh_bucket_topk``: random-hyperplane LSH variant — sign-bit
   signature per vector (deterministic pseudo-random planes derived
   from xxhash64, so no driver-side randomness), candidates share the
-  query's bucket (± allowing probing neighbors by Hamming distance 0;
-  multi-probe left as a parameter).  The scan is pruned to matching
-  buckets via a partition-friendly equality predicate — this is the
+  query's bucket, with ``multi_probe=1`` widening to every bucket at
+  Hamming distance 1 (the standard recall knob — a vector near a
+  hyperplane lands one sign-bit away).  The scan is pruned to the
+  probed buckets via a broadcast membership predicate — this is the
   ANN path that survives 1000 executors.
 """
 
@@ -224,18 +225,36 @@ def lsh_bucket_topk(
     n_bits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """ANN top-k: score only vectors sharing the query's LSH bucket."""
+    """ANN top-k: score only vectors sharing the query's LSH bucket.
+
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's (the standard recall knob: a vector
+    near a hyperplane lands one sign-bit away) — n_bits extra buckets,
+    still a broadcast-joined pruning predicate, never a scan."""
     dim = 64
     with_sig = emb.withColumn(
         "bucket", hyperplane_signature(as_double(F.col(vec_col)), n_bits, dim)
     )
+    probes = F.array(F.col("__qbucket"))
+    if multi_probe >= 1:
+        probes = F.concat(
+            probes,
+            F.array(
+                *[
+                    F.col("__qbucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(n_bits)
+                ]
+            ),
+        )
     query = with_sig.where(F.col(id_col) == query_id).select(
-        as_double(F.col(vec_col)).alias("__qvec"), F.col("bucket").alias("__qbucket")
-    )
+        as_double(F.col(vec_col)).alias("__qvec"),
+        F.col("bucket").alias("__qbucket"),
+    ).withColumn("__probes", probes)
     cand = (
         with_sig.where(F.col(id_col) != query_id)
-        .join(F.broadcast(query), F.col("bucket") == F.col("__qbucket"))
+        .join(F.broadcast(query), F.array_contains(F.col("__probes"), F.col("bucket")))
         .withColumn("sim", F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 4))
     )
     return (

@@ -144,3 +144,23 @@ def test_lsh_md5_twin_recall_and_bucket_consistency(spark):
     assert len(buckets) == 1  # all candidates in the query's bucket
     b = next(iter(buckets))
     assert len(b) == 4 and set(b) <= {"0", "1"}
+
+
+def test_lsh_multi_probe_improves_or_matches_recall(spark):
+    """Hamming-1 multi-probe is a strict superset of the single-bucket
+    candidate set, so its recall vs brute force can only improve; the
+    probe count stays n_bits+1 buckets (pruning, never a scan)."""
+    from clickhub_spark.operators.knn import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {r.vec_id for r in all_specs()["q_llm_knn"].builder(spark, SF_DIR).collect()}
+    single = lsh_bucket_topk(emb, query_id=0, k=10, n_bits=4).collect()
+    multi = lsh_bucket_topk(emb, query_id=0, k=10, n_bits=4, multi_probe=1).collect()
+    r_single = len({r.vec_id for r in single} & brute)
+    r_multi = len({r.vec_id for r in multi} & brute)
+    assert r_multi >= r_single
+    # probed buckets: query's plus Hamming-1 neighbors only
+    q_bucket = [r.bucket for r in single][0] if single else None
+    if q_bucket is not None:
+        allowed = {q_bucket} | {q_bucket ^ (1 << b) for b in range(4)}
+        assert {r.bucket for r in multi} <= allowed
