@@ -1282,3 +1282,53 @@ def q_llm_knn_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk_md5(
         load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4
     )
+
+
+@query(
+    "q_llm_pack_sharded",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 2) AS shard,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS pos_key,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), runs AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sized
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
+    FROM runs
+    """,
+)
+def q_llm_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of sequence packing: q_llm_pack's global
+    running sum is an anti-pattern at 100 TB (one ordered partition),
+    so here the corpus is first decorrelated by the deterministic
+    seeded shuffle (operators/textops.deterministic_shuffle) and then
+    packed WITHIN each hash shard — the running-sum window partitions
+    by shard, so 256 independent windows run in parallel and no
+    single-node global order ever materializes.  Bins never need to
+    span shards; training readers consume shards independently.  Fully
+    oracle-checkable because the shuffle is a seeded md5 permutation."""
+    from clickhub_spark.operators.textops import deterministic_shuffle
+    from pyspark.sql.window import Window
+
+    sized = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sharded = deterministic_shuffle(sized, "doc_id", seed="42", shard_bits=8)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos_key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sharded.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).alias("bin_id"),
+    )

@@ -244,3 +244,14 @@ def test_bloom_filter_write_option(spark, tmp_path):
     got = spark.read.parquet(bloom_dir).where(F.col("actor") == key).count()
     want = df.where(F.col("actor") == key).count()
     assert got == want > 0
+
+
+def test_sharded_pack_has_no_single_partition_window(spark):
+    """q_llm_pack_sharded's running-sum window partitions by shard —
+    the plan must hash-partition on shard and contain NO
+    SinglePartition exchange (the global-pack anti-pattern the
+    docstring warns about); q_llm_pack (the cross-engine-checkable
+    global form) is allowed one."""
+    plan = _plan(spark, "q_llm_pack_sharded")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
