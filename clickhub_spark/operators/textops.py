@@ -193,3 +193,36 @@ def deterministic_shuffle(
         h.alias("pos_key"),
         "*",
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the holdout-split step
+    of a training pipeline.  Each row gets a ``split`` label by md5
+    (key || ':' || seed) prefix against cumulative fraction
+    boundaries: seeded, repeatable across runs and engines, map-only,
+    and stable under corpus growth (a doc's split never changes when
+    other docs are added — the property random split lacks, and the
+    one that prevents silent train/test contamination across dataset
+    versions).  ``fractions`` maps label → fraction, summing to ~1;
+    boundaries quantize to 1/65536 like mixture_sample."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":"), F.lit(seed))), 1, 4
+    )
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for label, frac in items[:-1]:
+        cum += frac
+        bound = format(min(65535, int(cum * 65536)), "04x")
+        expr = F.when(h < bound, label) if expr is None else expr.when(h < bound, label)
+    last = items[-1][0]
+    split = expr.otherwise(last) if expr is not None else F.lit(last)
+    return df.withColumn("split", split)

@@ -1332,3 +1332,30 @@ def q_llm_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).alias("bin_id"),
     )
+
+
+@query(
+    "q_llm_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) < 'e666'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) < 'f333'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split (operators/textops.
+    split_corpus): seeded md5-prefix assignment, map-only, stable under
+    corpus growth — adding documents never moves an existing one across
+    the split boundary, which is what keeps dataset-version N's test
+    set uncontaminated by version N+1's training set.  The oracle
+    reproduces the exact assignment."""
+    from clickhub_spark.operators.textops import split_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return split_corpus(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id", seed="7"
+    )

@@ -54,6 +54,7 @@ ROUND_PRIORITY = [
     "q_llm_shuffle",
     "q_llm_knn_lsh_md5",
     "q_llm_pack_sharded",
+    "q_llm_split",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",

@@ -196,3 +196,26 @@ def test_deterministic_shuffle_is_seeded_and_uniform(spark, tmp_path):
 
     with pytest.raises(ValueError):
         deterministic_shuffle(df, "doc_id", shard_bits=6)
+
+
+def test_split_corpus_stable_under_growth(spark):
+    """A doc's split label never changes when the corpus grows (the
+    anti-contamination property), realized fractions track targets,
+    and bad fractions are rejected."""
+    import pytest
+
+    from clickhub_spark.operators.textops import split_corpus
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in split_corpus(small, fr, "doc_id").collect()}
+    s_big = {r.doc_id: r.split for r in split_corpus(big, fr, "doc_id").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())  # growth-stable
+    from collections import Counter
+    c = Counter(s_big.values())
+    assert abs(c["train"] / 2000 - 0.9) < 0.05
+    assert abs(c["val"] / 2000 - 0.05) < 0.03
+    assert abs(c["test"] / 2000 - 0.05) < 0.03
+    with pytest.raises(ValueError):
+        split_corpus(small, {"train": 0.5, "val": 0.1}, "doc_id")
