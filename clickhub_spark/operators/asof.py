@@ -76,9 +76,17 @@ def asof_join(
     )
     out = out.where(F.col("__side") == 1)
     if tolerance is not None:
+        # TIMESTAMP_NTZ refuses numeric casts; reinterpret in the
+        # session zone first (wall-clock deltas are zone-invariant)
+        def _epoch(c: str) -> F.Column:
+            col = F.col(c)
+            if dict(out.dtypes).get(c) == "timestamp_ntz":
+                col = col.cast("timestamp")
+            return col.cast("double")
+
         too_old = (
             F.col("asof_ts").isNull()
-            | (F.col("__ts").cast("double") - F.col("asof_ts").cast("double") > tolerance)
+            | (_epoch("__ts") - _epoch("asof_ts") > tolerance)
         )
         for c in right_values:
             out = out.withColumn(

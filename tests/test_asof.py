@@ -59,3 +59,31 @@ def test_point_in_interval_join_boundaries(spark):
         (2, 5), (2, 9), (2, 10), (2, 23),  # spans 4 bins
         (3, 10),
     }
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark):
+    """timestamp_ntz inputs (how Spark reads timestamp[us] parquet
+    without tz) must work through the tolerance path — NTZ refuses a
+    direct numeric cast."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampNTZType,
+    )
+
+    sch = StructType([
+        StructField("user", LongType()),
+        StructField("ts", TimestampNTZType()),
+    ])
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t0 + dt.timedelta(seconds=100))], sch)
+    right = spark.createDataFrame(
+        [(1, t0)], sch
+    ).withColumn("price", F.lit(5.0))
+    hit = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                    right_values=["price"], tolerance=200).collect()[0]
+    assert hit.asof_price == 5.0
+    miss = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                     right_values=["price"], tolerance=50).collect()[0]
+    assert miss.asof_price is None
