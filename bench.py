@@ -12,10 +12,12 @@ ColumnPruning delete unreferenced final projections, so map-only
 queries (e.g. q_llm_pii_scrub's regex scrub) were timed as bare scans.
 Under noop every projected expression actually evaluates, so map-only
 rows now measure real work.  Also changed in round 4: the DataFrame is
-built once per query and only the action is repeated/timed, so rows
-measure execution rather than driver-side plan construction.  r4
-numbers are therefore NOT comparable to r3 for projection-heavy
-queries (noop) and are uniformly lower by the per-build analysis cost
+built ONCE per query; a row is one-time build cost + best-of-N
+execution, so plan construction is no longer re-paid on every repeat
+(it was 3× before) while eager builders — iterative ops whose
+convergence loop runs at build time — keep their real cost visible.
+r4 numbers are therefore NOT comparable to r3 for projection-heavy
+queries (noop) or queries with expensive plan construction
 (build-once); aggregate/sort-terminated queries are otherwise
 unaffected.  A warmup query first absorbs JVM/codegen startup so
 per-query numbers reflect steady-state throughput.
@@ -80,13 +82,20 @@ def bench_set(spark, specs, names, sf_dir, runs: int = 3) -> dict[str, float]:
     """
     timings: dict[str, float] = {}
     for name in names:
+        t0 = time.time()
         df = specs[name].builder(spark, sf_dir)
+        build_s = time.time() - t0
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()
             run_noop(df)
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        # Row = one-time build + best execution: plan construction is
+        # paid once (not 3×, as before round 4), and eager builders
+        # (iterative ops like connected components, which run their
+        # convergence loop at build time via localCheckpoint) keep
+        # their real cost visible in the row.
+        timings[name] = round(build_s + best, 3)
     return timings
 
 
