@@ -3,16 +3,17 @@ payloads as opaque ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` UDFs.
 
 Media decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
-filters), 24-bit BMP, and PCM WAV (8/16-bit) — pure stdlib
-zlib+struct, no codec library (``decode_png`` / ``decode_bmp`` /
-``decode_wav`` / ``real_decode``).  On top of those decoders, resize
+filters), 24-bit BMP, non-interlaced GIF (LZW + palette), and PCM WAV
+(8/16-bit) — pure stdlib zlib/struct/own-LZW, no codec library
+(``decode_png`` / ``decode_bmp`` / ``decode_gif`` / ``decode_wav`` /
+``real_decode``).  On top of those decoders, resize
 and frame sampling are REAL too for the same formats: ``real_resize``
 does nearest-neighbor resampling and re-encodes as 24-bit BMP
 (``encode_bmp``), and ``sample_frames`` extracts time-windowed PCM
 frames from WAV payloads, each re-encoded as a standalone playable
-WAV (``encode_wav``).  Only compressed formats stay stubbed —
-JPEG/GIF decode is header-probe-only and MP3/video need codec
-libraries the container doesn't ship; those payloads fall back to the
+WAV (``encode_wav``).  Only DCT/perceptual formats stay stubbed —
+JPEG decode is header-probe-only and MP3/video need codec libraries
+the container doesn't ship; those payloads fall back to the
 deterministic byte-stat/byte-chunk stubs, per-format documented.  The
 Spark-side plumbing is identical either way: schema contract, Arrow
 batch iteration, partition-size control, and the metadata columns a
@@ -128,10 +129,10 @@ def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
 
 
 def real_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
-    """REAL resize for the formats this module decodes (PNG/BMP):
+    """REAL resize for the formats this module decodes (PNG/BMP/GIF):
     decode → nearest-neighbor resample → 24-bit BMP re-encode, pure
-    stdlib.  JPEG/GIF (probe-only — no codec in the container) and
-    unrecognized payloads fall back to the deterministic stub so a
+    stdlib.  JPEG (probe-only — DCT needs a codec the container lacks)
+    and unrecognized payloads fall back to the deterministic stub so a
     mixed corpus never kills the task."""
     import struct
     import zlib
@@ -142,6 +143,8 @@ def real_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
             w, h, ch, px = decode_png(payload)
         elif fmt == "bmp":
             w, h, ch, px = decode_bmp(payload)
+        elif fmt == "gif":
+            w, h, ch, px = decode_gif(payload)
         else:
             return stub_resize(payload, width, height)
         return encode_bmp(width, height, to_rgb(ch, resample_nn(w, h, ch, px, width, height)))
@@ -474,8 +477,8 @@ def probe_audio(payload: bytes) -> tuple[str | None, int, int, int]:
 
 
 def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
-    """Media-statistic feature extractor backed by the REAL PNG/BMP/WAV
-    decoders for the formats the header probes detect; other payloads
+    """Media-statistic feature extractor backed by the REAL
+    PNG/BMP/GIF/WAV decoders for the formats the header probes detect; other payloads
     (including the utf8-text fakes the testdata derives) keep the
     deterministic byte-stat stub so the mapInPandas contract never
     raises on mixed corpora.  Image features (fixed n_feat wide):
@@ -494,6 +497,8 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
             w, h, ch, px = decode_png(payload)
         elif fmt == "bmp":
             w, h, ch, px = decode_bmp(payload)
+        elif fmt == "gif":
+            w, h, ch, px = decode_gif(payload)
         elif probe_audio(payload)[0] == "wav":
             rate, ach, s = decode_wav(payload)
             if not s:
@@ -611,3 +616,111 @@ def probe_images(
     return src.mapInPandas(
         run, "doc_id long, img_format string, width int, height int, n_bytes int"
     )
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
+    12-bit max code width) → color-table indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i, bit_o = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("bad first LZW code")
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + [prev[0]]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL dependency-free GIF decode (stdlib only — GIF's LZW needs
+    no codec library, unlike JPEG's DCT): first frame of a
+    non-interlaced GIF87a/89a → (width, height, 3, RGB bytes row-major
+    top-down) via header parse → color table → LZW decompress →
+    palette lookup.  Interlaced images raise ValueError so callers
+    fall back to the metadata-only path instead of mis-decoding."""
+    import struct
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ct is None:
+                raise ValueError("GIF image without color table")
+            min_code_size = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                sz = b[pos]
+                data += b[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            idx = _lzw_decode(min_code_size, bytes(data))
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            out = bytearray(w * h * 3)
+            n_colors = len(ct) // 3
+            for i in range(w * h):
+                c = idx[i]
+                if c >= n_colors:
+                    raise ValueError("GIF index outside color table")
+                out[i * 3 : i * 3 + 3] = ct[c * 3 : c * 3 + 3]
+            return (w, h, 3, bytes(out))
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")

@@ -341,3 +341,93 @@ def test_sample_frames_alignment_and_corrupt_fallback(spark):
     df = spark.createDataFrame([(1, truncated)], "doc_id long, payload binary")
     rows = sample_frames(df, every_nth=1, max_frames=2, frame_sz=16).collect()
     assert all(len(r.frame) == 16 for r in rows)  # stub path, no crash
+
+
+def _gif_lzw_encode(min_code_size, indices):
+    """Minimal valid GIF LZW stream: CLEAR before every few literal
+    codes so the code width never grows — decoders must handle it."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    bits, acc, nacc = bytearray(), 0, 0
+
+    def emit(code, size):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += size
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear, code_size)
+    for j, idx in enumerate(indices):
+        if j and j % 2 == 0:
+            emit(clear, code_size)  # reset so width stays constant
+        emit(idx, code_size)
+    emit(end, code_size)
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def _gif_full(w, h, indices, palette):
+    import struct
+    n = max(2, len(palette))
+    depth = max(1, (n - 1).bit_length())
+    gct = b"".join(bytes(c) for c in palette) + b"\x00" * 3 * ((1 << depth) - len(palette))
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0) + gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    mcs = max(2, depth)
+    data = _gif_lzw_encode(mcs, indices)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_decode_gif_roundtrip_and_real_paths():
+    from clickhub_spark.operators.multimodal import (
+        decode_gif, decode_bmp, real_decode, real_resize, stub_decode,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    indices = [0, 1, 2, 3]  # 2x2, one pixel per color
+    gif = _gif_full(2, 2, indices, palette)
+    w, h, ch, px = decode_gif(gif)
+    assert (w, h, ch) == (2, 2, 3)
+    got = [tuple(px[i * 3 : i * 3 + 3]) for i in range(4)]
+    assert got == palette
+    # real_decode routes GIF to pixel stats (first feat = width)
+    assert real_decode(gif)[:3] == [2.0, 2.0, 3.0]
+    # real_resize: GIF → decode → nn-resample → BMP, decodable back
+    bw, bh, _, brgb = decode_bmp(real_resize(gif, 4, 4))
+    assert (bw, bh) == (4, 4)
+    assert tuple(brgb[:3]) == palette[0]  # top-left block keeps pixel 0
+    # corrupt-after-probe GIF falls back to the stub, never raises
+    assert real_decode(gif[:14]) == stub_decode(gif[:14])
+
+
+def test_decode_gif_kwkwk_and_dictionary_growth():
+    """A real compressed stream (no periodic CLEAR) exercises
+    dictionary growth including the KwKwK self-reference case."""
+    from clickhub_spark.operators.multimodal import _lzw_decode
+
+    # encode "0 0 0 0 0" with true LZW, min_code_size=2:
+    # CLEAR(4), 0, then code 6 (="0 0": KwKwK at decode), 0, END(5)
+    def emit_stream(codes, code_size):
+        acc = nacc = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nacc
+            nacc += code_size
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    data = emit_stream([4, 0, 6, 0, 5], 3)
+    assert _lzw_decode(2, data) == [0, 0, 0, 0]
