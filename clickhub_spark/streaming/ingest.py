@@ -19,6 +19,7 @@ write_sorted pass (sources/writer.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from clickhub_spark.sources.tsv import stamp_updated_at
@@ -135,6 +136,55 @@ def stream_dedup_ingest(
         md5_banded_signatures(batch_df, text, id_col).write.mode(
             "append"
         ).partitionBy("band").parquet(store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_score_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    table_path: str,
+    lm_store_path: str,
+    checkpoint: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_files: int = 4,
+) -> None:
+    """Streaming ingest WITH LM quality scoring — the continuous form
+    of operators/lm.score_against_store: every micro-batch is scored
+    against the persisted bigram model (train-once/score-many; only
+    the three small model tables are read per batch) and lands with
+    its (n_bigrams, bits) columns attached, so downstream quality
+    filtering is a plain column predicate on the stored table.
+
+    Exactly-once per batch: each batch writes its own
+    ``__batch_id=<id>`` partition with overwrite, so a crash-replayed
+    batch overwrites itself instead of duplicating rows (same contract
+    as streaming/freshness.py's MV sink)."""
+    from clickhub_spark.operators.lm import score_against_store
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        scored = score_against_store(batch_df, lm_store_path, text, id_col)
+        out = batch_df.join(
+            scored.select(F.col(id_col), "n_bigrams", "bits"), id_col, "left"
+        )
+        out.write.mode("overwrite").parquet(
+            f"{table_path}/__batch_id={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

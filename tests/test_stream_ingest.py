@@ -146,3 +146,44 @@ def test_exactly_once_ingest_survives_full_replay(spark, tmp_path):
     stream_ingest(spark, str(src), schema, table2, str(tmp_path / "ck3"), max_files=1)
     stream_ingest(spark, str(src), schema, table2, str(tmp_path / "ck4"), max_files=1)
     assert spark.read.parquet(table2).count() == 6  # 3 source files ×2 runs
+
+
+def test_stream_score_ingest_equals_batch_scoring(spark, tmp_path):
+    """Micro-batch LM scoring against the persisted store must equal
+    one-shot batch scoring of the same rows (stream≡batch), and a
+    replayed batch overwrites rather than duplicates."""
+    from clickhub_spark.operators.lm import (
+        score_bits, train_bigram_lm, write_lm_store,
+    )
+    from clickhub_spark.streaming.ingest import stream_score_ingest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    rows = [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 5}") for i in range(40)]
+    train = spark.createDataFrame(rows, schema)
+    store = str(tmp_path / "lm_store")
+    write_lm_store(train_bigram_lm(train, "text", "doc_id"), store)
+
+    src = str(tmp_path / "src")
+    train.repartition(4).write.parquet(src)  # several files → several batches
+    table = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    stream_score_ingest(spark, src, schema, table, store, ckpt, max_files=1)
+
+    got = spark.read.parquet(table)
+    assert got.count() == 40
+    model = (
+        spark.read.parquet(f"{store}/bigrams"),
+        spark.read.parquet(f"{store}/unigrams"),
+        spark.read.parquet(f"{store}/vocab"),
+    )
+    want = {(r["doc_id"], round(r["bits"], 9))
+            for r in score_bits(train, model, "text", "doc_id").collect()}
+    assert {(r["doc_id"], round(r["bits"], 9)) for r in got.collect()} == want
+    # replay: rerun with a FRESH checkpoint — batches overwrite, count stable
+    stream_score_ingest(spark, src, schema, table, store, str(tmp_path / "ckpt2"),
+                        max_files=1)
+    assert spark.read.parquet(table).count() == 40
