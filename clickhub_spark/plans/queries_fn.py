@@ -228,3 +228,34 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           ROUND(value, 4) AS v_value,
+           event_type AS v_type
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse JSON/Object-type analog via Spark 4 VariantType
+    (SURVEY §2.G6 extension): the props JSON column is parsed into a
+    semi-structured ``parse_json`` variant and fields are extracted
+    with typed ``variant_get`` paths; a second variant is built from
+    row values (to_json → parse_json) and round-tripped back out, so
+    the oracle checks the whole encode/decode against the original
+    columns.  Variant is the 100 TB answer to schemaless columns:
+    binary-encoded, predicate-pushdown-friendly shredding, no
+    per-query string re-parsing."""
+    ev = load(spark, sf_dir, "events")
+    props_v = F.parse_json("props")
+    row_v = F.parse_json(F.to_json(F.struct("value", "event_type")))
+    return ev.select(
+        "event_id",
+        F.variant_get(props_v, "$.k", "bigint").alias("k"),
+        F.round(F.variant_get(row_v, "$.value", "double"), 4).alias("v_value"),
+        F.variant_get(row_v, "$.event_type", "string").alias("v_type"),
+    )

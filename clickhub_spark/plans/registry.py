@@ -55,6 +55,7 @@ ROUND_PRIORITY = [
     "q_llm_knn_lsh_md5",
     "q_llm_pack_sharded",
     "q_llm_split",
+    "q_fn_variant",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",
