@@ -434,6 +434,24 @@ def translate(sql: str) -> str:
         return f"get_json_object({args[0]}, {key})"
 
     out = _rewrite_call(out, "JSONExtractString", _json_extract, nargs=2)
+    # typed variants: extract, then cast — ClickHouse returns 0/0.0/
+    # false for missing keys, but its SQL users overwhelmingly treat
+    # missing as NULL-ish; we keep Spark's NULL and document the delta
+    for ch, sqltype in (
+        ("JSONExtractInt", "BIGINT"),
+        ("JSONExtractUInt", "BIGINT"),
+        ("JSONExtractFloat", "DOUBLE"),
+        ("JSONExtractBool", "BOOLEAN"),
+    ):
+        out = _rewrite_call(
+            out,
+            ch,
+            lambda args, t=sqltype: f"CAST({_json_extract(args)} AS {t})",
+            nargs=2,
+        )
+    out = _rewrite_call(
+        out, "JSONHas", lambda args: f"({_json_extract(args)} IS NOT NULL)", nargs=2
+    )
     # toStartOf* → date_trunc
     for ch, unit in _START_OF.items():
         out = _rewrite_call(out, ch, lambda args, u=unit: f"date_trunc('{u}', {args[0]})")

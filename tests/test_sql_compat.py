@@ -427,3 +427,27 @@ def test_array_join_clause_rewrites_to_lateral_view(spark):
     assert sorted(((r.id, r.a) for r in left.collect()), key=str) == sorted(
         [("x", 1), ("x", 2), ("y", None)], key=str
     )
+
+
+def test_json_extract_typed_variants_and_has(spark):
+    """JSONExtractInt/Float/Bool extract-then-cast; JSONHas maps to an
+    IS NOT NULL probe.  Missing keys are NULL (documented delta from
+    ClickHouse's 0-default)."""
+    from clickhub_spark.sql_compat import run, translate
+
+    assert (
+        translate("SELECT JSONExtractInt(j, 'k') FROM t")
+        == "SELECT CAST(get_json_object(j, '$.k') AS BIGINT) FROM t"
+    )
+    spark.sql(
+        'SELECT \'{"k": 7, "f": 1.5, "b": true}\' AS j'
+    ).createOrReplaceTempView("jt2")
+    row = run(spark, """
+        SELECT JSONExtractInt(j, 'k') AS k, JSONExtractFloat(j, 'f') AS f,
+               JSONExtractBool(j, 'b') AS b, JSONHas(j, 'k') AS has_k,
+               JSONHas(j, 'missing') AS has_m, JSONExtractInt(j, 'missing') AS m
+        FROM jt2
+    """).first()
+    assert (row.k, row.f, row.b, row.has_k, row.has_m, row.m) == (
+        7, 1.5, True, True, False, None,
+    )
