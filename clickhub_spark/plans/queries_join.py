@@ -318,3 +318,38 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderkey").alias("n_orders"),
         F.when(F.count(c.c_custkey) > 0, 1).otherwise(0).alias("has_customer"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price,
+           o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for extreme key skew, driver-checked against the
+    plain join (operators/skew.salted_join): the fact side gets a
+    random salt, the dim side is replicated per bucket, and the join
+    key becomes (key, salt) so a hot key's rows spread over 16
+    reducers instead of one.  Salting must be result-invariant — the
+    oracle IS the unsalted join, so any multiplicity bug surfaces as a
+    hash mismatch.  Use when AQE's skew split can't apply (join output
+    must stay partitioned for a downstream window, or the skewed side
+    is mid-pipeline)."""
+    from clickhub_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    out = salted_join(li, od, on=["l_orderkey"], salt_buckets=16)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        "o_orderstatus",
+    )

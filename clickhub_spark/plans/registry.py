@@ -56,6 +56,7 @@ ROUND_PRIORITY = [
     "q_llm_pack_sharded",
     "q_llm_split",
     "q_fn_variant",
+    "q_join_salted",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",
