@@ -353,3 +353,57 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 2).alias("price"),
         "o_orderstatus",
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS order_total,
+           MAX(o.o_orderstatus) AS o_orderstatus
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact↔fact join on bucketed tables, driver-checked
+    against the plain join+agg (sources/writer.write_bucketed): both
+    sides are written bucketed on the join key once per session, after
+    which the join AND the following aggregate run shuffle-free — the
+    pre-shuffle-at-write-time layout that makes 100 TB
+    lineitem↔orders joins viable.  The oracle is the unbucketed
+    semantics; layout must never change results."""
+    import hashlib
+
+    from clickhub_spark.sources.writer import write_bucketed
+
+    # table names keyed by sf_dir: a session that switches scale
+    # factors must not read the other scale's bucketed copy
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_tbl, l_tbl = f"orders_q_bkt_{sfx}", f"lineitem_q_bkt_{sfx}"
+    if not spark.catalog.tableExists(o_tbl):
+        write_bucketed(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+            o_tbl,
+            "o_orderkey",
+            8,
+        )
+        write_bucketed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+            l_tbl,
+            "l_orderkey",
+            8,
+        )
+    o = spark.table(o_tbl)
+    li = spark.table(l_tbl).withColumnRenamed("l_orderkey", "o_orderkey")
+    return (
+        o.join(li, "o_orderkey")
+        .groupBy("o_orderkey")  # the bucket key — grouping clustering
+        # is already satisfied, so join AND agg stay shuffle-free
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_total"),
+            F.max("o_orderstatus").alias("o_orderstatus"),
+        )
+        .select("o_orderkey", "n_items", "order_total", "o_orderstatus")
+    )

@@ -57,6 +57,7 @@ ROUND_PRIORITY = [
     "q_llm_split",
     "q_fn_variant",
     "q_join_salted",
+    "q_join_bucketed",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",

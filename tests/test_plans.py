@@ -272,3 +272,17 @@ def test_no_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_bucketed_join_query_is_shuffle_free(spark):
+    """q_join_bucketed with broadcast disabled: bucketed scans feed a
+    SortMergeJoin AND the bucket-key aggregate with ZERO Exchange —
+    the pre-shuffle-at-write-time contract, end to end."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_specs()["q_join_bucketed"].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
