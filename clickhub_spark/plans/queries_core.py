@@ -603,3 +603,37 @@ def q_queue_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, name) for i, name in enumerate(claimed)],
         "claim_seq int, r_name string",
     )
+
+
+@query(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (SURVEY §2.F5 bag semantics): duplicates
+    survive up to the minimum multiplicity on each side — Spark's
+    intersectAll, one shuffle per side on the full row key."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "q_set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (SURVEY §2.F5 bag semantics): each left
+    occurrence is cancelled by at most one right occurrence — Spark's
+    exceptAll."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

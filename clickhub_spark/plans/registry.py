@@ -58,6 +58,8 @@ ROUND_PRIORITY = [
     "q_fn_variant",
     "q_join_salted",
     "q_join_bucketed",
+    "q_set_intersect_all",
+    "q_set_except_all",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",
