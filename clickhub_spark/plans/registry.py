@@ -60,6 +60,7 @@ ROUND_PRIORITY = [
     "q_join_bucketed",
     "q_set_intersect_all",
     "q_set_except_all",
+    "q_limit_offset",
     # --- last driver row: round 1 ---
     "q_agg_cube",
     "q_agg_argmax",
