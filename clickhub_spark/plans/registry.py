@@ -33,69 +33,22 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # check is oldest.  Names not in the registry are ignored, so entries
 # can be staged before their module lands.  Override ad hoc with
 # SPARK_GRAFT_QUERY_ORDER=comma,separated,names (prefix order).
-# Round-4 rationale (VERDICT.md r3 item 2): the driver window covers the
-# first ~50 names only, so order = driver-evidence age.
-#   1. q_stream_join — the ONLY query with zero driver evidence across
-#      r1∪r2∪r3 (judge-green r3); must get its first driver row.
-#   2. Queries new/changed in round 4 (staged; unknown names ignored).
-#   3. The 33 queries whose last driver row is round 1 (oldest).
-#   4. The 49 round-2-window queries (next oldest); the tail past the
-#      ~50-name window rolls into round 5's front.
-# Round-3-window queries are omitted — freshest evidence, checked last.
+# Round-5 rationale (VERDICT.md r4 item 1): the driver window covers the
+# first ~50 names only (r4 window was exactly 50), so order = driver-
+# evidence age.  After round 4 the evidence ages are: 49 queries last
+# checked in round 2 (now at the README policy's 2-round staleness
+# limit — they MUST be in this window), 50 checked in round 3, 50 in
+# round 4.  Order:
+#   1. The 49 round-2-window queries (oldest evidence; fills 49 of the
+#      ~50 window slots).
+#   2. Queries new in round 5 (staged; unknown names ignored) — the
+#      first lands in window slot 50, the tail rolls into round 6's
+#      front together with the round-3 block below.
+#   3. The 50 round-3-window queries (next oldest; front of round 6).
+# Round-4-window queries are omitted — freshest evidence, appended in
+# registry order and checked last.
 ROUND_PRIORITY = [
-    "q_stream_join",
-    # --- new in round 4 ---
-    "q_llm_simhash_md5",
-    "q_multimodal_resize",
-    "q_multimodal_frames",
-    "q_llm_perplexity_store",
-    "q_queue_sqlite",
-    "q_llm_vocab_coverage",
-    "q_llm_shuffle",
-    "q_llm_knn_lsh_md5",
-    "q_llm_pack_sharded",
-    "q_llm_split",
-    "q_fn_variant",
-    "q_join_salted",
-    "q_join_bucketed",
-    "q_set_intersect_all",
-    "q_set_except_all",
-    "q_limit_offset",
-    # --- last driver row: round 1 ---
-    "q_agg_cube",
-    "q_agg_argmax",
-    "q_agg_quantile",
-    "q_dedup_replacing",
-    "q_topk_multi",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
-    "q_fn_json",
-    "q_fn_hash",
-    "q_stream_slide",
-    "q_llm_dedup_embed",
-    "q_agg_approx_quantile",
-    "q_agg_grouping_sets",
-    "q_set_union_all",
-    "q_win_firstlast",
-    "q_llm_knn_ivf",
-    "q_agg_salted",
-    "q_tpch_q6",
-    "q_tpch_q3",
-    "q_win_pctrank",
-    "q_fn_interval",
-    "q_sample_hash",
-    "q_funnel",
-    "q_retention",
-    "q_agg_array_combinator",
-    "q_seq_match",
-    "q_topk_freq",
-    # --- last driver row: round 2 ---
+    # --- last driver row: round 2 (staleness-policy limit) ---
     "q_join_inner",
     "q_join_broadcast",
     "q_join_left",
@@ -145,6 +98,69 @@ ROUND_PRIORITY = [
     "q_llm_pack",
     "q_llm_corpus_pipeline",
     "q_llm_dedup_substring",
+    # --- new in round 5 (staged; unknown names ignored until the
+    # module lands) ---
+    "q_llm_minhash_sim",
+    "q_llm_ngram_lm",
+    "q_win_ntile",
+    "q_fn_geo",
+    "q_fn_ip",
+    "q_agg_bitmap",
+    "q_llm_docstore_join",
+    "q_fn_string2",
+    "q_agg_entropy",
+    "q_llm_quality_v2",
+    # --- last driver row: round 3 (front of round 6) ---
+    "q_llm_embed_centroid",
+    "q_fill_gaps",
+    "q_agg_histogram",
+    "q_fn_url",
+    "q_tpch_q4",
+    "q_tpch_q18",
+    "q_agg_stats",
+    "q_llm_simhash",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q7",
+    "q_tpch_q14",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_join_any",
+    "q_llm_mixture",
+    "q_agg_uniq_state",
+    "q_llm_knn_pq",
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_projection_filter",
+    "q_projection_agg",
+    "q_llm_perplexity",
+    "q_scan_parquet",
+    "q_scan_tsv",
+    "q_proj_cast",
+    "q_filter_eq",
+    "q_filter_range_time",
+    "q_filter_in",
+    "q_agg_max",
+    "q_agg_count",
+    "q_agg_count_col",
+    "q_groupby_min",
+    "q_mv_stars",
+    "q_agg_countif",
+    "q_agg_partial_final",
+    "q_agg_multi",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_rollup",
 ]
 
 
