@@ -374,26 +374,29 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem↔orders joins viable.  The oracle is the unbucketed
     semantics; layout must never change results."""
     import hashlib
+    import os
 
     from clickhub_spark.sources.writer import write_bucketed
 
-    # table names keyed by sf_dir: a session that switches scale
-    # factors must not read the other scale's bucketed copy
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # table names keyed by the INPUT FILES' path+mtime+size (the
+    # artifacts.derived_artifact_path signature), not sf_dir alone: a
+    # path-only key would silently reuse a stale bucketed copy if the
+    # source parquet under sf_dir is regenerated in place mid-session
+    sig = hashlib.md5()
+    for f in sorted(orders.inputFiles()) + sorted(lineitem.inputFiles()):
+        local = f.removeprefix("file:")
+        try:
+            st = os.stat(local)
+            sig.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+        except OSError:
+            sig.update(f.encode())
+    sfx = sig.hexdigest()[:8]
     o_tbl, l_tbl = f"orders_q_bkt_{sfx}", f"lineitem_q_bkt_{sfx}"
     if not spark.catalog.tableExists(o_tbl):
-        write_bucketed(
-            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
-            o_tbl,
-            "o_orderkey",
-            8,
-        )
-        write_bucketed(
-            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
-            l_tbl,
-            "l_orderkey",
-            8,
-        )
+        write_bucketed(orders, o_tbl, "o_orderkey", 8)
+        write_bucketed(lineitem, l_tbl, "l_orderkey", 8)
     o = spark.table(o_tbl)
     li = spark.table(l_tbl).withColumnRenamed("l_orderkey", "o_orderkey")
     return (

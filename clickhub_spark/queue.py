@@ -280,5 +280,14 @@ class SqliteWorkQueue(_WorkLoop):
         return None
 
     def release(self, repo_name: str, worker_id: str) -> None:
+        # Ownership-guarded: only the claiming worker (or anyone, for a
+        # still-unclaimed job) may delete.  An unconditional delete
+        # would let a stale worker remove a job another worker has
+        # since claimed and is processing — the filesystem backend's
+        # release is naturally a no-op there (its .job.claimed.<self>
+        # path is gone), and both backends must share that contract.
         with self._conn() as con:
-            con.execute("DELETE FROM jobs WHERE repo_name=?", (repo_name,))
+            con.execute(
+                "DELETE FROM jobs WHERE repo_name=? AND worker_id IN ('', ?)",
+                (repo_name, worker_id),
+            )

@@ -97,17 +97,21 @@ def read_positional_tsv_tolerant(
     for i, f in enumerate(positional):
         if f.dataType.typeName() != "string":
             # try_cast, not cast: ANSI mode makes a plain cast THROW on
-            # the malformed cell we are trying to detect
-            bad = bad | cells[i].try_cast(f.dataType).isNull()
+            # the malformed cell we are trying to detect.  F.get, not
+            # cells[i]: get returns NULL out-of-bounds even under ANSI,
+            # so a truncated row survives regardless of whether the
+            # size-check disjunct above short-circuits first (cells[i]
+            # would throw INVALID_ARRAY_INDEX if evaluated).
+            bad = bad | F.get(cells, i).try_cast(f.dataType).isNull()
     flagged = raw.withColumn("__cells", cells).withColumn("__bad", bad)
     if quarantine:
         flagged.where("__bad").select("value").write.mode("append").text(quarantine)
     good = flagged.where(~F.col("__bad"))
     cols = [
         (
-            F.col("__cells")[i]
+            F.get(F.col("__cells"), i)
             if f.dataType.typeName() == "string"
-            else F.col("__cells")[i].try_cast(f.dataType)
+            else F.get(F.col("__cells"), i).try_cast(f.dataType)
         ).alias(f.name)
         for i, f in enumerate(positional)
     ]

@@ -434,9 +434,13 @@ def translate(sql: str) -> str:
         return f"get_json_object({args[0]}, {key})"
 
     out = _rewrite_call(out, "JSONExtractString", _json_extract, nargs=2)
-    # typed variants: extract, then cast — ClickHouse returns 0/0.0/
-    # false for missing keys, but its SQL users overwhelmingly treat
-    # missing as NULL-ish; we keep Spark's NULL and document the delta
+    # typed variants: extract, then TRY_CAST — two documented deltas vs
+    # ClickHouse, both degrading to NULL rather than 0/0.0/false:
+    #   (1) missing key → NULL (ClickHouse: zero-value);
+    #   (2) malformed / non-numeric value → NULL (ClickHouse: 0).
+    # TRY_CAST, not CAST: under Spark 4's default ANSI mode a plain
+    # CAST on a non-numeric JSON string throws at runtime and kills
+    # the query — a crash-on-data failure a compat shim must not add.
     for ch, sqltype in (
         ("JSONExtractInt", "BIGINT"),
         ("JSONExtractUInt", "BIGINT"),
@@ -446,12 +450,27 @@ def translate(sql: str) -> str:
         out = _rewrite_call(
             out,
             ch,
-            lambda args, t=sqltype: f"CAST({_json_extract(args)} AS {t})",
+            lambda args, t=sqltype: f"TRY_CAST({_json_extract(args)} AS {t})",
             nargs=2,
         )
-    out = _rewrite_call(
-        out, "JSONHas", lambda args: f"({_json_extract(args)} IS NOT NULL)", nargs=2
-    )
+
+    # JSONHas: key PRESENCE, not value non-nullness.  For the literal
+    # bare-key form we probe json_object_keys so {"k": null} counts as
+    # present (ClickHouse returns 1 there; get_json_object returns
+    # NULL and would read as absent).  coalesce(…, false): invalid
+    # JSON yields NULL keys → absent, matching ClickHouse's 0.
+    # Non-literal / JSONPath keys keep the IS NOT NULL probe — a
+    # documented JSON-null delta for nested paths only.
+    def _json_has(args: list[str]) -> str:
+        m = re.fullmatch(r"'([^'$][^']*)'", args[1])
+        if m:
+            return (
+                f"coalesce(array_contains(json_object_keys({args[0]}),"
+                f" '{m.group(1)}'), false)"
+            )
+        return f"({_json_extract(args)} IS NOT NULL)"
+
+    out = _rewrite_call(out, "JSONHas", _json_has, nargs=2)
     # toStartOf* → date_trunc
     for ch, unit in _START_OF.items():
         out = _rewrite_call(out, ch, lambda args, u=unit: f"date_trunc('{u}', {args[0]})")

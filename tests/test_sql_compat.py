@@ -430,24 +430,33 @@ def test_array_join_clause_rewrites_to_lateral_view(spark):
 
 
 def test_json_extract_typed_variants_and_has(spark):
-    """JSONExtractInt/Float/Bool extract-then-cast; JSONHas maps to an
-    IS NOT NULL probe.  Missing keys are NULL (documented delta from
-    ClickHouse's 0-default)."""
+    """JSONExtractInt/Float/Bool extract-then-TRY_CAST (malformed or
+    missing values degrade to NULL, never a runtime ANSI cast error);
+    JSONHas probes KEY PRESENCE via json_object_keys for bare keys, so
+    an explicit JSON null value still counts as present (ClickHouse
+    semantics).  Missing keys are NULL for the typed extracts — the
+    documented delta from ClickHouse's 0-default."""
     from clickhub_spark.sql_compat import run, translate
 
     assert (
         translate("SELECT JSONExtractInt(j, 'k') FROM t")
-        == "SELECT CAST(get_json_object(j, '$.k') AS BIGINT) FROM t"
+        == "SELECT TRY_CAST(get_json_object(j, '$.k') AS BIGINT) FROM t"
     )
     spark.sql(
-        'SELECT \'{"k": 7, "f": 1.5, "b": true}\' AS j'
+        'SELECT \'{"k": 7, "f": 1.5, "b": true, "n": null, "s": "abc"}\' AS j'
     ).createOrReplaceTempView("jt2")
     row = run(spark, """
         SELECT JSONExtractInt(j, 'k') AS k, JSONExtractFloat(j, 'f') AS f,
                JSONExtractBool(j, 'b') AS b, JSONHas(j, 'k') AS has_k,
-               JSONHas(j, 'missing') AS has_m, JSONExtractInt(j, 'missing') AS m
+               JSONHas(j, 'missing') AS has_m, JSONExtractInt(j, 'missing') AS m,
+               JSONHas(j, 'n') AS has_null_value,
+               JSONExtractInt(j, 's') AS malformed_int
         FROM jt2
     """).first()
     assert (row.k, row.f, row.b, row.has_k, row.has_m, row.m) == (
         7, 1.5, True, True, False, None,
     )
+    # {"n": null}: the key IS present — ClickHouse JSONHas returns 1
+    assert row.has_null_value is True
+    # non-numeric string under ANSI mode: NULL, not a runtime error
+    assert row.malformed_int is None
