@@ -247,9 +247,12 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     with typed ``variant_get`` paths; a second variant is built from
     row values (to_json → parse_json) and round-tripped back out, so
     the oracle checks the whole encode/decode against the original
-    columns.  Variant is the 100 TB answer to schemaless columns:
-    binary-encoded, predicate-pushdown-friendly shredding, no
-    per-query string re-parsing."""
+    columns.  What this query demonstrates: typed extraction from a
+    binary-encoded variant plus a lossless build/extract round-trip.
+    (It parses the JSON string at scan time — parse-once-store-variant
+    and parquet variant shredding/pushdown are NOT exercised or
+    plan-tested here; storing the parsed variant in parquet is the
+    scale path for repeated querying of schemaless columns.)"""
     ev = load(spark, sf_dir, "events")
     props_v = F.parse_json("props")
     row_v = F.parse_json(F.to_json(F.struct("value", "event_type")))
