@@ -3,7 +3,8 @@ payloads as opaque ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` UDFs.
 
 Media decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
-filters), 24-bit BMP, non-interlaced GIF (LZW + palette), and PCM WAV
+filters, sequential + Adam7 interlaced), 24-bit BMP, GIF (LZW +
+palette, sequential + 4-pass interlaced), and PCM WAV
 (8/16-bit) — pure stdlib zlib/struct/own-LZW, no codec library
 (``decode_png`` / ``decode_bmp`` / ``decode_gif`` / ``decode_wav`` /
 ``real_decode``).  On top of those decoders, resize
@@ -321,45 +322,10 @@ def extract_features(
     return src.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL dependency-free PNG decode (zlib + struct only): returns
-    (width, height, channels, raw pixel bytes row-major).  Supports
-    the non-interlaced 8-bit-depth color types — gray (1ch),
-    gray+alpha (2ch), RGB (3ch), RGBA (4ch) — with full scanline
-    unfiltering (None/Sub/Up/Average/Paeth).  Palette (type 3),
-    16-bit, and Adam7 payloads raise ValueError so callers fall back
-    to the metadata-only path instead of silently mis-decoding."""
-    import struct
-    import zlib
-
-    b = bytes(payload)
-    if b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos, width = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack(">I", b[pos : pos + 4])
-        ctype = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace != 0:
-                raise ValueError("Adam7 interlacing unsupported")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                raise ValueError(f"unsupported PNG color type {color}")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or not idat:
-        raise ValueError("truncated PNG (no IHDR/IDAT)")
-    raw = zlib.decompress(bytes(idat))
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
+    """Unfilter one PNG (sub-)image: ``raw`` is exactly height
+    scanlines of 1 filter byte + width*channels pixel bytes; returns
+    the unfiltered pixels row-major (None/Sub/Up/Average/Paeth)."""
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
@@ -390,6 +356,86 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    return out
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL dependency-free PNG decode (zlib + struct only): returns
+    (width, height, channels, raw pixel bytes row-major).  Supports
+    the 8-bit-depth color types — gray (1ch), gray+alpha (2ch), RGB
+    (3ch), RGBA (4ch) — with full scanline unfiltering (None/Sub/Up/
+    Average/Paeth), both sequential and Adam7-interlaced (each of the
+    7 passes is an independently filtered sub-image; unfilter per
+    pass, then scatter pixels onto the output grid).  Palette
+    (type 3) and 16-bit payloads raise ValueError so callers fall
+    back to the metadata-only path instead of silently mis-decoding."""
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        out = _png_unfilter(raw, width, height, channels)
+        return (width, height, channels, bytes(out))
+    # Adam7: 7 consecutive sub-images in the stream (empty passes
+    # contribute no bytes, not even filter bytes)
+    out = bytearray(width * height * channels)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        sub_len = (pw * channels + 1) * ph
+        sub = _png_unfilter(raw[off : off + sub_len], pw, ph, channels)
+        off += sub_len
+        for py in range(ph):
+            y = y0 + py * dy
+            for px in range(pw):
+                x = x0 + px * dx
+                s = (py * pw + px) * channels
+                d = (y * width + x) * channels
+                out[d : d + channels] = sub[s : s + channels]
+    if off != len(raw):
+        raise ValueError("PNG Adam7 pixel data length mismatch")
     return (width, height, channels, bytes(out))
 
 
@@ -665,11 +711,11 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
 
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL dependency-free GIF decode (stdlib only — GIF's LZW needs
-    no codec library, unlike JPEG's DCT): first frame of a
-    non-interlaced GIF87a/89a → (width, height, 3, RGB bytes row-major
-    top-down) via header parse → color table → LZW decompress →
-    palette lookup.  Interlaced images raise ValueError so callers
-    fall back to the metadata-only path instead of mis-decoding."""
+    no codec library, unlike JPEG's DCT): first frame of a GIF87a/89a
+    → (width, height, 3, RGB bytes row-major top-down) via header
+    parse → color table → LZW decompress → palette lookup.  Both
+    sequential and 4-pass interlaced row orders are handled (the
+    interlaced stream is de-interlaced by row remapping)."""
     import struct
 
     b = bytes(payload)
@@ -697,8 +743,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                 n = 2 << (ipacked & 0x07)
                 ct = b[pos : pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
+            interlaced = bool(ipacked & 0x40)
             if ct is None:
                 raise ValueError("GIF image without color table")
             min_code_size = b[pos]
@@ -711,6 +756,20 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
             idx = _lzw_decode(min_code_size, bytes(data))
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel data")
+            if interlaced:
+                # GIF 4-pass interlace: the stream carries rows
+                # 0,8,16,… then 4,12,… then 2,6,10,… then 1,3,5,…;
+                # map each decoded row back to its display position
+                # (pure index arithmetic over the LZW output).
+                deint = [0] * (w * h)
+                src_row = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, h, step):
+                        deint[y * w : (y + 1) * w] = idx[
+                            src_row * w : (src_row + 1) * w
+                        ]
+                        src_row += 1
+                idx = deint
             out = bytearray(w * h * 3)
             n_colors = len(ct) // 3
             for i in range(w * h):

@@ -370,13 +370,20 @@ def _gif_lzw_encode(min_code_size, indices):
     return bytes(bits)
 
 
-def _gif_full(w, h, indices, palette):
+def _gif_full(w, h, indices, palette, interlace=False):
+    """`indices` is always display (top-down) row order; with
+    ``interlace`` the encoder emits rows in GIF 4-pass order and sets
+    the descriptor flag, so decode must de-interlace to round-trip."""
     import struct
     n = max(2, len(palette))
     depth = max(1, (n - 1).bit_length())
     gct = b"".join(bytes(c) for c in palette) + b"\x00" * 3 * ((1 << depth) - len(palette))
     out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0) + gct
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    if interlace:
+        order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, h, step)]
+        indices = [v for y in order for v in indices[y * w : (y + 1) * w]]
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     mcs = max(2, depth)
     data = _gif_lzw_encode(mcs, indices)
     out += bytes([mcs])
@@ -406,6 +413,98 @@ def test_decode_gif_roundtrip_and_real_paths():
     assert tuple(brgb[:3]) == palette[0]  # top-left block keeps pixel 0
     # corrupt-after-probe GIF falls back to the stub, never raises
     assert real_decode(gif[:14]) == stub_decode(gif[:14])
+
+
+def test_decode_gif_interlaced_roundtrip():
+    """4-pass interlaced stream de-interlaces to the display image:
+    10 rows exercise all four passes (rows 0,8 / 4 / 2,6 / odd)."""
+    from clickhub_spark.operators.multimodal import decode_gif
+
+    palette = [(i * 16, 255 - i * 16, i * 7) for i in range(10)]
+    w, h = 3, 10
+    indices = [y for y in range(h) for _ in range(w)]  # row y = color y
+    plain = decode_gif(_gif_full(w, h, indices, palette))
+    inter = decode_gif(_gif_full(w, h, indices, palette, interlace=True))
+    assert inter == plain
+    _, _, _, px = inter
+    for y in range(h):  # every display row holds its own palette color
+        row = px[y * w * 3 : (y + 1) * w * 3]
+        assert row == bytes(palette[y]) * w
+
+
+def test_decode_png_adam7_roundtrip():
+    """Adam7 PNG: 7 independently-filtered sub-images scatter back to
+    the sequential image; 9x10 hits every pass with non-empty dims,
+    and mixed per-row filters exercise unfiltering inside passes."""
+    from clickhub_spark.operators.multimodal import decode_png
+
+    w, h, channels = 9, 10, 3
+    pixels = bytes((x * 29 + y * 53 + c * 17) & 0xFF
+                   for y in range(h) for x in range(w) for c in range(channels))
+    seq = decode_png(_png_full(w, h, pixels, channels))
+    adam = decode_png(_png_adam7(w, h, pixels, channels, filters=[0, 1, 2, 3, 4]))
+    assert adam == seq == (w, h, channels, pixels)
+    # 1x1: only pass 1 is non-empty — the empty-pass path must not
+    # consume phantom filter bytes
+    one = bytes([7, 8, 9])
+    assert decode_png(_png_adam7(1, 1, one, 3)) == (1, 1, 3, one)
+
+
+def _png_adam7(w, h, pixels, channels=3, filters=None):
+    """Adam7 encoder for tests: extract the 7 pass sub-images from
+    row-major `pixels`, filter each independently (cycling `filters`),
+    concatenate, deflate — the exact stream layout decode_png must
+    parse."""
+    import struct, zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    filters = filters or [0]
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        prev = bytes(stride)
+        for py in range(ph):
+            y = y0 + py * dy
+            line = bytearray()
+            for px_i in range(pw):
+                x = x0 + px_i * dx
+                line += pixels[(y * w + x) * channels : (y * w + x + 1) * channels]
+            f = filters[py % len(filters)]
+            enc = bytearray(line)
+            if f == 1:
+                for i in range(stride - 1, channels - 1, -1):
+                    enc[i] = (enc[i] - line[i - channels]) & 0xFF
+            elif f == 2:
+                for i in range(stride):
+                    enc[i] = (enc[i] - prev[i]) & 0xFF
+            elif f == 3:
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + prev[i] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else c)
+                    enc[i] = (enc[i] - pred) & 0xFF
+            raw += bytes([f]) + bytes(enc)
+            prev = bytes(line)
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 def test_decode_gif_kwkwk_and_dictionary_growth():
