@@ -183,10 +183,22 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
-def compact(spark: SparkSession, path: str, sort_cols: list[str], target_files: int = 8) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    target_files: int = 8,
+    partition_by: list[str] | None = None,
+) -> int:
     """Compact a table's small files (streaming foreachBatch appends
     accumulate one file per micro-batch) into ``target_files`` sorted
     files — the MergeTree background-merge analog.  Returns row count.
+
+    ``partition_by`` preserves a hive-partitioned layout (e.g. the
+    band-partitioned LSH signature store): rows are clustered by the
+    partition columns so each partition value lands in one task → one
+    compacted file per partition, and partition-pruned readers keep
+    pruning afterwards.
 
     Concurrency contract: run with WRITERS PAUSED (exactly like
     MergeTree merges, which lock the parts they rewrite) — a file
@@ -202,8 +214,14 @@ def compact(spark: SparkSession, path: str, sort_cols: list[str], target_files: 
     df = spark.read.parquet(path)
     n = df.count()
     tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
-    (df.repartition(target_files).sortWithinPartitions(*sort_cols)
-       .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
+    if partition_by:
+        (df.repartition(*[F.col(c) for c in partition_by])
+           .sortWithinPartitions(*partition_by, *sort_cols)
+           .write.mode("overwrite").option("compression", "zstd")
+           .partitionBy(*partition_by).parquet(tmp))
+    else:
+        (df.repartition(target_files).sortWithinPartitions(*sort_cols)
+           .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
     old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

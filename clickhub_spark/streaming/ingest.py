@@ -12,8 +12,11 @@ gives the reference via ReplacingMergeTree (README.md:133) + the
 
 Scale notes: foreachBatch appends are per-micro-batch parquet writes;
 size maxFilesPerTrigger so each batch's output files land near the
-row-group sweet spot, and compact small files with a periodic
-write_sorted pass (sources/writer.py).
+row-group sweet spot, and compact small files periodically —
+``stream_dedup_ingest(compact_every=N)`` runs sources/writer.compact
+on the fact table and the signature store every Nth batch from inside
+the sink (the stream is the only writer, satisfying compact()'s
+writers-paused contract).
 """
 
 from __future__ import annotations
@@ -94,6 +97,7 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
     pairs_path: str | None = None,
     max_files: int = 4,
+    compact_every: int = 0,
 ) -> None:
     """Streaming ingest WITH near-dup screening — the continuous form
     of operators/dedup.incremental_candidate_pairs: every micro-batch
@@ -106,11 +110,22 @@ def stream_dedup_ingest(
     store reflects exactly the batches that committed.  At-least-once
     appends on crash-replay are absorbed downstream: pairs are
     re-derivable duplicates and the store tolerates duplicate
-    signature rows (the pair join is distinct)."""
+    signature rows (the pair join is distinct).
+
+    ``compact_every=N`` compacts the fact table and the signature
+    store after every Nth committed batch (0 disables): long-running
+    ingest otherwise accumulates one small parquet file per micro-
+    batch per table — the classic small-files scale-killer (footer
+    overhead + task-per-file scheduling).  Safe here because the
+    foreachBatch sink is the table's only writer (one exactly-once
+    table per stream — the compact() concurrency contract); the store
+    keeps its band partitioning so the incremental join's partition
+    pruning survives compaction."""
     from clickhub_spark.operators.dedup import (
         incremental_candidate_pairs,
         md5_banded_signatures,
     )
+    from clickhub_spark.sources.writer import compact
 
     stream = (
         spark.readStream.schema(schema)
@@ -136,6 +151,9 @@ def stream_dedup_ingest(
         md5_banded_signatures(batch_df, text, id_col).write.mode(
             "append"
         ).partitionBy("band").parquet(store_path)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact(spark, table_path, [id_col])
+            compact(spark, store_path, ["bh"], partition_by=["band"])
 
     q = (
         stream.writeStream.foreachBatch(sink)

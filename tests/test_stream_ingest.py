@@ -187,3 +187,64 @@ def test_stream_score_ingest_equals_batch_scoring(spark, tmp_path):
     stream_score_ingest(spark, src, schema, table, store, str(tmp_path / "ckpt2"),
                         max_files=1)
     assert spark.read.parquet(table).count() == 40
+
+
+def test_dedup_ingest_compaction_preserves_store_results(spark, tmp_path):
+    """compact_every: the signature store and fact table are compacted
+    from inside the sink every Nth batch — file counts drop, the
+    store keeps its band partitioning, and a post-compaction batch
+    still flags duplicates of PRE-compaction docs (identical results
+    to the uncompacted run)."""
+    import glob
+
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.streaming.ingest import stream_dedup_ingest
+
+    schema = StructType().add("doc_id", "long").add("text", "string")
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "pack my box with five dozen liquor jugs right now"),
+    ]
+
+    def run(root, compact_every):
+        src = root / "landing"
+        src.mkdir(parents=True)
+        table, store, pairs = (
+            str(root / "tbl"), str(root / "store"), str(root / "pairs"))
+        for d in docs:  # one file each → one micro-batch each
+            spark.createDataFrame([d], schema).coalesce(1) \
+                .write.mode("append").parquet(str(src))
+        stream_dedup_ingest(
+            spark, str(src), schema, table, store,
+            checkpoint=str(root / "ck"), pairs_path=pairs, max_files=1,
+            compact_every=compact_every,
+        )
+        # late batch duplicating doc 1 — must join against the
+        # (compacted) store
+        spark.createDataFrame([(99, docs[0][1])], schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        stream_dedup_ingest(
+            spark, str(src), schema, table, store,
+            checkpoint=str(root / "ck"), pairs_path=pairs, max_files=1,
+            compact_every=compact_every,
+        )
+        return table, store, pairs
+
+    t_plain, s_plain, p_plain = run(tmp_path / "plain", compact_every=0)
+    t_comp, s_comp, p_comp = run(tmp_path / "comp", compact_every=2)
+
+    # identical logical content pre/post compaction
+    for plain, comp in ((t_plain, t_comp), (s_plain, s_comp), (p_plain, p_comp)):
+        a = {tuple(r) for r in spark.read.parquet(plain).collect()}
+        b = {tuple(r) for r in spark.read.parquet(comp).collect()}
+        assert a == b
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(p_comp).collect()}
+    assert (1, 99) in got  # post-compaction store still serves the join
+    # layout: partitioning preserved, fewer files than one-per-batch
+    assert glob.glob(s_comp + "/band=*")  # hive layout survived
+    n_plain = len(glob.glob(s_plain + "/band=*/*.parquet"))
+    n_comp = len(glob.glob(s_comp + "/band=*/*.parquet"))
+    assert n_comp < n_plain
