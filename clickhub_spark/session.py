@@ -89,3 +89,48 @@ def _builder(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship the clickhub_spark package to executors as a zip via
+    ``SparkContext.addPyFile`` — required on any multi-process master
+    (local-cluster, standalone, YARN, k8s) where executor Python
+    workers do not share the driver's sys.path.  mapInPandas /
+    pandas_udf closures reference module-level functions (e.g.
+    operators.multimodal.probe_image), which cloudpickle serializes BY
+    REFERENCE — the worker must be able to ``import clickhub_spark``
+    or every such query dies with ModuleNotFoundError.  (Found by the
+    round-5 local-cluster gate: only the multimodal queries failed,
+    because every other Python boundary closes over locals.)
+
+    A real deployment can equivalently ``spark-submit --py-files`` or
+    pip-install the package on executors; this helper is the
+    no-infrastructure fallback.  Returns the zip path (driver-local).
+    Idempotent per session: re-shipping the same content is a no-op
+    for workers that already imported it."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), "clickhub_spark_pyfiles")
+    # stable path per content: addPyFile rejects re-adding a changed
+    # file of the same name, so key the zip dir by package mtime
+    newest = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(pkg_dir) for f in fs),
+        default=0,
+    )
+    zdir = f"{base}_{int(newest)}"
+    zpath = os.path.join(zdir, "clickhub_spark.zip")
+    if not os.path.exists(zpath):
+        os.makedirs(zdir, exist_ok=True)
+        stage = os.path.join(zdir, "stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.copytree(
+            pkg_dir,
+            os.path.join(stage, "clickhub_spark"),
+            ignore=shutil.ignore_patterns("__pycache__"),
+        )
+        shutil.make_archive(zpath[: -len(".zip")], "zip", stage)
+        shutil.rmtree(stage, ignore_errors=True)
+    spark.sparkContext.addPyFile(zpath)
+    return zpath
