@@ -560,3 +560,110 @@ def substring_dup_spans(
         (F.col("a_start") - F.col("diag")).alias("b_start"),
         "span_len",
     )
+
+
+def minhash_similarity_md5(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Similarity ESTIMATION on LSH candidate pairs — the step between
+    candidate generation and the dedup decision: for each banded-
+    collision pair, the MinHash estimate (fraction of matching
+    signature components) alongside the exact shingle Jaccard, so the
+    keep/drop threshold can be tuned against ground truth.
+
+    Scale shape: signatures are one hash-agg over shingles (same
+    shuffle as candidate generation); the estimate itself is a
+    map-side ``zip_with`` over the joined signature arrays — no extra
+    shuffle beyond the pair join.  The exact Jaccard IS re-computed
+    here (two joins through the shingle table), which is affordable
+    precisely because it runs only on candidate pairs (LSH-pruned),
+    never all pairs — at 100 TB the candidate set is O(dups), not
+    O(n²).  md5 string-min hashing keeps it engine-portable /
+    oracle-checkable; swap xxhash64 in production (integer min beats
+    32-char string min)."""
+    rows_per_band = num_perm // bands
+    sh = shingles(df, text, id_col, k)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{p}")))).alias(f"h{p}")
+            for p in range(num_perm)
+        ]
+    )
+    sig = mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"),
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows_per_band + i}")
+                            for i in range(rows_per_band)
+                        ],
+                    )
+                )
+                for b in range(bands)
+            ]
+        ).alias("bands"),
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode("bands").alias("band", "bh")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: F.when(x == y, F.lit(1.0)).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / num_perm,
+            4,
+        ).alias("est_sim"),
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        est.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_sim",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -26,5 +26,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_stream,
     queries_fn2,
     queries_tpch,
+    queries_r5,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

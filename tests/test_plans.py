@@ -286,3 +286,30 @@ def test_bucketed_join_query_is_shuffle_free(spark):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_r5_scalar_fn_queries_are_map_only(spark):
+    """Geo/IP/string2/quality-v2 are pure per-row function pipelines —
+    any Exchange would mean an accidental shuffle in a map-only op."""
+    for name in ("q_fn_geo", "q_fn_ip", "q_fn_string2", "q_llm_quality_v2"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_bitmap_distinct_aggregates_partially(spark):
+    """groupBitmap analog: bitmap_construct_agg must run as a real
+    partial+final aggregate (mergeable bitmap state), not a
+    shuffle-distinct."""
+    plan = _plan(spark, "q_agg_bitmap")
+    assert "bitmap_construct_agg" in plan
+    assert plan.count("HashAggregate") >= 4  # two levels, each partial+final
+    assert "Expand" not in plan  # not rewritten into expand-distinct
+
+
+def test_ngram_lm_broadcasts_model_tables(spark):
+    """Char-trigram LM scoring: the corpus-count and total tables are
+    model-sized (≤ alphabet³ keys) and must broadcast — the scoring
+    side never shuffles on the trigram key."""
+    plan = _plan(spark, "q_llm_ngram_lm")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
