@@ -1,8 +1,9 @@
 """Round-5 coverage: ntile windows, geo + IP function families,
-bitmap-aggregate distinct, distribution entropy, extended string fns,
-MinHash similarity estimation, char-trigram LM scoring, training-record
-assembly, and Gopher-style quality rules (SURVEY §2.G/H/D/J
-extensions)."""
+bitmap-aggregate distinct, distribution entropy, extended string +
+date/time fns, keyed-map and bivariate-stat aggregates, MinHash
+similarity estimation, char-trigram LM scoring, TF-IDF top terms,
+training-record assembly, and Gopher-style quality rules
+(SURVEY §2.G/H/D/J extensions)."""
 
 from __future__ import annotations
 
@@ -440,4 +441,158 @@ def q_llm_quality_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_wl, 4).alias("mean_word_len"),
         ((n_the + n_data) > 0).alias("has_common_word"),
         keep.alias("keep"),
+    )
+
+
+@query(
+    "q_agg_summap",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, ROUND(SUM(value), 4) AS s
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS k,
+           list(s ORDER BY event_type) AS v
+    FROM per GROUP BY user_id
+    """,
+)
+def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-map aggregation (ClickHouse sumMap, SURVEY §2.D
+    extension): per user, value totals keyed by event type as aligned
+    key/value arrays — ClickHouse's Map-typed summation re-expressed
+    as two hash aggregations (inner keyed sum with map-side partials,
+    then a sorted collect per user).  Arrays are key-sorted so the
+    result is deterministic and engine-comparable."""
+    per = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("s"))
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("event_type", "s")))
+    return per.groupBy("user_id").agg(
+        F.transform(pairs, lambda p: p["event_type"]).alias("k"),
+        F.transform(pairs, lambda p: p["s"]).alias("v"),
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, user_id), 4) AS corr_vu,
+           ROUND(covar_samp(value, user_id), 4) AS covar_vu,
+           ROUND(regr_slope(value, user_id), 4) AS slope
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates (ClickHouse corr / covarSamp /
+    simpleLinearRegression, SURVEY §2.D13 extension): one hash
+    aggregation with mergeable moment sketches — the same
+    partial/final shape as sum, so it scales identically."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", "user_id"), 4).alias("corr_vu"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_vu"),
+        F.round(F.regr_slope("value", "user_id"), 4).alias("slope"),
+    )
+
+
+@query(
+    "q_fn_datetime2",
+    oracle="""
+    SELECT event_id,
+           date_diff('day', DATE '2024-06-01', CAST(ts AS DATE)) AS days_since,
+           CAST(ts + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           strftime(ts, '%Y-%m') AS ym,
+           (dayofweek(ts) + 6) % 7 AS dow_mon0,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_ts
+    FROM events
+    """,
+)
+def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date/time function family (ClickHouse dateDiff /
+    addMonths / toLastDayOfMonth / formatDateTime / toDayOfWeek /
+    toUnixTimestamp analogs, SURVEY §2.G2 extension) — map-only
+    builtins.  Day-of-week is normalized to Monday=0 on both sides
+    (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday — ClickHouse's
+    toDayOfWeek is Monday-based)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-06-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.add_months(F.to_date("ts"), 2).alias("plus2m"),
+        F.last_day(F.to_date("ts")).alias("month_end"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        ((F.dayofweek("ts") + 5) % 7).alias("dow_mon0"),
+        F.unix_timestamp("ts").alias("unix_ts"),
+    )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT t.doc_id, t.tok,
+               ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df) DESC,
+                            t.tok
+               ) AS rn
+        FROM tf t JOIN df d USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= 5
+    """,
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-terms per document (north star — the classic
+    relevance/keyword-extraction op): term frequency per doc, document
+    frequency over the corpus, top-5 terms per doc by tf·idf with a
+    deterministic token tiebreak.  The document-frequency table is
+    vocabulary-sized and broadcasts; the rank is a per-doc window
+    (partitioned, never global).  At 100 TB: two hash aggs + one
+    broadcast join + a partitioned window — no global sort anywhere."""
+    from pyspark.sql.window import Window as W
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = (
+        load(spark, sf_dir, "documents").agg(
+            F.countDistinct("doc_id").alias("n_docs")
+        )
+    )
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).desc(),
+        F.col("tok"),
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            tfidf.alias("tfidf"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
     )

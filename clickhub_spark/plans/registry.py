@@ -110,6 +110,10 @@ ROUND_PRIORITY = [
     "q_fn_string2",
     "q_agg_entropy",
     "q_llm_quality_v2",
+    "q_agg_summap",
+    "q_agg_corr",
+    "q_fn_datetime2",
+    "q_llm_tfidf",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
