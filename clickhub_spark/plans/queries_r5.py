@@ -596,3 +596,36 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 5)
     )
+
+
+@query(
+    "q_scan_zorder",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 100 AND 400
+    """,
+)
+def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional skipping scan (SURVEY §2.A6 extension —
+    Delta/Iceberg OPTIMIZE ZORDER analog; sources/writer.write_zordered):
+    a z-ordered copy of events clustered on (user_id, value) is built
+    once per input fingerprint, then a two-dimensional range predicate
+    reads it — parquet min/max prunes files/row-groups on BOTH columns
+    because the Morton layout gives every file locality in each
+    dimension (test_projections pins the span property).  The oracle
+    is the same predicate on the raw table: layout must never change
+    results."""
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.sources.writer import write_zordered
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath = derived_artifact_path(ev, "zorder_events")
+    import os
+
+    if not os.path.isdir(zpath):
+        write_zordered(ev, zpath, ["user_id", "value"], bits=8, target_files=16)
+    z = spark.read.parquet(zpath)
+    return z.where(
+        F.col("user_id").between(3, 7) & F.col("value").between(100, 400)
+    ).select("event_id", "user_id", F.round("value", 4).alias("value"))

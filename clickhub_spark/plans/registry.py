@@ -114,6 +114,7 @@ ROUND_PRIORITY = [
     "q_agg_corr",
     "q_fn_datetime2",
     "q_llm_tfidf",
+    "q_scan_zorder",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

@@ -227,3 +227,75 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 8,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    target_files: int | None = None,
+) -> None:
+    """Z-order (Morton-curve) clustered write — multi-column data
+    skipping where a single sort key can't help.
+
+    A sort-clustered copy (write_sorted) gives disjoint per-file
+    ranges on the SORT PREFIX only: a predicate on the second column
+    alone still reads every file.  Z-ordering interleaves the bits of
+    all ``zcols`` into one clustering value, so files get locality in
+    EVERY listed dimension at once — per-file min/max spans shrink to
+    roughly range/√nfiles per dimension (2 cols), and parquet
+    row-group stats prune on whichever column the query filters.
+    This is the layout Delta/Iceberg OPTIMIZE ZORDER produces, and the
+    ClickHouse analog of a multi-column skipping index.
+
+    Mechanics: each column is normalized to a ``bits``-wide bucket
+    over its [min, max] (one tiny min/max aggregate — a bounded
+    driver-side parameter read, same pattern as the IVF centroid
+    collect), buckets are bit-interleaved JVM-side (shiftleft/
+    shiftright/AND — codegen, no UDF), rows range-repartition on the
+    z-value so files own DISJOINT z-ranges, then sort within files.
+    Uniform bucketing is used (width_bucket semantics); heavily
+    skewed columns deserve quantile buckets — compute boundaries with
+    approxQuantile and bucket against them before interleaving.
+
+    Columns must be numeric/orderable; NULLs land in bucket 0.
+    ``target_files`` pins the output file count (an explicit
+    repartition count, which AQE respects) — without it AQE's
+    partition coalescing can merge a small table into one file,
+    erasing the layout this function exists to produce."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in zcols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in zcols],
+    ).first()
+    nb = 1 << bits
+    buckets = []
+    for c in zcols:
+        mn = stats[f"__mn_{c}"] or 0.0
+        mx = stats[f"__mx_{c}"] or 0.0
+        span = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nb),
+            ),
+        ).cast("long")
+        buckets.append(F.coalesce(b, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(zcols) + j))
+    range_args = ([target_files] if target_files else []) + [F.col("__z")]
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(*range_args)
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
