@@ -629,3 +629,70 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.where(
         F.col("user_id").between(3, 7) & F.col("value").between(100, 400)
     ).select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@query(
+    "q_fn_encode",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(text)) AS text_b64,
+           lower(to_hex(doc_id)) AS id_hex,
+           decode(from_base64(base64(encode(lang)))) = lang AS b64_roundtrip
+    FROM documents
+    """,
+)
+def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode/decode function family (ClickHouse base64Encode /
+    base64Decode / hex analogs, SURVEY §2.G7 extension): RFC 4648
+    base64, lowercase unpadded hex of an integer, and a
+    decode(encode()) round-trip proof — map-only builtins.  Spark's
+    base64 emits MIME CRLF line breaks every 76 chars (ClickHouse and
+    DuckDB don't) — stripped here so the output is the canonical
+    unchunked form."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.replace(
+            F.base64(F.col("text").cast("binary")), F.lit("\r\n")
+        ).alias("text_b64"),
+        F.lower(F.hex("doc_id")).alias("id_hex"),
+        (
+            F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string")
+            == F.col("lang")
+        ).alias("b64_roundtrip"),
+    )
+
+
+@query(
+    "q_win_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           nth_value(event_id, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS third_event,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_in_frame
+    FROM events
+    """,
+)
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window (ClickHouse nthValue, SURVEY §2.H extension):
+    each user's third-ever event id (NULL until three events have
+    accumulated) plus a bounded trailing frame count — one shuffle on
+    the partition key, unique (ts, event_id) ordering so both engines
+    see identical frames."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.nth_value("event_id", 3)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("third_event"),
+        F.count("*")
+        .over(w.rowsBetween(-2, Window.currentRow))
+        .cast("long")
+        .alias("n_in_frame"),
+    )

@@ -115,6 +115,8 @@ ROUND_PRIORITY = [
     "q_fn_datetime2",
     "q_llm_tfidf",
     "q_scan_zorder",
+    "q_fn_encode",
+    "q_win_nth",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
