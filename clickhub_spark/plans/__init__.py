@@ -27,5 +27,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_fn2,
     queries_tpch,
     queries_r5,
+    queries_r5b,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

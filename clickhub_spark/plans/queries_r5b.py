@@ -1,0 +1,530 @@
+"""Round-5 second batch: pivot/unpivot reshaping, batch
+sessionization, runningDifference/neighbor, sequenceCount, map
+functions, k-means assignment, int8 embedding quantization, dataset
+cards, copy-on-write DELETE, the filesystem queue backend, and
+bloom-skip-index point scans (SURVEY §2.F/G/H/I/J extensions).
+
+Each query pairs a Spark builder with a DuckDB oracle (registry
+contract); engine-internal state (artifact copies, queue dirs) is
+driver-local and fingerprint-cached like q_scan_zorder /
+q_join_bucketed."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhub_spark.catalog import load
+from clickhub_spark.plans.registry import query
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_notspec,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT reshaping (SURVEY §2.F extension — ClickHouse expresses
+    this as countIf columns, reference repo/query.py's per-status
+    columns): order counts per status × priority.  Explicit pivot
+    values keep the plan a single hash aggregate (no extra distinct
+    scan to discover values) — the 100 TB form; one shuffle on the
+    groupBy key, partial aggregation map-side."""
+    pv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    aliases = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return pv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIORITIES, aliases)
+        ],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH u AS (
+        SELECT p_brand, 'retailprice' AS metric, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_brand, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    SELECT p_brand, metric,
+           ROUND(AVG(value), 4) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM u GROUP BY p_brand, metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (SURVEY §2.F extension — the inverse reshaping;
+    Spark's native ``DataFrame.unpivot``, Expand node in the plan):
+    wide part metrics to long (metric, value) pairs, then re-aggregate.
+    Expand emits both rows map-side in one pass over the scan — at
+    100 TB this beats the UNION ALL double-scan the oracle states; the
+    single shuffle is the re-aggregation."""
+    p = load(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    long = p.unpivot(["p_brand"], ["retailprice", "size"], "metric", "value")
+    return long.groupBy("p_brand", "metric").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT)
+               AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap (SURVEY
+    §2.I3's batch canon for session windows, lag+cumsum form — how a
+    warehouse computes what ClickHouse does with
+    windowFunnel/session_window): per-user event streams split where
+    the gap exceeds the timeout, then per-session rollups.  One
+    shuffle on user_id serves both window passes AND the final
+    aggregate (same partitioning reused across stages); microsecond
+    epochs keep the gap math exact on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = load(spark, sf_dir, "events").withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+@query(
+    "q_win_neighbor",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - lag(value) OVER w, 4) AS delta_prev,
+           ROUND(lead(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """runningDifference / neighbor analogs (ClickHouse
+    runningDifference(value), neighbor(value, ±1) — SURVEY §2.H
+    extension): per-user time-ordered deltas to the previous and next
+    event.  ClickHouse's block-scoped versions are order-fragile;
+    the window form is the deterministic distributed restatement —
+    one shuffle on user_id, both lag and lead share the frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(v - F.lag(v).over(w), 4).alias("delta_prev"),
+        F.round(F.lead(v).over(w) - v, 4).alias("delta_next"),
+    )
+
+
+@query(
+    "q_seq_count",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT) AS n_seq,
+           CAST(length(seq) AS INT) AS n_events
+    FROM seqs
+    """,
+)
+def q_seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceCount analog (ClickHouse sequenceCount('(?1).*(?2)') —
+    SURVEY §2.D extension next to q_seq_match): how many
+    non-overlapping view→…→purchase chains each user completed.
+    Same collapse-to-string shape as q_seq_match (one shuffle), then
+    a regexp_count — left-to-right non-overlapping scan semantics are
+    identical in Java and RE2-style engines for this pattern."""
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.col("event_type").substr(1, 1).alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.regexp_count("seq", F.lit("v[^p]*p")).cast("int").alias("n_seq"),
+        F.length("seq").cast("int").alias("n_events"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS type_keys,
+           list(cnt ORDER BY event_type) AS type_counts,
+           CAST(coalesce(MAX(CASE WHEN event_type = 'click' THEN cnt END), 0)
+                AS BIGINT) AS n_click,
+           CAST(count(*) AS INT) AS n_types
+    FROM c GROUP BY user_id
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family (ClickHouse Map type + mapKeys/mapValues/
+    map[key] — SURVEY §2.G extension): per-user event-type count map
+    built with map_from_entries, read back with map_keys/map_values/
+    element_at.  The map is exported as sorted parallel arrays — the
+    oracle-stable wire form, since map iteration order is engine-
+    internal in both systems.  Two hash aggregates, no Python."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.map_keys("m").alias("type_keys"),
+        F.map_values("m").alias("type_counts"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_click"),
+        F.size("m").alias("n_types"),
+    )
+
+
+@query(
+    "q_llm_kmeans_assign",
+    oracle="""
+    WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ), ranked AS (
+        SELECT vec_id, cid, sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(sim, 4) AS sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step over embeddings (SURVEY §2.J6 adjunct —
+    the E-step every clustering/IVF-build pipeline runs): nearest of
+    k=8 fixed centroids by cosine.  Centroids are a BROADCAST k-row
+    table (at 100 TB: k ≪ corpus, the big side never shuffles); the
+    k-way scoring is codegen'd higher-order math and the argmax is a
+    max_by aggregate on the vector id — no window, no sort, one
+    partial-aggregated shuffle.  Deterministic centroid choice
+    (vec_id < 8) makes the step oracle-checkable; the full Lloyd loop
+    is this step iterated with re-averaged centroids."""
+    from clickhub_spark.functions.vectors import as_double, cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        cosine(as_double(F.col("embedding")), F.col("cvec")).alias("sim"),
+    )
+    # argmax(sim, tiebreak lowest cid) without a window: max_by over a
+    # (sim, -cid) ordering struct — partial-aggregates map-side.
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negcid"))).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.negcid")).alias("cluster"),
+        F.round(F.col("b.sim"), 4).alias("sim"),
+    )
+
+
+@query(
+    "q_llm_embed_quant",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), s AS (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS absmax
+        FROM v
+    )
+    SELECT vec_id,
+           ROUND(absmax, 6) AS scale_maxabs,
+           CAST(CASE WHEN absmax = 0 THEN 0 ELSE
+               list_sum(list_transform(vec, x -> round(x * 127.0 / absmax)))
+           END AS BIGINT) AS q_checksum,
+           ROUND(CASE WHEN absmax = 0 THEN 0.0 ELSE
+               list_max(list_transform(
+                   vec, x -> abs(x - round(x * 127.0 / absmax) * absmax / 127.0)))
+           END, 6) AS max_err
+    FROM s
+    """,
+)
+def q_llm_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization round trip (SURVEY §2.J6 storage
+    tier; functions/vectors.quantize_int8): symmetric max-abs scale,
+    per-vector quantized checksum, and the max reconstruction error
+    after dequantize — the 4×-compression path a 100 TB embedding
+    store serves ANN from.  Scale is materialized once per row (not
+    inlined into the lambda — that would be O(dim²)); everything is
+    codegen'd higher-order expressions, no Python."""
+    from clickhub_spark.functions.vectors import (
+        as_double,
+        dequantize_int8,
+        maxabs,
+        quantize_int8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    scaled = emb.withColumn("absmax", maxabs(F.col("vec")))
+    q = scaled.withColumn("q", quantize_int8(F.col("vec"), F.col("absmax")))
+    deq = q.withColumn("deq", dequantize_int8(F.col("q"), F.col("absmax")))
+    return deq.select(
+        "vec_id",
+        F.round("absmax", 6).alias("scale_maxabs"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+        ).alias("q_checksum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("vec"), F.col("deq"), lambda x, d: F.abs(x - d)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
+@query(
+    "q_llm_dataset_card",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_words
+        FROM documents GROUP BY source, lang
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT per.source, per.lang, per.n_docs, per.total_chars, per.avg_words,
+           ROUND(100.0 * per.n_docs / tot.n, 4) AS pct_docs
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics (the per-source/lang composition table
+    every training-data release ships — SURVEY §2.J7 extension): doc
+    counts, char totals, mean word length, and corpus share.  The
+    corpus total is a 1-row broadcast joined onto the grouped result
+    (TPC-H Q11's threshold pattern) — no second pass over the corpus,
+    no single-partition window; two partial-aggregated shuffles
+    total."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_words"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "avg_words",
+        F.round(100.0 * F.col("n_docs") / F.col("n"), 4).alias("pct_docs"),
+    )
+
+
+@query(
+    "q_mutate_delete",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 50000)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_mutate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write point DELETE through the driver contract (SURVEY
+    §2.I6; operators/mutate.delete_where — the reference's
+    `DELETE FROM import_queue` repo/importer.py:174-175 generalized to
+    fact tables): a fingerprint-cached copy of orders has open
+    low-value rows deleted, then is read back and aggregated.  The
+    oracle states the survivor set declaratively — the rewrite must
+    change WHICH rows exist and nothing else.  The rewrite is
+    all-or-nothing (write new dir → rename swap), the same publish
+    protocol the incremental writer uses; readers never see a
+    half-deleted table."""
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.operators.mutate import delete_where
+
+    src = load(spark, sf_dir, "orders")
+    path = derived_artifact_path(src, "mutate_delete_orders")
+    if not os.path.isdir(path):
+        build = f"{path}.__build"
+        src.write.mode("overwrite").parquet(build)
+        delete_where(
+            spark,
+            build,
+            (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000),
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(build, path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_queue_fs",
+    oracle="""
+    SELECT CAST(5 - r_regionkey AS INT) AS claim_seq, r_name
+    FROM region
+    """,
+)
+def q_queue_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filesystem-CAS queue backend through the driver contract
+    (SURVEY §2.I5-I7; q_queue_sqlite's twin — both backends now have
+    driver rows, same claim protocol, same deterministic drain order):
+    one job per region at priority r_regionkey, drained by a single
+    worker.  Claim order is priority DESC (queue.py:150, the
+    reference's candidate scan repo/importer.py:138-139), so
+    claim_seq = 5 - r_regionkey.  Coordination state is driver-local
+    by design (≤10k rows); only the job source is distributed."""
+    import tempfile
+
+    from clickhub_spark.queue import WorkQueue
+
+    regions = load(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    with tempfile.TemporaryDirectory() as d:
+        q = WorkQueue(d)
+        for r in regions:
+            q.schedule(r["r_name"], priority=int(r["r_regionkey"]))
+        claimed: list[str] = []
+        q.work("w1", lambda job: claimed.append(job.repo_name), max_polls=len(regions))
+    return spark.createDataFrame(
+        [(i + 1, name) for i, name in enumerate(claimed)],
+        "claim_seq int, r_name string",
+    )
+
+
+@query(
+    "q_scan_bloom",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events WHERE user_id IN (3, 9)
+    """,
+)
+def q_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-skip-index point lookup (SURVEY §2.A6; ClickHouse
+    `INDEX ... TYPE bloom_filter` analog, sources/writer.write_sorted
+    bloom_cols): events are re-clustered sorted by ts with a parquet
+    bloom filter on user_id — a high-cardinality column OUTSIDE the
+    sort prefix, where min/max spans everything and only the bloom
+    can skip row groups.  The point-IN probe reads the bloom-indexed
+    copy; the oracle is the same predicate on the raw table — the
+    index must never change results, only pruning.  At 100 TB this is
+    the `actor_id = X` needle query: touched row groups ≈ those that
+    contain X."""
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.sources.writer import write_sorted
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    path = derived_artifact_path(ev, "bloom_events")
+    if not os.path.isdir(path):
+        build = f"{path}.__build"
+        write_sorted(
+            ev, build, partition_by=None, sort_cols=["ts"],
+            mode="overwrite", bloom_cols=["user_id"],
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(build, path)
+    b = spark.read.parquet(path)
+    return b.where(F.col("user_id").isin(3, 9)).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )

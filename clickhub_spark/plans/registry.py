@@ -117,6 +117,18 @@ ROUND_PRIORITY = [
     "q_scan_zorder",
     "q_fn_encode",
     "q_win_nth",
+    "q_pivot",
+    "q_unpivot",
+    "q_sessionize",
+    "q_win_neighbor",
+    "q_seq_count",
+    "q_fn_map",
+    "q_llm_kmeans_assign",
+    "q_llm_embed_quant",
+    "q_llm_dataset_card",
+    "q_mutate_delete",
+    "q_queue_fs",
+    "q_scan_bloom",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
