@@ -528,3 +528,187 @@ def q_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.where(F.col("user_id").isin(3, 9)).select(
         "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
     )
+
+
+@query(
+    "q_agg_quantiles_multi",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(qs[1], 4) AS p25, ROUND(qs[2], 4) AS p50,
+           ROUND(qs[3], 4) AS p75, ROUND(qs[4], 4) AS p95
+    FROM q
+    """,
+)
+def q_agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile aggregate (ClickHouse quantiles(0.25,0.5,0.75,
+    0.95)(x) — SURVEY §2.D13 extension): ONE pass computing the whole
+    quantile vector, exported as scalar columns (engine-exact linear
+    interpolation on both sides).  At 100 TB the single-sort-per-group
+    multi-quantile beats four separate percentile aggregates 4×; for
+    the truly huge case the approx variant (q_agg_approx_quantile)
+    is the scale path."""
+    qs = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.95])).alias("qs"))
+    )
+    return qs.select(
+        "event_type",
+        *[
+            F.round(F.element_at("qs", i + 1), 4).alias(a)
+            for i, a in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
+@query(
+    "q_agg_bitops",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS ba,
+           CAST(bit_or(user_id) AS BIGINT) AS bo,
+           CAST(bit_xor(user_id) AS BIGINT) AS bx
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (ClickHouse groupBitAnd / groupBitOr /
+    groupBitXor — SURVEY §2.D extension): AND/OR/XOR folds over the
+    user-id bits per event type.  All three are associative +
+    commutative, so Spark partial-aggregates them map-side — the
+    shuffle carries one 8-byte triple per (partition, group)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("ba"),
+            F.bit_or("user_id").alias("bo"),
+            F.bit_xor("user_id").alias("bx"),
+        )
+    )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH mu AS (
+        SELECT event_type, AVG(value) AS m, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           mu.n,
+           ROUND(AVG(POW(e.value - mu.m, 3))
+                 / POW(AVG(POW(e.value - mu.m, 2)), 1.5), 4) AS skew,
+           ROUND(AVG(POW(e.value - mu.m, 4))
+                 / POW(AVG(POW(e.value - mu.m, 2)), 2) - 3, 4) AS kurt
+    FROM events e JOIN mu USING (event_type)
+    GROUP BY e.event_type, mu.n
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates (ClickHouse skewPop / kurtPop — SURVEY
+    §2.D13 extension): population skewness and excess kurtosis per
+    event type via Spark's builtin one-pass moment aggregates.  The
+    oracle states the definition explicitly (two-pass centered
+    moments) because DuckDB's builtins are SAMPLE-corrected — the
+    engines' names disagree, the math here is pinned to population
+    form.  One partial-aggregated shuffle; no second data pass in
+    Spark (the two-pass form is oracle-only)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.skewness("value"), 4).alias("skew"),
+            F.round(F.kurtosis("value"), 4).alias("kurt"),
+        )
+    )
+
+
+@query(
+    "q_fn_dictget",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(n.n_name, 'unknown') AS nation_name,
+           coalesce(n2.n_name, 'unknown') AS shifted_name
+    FROM customer c
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN nation n2 ON n2.n_nationkey = c.c_nationkey + 20
+    """,
+)
+def q_fn_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary lookup (ClickHouse dictGet / dictGetOrDefault —
+    SURVEY §2.G extension): the nation dim becomes an in-plan literal
+    map (collected driver-side — bounded exactly like the IVF
+    centroid table; 25 rows here, dictionaries are ≤millions by
+    definition) probed with element_at, incl. the miss→default path
+    via a shifted key.  This is ClickHouse's dictionary semantics
+    re-expressed: at 100 TB the map literal ships once per executor
+    inside the serialized plan — no join, no shuffle, map-only;
+    the LEFT JOIN is the oracle's declarative equivalent."""
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    entries: list[F.Column] = []
+    for row in nation:
+        entries.append(F.lit(int(row["n_nationkey"])))
+        entries.append(F.lit(row["n_name"]))
+    dict_map = F.create_map(*entries)
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.element_at(dict_map, F.col("c_nationkey")), F.lit("unknown")
+        ).alias("nation_name"),
+        F.coalesce(
+            F.element_at(dict_map, F.col("c_nationkey") + 20), F.lit("unknown")
+        ).alias("shifted_name"),
+    )
+
+
+@query(
+    "q_agg_moving_array",
+    oracle="""
+    WITH mov AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(floor(value) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m3
+        FROM events
+    )
+    SELECT user_id,
+           list(m3 ORDER BY ts, event_id) AS moving_sums,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM mov GROUP BY user_id
+    """,
+)
+def q_agg_moving_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArrayMovingSum analog (ClickHouse's array-returning moving
+    aggregate — SURVEY §2.D/G5 composite): the 3-event moving sum per
+    user, collected into a time-ordered array.  Values are floor()ed
+    to integers so the array content is bit-exact across engines (float
+    arrays stringify; scalar floats get rounded by the harness —
+    arrays don't).  One shuffle on user_id shared by the window pass
+    and the collect; array_sort on a (ts, event_id, m3) struct makes
+    the collect order deterministic under parallel merge."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    mov = load(spark, sf_dir, "events").withColumn(
+        "m3", F.sum(F.floor("value").cast("bigint")).over(w)
+    )
+    return (
+        mov.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "m3"))),
+                lambda s: s["m3"],
+            ).alias("moving_sums"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -129,6 +129,11 @@ ROUND_PRIORITY = [
     "q_mutate_delete",
     "q_queue_fs",
     "q_scan_bloom",
+    "q_agg_quantiles_multi",
+    "q_agg_bitops",
+    "q_agg_moments",
+    "q_fn_dictget",
+    "q_agg_moving_array",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
