@@ -712,3 +712,104 @@ def q_agg_moving_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def _format_copy(spark: SparkSession, sf_dir: str, table: str, fmt: str, tag: str,
+                 writer_opts: dict | None = None):
+    """Build (once per input fingerprint) a copy of ``table`` in an
+    interchange format and return (DataFrame-read-back, path).  The
+    read uses the SOURCE's exact schema — schema-on-read with explicit
+    types, never inference: at 100 TB an inferSchema pass would read
+    the whole dataset twice, and CSV/JSON type guessing is
+    locale-fragile besides."""
+    from clickhub_spark.artifacts import derived_artifact_path
+
+    src = load(spark, sf_dir, table)
+    path = derived_artifact_path(src, tag)
+    if not os.path.isdir(path):
+        build = f"{path}.__build"
+        w = src.write.mode("overwrite").format(fmt)
+        for k, v in (writer_opts or {}).items():
+            w = w.option(k, v)
+        w.save(build)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(build, path)
+    r = spark.read.format(fmt).schema(src.schema)
+    for k, v in (writer_opts or {}).items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with header (SURVEY §2.A1 sibling — the reference's
+    FORMAT CSVWithNames import path): a headered-CSV copy of supplier
+    is read back with the explicit source schema (no inferSchema — at
+    scale that is a full extra pass) and aggregated.  The oracle runs
+    on the parquet canon: format round-trips must never change
+    values.  CSV scans split by line ranges, so parallelism matches
+    parquet; pushdown is projection-only (row format) — stated, not
+    hidden."""
+    csv = _format_copy(
+        spark, sf_dir, "supplier", "csv", "csv_supplier", {"header": "true"}
+    )
+    return csv.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(MAX(p_size) AS INT) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source (SURVEY §2.A1 sibling — the reference's
+    JSONEachRow, clickhub's native event-feed format): a JSONL copy of
+    part read back with the explicit schema and aggregated; oracle on
+    the parquet canon.  Line-delimited JSON splits like CSV; the
+    explicit schema skips both the inference pass and the
+    per-record key discovery that makes schemaless JSON scans 10×
+    slower at 100 TB."""
+    js = _format_copy(spark, sf_dir, "part", "json", "jsonl_part")
+    return js.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar source (SURVEY §2.A2 sibling — the second columnar
+    interchange format every lakehouse speaks): an ORC copy of
+    customer read back and aggregated; oracle on the parquet canon.
+    ORC keeps the columnar fast path — column pruning, predicate
+    pushdown into stripe/row-group indexes, vectorized read — so
+    engine capability does not degrade when upstream data arrives as
+    ORC instead of parquet."""
+    orc = _format_copy(spark, sf_dir, "customer", "orc", "orc_customer")
+    return orc.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )

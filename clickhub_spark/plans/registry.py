@@ -134,6 +134,9 @@ ROUND_PRIORITY = [
     "q_agg_moments",
     "q_fn_dictget",
     "q_agg_moving_array",
+    "q_scan_csv",
+    "q_scan_jsonl",
+    "q_scan_orc",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
