@@ -667,3 +667,58 @@ def minhash_similarity_md5(
             ).alias("jaccard"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings around ``n_centroids``
+    deterministic seeds (the first n ids — a fixed, oracle-stable
+    centroid choice; production would feed k-means centroids), then
+    drop any vector that has a LOWER-id neighbor in the same cluster
+    with cosine above ``threshold``.  Returns the dropped rows with
+    their keeper (the smallest such neighbor id) and the max
+    similarity that condemned them.
+
+    100 TB shape: the centroid table is a broadcast (k rows); cluster
+    assignment is map-only.  The candidate self-join is partitioned BY
+    CLUSTER — pairwise cost is bounded per cluster, and k grows with
+    the corpus so clusters stay ~constant size (the paper's design:
+    quadratic-inside-cell, never all-pairs).  Keeper choice is
+    min-id, a deterministic variant of the paper's
+    keep-closest-to-centroid."""
+    from clickhub_spark.functions.vectors import as_double, cosine
+
+    base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    cent = base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"), F.col("__v").alias("__cv")
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        id_col, "__v", "__cid", cosine(F.col("__v"), F.col("__cv")).alias("__csim")
+    )
+    assigned = (
+        scored.groupBy(id_col, "__v")
+        .agg(F.max(F.struct(F.col("__csim"), (-F.col("__cid")).alias("__n"))).alias("b"))
+        .select(id_col, "__v", (-F.col("b.__n")).alias("cluster"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("__ida") < F.col("__idb"))
+        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("__sim") > threshold)
+    )
+    return pairs.groupBy(F.col("__idb").alias(id_col), "cluster").agg(
+        F.min("__ida").alias("keeper"),
+        F.round(F.max("__sim"), 4).alias("max_sim"),
+    )

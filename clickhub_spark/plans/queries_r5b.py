@@ -813,3 +813,76 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
     )
+
+
+@query(
+    "q_llm_semdedup",
+    oracle="""
+    WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), asg AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+               arg_max(c.cid, list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.cvec)) AS cluster
+        FROM embeddings e CROSS JOIN cent c GROUP BY e.vec_id, v
+    ), pairs AS (
+        SELECT b.vec_id, a.cluster, a.vec_id AS keeper_cand,
+               list_cosine_similarity(a.v, b.v) AS sim
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) > 0.35
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           MIN(keeper_cand) AS keeper,
+           ROUND(MAX(sim), 4) AS max_sim
+    FROM pairs GROUP BY vec_id, cluster
+    """,
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup removal (operators/dedup.
+    semantic_dedup; Abbas et al. 2023): embeddings clustered around 8
+    deterministic centroids, intra-cluster pairs above cosine 0.35
+    dedup'd keeping the lowest id.  The oracle restates cluster
+    assignment + bounded pairwise scan declaratively; the Spark plan
+    is broadcast-centroid assignment then a CLUSTER-partitioned
+    self-join — quadratic only inside a cell, the paper's scale
+    contract (k grows with the corpus, cells stay constant size)."""
+    from clickhub_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_llm_importance_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               LEAST(1.0, len(string_split(text, ' ')) / 120.0) AS p_keep,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                    AS DOUBLE) / 65536.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, source, ROUND(p_keep, 4) AS p_keep
+    FROM scored WHERE u < p_keep
+    """,
+)
+def q_llm_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling (the DSIR /
+    importance-resampling shape every data-mixing pipeline runs —
+    SURVEY §2.J7 extension next to q_sample_hash): each doc is kept
+    with probability proportional to a quality proxy (here capped
+    word count — stand-in for a classifier score), decided by
+    comparing the doc's md5-uniform against its own weight.  Hash
+    sampling, not rand(): repeatable across runs/engines, joinable,
+    and map-only at any scale — no shuffle, no global state."""
+    docs = load(spark, sf_dir, "documents")
+    p_keep = F.least(F.lit(1.0), F.size(F.split("text", " ")) / 120.0)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "double"
+    ) / 65536.0
+    return (
+        docs.select("doc_id", "source", p_keep.alias("p_keep"), u.alias("u"))
+        .where(F.col("u") < F.col("p_keep"))
+        .select("doc_id", "source", F.round("p_keep", 4).alias("p_keep"))
+    )

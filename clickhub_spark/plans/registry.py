@@ -137,6 +137,8 @@ ROUND_PRIORITY = [
     "q_scan_csv",
     "q_scan_jsonl",
     "q_scan_orc",
+    "q_llm_semdedup",
+    "q_llm_importance_sample",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

@@ -323,3 +323,21 @@ def test_substring_identical_docs_full_span(spark):
     assert [(r.id_a, r.id_b, r.a_start, r.b_start, r.span_len) for r in rows] == [
         (1, 2, 0, 0, 30)
     ]
+
+
+def test_semantic_dedup_properties(spark):
+    """SemDeDup invariants on synthetic vectors: every dropped row is
+    condemned by a LOWER-id same-cluster neighbor above threshold, and
+    tightening the threshold can only drop fewer vectors."""
+    from clickhub_spark.catalog import load
+    from clickhub_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, SF_DIR, "embeddings")
+    dropped = semantic_dedup(emb, threshold=0.35).collect()
+    assert dropped, "threshold 0.35 must drop at least one synthetic vector"
+    for r in dropped:
+        assert r.keeper < r.vec_id
+        assert r.max_sim > 0.35
+    tighter = semantic_dedup(emb, threshold=0.45).collect()
+    assert len(tighter) < len(dropped)
+    assert {r.vec_id for r in tighter} <= {r.vec_id for r in dropped}
