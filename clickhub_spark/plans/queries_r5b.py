@@ -886,3 +886,80 @@ def q_llm_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("p_keep"))
         .select("doc_id", "source", F.round("p_keep", 4).alias("p_keep"))
     )
+
+
+@query(
+    "q_win_locf",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 4) AS v_filled,
+           v IS NULL AS was_gap
+    FROM x
+    """,
+)
+def q_win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill (ClickHouse WITH FILL
+    INTERPOLATE / any time-series store's LOCF — SURVEY §2.H
+    extension next to q_fill_gaps): error readings are nulled out and
+    forward-filled from the last good per-user value via IGNORE NULLS
+    last().  One shuffle on user_id; the running frame makes the fill
+    a single linear pass per partition — no self-join, no
+    as-of lookup."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@query(
+    "q_agg_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type AS et, median(value) AS m FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(med.m), 4) AS med,
+           ROUND(median(abs(e.value - med.m)), 4) AS mad
+    FROM events e JOIN med ON med.et = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation (ClickHouse has quantile-combinator
+    forms; MAD is the robust-stats outlier scale every data-quality
+    monitor wants — SURVEY §2.D13 extension): two exact median
+    passes, with the per-group medians BROADCAST back onto the fact
+    scan (groups ≪ rows — the same shape as TPC-H Q11's threshold
+    join), so the big side shuffles once per pass and never builds a
+    hash table of itself."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.percentile("value", 0.5).alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), ev["event_type"] == med["et"])
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("m"), 4).alias("med"),
+            F.round(F.percentile(F.abs(F.col("value") - F.col("m")), 0.5), 4).alias(
+                "mad"
+            ),
+        )
+    )

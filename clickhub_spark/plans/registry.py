@@ -139,6 +139,8 @@ ROUND_PRIORITY = [
     "q_scan_orc",
     "q_llm_semdedup",
     "q_llm_importance_sample",
+    "q_win_locf",
+    "q_agg_mad",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
