@@ -174,6 +174,14 @@ def main() -> None:
         "q_fn_variant",
         "q_join_bucketed",
         "q_join_salted",
+        # r5 session additions worth tracking: semantic dedup (cluster-
+        # bounded pairwise), batch sessionization (multi-window reuse of
+        # one shuffle), k-means assignment (broadcast centroids), and
+        # the z-order skipping scan (artifact build + pruned read).
+        "q_llm_semdedup",
+        "q_sessionize",
+        "q_llm_kmeans_assign",
+        "q_scan_zorder",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(
