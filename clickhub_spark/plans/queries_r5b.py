@@ -963,3 +963,58 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_agg_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT AVG(value) FILTER (event_type = 'click') AS m1,
+               var_samp(value) FILTER (event_type = 'click') AS v1,
+               CAST(count(*) FILTER (event_type = 'click') AS DOUBLE) AS n1,
+               AVG(value) FILTER (event_type = 'view') AS m2,
+               var_samp(value) FILTER (event_type = 'view') AS v2,
+               CAST(count(*) FILTER (event_type = 'view') AS DOUBLE) AS n2
+        FROM events
+    )
+    SELECT ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1) + POW(v2 / n2, 2) / (n2 - 1)),
+                 2) AS df,
+           CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view
+    FROM s
+    """,
+)
+def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (ClickHouse welchTTest — SURVEY §2.D13
+    extension): t statistic and Welch–Satterthwaite degrees of freedom
+    comparing click vs view purchase values, computed from conditional
+    moment aggregates in ONE pass over the fact table (countIf/avgIf/
+    varSampIf all partial-aggregate map-side; the final row is a
+    1-tuple reduce).  The statistic's formula is pinned in the oracle
+    so both engines state identical math."""
+    ev = load(spark, sf_dir, "events")
+    click = F.col("event_type") == "click"
+    view = F.col("event_type") == "view"
+    s = ev.agg(
+        F.avg(F.when(click, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(click, F.col("value"))).alias("v1"),
+        F.count(F.when(click, 1)).cast("double").alias("n1"),
+        F.avg(F.when(view, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(view, F.col("value"))).alias("v2"),
+        F.count(F.when(view, 1)).cast("double").alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return s.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df"),
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_view"),
+    )

@@ -141,6 +141,7 @@ ROUND_PRIORITY = [
     "q_llm_importance_sample",
     "q_win_locf",
     "q_agg_mad",
+    "q_agg_ttest",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
