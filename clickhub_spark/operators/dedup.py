@@ -685,8 +685,10 @@ def semantic_dedup(
     their keeper (the smallest such neighbor id) and the max
     similarity that condemned them.
 
-    100 TB shape: the centroid table is a broadcast (k rows); cluster
-    assignment is map-only.  The candidate self-join is partitioned BY
+    100 TB shape: the centroids are a bounded parameter table inlined
+    into the plan as literals (k rows — the IVF-centroid contract), so
+    cluster assignment is a pure map-side expression with NO Exchange.
+    The candidate self-join is partitioned BY
     CLUSTER — pairwise cost is bounded per cluster, and k grows with
     the corpus so clusters stay ~constant size (the paper's design:
     quadratic-inside-cell, never all-pairs).  Keeper choice is
@@ -695,17 +697,30 @@ def semantic_dedup(
     from clickhub_spark.functions.vectors import as_double, cosine
 
     base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    cent = base.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("__cid"), F.col("__v").alias("__cv")
+    # Centroids are a bounded PARAMETER table (k rows — same contract
+    # as the IVF centroid collect, knn.py): inline them as literals so
+    # assignment is a pure map-side expression.  The aggregate
+    # alternative (explode × k then max_by) re-shuffles the corpus
+    # keyed by the raw vector — a scan-sized Exchange that this form
+    # deletes outright.
+    cent_rows = sorted(
+        base.where(F.col(id_col) < n_centroids).collect(),
+        key=lambda r: r[id_col],
     )
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        id_col, "__v", "__cid", cosine(F.col("__v"), F.col("__cv")).alias("__csim")
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("__v"), F.array(*[F.lit(float(x)) for x in r["__v"]])
+                ).alias("s"),
+                F.lit(-int(r[id_col])).cast("long").alias("n"),
+            )
+            for r in cent_rows
+        ]
     )
-    assigned = (
-        scored.groupBy(id_col, "__v")
-        .agg(F.max(F.struct(F.col("__csim"), (-F.col("__cid")).alias("__n"))).alias("b"))
-        .select(id_col, "__v", (-F.col("b.__n")).alias("cluster"))
-    )
+    # array_max uses struct ordering: highest sim wins, ties break to
+    # the highest n = lowest centroid id (same rule as the oracle).
+    assigned = base.withColumn("cluster", -F.array_max(scored)["n"])
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
     )
