@@ -61,3 +61,25 @@ def quantize_int8(vec: Column, scale: Column | None = None) -> Column:
 def dequantize_int8(q: Column, scale: Column) -> Column:
     """Inverse of quantize_int8 given the stored maxabs scale."""
     return F.transform(q, lambda c: c.cast("double") * scale / 127.0)
+
+
+def nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Map-only nearest-centroid assignment against a bounded centroid
+    parameter table inlined as plan literals (the IVF-centroid
+    contract: k ≪ corpus, collected driver-side once).  Returns a
+    struct ``{sim, cluster}`` — cosine to the winning centroid and its
+    id; ties break to the LOWEST centroid id.  No join, no Exchange:
+    the k-way scoring is one codegen'd array expression per row."""
+    arr = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                F.lit(-int(cid)).cast("long").alias("negid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    best = F.array_max(arr)
+    return F.struct(
+        best["sim"].alias("sim"), (-best["negid"]).alias("cluster")
+    )

@@ -703,24 +703,18 @@ def semantic_dedup(
     # alternative (explode × k then max_by) re-shuffles the corpus
     # keyed by the raw vector — a scan-sized Exchange that this form
     # deletes outright.
+    from clickhub_spark.functions.vectors import nearest_centroid
+
     cent_rows = sorted(
         base.where(F.col(id_col) < n_centroids).collect(),
         key=lambda r: r[id_col],
     )
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(
-                    F.col("__v"), F.array(*[F.lit(float(x)) for x in r["__v"]])
-                ).alias("s"),
-                F.lit(-int(r[id_col])).cast("long").alias("n"),
-            )
-            for r in cent_rows
-        ]
+    assigned = base.withColumn(
+        "cluster",
+        nearest_centroid(
+            F.col("__v"), [(r[id_col], r["__v"]) for r in cent_rows]
+        )["cluster"],
     )
-    # array_max uses struct ordering: highest sim wins, ties break to
-    # the highest n = lowest centroid id (same rule as the oracle).
-    assigned = base.withColumn("cluster", -F.array_max(scored)["n"])
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
     )

@@ -281,32 +281,27 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means assignment step over embeddings (SURVEY §2.J6 adjunct —
     the E-step every clustering/IVF-build pipeline runs): nearest of
-    k=8 fixed centroids by cosine.  Centroids are a BROADCAST k-row
-    table (at 100 TB: k ≪ corpus, the big side never shuffles); the
-    k-way scoring is codegen'd higher-order math and the argmax is a
-    max_by aggregate on the vector id — no window, no sort, one
-    partial-aggregated shuffle.  Deterministic centroid choice
-    (vec_id < 8) makes the step oracle-checkable; the full Lloyd loop
-    is this step iterated with re-averaged centroids."""
-    from clickhub_spark.functions.vectors import as_double, cosine
+    k=8 fixed centroids by cosine.  Centroids are a bounded PARAMETER
+    table inlined into the plan as literals (functions/vectors.
+    nearest_centroid — the IVF-centroid contract), so the whole step
+    is MAP-ONLY: no join, no shuffle, one codegen'd k-way array
+    expression per row.  Deterministic centroid choice (vec_id < 8)
+    makes the step oracle-checkable; the full Lloyd loop is this step
+    iterated with re-averaged centroids."""
+    from clickhub_spark.functions.vectors import as_double, nearest_centroid
 
-    emb = load(spark, sf_dir, "embeddings")
-    cent = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cvec")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        cosine(as_double(F.col("embedding")), F.col("cvec")).alias("sim"),
+    cent_rows = sorted(
+        emb.where(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
     )
-    # argmax(sim, tiebreak lowest cid) without a window: max_by over a
-    # (sim, -cid) ordering struct — partial-aggregates map-side.
-    best = scored.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negcid"))).alias("b")
+    best = emb.withColumn(
+        "b", nearest_centroid(F.col("v"), [(r["vec_id"], r["v"]) for r in cent_rows])
     )
     return best.select(
         "vec_id",
-        (-F.col("b.negcid")).alias("cluster"),
+        F.col("b.cluster").alias("cluster"),
         F.round(F.col("b.sim"), 4).alias("sim"),
     )
 
