@@ -703,18 +703,21 @@ def semantic_dedup(
     # alternative (explode × k then max_by) re-shuffles the corpus
     # keyed by the raw vector — a scan-sized Exchange that this form
     # deletes outright.
-    from clickhub_spark.functions.vectors import nearest_centroid
+    from clickhub_spark.functions.vectors import (
+        nearest_centroid,
+        nearest_centroid_vectorized,
+    )
 
     cent_rows = sorted(
         base.where(F.col(id_col) < n_centroids).collect(),
         key=lambda r: r[id_col],
     )
-    assigned = base.withColumn(
-        "cluster",
-        nearest_centroid(
-            F.col("__v"), [(r[id_col], r["__v"]) for r in cent_rows]
-        )["cluster"],
-    )
+    cent = [(r[id_col], r["__v"]) for r in cent_rows]
+    # Small k inlines the centroids as codegen literals; large k (real
+    # SemDeDup uses k≈10⁴ cells) switches to the Arrow-batched matmul
+    # tier — both map-only, unit-tested equivalent.
+    assign = nearest_centroid if len(cent) <= 64 else nearest_centroid_vectorized
+    assigned = base.withColumn("cluster", assign(F.col("__v"), cent)["cluster"])
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
     )

@@ -341,3 +341,36 @@ def test_semantic_dedup_properties(spark):
     tighter = semantic_dedup(emb, threshold=0.45).collect()
     assert len(tighter) < len(dropped)
     assert {r.vec_id for r in tighter} <= {r.vec_id for r in dropped}
+
+
+def test_nearest_centroid_tiers_agree(spark):
+    """The literal-inline and Arrow-matmul assignment tiers must give
+    identical clusters and sims equal to ~1e-9 on the synthetic
+    corpus (BLAS reassociation may move the last ulp)."""
+    from pyspark.sql import functions as F
+
+    from clickhub_spark.catalog import load
+    from clickhub_spark.functions.vectors import (
+        as_double,
+        nearest_centroid,
+        nearest_centroid_vectorized,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cent = [
+        (r["vec_id"], r["v"])
+        for r in sorted(
+            emb.where(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+        )
+    ]
+    both = emb.select(
+        "vec_id",
+        nearest_centroid(F.col("v"), cent).alias("a"),
+        nearest_centroid_vectorized(F.col("v"), cent).alias("b"),
+    ).collect()
+    assert both
+    for r in both:
+        assert r.a.cluster == r.b.cluster, r.vec_id
+        assert abs(r.a.sim - r.b.sim) < 1e-9, r.vec_id
