@@ -1013,3 +1013,47 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n_click"),
         F.col("n2").cast("bigint").alias("n_view"),
     )
+
+
+@query(
+    "q_fn_map_higher",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) FILTER (cnt >= 3) AS hot_types,
+           CAST(2 * SUM(cnt) AS BIGINT) AS total_doubled,
+           CAST(SUM(cnt * length(event_type)) AS BIGINT) AS weighted
+    FROM c GROUP BY user_id
+    """,
+)
+def q_fn_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (ClickHouse mapFilter / mapApply /
+    mapZip analogs; Spark map_filter / transform_values /
+    map_zip_with — SURVEY §2.G5/G extension over q_fn_map): per-user
+    event-count maps filtered by value, value-transformed, and zipped
+    with a per-key weight map.  Results export as sorted arrays /
+    scalars (map iteration order is engine-internal); everything
+    after the count aggregate is map-side expression work."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    hot = F.map_keys(F.map_filter(F.col("m"), lambda k, v: v >= 3))
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    weights = F.transform_values(F.col("m"), lambda k, v: F.length(k).cast("bigint"))
+    zipped = F.map_zip_with(F.col("m"), weights, lambda k, v, w: v * w)
+    arr_sum = lambda c: F.aggregate(  # noqa: E731
+        F.map_values(c), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return m.select(
+        "user_id",
+        F.array_sort(hot).alias("hot_types"),
+        arr_sum(doubled).alias("total_doubled"),
+        arr_sum(zipped).alias("weighted"),
+    )

@@ -142,6 +142,7 @@ ROUND_PRIORITY = [
     "q_win_locf",
     "q_agg_mad",
     "q_agg_ttest",
+    "q_fn_map_higher",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
