@@ -39,9 +39,11 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT reshaping (SURVEY §2.F extension — ClickHouse expresses
     this as countIf columns, reference repo/query.py's per-status
     columns): order counts per status × priority.  Explicit pivot
-    values keep the plan a single hash aggregate (no extra distinct
-    scan to discover values) — the 100 TB form; one shuffle on the
-    groupBy key, partial aggregation map-side."""
+    values mean NO value-discovery scan, and Spark compiles this to
+    its two-level pivot aggregate: the heavy partial+final count on
+    (status, priority) reduces the fact table first, then a tiny
+    PivotFirst agg reshapes the pre-aggregated rows — the 100 TB
+    form (plan-pinned: two Exchanges, no Expand)."""
     pv = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -1056,4 +1058,27 @@ def q_fn_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(hot).alias("hot_types"),
         arr_sum(doubled).alias("total_doubled"),
         arr_sum(zipped).alias("weighted"),
+    )
+
+
+@query(
+    "q_sort_global",
+    oracle="""
+    SELECT event_id, ROUND(value, 4) AS value, event_type
+    FROM events ORDER BY value DESC, event_id
+    """,
+)
+def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table ORDER BY (ClickHouse's ORDER BY without LIMIT —
+    SURVEY §2.F sibling of the top-k rows, which deliberately AVOID
+    this): a total sort of events by value.  The plan must be
+    RangePartitioning — Spark samples the key distribution, assigns
+    contiguous key ranges to partitions, and sorts within each, so a
+    100 TB sort is (sample) + (1 shuffle) + (local sorts) with no
+    single-node merge; plan-pinned by test_plans.  Unique tiebreaker
+    keeps the order total."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", F.round("value", 4).alias("value"), "event_type")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
     )

@@ -313,3 +313,64 @@ def test_ngram_lm_broadcasts_model_tables(spark):
     plan = _plan(spark, "q_llm_ngram_lm")
     assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """Centroid assignment must stay a pure map-side expression —
+    inlined literal centroids, no join, no Exchange (the IVF-centroid
+    parameter-table contract)."""
+    plan = _plan(spark, "q_llm_kmeans_assign")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    """Count plan NODES in formatted explain (each node appears once
+    in the tree and once in the detail section — count the detail
+    headers '(n) Node')."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.MULTILINE))
+
+
+def test_sessionize_reuses_one_user_partitioning(spark):
+    """Both window passes and the final per-session aggregate must
+    share a single user_id hash Exchange."""
+    plan = _plan(spark, "q_sessionize")
+    assert _n_nodes(plan, "Exchange") == 1
+
+
+def test_pivot_two_level_aggregate_no_expand(spark):
+    """Explicit pivot values ⇒ Spark's two-level pivot aggregate: the
+    heavy partial+final count on (status, priority) first, then a
+    tiny PivotFirst agg over the pre-aggregated rows.  No Expand, no
+    value-discovery scan, and no third shuffle."""
+    plan = _plan(spark, "q_pivot")
+    assert _n_nodes(plan, "Exchange") == 2
+    assert "Expand" not in plan
+
+
+def test_mad_broadcasts_group_medians(spark):
+    """The per-group medians must come back as a broadcast onto the
+    fact scan, never a shuffled self-join of the fact table."""
+    plan = _plan(spark, "q_agg_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_assignment_has_no_vector_keyed_exchange(spark):
+    """semantic_dedup's exchanges must be the cluster-partitioned
+    self-join sides only — never a shuffle keyed by the raw vector
+    (the explode-by-k anti-pattern this operator deletes)."""
+    plan = _plan(spark, "q_llm_semdedup")
+    assert "hashpartitioning(__v" not in plan
+    assert "hashpartitioning(v#" not in plan
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A full ORDER BY must distribute as a range-partitioned sort
+    (sample → range shuffle → local sorts), never a single-partition
+    global sort."""
+    plan = _plan(spark, "q_sort_global")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
