@@ -1082,3 +1082,37 @@ def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.round("value", 4).alias("value"), "event_type")
         .orderBy(F.col("value").desc(), F.col("event_id"))
     )
+
+
+@query(
+    "q_system_parts",
+    oracle="""
+    SELECT 'orders' AS tbl, 'orders.parquet' AS part_name,
+           CAST(count(*) AS BIGINT) AS rows_in_part
+    FROM orders
+    UNION ALL
+    SELECT 'events', 'events.parquet', CAST(count(*) AS BIGINT)
+    FROM events
+    """,
+)
+def q_system_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.parts analog (ClickHouse's part-level introspection the
+    reference ops flow reads before compaction/TTL decisions — SURVEY
+    §3 adjunct): per-file row counts for storage tables derived from
+    input_file_name() — Spark discovers the parts, it does not assume
+    them.  The oracle states the fixture layout's ground truth (one
+    part per canon table holding every row); a multi-file table would
+    fail the compare honestly.  Counting by file is partial-aggregated
+    and metadata-cheap at any scale."""
+    out = None
+    for tbl in ["orders", "events"]:
+        df = (
+            load(spark, sf_dir, tbl)
+            .groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("part_name")
+            )
+            .agg(F.count(F.lit(1)).alias("rows_in_part"))
+            .select(F.lit(tbl).alias("tbl"), "part_name", "rows_in_part")
+        )
+        out = df if out is None else out.unionAll(df)
+    return out
