@@ -182,6 +182,7 @@ def main() -> None:
         "q_sessionize",
         "q_llm_kmeans_assign",
         "q_scan_zorder",
+        "q_sort_global",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(
