@@ -4,18 +4,20 @@ by Arrow-batched ``mapInPandas`` UDFs.
 
 Media decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
 filters, sequential + Adam7 interlaced), 24-bit BMP, GIF (LZW +
-palette, sequential + 4-pass interlaced), and PCM WAV
-(8/16-bit) — pure stdlib zlib/struct/own-LZW, no codec library
-(``decode_png`` / ``decode_bmp`` / ``decode_gif`` / ``decode_wav`` /
-``real_decode``).  On top of those decoders, resize
+palette, sequential + 4-pass interlaced), baseline JPEG (own
+DCT/Huffman codec in operators/jpeg.py — any sampling factors incl.
+4:2:0, restart intervals; progressive raises and falls back), and
+PCM WAV (8/16-bit) — stdlib + numpy, no codec library
+(``decode_png`` / ``decode_bmp`` / ``decode_gif`` / ``decode_jpeg`` /
+``decode_wav`` / ``real_decode``).  On top of those decoders, resize
 and frame sampling are REAL too for the same formats: ``real_resize``
 does nearest-neighbor resampling and re-encodes as 24-bit BMP
 (``encode_bmp``), and ``sample_frames`` extracts time-windowed PCM
 frames from WAV payloads, each re-encoded as a standalone playable
-WAV (``encode_wav``).  Only DCT/perceptual formats stay stubbed —
-JPEG decode is header-probe-only and MP3/video need codec libraries
-the container doesn't ship; those payloads fall back to the
-deterministic byte-stat/byte-chunk stubs, per-format documented.  The
+WAV (``encode_wav``).  Only perceptual-audio/video formats stay
+stubbed — MP3 and video need codec libraries the container doesn't
+ship; those payloads fall back to the deterministic
+byte-stat/byte-chunk stubs, per-format documented.  The
 Spark-side plumbing is identical either way: schema contract, Arrow
 batch iteration, partition-size control, and the metadata columns a
 100 TB media pipeline needs before any decode (size, hash, type tag)
@@ -130,11 +132,11 @@ def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
 
 
 def real_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
-    """REAL resize for the formats this module decodes (PNG/BMP/GIF):
-    decode → nearest-neighbor resample → 24-bit BMP re-encode, pure
-    stdlib.  JPEG (probe-only — DCT needs a codec the container lacks)
-    and unrecognized payloads fall back to the deterministic stub so a
-    mixed corpus never kills the task."""
+    """REAL resize for the formats this module decodes
+    (PNG/BMP/GIF/baseline JPEG): decode → nearest-neighbor resample →
+    24-bit BMP re-encode.  Progressive JPEG and unrecognized payloads
+    fall back to the deterministic stub so a mixed corpus never kills
+    the task."""
     import struct
     import zlib
 
@@ -146,6 +148,10 @@ def real_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
             w, h, ch, px = decode_bmp(payload)
         elif fmt == "gif":
             w, h, ch, px = decode_gif(payload)
+        elif fmt == "jpeg":
+            from clickhub_spark.operators.jpeg import decode_jpeg
+
+            w, h, ch, px = decode_jpeg(payload)
         else:
             return stub_resize(payload, width, height)
         return encode_bmp(width, height, to_rgb(ch, resample_nn(w, h, ch, px, width, height)))
@@ -524,7 +530,8 @@ def probe_audio(payload: bytes) -> tuple[str | None, int, int, int]:
 
 def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
     """Media-statistic feature extractor backed by the REAL
-    PNG/BMP/GIF/WAV decoders for the formats the header probes detect; other payloads
+    PNG/BMP/GIF/JPEG/WAV decoders for the formats the header probes
+    detect; other payloads
     (including the utf8-text fakes the testdata derives) keep the
     deterministic byte-stat stub so the mapInPandas contract never
     raises on mixed corpora.  Image features (fixed n_feat wide):
@@ -545,6 +552,10 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
             w, h, ch, px = decode_bmp(payload)
         elif fmt == "gif":
             w, h, ch, px = decode_gif(payload)
+        elif fmt == "jpeg":
+            from clickhub_spark.operators.jpeg import decode_jpeg
+
+            w, h, ch, px = decode_jpeg(payload)
         elif probe_audio(payload)[0] == "wav":
             rate, ach, s = decode_wav(payload)
             if not s:

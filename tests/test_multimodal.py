@@ -530,3 +530,74 @@ def test_decode_gif_kwkwk_and_dictionary_growth():
 
     data = emit_stream([4, 0, 6, 0, 5], 3)
     assert _lzw_decode(2, data) == [0, 0, 0, 0]
+
+
+def _checker_rgb(w, h):
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = [
+                int(255 * x / w),
+                int(255 * y / h),
+                255 if (x // 4 + y // 4) % 2 else 0,
+            ]
+    return img
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Own-codec JPEG round trips: 4:4:4 and 4:2:0, odd dimensions,
+    PSNR must clear 30 dB (4:4:4) / 28 dB (subsampled chroma)."""
+    import numpy as np
+
+    from clickhub_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _checker_rgb(37, 23)
+    for sub, floor in ((False, 30.0), (True, 28.0)):
+        payload = encode_jpeg(37, 23, 3, img.tobytes(), quality=90, subsample=sub)
+        w, h, ch, px = decode_jpeg(payload)
+        assert (w, h, ch) == (37, 23, 3)
+        dec = np.frombuffer(px, dtype=np.uint8).reshape(23, 37, 3).astype(float)
+        mse = ((dec - img.astype(float)) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > floor, (sub, psnr)
+
+
+def test_jpeg_grayscale_and_probe():
+    import numpy as np
+
+    from clickhub_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from clickhub_spark.operators.multimodal import probe_image
+
+    g = (np.outer(np.arange(16), np.ones(24)) * 15).astype(np.uint8)
+    payload = encode_jpeg(24, 16, 1, g.tobytes(), quality=85)
+    assert probe_image(payload) == ("jpeg", 24, 16)
+    w, h, ch, px = decode_jpeg(payload)
+    assert (w, h, ch) == (24, 16, 1)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(16, 24).astype(float)
+    assert 10 * np.log10(255**2 / max(((dec - g) ** 2).mean(), 1e-9)) > 35
+
+
+def test_jpeg_through_real_decode_and_resize():
+    """The multimodal dispatch must route JPEG payloads through the
+    real codec: features carry true dimensions, resize emits a BMP of
+    the target size, and a truncated stream falls back to the stub
+    instead of raising."""
+    from clickhub_spark.operators.jpeg import encode_jpeg
+    from clickhub_spark.operators.multimodal import (
+        decode_bmp,
+        real_decode,
+        real_resize,
+        stub_decode,
+    )
+
+    img = _checker_rgb(40, 24)
+    payload = encode_jpeg(40, 24, 3, img.tobytes(), quality=90)
+    feats = real_decode(payload)
+    assert feats[0] == 40.0 and feats[1] == 24.0 and feats[2] == 3.0
+    out = real_resize(payload, 16, 12)
+    w, h, ch, px = decode_bmp(out)
+    assert (w, h) == (16, 12) and len(px) == 16 * 12 * 3
+    truncated = payload[: len(payload) // 2]
+    assert real_decode(truncated) == stub_decode(truncated)
