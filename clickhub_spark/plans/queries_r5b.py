@@ -1116,3 +1116,62 @@ def q_system_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = df if out is None else out.unionAll(df)
     return out
+
+
+@query(
+    "q_agg_deltasum",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, value,
+               value - lag(value) OVER w AS delta,
+               first_value(value) OVER wf AS v_first,
+               last_value(value) OVER wf AS v_last,
+               first_value(epoch_us(ts)) OVER wf AS t_first,
+               last_value(epoch_us(ts)) OVER wf AS t_last
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END), 4) + 0.0
+               AS delta_sum,
+           ROUND((ANY_VALUE(v_last) - ANY_VALUE(v_first))
+                 / NULLIF(ANY_VALUE(t_last) - ANY_VALUE(t_first), 0)
+                 * 1000000, 6) + 0.0 AS bounding_ratio
+    FROM d GROUP BY user_id
+    """,
+)
+def q_agg_deltasum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltaSum + boundingRatio analogs (ClickHouse time-series
+    aggregates — SURVEY §2.D extension): per user, the sum of POSITIVE
+    deltas between consecutive readings (counter-increase semantics)
+    and the end-to-end slope in value-per-second.  One user_id shuffle
+    shared by the lag window and the aggregate; the slope uses
+    min_by/max_by on the (ts, event_id) order key — no second window.
+    ClickHouse computes deltaSum block-locally and merges; the window
+    restatement is the order-deterministic distributed form."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "delta", F.col("value") - F.lag("value").over(w)
+    )
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    return ev.groupBy("user_id").agg(
+        (
+            F.round(
+                F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0)), 4
+            )
+            + 0.0  # kill IEEE -0.0 (engines disagree on its sign bit)
+        ).alias("delta_sum"),
+        (
+            F.round(
+                (F.max_by(F.col("value"), okey) - F.min_by(F.col("value"), okey))
+                / F.nullif(F.max_by(us, okey) - F.min_by(us, okey), F.lit(0))
+                * 1_000_000,
+                6,
+            )
+            + 0.0
+        ).alias("bounding_ratio"),
+    )

@@ -145,6 +145,7 @@ ROUND_PRIORITY = [
     "q_fn_map_higher",
     "q_sort_global",
     "q_system_parts",
+    "q_agg_deltasum",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
