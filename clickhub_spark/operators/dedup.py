@@ -718,16 +718,24 @@ def semantic_dedup(
     # tier — both map-only, unit-tested equivalent.
     assign = nearest_centroid if len(cent) <= 64 else nearest_centroid_vectorized
     assigned = base.withColumn("cluster", assign(F.col("__v"), cent)["cluster"])
-    a = assigned.select(
-        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "cluster"
-    )
+    # Normalize ONCE per row before the self-join: cosine(a, b) =
+    # dot(a/|a|, b/|b|), so each candidate pair then costs one array
+    # fold instead of three (dot + both norms).  At n·k pairs per cell
+    # that is the dominant cost of the whole operator.  The norm is
+    # materialized as a column first — inlining it into the transform
+    # lambda would re-fold the vector per ELEMENT, O(dim²)/row (the
+    # same trap quantize_int8 documents).
+    from clickhub_spark.functions.vectors import dot, norm
+
+    nrm = assigned.withColumn(
+        "__n", F.nullif(norm(F.col("__v")), F.lit(0.0))
+    ).withColumn("__nv", F.transform(F.col("__v"), lambda x: x / F.col("__n")))
+    a = nrm.select(F.col(id_col).alias("__ida"), F.col("__nv").alias("__va"), "cluster")
+    b = nrm.select(F.col(id_col).alias("__idb"), F.col("__nv").alias("__vb"), "cluster")
     pairs = (
         a.join(b, "cluster")
         .where(F.col("__ida") < F.col("__idb"))
-        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("__sim", dot(F.col("__va"), F.col("__vb")))
         .where(F.col("__sim") > threshold)
     )
     return pairs.groupBy(F.col("__idb").alias(id_col), "cluster").agg(
