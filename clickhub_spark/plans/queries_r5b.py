@@ -1175,3 +1175,145 @@ def q_agg_deltasum(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("bounding_ratio"),
     )
+
+
+@query(
+    "q_mutate_update",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' AND o_totalprice < 100000
+                          THEN o_totalprice * 1.1 ELSE o_totalprice END), 2)
+               AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_mutate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE through the driver contract (SURVEY §2
+    ALTER UPDATE row; operators/mutate.update_where — previously
+    unit-only): pending low-value orders get a 10% price bump in a
+    fingerprint-cached copy, which is read back and aggregated.  The
+    oracle states the post-update values declaratively — the rewrite
+    must change exactly the matched rows' columns and nothing else.
+    Same atomic dir-swap publish as q_mutate_delete."""
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.operators.mutate import update_where
+
+    src = load(spark, sf_dir, "orders")
+    path = derived_artifact_path(src, "mutate_update_orders")
+    if not os.path.isdir(path):
+        build = f"{path}.__build"
+        src.write.mode("overwrite").parquet(build)
+        update_where(
+            spark,
+            build,
+            (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 100000),
+            {"o_totalprice": F.col("o_totalprice") * 1.1},
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(build, path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_mutate_ttl",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us
+    FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def q_mutate_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL expiry through the driver contract (ClickHouse `TTL ts +
+    INTERVAL` — operators/mutate.apply_ttl, previously unit-only):
+    rows older than the cutoff are dropped from a fingerprint-cached
+    copy.  The docstring caveat holds at scale: date-partitioned
+    tables drop whole partition dirs instead of rewriting — this
+    copy-on-write form is for unpartitioned state tables.  The oracle
+    states the survivor set declaratively."""
+    import datetime
+
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.operators.mutate import apply_ttl
+
+    src = load(spark, sf_dir, "events")
+    path = derived_artifact_path(src, "mutate_ttl_events")
+    if not os.path.isdir(path):
+        build = f"{path}.__build"
+        src.write.mode("overwrite").parquet(build)
+        apply_ttl(spark, build, "ts", datetime.datetime(2024, 1, 8))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(build, path)
+    return spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+    )
+
+
+@query(
+    "q_agg_contingency",
+    oracle="""
+    WITH o AS (
+        SELECT event_type AS r, CAST(user_id % 3 AS BIGINT) AS c,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM events GROUP BY r, c
+    ), tot AS (
+        SELECT r, c, obs,
+               SUM(obs) OVER (PARTITION BY r) AS row_tot,
+               SUM(obs) OVER (PARTITION BY c) AS col_tot,
+               SUM(obs) OVER () AS n
+        FROM o
+    ), chi AS (
+        SELECT SUM(POW(obs - row_tot * col_tot / n, 2)
+                   / (row_tot * col_tot / n)) AS chi2,
+               ANY_VALUE(n) AS n,
+               CAST(COUNT(DISTINCT r) AS DOUBLE) AS nr,
+               CAST(COUNT(DISTINCT c) AS DOUBLE) AS nc
+        FROM tot
+    )
+    SELECT ROUND(chi2, 4) AS chi2,
+           ROUND(SQRT(chi2 / (n * (LEAST(nr, nc) - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def q_agg_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared + Cramér's V association (ClickHouse cramersV /
+    contingency — SURVEY §2.D13 extension): dependence between event
+    type and a user-bucket over the observed contingency table.  The
+    table is first reduced to ~15 cells (one partial-aggregated
+    shuffle over the facts); the window sums and the statistic run on
+    that tiny grid — post-aggregation cost is O(cells), so the
+    single-partition windows on the CELL table are fine at any corpus
+    size."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"), (F.col("user_id") % 3).alias("c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    t = (
+        cells.withColumn("row_tot", F.sum("obs").over(wr))
+        .withColumn("col_tot", F.sum("obs").over(wc))
+        .withColumn("n", F.sum("obs").over(wall))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = t.agg(
+        F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2"),
+        F.first("n").alias("n"),
+        F.countDistinct("r").cast("double").alias("nr"),
+        F.countDistinct("c").cast("double").alias("nc"),
+    )
+    return chi.select(
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))), 6
+        ).alias("cramers_v"),
+    )

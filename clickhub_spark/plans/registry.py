@@ -146,6 +146,9 @@ ROUND_PRIORITY = [
     "q_sort_global",
     "q_system_parts",
     "q_agg_deltasum",
+    "q_mutate_update",
+    "q_mutate_ttl",
+    "q_agg_contingency",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
