@@ -30,13 +30,18 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right value at or before each left row.
+    """Left as-of join: nearest right value at-or-before
+    (``direction="backward"``, the default — ClickHouse `ASOF JOIN ...
+    <=`) or at-or-after (``direction="forward"``, `>=`) each left row.
 
     ``right_values`` columns appear on the output prefixed ``asof_``.
-    ``tolerance`` (seconds) optionally discards matches older than
-    left_ts - tolerance.
+    ``tolerance`` (seconds) optionally discards matches further than
+    that from left_ts in the join direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rhs = (
@@ -58,10 +63,13 @@ def asof_join(
 
     # Right rows sort before left rows at the same timestamp (__side 0
     # first) so an exactly-equal right timestamp IS visible to the left
-    # row — standard as-of "backward" semantics.
+    # row.  Forward direction is the same single linear pass with the
+    # time axis reversed — the frame then looks at rows with ts >=
+    # current instead of <=.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = unioned
@@ -84,10 +92,12 @@ def asof_join(
                 col = col.cast("timestamp")
             return col.cast("double")
 
-        too_old = (
-            F.col("asof_ts").isNull()
-            | (_epoch("__ts") - _epoch("asof_ts") > tolerance)
+        gap = (
+            _epoch("__ts") - _epoch("asof_ts")
+            if direction == "backward"
+            else _epoch("asof_ts") - _epoch("__ts")
         )
+        too_old = F.col("asof_ts").isNull() | (gap > tolerance)
         for c in right_values:
             out = out.withColumn(
                 f"asof_{c}", F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}"))

@@ -1317,3 +1317,33 @@ def q_agg_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))), 6
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min(c.ts) FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'purchase'
+               AND c.ts >= e.ts) AS asof_ts
+    FROM events e
+    WHERE e.event_type = 'view'
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (ClickHouse `ASOF JOIN ... >=` — SURVEY
+    §2.C8's other direction, previously backward-only): for each view
+    event, the same user's EARLIEST purchase at or after it — the
+    time-to-conversion primitive.  Same union+window single pass as
+    the backward form with the time axis reversed
+    (operators/asof.asof_join direction="forward"); no candidate-pair
+    materialization."""
+    from clickhub_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_join(
+        views, buys, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=[], direction="forward",
+    ).select("event_id", "user_id", "ts", "asof_ts")

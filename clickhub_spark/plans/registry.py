@@ -149,6 +149,7 @@ ROUND_PRIORITY = [
     "q_mutate_update",
     "q_mutate_ttl",
     "q_agg_contingency",
+    "q_join_asof_fwd",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

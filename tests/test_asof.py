@@ -87,3 +87,36 @@ def test_asof_tolerance_on_ntz_timestamps(spark):
     miss = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
                      right_values=["price"], tolerance=50).collect()[0]
     assert miss.asof_price is None
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest right at-or-after each left row; exact
+    ties match; tolerance measures forward."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 100)], "id long, ts long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(20,), (25,), (60,)], "ts long"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("k", F.lit(1))
+    l2 = left.withColumn("k", F.lit(1))
+    out = {
+        r.id: r.asof_ts
+        for r in asof_join(
+            l2, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_values=[], direction="forward",
+        ).collect()
+    }
+    assert out[1].timestamp() == 20  # earliest at-or-after 10
+    assert out[2].timestamp() == 25  # exact tie matches
+    assert out[3] is None            # nothing after 100
+    tol = {
+        r.id: r.asof_ts
+        for r in asof_join(
+            l2, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_values=[], direction="forward", tolerance=5,
+        ).collect()
+    }
+    assert tol[1] is None            # 20 is 10s ahead, > 5s tolerance
+    assert tol[2].timestamp() == 25
