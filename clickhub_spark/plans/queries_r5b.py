@@ -1347,3 +1347,63 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, buys, on=["user_id"], left_ts="ts", right_ts="ts",
         right_values=[], direction="forward",
     ).select("event_id", "user_id", "ts", "asof_ts")
+
+
+@query(
+    "q_fn_array_diff",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               list(CAST(floor(value) AS BIGINT) ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           [CASE WHEN i = 1 THEN 0 ELSE vals[i] - vals[i - 1] END
+            FOR i IN generate_series(1, len(vals))] AS diffs,
+           [list_sum(vals[1:i]) FOR i IN generate_series(1, len(vals))]
+               AS cumsum,
+           CAST(len(vals) AS INT) AS n
+    FROM seq
+    """,
+)
+def q_fn_array_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrayDifference / arrayCumSum (ClickHouse's array-series
+    functions over groupArray — SURVEY §2.G5 extension): per-user
+    time-ordered value series with element-wise differences and
+    running totals computed INSIDE the array via higher-order
+    functions — no second window pass, one shuffle for the collect.
+    Integer floor()ed values keep array content bit-exact across
+    engines.  Honest cost note: the slice-fold cumsum is O(n²) per
+    array (fine for bounded per-key series like these); for unbounded
+    series use the running-sum WINDOW form (q_win_running) instead of
+    collecting."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.floor("value").cast("bigint").alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("vals")
+    )
+    idx = F.sequence(F.lit(1), F.size("vals"))
+    return seq.select(
+        "user_id",
+        F.transform(
+            idx,
+            lambda i: F.when(i == 1, F.lit(0).cast("bigint")).otherwise(
+                F.element_at(F.col("vals"), i) - F.element_at(F.col("vals"), i - 1)
+            ),
+        ).alias("diffs"),
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(F.col("vals"), 1, i),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("cumsum"),
+        F.size("vals").alias("n"),
+    )
