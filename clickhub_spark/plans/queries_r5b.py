@@ -1407,3 +1407,31 @@ def q_fn_array_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cumsum"),
         F.size("vals").alias("n"),
     )
+
+
+@query(
+    "q_llm_knn_ivf_exact",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+           ), 4) AS sim
+    FROM embeddings e WHERE e.vec_id <> 0
+    ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_llm_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe = n_cells (SURVEY §2.J6): probing EVERY cell
+    makes IVF exactly equivalent to brute force, so the whole IVF
+    machinery — build-once cell-partitioned index, driver-side
+    centroid probe, partition-pruned candidate scan, top-k — is
+    value-checked end-to-end against the same SQL oracle as
+    q_llm_knn.  The production path (q_llm_knn_ivf, nprobe≪cells,
+    rows-only + recall units) differs ONLY in the probe list; this
+    twin pins everything else."""
+    from clickhub_spark.operators.knn import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=16, nprobe=16
+    ).select("vec_id", "sim")
