@@ -67,3 +67,24 @@ def prune_stale(artifact_path: str, keep: int = 8) -> int:
         shutil.rmtree(stale, ignore_errors=True)
         removed += 1
     return removed
+
+
+def build_artifact(df: DataFrame, tag: str, writer) -> str:
+    """Fingerprint-cached build-once artifact with an ATOMIC publish:
+    if the derived path for (df, tag) doesn't exist yet, ``writer``
+    materializes into ``<path>.__build`` and the finished directory is
+    renamed into place.  A crash mid-build leaves only the build dir —
+    never a partial artifact that the existence check would treat as
+    complete — which is the same publish protocol the incremental
+    writer uses.  Returns the artifact path.
+
+    ``writer(build_path)`` must write the artifact directory at
+    ``build_path``.
+    """
+    path = derived_artifact_path(df, tag)
+    if not os.path.isdir(path):
+        build = f"{path}.__build"
+        writer(build)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(build, path)
+    return path

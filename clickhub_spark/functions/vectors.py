@@ -65,17 +65,36 @@ def dequantize_int8(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda c: c.cast("double") * scale / 127.0)
 
 
-def nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def nearest_centroid(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    pre_normalized: bool = False,
+) -> Column:
     """Map-only nearest-centroid assignment against a bounded centroid
     parameter table inlined as plan literals (the IVF-centroid
     contract: k ≪ corpus, collected driver-side once).  Returns a
     struct ``{sim, cluster}`` — cosine to the winning centroid and its
     id; ties break to the LOWEST centroid id.  No join, no Exchange:
-    the k-way scoring is one codegen'd array expression per row."""
+    the k-way scoring is one codegen'd array expression per row.
+
+    ``pre_normalized=True`` is the efficient form: the CALLER passes a
+    unit-length ``vec`` (normalize once per row, materialized as a
+    column) and the centroid literals are normalized here driver-side,
+    so each of the k scores is a single dot-product fold.  The default
+    form folds cosine per centroid — norm(vec) is then re-reduced k
+    times per row, ~2× the array folds at k=8 and worse as k grows."""
+
+    def lits(cv: list[float]) -> Column:
+        if pre_normalized:
+            n = sum(float(x) * float(x) for x in cv) ** 0.5 or 1.0
+            return F.array(*[F.lit(float(x) / n) for x in cv])
+        return F.array(*[F.lit(float(x)) for x in cv])
+
+    score = dot if pre_normalized else cosine
     arr = F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                score(vec, lits(cv)).alias("sim"),
                 F.lit(-int(cid)).cast("long").alias("negid"),
             )
             for cid, cv in centroids

@@ -713,23 +713,27 @@ def semantic_dedup(
         key=lambda r: r[id_col],
     )
     cent = [(r[id_col], r["__v"]) for r in cent_rows]
-    # Small k inlines the centroids as codegen literals; large k (real
-    # SemDeDup uses k≈10⁴ cells) switches to the Arrow-batched matmul
-    # tier — both map-only, unit-tested equivalent.
-    assign = nearest_centroid if len(cent) <= 64 else nearest_centroid_vectorized
-    assigned = base.withColumn("cluster", assign(F.col("__v"), cent)["cluster"])
-    # Normalize ONCE per row before the self-join: cosine(a, b) =
-    # dot(a/|a|, b/|b|), so each candidate pair then costs one array
-    # fold instead of three (dot + both norms).  At n·k pairs per cell
-    # that is the dominant cost of the whole operator.  The norm is
-    # materialized as a column first — inlining it into the transform
-    # lambda would re-fold the vector per ELEMENT, O(dim²)/row (the
-    # same trap quantize_int8 documents).
+    # Normalize ONCE per row, before assignment: cosine(a, b) =
+    # dot(a/|a|, b/|b|), so centroid scoring AND each candidate pair
+    # cost one array fold instead of three (dot + both norms).  At n·k
+    # pairs per cell that is the dominant cost of the whole operator.
+    # The norm is materialized as a column first — inlining it into
+    # the transform lambda would re-fold the vector per ELEMENT,
+    # O(dim²)/row (the same trap quantize_int8 documents).
     from clickhub_spark.functions.vectors import dot, norm
 
-    nrm = assigned.withColumn(
+    nrm = base.withColumn(
         "__n", F.nullif(norm(F.col("__v")), F.lit(0.0))
     ).withColumn("__nv", F.transform(F.col("__v"), lambda x: x / F.col("__n")))
+    # Small k inlines the (pre-normalized) centroids as codegen
+    # literals scored by plain dot products; large k (real SemDeDup
+    # uses k≈10⁴ cells) switches to the Arrow-batched matmul tier —
+    # both map-only, unit-tested equivalent.
+    if len(cent) <= 64:
+        cluster = nearest_centroid(F.col("__nv"), cent, pre_normalized=True)["cluster"]
+    else:
+        cluster = nearest_centroid_vectorized(F.col("__v"), cent)["cluster"]
+    nrm = nrm.withColumn("cluster", cluster)
     a = nrm.select(F.col(id_col).alias("__ida"), F.col("__nv").alias("__va"), "cluster")
     b = nrm.select(F.col(id_col).alias("__idb"), F.col("__nv").alias("__vb"), "cluster")
     pairs = (

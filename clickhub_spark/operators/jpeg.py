@@ -215,14 +215,20 @@ class _BitReader:
     def aligned_restart(self) -> None:
         """Consume padding + the RSTn marker at a restart boundary."""
         self.n = 0
-        while self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             self.pos += 2
-            return
-        raise ValueError("expected restart marker")
+        else:
+            raise ValueError("expected restart marker")
 
 
-class _RestartMarker(Exception):
+class _RestartMarker(ValueError):
+    """Raised when a RSTn appears mid-entropy-read — a malformed
+    stream unless the decoder expected a restart boundary.  Subclasses
+    ValueError so the multimodal dispatch's fallback catch covers it
+    (the 'one bad blob never kills the task' contract)."""
+
     def __init__(self, marker: int) -> None:
+        super().__init__(f"unexpected restart marker 0x{marker:02X}")
         self.marker = marker
 
 
@@ -425,7 +431,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
         elif marker == 0xDD:  # DRI
@@ -434,8 +443,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             ns = seg[0]
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
-                scan_order.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
+                matches = [c for c in comps if c["id"] == cs]
+                if not matches:
+                    raise ValueError(f"SOS names unknown component id {cs}")
+                scan_order.append({**matches[0], "td": tt >> 4, "ta": tt & 0xF})
             pos += seglen
             return _decode_scan(
                 payload, pos, w, h, scan_order, qt, huff, restart_interval
@@ -454,7 +465,6 @@ def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
     ]
     r = _BitReader(data, pos)
     pred = [0] * len(comps)
-    iq = {t: tbl for t, tbl in qt.items()}
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -488,7 +498,7 @@ def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
                         coef = np.empty(64)
                         for i in range(64):
                             coef[ZIGZAG[i]] = zz[i]
-                        coef = (coef * iq[c["tq"]]).reshape(8, 8)
+                        coef = (coef * qt[c["tq"]]).reshape(8, 8)
                         block = _C.T @ coef @ _C + 128.0
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8

@@ -394,7 +394,21 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig.update(f.encode())
     sfx = sig.hexdigest()[:8]
     o_tbl, l_tbl = f"orders_q_bkt_{sfx}", f"lineitem_q_bkt_{sfx}"
-    if not spark.catalog.tableExists(o_tbl):
+    # Gate on BOTH tables and self-heal a partial build: a crash
+    # between the two writes must not wedge the query on the next run
+    # (the first table exists, the signature is unchanged, and nothing
+    # would ever create the second).  Also drop bucketed copies of
+    # superseded signatures — regenerated sources would otherwise
+    # accumulate full-size stale copies in the warehouse forever.
+    if not (spark.catalog.tableExists(o_tbl) and spark.catalog.tableExists(l_tbl)):
+        for t in spark.catalog.listTables():
+            if (
+                t.name.startswith(("orders_q_bkt_", "lineitem_q_bkt_"))
+                and not t.name.endswith(sfx)
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
         write_bucketed(orders, o_tbl, "o_orderkey", 8)
         write_bucketed(lineitem, l_tbl, "l_orderkey", 8)
     o = spark.table(o_tbl)

@@ -616,15 +616,17 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (test_projections pins the span property).  The oracle
     is the same predicate on the raw table: layout must never change
     results."""
-    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.artifacts import build_artifact
     from clickhub_spark.sources.writer import write_zordered
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    zpath = derived_artifact_path(ev, "zorder_events")
-    import os
-
-    if not os.path.isdir(zpath):
-        write_zordered(ev, zpath, ["user_id", "value"], bits=8, target_files=16)
+    zpath = build_artifact(
+        ev,
+        "zorder_events",
+        lambda build: write_zordered(
+            ev, build, ["user_id", "value"], bits=8, target_files=16
+        ),
+    )
     z = spark.read.parquet(zpath)
     return z.where(
         F.col("user_id").between(3, 7) & F.col("value").between(100, 400)

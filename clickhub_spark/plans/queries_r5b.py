@@ -11,8 +11,6 @@ q_join_bucketed."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -97,7 +95,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_sess
@@ -105,7 +103,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts, value,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -137,7 +135,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_sess").over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
@@ -290,7 +288,7 @@ def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression per row.  Deterministic centroid choice (vec_id < 8)
     makes the step oracle-checkable; the full Lloyd loop is this step
     iterated with re-averaged centroids."""
-    from clickhub_spark.functions.vectors import as_double, nearest_centroid
+    from clickhub_spark.functions.vectors import as_double, nearest_centroid, norm
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -298,8 +296,19 @@ def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = sorted(
         emb.where(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
     )
-    best = emb.withColumn(
-        "b", nearest_centroid(F.col("v"), [(r["vec_id"], r["v"]) for r in cent_rows])
+    # normalize once per row (materialized — never inline the norm
+    # into the transform lambda, that re-folds per element) so each
+    # centroid score is a single dot-product fold
+    nrm = emb.withColumn("n", F.nullif(norm(F.col("v")), F.lit(0.0))).withColumn(
+        "nv", F.transform(F.col("v"), lambda x: x / F.col("n"))
+    )
+    best = nrm.withColumn(
+        "b",
+        nearest_centroid(
+            F.col("nv"),
+            [(r["vec_id"], r["v"]) for r in cent_rows],
+            pre_normalized=True,
+        ),
     )
     return best.select(
         "vec_id",
@@ -430,21 +439,20 @@ def q_mutate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-or-nothing (write new dir → rename swap), the same publish
     protocol the incremental writer uses; readers never see a
     half-deleted table."""
-    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.artifacts import build_artifact
     from clickhub_spark.operators.mutate import delete_where
 
     src = load(spark, sf_dir, "orders")
-    path = derived_artifact_path(src, "mutate_delete_orders")
-    if not os.path.isdir(path):
-        build = f"{path}.__build"
+
+    def _build(build: str) -> None:
         src.write.mode("overwrite").parquet(build)
         delete_where(
             spark,
             build,
             (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000),
         )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.rename(build, path)
+
+    path = build_artifact(src, "mutate_delete_orders", _build)
     return (
         spark.read.parquet(path)
         .groupBy("o_orderstatus")
@@ -506,21 +514,20 @@ def q_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     index must never change results, only pruning.  At 100 TB this is
     the `actor_id = X` needle query: touched row groups ≈ those that
     contain X."""
-    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.artifacts import build_artifact
     from clickhub_spark.sources.writer import write_sorted
 
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    path = derived_artifact_path(ev, "bloom_events")
-    if not os.path.isdir(path):
-        build = f"{path}.__build"
-        write_sorted(
+    path = build_artifact(
+        ev,
+        "bloom_events",
+        lambda build: write_sorted(
             ev, build, partition_by=None, sort_cols=["ts"],
             mode="overwrite", bloom_cols=["user_id"],
-        )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.rename(build, path)
+        ),
+    )
     b = spark.read.parquet(path)
     return b.where(F.col("user_id").isin(3, 9)).select(
         "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
@@ -719,18 +726,17 @@ def _format_copy(spark: SparkSession, sf_dir: str, table: str, fmt: str, tag: st
     types, never inference: at 100 TB an inferSchema pass would read
     the whole dataset twice, and CSV/JSON type guessing is
     locale-fragile besides."""
-    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.artifacts import build_artifact
 
     src = load(spark, sf_dir, table)
-    path = derived_artifact_path(src, tag)
-    if not os.path.isdir(path):
-        build = f"{path}.__build"
+
+    def _build(build: str) -> None:
         w = src.write.mode("overwrite").format(fmt)
         for k, v in (writer_opts or {}).items():
             w = w.option(k, v)
         w.save(build)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.rename(build, path)
+
+    path = build_artifact(src, tag, _build)
     r = spark.read.format(fmt).schema(src.schema)
     for k, v in (writer_opts or {}).items():
         r = r.option(k, v)
@@ -1196,13 +1202,12 @@ def q_mutate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the post-update values declaratively — the rewrite
     must change exactly the matched rows' columns and nothing else.
     Same atomic dir-swap publish as q_mutate_delete."""
-    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.artifacts import build_artifact
     from clickhub_spark.operators.mutate import update_where
 
     src = load(spark, sf_dir, "orders")
-    path = derived_artifact_path(src, "mutate_update_orders")
-    if not os.path.isdir(path):
-        build = f"{path}.__build"
+
+    def _build(build: str) -> None:
         src.write.mode("overwrite").parquet(build)
         update_where(
             spark,
@@ -1210,8 +1215,8 @@ def q_mutate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 100000),
             {"o_totalprice": F.col("o_totalprice") * 1.1},
         )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.rename(build, path)
+
+    path = build_artifact(src, "mutate_update_orders", _build)
     return (
         spark.read.parquet(path)
         .groupBy("o_orderstatus")
@@ -1240,17 +1245,16 @@ def q_mutate_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the survivor set declaratively."""
     import datetime
 
-    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.artifacts import build_artifact
     from clickhub_spark.operators.mutate import apply_ttl
 
     src = load(spark, sf_dir, "events")
-    path = derived_artifact_path(src, "mutate_ttl_events")
-    if not os.path.isdir(path):
-        build = f"{path}.__build"
+
+    def _build(build: str) -> None:
         src.write.mode("overwrite").parquet(build)
         apply_ttl(spark, build, "ts", datetime.datetime(2024, 1, 8))
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.rename(build, path)
+
+    path = build_artifact(src, "mutate_ttl_events", _build)
     return spark.read.parquet(path).agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.min(F.unix_micros("ts")).alias("min_ts_us"),

@@ -114,12 +114,20 @@ def ship_package(spark: SparkSession) -> str:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     base = os.path.join(tempfile.gettempdir(), "clickhub_spark_pyfiles")
     # stable path per content: addPyFile rejects re-adding a changed
-    # file of the same name, so key the zip dir by package mtime
-    newest = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(pkg_dir) for f in fs),
-        default=0,
-    )
-    zdir = f"{base}_{int(newest)}"
+    # file of the same name, so key the zip dir by a digest of every
+    # source file's (path, size, mtime_ns).  Whole-second mtime alone
+    # collides when a file is edited twice within one second (or
+    # restored with a preserved mtime) — the gate would then silently
+    # ship and test STALE code.
+    import hashlib
+
+    sig = hashlib.md5()
+    for r, _, fs in sorted(os.walk(pkg_dir)):
+        for f in sorted(fs):
+            fp = os.path.join(r, f)
+            st = os.stat(fp)
+            sig.update(f"{fp}:{st.st_size}:{st.st_mtime_ns};".encode())
+    zdir = f"{base}_{sig.hexdigest()[:12]}"
     zpath = os.path.join(zdir, "clickhub_spark.zip")
     if not os.path.exists(zpath):
         os.makedirs(zdir, exist_ok=True)

@@ -601,3 +601,27 @@ def test_jpeg_through_real_decode_and_resize():
     assert (w, h) == (16, 12) and len(px) == 16 * 12 * 3
     truncated = payload[: len(payload) // 2]
     assert real_decode(truncated) == stub_decode(truncated)
+
+
+def test_jpeg_corruption_never_escapes_catch_tuple():
+    """Byte-level corruption fuzz: every decode failure must raise
+    within the multimodal dispatch's catch tuple (ValueError /
+    IndexError / KeyError / struct.error / zlib.error) so one bad
+    blob can never kill a mapInPandas task."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from clickhub_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(7).integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(16, 16, 3, img.tobytes())
+    catch = (ValueError, IndexError, KeyError, struct.error, zlib.error)
+    for i in range(2, len(good), 7):
+        for b in (0x00, 0xFF, 0xD3):
+            corrupt = good[:i] + bytes([b]) + good[i + 1 :]
+            try:
+                decode_jpeg(corrupt)
+            except catch:
+                pass  # the contract: these are handled upstream
