@@ -103,3 +103,31 @@ def apply_ttl(spark: SparkSession, path: str, ts_col: str, cutoff) -> int:
     from pyspark.sql import functions as F
 
     return _rewrite(spark, path, lambda df: df.where(F.col(ts_col) >= F.lit(cutoff)))
+
+
+def drop_expired_partitions(path: str, partition_col: str, cutoff: str) -> int:
+    """The 100 TB TTL path ``apply_ttl``'s docstring promises:
+    directory-level partition drops on a ``partition_col=value``
+    hive-layout table — no data read, no rewrite, O(#partitions)
+    filesystem metadata work (ClickHouse's `ALTER TABLE ... DROP
+    PARTITION`, the reference's retention story at scale).
+
+    ``cutoff`` compares against the partition directory's STRING value
+    (hive partition values are strings); use zero-padded /
+    ISO-formatted partition values so lexicographic order is temporal
+    order — the same contract hive-style date partitioning already
+    requires for pruning.  Returns the number of partitions dropped.
+    Whole-directory removal is atomic per partition from a reader's
+    perspective (a scan either lists the dir or doesn't); in-flight
+    readers of a dropped partition fail like any vacuumed table —
+    run during a maintenance window, same as the reference."""
+    dropped = 0
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped += 1
+    return dropped

@@ -130,3 +130,33 @@ def test_optimize_final_ttl_and_parts(spark, tmp_path):
 
     assert apply_ttl(spark, path, "ts", datetime(2024, 1, 1)) == 1
     assert spark.read.parquet(path).first().k == "k2"
+
+
+def test_drop_expired_partitions(spark, tmp_path):
+    """Directory-level TTL: partitions lexicographically below the
+    cutoff vanish without touching survivor data; non-partition
+    entries are ignored."""
+    from pyspark.sql import functions as F
+
+    from clickhub_spark.operators.mutate import drop_expired_partitions
+
+    path = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 4) + 1:02d}") for i in range(40)], "id long, day string"
+    )
+    df.write.partitionBy("day").parquet(path)
+    before = spark.read.parquet(path)
+    assert before.count() == 40
+    n = drop_expired_partitions(path, "day", "2024-01-03")
+    assert n == 2  # 01 and 02 dropped, 03 and 04 kept
+    after = spark.read.parquet(path)
+    assert after.count() == 20
+    # (Spark's partition discovery infers the values as dates)
+    assert sorted(str(r.day) for r in after.select("day").distinct().collect()) == [
+        "2024-01-03",
+        "2024-01-04",
+    ]
+    # survivors' row content untouched
+    assert after.where(F.col("day").cast("string") == "2024-01-04").count() == 10
+    # idempotent: nothing below cutoff remains
+    assert drop_expired_partitions(path, "day", "2024-01-03") == 0
