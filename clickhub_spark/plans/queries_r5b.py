@@ -1439,3 +1439,43 @@ def q_llm_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=16, nprobe=16
     ).select("vec_id", "sim")
+
+
+@query(
+    "q_scan_partition_prune",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partition-pruned scan through the driver contract (SURVEY
+    §2.A6; the sparse-index/partition analog, unit-plan-tested in
+    test_plans — this adds the value check): events re-clustered into
+    event_type=... partition dirs once per input fingerprint, then one
+    partition read back and aggregated.  At 100 TB the equality
+    predicate never opens the other partitions' files (PartitionFilters
+    prune at the file-listing level); the oracle is the same predicate
+    on the raw table — layout must never change results."""
+    from clickhub_spark.artifacts import build_artifact
+    from clickhub_spark.sources.writer import write_sorted
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id", "value", "ts")
+    path = build_artifact(
+        ev,
+        "events_by_type",
+        lambda build: write_sorted(
+            ev, build, partition_by="event_type", sort_cols=["ts"], mode="overwrite"
+        ),
+    )
+    p = spark.read.parquet(path)
+    return (
+        p.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

@@ -152,6 +152,7 @@ ROUND_PRIORITY = [
     "q_join_asof_fwd",
     "q_fn_array_diff",
     "q_llm_knn_ivf_exact",
+    "q_scan_partition_prune",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
