@@ -1479,3 +1479,100 @@ def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+           n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch canon (SURVEY §2.I3
+    adjunct — the third streaming join shape next to stream-stream
+    q_stream_join and the windowed aggregates): tumbling-hour event
+    aggregates enriched against a static dimension (user→nation via a
+    deterministic FK).  In streaming form the dim is a broadcast
+    static DataFrame joined per micro-batch — no stream state, no
+    watermark needed on the dim side; tests/test_streaming.py's
+    stream-static test pins that readStream shape's stream≡batch
+    equivalence.  The batch canon broadcasts the same 25-row dim."""
+    ev = load(spark, sf_dir, "events")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ev.join(F.broadcast(nation), ev["user_id"] % 25 == nation["n_nationkey"])
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_scan_csv_permissive",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(7 AS BIGINT) AS n_bad,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier
+    """,
+)
+def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingest (SURVEY §2.A1's tolerant-TSV sibling
+    on the CSV reader's own machinery): a headered-CSV copy of
+    supplier gets 7 deterministic malformed lines appended, then is
+    read in PERMISSIVE mode with columnNameOfCorruptRecord — bad rows
+    land in the corrupt column instead of killing the scan, exactly
+    the posture a 100 TB ingest needs (one mangled line must cost one
+    row, not a job).  The oracle pins good-row fidelity (count + sum
+    unchanged) and the exact bad count."""
+    import glob
+    import os
+
+    from pyspark.sql.types import StructField, StringType
+
+    from clickhub_spark.artifacts import build_artifact
+
+    src = load(spark, sf_dir, "supplier")
+
+    def _build(build: str) -> None:
+        src.write.mode("overwrite").option("header", "true").csv(build)
+        part = sorted(glob.glob(os.path.join(build, "part-*.csv")))[0]
+        # the unparseable value sits in s_acctbal — a column the query
+        # actually reads: CSV column pruning only PARSES referenced
+        # columns, so garbage in an unreferenced field would never
+        # trip the corrupt-record machinery
+        with open(part, "a") as f:
+            for i in range(7):
+                f.write(f"{900000 + i},BROKEN,0,NOT_A_NUMBER\n")
+        # the append invalidates Hadoop LocalFS's .crc sidecars —
+        # drop them or the reader fails with ChecksumException
+        # before PERMISSIVE mode ever sees a row
+        for crc in glob.glob(os.path.join(build, ".*.crc")):
+            os.remove(crc)
+
+    path = build_artifact(src, "csv_supplier_badrows", _build)
+    schema = src.schema.add(StructField("_corrupt", StringType()))
+    bad = F.col("_corrupt").isNotNull()
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .agg(
+            F.count(F.when(~bad, 1)).alias("n_good"),
+            F.count(F.when(bad, 1)).alias("n_bad"),
+            F.round(F.sum(F.when(~bad, F.col("s_acctbal"))), 2).alias("total_bal"),
+        )
+    )

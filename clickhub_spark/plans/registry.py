@@ -153,6 +153,8 @@ ROUND_PRIORITY = [
     "q_fn_array_diff",
     "q_llm_knn_ivf_exact",
     "q_scan_partition_prune",
+    "q_stream_enrich",
+    "q_scan_csv_permissive",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
