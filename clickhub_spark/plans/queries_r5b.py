@@ -1576,3 +1576,31 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.when(~bad, F.col("s_acctbal"))), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_fn_numbers",
+    oracle="""
+    WITH n AS (SELECT x AS num FROM generate_series(0, 9999) t(x))
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(num) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN num % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div3,
+           ROUND(AVG(SQRT(num)), 4) AS avg_sqrt
+    FROM n
+    """,
+)
+def q_fn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numbers-table generator (ClickHouse system.numbers /
+    numbers(N) — SURVEY §2.A5 adjacent, the zero-input test/backfill
+    source every CH user leans on): ``spark.range`` IS that source —
+    a distributed, splittable Range scan (each partition generates its
+    slice; no data read, no single-point generator), here folded
+    through arithmetic the oracle restates over generate_series."""
+    n = spark.range(0, 10_000).withColumnRenamed("id", "num")
+    return n.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("num").alias("total"),
+        F.sum(F.when(F.col("num") % 3 == 0, 1).otherwise(0)).alias("n_div3"),
+        F.round(F.avg(F.sqrt("num")), 4).alias("avg_sqrt"),
+    )

@@ -155,6 +155,7 @@ ROUND_PRIORITY = [
     "q_scan_partition_prune",
     "q_stream_enrich",
     "q_scan_csv_permissive",
+    "q_fn_numbers",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
