@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -84,6 +85,10 @@ def build_artifact(df: DataFrame, tag: str, writer) -> str:
     path = derived_artifact_path(df, tag)
     if not os.path.isdir(path):
         build = f"{path}.__build"
+        if os.path.isdir(build):
+            # leftover from a crashed earlier build — a retry writer
+            # must see a clean slate regardless of its write mode
+            shutil.rmtree(build)
         writer(build)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         os.rename(build, path)
