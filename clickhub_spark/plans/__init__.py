@@ -28,5 +28,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_tpch,
     queries_r5,
     queries_r5b,
+    queries_r5c,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

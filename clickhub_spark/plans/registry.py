@@ -156,6 +156,9 @@ ROUND_PRIORITY = [
     "q_stream_enrich",
     "q_scan_csv_permissive",
     "q_fn_numbers",
+    "q_source_numbers_ds",
+    "q_source_gitlog",
+    "q_llm_dedup_bloom",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

@@ -58,6 +58,12 @@ def _builder(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource planning-time filter pushdown (sources/
+        # pyds.NumbersPushdownReader); Spark 4.1 gates pushFilters
+        # behind this flag and fails fast when a reader implements it
+        # with the flag off.  Registered queries use only pushdown-free
+        # sources so they also run on vanilla sessions.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if profile == "cluster":

@@ -1,0 +1,298 @@
+"""Custom Spark data sources via the Python DataSource API (Spark 4).
+
+The reference treats "sources" as external binaries piped into the
+server: ``clickhouse git-import`` emits TSVs that the app then ingests
+(reference repo/importer.py:86-108), and ``system.numbers`` /
+``numbers(N)`` is the zero-input generator table every ClickHouse user
+leans on for backfills and tests.  Here both become FIRST-CLASS Spark
+sources — ``spark.read.format("engine_numbers")`` and
+``spark.read.format("gitlog")`` — using ``pyspark.sql.datasource``:
+planning happens once on the driver (``partitions()``), then each
+partition is read by an independent task, so the sources scale out
+like any parquet scan instead of funneling through one generator
+process.
+
+Scale shape:
+- ``engine_numbers``: each task materializes ONE contiguous range as
+  Arrow record batches — no data movement, no driver involvement after
+  planning, N tasks for N partitions.  The pushdown variant prunes
+  whole partitions at planning time from Catalyst-pushed comparison
+  filters, the same contract a parquet scan honors with min/max stats.
+- ``gitlog``: planning shells out once for the commit count; each task
+  reads its own ``git log --skip/--max-count`` slice.  On a real
+  cluster the repo clone must live on shared/replicated storage — the
+  same constraint the reference's per-worker clone model has
+  (reference repo/importer.py:47-60).
+- ``engine_numbers_stream``: a replayable micro-batch stream with
+  explicit offsets ({"pos": N}); ``readBetweenOffsets`` makes recovery
+  deterministic, so exactly-once sinks re-reading a committed range
+  get identical rows.
+
+Executor note: like every class-by-reference Python boundary in this
+package, multi-process masters need ``session.ship_package`` (or
+--py-files) so workers can import this module.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _range_partitions(start: int, end: int, num_partitions: int) -> list[_RangePartition]:
+    total = max(0, end - start)
+    if total == 0:
+        # one empty partition, not zero: with no partitions Spark
+        # falls back to a single read(None) call.
+        return [_RangePartition(start, start)]
+    n = max(1, min(num_partitions, total))
+    step = -(-total // n)  # ceil div
+    return [
+        _RangePartition(s, min(s + step, end)) for s in range(start, end, step)
+    ]
+
+
+class NumbersReader(DataSourceReader):
+    """Batch reader: one Arrow batch per partition slice."""
+
+    def __init__(self, options):
+        self.start = int(options.get("start", 0))
+        self.end = self.start + int(options.get("n", 1000))
+        self.num_partitions = int(options.get("numpartitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _range_partitions(self.start, self.end, self.num_partitions)
+
+    def read(self, partition: _RangePartition):
+        import pyarrow as pa
+
+        yield pa.record_batch(
+            {"num": pa.array(range(partition.start, partition.end), pa.int64())}
+        )
+
+
+class NumbersPushdownReader(NumbersReader):
+    """Adds planning-time partition pruning from pushed comparison
+    filters on ``num`` — consumed filters are NOT re-evaluated by
+    Spark (they are dropped from the returned iterable), so the scan
+    itself is the filter, like a parquet row-group skip.
+
+    Requires ``spark.sql.python.filterPushdown.enabled=true`` (Spark
+    fails fast otherwise); the engine session sets it, but the plain
+    ``engine_numbers`` source stays pushdown-free so it also runs on a
+    vanilla session.
+    """
+
+    def pushFilters(self, filters):
+        for f in filters:
+            # isinstance FIRST: only the comparison filters carry
+            # columnPath (e.g. IsNotNull does not).
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and f.attribute == ("num",):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.start = max(self.start, v)
+                    self.end = min(self.end, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.start = max(self.start, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.start = max(self.start, v)
+                elif isinstance(f, LessThan):
+                    self.end = min(self.end, v)
+                else:  # LessThanOrEqual
+                    self.end = min(self.end, v + 1)
+            else:
+                yield f
+
+
+class NumbersDataSource(DataSource):
+    """``system.numbers`` / ``numbers(N)`` analog as a Python source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "engine_numbers"
+
+    def schema(self) -> str:
+        return "num BIGINT"
+
+    def reader(self, schema) -> DataSourceReader:
+        return NumbersReader(self.options)
+
+
+class NumbersPushdownDataSource(NumbersDataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "engine_numbers_pushdown"
+
+    def reader(self, schema) -> DataSourceReader:
+        return NumbersPushdownReader(self.options)
+
+
+_GIT_FIELD_SEP = "\x01"
+_GIT_REC_SEP = "\x02"
+# author-date %at is stable across clones; committer fields are not
+# (rebases/am rewrite them) but we read them anyway — the fixture repos
+# fix both via GIT_AUTHOR_DATE/GIT_COMMITTER_DATE.
+_GIT_FORMAT = _GIT_REC_SEP + _GIT_FIELD_SEP.join(
+    ["%H", "%an", "%ae", "%at", "%P", "%s"]
+)
+
+
+class GitLogPartition(InputPartition):
+    def __init__(self, repo: str, skip: int, count: int):
+        self.repo = repo
+        self.skip = skip
+        self.count = count
+
+
+class GitLogReader(DataSourceReader):
+    """Commit-history reader: driver plans index ranges over
+    ``rev-list --count``; each task reads its slice with
+    ``git log --skip/--max-count`` (git's ordering is deterministic
+    for a fixed HEAD, so slices tile the history exactly).
+    The full-fidelity TSV path (file/line changes, hunks) stays in
+    sources/git_extract.py; this source is the commits facet as a
+    live, pushdown-free table."""
+
+    def __init__(self, options):
+        self.repo = options.get("path")
+        if not self.repo:
+            raise ValueError("gitlog source requires .option('path', <repo dir>)")
+        self.num_partitions = int(options.get("numpartitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        out = subprocess.run(
+            ["git", "-C", self.repo, "rev-list", "--count", "HEAD"],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        total = int(out.stdout.strip())
+        return [
+            GitLogPartition(self.repo, p.start, p.end - p.start)
+            for p in _range_partitions(0, total, self.num_partitions)
+        ]
+
+    def read(self, partition: GitLogPartition):
+        out = subprocess.run(
+            [
+                "git",
+                "-C",
+                partition.repo,
+                "log",
+                f"--skip={partition.skip}",
+                f"--max-count={partition.count}",
+                f"--pretty=format:{_GIT_FORMAT}",
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        # record separator, not newline-split: commit subjects can
+        # contain no newlines under %s, but being explicit costs
+        # nothing and survives future %b use.  The format string BEGINS
+        # with the separator, so the first split element is empty —
+        # filter before enumerate or commit_idx is off by one.
+        recs = [r.strip("\n") for r in out.stdout.split(_GIT_REC_SEP)]
+        recs = [r for r in recs if r]
+        for idx, rec in enumerate(recs):
+            h, an, ae, at, parents, subject = rec.split(_GIT_FIELD_SEP, 5)
+            yield (
+                partition.skip + idx,
+                h,
+                an,
+                ae,
+                int(at),
+                len(parents.split()) if parents else 0,
+                subject,
+            )
+
+
+class GitLogDataSource(DataSource):
+    """The reference's git-import, re-expressed as a Spark source
+    (reference repo/importer.py:86-90 shells out and ingests files;
+    here the history IS a table)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gitlog"
+
+    def schema(self) -> str:
+        return (
+            "commit_idx BIGINT, hash STRING, author STRING, "
+            "author_email STRING, authored_at BIGINT, n_parents INT, "
+            "subject STRING"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return GitLogReader(self.options)
+
+
+class NumbersStreamReader(SimpleDataSourceStreamReader):
+    """Replayable offset-tracked micro-batch source.  Offsets are
+    ``{"pos": N}``; a batch is the half-open range [start, start+rows)
+    capped at ``maxRows`` — after the cap the stream idles (empty
+    batches), which lets tests drain it deterministically with
+    availableNow-style loops."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.max_rows = int(options.get("maxrows", 1000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        s = start["pos"]
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return (iter([(i,) for i in range(s, e)]), {"pos": e})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([(i,) for i in range(start["pos"], end["pos"])])
+
+
+class NumbersStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "engine_numbers_stream"
+
+    def schema(self) -> str:
+        return "num BIGINT"
+
+    def simpleStreamReader(self, schema):
+        return NumbersStreamReader(self.options)
+
+
+_ALL = (
+    NumbersDataSource,
+    NumbersPushdownDataSource,
+    GitLogDataSource,
+    NumbersStreamDataSource,
+)
+
+
+def register_sources(spark: SparkSession) -> None:
+    """Register every engine source on the session (idempotent —
+    re-registering a name replaces the class)."""
+    for cls in _ALL:
+        spark.dataSource.register(cls)

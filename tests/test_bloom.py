@@ -1,0 +1,80 @@
+"""Bloom screening (operators/bloom.py): the no-false-negative
+guarantee, a false-positive-rate ceiling, screen→verify ≡ exact join,
+and the build's partial-bitmap OR reduction."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from clickhub_spark.operators import bloom
+
+M_BITS, K = 1 << 18, 6
+
+
+def _hashed(spark, lo, hi, salt=""):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.xxhash64(F.concat(F.col("id").cast("string"), F.lit(salt))).alias("h")
+    )
+
+
+def test_no_false_negatives(spark):
+    members = _hashed(spark, 0, 2000)
+    bm = bloom.build_bloom(members, "h", M_BITS, K)
+    kept = bloom.might_contain(members, "h", bm, K)
+    assert kept.count() == 2000
+
+
+def test_false_positive_rate_bounded(spark):
+    members = _hashed(spark, 0, 2000)
+    bm = bloom.build_bloom(members, "h", M_BITS, K)
+    # disjoint probe population (different salt => different hashes)
+    probes = _hashed(spark, 0, 20_000, salt="|probe")
+    fp = bloom.might_contain(probes, "h", bm, K).count()
+    # theoretical fp for n=2000, m=2^18, k=6 is ~2e-7; allow lots of
+    # slack — anything near 1% means probing or bit-setting is broken.
+    assert fp / 20_000 < 0.01
+
+
+def test_screen_then_verify_equals_exact_join(spark):
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    history = docs.where(F.col("doc_id") >= 100)
+    batch = docs.where(F.col("doc_id") < 300).withColumn(
+        "h", F.xxhash64("text")
+    )
+    bm = bloom.build_bloom(
+        history.select(F.xxhash64("text").alias("h")), "h", M_BITS, K
+    )
+    screened = (
+        bloom.might_contain(batch, "h", bm, K)
+        .join(history.select("text").distinct(), "text", "left_semi")
+        .select("doc_id")
+    )
+    exact = batch.join(
+        history.select("text").distinct(), "text", "left_semi"
+    ).select("doc_id")
+    assert sorted(r.doc_id for r in screened.collect()) == sorted(
+        r.doc_id for r in exact.collect()
+    )
+
+
+def test_build_is_partition_invariant(spark):
+    df = _hashed(spark, 0, 1000)
+    bm1 = bloom.build_bloom(df.repartition(1), "h", M_BITS, K)
+    bm8 = bloom.build_bloom(df.repartition(8), "h", M_BITS, K)
+    assert bm1 == bm8
+
+
+def test_empty_build_matches_nothing(spark):
+    empty = _hashed(spark, 0, 0)
+    bm = bloom.build_bloom(empty, "h", M_BITS, K)
+    assert len(bm) == M_BITS // 8 and not any(bm)
+    probes = _hashed(spark, 0, 100)
+    assert bloom.might_contain(probes, "h", bm, K).count() == 0
+
+
+def test_optimal_k():
+    assert bloom.optimal_k(1 << 18, 2000) == round((1 << 18) / 2000 * math.log(2))
+    assert bloom.optimal_k(8, 10_000) == 1
+    assert bloom.optimal_k(8, 0) == 1
