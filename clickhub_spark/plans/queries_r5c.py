@@ -187,3 +187,57 @@ def q_llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         history.select("text").distinct(), "text", "left_semi"
     )
     return verified.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q_llm_decontam_bloom",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ), corpus AS (
+        SELECT * FROM sh WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id HAVING COUNT(*) >= 2
+    ORDER BY doc_id
+    """,
+)
+def q_llm_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened benchmark decontamination — the scale tier of
+    q_llm_contamination for when the pooled eval-suite shingle set is
+    too large to BROADCAST as a join hash relation (tens of GB across
+    suites): a fixed 512 Kib bloom over the benchmark shingles screens
+    corpus shingles MAP-SIDE, and only survivors (true matches + the
+    bounded FP slice) reach the exact join.  No false negatives ⇒
+    identical output to the broadcast-join form, which is exactly the
+    oracle (same SQL as q_llm_contamination + stable ORDER BY)."""
+    from clickhub_spark.operators.textops import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_sh = shingles(docs.where(F.col("doc_id") % 50 != 0), "text", "doc_id", 3)
+    bench_sh = (
+        shingles(docs.where(F.col("doc_id") % 50 == 0), "text", "doc_id", 3)
+        .select("shingle")
+        .distinct()
+    )
+    m_bits, k = 1 << 19, 6
+    bitmap = bloom.build_bloom(
+        bench_sh.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
+    )
+    screened = bloom.might_contain(
+        corpus_sh.withColumn("h", F.xxhash64("shingle")), "h", bitmap, k
+    )
+    return (
+        screened.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("doc_id")
+    )

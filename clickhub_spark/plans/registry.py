@@ -159,6 +159,7 @@ ROUND_PRIORITY = [
     "q_source_numbers_ds",
     "q_source_gitlog",
     "q_llm_dedup_bloom",
+    "q_llm_decontam_bloom",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

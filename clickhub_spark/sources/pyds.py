@@ -35,6 +35,7 @@ package, multi-process masters need ``session.ship_package`` (or
 
 from __future__ import annotations
 
+import os
 import subprocess
 from collections.abc import Iterator, Sequence
 
@@ -42,6 +43,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -49,6 +51,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -283,11 +286,105 @@ class NumbersStreamDataSource(DataSource):
         return NumbersStreamReader(self.options)
 
 
+class _TsvCommit(WriterCommitMessage):
+    """Picklable WriterCommitMessage: the staged file + its row count."""
+
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+_TSV_CTRL = {"\t": " ", "\n": " ", "\r": " "}
+
+
+class TsvSinkWriter(DataSourceWriter):
+    """Exactly-once headerless positional TSV sink (the reference's
+    interchange format — sources/tsv.read_positional_tsv reads the
+    output back).  Tasks write to a per-JOB staging dir (the job id is
+    minted once on the driver and pickled into every task); commit()
+    atomically renames only the files named in the surviving commit
+    messages, so a retried task's losing attempt dies with the staging
+    dir and a failed job leaves the target EMPTY of partial output.
+    Control characters in strings are replaced by spaces — the same
+    framing rule sources/git_extract applies (TSV is positional; an
+    embedded tab would shift every later column)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("engine_tsv sink requires .option('path', <dir>)")
+        self.field_names = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex
+
+    def _staging(self) -> str:
+        return os.path.join(self.path, f".staging-{self.job_id}")
+
+    def write(self, rows) -> _TsvCommit:
+        import uuid
+
+        stage = self._staging()
+        os.makedirs(stage, exist_ok=True)
+        fname = os.path.join(stage, f"part-{uuid.uuid4().hex}.tsv")
+        n = 0
+        with open(fname, "w") as f:
+            for row in rows:
+                cells = []
+                for name in self.field_names:
+                    v = row[name]
+                    s = "\\N" if v is None else str(v)
+                    for bad, repl in _TSV_CTRL.items():
+                        if bad in s:
+                            s = s.replace(bad, repl)
+                    cells.append(s)
+                f.write("\t".join(cells) + "\n")
+                n += 1
+        return _TsvCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for existing in os.listdir(self.path):
+                if existing.endswith(".tsv"):
+                    os.unlink(os.path.join(self.path, existing))
+        total = 0
+        for i, msg in enumerate(messages):
+            if msg is None:
+                continue
+            os.rename(
+                msg.staged_path, os.path.join(self.path, f"part-{i:05d}.tsv")
+            )
+            total += msg.n_rows
+        shutil.rmtree(self._staging(), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)
+
+
+class TsvSinkDataSource(DataSource):
+    """``df.write.format("engine_tsv").option("path", d).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "engine_tsv"
+
+    def writer(self, schema, overwrite: bool):
+        return TsvSinkWriter(self.options, schema, overwrite)
+
+
 _ALL = (
     NumbersDataSource,
     NumbersPushdownDataSource,
     GitLogDataSource,
     NumbersStreamDataSource,
+    TsvSinkDataSource,
 )
 
 

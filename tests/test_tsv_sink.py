@@ -1,0 +1,102 @@
+"""engine_tsv custom sink (sources/pyds.TsvSinkWriter): atomic
+commit, round-trip through the positional TSV reader, overwrite
+semantics, and no-partial-output on job failure."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clickhub_spark.sources.pyds import register_sources
+from clickhub_spark.sources.tsv import read_positional_tsv
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    register_sources(spark)
+
+
+def _docs_proj(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5"))
+    )
+
+
+_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+
+def test_round_trip_through_positional_reader(spark, tmp_path):
+    out = str(tmp_path / "docs_tsv")
+    os.makedirs(out)
+    df = _docs_proj(spark)
+    df.repartition(4).write.format("engine_tsv").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    parts = [f for f in os.listdir(out) if f.endswith(".tsv")]
+    assert len(parts) == 4  # one committed file per task
+    back = read_positional_tsv(spark, out, _SCHEMA)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # _SUCCESS carries the committed row count
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == len(a)
+    # staging fully cleaned
+    assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
+
+
+def test_overwrite_replaces_previous_files(spark, tmp_path):
+    out = str(tmp_path / "ow")
+    os.makedirs(out)
+    big = _docs_proj(spark)
+    big.repartition(8).write.format("engine_tsv").option("path", out).mode("append").save()
+    small = big.limit(10).repartition(1)
+    small.write.format("engine_tsv").option("path", out).mode("overwrite").save()
+    back = read_positional_tsv(spark, out, _SCHEMA)
+    assert back.count() == 10
+
+
+def test_failed_job_leaves_no_partial_output(spark, tmp_path):
+    out = str(tmp_path / "fail")
+    os.makedirs(out)
+
+    @F.udf("long")
+    def boom(v):
+        if v is not None and v % 97 == 13:
+            raise RuntimeError("injected task failure")
+        return v
+
+    df = _docs_proj(spark).withColumn("doc_id", boom("doc_id"))
+    with pytest.raises(Exception):
+        df.repartition(4).write.format("engine_tsv").option("path", out).mode("append").save()
+    # abort removed staging; nothing committed
+    assert [f for f in os.listdir(out) if f.endswith(".tsv")] == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
+
+
+def test_null_encoding(spark, tmp_path):
+    out = str(tmp_path / "nulls")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(1, None), (2, "x")], "id BIGINT, s STRING"
+    )
+    df.repartition(1).write.format("engine_tsv").option("path", out).mode("append").save()
+    part = [f for f in os.listdir(out) if f.endswith(".tsv")][0]
+    lines = sorted(open(os.path.join(out, part)).read().splitlines())
+    assert lines == ["1\t\\N", "2\tx"]
