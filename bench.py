@@ -183,6 +183,12 @@ def main() -> None:
         "q_llm_kmeans_assign",
         "q_scan_zorder",
         "q_sort_global",
+        # r5 third wave: bloom screening (build cost lands in
+        # build_sec, steady-state screen in exec_sec) and the Python
+        # DataSource generator scan.
+        "q_llm_dedup_bloom",
+        "q_llm_decontam_bloom",
+        "q_source_numbers_ds",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(

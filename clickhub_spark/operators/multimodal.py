@@ -251,11 +251,14 @@ def sample_frames(
     bytes).  REAL for PCM WAV payloads — the data chunk is sliced into
     sample-aligned ``frame_sz``-byte windows and each sampled window is
     re-encoded as a standalone playable WAV (``encode_wav``), the audio
-    analog of video keyframe extraction.  Non-WAV payloads keep the
-    deterministic stub (raw fixed-size byte windows) so a mixed corpus
-    never kills the task; MP3/video stay stubbed (no codecs in the
-    container).  This is the UDTF-shaped multimodal op: one row → many,
-    schema-stable for downstream joins."""
+    analog of video keyframe extraction.  REAL for MPEG audio too:
+    ``parse_mp3_frames`` indexes frame headers (no codec needed) and
+    each sampled frame is copied byte-exact — a structurally valid
+    MPEG frame, extracted the way players seek.  Other payloads keep
+    the deterministic stub (raw fixed-size byte windows) so a mixed
+    corpus never kills the task; only perceptual VIDEO decode stays
+    probe-only (codec-bound).  This is the UDTF-shaped multimodal op:
+    one row → many, schema-stable for downstream joins."""
     import struct
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
@@ -268,8 +271,11 @@ def sample_frames(
                     continue
                 sampled = None
                 try:
-                    if probe_audio(p)[0] == "wav":
+                    afmt = probe_audio(p)[0]
+                    if afmt == "wav":
                         sampled = sample_wav_frames(p, every_nth, max_frames, frame_sz)
+                    elif afmt == "mp3":
+                        sampled = sample_mp3_frames(p, every_nth, max_frames)
                 except (ValueError, IndexError, struct.error):
                     sampled = None  # corrupt-after-probe → stub fallback
                 if sampled is None:
@@ -506,6 +512,110 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
     return (sample_rate, n_channels, samples)
 
 
+#: MPEG audio bitrate tables, kbps (ISO/IEC 11172-3 / 13818-3; public
+#: spec constants).  Keyed by (is_mpeg1, layer); index 0 = "free"
+#: (unsupported here), 15 = invalid.
+_MP3_BITRATES = {
+    (True, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: sample-rate tables by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame_at(b: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``; returns
+    (size, sample_rate, n_channels, samples_per_frame, bitrate_kbps)
+    or None if the 4 bytes are not a valid header."""
+    if pos + 4 > len(b):
+        return None
+    h = int.from_bytes(b[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:  # 11-bit frame sync
+        return None
+    ver_bits = (h >> 19) & 3  # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (h >> 17) & 3  # 1=III, 2=II, 3=I
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    padding = (h >> 9) & 1
+    channel_mode = (h >> 6) & 3
+    if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    layer = 4 - layer_bits  # 1, 2, 3
+    is_mpeg1 = ver_bits == 3
+    bitrate = _MP3_BITRATES[(is_mpeg1, layer)][br_idx] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    if layer == 1:
+        size = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    elif layer == 2:
+        size = 144 * bitrate // rate + padding
+        samples = 1152
+    else:  # Layer III
+        if is_mpeg1:
+            size = 144 * bitrate // rate + padding
+            samples = 1152
+        else:
+            size = 72 * bitrate // rate + padding
+            samples = 576
+    n_channels = 1 if channel_mode == 3 else 2
+    return (size, rate, n_channels, samples, bitrate // 1000)
+
+
+def parse_mp3_frames(payload: bytes) -> list[tuple[int, int, int, int, int, int]]:
+    """Frame INDEX of an MPEG audio stream without decoding — pure
+    header arithmetic from the public spec tables, the audio analog of
+    the container probes.  Skips a leading ID3v2 tag (synchsafe size),
+    then walks frame headers; returns
+    [(offset, size, sample_rate, n_channels, samples, bitrate_kbps)].
+    Stops at the first invalid header (trailing garbage / ID3v1 tags
+    end the walk cleanly).  Perceptual DECODE still needs a codec
+    library and stays out of scope; indexing, duration math, and
+    byte-exact frame extraction do not."""
+    if payload is None:
+        return []
+    b = bytes(payload)
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        pos = 10 + (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+    out = []
+    while pos + 4 <= len(b):
+        f = _mp3_frame_at(b, pos)
+        if f is None or pos + f[0] > len(b):
+            break
+        size, rate, ch, samples, kbps = f
+        out.append((pos, size, rate, ch, samples, kbps))
+        pos += size
+    return out
+
+
+def sample_mp3_frames(
+    payload: bytes, every_nth: int, max_frames: int
+) -> list[tuple[int, bytes]]:
+    """Byte-exact MP3 frame sampling: every ``every_nth`` frame,
+    copied verbatim (header + payload) from the stream.  Each sampled
+    slice is a structurally valid MPEG audio frame; Layer III's bit
+    reservoir means the first frames of a slice can borrow main_data
+    from unsampled predecessors (decoders handle this by design —
+    it is how players seek), so extraction needs no re-encode."""
+    frames = parse_mp3_frames(payload)
+    if len(frames) < 2:
+        raise ValueError("not an MPEG audio stream")
+    b = bytes(payload)
+    out = []
+    for j, fi in enumerate(range(0, len(frames), every_nth)):
+        if j >= max_frames:
+            break
+        off, size = frames[fi][0], frames[fi][1]
+        out.append((fi, b[off : off + size]))
+    return out
+
+
 def probe_audio(payload: bytes) -> tuple[str | None, int, int, int]:
     """Header-only audio triage: (format, sample_rate, n_channels,
     n_samples) without decoding samples — the cheap prune columns."""
@@ -515,6 +625,12 @@ def probe_audio(payload: bytes) -> tuple[str | None, int, int, int]:
         return (None, -1, -1, -1)
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        frames = parse_mp3_frames(b)
+        if len(frames) >= 2:
+            # consistent stream: rate/channels from the first frame,
+            # total samples summed over the parsed frame index.
+            _, _, rate, ch, _, _ = frames[0]
+            return ("mp3", rate, ch, sum(f[4] for f in frames))
         return (None, -1, -1, -1)
     pos, rate, ch, bits, data_sz = 12, -1, -1, 8, 0
     while pos + 8 <= len(b):
@@ -556,7 +672,7 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
             from clickhub_spark.operators.jpeg import decode_jpeg
 
             w, h, ch, px = decode_jpeg(payload)
-        elif probe_audio(payload)[0] == "wav":
+        elif (afmt := probe_audio(payload)[0]) == "wav":
             rate, ach, s = decode_wav(payload)
             if not s:
                 return stub_decode(payload, n_feat)
@@ -571,6 +687,23 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
                 round(zc / max(1, len(s) - 1), 6),
                 round(sum(s) / len(s), 6),
                 round(len(s) / ach / rate, 6),
+            ]
+            return (feats + [0.0] * n_feat)[:n_feat]
+        elif afmt == "mp3":
+            # header-derived (not decoded) but REAL stream facts:
+            # rate/channels/duration/bitrate from the frame index.
+            frames = parse_mp3_frames(payload)
+            rate, ach = frames[0][2], frames[0][3]
+            total = sum(f[4] for f in frames)
+            feats = [
+                float(rate),
+                float(ach),
+                float(total),
+                float(len(frames)),
+                round(sum(f[5] for f in frames) / len(frames), 6),
+                round(total / rate, 6),
+                0.0,
+                0.0,
             ]
             return (feats + [0.0] * n_feat)[:n_feat]
         else:
