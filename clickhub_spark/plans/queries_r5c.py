@@ -241,3 +241,277 @@ def q_llm_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= 2)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_win_interpolate",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               MAX(value) AS v
+        FROM events WHERE user_id < 40 GROUP BY user_id, h
+    ), bounds AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ), grid AS (
+        SELECT b.user_id, t.h
+        FROM bounds b, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS t(h)
+    ), joined AS (
+        SELECT g.user_id, g.h, hv.v FROM grid g
+        LEFT JOIN hourly hv ON hv.user_id = g.user_id AND hv.h = g.h
+    ), ctx AS (
+        SELECT user_id, h, v,
+            last_value(v IGNORE NULLS) OVER w_past AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER w_past AS ph,
+            first_value(v IGNORE NULLS) OVER w_fut AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER w_fut AS nh
+        FROM joined
+        WINDOW
+          w_past AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_fut AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(h AS TIMESTAMP) AS h,
+        FLOOR((CASE
+            WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+                                / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+            WHEN pv IS NOT NULL THEN pv ELSE nv END) * 10000) / 10000
+            AS v_interp
+    FROM ctx ORDER BY user_id, h
+    """,
+)
+def q_win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over a dense per-user hourly grid
+    (ClickHouse ORDER BY ... WITH FILL ... INTERPOLATE — SURVEY
+    §2.H/F extension beyond q_fill_gaps' zero-fill and q_win_locf's
+    carry-forward): missing hours get pv + (nv-pv)·Δt/T between the
+    bracketing observations, edges fall back to nearest-known.  One
+    user_id shuffle feeds grid-build, the grid join, and BOTH
+    direction windows; everything else is map-side expression math —
+    the plan a 100 TB telemetry backfill needs (no global sort, per-
+    key parallelism)."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max("value").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    from pyspark.sql.window import Window
+
+    w_past = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fut = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_past).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(w_past).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_fut).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(w_fut).alias("nh"),
+    )
+    dt = F.unix_timestamp("h") - F.unix_timestamp("ph")
+    span = F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv")) * (dt.cast("double") / span.cast("double")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    # floor-scale instead of ROUND: both engines compute the SAME
+    # IEEE double here (identical operands + op order), but their
+    # ROUND implementations differ on exact decimal halves (Spark
+    # rounds the shortest decimal rendering, DuckDB the binary value)
+    # — 2-decimal inputs times x/8 fractions land on halves
+    # systematically.  FLOOR of the shared binary is engine-stable.
+    return ctx.select(
+        "user_id",
+        "h",
+        (F.floor(interp * 10000) / 10000).alias("v_interp"),
+    ).orderBy("user_id", "h")
+
+
+@query(
+    "q_agg_quantile_weighted",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, value AS v,
+               CAST(length(props) AS DOUBLE) AS wt
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, v, wt,
+               SUM(wt) OVER (PARTITION BY event_type ORDER BY v, wt
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(wt) OVER (PARTITION BY event_type) AS total
+        FROM w
+    )
+    SELECT event_type, ROUND(MIN(v), 4) AS wmedian
+    FROM ranked WHERE cum >= 0.5 * total
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (ClickHouse quantileExactWeighted — SURVEY
+    §2.D13 extension): smallest value whose cumulative weight reaches
+    half the group's total.  One value-ordered window per group plus a
+    min-aggregate — both partial-aggregated on the same event_type
+    shuffle; identical tie order (v, wt) pinned on both sides so the
+    engines select the same row."""
+    from pyspark.sql.window import Window
+
+    w = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").alias("v"),
+            F.length("props").cast("double").alias("wt"),
+        )
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = w.select(
+        "event_type",
+        "v",
+        F.sum("wt").over(cum).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    return (
+        ranked.where(F.col("cum") >= 0.5 * F.col("total"))
+        .groupBy("event_type")
+        .agg(F.round(F.min("v"), 4).alias("wmedian"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_resample",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderstatus,
+               CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+               o_totalprice
+        FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 300000
+    ), s AS (
+        SELECT o_orderstatus, bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM b GROUP BY o_orderstatus, bucket
+    ), g AS (
+        SELECT DISTINCT o_orderstatus, gs.bucket
+        FROM s, UNNEST(generate_series(0, 5)) AS gs(bucket)
+    )
+    SELECT g.o_orderstatus,
+           list(COALESCE(s.cnt, 0) ORDER BY g.bucket) AS cnt_per_bucket,
+           list(COALESCE(s.total, 0) ORDER BY g.bucket) AS sum_per_bucket
+    FROM g LEFT JOIN s ON s.o_orderstatus = g.o_orderstatus
+                      AND s.bucket = g.bucket
+    GROUP BY g.o_orderstatus ORDER BY g.o_orderstatus
+    """,
+)
+def q_agg_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-Resample aggregate combinator (ClickHouse
+    countResample(0, 300000, 50000) / sumResample — SURVEY §2.D
+    combinator family): fixed [start, end, step) buckets of the
+    resample key, one dense array per group with empty buckets
+    zero-filled.  One (group, bucket) hash aggregate then an
+    array-build per group — the bucket grid is a compile-time
+    ``sequence`` literal mapped over the collected pairs, so no
+    second data-driven join or Expand is needed."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") >= 0) & (F.col("o_totalprice") < 300_000)
+    )
+    per_bucket = orders.groupBy(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 50_000).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    pairs = per_bucket.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", F.struct("cnt", "total")))
+        ).alias("m")
+    )
+    buckets = F.sequence(F.lit(0).cast("bigint"), F.lit(5).cast("bigint"))
+    cnt_arr = F.transform(
+        buckets,
+        lambda b: F.coalesce(F.col("m")[b]["cnt"], F.lit(0).cast("bigint")),
+    )
+    sum_arr = F.transform(
+        buckets,
+        lambda b: F.coalesce(F.col("m")[b]["total"], F.lit(0.0)),
+    )
+    return pairs.select(
+        "o_orderstatus",
+        cnt_arr.alias("cnt_per_bucket"),
+        sum_arr.alias("sum_per_bucket"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "q_agg_sample_group",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                   AS rn
+        FROM events
+    )
+    SELECT event_type,
+           list(event_id ORDER BY event_id) AS sample_ids
+    FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic k-sample (ClickHouse
+    groupArraySample(5) — SURVEY §2.D combinator family): the k rows
+    with the smallest md5(id) per group — a hash-ordered reservoir
+    that is uniform over ids, engine-independent (md5 agrees across
+    engines where RAND() cannot), and GROWTH-STABLE: adding rows only
+    replaces samples whose hash ranks below the newcomers.  Plan: one
+    group shuffle, TOP-K-per-group window, array-collect."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+    )
+    return (
+        ev.select("event_type", "event_id", rn.alias("rn"))
+        .where(F.col("rn") <= 5)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("event_id")).alias("sample_ids"))
+        .orderBy("event_type")
+    )

@@ -160,6 +160,10 @@ ROUND_PRIORITY = [
     "q_source_gitlog",
     "q_llm_dedup_bloom",
     "q_llm_decontam_bloom",
+    "q_win_interpolate",
+    "q_agg_quantile_weighted",
+    "q_agg_resample",
+    "q_agg_sample_group",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
