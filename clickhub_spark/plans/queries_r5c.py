@@ -515,3 +515,82 @@ def q_agg_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("event_id")).alias("sample_ids"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_max_intersections",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               CAST(epoch(ts) AS BIGINT) AS s,
+               CAST(epoch(ts) AS BIGINT) + CAST(FLOOR(value * 10) AS BIGINT) AS e
+        FROM events WHERE value > 0
+    ), pts AS (
+        SELECT event_type, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta FROM iv
+    ), sweep AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live
+        FROM pts
+    )
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM sweep GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxIntersections (ClickHouse interval-concurrency aggregate —
+    SURVEY §2.D family): peak number of simultaneously-open intervals
+    per group via the classic sweep — every interval contributes a
+    (+1 at start, -1 at end) point, one (t, delta)-ordered running sum
+    per group, max.  Half-open [s, e) semantics pinned by ordering
+    deltas ascending (ends close before coincident starts).  One
+    event_type shuffle; the sweep is a single window pass — no
+    interval self-join, which is the quadratic trap at 100 TB."""
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    s = F.unix_timestamp("ts").alias("t")
+    e = (F.unix_timestamp("ts") + F.floor(F.col("value") * 10).cast("bigint")).alias("t")
+    starts = ev.select("event_type", s, F.lit(1).alias("delta"))
+    ends = ev.select("event_type", e, F.lit(-1).alias("delta"))
+    from pyspark.sql.window import Window
+
+    sweep = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        starts.unionAll(ends)
+        .select("event_type", F.sum("delta").over(sweep).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_uniq_upto",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(LEAST(COUNT(DISTINCT o_custkey), 6) AS BIGINT) AS uniq_upto_5,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqUpTo(5) (ClickHouse capped distinct — SURVEY §2.D9/D10
+    family): exact distinct count saturating at N+1, the "more than N
+    distinct users?" predicate that needs only N+1 states per group
+    instead of a full distinct set.  Spark's exact count_distinct is
+    capped post-agg (semantically identical); a memory-capped
+    implementation would live in an Aggregator — at 100 TB the approx
+    tier (q_agg_approx_distinct) is the recommended path anyway."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.least(F.count_distinct("o_custkey"), F.lit(6)).alias("uniq_upto_5"),
+            F.count_distinct("o_orderstatus").alias("n_status"),
+        )
+        .orderBy("o_orderpriority")
+    )
