@@ -374,3 +374,43 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = _plan(spark, "q_sort_global")
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_max_intersections_sweep_has_no_join(spark):
+    # the interval-concurrency aggregate must be the +1/-1 sweep (one
+    # group-keyed window), never an interval self-join
+    import re
+
+    plan = _plan(spark, "q_agg_max_intersections")
+    assert "Join" not in plan
+    # formatted mode lists each operator in the tree AND a detail
+    # section — count detail headers to count operators
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_sample_group_single_group_exchange(spark):
+    # window top-k and the array-collect aggregate share one
+    # event_type hashpartitioning; only the presentation sort adds a
+    # range exchange
+    plan = _plan(spark, "q_agg_sample_group")
+    assert plan.count("hashpartitioning(event_type") == 1
+
+
+def test_interpolate_merges_direction_windows(spark):
+    # past-looking (pv/ph) and future-looking (nv/nh) frames compile
+    # into ONE Window operator over one user_id sort — not two passes
+    import re
+
+    plan = _plan(spark, "q_win_interpolate")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_bloom_screen_is_pre_join_filter(spark):
+    # the bloom probe must run as a Filter BELOW the verify join (the
+    # join's left input is already screened), and the verify join is
+    # the only join in the plan
+    plan = _plan(spark, "q_llm_dedup_bloom")
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan
+    join_pos = plan.find("Join")
+    probe_pos = max(plan.find("ArrowEvalPython"), plan.find("BatchEvalPython"))
+    assert join_pos != -1 and probe_pos != -1
