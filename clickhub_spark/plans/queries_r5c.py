@@ -594,3 +594,29 @@ def q_agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("q_llm_pca")  # no SQL oracle: eigendecomposition is not
+# expressible in DuckDB; correctness is pinned by tests/test_pca.py
+# (distributed fit ≡ single-node numpy fit, orthonormal components,
+# descending explained variance, reduced-space kNN recall).
+def q_llm_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of the embeddings table (SURVEY
+    §2.J6 family — the dimensionality-reduction step before ANN/
+    clustering at scale): 64-dim vectors to the top-8 principal axes.
+    Fit is ONE map-side pass of partial (count, Σx, ΣxxT) moments
+    combined in a single tiny reduce; the d×d eigh runs on the driver
+    (bounded by embedding width, not corpus size); transform is a
+    map-only Arrow matmul against the broadcast component matrix —
+    the data is never shuffled and never read twice
+    (operators/pca.py)."""
+    from clickhub_spark.operators.pca import fit_pca, transform_pca
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean, comps, _ = fit_pca(emb, "embedding", k=8)
+    out = transform_pca(emb, "embedding", mean, comps, ndigits=4)
+    return out.select(
+        "vec_id",
+        "label",
+        F.col("pca").alias("pca8"),
+    ).orderBy("vec_id")

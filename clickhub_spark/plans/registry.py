@@ -166,6 +166,7 @@ ROUND_PRIORITY = [
     "q_agg_sample_group",
     "q_agg_max_intersections",
     "q_agg_uniq_upto",
+    "q_llm_pca",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
