@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 import subprocess
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -620,3 +622,141 @@ def q_llm_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("pca").alias("pca8"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q_llm_url_canon",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://GitHub.COM:443/' || source || '/' || lang
+                 || '/?utm_source=x&v=2&doc=' || doc_id
+                 || '&utm_campaign=y#frag' AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM u
+    ), cleaned AS (
+        SELECT doc_id, scheme,
+               regexp_replace(hostport, ':(443|80)$', '') AS host,
+               regexp_replace(path, '/+$', '') AS path,
+               array_to_string(
+                 list_sort(list_filter(string_split(query, '&'),
+                                       q -> NOT regexp_matches(q, '^(utm_[^=]*|fbclid)='))),
+                 '&') AS canon_query
+        FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || host || path
+             || CASE WHEN canon_query = '' THEN '' ELSE '?' || canon_query END
+               AS canon_url
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q_llm_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup (the step before any
+    URL-keyed dedup/frequency pass in a crawl pipeline): lowercase
+    scheme+host, strip default ports, strip trailing slashes, drop
+    the fragment, remove tracking parameters (utm_*, fbclid), and
+    SORT the surviving query params so param order can't split a
+    page's identity.  All JVM builtins (regexp + higher-order array
+    fns) — map-only, no UDF, no shuffle before the presentation
+    sort."""
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://GitHub.COM:443/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/?utm_source=x&v=2&doc="),
+            F.col("doc_id"),
+            F.lit("&utm_campaign=y#frag"),
+        ).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    querystr = F.regexp_extract("url", r"\?([^#]*)", 1)
+    host = F.regexp_replace(hostport, r":(443|80)$", "")
+    path = F.regexp_replace(path, r"/+$", "")
+    canon_q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(querystr, "&"),
+                lambda q: ~q.rlike(r"^(utm_[^=]*|fbclid)="),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+    return u.select("doc_id", canon.alias("canon_url")).orderBy("doc_id")
+
+
+@query(
+    "q_llm_text_normalize",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               text || '  Cafe' || 'e' || chr(769) || chr(9)
+                    || 'TAB' AS raw
+        FROM documents
+    ), n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(nfc_normalize(raw)),
+                                  '[\\x00-\\x1f]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM t
+    )
+    SELECT doc_id, md5(norm) AS norm_md5,
+           CAST(length(norm) AS BIGINT) AS n_chars
+    FROM n ORDER BY doc_id
+    """,
+)
+def q_llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization for corpus cleaning (SURVEY §2.J7
+    family — the canonical-form pass every multilingual pipeline runs
+    before hashing/dedup): NFC composition (so 'e'+U+0301 and 'é'
+    hash identically), control-char removal, whitespace collapse,
+    case folding.  NFC needs ICU-class tables Spark SQL lacks, so the
+    normalize step is an Arrow-batched pandas UDF over Python's
+    unicodedata (the Unicode-standard reference implementation);
+    everything around it stays JVM-side.  The oracle exercises the
+    same pipe via DuckDB's nfc_normalize, including an injected
+    decomposed accent + tab."""
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda v: None if v is None else unicodedata.normalize("NFC", v))
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("  Cafe" + "é" + "\t" + "TAB")
+        ).alias("raw"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(nfc(F.col("raw"))), r"[\x00-\x1f]", " "),
+            " +",
+            " ",
+        )
+    )
+    return t.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")

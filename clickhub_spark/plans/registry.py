@@ -167,6 +167,8 @@ ROUND_PRIORITY = [
     "q_agg_max_intersections",
     "q_agg_uniq_upto",
     "q_llm_pca",
+    "q_llm_url_canon",
+    "q_llm_text_normalize",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

@@ -304,6 +304,14 @@ def translate(sql: str) -> str:
         )
     # uniqExact(x) → count(DISTINCT x)  (count_distinct is not a SQL name)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
+    # uniqUpTo(N)(x) → LEAST(count(DISTINCT x), N+1) — ClickHouse's
+    # capped distinct saturates at N+1 ("more than N?" predicate);
+    # must rewrite before the bare-uniq rename pass.
+    out = _rewrite_parametric(
+        out,
+        "uniqUpTo",
+        lambda ps, args: f"LEAST(count(DISTINCT {args[0]}), {int(ps[0]) + 1})",
+    )
     # <agg>If(col, cond) → <agg>(CASE WHEN cond THEN col END); Spark
     # only has count_if.  Balanced-paren argument scan so nested calls
     # work.

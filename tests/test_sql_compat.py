@@ -460,3 +460,17 @@ def test_json_extract_typed_variants_and_has(spark):
     assert row.has_null_value is True
     # non-numeric string under ANSI mode: NULL, not a runtime error
     assert row.malformed_int is None
+
+
+def test_uniq_upto_parametric(spark):
+    from clickhub_spark.sql_compat import run, translate
+
+    t = translate("SELECT uniqUpTo(5)(o_orderstatus) AS u FROM orders")
+    assert "LEAST(count(DISTINCT o_orderstatus), 6)" in t
+    from tests.conftest import SF_DIR
+
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView("orders")
+    # 3 distinct statuses < cap -> exact count
+    assert run(spark, "SELECT uniqUpTo(5)(o_orderstatus) AS u FROM orders").first().u == 3
+    # cap binds when distinct exceeds N: saturates at N+1
+    assert run(spark, "SELECT uniqUpTo(1)(o_orderstatus) AS u FROM orders").first().u == 2
