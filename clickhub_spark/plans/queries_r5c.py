@@ -524,8 +524,8 @@ def q_agg_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH iv AS (
         SELECT event_type,
-               CAST(epoch(ts) AS BIGINT) AS s,
-               CAST(epoch(ts) AS BIGINT) + CAST(FLOOR(value * 10) AS BIGINT) AS e
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) + CAST(FLOOR(value * 10) AS BIGINT) AS e
         FROM events WHERE value > 0
     ), pts AS (
         SELECT event_type, s AS t, 1 AS delta FROM iv
@@ -760,3 +760,159 @@ def q_llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_agg_interval_length_sum",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) + CAST(FLOOR(value * 10) AS BIGINT) AS e
+        FROM events WHERE value > 0
+    ), pts AS (
+        SELECT event_type, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta FROM iv
+    ), sweep AS (
+        SELECT event_type, t,
+               SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live,
+               LEAD(t) OVER (PARTITION BY event_type ORDER BY t, delta) AS nxt
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN live > 0 THEN nxt - t ELSE 0 END) AS BIGINT)
+               AS covered_sec
+    FROM sweep GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervalLengthSum (ClickHouse union-length-of-intervals
+    aggregate): total time covered by ≥1 open interval per group —
+    the same +1/-1 sweep as q_agg_max_intersections, summing segment
+    lengths while the live count is positive instead of maxing it.
+    Still one window pass, no interval self-join, one group shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    s = F.unix_timestamp("ts").alias("t")
+    e = (F.unix_timestamp("ts") + F.floor(F.col("value") * 10).cast("bigint")).alias("t")
+    pts = ev.select("event_type", s, F.lit(1).alias("delta")).unionAll(
+        ev.select("event_type", e, F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    sweep = pts.select(
+        "event_type",
+        "t",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("live"),
+        F.lead("t").over(w).alias("nxt"),
+    )
+    return (
+        sweep.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("live") > 0, F.col("nxt") - F.col("t")).otherwise(0)
+            ).alias("covered_sec")
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_lttb",
+    oracle="""
+    WITH pt AS (
+        SELECT user_id,
+               epoch(ts) AS x, value AS y,
+               NTILE(20) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS bucket
+        FROM events WHERE user_id < 10 AND value IS NOT NULL
+    ), anchors AS (
+        SELECT user_id, bucket, AVG(x) AS ax, AVG(y) AS ay
+        FROM pt GROUP BY user_id, bucket
+    ), ranked AS (
+        SELECT p.user_id, p.bucket, p.x, p.y,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.user_id, p.bucket
+                 ORDER BY ABS( (pr.ax - nx.ax) * (p.y - pr.ay)
+                             - (pr.ax - p.x) * (nx.ay - pr.ay) ) DESC,
+                          p.x, p.y
+               ) AS rn
+        FROM pt p
+        JOIN anchors pr ON pr.user_id = p.user_id AND pr.bucket = p.bucket - 1
+        JOIN anchors nx ON nx.user_id = p.user_id AND nx.bucket = p.bucket + 1
+    )
+    SELECT user_id, bucket, CAST(FLOOR(x) AS BIGINT) AS x_sec, ROUND(y, 4) AS y
+    FROM ranked WHERE rn = 1 ORDER BY user_id, bucket
+    """,
+)
+def q_agg_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """largestTriangleThreeBuckets downsampling (ClickHouse's LTTB
+    aggregate; Steinarsson 2013): per time bucket keep the point with
+    the largest triangle area against the NEIGHBOR BUCKETS' centroids
+    — the standard parallel approximation of sequential LTTB (exact
+    LTTB anchors on the previously SELECTED point, a chain dependency
+    no engine parallelizes; ClickHouse approximates too).  Interior
+    buckets only (first/last have no both-side anchors here; CH pins
+    the endpoints).  Plan: one user_id shuffle feeds the ntile window
+    and the bucket aggregate; anchors are a tiny broadcastable table
+    joined back per bucket."""
+    from pyspark.sql.window import Window
+
+    pt = (
+        load(spark, sf_dir, "events")
+        .where((F.col("user_id") < 10) & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("double").alias("x"),
+            F.col("value").alias("y"),
+            F.ntile(20)
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("bucket"),
+        )
+    )
+    anchors = pt.groupBy("user_id", "bucket").agg(
+        F.avg("x").alias("ax"), F.avg("y").alias("ay")
+    )
+    pr = anchors.select(
+        "user_id",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("ax").alias("pax"),
+        F.col("ay").alias("pay"),
+    )
+    nx = anchors.select(
+        "user_id",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("ax").alias("nax"),
+        F.col("ay").alias("nay"),
+    )
+    area = F.abs(
+        (F.col("pax") - F.col("nax")) * (F.col("y") - F.col("pay"))
+        - (F.col("pax") - F.col("x")) * (F.col("nay") - F.col("pay"))
+    )
+    ranked = (
+        pt.join(F.broadcast(pr), ["user_id", "bucket"])
+        .join(F.broadcast(nx), ["user_id", "bucket"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "bucket").orderBy(
+                    area.desc(), "x", "y"
+                )
+            ),
+        )
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "bucket",
+            F.floor("x").cast("bigint").alias("x_sec"),
+            F.round("y", 4).alias("y"),
+        )
+        .orderBy("user_id", "bucket")
+    )
