@@ -916,3 +916,35 @@ def q_agg_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           ROUND(SUM(value), 2) AS v_total
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch canon of the custom stateful streaming operator
+    (streaming/stateful.running_user_totals — applyInPandasWithState,
+    SURVEY §2.I): after the last micro-batch the per-user state holds
+    exactly this groupBy's (count, sum) — the stream ≡ batch
+    equivalence is pinned in tests/test_stateful.py, which drives the
+    REAL streaming operator over a rate-limited source and compares
+    its final emissions to this aggregate.  State is one fixed-width
+    tuple per key, so the store is bounded by key cardinality at any
+    corpus size."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.sum("value"), 2).alias("v_total"),
+        )
+        .orderBy("user_id")
+    )

@@ -171,6 +171,7 @@ ROUND_PRIORITY = [
     "q_llm_text_normalize",
     "q_agg_interval_length_sum",
     "q_agg_lttb",
+    "q_stream_stateful",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
