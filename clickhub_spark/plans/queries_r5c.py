@@ -948,3 +948,84 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_llm_score_normalize",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS score FROM documents
+    )
+    SELECT doc_id,
+           ROUND(percent_rank() OVER (ORDER BY score), 6) AS pr
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_llm_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile normalization of a per-document quality score
+    (the LLM-pipeline step that maps raw scores to [0,1] before
+    threshold mixing) WITHOUT the global-window trap: a naive
+    ``percent_rank() OVER (ORDER BY score)`` plans SinglePartition —
+    every row through one task.  Instead: aggregate per-VALUE counts
+    (distinct scores ≪ rows), cumsum strictly-smaller counts over
+    that small table, and broadcast-join the ranks back onto the
+    fact scan.  percent_rank = (#strictly smaller)/(N-1) reproduces
+    SQL semantics exactly, ties included — the oracle IS the naive
+    window form."""
+    from pyspark.sql.window import Window
+
+    s = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    counts = s.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = counts.select(
+        "score",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("n_smaller"),
+    )
+    total = s.count()
+    return (
+        s.join(F.broadcast(ranks), "score")
+        .select(
+            "doc_id",
+            F.round(F.col("n_smaller") / F.lit(max(1, total - 1)), 6).alias("pr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_fn_array_enumerate",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, string_split(text, ' ')[1:12] AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 12
+    )
+    SELECT doc_id,
+           [len(list_filter(ws[1:i], w -> w = ws[i])) for i in range(1, len(ws)+1)]
+               AS occ_idx
+    FROM a ORDER BY doc_id
+    """,
+)
+def q_fn_array_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrayEnumerateUniq (ClickHouse per-element occurrence index —
+    SURVEY §2.G5 family): for each array position, how many times has
+    this element appeared up to and including it.  Pure array
+    higher-order expression (transform over 1..n with a filtered
+    prefix count) — no explode, no window, no shuffle; quadratic only
+    in the (bounded) array length."""
+    a = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.slice(F.split("text", " "), 1, 12).alias("ws"))
+        .where(F.size(F.split("text", " ")) >= 12)
+    )
+    occ = F.transform(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: F.size(
+            F.filter(
+                F.slice(F.col("ws"), 1, i),
+                lambda w: w == F.get(F.col("ws"), i - 1),
+            )
+        ),
+    )
+    return a.select("doc_id", occ.alias("occ_idx")).orderBy("doc_id")

@@ -172,6 +172,8 @@ ROUND_PRIORITY = [
     "q_agg_interval_length_sum",
     "q_agg_lttb",
     "q_stream_stateful",
+    "q_llm_score_normalize",
+    "q_fn_array_enumerate",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
