@@ -354,8 +354,11 @@ class TsvSinkWriter(DataSourceWriter):
         for i, msg in enumerate(messages):
             if msg is None:
                 continue
+            # job id in the final name: a second APPEND job must not
+            # rename over a previous job's part-00000.tsv
             os.rename(
-                msg.staged_path, os.path.join(self.path, f"part-{i:05d}.tsv")
+                msg.staged_path,
+                os.path.join(self.path, f"part-{self.job_id[:8]}-{i:05d}.tsv"),
             )
             total += msg.n_rows
         shutil.rmtree(self._staging(), ignore_errors=True)

@@ -100,3 +100,15 @@ def test_null_encoding(spark, tmp_path):
     part = [f for f in os.listdir(out) if f.endswith(".tsv")][0]
     lines = sorted(open(os.path.join(out, part)).read().splitlines())
     assert lines == ["1\t\\N", "2\tx"]
+
+
+def test_append_twice_accumulates(spark, tmp_path):
+    # part file names are job-unique: a second append must never
+    # rename over the first job's files
+    out = str(tmp_path / "ap2")
+    os.makedirs(out)
+    ten = _docs_proj(spark).limit(10).repartition(1)
+    ten.write.format("engine_tsv").option("path", out).mode("append").save()
+    ten.write.format("engine_tsv").option("path", out).mode("append").save()
+    assert len([f for f in os.listdir(out) if f.endswith(".tsv")]) == 2
+    assert read_positional_tsv(spark, out, _SCHEMA).count() == 20
