@@ -1029,3 +1029,82 @@ def q_fn_array_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return a.select("doc_id", occ.alias("occ_idx")).orderBy("doc_id")
+
+
+@query(
+    "q_llm_chunk_sentences",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, '. ') AS ss FROM documents
+    ), s AS (
+        SELECT doc_id, i AS pos, ss[i] AS sent,
+               len(string_split(ss[i], ' ')) AS tok
+        FROM w, UNNEST(range(1, len(ss) + 1)) t(i)
+        WHERE ss[i] <> ''
+    ), c AS (
+        SELECT doc_id, pos, sent, tok,
+               SUM(tok) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(FLOOR(CAST(cum - tok AS DOUBLE) / 40) AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sent,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(sent, '. ' ORDER BY pos)) AS chunk_md5
+    FROM c
+    GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+    """,
+)
+def q_llm_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware chunking under a token budget (the packing step
+    between cleaning and tokenization; complements q_llm_chunk's
+    char-window split): split into sentences, count whitespace
+    tokens, greedy-pack consecutive sentences into ~40-token chunks
+    via a per-doc running sum (chunk = floor(preceding-tokens /
+    budget) — deterministic, no sequential loop, a single doc_id
+    shuffle shared by the window and the chunk aggregate).  A chunk
+    can exceed the budget only when one sentence alone does —
+    standard greedy semantics."""
+    from pyspark.sql.window import Window
+
+    s = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\. ")).alias("pos0", "sent"),
+        )
+        .where(F.col("sent") != "")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "sent",
+            F.size(F.split("sent", " ")).alias("tok"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.withColumn("cum", F.sum("tok").over(w))
+    chunk_id = F.floor((F.col("cum") - F.col("tok")).cast("double") / 40).cast(
+        "bigint"
+    )
+    return (
+        c.withColumn("chunk_id", chunk_id)
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.sum("tok").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                        lambda x: x["sent"],
+                    ),
+                    ". ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
