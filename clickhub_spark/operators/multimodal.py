@@ -14,9 +14,14 @@ and frame sampling are REAL too for the same formats: ``real_resize``
 does nearest-neighbor resampling and re-encodes as 24-bit BMP
 (``encode_bmp``), and ``sample_frames`` extracts time-windowed PCM
 frames from WAV payloads, each re-encoded as a standalone playable
-WAV (``encode_wav``).  Only perceptual-audio/video formats stay
-stubbed — MP3 and video need codec libraries the container doesn't
-ship; those payloads fall back to the deterministic
+WAV (``encode_wav``).  MPEG audio is frame-indexed without a codec
+(``parse_mp3_frames`` — spec header tables; byte-exact frame
+sampling; perceptual sample decode stays codec-bound), and VIDEO
+decodes for real when it is MJPEG-in-AVI (``parse_avi`` +
+``sample_avi_frames`` + the JPEG codec — the container walk plus
+per-frame image decode).  Only inter-frame video codecs
+(H.26x/VP9/AV1) and perceptual MP3 sample decode remain honestly out
+of scope; those payloads fall back to the deterministic
 byte-stat/byte-chunk stubs, per-format documented.  The
 Spark-side plumbing is identical either way: schema contract, Arrow
 batch iteration, partition-size control, and the metadata columns a
@@ -276,6 +281,8 @@ def sample_frames(
                         sampled = sample_wav_frames(p, every_nth, max_frames, frame_sz)
                     elif afmt == "mp3":
                         sampled = sample_mp3_frames(p, every_nth, max_frames)
+                    elif probe_video(p)[0] == "avi":
+                        sampled = sample_avi_frames(p, every_nth, max_frames)
                 except (ValueError, IndexError, struct.error):
                     sampled = None  # corrupt-after-probe → stub fallback
                 if sampled is None:
@@ -625,6 +632,10 @@ def probe_audio(payload: bytes) -> tuple[str | None, int, int, int]:
         return (None, -1, -1, -1)
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        if b[:4] == b"RIFF":
+            # a non-WAVE RIFF (e.g. AVI) is never MPEG audio; don't
+            # let JPEG frame bytes inside it chain into pseudo-syncs
+            return (None, -1, -1, -1)
         frames = parse_mp3_frames(b)
         if len(frames) >= 2:
             # consistent stream: rate/channels from the first frame,
@@ -688,6 +699,34 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
                 round(sum(s) / len(s), 6),
                 round(len(s) / ach / rate, 6),
             ]
+            return (feats + [0.0] * n_feat)[:n_feat]
+        elif probe_video(payload)[0] == "avi":
+            info = parse_avi(payload)
+            dur = (
+                round(info["n_frames"] / info["fps"], 6) if info["fps"] > 0 else 0.0
+            )
+            feats = [
+                float(info["w"]),
+                float(info["h"]),
+                float(info["n_frames"]),
+                float(info["fps"]),
+                dur,
+                0.0,
+                0.0,
+                0.0,
+            ]
+            if info["codec"] == "MJPG" and info["frames"]:
+                # MJPEG: first frame is a plain JPEG — decode it for
+                # REAL pixel stats alongside the container facts
+                from clickhub_spark.operators.jpeg import decode_jpeg
+
+                off, size = info["frames"][0]
+                _, _, fch, fpx = decode_jpeg(bytes(payload)[off : off + size])
+                fmean = sum(fpx) / len(fpx)
+                fvar = sum((v - fmean) ** 2 for v in fpx) / len(fpx)
+                feats[5] = round(fmean / 255.0, 6)
+                feats[6] = round(math.sqrt(fvar) / 255.0, 6)
+                feats[7] = float(fch)
             return (feats + [0.0] * n_feat)[:n_feat]
         elif afmt == "mp3":
             # header-derived (not decoded) but REAL stream facts:
@@ -927,3 +966,143 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF contains no image data")
+
+
+# --- AVI / MJPEG video (RIFF container; each frame is a JPEG) -------------
+#
+# The last modality gap: "video" in a data pipeline is a container
+# walk + per-frame image decode, and both halves are already here —
+# RIFF chunk parsing (decode_wav above) and a real baseline JPEG
+# codec (operators/jpeg.py).  MJPEG-in-AVI therefore decodes FOR REAL
+# with no codec library: parse the container, slice byte-exact JPEG
+# frames, decode them with decode_jpeg.  Inter-frame codecs
+# (H.26x/VP9/AV1) stay honestly out of scope — entropy-coded
+# motion-compensation needs a real codec; their AVI/ISO containers
+# still probe (codec fourcc, dimensions, frame count).
+
+
+def encode_avi_mjpeg(
+    w: int, h: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal standards-shaped AVI writer (RIFF 'AVI ': hdrl with
+    avih + one 'vids'/MJPG stream, movi of '00dc' JPEG chunks, idx1)
+    — used for fixtures and for re-emitting sampled clips."""
+    import struct
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(four: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", four + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(1, fps),  # dwMicroSecPerFrame
+        0,
+        0,
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,
+        1,  # one stream
+        0,
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, max(1, fps), 0, len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_chunks)
+    # idx1 offsets are relative to the 'movi' fourcc
+    idx, off = [], 4
+    for f in frames:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Container walk → {w, h, fps, n_frames, codec, frames:[(off,
+    size)]} with ``frames`` pointing at byte-exact video chunks
+    ('##dc'/'##db').  Raises ValueError if not a RIFF AVI."""
+    import struct
+
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    info = {"w": -1, "h": -1, "fps": -1.0, "codec": "", "frames": []}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            data_start = pos + 8
+            data_end = min(data_start + size, end)
+            if cid == b"LIST":
+                walk(data_start + 4, data_end)
+            elif cid == b"avih" and size >= 40:
+                f = struct.unpack("<10I", b[data_start : data_start + 40])
+                if f[0]:
+                    info["fps"] = round(1_000_000 / f[0], 3)
+                info["w"], info["h"] = f[8], f[9]
+            elif cid == b"strh" and size >= 8:
+                if b[data_start : data_start + 4] == b"vids":
+                    info["codec"] = (
+                        b[data_start + 4 : data_start + 8].decode("ascii", "replace")
+                    )
+            elif cid[2:4] in (b"dc", b"db"):
+                info["frames"].append((data_start, size))
+            pos = data_start + size + (size % 2)
+
+    walk(12, len(b))
+    info["n_frames"] = len(info["frames"])
+    return info
+
+
+def probe_video(payload: bytes) -> tuple[str | None, int, int, int, float]:
+    """Header-only video triage: (format, w, h, n_frames, fps); Nones
+    for non-AVI payloads."""
+    try:
+        info = parse_avi(payload)
+    except (ValueError, IndexError):
+        return (None, -1, -1, -1, -1.0)
+    return ("avi", info["w"], info["h"], info["n_frames"], info["fps"])
+
+
+def sample_avi_frames(
+    payload: bytes, every_nth: int, max_frames: int
+) -> list[tuple[int, bytes]]:
+    """Byte-exact frame sampling from an AVI: every ``every_nth``
+    video chunk, copied verbatim.  For MJPEG each sampled chunk is a
+    standalone JPEG (decodable by operators/jpeg.decode_jpeg); for
+    inter-frame codecs the chunks are still exact but only keyframes
+    are independently decodable — same contract as MP3's bit
+    reservoir note."""
+    info = parse_avi(payload)
+    if not info["frames"]:
+        raise ValueError("AVI contains no video chunks")
+    b = bytes(payload)
+    out = []
+    for j, fi in enumerate(range(0, len(info["frames"]), every_nth)):
+        if j >= max_frames:
+            break
+        off, size = info["frames"][fi]
+        out.append((fi, b[off : off + size]))
+    return out
