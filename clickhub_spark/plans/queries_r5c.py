@@ -1108,3 +1108,65 @@ def q_llm_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "q_multimodal_video",
+    oracle="""
+    SELECT doc_id,
+           'avi' AS fmt, 8 AS w, 8 AS h,
+           CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+           CAST(4.0 AS DOUBLE) AS fps,
+           ROUND(CAST(3 + doc_id % 5 AS DOUBLE) / 4.0, 4) AS duration_sec,
+           CAST(LEAST(CEIL(CAST(3 + doc_id % 5 AS DOUBLE) / 2), 3) AS BIGINT)
+               AS n_sampled
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column round trip, distributed (SURVEY §2.J multimodal
+    row, video facet): each task synthesizes a deterministic
+    MJPEG-in-AVI payload per document (encode_jpeg frames →
+    encode_avi_mjpeg container), then the SAME task parses it back
+    (probe_video) and samples frames byte-exact (sample_avi_frames) —
+    writer→parser consistency and the sampling contract checked by
+    the oracle's arithmetic restatement of the expected container
+    facts.  Pixel-level decode correctness is unit-pinned
+    (tests/test_avi.py: sampled chunks decode via the JPEG codec).
+    The Spark shape is the real one: payload construction and parsing
+    never leave the executor; only small typed facts shuffle."""
+    from clickhub_spark.operators.jpeg import encode_jpeg
+    from clickhub_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        probe_video,
+        sample_avi_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def run(batches):
+        px = bytes(((x * 5 + y * 7 + c) % 256) for y in range(8) for x in range(8) for c in range(3))
+        frame = encode_jpeg(8, 8, 3, px, quality=85)
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "fmt", "w", "h", "n_frames", "fps", "duration_sec", "n_sampled")}
+            for did in pdf["doc_id"]:
+                n = 3 + int(did) % 5
+                avi = encode_avi_mjpeg(8, 8, [frame] * n, fps=4)
+                fmt, w, h, nf, fps = probe_video(avi)
+                sampled = sample_avi_frames(avi, every_nth=2, max_frames=3)
+                rows["doc_id"].append(int(did))
+                rows["fmt"].append(fmt)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["n_frames"].append(nf)
+                rows["fps"].append(fps)
+                rows["duration_sec"].append(round(nf / fps, 4))
+                rows["n_sampled"].append(len(sampled))
+            yield pd.DataFrame(rows)
+
+    out = docs.select("doc_id").mapInPandas(
+        run,
+        "doc_id long, fmt string, w int, h int, n_frames long, fps double, "
+        "duration_sec double, n_sampled long",
+    )
+    return out.orderBy("doc_id")

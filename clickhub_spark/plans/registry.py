@@ -175,6 +175,7 @@ ROUND_PRIORITY = [
     "q_llm_score_normalize",
     "q_fn_array_enumerate",
     "q_llm_chunk_sentences",
+    "q_multimodal_video",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
