@@ -1,0 +1,181 @@
+"""Distributed BPE tokenizer training — the real merge-learning loop,
+not a regex approximation (complements queries_llm's q_llm_token_bpe
+byte-pair-ish splitter, which APPLIES a fixed pattern).
+
+Algorithm (Sennrich et al. 2016, arXiv:1508.07909, the GPT-2 shape:
+merges learned WITHIN words over a word-frequency table):
+
+1. Build the word-frequency table once — the classic scale move: the
+   corpus may be 100 TB, but the DISTINCT word table is heavy-tailed
+   and bounded (capped at ``max_words`` most-frequent; the tail
+   contributes negligible pair mass).  One hash aggregate.
+2. Represent each word as a symbol sequence (chars + end-of-word
+   marker).  Iterate ``n_merges`` times:
+   a. explode adjacent symbol pairs, count weighted by word frequency
+      (distributed hash agg over the SMALL word table);
+   b. pick the max-count pair on the driver (ties broken by count
+      DESC, then pair lexicographic — deterministic across runs and
+      partitionings);
+   c. apply the merge to every word's symbol sequence (map-only).
+   Each round is one small Spark job; ``localCheckpoint`` every few
+   rounds truncates the growing lineage (components.py pattern).
+3. ``apply_bpe`` replays the learned merges IN RANK ORDER over any
+   text — map-only, broadcastable merge list.
+
+Correctness is pinned by tests/test_bpe.py: the distributed trainer
+must produce EXACTLY the merge sequence of a single-process pure-
+Python reference implementation on the same corpus, and apply must
+reproduce the reference segmentation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (GPT-2 uses a leading space convention; the
+#: suffix marker of the original BPE paper keeps word boundaries
+#: reconstructable either way)
+EOW = "</w>"
+
+
+def word_freq_table(df: DataFrame, text_col: str, max_words: int) -> DataFrame:
+    """(word, freq) for the ``max_words`` most frequent words —
+    deterministic tie-break on the word itself."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+    )
+
+
+def _merge_once(syms: list, left: str, right: str) -> list:
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    max_words: int = 5000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus.  Returns the
+    ordered merge list [(left, right), ...]."""
+    words = word_freq_table(df, text_col, max_words)
+    state = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(EOW))
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = (
+            state.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["cnt"] < 2:
+            break
+        left, right = pairs[0]["p"]["l"], pairs[0]["p"]["r"]
+        merges.append((left, right))
+
+        def apply_merge(batches, left=left, right=right):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["syms"] = [
+                    _merge_once(list(s), left, right) for s in pdf["syms"]
+                ]
+                yield pdf
+
+        state = state.mapInPandas(
+            apply_merge, "word string, freq bigint, syms array<string>"
+        )
+        if (it + 1) % 5 == 0:
+            state = state.localCheckpoint(eager=True)
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list (rank order) —
+    map-only; the merge list rides in the closure (KBs)."""
+
+    def run(batches):
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                out = []
+                for w in str(text).lower().split():
+                    syms = list(w) + [EOW]
+                    for left, right in merges:
+                        if len(syms) < 2:
+                            break
+                        syms = _merge_once(syms, left, right)
+                    out.extend(syms)
+                toks.append(out)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(run, f"{fields}, {out_col} array<string>")
+
+
+def reference_bpe(texts: list[str], n_merges: int, max_words: int) -> list[tuple[str, str]]:
+    """Single-process reference implementation (for the equivalence
+    unit): identical tie-breaking, identical capping."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in str(t).lower().split():
+            wf[w] += 1
+    top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    state = {w: (list(w) + [EOW]) for w, _ in top}
+    freqs = dict(top)
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in state.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if cnt < 2:
+            break
+        merges.append((left, right))
+        state = {w: _merge_once(s, left, right) for w, s in state.items()}
+    return merges

@@ -1170,3 +1170,29 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_sec double, n_sampled long",
     )
     return out.orderBy("doc_id")
+
+
+@query("q_llm_bpe_train")  # no SQL oracle: iterative merge learning
+# is not expressible in one SQL statement; correctness is pinned by
+# tests/test_bpe.py (distributed trainer ≡ single-process reference
+# implementation merge-for-merge, partition invariance, lossless +
+# compressive apply).
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer training (Sennrich 2016; SURVEY §2.J7
+    tokenization family — complements q_llm_token_bpe, which applies
+    a fixed regex): learn 20 merges from the documents corpus via the
+    distributed loop in operators/bpe.py — word-frequency table once
+    (the 100 TB move: distinct words are bounded and heavy-tailed,
+    capped at the most-frequent 5k), then per round one pair-count
+    hash agg over that SMALL table + a driver argmax + a map-only
+    merge apply.  Deterministic ties (count DESC, pair lexicographic)
+    make the merge list reproducible across runs and partitionings.
+    Returns (rank, left, right, merged)."""
+    from clickhub_spark.operators.bpe import train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=20, max_words=5000)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    ).orderBy("rank")

@@ -176,6 +176,7 @@ ROUND_PRIORITY = [
     "q_fn_array_enumerate",
     "q_llm_chunk_sentences",
     "q_multimodal_video",
+    "q_llm_bpe_train",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
