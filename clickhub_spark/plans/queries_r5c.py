@@ -1196,3 +1196,98 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     ).orderBy("rank")
+
+
+@query(
+    "q_llm_dedup_editdist",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               substr(text, 1, 12) AS blk
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND abs(a.n - b.n) <= 20
+    WHERE levenshtein(a.text, b.text) <= 40
+    ORDER BY id_a, id_b
+    """,
+)
+def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection (SURVEY §2.J5 family — the
+    character-level complement to shingle/MinHash similarity): block
+    on a 12-char prefix + length band (the classic blocking that
+    turns O(n²) into per-block pairs), then verify candidates with
+    exact Levenshtein ≤ 40.  Both engines implement standard
+    Levenshtein (JVM builtin — no UDF).  At 100 TB the prefix block
+    is the shuffle key; quadratic cost is confined within blocks and
+    the length band prunes before the O(len²) distance runs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.substring("text", 1, 12).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("ta"),
+        F.col("n").alias("na"),
+        "blk",
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("tb"),
+        F.col("n").alias("nb"),
+        "blk",
+    )
+    pairs = (
+        a.join(b, "blk")
+        .where((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("na") - F.col("nb")) <= 20))
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("bigint"))
+        .where(F.col("edit_dist") <= 40)
+    )
+    return pairs.select("id_a", "id_b", "edit_dist").orderBy("id_a", "id_b")
+
+
+@query(
+    "q_llm_quality_classifier",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) / 1000 AS f_len,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS f_words,
+               CAST(length(text) - length(replace(text, '.', '')) AS DOUBLE)
+                 / (len(string_split(text, ' ')) + 1) AS f_punct,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS f_en
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(-0.5 + 0.8 * f_len + 0.6 * f_words
+                                    - 2.0 * f_punct + 0.4 * f_en))), 6)
+               AS quality_score
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier scoring (the fasttext-classifier
+    shape of CCNet/LLaMA data pipelines, with fixed published-style
+    weights — SURVEY §2.J7 family; complements the rule-based
+    q_llm_quality/quality_v2): handcrafted features (length, word
+    count, period density, language flag) through a sigmoid, all
+    JVM-side expression math — map-only, no UDF, the shape of any
+    broadcast-weights linear scorer at 100 TB."""
+    f_len = F.length("text").cast("double") / 1000
+    f_words = F.size(F.split(F.col("text"), " ")).cast("double") / 100
+    f_punct = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))).cast("double")
+        / (F.size(F.split(F.col("text"), " ")) + 1)
+    )
+    f_en = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    z = -0.5 + 0.8 * f_len + 0.6 * f_words - 2.0 * f_punct + 0.4 * f_en
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("quality_score"))
+        .orderBy("doc_id")
+    )

@@ -177,6 +177,8 @@ ROUND_PRIORITY = [
     "q_llm_chunk_sentences",
     "q_multimodal_video",
     "q_llm_bpe_train",
+    "q_llm_dedup_editdist",
+    "q_llm_quality_classifier",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
