@@ -150,3 +150,75 @@ def test_rewrite_array_literals_preserves_string_bodies(inner):
     out = _rewrite_array_literals(sql)
     assert f"'{body}'" in out
     assert out.endswith("array(1) AS a")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_mp3_parser_total_on_arbitrary_bytes(payload):
+    # never raises; frame index tiles monotonically within bounds
+    from clickhub_spark.operators.multimodal import parse_mp3_frames
+
+    frames = parse_mp3_frames(payload)
+    pos = -1
+    for off, size, rate, ch, samples, kbps in frames:
+        assert off > pos and size > 0 and off + size <= len(payload)
+        assert rate > 0 and ch in (1, 2) and samples in (384, 576, 1152)
+        pos = off
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_avi_probe_total_on_arbitrary_bytes(payload):
+    from clickhub_spark.operators.multimodal import probe_video
+
+    fmt = probe_video(payload)[0]
+    assert fmt in (None, "avi")
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=64), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_avi_container_round_trips_any_frame_bytes(frames, w, h):
+    # the container is codec-agnostic: whatever bytes go in as '00dc'
+    # chunks come back byte-exact at the parsed offsets
+    from clickhub_spark.operators.multimodal import encode_avi_mjpeg, parse_avi
+
+    avi = encode_avi_mjpeg(w, h, frames, fps=7)
+    info = parse_avi(avi)
+    assert (info["w"], info["h"], info["n_frames"]) == (w, h, len(frames))
+    for (off, size), f in zip(info["frames"], frames):
+        assert avi[off : off + size] == f
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_bloom_positions_in_range(hashes):
+    import numpy as np
+
+    from clickhub_spark.operators.bloom import _positions
+
+    m_bits, k = 1 << 16, 7
+    pos = _positions(np.array(hashes, dtype=np.int64), m_bits, k)
+    assert pos.shape == (k, len(hashes))
+    assert (pos >= 0).all() and (pos < m_bits).all()
+
+
+@given(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=20),
+    st.sampled_from("abc"),
+    st.sampled_from("abc"),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_merge_once_invariants(syms, left, right):
+    from clickhub_spark.operators.bpe import _merge_once
+
+    out = _merge_once(list(syms), left, right)
+    # concatenation preserved
+    assert "".join(out) == "".join(syms)
+    # no surviving adjacent (left, right) pair
+    assert not any(
+        a == left and b == right for a, b in zip(out, out[1:])
+    )
