@@ -189,6 +189,14 @@ def main() -> None:
         "q_llm_dedup_bloom",
         "q_llm_decontam_bloom",
         "q_source_numbers_ds",
+        # r5 waves 4-5: PCA (moment fit in build_sec), BPE training
+        # (the iterative loop IS the build), blocked edit-distance
+        # dedup, sentence chunking, MJPEG video round trip
+        "q_llm_pca",
+        "q_llm_bpe_train",
+        "q_llm_dedup_editdist",
+        "q_llm_chunk_sentences",
+        "q_multimodal_video",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(

@@ -1291,3 +1291,27 @@ def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("quality_score"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_sort_nulls",
+    oracle="""
+    SELECT event_id, value
+    FROM events WHERE event_id < 2000
+    ORDER BY value DESC NULLS LAST, event_id
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering (ClickHouse ORDER BY ... DESC
+    NULLS LAST — SURVEY §2.F family): null placement DIFFERS between
+    engines' defaults (Spark: nulls first on ASC/last on DESC; DuckDB:
+    nulls last always), so portable sorts must pin it.  The driver
+    compare is order-insensitive; the parity being checked is that
+    explicit placement yields the same ROW SET under LIMIT-free
+    output and the same semantics documented for users."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("event_id", "value")
+        .orderBy(F.col("value").desc_nulls_last(), "event_id")
+    )

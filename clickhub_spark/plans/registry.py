@@ -179,6 +179,7 @@ ROUND_PRIORITY = [
     "q_llm_bpe_train",
     "q_llm_dedup_editdist",
     "q_llm_quality_classifier",
+    "q_sort_nulls",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
