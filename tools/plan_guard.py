@@ -1,0 +1,134 @@
+"""Plan-fingerprint guard — automated plan hygiene for EVERY
+registered query, not just the hand-pinned ones in test_plans.py.
+
+For each query the guard records a small fingerprint of the ANALYZED
+physical plan: counts of shuffle Exchanges, joins by strategy,
+Windows, scans, python boundaries, plus the cartesian/loop-join red
+flags.  The snapshot (PLAN_FINGERPRINTS.json) is committed;
+tests/test_plan_guard.py fails when a query's plan REGRESSES against
+it — more Exchanges, a broadcast join degrading to shuffle, a new
+CartesianProduct — catching silent Catalyst-interaction regressions
+that value-checking cannot see.
+
+Usage:
+  python tools/plan_guard.py            # refresh the snapshot
+  python tools/plan_guard.py --check    # exit 1 on regressions
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SNAPSHOT = "/root/repo/PLAN_FINGERPRINTS.json"
+SF_DIR = "/root/testdata/sf0.001"
+
+#: operator classes counted per plan (formatted-mode detail headers)
+COUNTED = [
+    "Exchange",
+    "BroadcastExchange",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Window",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "Scan parquet",
+]
+
+#: regressions worth failing on: fingerprint field -> reason
+WORSE_IF_MORE = {
+    "Exchange": "extra shuffle",
+    "CartesianProduct": "cartesian product appeared",
+    "BroadcastNestedLoopJoin": "nested-loop join appeared",
+    "SortMergeJoin": "broadcast/shuffled-hash degraded to sort-merge",
+    "BatchEvalPython": "row-at-a-time Python UDF appeared",
+}
+
+
+def fingerprint(plan: str) -> dict[str, int]:
+    ops = re.findall(r"^\(\d+\) ([A-Za-z ]+[A-Za-z])", plan, re.M)
+    fp = {}
+    for name in COUNTED:
+        n = sum(
+            1
+            for o in ops
+            if o == name or o.startswith(name + " ")
+        )
+        if name == "Exchange":
+            # count only shuffle exchanges; broadcast counted separately
+            n = sum(1 for o in ops if o == "Exchange")
+        if n:
+            fp[name] = n
+    return fp
+
+
+def collect() -> dict[str, dict[str, int]]:
+    from clickhub_spark.plans import all_specs
+    from clickhub_spark.session import get_spark
+
+    spark = get_spark("plan-guard", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    out = {}
+    for name, spec in sorted(all_specs().items()):
+        try:
+            df = spec.builder(spark, SF_DIR)
+            out[name] = fingerprint(
+                df._jdf.queryExecution().explainString(mode)
+            )
+        except Exception as e:  # a builder that cannot plan is itself a finding
+            out[name] = {"__error__": 1, "__msg__": str(e)[:120]}
+    return out
+
+
+def compare(old: dict, new: dict) -> list[str]:
+    problems = []
+    for name, fp_new in new.items():
+        fp_old = old.get(name)
+        if fp_old is None:
+            continue  # new query: no baseline yet
+        if "__error__" in fp_new and "__error__" not in fp_old:
+            problems.append(f"{name}: builder now fails to plan")
+            continue
+        for field, reason in WORSE_IF_MORE.items():
+            if fp_new.get(field, 0) > fp_old.get(field, 0):
+                problems.append(
+                    f"{name}: {reason} ({field} "
+                    f"{fp_old.get(field, 0)} -> {fp_new.get(field, 0)})"
+                )
+    return problems
+
+
+def main() -> int:
+    new = collect()
+    if "--check" in sys.argv:
+        with open(SNAPSHOT) as f:
+            old = json.load(f)
+        problems = compare(old, new)
+        for p in problems:
+            print("REGRESSION:", p)
+        print(f"{len(new)} plans checked, {len(problems)} regressions")
+        return 1 if problems else 0
+    with open(SNAPSHOT, "w") as f:
+        json.dump(new, f, indent=1, sort_keys=True)
+    n_err = sum(1 for fp in new.values() if "__error__" in fp)
+    print(f"snapshot: {len(new)} plans -> {SNAPSHOT} ({n_err} plan errors)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
