@@ -1315,3 +1315,84 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "value")
         .orderBy(F.col("value").desc_nulls_last(), "event_id")
     )
+
+
+@query(
+    "q_llm_kmeans_update",
+    oracle="""
+    WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, v, cid, sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM scored
+    ), members AS (
+        SELECT cid, v FROM assigned WHERE rn = 1
+    ), dims AS (
+        SELECT cid, d.i AS dim, AVG(v[d.i]) AS mu, COUNT(*) AS n
+        FROM members, UNNEST(range(1, 65)) d(i)
+        GROUP BY cid, d.i
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(MAX(n) AS BIGINT) AS n_members,
+           ROUND(SUM(mu * mu), 4) AS centroid_sq_norm,
+           ROUND(SUM(mu), 4) AS centroid_sum
+    FROM dims GROUP BY cid ORDER BY cluster
+    """,
+)
+def q_llm_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means centroid UPDATE step (the M-step completing
+    q_llm_kmeans_assign's E-step — together one full distributed
+    Lloyd iteration, the loop that builds every IVF coarse
+    quantizer): assign each vector map-side to its nearest fixed
+    centroid (broadcast literals, no shuffle), then re-average
+    members per cluster via a per-dimension partial aggregate:
+    posexplode the 64 dims map-side and hash-aggregate (cluster, dim)
+    sums — partial aggregation means the shuffle carries at most
+    k x 64 partial sums per partition, never the member vectors.
+    Exported
+    as per-cluster summary scalars (sq-norm / sum of the new
+    centroid) so the oracle is engine-stable."""
+    from clickhub_spark.functions.vectors import as_double, nearest_centroid, norm
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = sorted(
+        emb.where(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    nrm = emb.withColumn("n", F.nullif(norm(F.col("v")), F.lit(0.0))).withColumn(
+        "nv", F.transform(F.col("v"), lambda x: x / F.col("n"))
+    )
+    cent = [(int(r["vec_id"]), list(r["v"])) for r in cent_rows]
+    assigned = nrm.withColumn(
+        "cluster", nearest_centroid(F.col("nv"), cent, pre_normalized=False)["cluster"]
+    )
+    # per-dimension partial sums: the shuffle after the explode
+    # carries k x 64 partials per partition (map-side combine), never
+    # the member vectors themselves
+    dims = assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+    per = dims.groupBy("cluster", "dim").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mu = F.col("s") / F.col("n")
+    return (
+        per.groupBy("cluster")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.round(F.sum(mu * mu), 4).alias("centroid_sq_norm"),
+            F.round(F.sum(mu), 4).alias("centroid_sum"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            "centroid_sq_norm",
+            "centroid_sum",
+        )
+        .orderBy("cluster")
+    )
