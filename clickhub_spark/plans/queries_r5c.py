@@ -1396,3 +1396,62 @@ def q_llm_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q_llm_embed_matryoshka",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT vec_id, v, v[1:16] AS t16 FROM t
+    ), n AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(t16, x -> x * x))) AS tn,
+               list_cosine_similarity(v, list_concat(t16,
+                   [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])) AS cos_keep
+        FROM c
+    )
+    SELECT vec_id,
+           ROUND(tn, 4) AS trunc_norm,
+           ROUND(cos_keep, 4) AS cos_vs_full
+    FROM n WHERE tn > 0 ORDER BY vec_id
+    """,
+)
+def q_llm_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation (Kusupati et al. 2022,
+    arXiv:2205.13147 — SURVEY §2.J6 family; the cheap-tier trick MRL
+    embeddings enable: keep the first k dims, renormalize, search in
+    k-dim space): truncate 64→16, report the truncated norm and the
+    cosine between the full vector and its zero-padded truncation
+    (= the retained-energy fraction that decides whether the cheap
+    tier is usable).  Pure array expression math, map-only."""
+    t = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    t16 = F.slice(F.col("v"), 1, 16)
+    dot16 = F.aggregate(
+        F.zip_with(t16, t16, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    tn = F.sqrt(dot16)
+    full_sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    # cos(v, pad(t16)) = |t16|^2 / (|v| * |t16|) = |t16| / |v|
+    cos_keep = dot16 / (F.sqrt(full_sq) * tn)
+    return (
+        t.select(
+            "vec_id",
+            F.round(tn, 4).alias("trunc_norm"),
+            F.round(cos_keep, 4).alias("cos_vs_full"),
+        )
+        .where(F.col("trunc_norm") > 0)
+        .orderBy("vec_id")
+    )

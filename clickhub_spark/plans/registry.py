@@ -181,6 +181,7 @@ ROUND_PRIORITY = [
     "q_llm_quality_classifier",
     "q_sort_nulls",
     "q_llm_kmeans_update",
+    "q_llm_embed_matryoshka",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
