@@ -185,9 +185,10 @@ def q_llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = bloom.might_contain(
         batch.withColumn("h", F.xxhash64("text")), "h", bitmap, k
     )
-    verified = candidates.join(
-        history.select("text").distinct(), "text", "left_semi"
-    )
+    # no .distinct() on the build side: left_semi semantics are
+    # identical either way, and deduplicating would add a full extra
+    # Exchange+HashAggregate over history on every batch
+    verified = candidates.join(history.select("text"), "text", "left_semi")
     return verified.select("doc_id").orderBy("doc_id")
 
 
@@ -1358,7 +1359,7 @@ def q_llm_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exported
     as per-cluster summary scalars (sq-norm / sum of the new
     centroid) so the oracle is engine-stable."""
-    from clickhub_spark.functions.vectors import as_double, nearest_centroid, norm
+    from clickhub_spark.functions.vectors import as_double, nearest_centroid
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -1366,12 +1367,12 @@ def q_llm_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = sorted(
         emb.where(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
     )
-    nrm = emb.withColumn("n", F.nullif(norm(F.col("v")), F.lit(0.0))).withColumn(
-        "nv", F.transform(F.col("v"), lambda x: x / F.col("n"))
-    )
     cent = [(int(r["vec_id"]), list(r["v"])) for r in cent_rows]
-    assigned = nrm.withColumn(
-        "cluster", nearest_centroid(F.col("nv"), cent, pre_normalized=False)["cluster"]
+    # cosine is scale-invariant: score the RAW vectors once
+    # (pre_normalized=False folds the row norm inside the scorer) —
+    # no separate normalize pass
+    assigned = emb.withColumn(
+        "cluster", nearest_centroid(F.col("v"), cent, pre_normalized=False)["cluster"]
     )
     # per-dimension partial sums: the shuffle after the explode
     # carries k x 64 partials per partition (map-side combine), never
@@ -1446,12 +1447,15 @@ def q_llm_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cos(v, pad(t16)) = |t16|^2 / (|v| * |t16|) = |t16| / |v|
     cos_keep = dot16 / (F.sqrt(full_sq) * tn)
+    # filter on the UNROUNDED norm — the oracle's WHERE tn > 0 keeps
+    # rows whose rounded norm is 0.0000, so rounding first would drop
+    # them on the Spark side only
     return (
-        t.select(
+        t.where(tn > 0)
+        .select(
             "vec_id",
             F.round(tn, 4).alias("trunc_norm"),
             F.round(cos_keep, 4).alias("cos_vs_full"),
         )
-        .where(F.col("trunc_norm") > 0)
         .orderBy("vec_id")
     )

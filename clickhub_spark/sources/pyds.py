@@ -152,11 +152,15 @@ class NumbersPushdownDataSource(NumbersDataSource):
 
 
 _GIT_FIELD_SEP = "\x01"
-_GIT_REC_SEP = "\x02"
+#: record separator is NUL — the ONE byte git refuses in any object
+#: (messages are C strings), so record framing can never be corrupted
+#: by hostile commit subjects; the subject is the LAST field and split
+#: with maxsplit, so \x01 inside a subject survives too.
+_GIT_REC_SEP = "\x00"
 # author-date %at is stable across clones; committer fields are not
 # (rebases/am rewrite them) but we read them anyway — the fixture repos
 # fix both via GIT_AUTHOR_DATE/GIT_COMMITTER_DATE.
-_GIT_FORMAT = _GIT_REC_SEP + _GIT_FIELD_SEP.join(
+_GIT_FORMAT = "%x00" + _GIT_FIELD_SEP.join(
     ["%H", "%an", "%ae", "%at", "%P", "%s"]
 )
 
@@ -267,7 +271,10 @@ class NumbersStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         s = start["pos"]
-        e = min(s + self.rows_per_batch, self.max_rows)
+        # never behind the start offset: if maxRows was lowered below
+        # an already-committed position, stay put (emitting nothing)
+        # instead of rewinding and re-emitting committed rows
+        e = max(s, min(s + self.rows_per_batch, self.max_rows))
         return (iter([(i,) for i in range(s, e)]), {"pos": e})
 
     def readBetweenOffsets(self, start, end):

@@ -158,3 +158,50 @@ def test_numbers_stream_exactly_once(spark):
     # capped at maxRows, each value delivered exactly once, contiguous
     assert sorted(r.num for r in rows) == list(range(200))
     assert all(r.c == 1 for r in rows)
+
+
+def test_stream_reader_never_rewinds_offsets():
+    # maxRows lowered below an already-committed offset must not move
+    # the end offset behind the start (that would re-emit committed
+    # rows and break the exactly-once replay contract)
+    from clickhub_spark.sources.pyds import NumbersStreamReader
+
+    r = NumbersStreamReader({"rowsperbatch": "100", "maxrows": "500"})
+    it, end = r.read({"pos": 1000})
+    assert end == {"pos": 1000} and list(it) == []
+
+
+def test_gitlog_survives_hostile_subjects(spark, tmp_path):
+    # subjects containing the FIELD separator (\x01) and the old
+    # record separator (\x02) must not corrupt framing: NUL is the
+    # record separator (git forbids it in messages) and the subject is
+    # the last field, split with maxsplit
+    import subprocess
+
+    repo = str(tmp_path / "hostile")
+    env = dict(
+        GIT_AUTHOR_NAME="A",
+        GIT_AUTHOR_EMAIL="a@x",
+        GIT_AUTHOR_DATE="1704067200 +0000",
+        GIT_COMMITTER_NAME="A",
+        GIT_COMMITTER_EMAIL="a@x",
+        GIT_COMMITTER_DATE="1704067200 +0000",
+        PATH="/usr/bin:/bin",
+        HOME="/root",
+    )
+    subprocess.run(["git", "init", "-q", "-b", "main", repo], check=True, env=env)
+    subjects = ["plain", "has\x01field-sep", "has\x02old-rec-sep"]
+    for i, subj in enumerate(subjects):
+        with open(f"{repo}/f.txt", "a") as f:
+            f.write(f"{i}\n")
+        subprocess.run(["git", "-C", repo, "add", "f.txt"], check=True, env=env)
+        subprocess.run(
+            ["git", "-C", repo, "commit", "-q", "-m", subj], check=True, env=env
+        )
+    df = (
+        spark.read.format("gitlog").option("path", repo).option("numPartitions", 2).load()
+    )
+    rows = df.orderBy("commit_idx").collect()
+    assert len(rows) == 3
+    # newest first
+    assert [r.subject for r in rows] == list(reversed(subjects))
