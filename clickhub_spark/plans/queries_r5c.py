@@ -1459,3 +1459,78 @@ def q_llm_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_agg_auc",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(n_chars AS DOUBLE) AS score,
+               doc_id
+        FROM documents
+    ), r AS (
+        SELECT source, y, score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS rn
+        FROM s
+    ), t AS (
+        SELECT source, y, AVG(rn) OVER (PARTITION BY source, score) AS arank
+        FROM r
+    ), agg AS (
+        SELECT source,
+               SUM(CASE WHEN y = 1 THEN arank ELSE 0 END) AS rank_sum,
+               SUM(y) AS n_pos, COUNT(*) - SUM(y) AS n_neg
+        FROM t GROUP BY source
+    )
+    SELECT source,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg), 6) AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY source
+    """,
+)
+def q_agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC per group (ClickHouse arrayAUC — SURVEY
+    §2.D ML-eval family; the quality-classifier evaluation step of a
+    data pipeline): Mann-Whitney formulation with PROPER tie handling
+    — row_number over (score, id), tie groups averaged to midranks,
+    then AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻).  Two windows and
+    the final aggregate all share ONE source-keyed shuffle; no
+    pairwise positive×negative comparison (the O(n²) naive form)."""
+    from pyspark.sql.window import Window
+
+    s = load(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("n_chars").cast("double").alias("score"),
+        "doc_id",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("score", "doc_id")
+    )
+    arank = F.avg("rn").over(Window.partitionBy("source", "score"))
+    t = s.withColumn("rn", rn).withColumn("arank", arank)
+    agg = t.groupBy("source").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("arank")).otherwise(0.0)).alias(
+            "rank_sum"
+        ),
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    return (
+        agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.round(
+                (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+                / (F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("source")
+    )

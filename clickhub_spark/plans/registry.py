@@ -182,6 +182,7 @@ ROUND_PRIORITY = [
     "q_sort_nulls",
     "q_llm_kmeans_update",
     "q_llm_embed_matryoshka",
+    "q_agg_auc",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
