@@ -52,3 +52,50 @@ def point_in_interval_join(
         .where((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col)))
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open [s, e) semantics):
+    pairs where ``left`` and ``right`` overlap, without a nested
+    loop.  Both sides explode to their covered bins and equi-join on
+    the bin; the residual predicate keeps true overlaps.  A pair can
+    share MANY bins, so each pair is attributed to exactly one owner
+    bin — the bin containing the overlap's start (max of the two
+    starts) — which dedups without any post-join ``distinct``
+    (no second shuffle)."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / bin_width),
+                F.floor((F.col(left_end) - 1) / bin_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / bin_width),
+                F.floor((F.col(right_end) - 1) / bin_width),
+            )
+        ),
+    )
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    owner = (
+        F.floor(F.greatest(F.col(left_start), F.col(right_start)) / bin_width)
+        == F.col("__bin")
+    )
+    return lb.join(rb, "__bin").where(overlap & owner).drop("__bin")

@@ -1534,3 +1534,59 @@ def q_agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 + CAST(FLOOR(value * 10) AS BIGINT) AS e
+        FROM events WHERE value > 0 AND user_id < 20
+    ), a AS (SELECT * FROM iv WHERE event_type = 'click'),
+       b AS (SELECT * FROM iv WHERE event_type = 'view')
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT)
+               AS overlap_sec
+    FROM a JOIN b ON a.s < b.e AND b.s < a.e
+    ORDER BY id_a, id_b
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (SURVEY §2.C7 completion —
+    point-in-interval was covered; this is the two-interval case,
+    e.g. concurrent-session attribution): binned equi-join with the
+    owner-bin trick — each overlapping pair is attributed to the bin
+    holding the overlap's START, so no post-join distinct and no
+    second shuffle (operators/rangejoin.interval_overlap_join).  The
+    oracle is the plain theta join, which only an oracle can afford —
+    Spark would plan it as a nested loop."""
+    from clickhub_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("value") > 0) & (F.col("user_id") < 20)
+    )
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.floor(F.col("value") * 10).cast("bigint")).alias(
+            "e"
+        ),
+    )
+    a = iv.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id_a"), F.col("s").alias("sa"), F.col("e").alias("ea")
+    )
+    b = iv.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("id_b"), F.col("s").alias("sb"), F.col("e").alias("eb")
+    )
+    pairs = interval_overlap_join(a, b, "sa", "ea", "sb", "eb", bin_width=3600)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.least("ea", "eb") - F.greatest("sa", "sb")).cast("bigint").alias(
+            "overlap_sec"
+        ),
+    ).orderBy("id_a", "id_b")

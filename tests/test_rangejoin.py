@@ -1,0 +1,21 @@
+
+
+def test_interval_overlap_join_owner_bin_dedup(spark):
+    # pairs sharing MANY bins must appear exactly once; half-open
+    # semantics: touching intervals ([0,10) vs [10,20)) do NOT overlap
+    from clickhub_spark.operators.rangejoin import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 60), (3, 200, 210)], "id_a long, sa long, ea long"
+    )
+    b = spark.createDataFrame(
+        [(10, 90, 150), (11, 0, 100), (12, 100, 110), (13, 205, 206)],
+        "id_b long, sb long, eb long",
+    )
+    rows = sorted(
+        (r.id_a, r.id_b)
+        for r in interval_overlap_join(a, b, "sa", "ea", "sb", "eb", 7).collect()
+    )
+    # 1x10 overlap [90,100); 1x11 full overlap (many shared bins, once);
+    # 2x11 nested; 3x13 nested; 1x12 touches at 100 only -> excluded
+    assert rows == [(1, 10), (1, 11), (2, 11), (3, 13)]
