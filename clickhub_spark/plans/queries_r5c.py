@@ -1590,3 +1590,84 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_sec"
         ),
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_agg_ndcg",
+    oracle="""
+    WITH r AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 2
+                    WHEN lang = 'de' THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS pos
+        FROM documents
+    ), k AS (
+        SELECT source, rel, pos FROM r WHERE pos <= 10
+    ), dcg AS (
+        SELECT source,
+               SUM((POWER(2, rel) - 1) / LN(pos + 1)) AS dcg
+        FROM k GROUP BY source
+    ), ideal AS (
+        SELECT source,
+               SUM((POWER(2, rel) - 1) / LN(ipos + 1)) AS idcg
+        FROM (
+            SELECT source, rel,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY rel DESC, doc_id) AS ipos
+            FROM (
+                SELECT source, doc_id,
+                       CASE WHEN lang = 'en' THEN 2
+                            WHEN lang = 'de' THEN 1 ELSE 0 END AS rel
+                FROM documents
+            )
+        ) WHERE ipos <= 10 GROUP BY source
+    )
+    SELECT d.source, ROUND(d.dcg / i.idcg, 6) AS ndcg_at_10
+    FROM dcg d JOIN ideal i USING (source)
+    WHERE i.idcg > 0 ORDER BY source
+    """,
+)
+def q_agg_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per group (ranking-quality evaluation — SURVEY §2.D
+    ML-eval family, alongside q_agg_auc): documents ranked by a score
+    (n_chars) against graded relevance (language tiers), gain
+    (2^rel−1)/ln(pos+1), normalized by the ideal ordering's DCG.
+    Both the actual and ideal rankings are top-10 windows over the
+    SAME source-keyed shuffle; the two tiny per-group DCG aggregates
+    join at k rows per group.  (ln, not log2, pinned on both sides —
+    the normalization cancels the base anyway.)"""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    rel = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "de", 1)
+        .otherwise(0)
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    ipos = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("rel").desc(), "doc_id")
+    )
+    gain = lambda p: (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log(p + 1)  # noqa: E731
+    base = docs.select("source", "doc_id", "n_chars", rel.alias("rel"))
+    dcg = (
+        base.withColumn("pos", pos)
+        .where(F.col("pos") <= 10)
+        .groupBy("source")
+        .agg(F.sum(gain(F.col("pos"))).alias("dcg"))
+    )
+    idcg = (
+        base.withColumn("ipos", ipos)
+        .where(F.col("ipos") <= 10)
+        .groupBy("source")
+        .agg(F.sum(gain(F.col("ipos"))).alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "source")
+        .where(F.col("idcg") > 0)
+        .select("source", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"))
+        .orderBy("source")
+    )

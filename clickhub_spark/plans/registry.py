@@ -184,6 +184,7 @@ ROUND_PRIORITY = [
     "q_llm_embed_matryoshka",
     "q_agg_auc",
     "q_join_interval_overlap",
+    "q_agg_ndcg",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

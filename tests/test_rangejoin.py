@@ -1,4 +1,4 @@
-
+"""Binned range-join family (operators/rangejoin.py)."""
 
 def test_interval_overlap_join_owner_bin_dedup(spark):
     # pairs sharing MANY bins must appear exactly once; half-open
