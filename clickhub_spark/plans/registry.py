@@ -47,6 +47,17 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 #   3. The 50 round-3-window queries (next oldest; front of round 6).
 # Round-4-window queries are omitted — freshest evidence, appended in
 # registry order and checked last.
+#
+# ROUND-6 TODO (first registry task next round): after the r5 driver
+# run lands, reorder to (1) the r5-staged names BELOW the r5 window
+# cut (none have a driver row yet — highest priority), (2) the
+# round-3-window block (then 3 rounds stale), (3) round-4-window,
+# (4) the r5-window names (freshest).  With ~235 queries and a
+# 50-name window the driver alone can no longer give every query a
+# ≤2-round-old row; the full tools/check.py gates at sf0.01+sf0.1,
+# the vanilla gate, and the cluster gate (all 0-fail artifacts each
+# round) carry whole-surface value-checking, and the window rotates
+# through never-checked names first.
 ROUND_PRIORITY = [
     # --- last driver row: round 2 (staleness-policy limit) ---
     "q_join_inner",
