@@ -1671,3 +1671,32 @@ def q_agg_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"))
         .orderBy("source")
     )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT DISTINCT event_id FROM events WHERE event_id < 5000
+    ) GROUP BY event_id HAVING count(*) = 1 ORDER BY event_id
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch canon of streaming exactly-once dedup
+    (streaming/mv.stream_dedup — dropDuplicatesWithinWatermark, the
+    Spark-native answer to at-least-once upstream delivery, SURVEY
+    §2.I4): after the watermark closes, each key appears ONCE; the
+    batch equivalent is DISTINCT on the key.  The streaming operator
+    itself is exercised in tests/test_streaming (state bounded by the
+    watermark delay, not the stream length — the 100 TB property)."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") < 5000)
+        .select("event_id")
+        .distinct()
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .orderBy("event_id")
+    )
