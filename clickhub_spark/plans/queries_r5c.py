@@ -1700,3 +1700,58 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") == 1)
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_llm_boilerplate",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), freq AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 5
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(f.shingle) AS BIGINT) AS n_boiler,
+           ROUND(CAST(COUNT(f.shingle) AS DOUBLE) / COUNT(*), 4)
+               AS boiler_ratio
+    FROM sh s LEFT JOIN freq f USING (shingle)
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection (the CCNet/RefinedWeb dedup-
+    adjacent cleaning pass — SURVEY §2.J7 family): n-grams whose
+    document frequency crosses a threshold are template text (site
+    chrome, license headers, navigation), and each document reports
+    its boilerplate fraction — the filter signal.  Plan shape: the
+    frequent-shingle table is produced by one (shingle → distinct-doc
+    count) aggregate and is SMALL by construction (heavy-tail cut),
+    so it broadcast-joins back onto the per-doc shingle stream; the
+    doc-level aggregate reuses the doc_id shuffle."""
+    from clickhub_spark.operators.dedup import shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 5)
+        .select("shingle", F.lit(1).alias("__boiler"))
+    )
+    return (
+        sh.join(F.broadcast(freq), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__boiler").alias("n_boiler"),
+            F.round(
+                F.count("__boiler").cast("double") / F.count(F.lit(1)), 4
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -197,6 +197,7 @@ ROUND_PRIORITY = [
     "q_join_interval_overlap",
     "q_agg_ndcg",
     "q_stream_dedup",
+    "q_llm_boilerplate",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
