@@ -1,0 +1,107 @@
+"""100x TPC-H fact smoke: replicate sf0.1 lineitem 100x (60M rows)
+TO PARQUET (the honest path — scans hit disk, not a cached RDD), then
+time Q1/Q6-shaped aggregates and the Q3-shaped join at 1x vs 100x.
+Sub-linear-to-linear scaling with held plan shapes is the pass
+criterion; prints one JSON line for PERFORMANCE.md."""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from clickhub_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+BIG = "/tmp/spark_graft_lineitem_100x"
+
+
+def q1(li):
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q6(li):
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+def q3ish(li, orders):
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def t(df):
+    t0 = time.time()
+    df.collect()
+    return round(time.time() - t0, 3)
+
+
+def main():
+    spark = get_spark("smoke-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    li1 = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    n1 = li1.count()
+
+    if not os.path.exists(BIG + "/_SUCCESS"):
+        shutil.rmtree(BIG, ignore_errors=True)
+        t0 = time.time()
+        # disjoint orderkeys per replica so join fan-out grows with data
+        reps = li1.crossJoin(
+            spark.range(100).withColumnRenamed("id", "__rep")
+        ).select(
+            (F.col("l_orderkey") + F.col("__rep") * 10_000_000).alias("l_orderkey"),
+            *[c for c in li1.columns if c != "l_orderkey"],
+        )
+        reps.repartition(64).write.mode("overwrite").parquet(BIG)
+        out["build_100x_sec"] = round(time.time() - t0, 3)
+    big = spark.read.parquet(BIG)
+    out["rows_1x"], out["rows_100x"] = n1, big.count()
+
+    # orders replicated the same way for the join (kept lazy/on the fly)
+    orders_big = orders.crossJoin(
+        spark.range(100).withColumnRenamed("id", "__rep")
+    ).select(
+        (F.col("o_orderkey") + F.col("__rep") * 10_000_000).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+
+    out["q1_1x_sec"] = t(q1(li1))
+    out["q1_100x_sec"] = t(q1(big))
+    out["q6_1x_sec"] = t(q6(li1))
+    out["q6_100x_sec"] = t(q6(big))
+    out["q3_1x_sec"] = t(q3ish(li1, orders))
+    out["q3_100x_sec"] = t(q3ish(big, orders_big))
+    for q in ("q1", "q6", "q3"):
+        out[f"{q}_scaling"] = round(out[f"{q}_100x_sec"] / max(0.001, out[f"{q}_1x_sec"]), 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
