@@ -1755,3 +1755,64 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS channel
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), u AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT COALESCE(channel, '<pre-schema>') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan (SURVEY §2.A2 extension — the ALTER TABLE
+    ADD COLUMN reality of any long-lived table): two parquet batches
+    written at different schema versions (v2 adds ``channel``) read as
+    ONE table via ``mergeSchema``; rows from the old batch surface the
+    new column as NULL, exactly ClickHouse's added-column default
+    semantics.  The batches are a fingerprint-cached build-once
+    artifact (atomic publish); at 100 TB mergeSchema costs one footer
+    read per FILE at planning — the data itself is never rewritten,
+    which is the entire point versus a backfill."""
+    from clickhub_spark.artifacts import build_artifact
+
+    orders = load(spark, sf_dir, "orders")
+
+    def write(build: str) -> None:
+        v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, "web")
+            .otherwise("store")
+            .alias("channel"),
+        )
+        v1.write.mode("overwrite").parquet(build + "/batch=v1")
+        v2.write.mode("overwrite").parquet(build + "/batch=v2")
+
+    path = build_artifact(orders, "schema_evolution", write)
+    u = spark.read.option("mergeSchema", "true").parquet(
+        path + "/batch=v1", path + "/batch=v2"
+    )
+    return (
+        u.groupBy(F.coalesce(F.col("channel"), F.lit("<pre-schema>")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("channel")
+    )

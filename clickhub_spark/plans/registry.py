@@ -198,6 +198,7 @@ ROUND_PRIORITY = [
     "q_agg_ndcg",
     "q_stream_dedup",
     "q_llm_boilerplate",
+    "q_scan_schema_evolution",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
