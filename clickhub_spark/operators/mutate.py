@@ -131,3 +131,84 @@ def drop_expired_partitions(path: str, partition_col: str, cutoff: str) -> int:
             shutil.rmtree(os.path.join(path, entry))
             dropped += 1
     return dropped
+
+
+# --- snapshot versioning / time travel ------------------------------------
+#
+# The copy-on-write ops above REPLACE the table dir (old data deleted
+# once the swap lands).  The snapshot layer below retains every
+# version instead — the lakehouse time-travel contract (Iceberg/Delta
+# shape, re-expressed on plain dirs): writers publish immutable
+# version directories and flip ONE atomically-renamed pointer file;
+# readers resolve the pointer (or an explicit version) and scan that
+# directory.  Concurrent readers of v(N) are never disturbed by the
+# publish of v(N+1) — snapshot isolation from immutability + rename
+# atomicity, no lock.  Retention is explicit (prune_snapshots), never
+# implicit.
+
+_SNAPDIR = "_snapshots"
+_POINTER = "_current"
+
+
+def _snap_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _SNAPDIR, f"v{version:08d}")
+
+
+def current_version(table_dir: str) -> int:
+    """Latest published version, or -1 for an empty table dir."""
+    ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return -1
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def _publish(table_dir: str, version: int) -> None:
+    ptr = os.path.join(table_dir, _POINTER)
+    tmp = f"{ptr}.__tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.rename(tmp, ptr)  # atomic pointer flip
+
+
+def snapshot_write(df: DataFrame, table_dir: str) -> int:
+    """Publish ``df`` as the next version; returns the version id.
+    The version dir is written fully before the pointer flips, so a
+    crash mid-write leaves the table at the previous version."""
+    v = current_version(table_dir) + 1
+    path = _snap_path(table_dir, v)
+    build = f"{path}.__build_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(build)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.rename(build, path)
+    _publish(table_dir, v)
+    return v
+
+
+def read_snapshot(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the current version by default, or any
+    retained ``version``."""
+    v = current_version(table_dir) if version is None else version
+    if v < 0:
+        raise ValueError(f"no published snapshot in {table_dir}")
+    path = _snap_path(table_dir, v)
+    if not os.path.isdir(path):
+        raise ValueError(f"snapshot v{v} not retained in {table_dir}")
+    return spark.read.parquet(path)
+
+
+def snapshot_mutate(spark: SparkSession, table_dir: str, transform) -> int:
+    """Copy-on-write into a NEW version (old versions untouched) —
+    DELETE/UPDATE with history.  Returns the new version id."""
+    return snapshot_write(transform(read_snapshot(spark, table_dir)), table_dir)
+
+
+def prune_snapshots(table_dir: str, keep: int = 3) -> int:
+    """Drop all but the newest ``keep`` versions (never the current
+    one); returns how many were removed."""
+    cur = current_version(table_dir)
+    snaps = sorted(os.listdir(os.path.join(table_dir, _SNAPDIR)))
+    victims = [s for s in snaps[:-keep] if s != f"v{cur:08d}"] if keep else []
+    for s in victims:
+        shutil.rmtree(os.path.join(table_dir, _SNAPDIR, s))
+    return len(victims)

@@ -1816,3 +1816,81 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_scan_time_travel",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+    ), v1 AS (
+        SELECT * FROM v0 WHERE o_totalprice >= 50000
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v1
+    )
+    SELECT * FROM (
+        SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total FROM v0
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM v1
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM v2
+    ) ORDER BY version
+    """,
+)
+def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (operators/mutate snapshot layer — the
+    lakehouse DELETE/UPDATE-with-history contract on plain dirs):
+    v0 = initial publish, v1 = DELETE (cheap orders dropped), v2 =
+    UPDATE (10% uplift on a key slice); all three versions stay
+    readable AFTER the mutations because each publish is an immutable
+    version dir + one atomic pointer flip.  The query reads every
+    retained version and reports (n, total) per version; the oracle
+    replays the same mutations relationally.  Versions live in a
+    fingerprint-cached artifact, so re-runs see the same history."""
+    from clickhub_spark.artifacts import build_artifact
+    from clickhub_spark.operators.mutate import (
+        read_snapshot,
+        snapshot_mutate,
+        snapshot_write,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+
+    def write(build: str) -> None:
+        os.makedirs(build, exist_ok=True)
+        v0 = orders.where(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        snapshot_write(v0, build)
+        snapshot_mutate(
+            spark, build, lambda df: df.where(F.col("o_totalprice") >= 50_000)
+        )
+        snapshot_mutate(
+            spark,
+            build,
+            lambda df: df.withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+                ).otherwise(F.col("o_totalprice")),
+            ),
+        )
+
+    table = build_artifact(orders, "time_travel", write)
+    per_version = [
+        read_snapshot(spark, table, v)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(F.lit(v).alias("version"), "n", "total")
+        for v in (0, 1, 2)
+    ]
+    out = per_version[0]
+    for p in per_version[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
