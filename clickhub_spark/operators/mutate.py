@@ -212,3 +212,39 @@ def prune_snapshots(table_dir: str, keep: int = 3) -> int:
     for s in victims:
         shutil.rmtree(os.path.join(table_dir, _SNAPDIR, s))
     return len(victims)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-capture between two retained versions: one row per
+    changed key with change_type ∈ {insert, delete, update}.  A full
+    outer join on ``keys`` classifies rows; non-key columns are
+    compared as a struct, so any column change is an update.  The
+    changefeed a downstream incremental consumer replays instead of
+    re-reading the whole table."""
+    from pyspark.sql import functions as F
+
+    a = read_snapshot(spark, table_dir, v_from)
+    b = read_snapshot(spark, table_dir, v_to)
+    val_cols = [c for c in a.columns if c not in keys]
+    pack = lambda df: df.select(  # noqa: E731
+        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__vals")
+    )
+    old = pack(a).withColumnRenamed("__vals", "__old")
+    new = pack(b).withColumnRenamed("__vals", "__new")
+    j = old.join(new, keys, "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(F.col("__old") != F.col("__new"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", "__old", "__new")
+    )

@@ -1894,3 +1894,51 @@ def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_version[1:]:
         out = out.unionByName(p)
     return out.orderBy("version")
+
+
+@query(
+    "q_scan_snapshot_diff",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+    ), v1 AS (
+        SELECT * FROM v0 WHERE o_totalprice >= 50000
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v1
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT a.o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'delete'
+                    WHEN a.o_totalprice <> b.o_totalprice THEN 'update'
+               END AS change_type
+        FROM v0 a LEFT JOIN v2 b USING (o_orderkey)
+    ) WHERE change_type IS NOT NULL
+    GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q_scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshot versions (operators/mutate.snapshot_diff —
+    the changefeed an incremental consumer replays instead of
+    re-scanning the table): diff v0→v2 of the time-travel table
+    classifies every changed key as insert/delete/update via one
+    full-outer join on the key with struct-compared values.  The
+    oracle replays the same mutations relationally and counts per
+    change type (this history has deletes + updates, no inserts)."""
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.operators.mutate import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    # reuse q_scan_time_travel's fingerprint-cached history (same
+    # inputs + tag -> same artifact); building it is idempotent
+    q_scan_time_travel(spark, sf_dir).collect()
+    table = derived_artifact_path(orders, "time_travel")
+    diff = snapshot_diff(spark, table, 0, 2, keys=["o_orderkey"])
+    return (
+        diff.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
