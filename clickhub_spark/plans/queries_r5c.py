@@ -1942,3 +1942,73 @@ def q_scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change_type")
     )
+
+
+@query(
+    "q_agg_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(FLOOR(date_diff('day', f.cohort,
+                                    date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+                   AS week_off
+        FROM events e JOIN firsts f USING (user_id)
+    ), sizes AS (
+        SELECT cohort, COUNT(*) AS cohort_n FROM firsts GROUP BY cohort
+    )
+    SELECT CAST(a.cohort AS TIMESTAMP) AS cohort, a.week_off,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_n, 4) AS retention
+    FROM activity a JOIN sizes s USING (cohort)
+    WHERE a.week_off <= 6
+    GROUP BY a.cohort, a.week_off, s.cohort_n
+    ORDER BY cohort, week_off
+    """,
+)
+def q_agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the product-analytics staple beyond
+    the simple retention() aggregate — SURVEY §2.D/CH family): users
+    cohorted by first-activity week; each cell = fraction of the
+    cohort active in week-offset N.  Plan: ONE user_id shuffle
+    produces first-activity weeks; the activity join is user-keyed on
+    the same distribution; cohort sizes are a tiny broadcast-back
+    table.  The matrix is |cohorts|×|offsets| — always small output
+    from any input volume."""
+    firsts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    activity = (
+        load(spark, sf_dir, "events")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7.0
+            )
+            .cast("bigint")
+            .alias("week_off"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (
+        activity.where(F.col("week_off") <= 6)
+        .groupBy("cohort", "week_off")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_off",
+            "active_users",
+            F.round(F.col("active_users").cast("double") / F.col("cohort_n"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort", "week_off")
+    )

@@ -201,6 +201,7 @@ ROUND_PRIORITY = [
     "q_scan_schema_evolution",
     "q_scan_time_travel",
     "q_scan_snapshot_diff",
+    "q_agg_cohort_retention",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
