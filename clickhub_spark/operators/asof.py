@@ -40,8 +40,14 @@ def asof_join(
     ``tolerance`` (seconds) optionally discards matches further than
     that from left_ts in the join direction.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, right_values, tolerance
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rhs = (
@@ -103,4 +109,80 @@ def asof_join(
                 f"asof_{c}", F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}"))
             )
         out = out.withColumn("asof_ts", F.when(too_old, F.lit(None)).otherwise(F.col("asof_ts")))
+    return out.select(*left.columns, *[f"asof_{c}" for c in right_values], "asof_ts")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tolerance: int | None,
+) -> DataFrame:
+    """``direction="nearest"`` (pandas merge_asof parity): the closer
+    of the at-or-before and after matches, ties preferring backward
+    (an exact-timestamp match has gap 0 and always wins).  BOTH
+    direction passes run over ONE union + ONE partitioning: backward
+    is last() over (unbounded preceding, current], forward is first()
+    over [current, unbounded following) on the same ascending sort —
+    no second shuffle, no second sort.  (A forward-only equal-ts
+    match cannot exist without also being a backward match, so the
+    forward frame's equal-ts blindness is unobservable.)"""
+    on = list(on)
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = right.select(
+        *on, F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_values]
+    ).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    for c in right_values:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None))
+    cols = list(dict.fromkeys([*on, "__ts", "__side", *left.columns, *right_values]))
+    unioned = lhs.select(*cols).unionByName(rhs.select(*cols))
+
+    base = Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__side").asc())
+    w_back = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    right_only = lambda c: F.when(F.col("__side") == 0, F.col(c))  # noqa: E731
+    out = unioned
+    for c in [*right_values, "__ts"]:
+        tag = "ts" if c == "__ts" else c
+        out = out.withColumn(
+            f"__b_{tag}", F.last(right_only(c), ignorenulls=True).over(w_back)
+        ).withColumn(
+            f"__f_{tag}", F.first(right_only(c), ignorenulls=True).over(w_fwd)
+        )
+    out = out.where(F.col("__side") == 1)
+
+    def _epoch(col: F.Column, dtype_src: str) -> F.Column:
+        if dict(out.dtypes).get(dtype_src) == "timestamp_ntz":
+            col = col.cast("timestamp")
+        return col.cast("double")
+
+    gap_b = _epoch(F.col("__ts"), "__ts") - _epoch(F.col("__b_ts"), "__b_ts")
+    gap_f = _epoch(F.col("__f_ts"), "__f_ts") - _epoch(F.col("__ts"), "__ts")
+    use_back = F.col("__f_ts").isNull() | (
+        F.col("__b_ts").isNotNull() & (gap_b <= gap_f)
+    )
+    for c in right_values:
+        out = out.withColumn(
+            f"asof_{c}", F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+        )
+    out = out.withColumn(
+        "asof_ts", F.when(use_back, F.col("__b_ts")).otherwise(F.col("__f_ts"))
+    )
+    if tolerance is not None:
+        gap = F.abs(_epoch(F.col("__ts"), "__ts") - _epoch(F.col("asof_ts"), "asof_ts"))
+        too_far = F.col("asof_ts").isNull() | (gap > tolerance)
+        for c in right_values:
+            out = out.withColumn(
+                f"asof_{c}", F.when(too_far, F.lit(None)).otherwise(F.col(f"asof_{c}"))
+            )
+        out = out.withColumn(
+            "asof_ts", F.when(too_far, F.lit(None)).otherwise(F.col("asof_ts"))
+        )
     return out.select(*left.columns, *[f"asof_{c}" for c in right_values], "asof_ts")

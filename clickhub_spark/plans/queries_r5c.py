@@ -2012,3 +2012,42 @@ def q_agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_off")
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT c.ts FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+             ORDER BY abs(epoch(c.ts) - epoch(e.ts)),
+                      CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END
+             LIMIT 1) AS asof_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest' parity — SURVEY §2.C8 completion alongside
+    backward/forward): for each error event, the click by the same
+    user CLOSEST in time, ties preferring the at-or-before match.
+    Both direction passes share one union + one partitioning — no
+    second shuffle (operators/asof._asof_nearest).  The oracle is a
+    correlated nearest-row subquery with the same tie rule."""
+    from clickhub_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=[],
+        direction="nearest",
+    ).select("event_id", "user_id", "ts", "asof_ts")

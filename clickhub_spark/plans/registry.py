@@ -202,6 +202,7 @@ ROUND_PRIORITY = [
     "q_scan_time_travel",
     "q_scan_snapshot_diff",
     "q_agg_cohort_retention",
+    "q_join_asof_nearest",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

@@ -120,3 +120,47 @@ def test_asof_forward_direction(spark):
     }
     assert tol[1] is None            # 20 is 10s ahead, > 5s tolerance
     assert tol[2].timestamp() == 25
+
+
+def test_asof_nearest_direction(spark):
+    left = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 12, 0), 1),   # back 11:30 (30m) vs fwd 12:10 (10m) -> fwd
+         ("u1", datetime(2024, 1, 1, 11, 40), 2),  # back 11:30 (10m) vs fwd 12:10 (30m) -> back
+         ("u1", datetime(2024, 1, 1, 11, 50), 3),  # tie 10m both sides -> backward preferred
+         ("u2", datetime(2024, 1, 1, 9, 0), 4),    # only forward exists
+         ("u3", datetime(2024, 1, 1, 9, 0), 5)],   # no right rows
+        "user string, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 11, 30), 100.0),
+         ("u1", datetime(2024, 1, 1, 12, 10), 200.0),
+         ("u2", datetime(2024, 1, 1, 10, 0), 300.0)],
+        "user string, ts timestamp, price double",
+    )
+    out = {r.lid: (r.asof_price, r.asof_ts) for r in asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="ts",
+        right_values=["price"], direction="nearest").collect()}
+    assert out[1] == (200.0, datetime(2024, 1, 1, 12, 10))
+    assert out[2] == (100.0, datetime(2024, 1, 1, 11, 30))
+    assert out[3] == (100.0, datetime(2024, 1, 1, 11, 30))  # tie -> backward
+    assert out[4] == (300.0, datetime(2024, 1, 1, 10, 0))
+    assert out[5] == (None, None)
+
+
+def test_asof_nearest_exact_match_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 12, 0), 1),
+         ("u1", datetime(2024, 1, 1, 18, 0), 2)],  # nearest is 6h away
+        "user string, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 12, 0), 100.0),
+         ("u1", datetime(2024, 1, 1, 12, 5), 200.0)],
+        "user string, ts timestamp, price double",
+    )
+    out = {r.lid: (r.asof_price,) for r in asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="ts",
+        right_values=["price"], direction="nearest",
+        tolerance=3600).collect()}
+    assert out[1] == (100.0,)  # exact match beats the 5-min forward one
+    assert out[2] == (None,)   # beyond tolerance -> null
