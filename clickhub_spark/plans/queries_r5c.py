@@ -2051,3 +2051,50 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=[],
         direction="nearest",
     ).select("event_id", "user_id", "ts", "asof_ts")
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS distinct_users_so_far
+    FROM events WHERE event_id < 3000
+    ORDER BY event_type, ts, event_id
+    """,
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — a aggregate Spark's
+    window functions REFUSE (DISTINCT is unsupported in window
+    aggregates), emulated scalably with the first-occurrence-marker
+    trick: row_number over (group, user) in time order marks each
+    user's first event (1 shuffle), and a running SUM of markers over
+    the time order (same group partitioning) IS the running distinct
+    count.  The oracle is DuckDB's native COUNT(DISTINCT) OVER —
+    checking the emulation against the real semantics.  At 100 TB
+    this is two windows on one group-keyed distribution; the naive
+    set-per-row form would be O(n²) memory."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") < 3000)
+        .select("event_id", "event_type", "user_id", "ts")
+    )
+    first_seen = F.row_number().over(
+        Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    )
+    marked = ev.withColumn("__new_user", F.when(first_seen == 1, 1).otherwise(0))
+    running = F.sum("__new_user").over(
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return marked.select(
+        "event_id",
+        "event_type",
+        "ts",
+        running.alias("distinct_users_so_far"),
+    ).orderBy("event_type", "ts", "event_id")
