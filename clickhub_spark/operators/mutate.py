@@ -32,13 +32,33 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+def recover_table(path: str) -> bool:
+    """Crash recovery for the copy-on-write swap: if a previous
+    mutation died between its two renames, the table dir is missing
+    and the data sits at the FIXED ``<path>.__old`` name — restore
+    it.  Returns True if a recovery happened.  Called automatically
+    at the start of every mutation; exposed for readers that find the
+    path missing."""
+    old = f"{path}.__old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def _rewrite(spark: SparkSession, path: str, transform) -> int:
+    recover_table(path)
     df = spark.read.parquet(path)
     out = transform(df)
     n = out.count()
     tmp = f"{path}.__mutating_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    # FIXED old name (not a random suffix): a crash between the two
+    # renames leaves the data at a deterministic location that
+    # recover_table restores — random suffixes made the stranded dir
+    # unidentifiable.
+    old = f"{path}.__old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a crashed rmtree
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -205,12 +225,22 @@ def snapshot_mutate(spark: SparkSession, table_dir: str, transform) -> int:
 
 def prune_snapshots(table_dir: str, keep: int = 3) -> int:
     """Drop all but the newest ``keep`` versions (never the current
-    one); returns how many were removed."""
+    one) and sweep any ``.__build_*`` leftovers from crashed writes;
+    returns how many VERSIONS were removed.  Only ``v########`` dirs
+    count as versions — a stale build dir must never occupy a keep
+    slot (it would push a real retained version out)."""
+    import re
+
+    snapdir = os.path.join(table_dir, _SNAPDIR)
+    entries = sorted(os.listdir(snapdir))
+    for e in entries:
+        if "__build_" in e:
+            shutil.rmtree(os.path.join(snapdir, e), ignore_errors=True)
     cur = current_version(table_dir)
-    snaps = sorted(os.listdir(os.path.join(table_dir, _SNAPDIR)))
+    snaps = [e for e in entries if re.fullmatch(r"v\d{8}", e)]
     victims = [s for s in snaps[:-keep] if s != f"v{cur:08d}"] if keep else []
     for s in victims:
-        shutil.rmtree(os.path.join(table_dir, _SNAPDIR, s))
+        shutil.rmtree(os.path.join(snapdir, s))
     return len(victims)
 
 
@@ -231,10 +261,25 @@ def snapshot_diff(
 
     a = read_snapshot(spark, table_dir, v_from)
     b = read_snapshot(spark, table_dir, v_to)
+    # value columns = UNION of both versions' non-key columns, with
+    # absences null-filled: a column ADDED between versions must make
+    # its rows diff as updates (the backfill a consumer replays), and
+    # a DROPPED column must not crash the select.
     val_cols = [c for c in a.columns if c not in keys]
-    pack = lambda df: df.select(  # noqa: E731
-        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__vals")
-    )
+    val_cols += [c for c in b.columns if c not in keys and c not in val_cols]
+    # typed nulls for absences: an untyped NULL field would make the
+    # two struct types unequal and break the comparison
+    types = {**dict(a.dtypes), **dict(b.dtypes)}
+
+    def pack(df):
+        fields = [
+            F.col(c).alias(c)
+            if c in df.columns
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in val_cols
+        ]
+        return df.select(*keys, F.struct(*fields).alias("__vals"))
+
     old = pack(a).withColumnRenamed("__vals", "__old")
     new = pack(b).withColumnRenamed("__vals", "__new")
     j = old.join(new, keys, "full_outer")

@@ -20,6 +20,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _last_bin(end_col: str, bin_width: int) -> F.Column:
+    """Last bin covered by a half-open interval ending at ``end_col``:
+    floor(end/w), minus one when end sits EXACTLY on a bin boundary
+    (that bin contains no part of the interval).  Correct for integer
+    AND fractional coordinates — the previous floor((end-1)/w) form
+    under-covered fractional bounds (e.g. [9.8, 10.5) with w=10 never
+    reached bin 1 and silently dropped true matches)."""
+    return F.floor(F.col(end_col) / bin_width) - F.when(
+        F.col(end_col) % bin_width == 0, 1
+    ).otherwise(0)
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -32,18 +44,27 @@ def point_in_interval_join(
     """Join points to half-open intervals [start, end) on numeric
     columns (convert dates with unix_date first).  Each (point,
     interval) pair meets in exactly one bin — the point's — so no
-    post-join dedup is needed."""
+    post-join dedup is needed.
+
+    Only ``how="inner"`` is supported: the exact range predicate runs
+    as a residual filter AFTER the bin equi-join, which would silently
+    turn any outer join back into an inner one (NULL interval bounds
+    fail the residual) — refusing loudly beats lying."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if how != "inner":
+        raise ValueError(
+            "point_in_interval_join supports how='inner' only: the "
+            "residual range filter after the bin join would drop the "
+            "unmatched rows an outer join promises to keep"
+        )
     p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width))
     iv = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / bin_width),
-                # end is exclusive: a bin is covered only if the
-                # interval reaches past its first value
-                F.floor((F.col(end_col) - 1) / bin_width),
+                _last_bin(end_col, bin_width),
             )
         ),
     )
@@ -78,7 +99,7 @@ def interval_overlap_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(left_start) / bin_width),
-                F.floor((F.col(left_end) - 1) / bin_width),
+                _last_bin(left_end, bin_width),
             )
         ),
     )
@@ -87,7 +108,7 @@ def interval_overlap_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(right_start) / bin_width),
-                F.floor((F.col(right_end) - 1) / bin_width),
+                _last_bin(right_end, bin_width),
             )
         ),
     )

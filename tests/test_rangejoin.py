@@ -19,3 +19,31 @@ def test_interval_overlap_join_owner_bin_dedup(spark):
     # 1x10 overlap [90,100); 1x11 full overlap (many shared bins, once);
     # 2x11 nested; 3x13 nested; 1x12 touches at 100 only -> excluded
     assert rows == [(1, 10), (1, 11), (2, 11), (3, 13)]
+
+
+def test_fractional_bounds_covered(spark):
+    # the floor((end-1)/w) form under-covered fractional intervals;
+    # _last_bin must reach the end's true bin
+    from clickhub_spark.operators.rangejoin import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame([(10.3,), (9.9,), (10.5,)], "p double")
+    iv = spark.createDataFrame([(9.8, 10.5)], "s double, e double")
+    got = sorted(r.p for r in point_in_interval_join(pts, iv, "p", "s", "e", 10).collect())
+    assert got == [9.9, 10.3]  # 10.5 excluded (half-open), 10.3 KEPT
+    a = spark.createDataFrame([(1, 0.0, 10.5)], "id_a long, sa double, ea double")
+    b = spark.createDataFrame([(2, 10.2, 20.0)], "id_b long, sb double, eb double")
+    assert interval_overlap_join(a, b, "sa", "ea", "sb", "eb", 10).count() == 1
+
+
+def test_outer_how_refused(spark):
+    import pytest as _pytest
+
+    from clickhub_spark.operators.rangejoin import point_in_interval_join
+
+    pts = spark.createDataFrame([(1.0,)], "p double")
+    iv = spark.createDataFrame([(0.0, 2.0)], "s double, e double")
+    with _pytest.raises(ValueError, match="inner"):
+        point_in_interval_join(pts, iv, "p", "s", "e", 10, how="left")

@@ -82,3 +82,53 @@ def test_pointer_survives_partial_build(spark, table, tmp_path):
     assert snapshot_mutate(spark, table, lambda df: df.limit(10)) == 1
     assert read_snapshot(spark, table).count() == 10
     shutil.rmtree(fake_build, ignore_errors=True)
+
+
+def test_diff_sees_added_and_dropped_columns(spark, table):
+    from clickhub_spark.operators.mutate import snapshot_diff
+
+    # v1 adds a column: every row must surface as an update (the
+    # backfill a CDC consumer replays)
+    snapshot_mutate(
+        spark, table, lambda df: df.withColumn("flag", F.col("k") % 2 == 0)
+    )
+    d = snapshot_diff(spark, table, 0, 1, keys=["k"])
+    assert d.where(F.col("change_type") == "update").count() == 100
+    # reverse direction (column dropped) must not crash
+    d2 = snapshot_diff(spark, table, 1, 0, keys=["k"])
+    assert d2.where(F.col("change_type") == "update").count() == 100
+
+
+def test_prune_ignores_stale_build_dirs(spark, table):
+    import os as _os
+
+    from clickhub_spark.operators.mutate import _SNAPDIR
+
+    for _ in range(2):
+        snapshot_mutate(spark, table, lambda df: df.where(F.col("k") >= 0))
+    # a crashed write's leftover build dir must not occupy a keep slot
+    stale = _os.path.join(table, _SNAPDIR, "v00000009.__build_dead")
+    _os.makedirs(stale)
+    assert prune_snapshots(table, keep=2) == 1  # only v0 removed
+    assert not _os.path.exists(stale)  # swept
+    assert read_snapshot(spark, table, 1).count() == 100  # kept
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, 0)
+
+
+def test_rewrite_crash_recovery(spark, tmp_path):
+    import os as _os
+
+    from clickhub_spark.operators.mutate import delete_where, recover_table
+
+    path = str(tmp_path / "cow")
+    spark.range(50).withColumnRenamed("id", "k").write.parquet(path)
+    # simulate a crash between the two swap renames: table dir moved
+    # to the FIXED .__old name, new data never landed
+    _os.rename(path, path + ".__old")
+    assert recover_table(path) is True
+    assert spark.read.parquet(path).count() == 50
+    # the next mutation recovers automatically too
+    _os.rename(path, path + ".__old")
+    remaining = delete_where(spark, path, F.col("k") < 10)
+    assert remaining == 40
