@@ -2098,3 +2098,55 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         running.alias("distinct_users_so_far"),
     ).orderBy("event_type", "ts", "event_id")
+
+
+@query(
+    "q_seq_match_time",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ), nxt AS (
+        SELECT user_id, event_type, ts,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM nxt
+    WHERE event_type = 'view' AND next_type = 'purchase'
+      AND epoch(next_ts) - epoch(ts) < 3600
+    """,
+)
+def q_seq_match_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch with a TIME CONSTRAINT (ClickHouse
+    ``sequenceMatch('(?1)(?t<3600)(?2)')`` — SURVEY §2.CH funnel
+    family beyond plain pattern order): users with a view IMMEDIATELY
+    followed (among the filtered event set) by a purchase within one
+    hour.  One user_id shuffle; the adjacency is a lead() pair scan —
+    no self-join, no per-user event-string materialization (the
+    regexp form's memory cost at long histories)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    nxt = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    hits = nxt.where(
+        (F.col("event_type") == "view")
+        & (F.col("next_type") == "purchase")
+        & (F.unix_timestamp("next_ts") - F.unix_timestamp("ts") < 3600)
+    )
+    return hits.agg(
+        F.count_distinct("user_id").alias("n_users_matched"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

@@ -204,6 +204,7 @@ ROUND_PRIORITY = [
     "q_agg_cohort_retention",
     "q_join_asof_nearest",
     "q_win_running_distinct",
+    "q_seq_match_time",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
