@@ -2150,3 +2150,99 @@ def q_seq_match_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users_matched"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@query(
+    "q_fn_minmax_normalize",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               MIN(value) OVER (PARTITION BY event_type) AS lo,
+               MAX(value) OVER (PARTITION BY event_type) AS hi
+        FROM events WHERE value IS NOT NULL AND event_id < 5000
+    )
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN hi = lo THEN 0.5
+                      ELSE (value - lo) / (hi - lo) END, 6) AS value_norm
+    FROM s ORDER BY event_id
+    """,
+)
+def q_fn_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling (the normalization step
+    before score mixing / model input — SURVEY §2.H/J7 utility):
+    (x−min)/(max−min) per event_type with the degenerate
+    constant-group case pinned to 0.5.  One group shuffle; the
+    min/max windows and the projection share it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type")
+    s = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & (F.col("event_id") < 5000))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.min("value").over(w).alias("lo"),
+            F.max("value").over(w).alias("hi"),
+        )
+    )
+    norm = F.when(F.col("hi") == F.col("lo"), 0.5).otherwise(
+        (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return s.select(
+        "event_id", "event_type", F.round(norm, 6).alias("value_norm")
+    ).orderBy("event_id")
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), r AS (
+        SELECT o_orderpriority, o_orderstatus, cnt,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cnt DESC, o_orderstatus) AS rn
+        FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1 ORDER BY o_orderpriority
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (ClickHouse topK(1)/anyHeavy exact form —
+    SURVEY §2.D family): most frequent status per priority,
+    DETERMINISTIC ties (count DESC, then value — engines' native
+    mode() leaves ties unspecified, so both sides pin the same
+    order).  Two partial-aggregated shuffles: (group, value) counts,
+    then max_by per group — no window needed on the Spark side."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # max_by over a sortable struct pins the tie order: higher count
+    # wins; equal counts -> LOWEST status string wins (struct compares
+    # -cnt would need numeric; use (cnt, negated-ordering) via
+    # struct(cnt, reverse sort key)): simplest deterministic form is
+    # struct(cnt DESC, status ASC) emulated by max_by on
+    # struct(cnt, neg_rank_of_status). Strings lack negation, so use
+    # min_by on struct(-cnt, status).
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.min_by(
+                F.struct(F.col("o_orderstatus"), F.col("cnt")),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("o_orderstatus")),
+            ).alias("m")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("m.o_orderstatus").alias("mode_status"),
+            F.col("m.cnt").alias("mode_count"),
+        )
+        .orderBy("o_orderpriority")
+    )

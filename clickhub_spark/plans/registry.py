@@ -205,6 +205,8 @@ ROUND_PRIORITY = [
     "q_join_asof_nearest",
     "q_win_running_distinct",
     "q_seq_match_time",
+    "q_fn_minmax_normalize",
+    "q_agg_mode",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
