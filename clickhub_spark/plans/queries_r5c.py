@@ -2246,3 +2246,184 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ln(2) / (7 days in seconds): half-life decay constant, embedded as
+# the SAME double literal on both engine sides so exp() receives
+# identical operands (only libm-vs-Math.exp last-ulp noise remains,
+# absorbed by the 4/6-dp rounding).
+_DECAY_LAMBDA = 1.1460766874337719e-06
+
+
+@query(
+    "q_agg_time_decay",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, value, epoch(ts) AS t,
+               MAX(epoch(ts)) OVER (PARTITION BY event_type) AS tmax
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           ROUND(SUM(value * EXP((t - tmax) * {_DECAY_LAMBDA!r})), 4)
+               AS decayed_sum,
+           ROUND(SUM(value * EXP((t - tmax) * {_DECAY_LAMBDA!r}))
+                 / SUM(EXP((t - tmax) * {_DECAY_LAMBDA!r})), 6)
+               AS decayed_avg
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decayed sum/avg per group (ClickHouse
+    ``exponentialTimeDecayedSum/Avg`` — SURVEY §2.D stats family),
+    7-day half-life anchored at each group's latest event.  The naive
+    algebra sum(v*exp(t/l))*exp(-tmax/l) overflows for epoch-scale t,
+    so the exponent is centred per group first: a window max over the
+    event_type partition, then the aggregate — the groupBy reuses the
+    window's hash partitioning, so ONE shuffle total.  Timestamps go
+    through cast-to-double (microsecond fractions kept; Spark
+    unix_timestamp would truncate and diverge from DuckDB epoch())."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type")
+    s = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.col("ts").cast("double").alias("t"),
+            F.max(F.col("ts").cast("double")).over(w).alias("tmax"),
+        )
+    )
+    wgt = F.exp((F.col("t") - F.col("tmax")) * F.lit(_DECAY_LAMBDA))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * wgt), 4).alias("decayed_sum"),
+            F.round(F.sum(F.col("value") * wgt) / F.sum(wgt), 6).alias(
+                "decayed_avg"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_fn_round_modes",
+    oracle="""
+    WITH n AS (SELECT x AS n FROM generate_series(1, 1000) t(x)),
+    v AS (
+        SELECT n, (n - 500) / 2.0 AS half, (n - 500) / 4.0 AS q FROM n
+    )
+    SELECT n,
+           round_even(half, 0) + 0.0 AS bankers0,
+           ROUND(half, 0) + 0.0 AS round0,
+           round_even(q, 1) + 0.0 AS bankers1,
+           CAST(POWER(2, LENGTH(bin(n)) - 1) AS BIGINT) AS to_exp2
+    FROM v ORDER BY n
+    """,
+)
+def q_fn_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode surface (ClickHouse ``roundBankers`` /
+    ``round`` / ``roundToExp2`` — SURVEY §2.G3): banker's
+    half-to-even (Spark ``bround`` vs DuckDB ``round_even``),
+    half-away-from-zero (both engines' ROUND on ties), and
+    round-down-to-power-of-two.  Tie inputs are multiples of 0.25/0.5
+    — binary-EXACT doubles, so both engines see true decimal halves
+    (arbitrary doubles would hit the shortest-rendering-vs-binary
+    ROUND divergence).  roundToExp2 uses integer bit-length
+    (``length(bin(n))-1``), not floor(log2(n)) — float logs can land
+    an ulp under an exact power and floor off by one between libms."""
+    n = spark.range(1, 1001).select(F.col("id").alias("n"))
+    v = n.select(
+        "n",
+        ((F.col("n") - 500) / 2.0).alias("half"),
+        ((F.col("n") - 500) / 4.0).alias("q"),
+    )
+    # + 0.0 on every rounded output (both sides): IEEE -0.0 + 0.0 is
+    # +0.0, normalizing DuckDB's sign-preserving round_even(-0.5) ->
+    # -0.0 against BigDecimal's unsigned zero.
+    return v.select(
+        "n",
+        (F.bround(F.col("half"), 0) + F.lit(0.0)).alias("bankers0"),
+        (F.round(F.col("half"), 0) + F.lit(0.0)).alias("round0"),
+        (F.bround(F.col("q"), 1) + F.lit(0.0)).alias("bankers1"),
+        F.pow(F.lit(2), F.length(F.bin(F.col("n"))) - 1)
+        .cast("long")
+        .alias("to_exp2"),
+    ).orderBy("n")
+
+
+@query(
+    "q_agg_ks_test",
+    oracle="""
+    WITH p AS (
+        SELECT value,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+        FROM events
+        WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ), c AS (
+        SELECT SUM(g1) OVER (ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c1,
+               SUM(1 - g1) OVER (ORDER BY value
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS c2,
+               SUM(g1) OVER () AS n1,
+               SUM(1 - g1) OVER () AS n2
+        FROM p
+    )
+    SELECT FLOOR(MAX(ABS(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                 * 1000000) / 1000000 AS ks_d,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2
+    FROM c
+    """,
+)
+def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (ClickHouse
+    ``kolmogorovSmirnovTest`` — SURVEY §2.D stats family): max ECDF
+    gap between 'view' and 'click' value distributions.  RANGE frames
+    (not ROWS) so tied values contribute all their peers to both
+    ECDFs — the D at a tie is evaluated AFTER the full tie group, the
+    textbook definition.  The global ORDER BY is inherent to the
+    statistic (the reference engine fully sorts both samples too); a
+    per-segment variant would partition the windows by the segment
+    key.  Both engines divide the same exact integer counts, so the
+    doubles are bit-identical — FLOOR-scaling per the repo's
+    same-IEEE-double convention, not ROUND."""
+    from pyspark.sql.window import Window
+
+    p = (
+        load(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("view", "click")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
+        )
+    )
+    wcum = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = p.select(
+        F.sum("g1").over(wcum).alias("c1"),
+        F.sum(1 - F.col("g1")).over(wcum).alias("c2"),
+        F.sum("g1").over(wall).alias("n1"),
+        F.sum(1 - F.col("g1")).over(wall).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("c1").cast("double") / F.col("n1").cast("double")
+        - F.col("c2").cast("double") / F.col("n2").cast("double")
+    )
+    return c.agg(
+        (F.floor(F.max(gap) * 1000000) / 1000000).alias("ks_d"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )

@@ -207,6 +207,9 @@ ROUND_PRIORITY = [
     "q_seq_match_time",
     "q_fn_minmax_normalize",
     "q_agg_mode",
+    "q_agg_time_decay",
+    "q_fn_round_modes",
+    "q_agg_ks_test",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
