@@ -2427,3 +2427,82 @@ def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
     )
+
+
+@query(
+    "q_agg_mannwhitney",
+    oracle="""
+    WITH p AS (
+        SELECT value,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+        FROM events
+        WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ), r AS (
+        SELECT g1,
+               RANK() OVER (ORDER BY value)
+               + (COUNT(*) OVER (ORDER BY value
+                                 RANGE BETWEEN CURRENT ROW
+                                 AND CURRENT ROW) - 1) / 2.0 AS avg_rank
+        FROM p
+    ), s AS (
+        SELECT CAST(SUM(CASE WHEN g1 = 1 THEN avg_rank END) AS DOUBLE)
+                   AS r1,
+               CAST(SUM(g1) AS BIGINT) AS n1,
+               CAST(SUM(1 - g1) AS BIGINT) AS n2
+        FROM r
+    )
+    SELECT r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0) AS u2,
+           n1, n2
+    FROM s
+    """,
+)
+def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U statistic, two samples (ClickHouse
+    ``mannWhitneyUTest`` — SURVEY §2.D stats family): rank-sum of the
+    'view' sample over the pooled 'view'+'click' values with
+    TIE-AVERAGED ranks (competition rank + (peers-1)/2, the textbook
+    midrank), then U1 = R1 - n1(n1+1)/2 and U2 = n1*n2 - U1.
+    Midranks are integers-or-halves and the sums stay far below 2^53,
+    so every intermediate double is exact — no rounding needed on
+    either side.  Global ORDER BY is inherent to pooled ranking (as
+    in q_agg_ks_test); a per-segment variant would partition both
+    windows by the segment key."""
+    from pyspark.sql.window import Window
+
+    p = (
+        load(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("view", "click")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
+        )
+    )
+    wr = Window.orderBy("value")
+    peers = Window.orderBy("value").rangeBetween(
+        Window.currentRow, Window.currentRow
+    )
+    r = p.select(
+        "g1",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(peers) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    s = r.agg(
+        F.sum(F.when(F.col("g1") == 1, F.col("avg_rank")))
+        .cast("double")
+        .alias("r1"),
+        F.sum("g1").alias("n1"),
+        F.sum(1 - F.col("g1")).alias("n2"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    return s.select(
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        "n1",
+        "n2",
+    )
