@@ -2506,3 +2506,73 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
     )
+
+
+@query(
+    "q_agg_theils_u",
+    oracle="""
+    WITH o AS (
+        SELECT event_type AS r, CAST(user_id % 3 AS BIGINT) AS c,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM events GROUP BY r, c
+    ), w AS (
+        SELECT obs, SUM(obs) OVER (PARTITION BY c) AS col_tot FROM o
+    ), a AS (
+        SELECT (SUM(obs * LN(col_tot)) - SUM(obs * LN(obs))) / SUM(obs)
+                   AS h_rc
+        FROM w
+    ), rt AS (
+        SELECT SUM(obs) AS row_tot FROM o GROUP BY r
+    ), b AS (
+        SELECT LN(SUM(row_tot)) - SUM(row_tot * LN(row_tot)) / SUM(row_tot)
+                   AS h_r
+        FROM rt
+    )
+    SELECT ROUND(b.h_r, 6) AS h_r,
+           ROUND(a.h_rc, 6) AS h_rc,
+           ROUND((b.h_r - a.h_rc) / b.h_r, 6) AS theils_u
+    FROM a, b
+    """,
+)
+def q_agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U uncertainty coefficient U(R|C) (ClickHouse
+    ``theilsU`` — completes the §2.D13 association family next to
+    chi2/cramersV in q_agg_contingency): how much knowing the user
+    bucket C reduces entropy of the event type R, (H(R)-H(R|C))/H(R).
+    Entropies use the algebra H = ln(n) - sum(k*ln k)/n so no
+    per-cell probability division is needed; H(R|C) reduces to
+    (sum(obs*ln col_tot) - sum(obs*ln obs))/n over the ~15-cell
+    contingency table (one partial-aggregated fact shuffle; window +
+    final aggs run on the tiny cell grid).  The two 1-row entropy
+    frames meet in a broadcast scalar cross join."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"), (F.col("user_id") % 3).alias("c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    wc = Window.partitionBy("c")
+    w = cells.select("obs", F.sum("obs").over(wc).alias("col_tot"))
+    a = w.agg(
+        (
+            (
+                F.sum(F.col("obs") * F.log("col_tot"))
+                - F.sum(F.col("obs") * F.log("obs"))
+            )
+            / F.sum("obs")
+        ).alias("h_rc")
+    )
+    rt = cells.groupBy("r").agg(F.sum("obs").alias("row_tot"))
+    b = rt.agg(
+        (
+            F.log(F.sum("row_tot"))
+            - F.sum(F.col("row_tot") * F.log("row_tot")) / F.sum("row_tot")
+        ).alias("h_r")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.round("h_r", 6).alias("h_r"),
+        F.round("h_rc", 6).alias("h_rc"),
+        F.round((F.col("h_r") - F.col("h_rc")) / F.col("h_r"), 6).alias(
+            "theils_u"
+        ),
+    )

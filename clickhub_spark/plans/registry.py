@@ -211,6 +211,7 @@ ROUND_PRIORITY = [
     "q_fn_round_modes",
     "q_agg_ks_test",
     "q_agg_mannwhitney",
+    "q_agg_theils_u",
     # --- last driver row: round 3 (front of round 6) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
