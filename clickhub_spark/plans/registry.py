@@ -33,85 +33,34 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # check is oldest.  Names not in the registry are ignored, so entries
 # can be staged before their module lands.  Override ad hoc with
 # SPARK_GRAFT_QUERY_ORDER=comma,separated,names (prefix order).
-# Round-5 rationale (VERDICT.md r4 item 1): the driver window covers the
-# first ~50 names only (r4 window was exactly 50), so order = driver-
-# evidence age.  After round 4 the evidence ages are: 49 queries last
-# checked in round 2 (now at the README policy's 2-round staleness
-# limit — they MUST be in this window), 50 checked in round 3, 50 in
-# round 4.  Order:
-#   1. The 49 round-2-window queries (oldest evidence; fills 49 of the
-#      ~50 window slots).
-#   2. Queries new in round 5 (staged; unknown names ignored) — the
-#      first lands in window slot 50, the tail rolls into round 6's
-#      front together with the round-3 block below.
-#   3. The 50 round-3-window queries (next oldest; front of round 6).
-# Round-4-window queries are omitted — freshest evidence, appended in
-# registry order and checked last.
+# Round-6 rationale (VERDICT.md r5 items 1-4): after r5, 150 of 250
+# registered queries have a driver row (r3: 50, r4: 50, r5: 50) and
+# 100 have NEVER been driver-checked.  Order:
+#   1. Queries changed or added this round (semdedup rewrite, KS/MW
+#      per-value-count rewrites, the new per-segment _by variants) —
+#      a changed query needs a fresh row regardless of age.
+#   2. The 97 remaining never-checked names (driver evidence is the
+#      hard currency — slots 6-50 land in the r6 window, the ~52
+#      left over front-load round 7).
+#   3. r3-window block (3 rounds stale), then r4, then r5 (freshest).
+# The full tools/check.py gates at 3 SFs, the vanilla-session gate,
+# and the cluster gate (all 0-fail artifacts each round) carry
+# whole-surface value-checking between driver visits.
 #
-# ROUND-6 TODO (first registry task next round): after the r5 driver
-# run lands, reorder to (1) the r5-staged names BELOW the r5 window
-# cut (none have a driver row yet — highest priority), (2) the
-# round-3-window block (then 3 rounds stale), (3) round-4-window,
-# (4) the r5-window names (freshest).  With ~235 queries and a
-# 50-name window the driver alone can no longer give every query a
-# ≤2-round-old row; the full tools/check.py gates at sf0.01+sf0.1,
-# the vanilla gate, and the cluster gate (all 0-fail artifacts each
-# round) carry whole-surface value-checking, and the window rotates
-# through never-checked names first.
+# ROUND-7 TODO: front-load (1) anything changed in round 7, (2) the
+# ~52 never-checked names below this round's window cut (everything
+# after window slot 50 in the never-checked section below), (3) the
+# r3 block (then 4 rounds stale).
 ROUND_PRIORITY = [
-    # --- last driver row: round 2 (staleness-policy limit) ---
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_asof",
-    "q_join_range_binned",
-    "q_join_full_outer",
-    "q_win_rank",
-    "q_win_lag",
-    "q_win_running",
-    "q_win_range",
-    "q_win_topn_group",
-    "q_win_dist",
-    "q_stream_tumble",
-    "q_stream_session",
-    "q_fn_higher_order",
-    "q_fn_bitwise",
-    "q_join_cross",
-    "q_agg_collect",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_jaccard",
-    "q_llm_dedup_minhash",
-    "q_llm_knn",
-    "q_llm_knn_lsh",
-    "q_llm_textstats",
-    "q_llm_lang_id",
-    "q_llm_quality",
-    "q_llm_fingerprint",
-    "q_udf_scalar",
-    "q_udf_agg",
-    "q_udf_table",
-    "q_multimodal_meta",
-    "q_llm_token_bpe",
-    "q_llm_dedup_minhash_md5",
-    "q_llm_dedup_groups",
-    "q_sample_stratified",
-    "q_llm_dedup_apply",
-    "q_llm_pii_scrub",
-    "q_llm_contamination",
-    "q_llm_repetition",
-    "q_llm_dedup_incremental",
-    "q_llm_chunk",
-    "q_llm_dedup_apply_near",
-    "q_llm_pack",
-    "q_llm_corpus_pipeline",
-    "q_llm_dedup_substring",
-    # --- new in round 5 (staged; unknown names ignored until the
-    # module lands) ---
-    "q_llm_minhash_sim",
+    # --- changed/new in round 6 (window front: fresh driver row required) ---
+    "q_llm_semdedup",
+    "q_agg_ks_test",
+    "q_agg_mannwhitney",
+    "q_agg_ks_test_by",
+    "q_agg_mannwhitney_by",
+    # --- never driver-checked (r5-staged names below the r5 window cut;
+    # highest priority — slots 6-50 land in the r6 window, the rest
+    # front-load round 7) ---
     "q_llm_ngram_lm",
     "q_win_ntile",
     "q_fn_geo",
@@ -148,7 +97,6 @@ ROUND_PRIORITY = [
     "q_scan_csv",
     "q_scan_jsonl",
     "q_scan_orc",
-    "q_llm_semdedup",
     "q_llm_importance_sample",
     "q_win_locf",
     "q_agg_mad",
@@ -209,10 +157,8 @@ ROUND_PRIORITY = [
     "q_agg_mode",
     "q_agg_time_decay",
     "q_fn_round_modes",
-    "q_agg_ks_test",
-    "q_agg_mannwhitney",
     "q_agg_theils_u",
-    # --- last driver row: round 3 (front of round 6) ---
+    # --- last driver row: round 3 (3 rounds stale) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
     "q_agg_histogram",
@@ -263,6 +209,108 @@ ROUND_PRIORITY = [
     "q_agg_distinct",
     "q_agg_approx_distinct",
     "q_agg_rollup",
+    # --- last driver row: round 4 ---
+    "q_sample_hash",
+    "q_funnel",
+    "q_retention",
+    "q_agg_array_combinator",
+    "q_seq_match",
+    "q_topk_freq",
+    "q_agg_cube",
+    "q_agg_argmax",
+    "q_agg_quantile",
+    "q_dedup_replacing",
+    "q_topk_multi",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_stream_slide",
+    "q_llm_dedup_embed",
+    "q_agg_approx_quantile",
+    "q_agg_grouping_sets",
+    "q_set_union_all",
+    "q_win_firstlast",
+    "q_llm_knn_ivf",
+    "q_agg_salted",
+    "q_tpch_q6",
+    "q_tpch_q3",
+    "q_win_pctrank",
+    "q_fn_interval",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_json",
+    "q_fn_hash",
+    "q_stream_join",
+    "q_llm_simhash_md5",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_llm_perplexity_store",
+    "q_queue_sqlite",
+    "q_llm_vocab_coverage",
+    "q_llm_shuffle",
+    "q_llm_knn_lsh_md5",
+    "q_llm_pack_sharded",
+    "q_llm_split",
+    "q_fn_variant",
+    "q_join_salted",
+    "q_join_bucketed",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    "q_limit_offset",
+    # --- last driver row: round 5 (freshest evidence, checked last) ---
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_asof",
+    "q_join_range_binned",
+    "q_join_full_outer",
+    "q_win_rank",
+    "q_win_lag",
+    "q_win_running",
+    "q_win_range",
+    "q_win_topn_group",
+    "q_win_dist",
+    "q_stream_tumble",
+    "q_stream_session",
+    "q_fn_higher_order",
+    "q_fn_bitwise",
+    "q_join_cross",
+    "q_agg_collect",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_jaccard",
+    "q_llm_dedup_minhash",
+    "q_llm_knn",
+    "q_llm_knn_lsh",
+    "q_llm_textstats",
+    "q_llm_lang_id",
+    "q_llm_quality",
+    "q_llm_fingerprint",
+    "q_udf_scalar",
+    "q_udf_agg",
+    "q_udf_table",
+    "q_multimodal_meta",
+    "q_llm_token_bpe",
+    "q_llm_dedup_minhash_md5",
+    "q_llm_dedup_groups",
+    "q_sample_stratified",
+    "q_llm_dedup_apply",
+    "q_llm_pii_scrub",
+    "q_llm_contamination",
+    "q_llm_repetition",
+    "q_llm_dedup_incremental",
+    "q_llm_chunk",
+    "q_llm_dedup_apply_near",
+    "q_llm_pack",
+    "q_llm_corpus_pipeline",
+    "q_llm_dedup_substring",
+    "q_llm_minhash_sim",
 ]
 
 
