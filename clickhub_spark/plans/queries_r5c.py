@@ -2384,15 +2384,21 @@ def q_fn_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic (ClickHouse
     ``kolmogorovSmirnovTest`` — SURVEY §2.D stats family): max ECDF
-    gap between 'view' and 'click' value distributions.  RANGE frames
-    (not ROWS) so tied values contribute all their peers to both
-    ECDFs — the D at a tie is evaluated AFTER the full tie group, the
-    textbook definition.  The global ORDER BY is inherent to the
-    statistic (the reference engine fully sorts both samples too); a
-    per-segment variant would partition the windows by the segment
-    key.  Both engines divide the same exact integer counts, so the
-    doubles are bit-identical — FLOOR-scaling per the repo's
-    same-IEEE-double convention, not ROUND."""
+    gap between 'view' and 'click' value distributions.  The oracle
+    is the naive per-row RANGE-frame window form; the Spark plan is
+    the per-VALUE-counts rewrite (VERDICT r5 item 2, the
+    q_llm_score_normalize technique): a full-table
+    ``Window.orderBy(value)`` plans Exchange SinglePartition — one
+    task sorts every row — so instead the rows are aggregated to
+    per-distinct-value (view, click) counts first (a parallel hash
+    shuffle), the cumulative window runs over the distinct-value
+    table only, and the scalar totals ride in on a single-row
+    broadcast cross.  ECDFs are per-value-exact: within a tie group
+    every row's RANGE-cumulative counts equal the tie group's
+    closing counts, so max-over-values ≡ max-over-rows.  Both
+    engines divide the same exact integer counts, so the doubles are
+    bit-identical — FLOOR-scaling per the repo's same-IEEE-double
+    convention, not ROUND."""
     from pyspark.sql.window import Window
 
     p = (
@@ -2406,23 +2412,24 @@ def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
         )
     )
-    wcum = Window.orderBy("value").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
+    counts = p.groupBy("value").agg(
+        F.sum("g1").alias("d1"),
+        F.sum(1 - F.col("g1")).alias("d2"),
     )
-    wall = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # cumulative window over the DISTINCT-VALUE table only (bounded by
+    # value cardinality, not row count) — whitelisted aggregated-input
+    # form in tools/plan_guard.py
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = counts.select(
+        F.sum("d1").over(wcum).alias("c1"),
+        F.sum("d2").over(wcum).alias("c2"),
     )
-    c = p.select(
-        F.sum("g1").over(wcum).alias("c1"),
-        F.sum(1 - F.col("g1")).over(wcum).alias("c2"),
-        F.sum("g1").over(wall).alias("n1"),
-        F.sum(1 - F.col("g1")).over(wall).alias("n2"),
-    )
+    tot = counts.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
     gap = F.abs(
         F.col("c1").cast("double") / F.col("n1").cast("double")
         - F.col("c2").cast("double") / F.col("n2").cast("double")
     )
-    return c.agg(
+    return c.crossJoin(F.broadcast(tot)).agg(
         (F.floor(F.max(gap) * 1000000) / 1000000).alias("ks_d"),
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
@@ -2463,11 +2470,16 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     'view' sample over the pooled 'view'+'click' values with
     TIE-AVERAGED ranks (competition rank + (peers-1)/2, the textbook
     midrank), then U1 = R1 - n1(n1+1)/2 and U2 = n1*n2 - U1.
-    Midranks are integers-or-halves and the sums stay far below 2^53,
-    so every intermediate double is exact — no rounding needed on
-    either side.  Global ORDER BY is inherent to pooled ranking (as
-    in q_agg_ks_test); a per-segment variant would partition both
-    windows by the segment key."""
+    The oracle is the naive per-row rank-window form; the Spark plan
+    is the per-VALUE-counts rewrite (VERDICT r5 item 2): midranks
+    are a function of per-value cumulative counts — midrank(v) =
+    #strictly-smaller rows + (peers+1)/2 — so the rows aggregate to
+    (value, d1, peers) first (parallel hash shuffle), the cumulative
+    window runs over the distinct-value table only, and R1 =
+    Σ d1(v)·midrank(v), never a full-table Exchange-SinglePartition
+    sort.  Midranks are integers-or-halves and the sums stay far
+    below 2^53, so every intermediate double is exact regardless of
+    summation order — no rounding needed on either side."""
     from pyspark.sql.window import Window
 
     p = (
@@ -2481,23 +2493,25 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
         )
     )
-    wr = Window.orderBy("value")
-    peers = Window.orderBy("value").rangeBetween(
-        Window.currentRow, Window.currentRow
+    counts = p.groupBy("value").agg(
+        F.sum("g1").alias("d1"),
+        F.count(F.lit(1)).alias("peers"),
     )
-    r = p.select(
-        "g1",
+    # strictly-smaller cumulative over the DISTINCT-VALUE table only —
+    # whitelisted aggregated-input form in tools/plan_guard.py
+    wprev = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    r = counts.select(
+        "d1",
+        "peers",
         (
-            F.rank().over(wr)
-            + (F.count(F.lit(1)).over(peers) - 1) / 2.0
-        ).alias("avg_rank"),
+            F.coalesce(F.sum("peers").over(wprev), F.lit(0))
+            + (F.col("peers") + 1) / 2.0
+        ).alias("midrank"),
     )
     s = r.agg(
-        F.sum(F.when(F.col("g1") == 1, F.col("avg_rank")))
-        .cast("double")
-        .alias("r1"),
-        F.sum("g1").alias("n1"),
-        F.sum(1 - F.col("g1")).alias("n2"),
+        F.sum(F.col("d1") * F.col("midrank")).cast("double").alias("r1"),
+        F.sum("d1").alias("n1"),
+        F.sum(F.col("peers") - F.col("d1")).alias("n2"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     return s.select(
