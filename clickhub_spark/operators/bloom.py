@@ -95,7 +95,14 @@ def build_bloom(df: DataFrame, hash_col: str, m_bits: int, k: int) -> bytes:
 
 def might_contain(df: DataFrame, hash_col: str, bitmap: bytes, k: int) -> DataFrame:
     """Filter to rows whose hash MIGHT be in the bloom (map-side; no
-    shuffle).  Guaranteed to keep every true member."""
+    shuffle).  Guaranteed to keep every true member.  A NULL hash is
+    treated as not-contained (dropped) — the build side never inserts
+    NULL, and an unmasked NULL turns into NaN under ``to_numpy()``
+    whose int64 view would kill the task (ADVICE r5).  Nulls are
+    filtered JVM-side BEFORE the probe, not just masked in the UDF:
+    Arrow transfers int64-with-nulls as float64, which corrupts hash
+    values beyond 2^53 for the whole batch — the pre-filter keeps the
+    transfer int64-exact."""
     m_bits = len(bitmap) * 8
     bm = np.frombuffer(bitmap, dtype=np.uint8)
 
@@ -103,8 +110,17 @@ def might_contain(df: DataFrame, hash_col: str, bitmap: bytes, k: int) -> DataFr
     def probe(h: pd.Series) -> pd.Series:
         if h.empty:
             return pd.Series([], dtype=bool)
+        valid = h.notna()
+        if not valid.all():
+            out = pd.Series(np.zeros(len(h), dtype=bool))
+            if valid.any():
+                pos = _positions(h[valid].to_numpy(), m_bits, k)
+                out[valid.to_numpy()] = (bm[pos >> 3] & (1 << (pos & 7))).all(
+                    axis=0
+                )
+            return out
         pos = _positions(h.to_numpy(), m_bits, k)
         hit = (bm[pos >> 3] & (1 << (pos & 7))) != 0
         return pd.Series(hit.all(axis=0))
 
-    return df.where(probe(F.col(hash_col)))
+    return df.where(F.col(hash_col).isNotNull()).where(probe(F.col(hash_col)))

@@ -590,6 +590,12 @@ def parse_mp3_frames(payload: bytes) -> list[tuple[int, int, int, int, int, int]
         pos = 10 + (
             ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
         )
+        if b[5] & 0x10:
+            # ID3v2.4 footer flag: tag size excludes the 10-byte
+            # footer, so the first frame sync sits 10 bytes further
+            # (ADVICE r5 — without this the walk degrades to the
+            # byte-stat stub)
+            pos += 10
     out = []
     while pos + 4 <= len(b):
         f = _mp3_frame_at(b, pos)

@@ -226,11 +226,14 @@ def snapshot_mutate(spark: SparkSession, table_dir: str, transform) -> int:
 def prune_snapshots(table_dir: str, keep: int = 3) -> int:
     """Drop all but the newest ``keep`` versions (never the current
     one) and sweep any ``.__build_*`` leftovers from crashed writes;
-    returns how many VERSIONS were removed.  Only ``v########`` dirs
-    count as versions — a stale build dir must never occupy a keep
-    slot (it would push a real retained version out)."""
+    returns how many VERSIONS were removed.  ``keep=0`` retains only
+    the current version.  Only ``v########`` dirs count as versions —
+    a stale build dir must never occupy a keep slot (it would push a
+    real retained version out)."""
     import re
 
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
     snapdir = os.path.join(table_dir, _SNAPDIR)
     entries = sorted(os.listdir(snapdir))
     for e in entries:
@@ -238,7 +241,11 @@ def prune_snapshots(table_dir: str, keep: int = 3) -> int:
             shutil.rmtree(os.path.join(snapdir, e), ignore_errors=True)
     cur = current_version(table_dir)
     snaps = [e for e in entries if re.fullmatch(r"v\d{8}", e)]
-    victims = [s for s in snaps[:-keep] if s != f"v{cur:08d}"] if keep else []
+    # keep=0 must mean "keep nothing but current", but snaps[:-0] is
+    # [] (the ADVICE r5 short-circuit kept EVERYTHING) — slice only
+    # for keep > 0
+    candidates = snaps[:-keep] if keep > 0 else snaps
+    victims = [s for s in candidates if s != f"v{cur:08d}"]
     for s in victims:
         shutil.rmtree(os.path.join(snapdir, s))
     return len(victims)

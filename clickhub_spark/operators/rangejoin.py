@@ -91,9 +91,22 @@ def interval_overlap_join(
     share MANY bins, so each pair is attributed to exactly one owner
     bin — the bin containing the overlap's start (max of the two
     starts) — which dedups without any post-join ``distinct``
-    (no second shuffle)."""
+    (no second shuffle).
+
+    The two frames' column sets must be DISJOINT (rename one side
+    first): the bin equi-join keeps both schemas, so any shared name
+    — including ``left_start == right_start`` — would make the
+    residual overlap/owner predicates ambiguous at resolution time
+    (ADVICE r5); validated up front with a clear error."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    clash = sorted(set(left.columns) & set(right.columns))
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join requires disjoint column names; "
+            f"shared: {clash} — rename one side (e.g. "
+            f"df.select([F.col(c).alias('r_' + c) for c in df.columns]))"
+        )
     lb = left.withColumn(
         "__bin",
         F.explode(

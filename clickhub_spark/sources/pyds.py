@@ -314,7 +314,16 @@ class TsvSinkWriter(DataSourceWriter):
     dir and a failed job leaves the target EMPTY of partial output.
     Control characters in strings are replaced by spaces — the same
     framing rule sources/git_extract applies (TSV is positional; an
-    embedded tab would shift every later column)."""
+    embedded tab would shift every later column).
+
+    Executors stage parts under ``<path>/.staging-<job>`` on their
+    LOCAL filesystem and the driver's commit() renames them into
+    place, so the exactly-once contract requires ``path`` to be on a
+    filesystem shared by driver and executors (same single-node
+    deploy contract as the gitlog source, pyds.py module docstring).
+    On a multi-node master without shared storage the commit's
+    existence check fails fast with the staged path in the error
+    (ADVICE r5) rather than silently losing parts."""
 
     def __init__(self, options, schema, overwrite: bool):
         import uuid
@@ -353,6 +362,22 @@ class TsvSinkWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import shutil
 
+        # validate EVERY staged part before deleting or renaming
+        # ANYTHING: a part staged on an executor without shared
+        # storage must fail the whole commit up front — before the
+        # overwrite clears old data, before any part lands
+        missing = [
+            m.staged_path
+            for m in messages
+            if m is not None and not os.path.exists(m.staged_path)
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"engine_tsv commit: staged parts {missing!r} are not "
+                f"visible from the driver — the sink requires driver and "
+                f"executors to share one filesystem (see TsvSinkWriter "
+                f"docstring); target {self.path!r} was left untouched"
+            )
         if self.overwrite:
             for existing in os.listdir(self.path):
                 if existing.endswith(".tsv"):

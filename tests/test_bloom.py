@@ -78,3 +78,17 @@ def test_optimal_k():
     assert bloom.optimal_k(1 << 18, 2000) == round((1 << 18) / 2000 * math.log(2))
     assert bloom.optimal_k(8, 10_000) == 1
     assert bloom.optimal_k(8, 0) == 1
+
+
+def test_null_hashes_dropped_not_crashed(spark):
+    # ADVICE r5: a NULL in hash_col used to NaN-poison the probe
+    # batch (int64 view raised, killing the task).  Nulls must be
+    # treated as not-contained; non-null rows keep exact semantics.
+    members = _hashed(spark, 0, 100)
+    bm = bloom.build_bloom(members, "h", M_BITS, K)
+    probes = members.withColumn(
+        "h", F.when(F.col("id") % 3 == 0, F.col("h"))
+    )  # 2/3 of hashes nulled
+    kept = bloom.might_contain(probes, "h", bm, K)
+    ids = sorted(r.id for r in kept.collect())
+    assert ids == [i for i in range(100) if i % 3 == 0]

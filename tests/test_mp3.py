@@ -122,3 +122,22 @@ def test_sample_frames_dataframe_mp3_path(spark):
     assert [(r.doc_id, r.frame_idx) for r in rows] == [(1, 0), (1, 4)]
     assert bytes(rows[0].frame) == frames[0]
     assert bytes(rows[1].frame) == frames[4]
+
+
+def test_parse_skips_id3v24_footer():
+    # ADVICE r5: the ID3v2.4 footer flag (byte 5 bit 4) adds 10 bytes
+    # after the tag body; without the adjustment the first sync probe
+    # landed inside the footer and the index came back empty.
+    payload, _ = _mp3(3, id3=500)
+    # rewrite the header: set footer flag and append the 10-byte footer
+    # between tag body and first frame
+    flags = payload[5] | 0x10
+    with_footer = (
+        payload[:5]
+        + bytes([flags])
+        + payload[6:10]
+        + payload[10 : 10 + 500]
+        + b"3DI" + bytes([4, 0, flags]) + payload[6:10]
+        + payload[10 + 500 :]
+    )
+    assert len(parse_mp3_frames(with_footer)) == 3

@@ -4,7 +4,13 @@ committed snapshot stays loadable and non-trivial."""
 
 import json
 
-from tools.plan_guard import SNAPSHOT, WORSE_IF_MORE, compare, fingerprint
+from tools.plan_guard import (
+    SNAPSHOT,
+    UNPARTITIONED_WINDOW_CANON,
+    WORSE_IF_MORE,
+    compare,
+    fingerprint,
+)
 
 
 def test_fingerprint_counts_detail_headers():
@@ -63,4 +69,47 @@ def test_snapshot_committed_and_sane():
         "BroadcastNestedLoopJoin",
         "SortMergeJoin",
         "BatchEvalPython",
+        "UnpartitionedWindow",
     }
+    # every unpartitioned window in the snapshot is on the documented
+    # canon list, and the list carries no stale names
+    offenders = {n for n, fp in snap.items() if fp.get("UnpartitionedWindow")}
+    assert offenders <= UNPARTITIONED_WINDOW_CANON
+    assert UNPARTITIONED_WINDOW_CANON <= set(snap)
+
+
+def test_fingerprint_detects_unpartitioned_window_specs():
+    """The spec regex separates ordered-unpartitioned (flagged) from
+    partitioned (fine) windowspecdefinitions, counting specs."""
+    unpart = (
+        "(1) Window\nArguments: [sum(d1#9L) windowspecdefinition("
+        "value#4 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS c1#20L]\n"
+    )
+    part = (
+        "(1) Window\nArguments: [sum(g1#113) windowspecdefinition("
+        "seg#112L, value#108 ASC NULLS FIRST, specifiedwindowframe("
+        "RangeFrame, unboundedpreceding$(), currentrow$())) AS c1#1L]\n"
+    )
+    part_noorder = (
+        "(1) Window\nArguments: [sum(g1#113) windowspecdefinition("
+        "seg#112L, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS n1#2L]\n"
+    )
+    assert fingerprint(unpart).get("UnpartitionedWindow") == 1
+    assert "UnpartitionedWindow" not in fingerprint(part)
+    assert "UnpartitionedWindow" not in fingerprint(part_noorder)
+
+
+def test_compare_enforces_unpartitioned_window_canon():
+    """Seeded regressions: a canon query growing another global-window
+    spec is flagged; ANY non-canon query with one is flagged even when
+    its own snapshot already carried it (hard floor, not just delta)."""
+    old = {"q_llm_pack": {"UnpartitionedWindow": 1}, "q_rogue": {"UnpartitionedWindow": 1}}
+    new = {"q_llm_pack": {"UnpartitionedWindow": 2}, "q_rogue": {"UnpartitionedWindow": 1}}
+    problems = compare(old, new)
+    assert any("q_llm_pack" in p and "unpartitioned" in p.lower() for p in problems)
+    assert any("q_rogue" in p and "UNPARTITIONED_WINDOW_CANON" in p for p in problems)
+    # and the clean state is quiet
+    clean = {"q_llm_pack": {"UnpartitionedWindow": 1}}
+    assert compare({"q_llm_pack": {"UnpartitionedWindow": 1}}, clean) == []

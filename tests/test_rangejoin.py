@@ -47,3 +47,17 @@ def test_outer_how_refused(spark):
     iv = spark.createDataFrame([(0.0, 2.0)], "s double, e double")
     with _pytest.raises(ValueError, match="inner"):
         point_in_interval_join(pts, iv, "p", "s", "e", 10, how="left")
+
+
+def test_overlap_join_rejects_column_clash(spark):
+    # ADVICE r5: shared column names between the two sides used to
+    # surface as an ambiguous-reference resolution error deep inside
+    # the residual predicates; now a clear up-front ValueError.
+    import pytest
+
+    from clickhub_spark.operators.rangejoin import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10)], "id long, s long, e long")
+    b = spark.createDataFrame([(2, 5, 15)], "id long, s long, e long")
+    with pytest.raises(ValueError, match=r"disjoint.*\['e', 'id', 's'\]"):
+        interval_overlap_join(a, b, "s", "e", "s", "e", 4)

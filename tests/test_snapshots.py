@@ -132,3 +132,18 @@ def test_rewrite_crash_recovery(spark, tmp_path):
     _os.rename(path, path + ".__old")
     remaining = delete_where(spark, path, F.col("k") < 10)
     assert remaining == 40
+
+
+def test_prune_keep_zero_retains_only_current(spark, table):
+    # ADVICE r5: keep=0 used to short-circuit to "remove nothing";
+    # it must mean "retain only the current version"
+    for _ in range(3):
+        snapshot_mutate(spark, table, lambda df: df.where(F.col("k") >= 0))
+    assert current_version(table) == 3
+    removed = prune_snapshots(table, keep=0)
+    assert removed == 3  # v0..v2 gone, current v3 survives
+    assert read_snapshot(spark, table, 3).count() == 100
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, 2)
+    with pytest.raises(ValueError):
+        prune_snapshots(table, keep=-1)

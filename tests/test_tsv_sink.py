@@ -112,3 +112,31 @@ def test_append_twice_accumulates(spark, tmp_path):
     ten.write.format("engine_tsv").option("path", out).mode("append").save()
     assert len([f for f in os.listdir(out) if f.endswith(".tsv")]) == 2
     assert read_positional_tsv(spark, out, _SCHEMA).count() == 20
+
+
+def test_commit_fails_fast_on_invisible_staged_part(tmp_path):
+    # ADVICE r5: staged parts live on executor-local disk; when the
+    # driver can't see one (no shared filesystem), commit must fail
+    # BEFORE deleting old output or renaming any part.
+    from pyspark.sql.types import StructField
+
+    from clickhub_spark.sources.pyds import TsvSinkWriter, _TsvCommit
+
+    target = tmp_path / "out"
+    target.mkdir()
+    (target / "old.tsv").write_text("1\tkeep\n")
+    schema = StructType([StructField("a", StringType())])
+    w = TsvSinkWriter({"path": str(target)}, schema, overwrite=True)
+    stage = target / f".staging-{w.job_id}"
+    stage.mkdir()
+    visible = stage / "part-ok.tsv"
+    visible.write_text("2\tnew\n")
+    msgs = [
+        _TsvCommit(str(visible), 1),
+        _TsvCommit(str(stage / "part-on-another-node.tsv"), 1),
+    ]
+    with pytest.raises(FileNotFoundError, match="share one filesystem"):
+        w.commit(msgs)
+    # nothing renamed, overwrite did NOT clear the old data
+    assert (target / "old.tsv").read_text() == "1\tkeep\n"
+    assert visible.exists() and not (target / "part-ok.tsv").exists()

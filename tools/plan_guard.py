@@ -54,7 +54,31 @@ WORSE_IF_MORE = {
     "BroadcastNestedLoopJoin": "nested-loop join appeared",
     "SortMergeJoin": "broadcast/shuffled-hash degraded to sort-merge",
     "BatchEvalPython": "row-at-a-time Python UDF appeared",
+    "UnpartitionedWindow": "unpartitioned (SinglePartition) window appeared",
 }
+
+#: Queries ALLOWED to carry an unpartitioned window (VERDICT r5 item
+#: 3).  A window with no PARTITION BY plans Exchange SinglePartition —
+#: one task sorts the whole input — so every entry here must document
+#: why that input is BOUNDED (already aggregated, or the documented
+#: cross-engine oracle canon whose production twin is plan-tested).
+#: Any query not listed here with UnpartitionedWindow > 0 is a HARD
+#: --check failure even if the snapshot agrees.
+UNPARTITIONED_WINDOW_CANON = {
+    # documented oracle canon: global running sum IS the packing
+    # spec; sharded production twin q_llm_pack_sharded is plan-tested
+    # SinglePartition-free (tests/test_plans.py)
+    "q_llm_pack",
+    # cumulative window over a per-VALUE aggregated table (distinct
+    # scores/values ≪ rows) — the q_llm_score_normalize technique;
+    # the corpus-sized input never passes through the window
+    "q_llm_score_normalize",
+    "q_agg_ks_test",
+    "q_agg_mannwhitney",
+}
+# (A round-6 scan of all 252 plans found unpartitioned window specs in
+# exactly these four queries — every other window in the registry is
+# partitioned.)
 
 
 def fingerprint(plan: str) -> dict[str, int]:
@@ -71,6 +95,18 @@ def fingerprint(plan: str) -> dict[str, int]:
             n = sum(1 for o in ops if o == "Exchange")
         if n:
             fp[name] = n
+    # Unpartitioned windows: a windowspecdefinition whose FIRST
+    # argument is an ordering spec (col ASC/DESC NULLS ...) has no
+    # partition columns -> the Window's child is Exchange
+    # SinglePartition.  Partitioned specs lead with bare partition
+    # expressions instead.  (Counting specs, not Window operators: one
+    # Window op can evaluate several specs; any unpartitioned spec
+    # forces the single-partition distribution.)
+    n_unpart = len(
+        re.findall(r"windowspecdefinition\(\S+ (?:ASC|DESC) NULLS", plan)
+    )
+    if n_unpart:
+        fp["UnpartitionedWindow"] = n_unpart
     return fp
 
 
@@ -99,6 +135,18 @@ def compare(old: dict, new: dict) -> list[str]:
     problems = []
     for name, fp_new in new.items():
         fp_old = old.get(name)
+        # hard floor, snapshot-independent: an unpartitioned window is
+        # only legal on the documented-canon list, even for a brand-new
+        # query or one whose snapshot already carried it
+        if (
+            fp_new.get("UnpartitionedWindow", 0) > 0
+            and name not in UNPARTITIONED_WINDOW_CANON
+        ):
+            problems.append(
+                f"{name}: unpartitioned window (Exchange SinglePartition sort) "
+                f"not in UNPARTITIONED_WINDOW_CANON — partition it or document "
+                f"why its input is bounded"
+            )
         if fp_old is None:
             continue  # new query: no baseline yet
         if "__error__" in fp_new and "__error__" not in fp_old:
