@@ -65,15 +65,83 @@ def _merge_once(syms: list, left: str, right: str) -> list:
     return out
 
 
+def _train_incremental(
+    top: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a collected word-frequency table,
+    with INCREMENTAL pair-count maintenance (the textbook fast BPE):
+    a full pair recount per round is O(words·len) — instead each
+    merge touches only the words that contain the merged pair (via a
+    pair→words inverted index), subtracting their old adjacent-pair
+    contributions and adding the new ones.  Tie-breaking is identical
+    to the distributed tier and ``reference_bpe``: count DESC, then
+    (left, right) lexicographic; stop below count 2."""
+    from collections import Counter, defaultdict
+
+    freqs = dict(top)
+    state = {w: list(w) + [EOW] for w, _ in top}
+    pc: Counter = Counter()
+    where: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, syms in state.items():
+        f = freqs[w]
+        for p in zip(syms, syms[1:]):
+            pc[p] += f
+            where[p].add(w)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = min(
+            ((-c, p) for p, c in pc.items() if c >= 2), default=None
+        )
+        if best is None:
+            break
+        pair = best[1]
+        merges.append(pair)
+        for w in sorted(where.pop(pair, ())):
+            syms = state[w]
+            # stale index entries (word no longer holds the pair after
+            # an earlier merge) contribute nothing — skip
+            if not any(p == pair for p in zip(syms, syms[1:])):
+                continue
+            f = freqs[w]
+            for p in zip(syms, syms[1:]):
+                pc[p] -= f
+                if pc[p] <= 0:
+                    del pc[p]
+            new = _merge_once(syms, *pair)
+            state[w] = new
+            for p in zip(new, new[1:]):
+                pc[p] += f
+                where[p].add(w)
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 30,
     max_words: int = 5000,
+    driver_merge_cap: int = 65536,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns the
-    ordered merge list [(left, right), ...]."""
+    ordered merge list [(left, right), ...].
+
+    The word-frequency aggregation is the only corpus-sized stage and
+    is always distributed.  The merge loop runs over the CAPPED word
+    table (``max_words`` rows — bounded driver state, the same
+    contract as the per-round driver argmax): when the table fits
+    ``driver_merge_cap`` it is collected once and merged driver-side
+    with incremental pair-count updates (one Spark job total instead
+    of one per round — VERDICT r5 item 8 measured the 20-round
+    distributed loop at 6.7 s of per-round job overhead for a 5k-word
+    table whose whole merge history computes in milliseconds).  A
+    larger cap falls back to the distributed per-round loop
+    (``driver_merge_cap=0`` forces it, e.g. for tests).  Both tiers
+    and ``reference_bpe`` share tie-breaking exactly (count DESC,
+    then pair lexicographic), so the merge list is identical."""
     words = word_freq_table(df, text_col, max_words)
+    if max_words <= driver_merge_cap:
+        top = [(r["word"], r["freq"]) for r in words.collect()]
+        return _train_incremental(top, n_merges)
     state = words.select(
         "word",
         "freq",

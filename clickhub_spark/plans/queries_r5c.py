@@ -1181,14 +1181,17 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE tokenizer training (Sennrich 2016; SURVEY §2.J7
     tokenization family — complements q_llm_token_bpe, which applies
-    a fixed regex): learn 20 merges from the documents corpus via the
-    distributed loop in operators/bpe.py — word-frequency table once
-    (the 100 TB move: distinct words are bounded and heavy-tailed,
-    capped at the most-frequent 5k), then per round one pair-count
-    hash agg over that SMALL table + a driver argmax + a map-only
-    merge apply.  Deterministic ties (count DESC, pair lexicographic)
-    make the merge list reproducible across runs and partitionings.
-    Returns (rank, left, right, merged)."""
+    a fixed regex): learn 20 merges from the documents corpus via
+    operators/bpe.py — word-frequency table once (the 100 TB move:
+    distinct words are bounded and heavy-tailed, capped at the
+    most-frequent 5k; the only corpus-sized stage), then the merge
+    loop runs driver-side over that bounded table with incremental
+    pair-count updates (one Spark job total; the r5 per-round-job
+    loop paid 6.7 s of scheduler overhead for milliseconds of merge
+    math — the distributed loop remains for caps beyond driver
+    memory).  Deterministic ties (count DESC, pair lexicographic)
+    make the merge list reproducible across runs, partitionings, and
+    tiers.  Returns (rank, left, right, merged)."""
     from clickhub_spark.operators.bpe import train_bpe
 
     docs = load(spark, sf_dir, "documents")

@@ -78,3 +78,26 @@ def test_tokenization_lossless_and_compressive(spark, docs, merges):
 def test_merges_are_nonempty_and_orderly(merges):
     assert len(merges) == N_MERGES
     assert all(isinstance(l, str) and isinstance(r, str) for l, r in merges)
+
+
+def test_distributed_tier_equals_driver_tier(spark, docs, merges):
+    # driver_merge_cap=0 forces the per-round distributed loop; it
+    # must produce the same merge list as the default driver-side
+    # incremental tier (which the `merges` fixture now exercises)
+    dist = train_bpe(
+        docs, "text", n_merges=N_MERGES, max_words=MAX_WORDS, driver_merge_cap=0
+    )
+    assert dist == merges
+
+
+def test_incremental_counts_match_recount_on_repeats(spark):
+    # 'aaaa'-style words stress the incremental accounting: merging
+    # (a,a) rewrites adjacencies non-trivially (left-to-right,
+    # non-overlapping) and the inverted index goes stale for the
+    # losing words — the guard must skip them without double-counting
+    from clickhub_spark.operators.bpe import _train_incremental
+
+    top = [("aaaa", 10), ("aaab", 7), ("abab", 5)]
+    inc = _train_incremental(top, 6)
+    ref = reference_bpe(["aaaa " * 10 + "aaab " * 7 + "abab " * 5], 6, 100)
+    assert inc == ref
