@@ -10,6 +10,7 @@ run per segment, no Exchange SinglePartition anywhere in the plan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -170,4 +171,698 @@ def q_agg_mannwhitney_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
         "n1",
         "n2",
+    ).orderBy("seg")
+
+
+@query(
+    "q_agg_spearman",
+    oracle="""
+    WITH p AS (
+        SELECT value, user_id FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), r AS (
+        SELECT RANK() OVER (ORDER BY value)
+               + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS rx,
+               RANK() OVER (ORDER BY user_id)
+               + (COUNT(*) OVER (PARTITION BY user_id) - 1) / 2.0 AS ry
+        FROM p
+    ), s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+               SUM(rx * ry) AS sxy
+        FROM r
+    )
+    SELECT FLOOR((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                 * 1000000) / 1000000 AS rho,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (ClickHouse ``rankCorr`` — SURVEY
+    §2.D stats family): Pearson correlation of the tie-averaged
+    midranks of value vs user_id.  The oracle ranks per ROW with
+    naive global windows; the Spark plan uses the per-VALUE-counts
+    technique twice (q_agg_ks_test pattern): each variable's midranks
+    are computed on its own distinct-value table (cumulative window
+    over the aggregated table only — whitelisted in plan_guard), then
+    broadcast-joined back onto the fact scan, so no corpus-sized sort
+    exists anywhere.  Midranks are integers-or-halves → every sum is
+    exact in quarter-units (< 2^53), and the closing arithmetic runs
+    on identical doubles on both engines — FLOOR-scaling, not
+    ROUND."""
+    p = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("value", "user_id")
+    )
+
+    def midranks(col: str, alias: str) -> DataFrame:
+        counts = p.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        wprev = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            col,
+            (
+                F.coalesce(F.sum("c").over(wprev), F.lit(0))
+                + (F.col("c") + 1) / 2.0
+            ).alias(alias),
+        )
+
+    j = p.join(F.broadcast(midranks("value", "rx")), "value").join(
+        F.broadcast(midranks("user_id", "ry")), "user_id"
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        (F.floor(rho * 1000000) / 1000000).alias("rho"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_agg_anova",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS s,
+               SUM(value * value) AS ss
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), t AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(n) AS n_tot, SUM(s) AS s_tot,
+               SUM(s * s / n) AS sq_grp, SUM(ss) AS ss_tot
+        FROM g
+    )
+    SELECT ROUND(((sq_grp - s_tot * s_tot / n_tot) / (k - 1))
+                 / ((ss_tot - sq_grp) / (n_tot - k)), 4) + 0.0 AS f_stat,
+           CAST(k AS BIGINT) AS k,
+           CAST(n_tot AS BIGINT) AS n
+    FROM t
+    """,
+)
+def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event_type groups (ClickHouse
+    ``analysisOfVariance`` — SURVEY §2.D stats family): between-group
+    over within-group variance of value.  Pure sum-of-squares
+    algebra: per-group (n, Σx, Σx²) partials combine map-side, one
+    k-row shuffle, and the F closes from five scalars — the textbook
+    one-pass shape that never materializes group members.  Double
+    sums reorder between engines (Spark partial-agg tree vs DuckDB
+    sequential), so the statistic is ROUNDed to 4 dp on both
+    sides."""
+    g = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sq_grp"),
+        F.sum("ss").alias("ss_tot"),
+    )
+    ssb = F.col("sq_grp") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    ssw = F.col("ss_tot") - F.col("sq_grp")
+    return t.select(
+        (
+            F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k"))), 4)
+            + F.lit(0.0)
+        ).alias("f_stat"),
+        F.col("k").cast("long").alias("k"),
+        F.col("n_tot").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_agg_ewma",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n,
+           ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4)
+               + 0.0 AS ewma
+    FROM s ORDER BY user_id
+    """,
+)
+def q_agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average, final smoothed
+    level (ClickHouse ``exponentialMovingAverage`` / any time-series
+    store's EWMA — SURVEY §2.D time-series family): s_t = α·x_t +
+    (1-α)·s_{t-1} with α=0.3, seeded from the first observation.  The
+    recursion is inherently sequential PER USER, so each user's
+    ordered values are collected into an array (bounded: events per
+    user, not corpus-sized) and folded with a single array-aggregate
+    expression — one shuffle on user_id, no window, no Python.  Both
+    engines fold left-to-right over the identically-ordered list with
+    the identical 0.3·x + 0.7·acc expression, so every intermediate
+    double matches bit-for-bit; ROUND(4) guards only display."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda r: r["value"],
+        ).alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return s.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n"),
+        (F.round(fold, 4) + F.lit(0.0)).alias("ewma"),
+    ).orderBy("user_id")
+
+
+@query(
+    "q_agg_acf",
+    oracle="""
+    WITH d AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY day
+    ), lagged AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM (SELECT UNNEST(range(1, 8)) AS lag) l
+        JOIN d a ON TRUE
+        JOIN d b ON b.day = a.day + l.lag
+    ), s AS (
+        SELECT lag, CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(k AS BIGINT) AS n_pairs,
+           FLOOR((k * sxy - sx * sy)
+                 / (SQRT(k * sxx - sx * sx) * SQRT(k * syy - sy * sy))
+                 * 1000000) / 1000000 AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def q_agg_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1-7 (the seasonality probe every metrics store runs —
+    SURVEY §2.D time-series family).  The corpus-sized stage is ONE
+    hash aggregate to per-day counts; the lag alignment is a
+    broadcast self-join of that tiny day table against an exploded
+    lag grid, and each lag's Pearson closes from exact integer sums
+    (counts ≪ 2^53 — both engines see bit-identical doubles, so
+    FLOOR-scaling suffices).  No window at all: at 100 TB the day
+    table is still just one row per day."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = d.select(F.col("day").alias("day_a"), F.col("c").alias("x"))
+    b = d.select(F.col("day").alias("day_b"), F.col("c").alias("y"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("day_b") == F.col("day_a") + F.col("lag"))
+    )
+    s = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    acf = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("k").cast("long").alias("n_pairs"),
+        (F.floor(acf * 1000000) / 1000000).alias("acf"),
+    ).orderBy("lag")
+
+
+@query(
+    "q_agg_cusum",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE value IS NOT NULL
+    ), med AS (
+        SELECT user_id, quantile_disc(value, 0.5) AS m
+        FROM p GROUP BY user_id
+    ), c AS (
+        SELECT p.user_id, p.event_id,
+               SUM(p.value - med.m) OVER (
+                   PARTITION BY p.user_id ORDER BY p.ts, p.event_id
+                   ROWS UNBOUNDED PRECEDING) AS s,
+               COUNT(*) OVER (PARTITION BY p.user_id) AS n
+        FROM p JOIN med USING (user_id)
+    ), r AS (
+        SELECT user_id, event_id, s, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ABS(s) DESC, event_id) AS rn
+        FROM c
+    )
+    SELECT user_id, event_id AS cp_event,
+           ROUND(ABS(s), 4) + 0.0 AS max_dev,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q_agg_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per user (the drift probe behind
+    ClickHouse-style monitoring rollups — SURVEY §2.D time-series
+    family): cumulative sum of deviations from the user's median,
+    changepoint = the event where |S_t| peaks (ties → earliest
+    event).  The median is the DISCRETE lower-middle order statistic
+    (quantile_disc ≙ the sorted array's floor((n-1)/2) element) — an
+    exact data value, so unlike an interpolated median both engines
+    subtract bit-identical baselines and the running sums (sequential
+    in the same (ts, event_id) order on both) match exactly.  All
+    windows partition by user_id — fully distributed, one shuffle."""
+    p = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    med = p.groupBy("user_id").agg(
+        F.element_at(
+            F.sort_array(F.collect_list("value")),
+            (F.floor((F.count(F.lit(1)) - 1) / 2) + 1).cast("int"),
+        ).alias("m")
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("user_id")
+    c = p.join(F.broadcast(med), "user_id").select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value") - F.col("m")).over(wcum).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.abs("s").desc(), "event_id")
+    )
+    return (
+        c.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("cp_event"),
+            (F.round(F.abs("s"), 4) + F.lit(0.0)).alias("max_dev"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_agg_seasonal_index",
+    oracle="""
+    WITH d AS (
+        SELECT dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY dow
+    ), t AS (SELECT SUM(c) AS tot, COUNT(*) AS k FROM d)
+    SELECT CAST(dow AS BIGINT) AS dow, c AS n_events,
+           FLOOR(CAST(c AS DOUBLE) * k / tot * 1000000) / 1000000
+               AS seasonal_index
+    FROM d, t ORDER BY dow
+    """,
+)
+def q_agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of event traffic (the seasonality
+    normalization step of any forecast rollup — SURVEY §2.D
+    time-series family): per-dow count over the all-dow mean, >1 =
+    busier than average.  One hash aggregate to 7 rows; the scalar
+    totals ride a single-row broadcast cross.  Counts are exact
+    integers, the closing division runs on identical doubles —
+    FLOOR-scaled.  DuckDB's dayofweek is 0-based (Sunday=0) where
+    Spark's is 1-based (Sunday=1) — the oracle adds 1."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = d.agg(F.sum("c").alias("tot"), F.count(F.lit(1)).alias("k"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("c").alias("n_events"),
+            (
+                F.floor(
+                    F.col("c").cast("double") * F.col("k") / F.col("tot") * 1000000
+                )
+                / 1000000
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "q_llm_ngram_novelty",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(ws) - 1)) t(i)
+        WHERE len(ws) >= 3
+    ), firsts AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(AVG(CASE WHEN f.first_doc = sh.doc_id
+                          THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM sh JOIN firsts f USING (shingle)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the data-curation signal behind
+    'how much of this doc is new text' — RefinedWeb/FineWeb-style
+    corpus analysis; SURVEY §2.J7 family next to q_llm_tfidf): the
+    fraction of a doc's distinct 3-word shingles whose FIRST corpus
+    occurrence (min doc_id — ingestion order) is this doc.  Exact
+    boilerplate complement: duplicated/templated text scores near 0.
+    Two hash shuffles, both keyed by shingle (explode → min-doc_id
+    aggregate → join back on the SAME key, so the join reuses the
+    aggregation's partitioning) then one doc_id aggregate — no
+    windows, no all-pairs.  novelty averages exact 0/1 indicators
+    over an exact count: identical division both engines; ROUND(4)
+    for display."""
+    from clickhub_spark.operators.dedup import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, "text", "doc_id", k=3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_agg_kendall",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(user_id % 8 AS BIGINT) AS x, value AS y FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), cells AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY x, y
+    ), pv AS (
+        SELECT y,
+               SUM(CASE WHEN x = 0 THEN n ELSE 0 END) AS c0,
+               SUM(CASE WHEN x = 1 THEN n ELSE 0 END) AS c1,
+               SUM(CASE WHEN x = 2 THEN n ELSE 0 END) AS c2,
+               SUM(CASE WHEN x = 3 THEN n ELSE 0 END) AS c3,
+               SUM(CASE WHEN x = 4 THEN n ELSE 0 END) AS c4,
+               SUM(CASE WHEN x = 5 THEN n ELSE 0 END) AS c5,
+               SUM(CASE WHEN x = 6 THEN n ELSE 0 END) AS c6,
+               SUM(CASE WHEN x = 7 THEN n ELSE 0 END) AS c7
+        FROM cells GROUP BY y
+    ), cum AS (
+        SELECT y,
+               COALESCE(SUM(c0) OVER w, 0) AS lt0, SUM(c0) OVER () - SUM(c0) OVER wle AS gt0,
+               COALESCE(SUM(c1) OVER w, 0) AS lt1, SUM(c1) OVER () - SUM(c1) OVER wle AS gt1,
+               COALESCE(SUM(c2) OVER w, 0) AS lt2, SUM(c2) OVER () - SUM(c2) OVER wle AS gt2,
+               COALESCE(SUM(c3) OVER w, 0) AS lt3, SUM(c3) OVER () - SUM(c3) OVER wle AS gt3,
+               COALESCE(SUM(c4) OVER w, 0) AS lt4, SUM(c4) OVER () - SUM(c4) OVER wle AS gt4,
+               COALESCE(SUM(c5) OVER w, 0) AS lt5, SUM(c5) OVER () - SUM(c5) OVER wle AS gt5,
+               COALESCE(SUM(c6) OVER w, 0) AS lt6, SUM(c6) OVER () - SUM(c6) OVER wle AS gt6,
+               COALESCE(SUM(c7) OVER w, 0) AS lt7, SUM(c7) OVER () - SUM(c7) OVER wle AS gt7
+        FROM pv
+        WINDOW w AS (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wle AS (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cd AS (
+        SELECT SUM(c.n * (CASE WHEN c.x > 0 THEN m.lt0 ELSE 0 END
+                        + CASE WHEN c.x > 1 THEN m.lt1 ELSE 0 END
+                        + CASE WHEN c.x > 2 THEN m.lt2 ELSE 0 END
+                        + CASE WHEN c.x > 3 THEN m.lt3 ELSE 0 END
+                        + CASE WHEN c.x > 4 THEN m.lt4 ELSE 0 END
+                        + CASE WHEN c.x > 5 THEN m.lt5 ELSE 0 END
+                        + CASE WHEN c.x > 6 THEN m.lt6 ELSE 0 END)) AS conc,
+               SUM(c.n * (CASE WHEN c.x > 0 THEN m.gt0 ELSE 0 END
+                        + CASE WHEN c.x > 1 THEN m.gt1 ELSE 0 END
+                        + CASE WHEN c.x > 2 THEN m.gt2 ELSE 0 END
+                        + CASE WHEN c.x > 3 THEN m.gt3 ELSE 0 END
+                        + CASE WHEN c.x > 4 THEN m.gt4 ELSE 0 END
+                        + CASE WHEN c.x > 5 THEN m.gt5 ELSE 0 END
+                        + CASE WHEN c.x > 6 THEN m.gt6 ELSE 0 END)) AS disc
+        FROM cells c JOIN cum m USING (y)
+    ), ties AS (
+        SELECT (SELECT SUM(tx * (tx - 1) / 2) FROM (
+                    SELECT CAST(COUNT(*) AS BIGINT) AS tx FROM p GROUP BY x) t
+               ) AS n1,
+               (SELECT SUM(ty * (ty - 1) / 2) FROM (
+                    SELECT CAST(COUNT(*) AS BIGINT) AS ty FROM p GROUP BY y) t
+               ) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n
+    )
+    SELECT CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+           FLOOR((conc - disc) / (
+               SQRT(CAST(n * (n - 1) / 2 - n1 AS DOUBLE))
+               * SQRT(CAST(n * (n - 1) / 2 - n2 AS DOUBLE)))
+               * 1000000) / 1000000 AS tau_b
+    FROM cd, ties
+    """,
+)
+def q_agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation tau-b between an ordered user bucket
+    (user_id % 8) and value (ClickHouse ``kendallRankCorrelation`` —
+    SURVEY §2.D stats family), computed WITHOUT the O(n²) pair scan:
+    concordant/discordant pair totals close from per-(bucket, value)
+    CELL counts — pivot the 8 buckets into columns of the
+    distinct-value table, take strictly-below / strictly-above
+    cumulative counts down the value axis (window over the AGGREGATED
+    table only — plan-guard canon), and attribute each unordered pair
+    once at its higher-bucket cell: conc = Σ n(x,v)·Σ_{x'<x}lt_x'(v),
+    disc with gt.  Tau-b's tie terms are plain group-count algebra.
+    Everything is exact int64 until the final sqrt/division, which
+    both engines run on identical doubles — FLOOR-scaled.  One
+    corpus-sized shuffle (the cell aggregate); the cumulative/join
+    stages touch only the distinct-value table."""
+    K = 8
+    p = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select((F.col("user_id") % K).alias("x"), F.col("value").alias("y"))
+    )
+    cells = p.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    pv = (
+        cells.groupBy("y")
+        .pivot("x", list(range(K)))
+        .agg(F.sum("n"))
+        .select(
+            "y", *[F.coalesce(F.col(str(i)), F.lit(0)).alias(f"c{i}") for i in range(K)]
+        )
+    )
+    wlt = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    wle = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    tots = pv.agg(*[F.sum(f"c{i}").alias(f"t{i}") for i in range(K)])
+    cum = pv.select(
+        "y",
+        *[
+            F.coalesce(F.sum(f"c{i}").over(wlt), F.lit(0)).alias(f"lt{i}")
+            for i in range(K)
+        ],
+        *[F.sum(f"c{i}").over(wle).alias(f"le{i}") for i in range(K)],
+    ).crossJoin(F.broadcast(tots))
+    cum = cum.select(
+        "y",
+        *[F.col(f"lt{i}") for i in range(K)],
+        *[(F.col(f"t{i}") - F.col(f"le{i}")).alias(f"gt{i}") for i in range(K)],
+    )
+    conc_expr = sum(
+        F.when(F.col("x") > i, F.col(f"lt{i}")).otherwise(F.lit(0))
+        for i in range(K - 1)
+    )
+    disc_expr = sum(
+        F.when(F.col("x") > i, F.col(f"gt{i}")).otherwise(F.lit(0))
+        for i in range(K - 1)
+    )
+    cd = cells.join(F.broadcast(cum), "y").agg(
+        F.sum(F.col("n") * conc_expr).alias("conc"),
+        F.sum(F.col("n") * disc_expr).alias("disc"),
+    )
+    tx = p.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+    ty = p.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+    n1 = tx.agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"))
+    n2 = ty.agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
+    n = p.agg(F.count(F.lit(1)).alias("n"))
+    j = cd.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2)).crossJoin(
+        F.broadcast(n)
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    tau = (F.col("conc") - F.col("disc")) / (
+        F.sqrt((n0 - F.col("n1")).cast("double"))
+        * F.sqrt((n0 - F.col("n2")).cast("double"))
+    )
+    return j.select(
+        "conc", "disc", (F.floor(tau * 1000000) / 1000000).alias("tau_b")
+    )
+
+
+@query(
+    "q_multimodal_audio_stats",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ), s AS (
+        SELECT doc_id,
+               (CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INT) - 128)
+                   / 128.0 AS v,
+               i
+        FROM b, UNNEST(range(0, 16)) t(i)
+    ), nxt AS (
+        SELECT doc_id, v, i,
+               LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS v2
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           MAX(ABS(v)) AS peak,
+           FLOOR(SQRT(SUM(v * v) / COUNT(*)) * 1000000) / 1000000 AS rms,
+           CAST(SUM(CASE WHEN v * v2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings
+    FROM nxt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, oracle-checked end to end
+    (SURVEY north-star multimodal family, the audio sibling of
+    q_multimodal_resize): each doc gets a 16-sample 8-bit PCM mono
+    WAV whose data bytes are md5(text) (deterministic — the testdata
+    ships no real media), the WAV runs the production
+    encode_wav → decode_wav path (operators/multimodal.py, RIFF
+    chunk walk, stdlib only) inside mapInPandas, and the decoded
+    [-1,1] samples reduce to peak / RMS / zero-crossing count — the
+    triage features an audio-curation pipeline computes before
+    shipping blobs to a codec fleet.  The oracle reproduces the
+    expected samples from md5 hex pairs ((byte-128)/128 — the exact
+    8-bit PCM mapping, 128ths are exact doubles) so decode is
+    value-verified by an independent engine.  Per-blob work is
+    Arrow-batched and map-only — no shuffle anywhere."""
+    import numpy as np
+
+    from clickhub_spark.operators.multimodal import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("m")
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "peak": [], "rms": [], "zero_crossings": []}
+            for doc_id, m in zip(pdf["doc_id"], pdf["m"]):
+                wav = encode_wav(8000, 1, 8, bytes(m))
+                _, _, samples = decode_wav(wav)
+                v = np.array(samples)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(v))
+                out["peak"].append(float(np.abs(v).max()))
+                out["rms"].append(
+                    float(np.floor(np.sqrt((v * v).sum() / len(v)) * 1000000) / 1000000)
+                )
+                out["zero_crossings"].append(int(((v[:-1] * v[1:]) < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        stats,
+        "doc_id long, n_samples long, peak double, rms double, zero_crossings long",
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_agg_proportions_z",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(user_id % 10 AS BIGINT) AS seg,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        FROM events WHERE user_id IS NOT NULL
+    ), g AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hit) AS BIGINT) AS k
+        FROM p GROUP BY seg
+    ), t AS (SELECT SUM(n) AS n_tot, SUM(k) AS k_tot FROM g)
+    SELECT seg, n, k,
+           FLOOR((CAST(k AS DOUBLE) / n
+                  - CAST(k_tot - k AS DOUBLE) / (n_tot - n))
+                 / SQRT(CAST(k_tot AS DOUBLE) / n_tot
+                        * (1 - CAST(k_tot AS DOUBLE) / n_tot)
+                        * (1.0 / n + 1.0 / (n_tot - n)))
+                 * 1000000) / 1000000 AS z
+    FROM g, t ORDER BY seg
+    """,
+)
+def q_agg_proportions_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per experiment bucket (the A/B readout
+    every event store serves — SURVEY §2.D stats family, next to
+    q_agg_ttest): each user bucket's purchase rate against the
+    complement's, under the pooled-proportion standard error.  One
+    hash aggregate to 10 (n, k) rows; the scalar totals ride a
+    single-row broadcast cross and the z closes from exact integer
+    counts — both engines divide identical doubles, FLOOR-scaled.
+    The corpus never shuffles more than once at any scale."""
+    p = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 10).alias("seg"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+        )
+    )
+    g = p.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("k")
+    )
+    t = g.agg(F.sum("n").alias("n_tot"), F.sum("k").alias("k_tot"))
+    j = g.crossJoin(F.broadcast(t))
+    p1 = F.col("k").cast("double") / F.col("n")
+    p2 = (F.col("k_tot") - F.col("k")).cast("double") / (F.col("n_tot") - F.col("n"))
+    pp = F.col("k_tot").cast("double") / F.col("n_tot")
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n") + 1.0 / (F.col("n_tot") - F.col("n")))
+    )
+    return j.select(
+        "seg", "n", "k", (F.floor(z * 1000000) / 1000000).alias("z")
     ).orderBy("seg")

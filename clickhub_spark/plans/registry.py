@@ -158,6 +158,16 @@ ROUND_PRIORITY = [
     "q_agg_time_decay",
     "q_fn_round_modes",
     "q_agg_theils_u",
+    "q_agg_spearman",
+    "q_agg_anova",
+    "q_agg_ewma",
+    "q_agg_acf",
+    "q_agg_cusum",
+    "q_agg_seasonal_index",
+    "q_llm_ngram_novelty",
+    "q_agg_kendall",
+    "q_multimodal_audio_stats",
+    "q_agg_proportions_z",
     # --- last driver row: round 3 (3 rounds stale) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",

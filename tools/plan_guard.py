@@ -75,10 +75,18 @@ UNPARTITIONED_WINDOW_CANON = {
     "q_llm_score_normalize",
     "q_agg_ks_test",
     "q_agg_mannwhitney",
+    # Spearman: midranks for each variable via cumulative windows over
+    # that variable's distinct-value table (same aggregated-input
+    # technique as q_agg_ks_test), broadcast-joined back to the facts
+    "q_agg_spearman",
+    # Kendall tau-b: strictly-below/above cumulative counts down the
+    # value axis of the PIVOTED distinct-value table (8 bucket
+    # columns) — aggregated input, corpus never enters the window
+    "q_agg_kendall",
 }
-# (A round-6 scan of all 252 plans found unpartitioned window specs in
-# exactly these four queries — every other window in the registry is
-# partitioned.)
+# (A round-6 scan of every registered plan found unpartitioned window
+# specs in exactly these queries — every other window in the registry
+# is partitioned.)
 
 
 def fingerprint(plan: str) -> dict[str, int]:
