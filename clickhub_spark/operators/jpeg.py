@@ -7,12 +7,18 @@ treats media as opaque blobs, SURVEY §2 multimodal row).  Scope:
 - ``encode_jpeg``: baseline sequential DCT, JFIF, 4:4:4 (no chroma
   subsampling), the spec's Annex K quantization + Huffman tables with
   the libjpeg quality scaling.  Grayscale (1 channel) and RGB (3).
-- ``decode_jpeg``: baseline sequential (SOF0), ANY sampling factors
-  up to 2×2 (so 4:2:0 / 4:2:2 from other encoders decode too),
-  restart intervals (DRI/RSTn), 8-bit precision.  Progressive (SOF2)
-  and arithmetic coding raise ValueError — the multimodal dispatch
-  catches that and falls back to the deterministic stub, keeping the
-  "one bad blob never kills the task" contract.
+- ``encode_jpeg_progressive``: SOF2 with the standard spectral-
+  selection + successive-approximation scan script (round 6; 4:4:4 /
+  grayscale) — transmits the SAME quantized coefficients as baseline,
+  so decode(progressive) ≡ decode(baseline) pins the whole pipeline.
+- ``decode_jpeg``: baseline sequential (SOF0/1) AND progressive
+  (SOF2: spectral selection, successive approximation, EOB runs,
+  correction-bit refinement), ANY sampling factors up to 4×4 (so
+  4:2:0 / 4:2:2 from other encoders decode too), restart intervals
+  (DRI/RSTn), 8-bit precision.  Arithmetic coding / lossless /
+  12-bit raise ValueError — the multimodal dispatch catches that and
+  falls back to the deterministic stub, keeping the "one bad blob
+  never kills the task" contract.
 
 Everything is per-payload CPU work inside mapInPandas batches — the
 Spark-side plumbing (schema, partitioning, Arrow batching) is shared
@@ -375,14 +381,284 @@ def encode_jpeg(
     return bytes(out)
 
 
+# -- progressive encoder -----------------------------------------------------
+
+
+class _SymbolRecorder:
+    """Stand-in for a Huffman code dict on the dry pass: records which
+    symbols a scan emits (to build its table) and returns a dummy
+    (code, length) so the scan encoder runs unchanged."""
+
+    def __init__(self) -> None:
+        self.seen: set[int] = set()
+
+    def __getitem__(self, sym: int) -> tuple[int, int]:
+        self.seen.add(sym)
+        return (0, 1)
+
+
+def _uniform_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """Canonical Huffman (bits, vals) giving every used symbol the same
+    code length L = ceil(log2(n)) (+1 when n is an exact power of two,
+    so the all-ones code of the maximum length stays unused per T.81's
+    table-building convention).  Suboptimal size, trivially valid."""
+    vals = sorted(symbols) or [0]
+    n = len(vals)
+    length = max(1, (n - 1).bit_length())
+    if n == (1 << length):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def _prog_dc_scan(writer, codes, comp_coefs, al, first):
+    """Interleaved DC scan over all components (4:4:4 grids align, so
+    the MCU is one block per component)."""
+    bh, bw, _ = comp_coefs[0].shape
+    pred = [0] * len(comp_coefs)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, cc in enumerate(comp_coefs):
+                dc = int(cc[by, bx, 0])
+                if first:
+                    v = dc >> al  # arithmetic shift per G.1.2.1
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = _category(diff)
+                    c, ln = codes[ci][s]
+                    writer.write(c, ln)
+                    writer.write_signed(diff)
+                else:
+                    writer.write((dc >> al) & 1, 1)
+
+
+def _prog_ac_first(writer, ac, cc, ss, se, al):
+    """AC first pass for one component: runs + cross-block EOB runs."""
+    bh, bw, _ = cc.shape
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            n = min(eobrun, 0x7FFF)
+            cat = n.bit_length() - 1
+            c, ln = ac[cat << 4]
+            writer.write(c, ln)
+            if cat:
+                writer.write(n - (1 << cat), cat)
+            eobrun -= n
+
+    for by in range(bh):
+        for bx in range(bw):
+            band = [
+                (int(cc[by, bx, k]) // (1 << al))
+                if int(cc[by, bx, k]) >= 0
+                else -((-int(cc[by, bx, k])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            last_nz = max((i for i, v in enumerate(band) if v), default=-1)
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for v in band[: last_nz + 1]:
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        c, ln = ac[0xF0]
+                        writer.write(c, ln)
+                        run = 0
+                    continue
+                s = _category(v)
+                c, ln = ac[(run << 4) | s]
+                writer.write(c, ln)
+                writer.write_signed(v)
+                run = 0
+            if last_nz < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _prog_ac_refine(writer, ac, cc, ss, se, al):
+    """AC refinement for one component (the G.1.2.3 / libjpeg
+    encode_mcu_AC_refine shape, per-block EOB): newly-nonzero
+    coefficients emit (run<<4)|1 + a sign bit; correction bits of
+    nonzero-history coefficients are emitted exactly where the decoder
+    consumes them — while crossing runs, and in the post-EOB sweep."""
+    bh, bw, _ = cc.shape
+    for by in range(bh):
+        for bx in range(bw):
+            raw = [int(cc[by, bx, k]) for k in range(ss, se + 1)]
+            mag = [(-v >> al) if v < 0 else (v >> al) for v in raw]
+            # last NEW nonzero (mag == 1): beyond it only history bits
+            last_new = max((i for i, m in enumerate(mag) if m == 1), default=-1)
+            run = 0
+            pending: list[int] = []  # correction bits crossed in the run
+            for i in range(last_new + 1):
+                if mag[i] == 0:
+                    run += 1
+                    if run == 16:
+                        # only meaningful before the last new nonzero
+                        c, ln = ac[0xF0]
+                        writer.write(c, ln)
+                        for b in pending:
+                            writer.write(b, 1)
+                        pending = []
+                        run = 0
+                    continue
+                if mag[i] > 1:  # history: correction bit, run unchanged
+                    pending.append(mag[i] & 1)
+                    continue
+                c, ln = ac[(run << 4) | 1]
+                writer.write(c, ln)
+                writer.write(1 if raw[i] > 0 else 0, 1)
+                for b in pending:
+                    writer.write(b, 1)
+                pending = []
+                run = 0
+            # per-block EOB (run-length 1) + post-EOB correction sweep
+            if last_new < len(mag) - 1 or pending:
+                c, ln = ac[0x00]
+                writer.write(c, ln)
+                for b in pending:
+                    writer.write(b, 1)
+                for i in range(last_new + 1, len(mag)):
+                    if mag[i] > 1:
+                        writer.write(mag[i] & 1, 1)
+
+
+def encode_jpeg_progressive(
+    w: int, h: int, ch: int, px: bytes, quality: int = 85
+) -> bytes:
+    """Progressive (SOF2) JFIF encode, 4:4:4 / grayscale, with the
+    standard spectral-selection + successive-approximation script
+    (DC first at Al=1 → per-component AC 1-5 and 6-63 at Al=2 → AC
+    refinements Al=2→1→0 → DC refinement): every decoder scan kind is
+    exercised, including EOB runs and correction-bit sweeps.  The
+    quantized coefficients are identical to ``encode_jpeg``'s at the
+    same quality — progressive only reorders their transmission — so
+    decode(progressive) ≡ decode(baseline) byte-for-byte, which is how
+    tests pin the whole pipeline.  Per-scan Huffman tables are
+    uniform-length canonical codes over the symbols the scan actually
+    uses (valid, marginally larger than optimal)."""
+    if ch not in (1, 3) or len(px) != w * h * ch:
+        raise ValueError("encode_jpeg_progressive expects gray or RGB pixels")
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        ]
+    else:
+        planes = [img[..., 0]]
+    qt = [_scale_q(Q_LUM, quality), _scale_q(Q_CHROM, quality)]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        q = qt[0 if ci == 0 else 1]
+        cc = np.zeros((bh, bw, 64), dtype=np.int32)
+        ph, pw = plane.shape
+        for by in range(bh):
+            for bx in range(bw):
+                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, ph - 1)
+                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, pw - 1)
+                block = plane[np.ix_(ys, xs)] - 128.0
+                qq = np.round((_C @ block @ _C.T).flatten() / q).astype(np.int64)
+                cc[by, bx] = [int(qq[ZIGZAG[i]]) for i in range(64)]
+        comp_coefs.append(cc)
+
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti in range(2 if ch == 3 else 1):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti])
+        out += bytes(int(qt[ti][ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+
+    def run_scan(scan_fn, table_class: int) -> tuple[bytes, bytes]:
+        """Dry pass to collect symbols → table → real pass; returns
+        (DHT segments, entropy bytes).  table_class: 0 DC, 1 AC."""
+        rec = _SymbolRecorder()
+        scan_fn(_BitWriter(), rec)
+        bits, vals = _uniform_table(rec.seen)
+        codes = _huff_codes(bits, vals)
+        wtr = _BitWriter()
+        scan_fn(wtr, codes)
+        wtr.flush()
+        dht = (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(vals))
+            + bytes([(table_class << 4) | 0])
+            + bytes(bits)
+            + bytes(vals)
+        )
+        return dht, bytes(wtr.buf)
+
+    def sos(comp_ids: list[int], td_ta: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        )
+        for cid in comp_ids:
+            seg += bytes([cid, td_ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    # scan 1: DC first, all components interleaved, Al=1 (one shared
+    # DC table id 0 — the dry pass pools every component's symbols)
+    dht, ent = run_scan(
+        lambda wr, cd: _prog_dc_scan(wr, [cd] * ncomp, comp_coefs, 1, True), 0
+    )
+    out += dht + sos(list(range(1, ncomp + 1)), 0x00, 0, 0, 0, 1) + ent
+    # per-component AC scans
+    for ci in range(ncomp):
+        cc = comp_coefs[ci]
+        for ss_, se_, ah_, al_ in [(1, 5, 0, 2), (6, 63, 0, 2)]:
+            dht, ent = run_scan(
+                lambda wr, cd, cc=cc, a=(ss_, se_, al_): _prog_ac_first(
+                    wr, cd, cc, a[0], a[1], a[2]
+                ),
+                1,
+            )
+            out += dht + sos([ci + 1], 0x00, ss_, se_, ah_, al_) + ent
+    for ah_, al_ in [(2, 1), (1, 0)]:
+        for ci in range(ncomp):
+            cc = comp_coefs[ci]
+            dht, ent = run_scan(
+                lambda wr, cd, cc=cc, a=al_: _prog_ac_refine(wr, cd, cc, 1, 63, a),
+                1,
+            )
+            out += dht + sos([ci + 1], 0x00, 1, 63, ah_, al_) + ent
+    # final scan: DC refinement (no Huffman table needed)
+    wtr = _BitWriter()
+    _prog_dc_scan(wtr, None, comp_coefs, 0, False)
+    wtr.flush()
+    out += sos(list(range(1, ncomp + 1)), 0x00, 0, 0, 1, 0) + bytes(wtr.buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # -- decoder ----------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline-sequential JPEG decode → (w, h, channels, interleaved
-    8-bit pixels).  Raises ValueError on progressive/arithmetic/12-bit
-    streams (the multimodal dispatch treats that as 'fall back to
-    stub', same contract as every other codec here)."""
+    """JPEG decode → (w, h, channels, interleaved 8-bit pixels).
+    Handles baseline sequential (SOF0/1) and PROGRESSIVE (SOF2):
+    spectral selection, successive approximation (DC+AC first and
+    refinement passes, EOB runs), any sampling factors up to 4×4,
+    restart intervals.  Raises ValueError on arithmetic-coded /
+    lossless / hierarchical / 12-bit streams (the multimodal dispatch
+    treats that as 'fall back to stub', same contract as every other
+    codec here)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -391,7 +667,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
-    scan_order: list[dict] = []
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    eobrun = [0]
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -424,7 +702,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _huff_lookup(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -435,24 +714,259 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ValueError(f"bad sampling factors {hs}x{vs}")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (arithmetic/lossless) unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            scan_comps = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                matches = [c for c in comps if c["id"] == cs]
+                matches = [
+                    (ci, c) for ci, c in enumerate(comps) if c["id"] == cs
+                ]
                 if not matches:
                     raise ValueError(f"SOS names unknown component id {cs}")
-                scan_order.append({**matches[0], "td": tt >> 4, "ta": tt & 0xF})
+                ci, c = matches[0]
+                scan_comps.append({**c, "ci": ci, "td": tt >> 4, "ta": tt & 0xF})
             pos += seglen
-            return _decode_scan(
-                payload, pos, w, h, scan_order, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, pos, w, h, scan_comps, qt, huff, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if coefs is None:
+                coefs = _alloc_coefs(comps, w, h)
+            pos = _decode_prog_scan(
+                payload, pos, w, h, comps, scan_comps, coefs, huff,
+                ss, se, ah, al, restart_interval, eobrun,
             )
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _assemble_progressive(coefs, comps, qt, w, h)
     raise ValueError("no scan data found")
+
+
+def _mcu_grid(comps: list[dict], w: int, h: int) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    return (
+        (w + 8 * hmax - 1) // (8 * hmax),
+        (h + 8 * vmax - 1) // (8 * vmax),
+        hmax,
+        vmax,
+    )
+
+
+def _alloc_coefs(comps: list[dict], w: int, h: int) -> list[np.ndarray]:
+    """Per-component coefficient store in ZIGZAG index order, on the
+    MCU-padded block grid (the superset of both traversal orders)."""
+    mcux, mcuy, _, _ = _mcu_grid(comps, w, h)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32) for c in comps
+    ]
+
+
+def _nonint_dims(c: dict, w: int, h: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Block grid of a NON-interleaved scan: ceil over the component's
+    true sample dims (T.81 A.2.2), NOT the MCU-padded grid."""
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_prog_scan(
+    data, pos, w, h, comps, scan_comps, coefs, huff,
+    ss, se, ah, al, restart_interval, eobrun,
+):
+    """One progressive scan (T.81 G.2): DC or AC band, first or
+    refinement pass.  Mutates ``coefs`` in place; returns the byte
+    position of the next marker."""
+    mcux, mcuy, hmax, vmax = _mcu_grid(comps, w, h)
+    r = _BitReader(data, pos)
+    eobrun[0] = 0
+    pred = [0] * len(comps)
+    n_units = 0
+
+    def restart_if_due() -> None:
+        nonlocal pred
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            r.aligned_restart()
+            pred = [0] * len(comps)
+            eobrun[0] = 0
+
+    if ss == 0:  # DC scan (interleaved over MCUs when several comps)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if len(scan_comps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    restart_if_due()
+                    n_units += 1
+                    for sc in scan_comps:
+                        for by in range(sc["v"]):
+                            for bx in range(sc["h"]):
+                                blk = coefs[sc["ci"]][
+                                    my * sc["v"] + by, mx * sc["h"] + bx
+                                ]
+                                _dc_unit(r, blk, sc, huff, pred, ah, al)
+        else:
+            sc = scan_comps[0]
+            bw, bh = _nonint_dims(sc, w, h, hmax, vmax)
+            for by in range(bh):
+                for bx in range(bw):
+                    restart_if_due()
+                    n_units += 1
+                    _dc_unit(r, coefs[sc["ci"]][by, bx], sc, huff, pred, ah, al)
+    else:  # AC scan: always one component, non-interleaved
+        if len(scan_comps) != 1:
+            raise ValueError("interleaved AC progressive scan")
+        sc = scan_comps[0]
+        ac = huff[(1, sc["ta"])]
+        bw, bh = _nonint_dims(sc, w, h, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                restart_if_due()
+                n_units += 1
+                blk = coefs[sc["ci"]][by, bx]
+                if ah == 0:
+                    _ac_first(r, blk, ac, ss, se, al, eobrun)
+                else:
+                    _ac_refine(r, blk, ac, ss, se, al, eobrun)
+    # skip any padding to the next marker (0xFF followed by a real
+    # marker byte; stuffed 0xFF00 belongs to entropy data)
+    p = r.pos
+    while p < len(data) and not (
+        data[p] == 0xFF and p + 1 < len(data) and data[p + 1] not in (0x00,)
+    ):
+        p += 1
+    return p
+
+
+def _dc_unit(r, blk, sc, huff, pred, ah, al) -> None:
+    if ah == 0:  # first pass: Huffman-coded diffs of the shifted DC
+        s = _read_huff(r, huff[(0, sc["td"])])
+        pred[sc["ci"]] += _receive_extend(r, s)
+        blk[0] = pred[sc["ci"]] << al
+    else:  # refinement: one raw bit appended in two's complement
+        if r.bit():
+            blk[0] |= 1 << al
+            # numpy int32 |= handles negatives in two's complement,
+            # matching the spec's successive-approximation append
+
+
+def _ac_first(r, blk, ac, ss, se, al, eobrun) -> None:
+    """AC band, first pass at this bit position (G.2.2): runs of
+    zeros, EOBn run-length codes spanning blocks."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_huff(r, ac)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run < 15:  # EOBn: 2^run + extra bits blocks end here
+                eobrun[0] = (1 << run) - 1
+                if run:
+                    eobrun[0] += r.bits(run)
+                return
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _receive_extend(r, size) << al
+        k += 1
+
+
+def _ac_refine(r, blk, ac, ss, se, al, eobrun) -> None:
+    """AC band refinement (G.2.3, the libjpeg decode_mcu_AC_refine
+    shape): newly-nonzero coefficients arrive as ±1 at this bit
+    position; every nonzero-history coefficient crossed — including
+    the post-EOB sweep — consumes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _read_huff(r, ac)
+            run, size = rs >> 4, rs & 0xF
+            val = 0
+            if size == 0:
+                if run < 15:
+                    eobrun[0] = 1 << run
+                    if run:
+                        eobrun[0] += r.bits(run)
+                    break
+                # ZRL: cross 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("AC refinement size != 1")
+                val = p1 if r.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement index overflow")
+                blk[k] = val
+            k += 1
+    if eobrun[0] > 0:  # post-EOB correction sweep
+        while k <= se:
+            if blk[k] != 0 and r.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _assemble_progressive(coefs, comps, qt, w, h):
+    """Dequantize + IDCT the accumulated coefficient store and finish
+    exactly like the baseline path (upsample + color convert)."""
+    mcux, mcuy, hmax, vmax = _mcu_grid(comps, w, h)
+    planes = []
+    for ci, c in enumerate(comps):
+        bh, bw, _ = coefs[ci].shape
+        plane = np.zeros((bh * 8, bw * 8))
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by, bx]
+                coef = np.empty(64)
+                for i in range(64):
+                    coef[ZIGZAG[i]] = zz[i]
+                coef = (coef * q).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef @ _C + 128.0
+                )
+        planes.append(plane)
+    return _finish_planes(planes, comps, w, h, hmax, vmax)
+
+
+def _finish_planes(planes, comps, w, h, hmax, vmax):
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(full[0], 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return w, h, 3, np.clip(rgb, 0, 255).astype(np.uint8).tobytes()
 
 
 def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
@@ -503,20 +1017,7 @@ def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        gray = np.clip(full[0], 0, 255).astype(np.uint8)
-        return w, h, 1, gray.tobytes()
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
-    )
-    return w, h, 3, np.clip(rgb, 0, 255).astype(np.uint8).tobytes()
+    return _finish_planes(planes, comps, w, h, hmax, vmax)
 
 
 def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:

@@ -4,9 +4,10 @@ by Arrow-batched ``mapInPandas`` UDFs.
 
 Media decode is REAL for PNG (8-bit gray/GA/RGB/RGBA, all scanline
 filters, sequential + Adam7 interlaced), 24-bit BMP, GIF (LZW +
-palette, sequential + 4-pass interlaced), baseline JPEG (own
-DCT/Huffman codec in operators/jpeg.py — any sampling factors incl.
-4:2:0, restart intervals; progressive raises and falls back), and
+palette, sequential + 4-pass interlaced), JPEG — baseline AND
+progressive/SOF2 (own DCT/Huffman codec in operators/jpeg.py — any
+sampling factors incl. 4:2:0, restart intervals, spectral selection +
+successive approximation; arithmetic raises and falls back), and
 PCM WAV (8/16-bit) — stdlib + numpy, no codec library
 (``decode_png`` / ``decode_bmp`` / ``decode_gif`` / ``decode_jpeg`` /
 ``decode_wav`` / ``real_decode``).  On top of those decoders, resize

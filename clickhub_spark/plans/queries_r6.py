@@ -866,3 +866,58 @@ def q_agg_proportions_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "seg", "n", "k", (F.floor(z * 1000000) / 1000000).alias("z")
     ).orderBy("seg")
+
+
+@query(
+    "q_multimodal_jpeg_progressive",
+    oracle="""
+    SELECT doc_id, 16 AS w, 16 AS h,
+           TRUE AS is_sof2,
+           TRUE AS prog_equals_baseline
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG round trip, distributed (SURVEY §2.J
+    multimodal row — the web's dominant large-image layout; round 6
+    closes the r5 'progressive raises and falls back' gap): each task
+    synthesizes a deterministic 16×16 RGB image from md5(text),
+    encodes it BOTH baseline (SOF0) and progressive (SOF2: spectral
+    selection + successive approximation + EOB runs), decodes both
+    with the same codec, and asserts pixel equality — progressive
+    transmits the same quantized coefficients, so the decoded images
+    must match byte-for-byte.  The oracle restates the invariant
+    (equality + dims + SOF2 marker present); pixel-level decode
+    correctness across sizes/qualities is unit-pinned in
+    tests/test_jpeg_progressive.py.  Map-only mapInPandas per Arrow
+    batch — per-blob CPU, no shuffle."""
+    from clickhub_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", F.unhex(F.md5("text")).alias("m"))
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "w": [], "h": [], "is_sof2": [], "prog_equals_baseline": []}
+            for doc_id, m in zip(pdf["doc_id"], pdf["m"]):
+                px = (bytes(m) * ((16 * 16 * 3) // 16))[: 16 * 16 * 3]
+                base = decode_jpeg(encode_jpeg(16, 16, 3, px, quality=85))
+                payload = encode_jpeg_progressive(16, 16, 3, px, quality=85)
+                prog = decode_jpeg(payload)
+                out["doc_id"].append(doc_id)
+                out["w"].append(prog[0])
+                out["h"].append(prog[1])
+                out["is_sof2"].append(b"\xff\xc2" in payload)
+                out["prog_equals_baseline"].append(prog == base)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id long, w int, h int, is_sof2 boolean, prog_equals_baseline boolean"
+    ).orderBy("doc_id")
