@@ -680,6 +680,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seglen < 2:  # would stall the marker walk on crafted bytes
+            raise ValueError("malformed segment length")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             o = 0

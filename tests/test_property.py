@@ -222,3 +222,43 @@ def test_bpe_merge_once_invariants(syms, left, right):
     assert not any(
         a == left and b == right for a, b in zip(out, out[1:])
     )
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_total_on_arbitrary_bytes(payload):
+    # decode_jpeg must terminate and raise only dispatch-catchable
+    # errors on garbage — including crafted zero-length segments (the
+    # marker walk would otherwise stall) and truncated progressive
+    # scans.  A valid SOI prefix steers the fuzzer into the parser.
+    import struct as _struct
+
+    from clickhub_spark.operators.jpeg import decode_jpeg
+
+    for candidate in (payload, b"\xff\xd8" + payload):
+        try:
+            decode_jpeg(candidate)
+        except (ValueError, IndexError, KeyError, _struct.error):
+            pass
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=100, deadline=None)
+def test_progressive_scan_bytes_fuzz(payload):
+    # splice garbage into the entropy section of a real progressive
+    # stream: the multi-scan decoder must stay total (terminate with
+    # a catchable error or produce SOME image, never hang or segv)
+    import struct as _struct
+
+    from clickhub_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    base = encode_jpeg_progressive(16, 16, 1, bytes(range(256)), quality=60)
+    first_sos = base.index(b"\xff\xda")
+    spliced = base[: first_sos + 12] + payload + base[-2:]
+    try:
+        decode_jpeg(spliced)
+    except (ValueError, IndexError, KeyError, _struct.error):
+        pass
