@@ -197,6 +197,18 @@ def main() -> None:
         "q_llm_dedup_editdist",
         "q_llm_chunk_sentences",
         "q_multimodal_video",
+        # r6 additions worth tracking: the rewritten rank statistics
+        # (per-value-count plans), the pivot-cumulative Kendall, the
+        # progressive-JPEG round trip (bounded 200-blob pure-Python
+        # codec demo), WAV feature extraction, n-gram novelty
+        "q_agg_ks_test",
+        "q_agg_mannwhitney",
+        "q_agg_spearman",
+        "q_agg_kendall",
+        "q_multimodal_jpeg_progressive",
+        "q_multimodal_audio_stats",
+        "q_llm_ngram_novelty",
+        "q_agg_ewma",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(
