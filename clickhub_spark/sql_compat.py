@@ -80,6 +80,30 @@ _FN_RENAMES = {
     "leftPad": "lpad",
     "rightPad": "rpad",
     "modulo": "mod",
+    # round-6 surface widening — still strictly 1:1 (same arg order,
+    # same meaning); names whose semantics diverge between the
+    # dialects (toDayOfWeek's weekday origin, fromUnixTimestamp's
+    # return type, splitByChar's reversed args, arrayCompact's
+    # consecutive-vs-null semantics) are deliberately NOT mapped.
+    "toUnixTimestamp": "unix_timestamp",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toQuarter": "quarter",
+    "toDayOfYear": "dayofyear",
+    "trimBoth": "trim",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayFlatten": "flatten",
+    "arrayStringConcat": "array_join",
+    "arraySlice": "slice",  # both 1-based (arr, offset[, length])
+    "arrayConcat": "concat",
+    # date-typed args only: Spark's date_add returns DATE (ClickHouse
+    # keeps DateTime for DateTime inputs — the app surface only ever
+    # shifts dates)
+    "addDays": "date_add",
+    "subtractDays": "date_sub",
 }
 
 #: <agg>If(x, cond) → <agg>(CASE WHEN cond THEN x END); Spark only has
@@ -149,7 +173,12 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
     """Rewrite every ``name(...)`` call, scanning balanced parentheses
     AND square brackets so nested calls like
     ``toStartOfWeek(CAST(x AS DATE))`` and array literals like
-    ``arrayExists(x -> x > 2, [1, 2, 3])`` split correctly.
+    ``arrayExists(x -> x > 2, [1, 2, 3])`` split correctly.  Commas,
+    parens, and brackets inside single-quoted string literals are
+    inert (honoring backslash escapes and doubled ``''``, the same
+    quoting rules _rewrite_array_literals applies) — without this,
+    ``splitByChar(',', s)`` split ON the quoted comma and rendered
+    corrupted SQL (round-6 regression test).
     ``render`` receives the list of top-level comma-split arguments."""
     out = []
     i = 0
@@ -162,9 +191,21 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
         out.append(sql[i : m.start()])
         depth, j, args, start = 1, m.end(), [], m.end()
         brackets = 0
+        in_str = False
         while j < len(sql) and depth:
             ch = sql[j]
-            if ch == "(":
+            if in_str:
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2  # doubled '' stays inside the literal
+                        continue
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -199,9 +240,21 @@ def _rewrite_parametric(sql: str, name: str, render) -> str:
 
         def scan(start: int) -> tuple[list[str], int]:
             depth, j, args, s = 1, start, [], start
+            in_str = False
             while j < len(sql) and depth:
                 ch = sql[j]
-                if ch == "(":
+                if in_str:
+                    if ch == "\\":
+                        j += 2
+                        continue
+                    if ch == "'":
+                        if j + 1 < len(sql) and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        in_str = False
+                elif ch == "'":
+                    in_str = True
+                elif ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1

@@ -474,3 +474,68 @@ def test_uniq_upto_parametric(spark):
     assert run(spark, "SELECT uniqUpTo(5)(o_orderstatus) AS u FROM orders").first().u == 3
     # cap binds when distinct exceeds N: saturates at N+1
     assert run(spark, "SELECT uniqUpTo(1)(o_orderstatus) AS u FROM orders").first().u == 2
+
+
+def test_round6_function_renames_execute(spark):
+    # each mapped name must not just translate but EXECUTE with
+    # ClickHouse argument order and produce the CH-documented value
+    from clickhub_spark.sql_compat import run, translate
+
+    spark.createDataFrame(
+        [(1, " pad ", [3, 1, 2], [[1], [2, 3]], "2024-03-15 10:20:30")],
+        "id long, s string, xs array<int>, nested array<array<int>>, ts string",
+    ).createOrReplaceTempView("t6")
+    row = run(
+        spark,
+        """
+        SELECT toUnixTimestamp(CAST(ts AS TIMESTAMP)) AS ux,
+               toMinute(CAST(ts AS TIMESTAMP)) AS mi,
+               toSecond(CAST(ts AS TIMESTAMP)) AS se,
+               toQuarter(CAST(ts AS TIMESTAMP)) AS q,
+               toDayOfYear(CAST(ts AS TIMESTAMP)) AS doy,
+               trimBoth(s) AS tb, trimLeft(s) AS tl, trimRight(s) AS tr,
+               arrayMin(xs) AS amin, arrayMax(xs) AS amax,
+               arrayFlatten(nested) AS flat,
+               arrayStringConcat(['a','b'], '-') AS joined,
+               arraySlice(xs, 2, 2) AS sl,
+               arrayConcat(xs, [9]) AS cc,
+               addDays(toDate('2024-03-15'), 3) AS plus3,
+               subtractDays(toDate('2024-03-15'), 3) AS minus3
+        FROM t6
+        """,
+    ).first()
+    assert (row.mi, row.se, row.q, row.doy) == (20, 30, 1, 75)
+    assert (row.tb, row.tl, row.tr) == ("pad", "pad ", " pad")
+    assert (row.amin, row.amax) == (1, 3)
+    assert row.flat == [1, 2, 3]
+    assert row.joined == "a-b"
+    assert row.sl == [1, 2]
+    assert row.cc == [3, 1, 2, 9]
+    assert str(row.plus3) == "2024-03-18" and str(row.minus3) == "2024-03-12"
+    assert row.ux > 0
+    # semantics-diverging names stay unmapped (weekday origin differs)
+    t = translate("SELECT toDayOfWeek(x) FROM t")
+    assert "toDayOfWeek" in t
+
+
+def test_string_literals_inert_in_call_rewrites(spark):
+    # the balanced-paren argument scan must treat quoted commas,
+    # parens, doubled '' and backslash escapes as literal text; this
+    # used to render splitByChar(',', s) as the corrupted split(', ')
+    from clickhub_spark.sql_compat import run, translate
+
+    assert translate("SELECT splitByChar(',', s) FROM t") == "SELECT split(s, ',') FROM t"
+    assert (
+        translate("SELECT splitByChar('(', concat(a, '((', b)) FROM t")
+        == "SELECT split(concat(a, '((', b), '(') FROM t"
+    )
+    assert (
+        translate("SELECT sumIf(x, s = 'a,b(') FROM t")
+        == "SELECT sum(CASE WHEN s = 'a,b(' THEN x END) FROM t"
+    )
+    spark.createDataFrame([("a,b,c",)], "s string").createOrReplaceTempView("t_split")
+    assert run(spark, "SELECT splitByChar(',', s) AS parts FROM t_split").first().parts == [
+        "a",
+        "b",
+        "c",
+    ]
