@@ -921,3 +921,163 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     return docs.mapInPandas(
         roundtrip, "doc_id long, w int, h int, is_sof2 boolean, prog_equals_baseline boolean"
     ).orderBy("doc_id")
+
+
+@query(
+    "q_agg_kendall_by",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(user_id % 5 AS BIGINT) AS seg,
+               CAST(user_id % 8 AS BIGINT) AS x, value AS y FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), cells AS (
+        SELECT seg, x, y, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY seg, x, y
+    ), pv AS (
+        SELECT seg, y,
+               SUM(CASE WHEN x = 0 THEN n ELSE 0 END) AS c0,
+               SUM(CASE WHEN x = 1 THEN n ELSE 0 END) AS c1,
+               SUM(CASE WHEN x = 2 THEN n ELSE 0 END) AS c2,
+               SUM(CASE WHEN x = 3 THEN n ELSE 0 END) AS c3,
+               SUM(CASE WHEN x = 4 THEN n ELSE 0 END) AS c4,
+               SUM(CASE WHEN x = 5 THEN n ELSE 0 END) AS c5,
+               SUM(CASE WHEN x = 6 THEN n ELSE 0 END) AS c6,
+               SUM(CASE WHEN x = 7 THEN n ELSE 0 END) AS c7
+        FROM cells GROUP BY seg, y
+    ), cum AS (
+        SELECT seg, y,
+               COALESCE(SUM(c0) OVER w, 0) AS lt0, SUM(c0) OVER wp - SUM(c0) OVER wle AS gt0,
+               COALESCE(SUM(c1) OVER w, 0) AS lt1, SUM(c1) OVER wp - SUM(c1) OVER wle AS gt1,
+               COALESCE(SUM(c2) OVER w, 0) AS lt2, SUM(c2) OVER wp - SUM(c2) OVER wle AS gt2,
+               COALESCE(SUM(c3) OVER w, 0) AS lt3, SUM(c3) OVER wp - SUM(c3) OVER wle AS gt3,
+               COALESCE(SUM(c4) OVER w, 0) AS lt4, SUM(c4) OVER wp - SUM(c4) OVER wle AS gt4,
+               COALESCE(SUM(c5) OVER w, 0) AS lt5, SUM(c5) OVER wp - SUM(c5) OVER wle AS gt5,
+               COALESCE(SUM(c6) OVER w, 0) AS lt6, SUM(c6) OVER wp - SUM(c6) OVER wle AS gt6,
+               COALESCE(SUM(c7) OVER w, 0) AS lt7, SUM(c7) OVER wp - SUM(c7) OVER wle AS gt7
+        FROM pv
+        WINDOW w AS (PARTITION BY seg ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wle AS (PARTITION BY seg ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wp AS (PARTITION BY seg)
+    ), cd AS (
+        SELECT c.seg,
+               SUM(c.n * (CASE WHEN c.x > 0 THEN m.lt0 ELSE 0 END
+                        + CASE WHEN c.x > 1 THEN m.lt1 ELSE 0 END
+                        + CASE WHEN c.x > 2 THEN m.lt2 ELSE 0 END
+                        + CASE WHEN c.x > 3 THEN m.lt3 ELSE 0 END
+                        + CASE WHEN c.x > 4 THEN m.lt4 ELSE 0 END
+                        + CASE WHEN c.x > 5 THEN m.lt5 ELSE 0 END
+                        + CASE WHEN c.x > 6 THEN m.lt6 ELSE 0 END)) AS conc,
+               SUM(c.n * (CASE WHEN c.x > 0 THEN m.gt0 ELSE 0 END
+                        + CASE WHEN c.x > 1 THEN m.gt1 ELSE 0 END
+                        + CASE WHEN c.x > 2 THEN m.gt2 ELSE 0 END
+                        + CASE WHEN c.x > 3 THEN m.gt3 ELSE 0 END
+                        + CASE WHEN c.x > 4 THEN m.gt4 ELSE 0 END
+                        + CASE WHEN c.x > 5 THEN m.gt5 ELSE 0 END
+                        + CASE WHEN c.x > 6 THEN m.gt6 ELSE 0 END)) AS disc
+        FROM cells c JOIN cum m USING (seg, y) GROUP BY c.seg
+    ), tx AS (
+        SELECT seg, SUM(t * (t - 1) / 2) AS n1 FROM (
+            SELECT seg, x, CAST(COUNT(*) AS BIGINT) AS t FROM p GROUP BY seg, x
+        ) GROUP BY seg
+    ), ty AS (
+        SELECT seg, SUM(t * (t - 1) / 2) AS n2 FROM (
+            SELECT seg, y, CAST(COUNT(*) AS BIGINT) AS t FROM p GROUP BY seg, y
+        ) GROUP BY seg
+    ), nn AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY seg
+    )
+    SELECT cd.seg, CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+           FLOOR((conc - disc) / (
+               SQRT(CAST(n * (n - 1) / 2 - n1 AS DOUBLE))
+               * SQRT(CAST(n * (n - 1) / 2 - n2 AS DOUBLE)))
+               * 1000000) / 1000000 AS tau_b
+    FROM cd
+    JOIN tx USING (seg) JOIN ty USING (seg) JOIN nn USING (seg)
+    ORDER BY cd.seg
+    """,
+)
+def q_agg_kendall_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Kendall tau-b (the partitioned sibling of
+    q_agg_kendall — the grouped form a real A/B analysis runs): the
+    same O(n²)-free pivot-cumulative technique with every window and
+    aggregate partitioned by the segment key, so each segment's
+    concordance counting is an independent sorted run — fully
+    distributed, no unpartitioned window anywhere (contrast the
+    pooled canon, which needs the plan-guard whitelist).  Exact int64
+    algebra until the final sqrt/division on identical doubles."""
+    K = 8
+    p = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 5).alias("seg"),
+            (F.col("user_id") % K).alias("x"),
+            F.col("value").alias("y"),
+        )
+    )
+    cells = p.groupBy("seg", "x", "y").agg(F.count(F.lit(1)).alias("n"))
+    pv = (
+        cells.groupBy("seg", "y")
+        .pivot("x", list(range(K)))
+        .agg(F.sum("n"))
+        .select(
+            "seg",
+            "y",
+            *[F.coalesce(F.col(str(i)), F.lit(0)).alias(f"c{i}") for i in range(K)],
+        )
+    )
+    wlt = Window.partitionBy("seg").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wle = Window.partitionBy("seg").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("seg")
+    cum = pv.select(
+        "seg",
+        "y",
+        *[
+            F.coalesce(F.sum(f"c{i}").over(wlt), F.lit(0)).alias(f"lt{i}")
+            for i in range(K)
+        ],
+        *[
+            (F.sum(f"c{i}").over(wp) - F.sum(f"c{i}").over(wle)).alias(f"gt{i}")
+            for i in range(K)
+        ],
+    )
+    conc_expr = sum(
+        F.when(F.col("x") > i, F.col(f"lt{i}")).otherwise(F.lit(0))
+        for i in range(K - 1)
+    )
+    disc_expr = sum(
+        F.when(F.col("x") > i, F.col(f"gt{i}")).otherwise(F.lit(0))
+        for i in range(K - 1)
+    )
+    cd = cells.join(cum, ["seg", "y"]).groupBy("seg").agg(
+        F.sum(F.col("n") * conc_expr).alias("conc"),
+        F.sum(F.col("n") * disc_expr).alias("disc"),
+    )
+    n1 = (
+        p.groupBy("seg", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("seg")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"))
+    )
+    n2 = (
+        p.groupBy("seg", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("seg")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
+    )
+    nn = p.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    j = cd.join(n1, "seg").join(n2, "seg").join(nn, "seg")
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    tau = (F.col("conc") - F.col("disc")) / (
+        F.sqrt((n0 - F.col("n1")).cast("double"))
+        * F.sqrt((n0 - F.col("n2")).cast("double"))
+    )
+    return j.select(
+        "seg", "conc", "disc", (F.floor(tau * 1000000) / 1000000).alias("tau_b")
+    ).orderBy("seg")

@@ -169,6 +169,7 @@ ROUND_PRIORITY = [
     "q_multimodal_audio_stats",
     "q_agg_proportions_z",
     "q_multimodal_jpeg_progressive",
+    "q_agg_kendall_by",
     # --- last driver row: round 3 (3 rounds stale) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
