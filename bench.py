@@ -237,6 +237,7 @@ def main() -> None:
             + list(out.get("tpch", {}).items())
             + list(out.get("pipeline", {}).items()),
             key=lambda kv: kv[1],
+            default=None,
         ),
         "queries": out["queries"],
         "method": out["method"],

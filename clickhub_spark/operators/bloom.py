@@ -112,13 +112,14 @@ def might_contain(df: DataFrame, hash_col: str, bitmap: bytes, k: int) -> DataFr
             return pd.Series([], dtype=bool)
         valid = h.notna()
         if not valid.all():
-            out = pd.Series(np.zeros(len(h), dtype=bool))
-            if valid.any():
-                pos = _positions(h[valid].to_numpy(), m_bits, k)
-                out[valid.to_numpy()] = (bm[pos >> 3] & (1 << (pos & 7))).all(
-                    axis=0
-                )
-            return out
+            # Unexpected: the JVM-side isNotNull pre-filter should
+            # keep nulls out of the probe, and a batch WITH nulls
+            # arrives as float64 over Arrow — lossy past 2^53, so
+            # probe positions could no longer match the build side.
+            # Stay contract-safe (no false negatives, ever): pass all
+            # non-null rows through unscreened; downstream verify
+            # joins drop the extra candidates.
+            return pd.Series(valid.to_numpy())
         pos = _positions(h.to_numpy(), m_bits, k)
         hit = (bm[pos >> 3] & (1 << (pos & 7))) != 0
         return pd.Series(hit.all(axis=0))

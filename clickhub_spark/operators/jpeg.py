@@ -959,7 +959,15 @@ def _finish_planes(planes, comps, w, h, hmax, vmax):
     for ci, c in enumerate(comps):
         p = planes[ci]
         if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+            # index-mapped nearest-neighbor upsample: full-res (x, y)
+            # reads comp sample (x·h/hmax, y·v/vmax).  Equals the
+            # np.repeat replication for divisor ratios and also
+            # handles non-divisor factor pairs (3-vs-2, 4-vs-3),
+            # which T.81 permits
+            ys = np.minimum((np.arange(h) * c["v"]) // vmax, p.shape[0] - 1)
+            xs = np.minimum((np.arange(w) * c["h"]) // hmax, p.shape[1] - 1)
+            full.append(p[np.ix_(ys, xs)])
+            continue
         full.append(p[:h, :w])
     if len(full) == 1:
         gray = np.clip(full[0], 0, 255).astype(np.uint8)

@@ -20,11 +20,16 @@ from clickhub_spark.plans.registry import query
 
 
 def _pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view-vs-click sample with a 10-way experiment segment."""
+    """view-vs-click sample with a 10-way experiment segment.  NULL
+    user_ids are filtered like every sibling stat query: a NULL seg
+    group would sort first in Spark (ASC NULLS FIRST) but last in the
+    DuckDB oracle, misaligning the ordered compare."""
     return (
         load(spark, sf_dir, "events")
         .where(
-            F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+            F.col("event_type").isin("view", "click")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
         )
         .select(
             (F.col("user_id") % 10).alias("seg"),
@@ -42,6 +47,7 @@ def _pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
         FROM events
         WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+          AND user_id IS NOT NULL
     ), c AS (
         SELECT seg,
                SUM(g1) OVER (PARTITION BY seg ORDER BY value
@@ -112,6 +118,7 @@ def q_agg_ks_test_by(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
         FROM events
         WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+          AND user_id IS NOT NULL
     ), r AS (
         SELECT seg, g1,
                RANK() OVER (PARTITION BY seg ORDER BY value)
@@ -725,11 +732,14 @@ def q_agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * conc_expr).alias("conc"),
         F.sum(F.col("n") * disc_expr).alias("disc"),
     )
-    tx = p.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
-    ty = p.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+    # tie terms and n derive from the CELLS table (exact integer
+    # sums) — re-scanning the corpus three more times would triple
+    # the I/O for numbers the one shuffle already produced
+    tx = cells.groupBy("x").agg(F.sum("n").alias("t"))
+    ty = cells.groupBy("y").agg(F.sum("n").alias("t"))
     n1 = tx.agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"))
     n2 = ty.agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
-    n = p.agg(F.count(F.lit(1)).alias("n"))
+    n = cells.agg(F.sum("n").alias("n"))
     j = cd.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2)).crossJoin(
         F.broadcast(n)
     )
@@ -1059,19 +1069,21 @@ def q_agg_kendall_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * conc_expr).alias("conc"),
         F.sum(F.col("n") * disc_expr).alias("disc"),
     )
+    # tie terms and n derive from CELLS (see q_agg_kendall) — no
+    # extra corpus scans
     n1 = (
-        p.groupBy("seg", "x")
-        .agg(F.count(F.lit(1)).alias("t"))
+        cells.groupBy("seg", "x")
+        .agg(F.sum("n").alias("t"))
         .groupBy("seg")
         .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"))
     )
     n2 = (
-        p.groupBy("seg", "y")
-        .agg(F.count(F.lit(1)).alias("t"))
+        cells.groupBy("seg", "y")
+        .agg(F.sum("n").alias("t"))
         .groupBy("seg")
         .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
     )
-    nn = p.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    nn = cells.groupBy("seg").agg(F.sum("n").alias("n"))
     j = cd.join(n1, "seg").join(n2, "seg").join(nn, "seg")
     n0 = F.col("n") * (F.col("n") - 1) / 2
     tau = (F.col("conc") - F.col("disc")) / (

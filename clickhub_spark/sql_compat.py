@@ -6,10 +6,12 @@ statement it ever runs is cited below); ``translate`` rewrites the
 ClickHouse-isms to Spark SQL and ``run`` executes against registered
 views.  This is a conservative, pattern-scoped translator for the
 app-surface dialect + the common ClickHouse function names — not a
-general SQL transpiler.  Known limitation: rewrites are textual, so a
-ClickHouse-ism *inside a string literal* (e.g. ``LIKE '%count()%'``)
-is also rewritten — none of the reference's statements do this; a
-tokenizer would be the upgrade path if user SQL needs it.
+general SQL transpiler.  String literals are inert for the call
+rewrites and the function-rename pass (quoted text, incl. backslash
+escapes and doubled ``''``, is never rewritten — round 6); the few
+remaining keyword-level passes (PREWHERE, WITH TOTALS, FINAL) are
+still textual, and none of the reference's statements put those
+keywords inside literals.
 
 Reference statements covered (all of them):
 - SELECT max(time) as max_time FROM git.commits WHERE repo_name='x'
@@ -85,7 +87,6 @@ _FN_RENAMES = {
     # dialects (toDayOfWeek's weekday origin, fromUnixTimestamp's
     # return type, splitByChar's reversed args, arrayCompact's
     # consecutive-vs-null semantics) are deliberately NOT mapped.
-    "toUnixTimestamp": "unix_timestamp",
     "toMinute": "minute",
     "toSecond": "second",
     "toQuarter": "quarter",
@@ -96,14 +97,11 @@ _FN_RENAMES = {
     "arrayMin": "array_min",
     "arrayMax": "array_max",
     "arrayFlatten": "flatten",
-    "arrayStringConcat": "array_join",
-    "arraySlice": "slice",  # both 1-based (arr, offset[, length])
     "arrayConcat": "concat",
-    # date-typed args only: Spark's date_add returns DATE (ClickHouse
-    # keeps DateTime for DateTime inputs — the app surface only ever
-    # shifts dates)
-    "addDays": "date_add",
-    "subtractDays": "date_sub",
+    # toUnixTimestamp / arrayStringConcat / addDays / subtractDays /
+    # arraySlice have DEDICATED handlers inside translate() (default
+    # separator, date-typed args, optional-length form) — listing them
+    # here too would shadow those with wrong-arity renames.
 }
 
 #: <agg>If(x, cond) → <agg>(CASE WHEN cond THEN x END); Spark only has
@@ -167,6 +165,42 @@ def _rewrite_array_literals(sql: str) -> str:
             out[i] = stack.pop()
         i += 1
     return "".join(out)
+
+
+def _split_quoted(sql: str) -> list[tuple[bool, str]]:
+    """Split SQL into (is_literal, text) segments; literal segments
+    include their quotes and honor backslash escapes and doubled
+    ``''``.  An unterminated literal swallows the rest of the string
+    (matching how the engine would fail to parse it anyway)."""
+    segs: list[tuple[bool, str]] = []
+    i, n, start = 0, len(sql), 0
+    while i < n:
+        if sql[i] == "'":
+            if i > start:
+                segs.append((False, sql[start:i]))
+            j = i + 1
+            closed = False
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    closed = True
+                    break
+                j += 1
+            if not closed:
+                segs.append((True, sql[i:]))
+                return segs
+            segs.append((True, sql[i : j + 1]))
+            start = i = j + 1
+        else:
+            i += 1
+    if start < n:
+        segs.append((False, sql[start:]))
+    return segs
 
 
 def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
@@ -437,6 +471,20 @@ def translate(sql: str) -> str:
         lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
         nargs=3,
     )
+    # arraySlice: ClickHouse's 2-arg form means "offset to end" (Spark's
+    # slice requires exactly 3 args); non-negative lengths map 1:1.
+    # ClickHouse NEGATIVE lengths ("all but the last |n|") have no Spark
+    # equivalent and pass through unchanged for a loud analysis error.
+    out = _rewrite_call(
+        out,
+        "arraySlice",
+        lambda a: (
+            f"slice({a[0]}, {a[1]}, {a[2]})"
+            if len(a) == 3
+            else f"slice({a[0]}, {a[1]}, 2147483647)"
+        ),
+        nargs=2,
+    )
     out = _rewrite_call(out, "addDays", lambda a: f"date_add({a[0]}, {a[1]})", nargs=2)
     out = _rewrite_call(out, "subtractDays", lambda a: f"date_sub({a[0]}, {a[1]})", nargs=2)
     out = re.sub(r"\btoUnixTimestamp\s*\(", "unix_timestamp(", out)
@@ -535,11 +583,19 @@ def translate(sql: str) -> str:
     # toStartOf* → date_trunc
     for ch, unit in _START_OF.items():
         out = _rewrite_call(out, ch, lambda args, u=unit: f"date_trunc('{u}', {args[0]})")
-    # simple function renames (word-boundary, call position only)
-    for ch, sp in _FN_RENAMES.items():
-        if ch in _START_OF:
+    # simple function renames (word-boundary, call position only) —
+    # applied per non-literal segment so a mapped name INSIDE a string
+    # constant ('note: trimBoth(x)') is never rewritten
+    segs = _split_quoted(out)
+    for k, (lit, txt) in enumerate(segs):
+        if lit:
             continue
-        out = re.sub(rf"\b{ch}\s*\(", f"{sp}(", out)
+        for ch, sp in _FN_RENAMES.items():
+            if ch in _START_OF:
+                continue
+            txt = re.sub(rf"\b{ch}\s*\(", f"{sp}(", txt)
+        segs[k] = (False, txt)
+    out = "".join(t for _, t in segs)
     # PREWHERE is ClickHouse's manual predicate-pushdown hint; Catalyst
     # pushes predicates itself, so it is plain WHERE here.  (A query
     # using BOTH clauses is not in the supported dialect subset.)

@@ -74,3 +74,50 @@ def test_real_decode_dispatch_handles_progressive():
     f_prog = real_decode(encode_jpeg_progressive(24, 16, 3, px))
     assert f_prog == f_base
     assert f_prog[:3] == [24, 16, 3]  # real dims, not stub byte stats
+
+
+def test_finish_planes_non_divisor_sampling():
+    # T.81 permits factor pairs like luma 3x3 / chroma 2x2 whose ratio
+    # is not an integer; the index-mapped upsample must produce
+    # full-size planes where np.repeat's floor-division used to raise
+    from clickhub_spark.operators.jpeg import _finish_planes
+
+    h, w = 24, 24  # one 3x3-luma MCU
+    luma = np.arange(h * w, dtype=float).reshape(h, w)
+    chroma = np.full((16, 16), 128.0)  # 2x2 sampling -> 2/3 resolution
+    comps = [
+        {"h": 3, "v": 3, "tq": 0},
+        {"h": 2, "v": 2, "tq": 1},
+        {"h": 2, "v": 2, "tq": 1},
+    ]
+    out_w, out_h, ch, px = _finish_planes(
+        [luma, chroma, chroma], comps, w, h, 3, 3
+    )
+    assert (out_w, out_h, ch) == (w, h, 3)
+    assert len(px) == w * h * 3
+    # neutral chroma (128) -> output equals clipped luma in every band
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    expect = np.clip(luma, 0, 255).astype(np.uint8)
+    assert (img[..., 0] == expect).all()
+
+
+def test_finish_planes_divisor_sampling_unchanged():
+    # the index-mapped form must equal np.repeat replication for the
+    # common 4:2:0 case (regression guard for the rewrite)
+    from clickhub_spark.operators.jpeg import _finish_planes
+
+    h, w = 16, 16
+    luma = np.zeros((16, 16))
+    rng = np.random.default_rng(5)
+    chroma = rng.integers(0, 256, (8, 8)).astype(float)
+    comps = [
+        {"h": 2, "v": 2, "tq": 0},
+        {"h": 1, "v": 1, "tq": 1},
+        {"h": 1, "v": 1, "tq": 1},
+    ]
+    _, _, _, px = _finish_planes([luma, chroma, chroma], comps, w, h, 2, 2)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    rep = np.repeat(np.repeat(chroma, 2, axis=0), 2, axis=1)
+    # blue channel = y + 1.772*(cb-128); y=0 here
+    expect = np.clip(1.772 * (rep - 128.0), 0, 255).astype(np.uint8)
+    assert (img[..., 2] == expect).all()
