@@ -300,6 +300,11 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     words = (
         _spread(df)
         .select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
+        # empty tokens from irregular whitespace would cast a constant
+        # 64-bit vote per gap, dragging signatures toward xxhash64('');
+        # simhash_md5 already filters them — keep the two token sets
+        # identical so the md5 twin stays a valid test vector
+        .where(F.col("w") != "")
         .withColumn("h", F.xxhash64("w"))
     )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")

@@ -248,6 +248,25 @@ def _receive_extend(r: _BitReader, s: int) -> int:
 # -- encoder ----------------------------------------------------------------
 
 
+def _to_planes(w: int, h: int, ch: int, px: bytes) -> list[np.ndarray]:
+    """Validate interleaved 8-bit input and convert to Y (gray) or
+    Y/Cb/Cr planes — the one copy of the color matrix both encoders
+    share, so a coefficient fix cannot reach one and miss the other
+    (the decode(progressive) ≡ decode(baseline) invariant depends on
+    the two pipelines quantizing identical planes)."""
+    if ch not in (1, 3) or len(px) != w * h * ch:
+        raise ValueError("encoder expects gray or RGB interleaved 8-bit pixels")
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch == 1:
+        return [img[..., 0]]
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+    ]
+
+
 def _encode_block(
     writer: _BitWriter,
     plane: np.ndarray,
@@ -300,18 +319,7 @@ def encode_jpeg(
     emits 4:2:0 (2×2 luma blocks per MCU, chroma box-averaged to half
     resolution — the dominant layout in web corpora, ~50% smaller);
     default is 4:4:4."""
-    if ch not in (1, 3) or len(px) != w * h * ch:
-        raise ValueError("encode_jpeg expects gray or RGB interleaved pixels")
-    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
-    if ch == 3:
-        r, g, b = img[..., 0], img[..., 1], img[..., 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
-        ]
-    else:
-        planes = [img[..., 0]]
+    planes = _to_planes(w, h, ch, px)
     sub = subsample and ch == 3
     if sub:
         # box-average chroma to half resolution (pad to even first)
@@ -547,18 +555,7 @@ def encode_jpeg_progressive(
     tests pin the whole pipeline.  Per-scan Huffman tables are
     uniform-length canonical codes over the symbols the scan actually
     uses (valid, marginally larger than optimal)."""
-    if ch not in (1, 3) or len(px) != w * h * ch:
-        raise ValueError("encode_jpeg_progressive expects gray or RGB pixels")
-    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
-    if ch == 3:
-        r, g, b = img[..., 0], img[..., 1], img[..., 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
-        ]
-    else:
-        planes = [img[..., 0]]
+    planes = _to_planes(w, h, ch, px)
     qt = [_scale_q(Q_LUM, quality), _scale_q(Q_CHROM, quality)]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     comp_coefs = []
@@ -734,6 +731,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 scan_comps.append({**c, "ci": ci, "td": tt >> 4, "ta": tt & 0xF})
             pos += seglen
             if not progressive:
+                if len(scan_comps) < len(comps):
+                    # T.81-legal multi-scan (non-interleaved) baseline:
+                    # decoding only the first scan would silently
+                    # return one component with the wrong geometry —
+                    # raise so the dispatch routes to the stub instead
+                    raise ValueError(
+                        "multi-scan baseline JPEG unsupported "
+                        "(single interleaved scan only)"
+                    )
                 return _decode_scan(
                     payload, pos, w, h, scan_comps, qt, huff, restart_interval
                 )

@@ -57,10 +57,14 @@ def hyperplane_signature(vec: F.Column, n_bits: int = 16, dim: int = 64) -> F.Co
     with no stored model.  Returns an int bucket id in [0, 2^n_bits).
     """
     def bit(p: int) -> F.Column:
+        # project over min(dim, len(vec)) components: zip_with pads the
+        # shorter side with nulls, so a fixed dim longer than the
+        # vector would null every projection and collapse all rows
+        # into bucket 0 (round-6 review)
         proj = F.aggregate(
             F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.slice(vec, 1, dim),
+                F.sequence(F.lit(0), F.least(F.lit(dim - 1), F.size(vec) - 1)),
                 lambda x, i: x * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(7)) - 3).cast("double")),
             ),
             F.lit(0.0),
@@ -397,6 +401,20 @@ def pq_topk(
     """Build-once PQ ANN (artifact keyed on files + logical plan, like
     ivf_topk): train + encode on first call, every later query is a
     codes-only scan."""
+    row = (
+        emb.where(F.col(id_col) == query_id)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .first()
+    )
+    if row is None:
+        # unknown query id: empty result with the probe's output
+        # schema, BEFORE paying for the index build (mirrors
+        # ivf_topk's graceful empty result)
+        return (
+            emb.select(F.col(id_col).alias("vec_id"))
+            .where(F.lit(False))
+            .withColumn("sim", F.lit(0.0))
+        )
     if index_path is None:
         from clickhub_spark.artifacts import derived_artifact_path
 
@@ -406,14 +424,8 @@ def pq_topk(
         from clickhub_spark.artifacts import prune_stale
 
         prune_stale(index_path)
-    qvec = (
-        emb.where(F.col(id_col) == query_id)
-        .select(as_double(F.col(vec_col)).alias("v"))
-        .first()
-        .v
-    )
     return pq_probe_topk(
-        emb.sparkSession, index_path, list(qvec), k=k, exclude_id=query_id
+        emb.sparkSession, index_path, list(row.v), k=k, exclude_id=query_id
     )
 
 
@@ -439,7 +451,13 @@ def hyperplane_signature_md5(vec: F.Column, n_bits: int = 4, dim: int = 64) -> F
             ]
         )
         proj = F.aggregate(
-            F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            F.zip_with(
+                F.slice(vec, 1, dim),
+                F.slice(w, 1, F.least(F.lit(dim), F.size(vec))),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)

@@ -146,6 +146,8 @@ def real_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
     import struct
     import zlib
 
+    if payload is None:
+        return b""  # null blob -> empty resize, never a task kill
     try:
         fmt, _, _ = probe_image(payload)
         if fmt == "png":
@@ -161,7 +163,7 @@ def real_resize(payload: bytes, width: int = 32, height: int = 32) -> bytes:
         else:
             return stub_resize(payload, width, height)
         return encode_bmp(width, height, to_rgb(ch, resample_nn(w, h, ch, px, width, height)))
-    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+    except (ValueError, IndexError, KeyError, ZeroDivisionError, struct.error, zlib.error):
         return stub_resize(payload, width, height)
 
 
@@ -284,7 +286,7 @@ def sample_frames(
                         sampled = sample_mp3_frames(p, every_nth, max_frames)
                     elif probe_video(p)[0] == "avi":
                         sampled = sample_avi_frames(p, every_nth, max_frames)
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, ZeroDivisionError, struct.error):
                     sampled = None  # corrupt-after-probe → stub fallback
                 if sampled is None:
                     total = len(p) // frame_sz
@@ -334,7 +336,9 @@ def extract_features(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["n_bytes"].astype("int32"),
+                    # NULL metadata arrives as NaN over Arrow — keep
+                    # the row, zero the size
+                    "n_bytes": pdf["n_bytes"].fillna(0).astype("int32"),
                     "feat": [decode_fn(p) for p in pdf["payload"]],
                 }
             )
@@ -674,6 +678,8 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
     n_channels, n_samples, rms, peak, zero-crossing rate, mean,
     duration_sec] — the cheap stats a quality-filter or near-dup
     prefilter runs before any model inference."""
+    if payload is None:
+        return [0.0] * n_feat  # null blob -> null features, never a task kill
     import math
     import struct
     import zlib
@@ -754,7 +760,7 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
             return (feats + [0.0] * n_feat)[:n_feat]
         else:
             return stub_decode(payload, n_feat)
-    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+    except (ValueError, IndexError, KeyError, ZeroDivisionError, struct.error, zlib.error):
         # A payload can pass the magic-byte probe yet still be corrupt:
         # zlib.error from a truncated PNG IDAT, struct.error from a
         # short WAV 'fmt ' chunk, IndexError from a bogus BMP data
@@ -764,6 +770,8 @@ def real_decode(payload: bytes, n_feat: int = 8) -> list[float]:
         # try for the same reason: it header-parses arbitrary bytes.
         return stub_decode(payload, n_feat)
     n = len(px)
+    if n == 0:  # 0x0 image: header-valid, no pixels to summarize
+        return ([float(w), float(h), float(ch)] + [0.0] * n_feat)[:n_feat]
     mean = sum(px) / n
     var = sum((v - mean) ** 2 for v in px) / n
     grad = [

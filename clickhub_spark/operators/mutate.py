@@ -47,12 +47,18 @@ def recover_table(path: str) -> bool:
 
 
 def _rewrite(spark: SparkSession, path: str, transform) -> int:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     recover_table(path)
     df = spark.read.parquet(path)
-    out = transform(df)
-    n = out.count()
+    # count observed ON the write job (the incremental_append pattern):
+    # a separate count() action would run the full transform twice
+    obs = Observation()
+    out = transform(df).observe(obs, F.count(F.lit(1)).alias("n"))
     tmp = f"{path}.__mutating_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
+    n = obs.get["n"]
     # FIXED old name (not a random suffix): a crash between the two
     # renames leaves the data at a deterministic location that
     # recover_table restores — random suffixes made the stranded dir

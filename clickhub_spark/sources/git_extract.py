@@ -81,6 +81,12 @@ def git_log_raw(repo_dir: str) -> str:
     out = subprocess.run(
         [
             "git",
+            # quotePath=false: non-ASCII paths would otherwise be
+            # C-quoted ("h\303\251llo.py") in --raw/--numstat but not in
+            # patch headers, so the three sections key the same file by
+            # different strings and hunk/line rows silently vanish
+            "-c",
+            "core.quotePath=false",
             "log",
             "-M",
             "-C",

@@ -32,7 +32,12 @@ def read_positional_tsv(
     """
     literals = literals or {}
     positional = [f for f in schema.fields if f.name not in literals]
-    raw = spark.read.csv(path, sep="\t", header=False, inferSchema=False)
+    # nullValue \N: the ClickHouse TSV null marker this package's own
+    # engine_tsv sink writes — without it a NULL round-trips as the
+    # literal two-char string (or an ANSI cast error on typed columns)
+    raw = spark.read.csv(
+        path, sep="\t", header=False, inferSchema=False, nullValue="\\N"
+    )
     cols = [
         F.col(f"_c{i}").cast(f.dataType).alias(f.name) for i, f in enumerate(positional)
     ]
@@ -91,8 +96,13 @@ def read_positional_tsv_tolerant(
     literals = literals or {}
     positional = [f for f in schema.fields if f.name not in literals]
     raw = spark.read.text(path)
-    # limit -1 keeps trailing empty fields, so "a\tb\t" counts 3
-    cells = F.split(F.col("value"), "\t", -1)
+    # limit -1 keeps trailing empty fields, so "a\tb\t" counts 3;
+    # \N cells (the ClickHouse TSV null marker, written by the
+    # engine_tsv sink) become real nulls, never "malformed"
+    cells = F.transform(
+        F.split(F.col("value"), "\t", -1),
+        lambda c: F.when(c == "\\N", F.lit(None)).otherwise(c),
+    )
     bad = F.size(cells) < len(positional)  # missing trailing column(s)
     for i, f in enumerate(positional):
         if f.dataType.typeName() != "string":
@@ -102,7 +112,10 @@ def read_positional_tsv_tolerant(
             # so a truncated row survives regardless of whether the
             # size-check disjunct above short-circuits first (cells[i]
             # would throw INVALID_ARRAY_INDEX if evaluated).
-            bad = bad | F.get(cells, i).try_cast(f.dataType).isNull()
+            # a \N (null) cell is a LEGITIMATE value, not malformed —
+            # only a present-but-uncastable cell flags the row
+            cell = F.get(cells, i)
+            bad = bad | (cell.isNotNull() & cell.try_cast(f.dataType).isNull())
     flagged = raw.withColumn("__cells", cells).withColumn("__bad", bad)
     if quarantine:
         flagged.where("__bad").select("value").write.mode("append").text(quarantine)

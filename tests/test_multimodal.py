@@ -625,3 +625,27 @@ def test_jpeg_corruption_never_escapes_catch_tuple():
                 decode_jpeg(corrupt)
             except catch:
                 pass  # the contract: these are handled upstream
+
+
+def test_degenerate_payloads_never_kill_the_task():
+    # round-6 review: NULL payloads, 0x0 images, and 0-channel WAVs
+    # used to escape the dispatch catch (NotImplementedError /
+    # ZeroDivisionError) and abort the mapInPandas task
+    from clickhub_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        real_decode,
+        real_resize,
+    )
+
+    assert real_decode(None) == [0.0] * 8
+    assert real_resize(None) == b""
+    feats = real_decode(encode_bmp(0, 0, b""))
+    assert feats[:3] == [0.0, 0.0, 3.0]
+    wav = encode_wav(8000, 1, 8, b"\x80" * 8)
+    zero_ch = wav.replace(
+        (1).to_bytes(2, "little") + (8000).to_bytes(4, "little"),
+        (0).to_bytes(2, "little") + (8000).to_bytes(4, "little"),
+        1,
+    )
+    assert len(real_decode(zero_ch)) == 8  # byte-stat fallback, no crash

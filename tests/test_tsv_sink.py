@@ -140,3 +140,35 @@ def test_commit_fails_fast_on_invisible_staged_part(tmp_path):
     # nothing renamed, overwrite did NOT clear the old data
     assert (target / "old.tsv").read_text() == "1\tkeep\n"
     assert visible.exists() and not (target / "part-ok.tsv").exists()
+
+
+def test_null_round_trip_through_positional_reader(spark, tmp_path):
+    # round-6 review: the sink writes NULL as the ClickHouse \N marker
+    # but the readers never translated it back — a null long aborted
+    # the read under ANSI cast, a null string came back as '\N'
+    from pyspark.sql.types import LongType
+
+    target = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "ok", 5)],
+        "id long, s string, v long",
+    )
+    df.write.format("engine_tsv").option("path", target).mode("append").save()
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    rows = {r.id: r for r in read_positional_tsv(spark, target, schema).collect()}
+    assert rows[1].s is None and rows[1].v is None
+    assert rows[2].s == "ok" and rows[2].v == 5
+    # tolerant reader: a \N cell is a legitimate null, never "bad"
+    from clickhub_spark.sources.tsv import read_positional_tsv_tolerant
+
+    rows = {
+        r.id: r
+        for r in read_positional_tsv_tolerant(spark, target, schema).collect()
+    }
+    assert len(rows) == 2 and rows[1].v is None
