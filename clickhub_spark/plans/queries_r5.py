@@ -452,18 +452,23 @@ def q_llm_quality_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS k,
-           list(s ORDER BY event_type) AS v
+           string_agg(event_type, ',' ORDER BY event_type) AS k,
+           string_agg(CAST(CAST(s AS DECIMAL(18,4)) AS VARCHAR), ','
+                      ORDER BY event_type) AS v
     FROM per GROUP BY user_id
     """,
 )
 def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed-map aggregation (ClickHouse sumMap, SURVEY §2.D
     extension): per user, value totals keyed by event type as aligned
-    key/value arrays — ClickHouse's Map-typed summation re-expressed
-    as two hash aggregations (inner keyed sum with map-side partials,
-    then a sorted collect per user).  Arrays are key-sorted so the
-    result is deterministic and engine-comparable."""
+    key/value CSV strings — ClickHouse's Map-typed summation
+    re-expressed as two hash aggregations (inner keyed sum with
+    map-side partials, then a sorted collect per user).  The map is
+    exported in a SCALAR wire form (key-sorted CSV, doubles rendered
+    through DECIMAL(18,4) so both engines pad identically and IEEE
+    -0.0 normalizes away) because the correctness driver's pandas
+    canonicalizer cannot sort array cells — the round-6 driver-red
+    lesson; same reshape as q_llm_embed_centroid in round 3."""
     per = (
         load(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
@@ -471,8 +476,13 @@ def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = F.sort_array(F.collect_list(F.struct("event_type", "s")))
     return per.groupBy("user_id").agg(
-        F.transform(pairs, lambda p: p["event_type"]).alias("k"),
-        F.transform(pairs, lambda p: p["s"]).alias("v"),
+        F.concat_ws(",", F.transform(pairs, lambda p: p["event_type"])).alias("k"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                pairs, lambda p: p["s"].cast("decimal(18,4)").cast("string")
+            ),
+        ).alias("v"),
     )
 
 

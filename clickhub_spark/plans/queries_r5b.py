@@ -228,8 +228,9 @@ def q_seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS type_keys,
-           list(cnt ORDER BY event_type) AS type_counts,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY event_type)
+               AS type_counts,
            CAST(coalesce(MAX(CASE WHEN event_type = 'click' THEN cnt END), 0)
                 AS BIGINT) AS n_click,
            CAST(count(*) AS INT) AS n_types
@@ -240,9 +241,11 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map function family (ClickHouse Map type + mapKeys/mapValues/
     map[key] — SURVEY §2.G extension): per-user event-type count map
     built with map_from_entries, read back with map_keys/map_values/
-    element_at.  The map is exported as sorted parallel arrays — the
-    oracle-stable wire form, since map iteration order is engine-
-    internal in both systems.  Two hash aggregates, no Python."""
+    element_at.  The map is exported as key-sorted parallel CSV
+    strings — the SCALAR wire form (map iteration order is engine-
+    internal in both systems, and the correctness driver's pandas
+    canonicalizer cannot sort array cells — the round-6 driver-red
+    lesson).  Two hash aggregates, no Python."""
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     m = counts.groupBy("user_id").agg(
@@ -252,8 +255,10 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "user_id",
-        F.map_keys("m").alias("type_keys"),
-        F.map_values("m").alias("type_counts"),
+        F.concat_ws(",", F.map_keys("m")).alias("type_keys"),
+        F.concat_ws(
+            ",", F.transform(F.map_values("m"), lambda v: v.cast("string"))
+        ).alias("type_counts"),
         F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_click"),
         F.size("m").alias("n_types"),
     )
@@ -684,7 +689,8 @@ def q_fn_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           list(m3 ORDER BY ts, event_id) AS moving_sums,
+           string_agg(CAST(m3 AS VARCHAR), ',' ORDER BY ts, event_id)
+               AS moving_sums,
            CAST(count(*) AS BIGINT) AS n_events
     FROM mov GROUP BY user_id
     """,
@@ -692,12 +698,14 @@ def q_fn_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_moving_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupArrayMovingSum analog (ClickHouse's array-returning moving
     aggregate — SURVEY §2.D/G5 composite): the 3-event moving sum per
-    user, collected into a time-ordered array.  Values are floor()ed
-    to integers so the array content is bit-exact across engines (float
-    arrays stringify; scalar floats get rounded by the harness —
-    arrays don't).  One shuffle on user_id shared by the window pass
-    and the collect; array_sort on a (ts, event_id, m3) struct makes
-    the collect order deterministic under parallel merge."""
+    user, collected into a time-ordered series.  Values are floor()ed
+    to integers so the series content is bit-exact across engines; the
+    series is exported as a CSV string, NOT an array — the correctness
+    driver's pandas canonicalizer cannot sort array cells (the exact
+    round-6 driver-red failure on this query).  One shuffle on user_id
+    shared by the window pass and the collect; array_sort on a
+    (ts, event_id, m3) struct makes the collect order deterministic
+    under parallel merge."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -709,9 +717,14 @@ def q_agg_moving_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mov.groupBy("user_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "m3"))),
-                lambda s: s["m3"],
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "m3"))
+                    ),
+                    lambda s: s["m3"].cast("string"),
+                ),
             ).alias("moving_sums"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -1039,7 +1052,8 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) FILTER (cnt >= 3) AS hot_types,
+           COALESCE(string_agg(event_type, ',' ORDER BY event_type)
+                    FILTER (cnt >= 3), '') AS hot_types,
            CAST(2 * SUM(cnt) AS BIGINT) AS total_doubled,
            CAST(SUM(cnt * length(event_type)) AS BIGINT) AS weighted
     FROM c GROUP BY user_id
@@ -1050,9 +1064,13 @@ def q_fn_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapZip analogs; Spark map_filter / transform_values /
     map_zip_with — SURVEY §2.G5/G extension over q_fn_map): per-user
     event-count maps filtered by value, value-transformed, and zipped
-    with a per-key weight map.  Results export as sorted arrays /
-    scalars (map iteration order is engine-internal); everything
-    after the count aggregate is map-side expression work."""
+    with a per-key weight map.  Results export as a key-sorted CSV
+    string / scalars (map iteration order is engine-internal, and the
+    correctness driver's pandas canonicalizer cannot sort array cells
+    — the round-6 driver-red lesson; a user with NO hot types gets ''
+    on both sides, hence the oracle's COALESCE over the FILTERed
+    string_agg); everything after the count aggregate is map-side
+    expression work."""
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     m = counts.groupBy("user_id").agg(
@@ -1069,7 +1087,7 @@ def q_fn_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "user_id",
-        F.array_sort(hot).alias("hot_types"),
+        F.concat_ws(",", F.array_sort(hot)).alias("hot_types"),
         arr_sum(doubled).alias("total_doubled"),
         arr_sum(zipped).alias("weighted"),
     )
@@ -1370,10 +1388,10 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT user_id,
-           [CASE WHEN i = 1 THEN 0 ELSE vals[i] - vals[i - 1] END
-            FOR i IN generate_series(1, len(vals))] AS diffs,
-           [list_sum(vals[1:i]) FOR i IN generate_series(1, len(vals))]
-               AS cumsum,
+           array_to_string([CASE WHEN i = 1 THEN 0 ELSE vals[i] - vals[i - 1] END
+            FOR i IN generate_series(1, len(vals))], ',') AS diffs,
+           array_to_string([list_sum(vals[1:i])
+            FOR i IN generate_series(1, len(vals))], ',') AS cumsum,
            CAST(len(vals) AS INT) AS n
     FROM seq
     """,
@@ -1384,11 +1402,13 @@ def q_fn_array_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-ordered value series with element-wise differences and
     running totals computed INSIDE the array via higher-order
     functions — no second window pass, one shuffle for the collect.
-    Integer floor()ed values keep array content bit-exact across
-    engines.  Honest cost note: the slice-fold cumsum is O(n²) per
-    array (fine for bounded per-key series like these); for unbounded
-    series use the running-sum WINDOW form (q_win_running) instead of
-    collecting."""
+    Integer floor()ed values keep series content bit-exact across
+    engines; both series export as CSV strings, not arrays — the
+    correctness driver's pandas canonicalizer cannot sort array cells
+    (round-6 driver-red lesson).  Honest cost note: the slice-fold
+    cumsum is O(n²) per array (fine for bounded per-key series like
+    these); for unbounded series use the running-sum WINDOW form
+    (q_win_running) instead of collecting."""
     ev = load(spark, sf_dir, "events")
     seq = ev.groupBy("user_id").agg(
         F.transform(
@@ -1403,18 +1423,27 @@ def q_fn_array_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.sequence(F.lit(1), F.size("vals"))
     return seq.select(
         "user_id",
-        F.transform(
-            idx,
-            lambda i: F.when(i == 1, F.lit(0).cast("bigint")).otherwise(
-                F.element_at(F.col("vals"), i) - F.element_at(F.col("vals"), i - 1)
+        F.concat_ws(
+            ",",
+            F.transform(
+                idx,
+                lambda i: F.when(i == 1, F.lit(0).cast("bigint"))
+                .otherwise(
+                    F.element_at(F.col("vals"), i)
+                    - F.element_at(F.col("vals"), i - 1)
+                )
+                .cast("string"),
             ),
         ).alias("diffs"),
-        F.transform(
-            idx,
-            lambda i: F.aggregate(
-                F.slice(F.col("vals"), 1, i),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+        F.concat_ws(
+            ",",
+            F.transform(
+                idx,
+                lambda i: F.aggregate(
+                    F.slice(F.col("vals"), 1, i),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).cast("string"),
             ),
         ).alias("cumsum"),
         F.size("vals").alias("n"),

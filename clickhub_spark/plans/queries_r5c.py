@@ -433,8 +433,11 @@ def q_agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s, UNNEST(generate_series(0, 5)) AS gs(bucket)
     )
     SELECT g.o_orderstatus,
-           list(COALESCE(s.cnt, 0) ORDER BY g.bucket) AS cnt_per_bucket,
-           list(COALESCE(s.total, 0) ORDER BY g.bucket) AS sum_per_bucket
+           string_agg(CAST(COALESCE(s.cnt, 0) AS VARCHAR), ','
+                      ORDER BY g.bucket) AS cnt_per_bucket,
+           string_agg(CAST(CAST(COALESCE(s.total, 0) AS DECIMAL(18,2))
+                           AS VARCHAR), ','
+                      ORDER BY g.bucket) AS sum_per_bucket
     FROM g LEFT JOIN s ON s.o_orderstatus = g.o_orderstatus
                       AND s.bucket = g.bucket
     GROUP BY g.o_orderstatus ORDER BY g.o_orderstatus
@@ -444,11 +447,15 @@ def q_agg_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-Resample aggregate combinator (ClickHouse
     countResample(0, 300000, 50000) / sumResample — SURVEY §2.D
     combinator family): fixed [start, end, step) buckets of the
-    resample key, one dense array per group with empty buckets
-    zero-filled.  One (group, bucket) hash aggregate then an
-    array-build per group — the bucket grid is a compile-time
+    resample key, one dense series per group with empty buckets
+    zero-filled.  One (group, bucket) hash aggregate then a
+    series-build per group — the bucket grid is a compile-time
     ``sequence`` literal mapped over the collected pairs, so no
-    second data-driven join or Expand is needed."""
+    second data-driven join or Expand is needed.  Both series export
+    as CSV strings (sums rendered through DECIMAL(18,2) so the two
+    engines pad identically) — the correctness driver's pandas
+    canonicalizer cannot sort array cells (round-6 driver-red
+    lesson)."""
     orders = load(spark, sf_dir, "orders").where(
         (F.col("o_totalprice") >= 0) & (F.col("o_totalprice") < 300_000)
     )
@@ -467,16 +474,20 @@ def q_agg_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = F.sequence(F.lit(0).cast("bigint"), F.lit(5).cast("bigint"))
     cnt_arr = F.transform(
         buckets,
-        lambda b: F.coalesce(F.col("m")[b]["cnt"], F.lit(0).cast("bigint")),
+        lambda b: F.coalesce(F.col("m")[b]["cnt"], F.lit(0).cast("bigint")).cast(
+            "string"
+        ),
     )
     sum_arr = F.transform(
         buckets,
-        lambda b: F.coalesce(F.col("m")[b]["total"], F.lit(0.0)),
+        lambda b: F.coalesce(F.col("m")[b]["total"], F.lit(0.0))
+        .cast("decimal(18,2)")
+        .cast("string"),
     )
     return pairs.select(
         "o_orderstatus",
-        cnt_arr.alias("cnt_per_bucket"),
-        sum_arr.alias("sum_per_bucket"),
+        F.concat_ws(",", cnt_arr).alias("cnt_per_bucket"),
+        F.concat_ws(",", sum_arr).alias("sum_per_bucket"),
     ).orderBy("o_orderstatus")
 
 
@@ -491,7 +502,8 @@ def q_agg_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type,
-           list(event_id ORDER BY event_id) AS sample_ids
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+               AS sample_ids
     FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -502,7 +514,9 @@ def q_agg_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is uniform over ids, engine-independent (md5 agrees across
     engines where RAND() cannot), and GROWTH-STABLE: adding rows only
     replaces samples whose hash ranks below the newcomers.  Plan: one
-    group shuffle, TOP-K-per-group window, array-collect."""
+    group shuffle, TOP-K-per-group window, id-sorted CSV collect (a
+    scalar wire form — the correctness driver's pandas canonicalizer
+    cannot sort array cells; round-6 driver-red lesson)."""
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events")
@@ -515,7 +529,15 @@ def q_agg_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", "event_id", rn.alias("rn"))
         .where(F.col("rn") <= 5)
         .groupBy("event_type")
-        .agg(F.array_sort(F.collect_list("event_id")).alias("sample_ids"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("event_id")),
+                    lambda v: v.cast("string"),
+                ),
+            ).alias("sample_ids")
+        )
         .orderBy("event_type")
     )
 
@@ -618,10 +640,21 @@ def q_llm_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     mean, comps, _ = fit_pca(emb, "embedding", k=8)
     out = transform_pca(emb, "embedding", mean, comps, ndigits=4)
+    # scalar wire form: the driver canonicalizes rows-only results
+    # too, and its pandas sort cannot handle array cells (round-6
+    # driver-red lesson) — export the projection as a CSV string,
+    # components rendered through DECIMAL(18,4) for stable padding
+    # and IEEE -0.0 normalization
     return out.select(
         "vec_id",
         "label",
-        F.col("pca").alias("pca8"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("pca"),
+                lambda x: x.cast("decimal(18,4)").cast("string"),
+            ),
+        ).alias("pca8"),
     ).orderBy("vec_id")
 
 
@@ -1003,8 +1036,8 @@ def q_llm_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(string_split(text, ' ')) >= 12
     )
     SELECT doc_id,
-           [len(list_filter(ws[1:i], w -> w = ws[i])) for i in range(1, len(ws)+1)]
-               AS occ_idx
+           array_to_string([len(list_filter(ws[1:i], w -> w = ws[i]))
+                            for i in range(1, len(ws)+1)], ',') AS occ_idx
     FROM a ORDER BY doc_id
     """,
 )
@@ -1014,7 +1047,11 @@ def q_fn_array_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     this element appeared up to and including it.  Pure array
     higher-order expression (transform over 1..n with a filtered
     prefix count) — no explode, no window, no shuffle; quadratic only
-    in the (bounded) array length."""
+    in the (bounded) array length.  Exported as a CSV string — the
+    correctness driver's pandas canonicalizer cannot sort array cells
+    (round-6 driver-red lesson); the string cast also erases the
+    INT-vs-BIGINT element-width difference between F.size and
+    DuckDB len()."""
     a = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.slice(F.split("text", " "), 1, 12).alias("ws"))
@@ -1027,9 +1064,11 @@ def q_fn_array_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.col("ws"), 1, i),
                 lambda w: w == F.get(F.col("ws"), i - 1),
             )
-        ),
+        ).cast("string"),
     )
-    return a.select("doc_id", occ.alias("occ_idx")).orderBy("doc_id")
+    return a.select("doc_id", F.concat_ws(",", occ).alias("occ_idx")).orderBy(
+        "doc_id"
+    )
 
 
 @query(

@@ -122,7 +122,10 @@ def test_registered_query_shape(spark):
     df = all_specs()["q_llm_pca"].builder(spark, SF_DIR)
     rows = df.limit(5).collect()
     assert len(rows) == 5
-    assert all(len(r.pca8) == K for r in rows)
+    # pca8 is a CSV string (scalar wire form — the driver canon
+    # cannot sort array cells): K decimal components per row
+    assert all(isinstance(r.pca8, str) for r in rows)
+    assert all(len(r.pca8.split(",")) == K for r in rows)
 
 
 def test_empty_input_raises(spark, emb):

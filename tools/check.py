@@ -2,6 +2,17 @@
 (row-count + schema-width + order-insensitive value compare) so
 mismatches surface before the round boundary.
 
+The value compare itself uses ``normalize`` (string/round canon, the
+historical local form), but every result FIRST passes
+``driver_canon_probe`` — a faithful replay of the driver's pandas
+canonicalization (``pd.DataFrame(rows).sort_values(all columns)``),
+which CRASHES on unhashable cell values (lists/dicts/ndarrays) exactly
+like the round-6 driver did on array-typed output columns
+(``TypeError: unhashable type: 'list'`` out of ``factorize``).  Round 6
+shipped 4 driver-red queries because the old ``str(v)`` canon made
+lists sortable and hid the class; the probe makes the local gate fail
+wherever the driver fails (VERDICT r6 item 2).
+
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
@@ -14,6 +25,26 @@ import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
+
+
+def driver_canon_probe(cols, rows):
+    """Replay the driver's pandas canonicalization on a result set.
+
+    The driver builds ``pd.DataFrame(rows, columns=cols)``, reorders
+    columns by name, and ``sort_values`` over every column before
+    hashing.  ``sort_values`` factorizes object columns, and pandas'
+    ``PyObjectHashTable`` raises ``TypeError: unhashable type`` the
+    moment a cell holds a list/dict/ndarray — so a query whose output
+    schema contains Array/Map/Struct columns errs in the driver even
+    when its values are correct.  Raising the same error HERE is the
+    point: the gate must fail where the driver fails.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=list(cols))
+    df = df[sorted(df.columns)]
+    if len(df):
+        df.sort_values(by=list(df.columns), inplace=False)
 
 
 def normalize(rows, ndigits=6):
@@ -81,6 +112,14 @@ def main() -> int:
             traceback.print_exc(limit=3)
             n_fail += 1
             continue
+        try:
+            # driver-parity: the driver canonicalizes EVERY result —
+            # rows-only queries included — so probe before branching
+            driver_canon_probe(cols, srows)
+        except Exception as e:
+            print(f"FAIL {name}: driver canon would crash: {e!r:.160}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"rows {name}: {len(srows)} rows (rows-only) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
@@ -97,6 +136,12 @@ def main() -> int:
         order = sorted(range(len(raw_cols)), key=lambda i: raw_cols[i])
         dcols = [raw_cols[i] for i in order]
         drows = [tuple(row[i] for i in order) for row in raw_rows]
+        try:
+            driver_canon_probe(dcols, drows)
+        except Exception as e:
+            print(f"FAIL {name}: driver canon would crash on oracle: {e!r:.160}")
+            n_fail += 1
+            continue
         ok = True
         if [c.lower() for c in cols] != [c.lower() for c in dcols]:
             print(f"FAIL {name}: columns spark={cols} duck={dcols}")
