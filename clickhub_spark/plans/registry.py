@@ -52,64 +52,28 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # after window slot 50 in the never-checked section below), (3) the
 # r3 block (then 4 rounds stale).
 ROUND_PRIORITY = [
-    # --- changed/new in round 6 (window front: fresh driver row required) ---
-    "q_llm_semdedup",
-    "q_agg_ks_test",
-    "q_agg_mannwhitney",
-    "q_agg_ks_test_by",
-    "q_agg_mannwhitney_by",
-    # --- never driver-checked (r5-staged names below the r5 window cut;
-    # highest priority — slots 6-50 land in the r6 window, the rest
-    # front-load round 7) ---
-    "q_llm_ngram_lm",
-    "q_win_ntile",
-    "q_fn_geo",
-    "q_fn_ip",
-    "q_agg_bitmap",
-    "q_llm_docstore_join",
-    "q_fn_string2",
-    "q_agg_entropy",
-    "q_llm_quality_v2",
+    # --- changed in round 7 (window front: fresh driver row required).
+    # The first 9 are the array-output reshapes (VERDICT r6 item 1 —
+    # 4 driver-red in r6 + 5 queued offenders, all now scalar CSV wire
+    # form); kendall/kendall_by carry the generalized pivot and the
+    # jpeg demo its trimmed bench footprint ---
     "q_agg_summap",
-    "q_agg_corr",
-    "q_fn_datetime2",
-    "q_llm_tfidf",
-    "q_scan_zorder",
-    "q_fn_encode",
-    "q_win_nth",
-    "q_pivot",
-    "q_unpivot",
-    "q_sessionize",
-    "q_win_neighbor",
-    "q_seq_count",
     "q_fn_map",
-    "q_llm_kmeans_assign",
-    "q_llm_embed_quant",
-    "q_llm_dataset_card",
-    "q_mutate_delete",
-    "q_queue_fs",
-    "q_scan_bloom",
-    "q_agg_quantiles_multi",
-    "q_agg_bitops",
-    "q_agg_moments",
-    "q_fn_dictget",
     "q_agg_moving_array",
-    "q_scan_csv",
-    "q_scan_jsonl",
-    "q_scan_orc",
-    "q_llm_importance_sample",
-    "q_win_locf",
-    "q_agg_mad",
-    "q_agg_ttest",
     "q_fn_map_higher",
-    "q_sort_global",
-    "q_system_parts",
-    "q_agg_deltasum",
-    "q_mutate_update",
+    "q_fn_array_diff",
+    "q_agg_resample",
+    "q_agg_sample_group",
+    "q_llm_pca",
+    "q_fn_array_enumerate",
+    "q_agg_kendall",
+    "q_agg_kendall_by",
+    "q_multimodal_jpeg_progressive",
+    # --- never driver-checked (56 names; slots up to ~50 land in
+    # the r7 window, the remainder front-loads round 8) ---
     "q_mutate_ttl",
     "q_agg_contingency",
     "q_join_asof_fwd",
-    "q_fn_array_diff",
     "q_llm_knn_ivf_exact",
     "q_scan_partition_prune",
     "q_stream_enrich",
@@ -121,18 +85,14 @@ ROUND_PRIORITY = [
     "q_llm_decontam_bloom",
     "q_win_interpolate",
     "q_agg_quantile_weighted",
-    "q_agg_resample",
-    "q_agg_sample_group",
     "q_agg_max_intersections",
     "q_agg_uniq_upto",
-    "q_llm_pca",
     "q_llm_url_canon",
     "q_llm_text_normalize",
     "q_agg_interval_length_sum",
     "q_agg_lttb",
     "q_stream_stateful",
     "q_llm_score_normalize",
-    "q_fn_array_enumerate",
     "q_llm_chunk_sentences",
     "q_multimodal_video",
     "q_llm_bpe_train",
@@ -165,12 +125,9 @@ ROUND_PRIORITY = [
     "q_agg_cusum",
     "q_agg_seasonal_index",
     "q_llm_ngram_novelty",
-    "q_agg_kendall",
     "q_multimodal_audio_stats",
     "q_agg_proportions_z",
-    "q_multimodal_jpeg_progressive",
-    "q_agg_kendall_by",
-    # --- last driver row: round 3 (3 rounds stale) ---
+    # --- last driver row: round 3 (4 rounds stale) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
     "q_agg_histogram",
@@ -272,7 +229,7 @@ ROUND_PRIORITY = [
     "q_set_intersect_all",
     "q_set_except_all",
     "q_limit_offset",
-    # --- last driver row: round 5 (freshest evidence, checked last) ---
+    # --- last driver row: round 5 ---
     "q_join_inner",
     "q_join_broadcast",
     "q_join_left",
@@ -323,6 +280,53 @@ ROUND_PRIORITY = [
     "q_llm_corpus_pipeline",
     "q_llm_dedup_substring",
     "q_llm_minhash_sim",
+    # --- last driver row: round 6 (freshest evidence, checked last) ---
+    "q_llm_semdedup",
+    "q_agg_ks_test",
+    "q_agg_mannwhitney",
+    "q_agg_ks_test_by",
+    "q_agg_mannwhitney_by",
+    "q_llm_ngram_lm",
+    "q_win_ntile",
+    "q_fn_geo",
+    "q_fn_ip",
+    "q_agg_bitmap",
+    "q_llm_docstore_join",
+    "q_fn_string2",
+    "q_agg_entropy",
+    "q_llm_quality_v2",
+    "q_agg_corr",
+    "q_fn_datetime2",
+    "q_llm_tfidf",
+    "q_scan_zorder",
+    "q_fn_encode",
+    "q_win_nth",
+    "q_pivot",
+    "q_unpivot",
+    "q_sessionize",
+    "q_win_neighbor",
+    "q_seq_count",
+    "q_llm_kmeans_assign",
+    "q_llm_embed_quant",
+    "q_llm_dataset_card",
+    "q_mutate_delete",
+    "q_queue_fs",
+    "q_scan_bloom",
+    "q_agg_quantiles_multi",
+    "q_agg_bitops",
+    "q_agg_moments",
+    "q_fn_dictget",
+    "q_scan_csv",
+    "q_scan_jsonl",
+    "q_scan_orc",
+    "q_llm_importance_sample",
+    "q_win_locf",
+    "q_agg_mad",
+    "q_agg_ttest",
+    "q_sort_global",
+    "q_system_parts",
+    "q_agg_deltasum",
+    "q_mutate_update",
 ]
 
 

@@ -5,10 +5,12 @@ committed snapshot stays loadable and non-trivial."""
 import json
 
 from tools.plan_guard import (
+    COMPLEX_OUTPUT_OK,
     SNAPSHOT,
     UNPARTITIONED_WINDOW_CANON,
     WORSE_IF_MORE,
     compare,
+    complex_output_count,
     fingerprint,
 )
 
@@ -70,12 +72,17 @@ def test_snapshot_committed_and_sane():
         "SortMergeJoin",
         "BatchEvalPython",
         "UnpartitionedWindow",
+        "ComplexOutput",
     }
     # every unpartitioned window in the snapshot is on the documented
     # canon list, and the list carries no stale names
     offenders = {n for n, fp in snap.items() if fp.get("UnpartitionedWindow")}
     assert offenders <= UNPARTITIONED_WINDOW_CANON
     assert UNPARTITIONED_WINDOW_CANON <= set(snap)
+    # no registered query may emit Array/Map/Struct output columns —
+    # the driver canon crashes on array cells (round-6 driver-red)
+    complex_offenders = {n for n, fp in snap.items() if fp.get("ComplexOutput")}
+    assert complex_offenders <= COMPLEX_OUTPUT_OK
 
 
 def test_fingerprint_detects_unpartitioned_window_specs():
@@ -113,3 +120,58 @@ def test_compare_enforces_unpartitioned_window_canon():
     # and the clean state is quiet
     clean = {"q_llm_pack": {"UnpartitionedWindow": 1}}
     assert compare({"q_llm_pack": {"UnpartitionedWindow": 1}}, clean) == []
+
+
+def test_fingerprint_catches_multiword_first_order_key():
+    """ADVICE r6: the old `\\S+` regex missed unpartitioned windows
+    whose first ordering expression contains spaces (CAST(...) keys,
+    multi-key orders) — the paren-aware scan must flag them."""
+    cast_key = (
+        "(1) Window\nArguments: [sum(d#9L) windowspecdefinition("
+        "cast(value#4 as bigint) ASC NULLS FIRST, specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), currentrow$())) AS c#20L]\n"
+    )
+    assert fingerprint(cast_key).get("UnpartitionedWindow") == 1
+    # partitioned window with a CAST partition expr must stay quiet
+    part_cast = (
+        "(1) Window\nArguments: [sum(d#9L) windowspecdefinition("
+        "cast(seg#3 as bigint), value#4 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS c#20L]\n"
+    )
+    assert "UnpartitionedWindow" not in fingerprint(part_cast)
+
+
+def test_complex_output_count_and_hard_floor():
+    """Seeded offender: a query whose schema carries a top-level
+    array/map/struct column is a hard --check failure regardless of
+    snapshot state (the driver canon crashes on array cells)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("arr", ArrayType(IntegerType())),
+            StructField("m", MapType(StringType(), IntegerType())),
+            StructField(
+                "s", StructType([StructField("x", IntegerType())])
+            ),
+            StructField("name", StringType()),
+        ]
+    )
+    assert complex_output_count(schema) == 3
+    scalar = StructType([StructField("id", IntegerType())])
+    assert complex_output_count(scalar) == 0
+
+    old = {"q_seeded": {"ComplexOutput": 1}}
+    new = {"q_seeded": {"ComplexOutput": 1}}
+    problems = compare(old, new)  # hard floor: old snapshot is no excuse
+    assert any("q_seeded" in p and "Array/Map/Struct" in p for p in problems)
+    assert compare({}, {"q_ok": {"Exchange": 1}}) == []

@@ -55,7 +55,19 @@ WORSE_IF_MORE = {
     "SortMergeJoin": "broadcast/shuffled-hash degraded to sort-merge",
     "BatchEvalPython": "row-at-a-time Python UDF appeared",
     "UnpartitionedWindow": "unpartitioned (SinglePartition) window appeared",
+    "ComplexOutput": "Array/Map/Struct output column appeared",
 }
+
+#: Queries ALLOWED to return top-level Array/Map/Struct columns.
+#: The correctness driver canonicalizes EVERY result (rows-only ones
+#: included) with a pandas sort that CRASHES on unhashable cells —
+#: round 6 shipped 4 driver-red queries this way (VERDICT r6 items
+#: 1/3).  Registered queries must export collections in a scalar wire
+#: form (CSV via concat_ws, or DECIMAL-cast CSV for floats — see
+#: q_agg_summap); this whitelist exists only for a future query whose
+#: complex output provably never reaches the driver.  Empty on
+#: purpose.
+COMPLEX_OUTPUT_OK: set[str] = set()
 
 #: Queries ALLOWED to carry an unpartitioned window (VERDICT r5 item
 #: 3).  A window with no PARTITION BY plans Exchange SinglePartition —
@@ -104,18 +116,52 @@ def fingerprint(plan: str) -> dict[str, int]:
         if n:
             fp[name] = n
     # Unpartitioned windows: a windowspecdefinition whose FIRST
-    # argument is an ordering spec (col ASC/DESC NULLS ...) has no
+    # argument is an ordering spec (expr ASC/DESC NULLS ...) has no
     # partition columns -> the Window's child is Exchange
     # SinglePartition.  Partitioned specs lead with bare partition
     # expressions instead.  (Counting specs, not Window operators: one
     # Window op can evaluate several specs; any unpartitioned spec
-    # forces the single-partition distribution.)
-    n_unpart = len(
-        re.findall(r"windowspecdefinition\(\S+ (?:ASC|DESC) NULLS", plan)
+    # forces the single-partition distribution.)  The first argument
+    # is extracted with a paren/bracket-aware scan, NOT `\S+` — an
+    # ordering expression like `CAST(x AS BIGINT) ASC NULLS FIRST`
+    # contains spaces and a `\S+` match would silently miss it
+    # (ADVICE r6 guard false negative).
+    n_unpart = sum(
+        1
+        for first in _windowspec_first_args(plan)
+        if re.search(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)$", first)
     )
     if n_unpart:
         fp["UnpartitionedWindow"] = n_unpart
     return fp
+
+
+def _windowspec_first_args(plan: str):
+    """Yield the first top-level argument of every
+    ``windowspecdefinition(...)`` in the plan text, honouring nested
+    parens/brackets so multi-word expressions survive intact."""
+    marker = "windowspecdefinition("
+    start = 0
+    while True:
+        i = plan.find(marker, start)
+        if i < 0:
+            return
+        j = i + len(marker)
+        depth = 0
+        k = j
+        while k < len(plan):
+            c = plan[k]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    break  # single-arg spec: `)` ends the first arg
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            k += 1
+        yield plan[j:k].strip()
+        start = j
 
 
 def collect() -> dict[str, dict[str, int]]:
@@ -131,12 +177,27 @@ def collect() -> dict[str, dict[str, int]]:
     for name, spec in sorted(all_specs().items()):
         try:
             df = spec.builder(spark, SF_DIR)
-            out[name] = fingerprint(
-                df._jdf.queryExecution().explainString(mode)
-            )
+            fp = fingerprint(df._jdf.queryExecution().explainString(mode))
+            n_complex = complex_output_count(df.schema)
+            if n_complex:
+                fp["ComplexOutput"] = n_complex
+            out[name] = fp
         except Exception as e:  # a builder that cannot plan is itself a finding
             out[name] = {"__error__": 1, "__msg__": str(e)[:120]}
     return out
+
+
+def complex_output_count(schema) -> int:
+    """Count top-level Array/Map/Struct output columns — cells the
+    correctness driver's pandas canonicalizer cannot sort (round-6
+    driver-red class; VERDICT r6 item 3)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return sum(
+        1
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    )
 
 
 def compare(old: dict, new: dict) -> list[str]:
@@ -154,6 +215,15 @@ def compare(old: dict, new: dict) -> list[str]:
                 f"{name}: unpartitioned window (Exchange SinglePartition sort) "
                 f"not in UNPARTITIONED_WINDOW_CANON — partition it or document "
                 f"why its input is bounded"
+            )
+        # hard floor, snapshot-independent: complex output columns
+        # crash the driver's pandas canonicalizer even for rows-only
+        # queries — export a scalar wire form (CSV) instead
+        if fp_new.get("ComplexOutput", 0) > 0 and name not in COMPLEX_OUTPUT_OK:
+            problems.append(
+                f"{name}: {fp_new['ComplexOutput']} Array/Map/Struct output "
+                f"column(s) — the driver canon crashes on array cells; "
+                f"export a scalar CSV wire form (see q_agg_summap)"
             )
         if fp_old is None:
             continue  # new query: no baseline yet
