@@ -688,69 +688,20 @@ def q_agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact int64 until the final sqrt/division, which
     both engines run on identical doubles — FLOOR-scaled.  One
     corpus-sized shuffle (the cell aggregate); the cumulative/join
-    stages touch only the distinct-value table."""
+    stages touch only the distinct-value table.  Implementation
+    lives in operators/stats.kendall_tau_b — generic over the x
+    domain (this query passes the compile-time bucket list;
+    data-derived domains are guarded by max_x_cardinality with an
+    explicit raise — VERDICT r6 item 5)."""
+    from clickhub_spark.operators.stats import kendall_tau_b
+
     K = 8
     p = (
         load(spark, sf_dir, "events")
         .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
         .select((F.col("user_id") % K).alias("x"), F.col("value").alias("y"))
     )
-    cells = p.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
-    pv = (
-        cells.groupBy("y")
-        .pivot("x", list(range(K)))
-        .agg(F.sum("n"))
-        .select(
-            "y", *[F.coalesce(F.col(str(i)), F.lit(0)).alias(f"c{i}") for i in range(K)]
-        )
-    )
-    wlt = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
-    wle = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
-    tots = pv.agg(*[F.sum(f"c{i}").alias(f"t{i}") for i in range(K)])
-    cum = pv.select(
-        "y",
-        *[
-            F.coalesce(F.sum(f"c{i}").over(wlt), F.lit(0)).alias(f"lt{i}")
-            for i in range(K)
-        ],
-        *[F.sum(f"c{i}").over(wle).alias(f"le{i}") for i in range(K)],
-    ).crossJoin(F.broadcast(tots))
-    cum = cum.select(
-        "y",
-        *[F.col(f"lt{i}") for i in range(K)],
-        *[(F.col(f"t{i}") - F.col(f"le{i}")).alias(f"gt{i}") for i in range(K)],
-    )
-    conc_expr = sum(
-        F.when(F.col("x") > i, F.col(f"lt{i}")).otherwise(F.lit(0))
-        for i in range(K - 1)
-    )
-    disc_expr = sum(
-        F.when(F.col("x") > i, F.col(f"gt{i}")).otherwise(F.lit(0))
-        for i in range(K - 1)
-    )
-    cd = cells.join(F.broadcast(cum), "y").agg(
-        F.sum(F.col("n") * conc_expr).alias("conc"),
-        F.sum(F.col("n") * disc_expr).alias("disc"),
-    )
-    # tie terms and n derive from the CELLS table (exact integer
-    # sums) — re-scanning the corpus three more times would triple
-    # the I/O for numbers the one shuffle already produced
-    tx = cells.groupBy("x").agg(F.sum("n").alias("t"))
-    ty = cells.groupBy("y").agg(F.sum("n").alias("t"))
-    n1 = tx.agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"))
-    n2 = ty.agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
-    n = cells.agg(F.sum("n").alias("n"))
-    j = cd.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2)).crossJoin(
-        F.broadcast(n)
-    )
-    n0 = F.col("n") * (F.col("n") - 1) / 2
-    tau = (F.col("conc") - F.col("disc")) / (
-        F.sqrt((n0 - F.col("n1")).cast("double"))
-        * F.sqrt((n0 - F.col("n2")).cast("double"))
-    )
-    return j.select(
-        "conc", "disc", (F.floor(tau * 1000000) / 1000000).alias("tau_b")
-    )
+    return kendall_tau_b(p, "x", "y", x_values=list(range(K)))
 
 
 @query(
@@ -1017,6 +968,8 @@ def q_agg_kendall_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed, no unpartitioned window anywhere (contrast the
     pooled canon, which needs the plan-guard whitelist).  Exact int64
     algebra until the final sqrt/division on identical doubles."""
+    from clickhub_spark.operators.stats import kendall_tau_b
+
     K = 8
     p = (
         load(spark, sf_dir, "events")
@@ -1027,69 +980,4 @@ def q_agg_kendall_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("y"),
         )
     )
-    cells = p.groupBy("seg", "x", "y").agg(F.count(F.lit(1)).alias("n"))
-    pv = (
-        cells.groupBy("seg", "y")
-        .pivot("x", list(range(K)))
-        .agg(F.sum("n"))
-        .select(
-            "seg",
-            "y",
-            *[F.coalesce(F.col(str(i)), F.lit(0)).alias(f"c{i}") for i in range(K)],
-        )
-    )
-    wlt = Window.partitionBy("seg").orderBy("y").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    wle = Window.partitionBy("seg").orderBy("y").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wp = Window.partitionBy("seg")
-    cum = pv.select(
-        "seg",
-        "y",
-        *[
-            F.coalesce(F.sum(f"c{i}").over(wlt), F.lit(0)).alias(f"lt{i}")
-            for i in range(K)
-        ],
-        *[
-            (F.sum(f"c{i}").over(wp) - F.sum(f"c{i}").over(wle)).alias(f"gt{i}")
-            for i in range(K)
-        ],
-    )
-    conc_expr = sum(
-        F.when(F.col("x") > i, F.col(f"lt{i}")).otherwise(F.lit(0))
-        for i in range(K - 1)
-    )
-    disc_expr = sum(
-        F.when(F.col("x") > i, F.col(f"gt{i}")).otherwise(F.lit(0))
-        for i in range(K - 1)
-    )
-    cd = cells.join(cum, ["seg", "y"]).groupBy("seg").agg(
-        F.sum(F.col("n") * conc_expr).alias("conc"),
-        F.sum(F.col("n") * disc_expr).alias("disc"),
-    )
-    # tie terms and n derive from CELLS (see q_agg_kendall) — no
-    # extra corpus scans
-    n1 = (
-        cells.groupBy("seg", "x")
-        .agg(F.sum("n").alias("t"))
-        .groupBy("seg")
-        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"))
-    )
-    n2 = (
-        cells.groupBy("seg", "y")
-        .agg(F.sum("n").alias("t"))
-        .groupBy("seg")
-        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
-    )
-    nn = cells.groupBy("seg").agg(F.sum("n").alias("n"))
-    j = cd.join(n1, "seg").join(n2, "seg").join(nn, "seg")
-    n0 = F.col("n") * (F.col("n") - 1) / 2
-    tau = (F.col("conc") - F.col("disc")) / (
-        F.sqrt((n0 - F.col("n1")).cast("double"))
-        * F.sqrt((n0 - F.col("n2")).cast("double"))
-    )
-    return j.select(
-        "seg", "conc", "disc", (F.floor(tau * 1000000) / 1000000).alias("tau_b")
-    ).orderBy("seg")
+    return kendall_tau_b(p, "x", "y", seg_col="seg", x_values=list(range(K)))

@@ -1,0 +1,115 @@
+"""operators/stats.kendall_tau_b — the generalized pivot-cumulative
+Kendall tau-b (VERDICT r6 item 5: the registered query's x domain was
+a hardcoded mod-8; the operator must handle any bounded domain and
+raise loudly on an unbounded one).
+
+Ground truth is a brute-force O(n²) pair scan in numpy — exact
+integer concordant/discordant counts and the identical tau-b formula,
+so comparisons are exact for conc/disc and 1e-9-tight for tau.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clickhub_spark.operators.stats import kendall_tau_b
+
+
+def brute_tau(xs, ys):
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    n = len(xs)
+    conc = disc = 0
+    for i in range(n):
+        dx = xs[i + 1 :] - xs[i]
+        dy = ys[i + 1 :] - ys[i]
+        s = np.sign(dx) * np.sign(dy)
+        conc += int((s > 0).sum())
+        disc += int((s < 0).sum())
+    n0 = n * (n - 1) // 2
+    tx = sum(c * (c - 1) // 2 for c in np.unique(xs, return_counts=True)[1])
+    ty = sum(c * (c - 1) // 2 for c in np.unique(ys, return_counts=True)[1])
+    tau = (conc - disc) / (np.sqrt(float(n0 - tx)) * np.sqrt(float(n0 - ty)))
+    return conc, disc, tau
+
+
+def _mkdf(spark, xs, ys, seg=None):
+    if seg is None:
+        return spark.createDataFrame(
+            [(int(x), float(y)) for x, y in zip(xs, ys)], "x long, y double"
+        )
+    return spark.createDataFrame(
+        [(int(s), int(x), float(y)) for s, x, y in zip(seg, xs, ys)],
+        "seg long, x long, y double",
+    )
+
+
+def test_non8_cardinality_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 13, 300)  # K=13, not the registered query's 8
+    ys = np.round(rng.normal(size=300), 1)  # heavy y ties
+    row = kendall_tau_b(
+        _mkdf(spark, xs, ys), "x", "y", x_values=list(range(13))
+    ).collect()[0]
+    conc, disc, tau = brute_tau(xs, ys)
+    assert (row.conc, row.disc) == (conc, disc)
+    assert abs(row.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12
+
+
+def test_derived_domain_and_gaps(spark):
+    # domain derived from the data (no x_values) with gaps + negatives
+    rng = np.random.default_rng(11)
+    xs = rng.choice([-5, 0, 3, 42], 200)
+    ys = rng.integers(0, 6, 200).astype(float)
+    row = kendall_tau_b(_mkdf(spark, xs, ys), "x", "y").collect()[0]
+    conc, disc, tau = brute_tau(xs, ys)
+    assert (row.conc, row.disc) == (conc, disc)
+    assert abs(row.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12
+
+
+def test_per_segment_matches_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    seg = rng.integers(0, 3, 400)
+    xs = rng.integers(0, 5, 400)
+    ys = np.round(rng.normal(size=400), 1)
+    out = {
+        r.seg: r
+        for r in kendall_tau_b(
+            _mkdf(spark, xs, ys, seg), "x", "y", seg_col="seg",
+            x_values=list(range(5)),
+        ).collect()
+    }
+    for s in (0, 1, 2):
+        m = seg == s
+        conc, disc, tau = brute_tau(xs[m], ys[m])
+        assert (out[s].conc, out[s].disc) == (conc, disc), s
+        assert abs(out[s].tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12, s
+
+
+def test_cardinality_overflow_raises(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") % 7).cast("double").alias("y")
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        kendall_tau_b(df, "x", "y", max_x_cardinality=16)
+
+
+def test_degenerate_domain_raises(spark):
+    df = spark.range(10).select(
+        F.lit(1).alias("x"), F.col("id").cast("double").alias("y")
+    )
+    with pytest.raises(ValueError, match="at least 2"):
+        kendall_tau_b(df, "x", "y")
+
+
+def test_string_x_domain(spark):
+    # non-numeric x: ordering is lexicographic over the derived domain
+    rows = [("a", 1.0), ("b", 2.0), ("c", 3.0), ("a", 2.0), ("c", 1.0),
+            ("b", 3.0), ("a", 1.0), ("c", 3.0)]
+    df = spark.createDataFrame(rows, "x string, y double")
+    row = kendall_tau_b(df, "x", "y").collect()[0]
+    codes = {"a": 0, "b": 1, "c": 2}
+    xs = np.array([codes[x] for x, _ in rows])
+    ys = np.array([y for _, y in rows])
+    conc, disc, tau = brute_tau(xs, ys)
+    assert (row.conc, row.disc) == (conc, disc)
+    assert abs(row.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12
