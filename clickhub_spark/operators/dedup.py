@@ -690,6 +690,22 @@ def semantic_dedup(
     their keeper (the smallest such neighbor id) and the max
     similarity that condemned them.
 
+    ``id_col`` must be an INTEGRAL column (validated up front): the
+    deterministic centroid seed is ``id < n_centroids``, keeper choice
+    is min-id, and the output schema fixes id/keeper/cluster to long
+    (ADVICE r6: the Arrow path's int64 frames silently narrowed the
+    previously type-agnostic form — now it's an explicit contract).
+    String-keyed corpora should dense-rank ids first.
+
+    Numeric caveat (ADVICE r6): per-cell cosines come from one BLAS
+    ``X @ X.T`` whose blocked/FMA summation can differ from a
+    sequential dot in the LAST ULP — a pair sitting exactly on the
+    threshold or a 4-dp rounding boundary may flip relative to an
+    oracle that folds sequentially.  The registered query's gates
+    pass (no boundary pair exists in the test corpora); a caller
+    comparing against a sequential-dot oracle should allow 1-ulp
+    tolerance on max_sim.
+
     ``n_centroids=None`` (the default) applies the paper's scale law
     in-operator: k = max(8, ceil(sqrt(n))).  Cells then average
     ~sqrt(n) vectors, so per-cell pairwise work is ~n total (linear,
@@ -709,8 +725,18 @@ def semantic_dedup(
     quadratic-inside-cell, never all-pairs).  Keeper choice is
     min-id, a deterministic variant of the paper's
     keep-closest-to-centroid."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from clickhub_spark.functions.vectors import as_double
 
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dedup: {id_col!r} must be an integral column "
+            f"(got {id_type.simpleString()}) — centroid seeding, keeper "
+            f"choice and the Arrow int64 path all key on numeric ids; "
+            f"dense-rank string ids first"
+        )
     base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
     if n_centroids is None:
         import math

@@ -412,11 +412,22 @@ def _uniform_table(symbols: set[int]) -> tuple[list[int], list[int]]:
     table-building convention).  Suboptimal size, trivially valid."""
     vals = sorted(symbols) or [0]
     n = len(vals)
+    # a DHT "bits" entry is one byte: at most 255 codes of one length.
+    # n can theoretically reach 256 (all AC run/size symbols in one
+    # scan) — split the last symbol onto the next code length rather
+    # than letting bytes([256]) raise at serialization time
+    # (ADVICE r6: unguarded invariant).
     length = max(1, (n - 1).bit_length())
     if n == (1 << length):
         length += 1
     bits = [0] * 16
-    bits[length - 1] = n
+    if n > 255:
+        if length >= 16:
+            raise ValueError(f"huffman table overflow: {n} symbols")
+        bits[length - 1] = n - 1
+        bits[length] = 1
+    else:
+        bits[length - 1] = n
     return bits, vals
 
 

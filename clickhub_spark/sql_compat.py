@@ -203,6 +203,27 @@ def _split_quoted(sql: str) -> list[tuple[bool, str]]:
     return segs
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) index ranges of single-quoted literals in ``sql``
+    (same quoting rules as _split_quoted).  Used by the call-rewrite
+    passes to skip matches that START inside a literal — a mapped
+    pattern like ``addDays(`` occurring in a string constant
+    (``SELECT 'see addDays(a,b)'``) must stay verbatim (ADVICE r6:
+    only the rename pass was literal-safe; the call scanner only
+    guarded its ARGUMENT split, not the match itself)."""
+    spans = []
+    pos = 0
+    for is_lit, seg in _split_quoted(sql):
+        if is_lit:
+            spans.append((pos, pos + len(seg)))
+        pos += len(seg)
+    return spans
+
+
+def _in_spans(spans: list[tuple[int, int]], i: int) -> bool:
+    return any(s <= i < e for s, e in spans)
+
+
 def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
     """Rewrite every ``name(...)`` call, scanning balanced parentheses
     AND square brackets so nested calls like
@@ -213,15 +234,22 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
     quoting rules _rewrite_array_literals applies) — without this,
     ``splitByChar(',', s)`` split ON the quoted comma and rendered
     corrupted SQL (round-6 regression test).
-    ``render`` receives the list of top-level comma-split arguments."""
+    ``render`` receives the list of top-level comma-split arguments.
+    Matches that START inside a string literal are skipped entirely
+    (``_literal_spans`` — ADVICE r6)."""
     out = []
     i = 0
     pat = re.compile(rf"\b{name}\s*\(")
+    spans = _literal_spans(sql)
     while True:
         m = pat.search(sql, i)
         if not m:
             out.append(sql[i:])
             return "".join(out)
+        if _in_spans(spans, m.start()):
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
         out.append(sql[i : m.start()])
         depth, j, args, start = 1, m.end(), [], m.end()
         brackets = 0
@@ -262,15 +290,22 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
 
 def _rewrite_parametric(sql: str, name: str, render) -> str:
     """Rewrite ClickHouse parameterized aggregates ``name(params)(args)``
-    (e.g. ``quantile(0.5)(x)``); ``render`` receives (params, args)."""
+    (e.g. ``quantile(0.5)(x)``); ``render`` receives (params, args).
+    Matches that START inside a string literal are skipped
+    (``_literal_spans`` — ADVICE r6)."""
     out = []
     i = 0
     pat = re.compile(rf"\b{name}\s*\(")
+    spans = _literal_spans(sql)
     while True:
         m = pat.search(sql, i)
         if not m:
             out.append(sql[i:])
             return "".join(out)
+        if _in_spans(spans, m.start()):
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
 
         def scan(start: int) -> tuple[list[str], int]:
             depth, j, args, s = 1, start, [], start

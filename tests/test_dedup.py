@@ -4,6 +4,8 @@ reference's dedup contract (reference README.md:133-134)."""
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickhub_spark.operators.dedup import (
@@ -374,3 +376,15 @@ def test_nearest_centroid_tiers_agree(spark):
     for r in both:
         assert r.a.cluster == r.b.cluster, r.vec_id
         assert abs(r.a.sim - r.b.sim) < 1e-9, r.vec_id
+
+
+def test_semantic_dedup_rejects_non_integral_ids(spark):
+    # ADVICE r6: the Arrow path fixes id/keeper to int64 — a string
+    # id must fail loudly up front, not at astype/schema time
+    from clickhub_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        semantic_dedup(df, n_centroids=2)

@@ -121,3 +121,24 @@ def test_finish_planes_divisor_sampling_unchanged():
     # blue channel = y + 1.772*(cb-128); y=0 here
     expect = np.clip(1.772 * (rep - 128.0), 0, 255).astype(np.uint8)
     assert (img[..., 2] == expect).all()
+
+
+def test_uniform_table_256_symbols_splits_lengths():
+    """ADVICE r6: 256 distinct symbols (the theoretical AC run/size
+    max) must not overflow the single-byte DHT count — the table
+    splits one symbol onto the next code length and stays a valid,
+    round-trippable canonical Huffman table."""
+    from clickhub_spark.operators.jpeg import _huff_codes, _uniform_table
+
+    bits, vals = _uniform_table(set(range(256)))
+    assert sum(bits) == 256 and len(vals) == 256
+    assert all(0 <= b <= 255 for b in bits)
+    bytes(bits)  # the serialization that used to raise ValueError
+    codes = _huff_codes(bits, vals)
+    assert len(codes) == 256
+    # prefix-free: no code is a prefix of another
+    as_bits = {format(c, f"0{l}b") for c, l in codes.values()}
+    assert len(as_bits) == 256
+    ordered = sorted(as_bits)
+    for a, b in zip(ordered, ordered[1:]):
+        assert not b.startswith(a)

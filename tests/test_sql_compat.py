@@ -539,3 +539,23 @@ def test_string_literals_inert_in_call_rewrites(spark):
         "b",
         "c",
     ]
+
+
+def test_call_patterns_inside_string_literals_stay_verbatim():
+    # ADVICE r6: the call scanner matched `name(` INSIDE a string
+    # constant and corrupted the literal; matches starting in a
+    # literal must now be skipped by both rewrite passes
+    from clickhub_spark.sql_compat import translate
+
+    sql = "SELECT 'see addDays(a,b) docs' AS note, addDays(d, 1) AS d2 FROM t"
+    out = translate(sql)
+    assert "'see addDays(a,b) docs'" in out
+    assert "date_add(d, 1)" in out
+    # parametric form inside a literal
+    sql2 = "SELECT 'use quantile(0.5)(x)!' AS tip, quantile(0.5)(x) AS med FROM t"
+    out2 = translate(sql2)
+    assert "'use quantile(0.5)(x)!'" in out2
+    assert "percentile_approx(x, 0.5" in out2
+    # literal-only statement is untouched end-to-end
+    lit_only = "SELECT 'multiIf(a,b,c) splitByChar(1,2)' AS s FROM t"
+    assert translate(lit_only) == lit_only
