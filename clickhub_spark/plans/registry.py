@@ -69,6 +69,9 @@ ROUND_PRIORITY = [
     "q_agg_kendall",
     "q_agg_kendall_by",
     "q_multimodal_jpeg_progressive",
+    # new in round 7 (queries_r7.py)
+    "q_llm_dedup_passage",
+    "q_fn_editdistance",
     # --- never driver-checked (56 names; slots up to ~50 land in
     # the r7 window, the remainder front-loads round 8) ---
     "q_mutate_ttl",
