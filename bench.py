@@ -199,8 +199,9 @@ def main() -> None:
         "q_multimodal_video",
         # r6 additions worth tracking: the rewritten rank statistics
         # (per-value-count plans), the pivot-cumulative Kendall, the
-        # progressive-JPEG round trip (bounded 200-blob pure-Python
-        # codec demo), WAV feature extraction, n-gram novelty
+        # progressive-JPEG round trip (trimmed to a 48-blob demo in
+        # r7 — constant pure-Python codec cost, 8-task spread), WAV
+        # feature extraction, n-gram novelty
         "q_agg_ks_test",
         "q_agg_mannwhitney",
         "q_agg_spearman",
@@ -209,6 +210,10 @@ def main() -> None:
         "q_multimodal_audio_stats",
         "q_llm_ngram_novelty",
         "q_agg_ewma",
+        # r7 additions: passage-frequency dedup (one hash-keyed
+        # shuffle) and the string-distance family
+        "q_llm_dedup_passage",
+        "q_fn_editdistance",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(

@@ -226,3 +226,57 @@ def split_corpus(
     last = items[-1][0]
     split = expr.otherwise(last) if expr is not None else F.lit(last)
     return df.withColumn("split", split)
+
+
+def passage_dup_stats(
+    df: DataFrame, text: str, id_col: str, w: int = 3, flag_frac: float = 0.5
+) -> DataFrame:
+    """Passage-frequency duplication profile (RefinedWeb/CCNet corpus
+    curation; plans/queries_r7.q_llm_dedup_passage is the registered
+    twin): split each document into non-overlapping ``w``-word
+    passages, count the DISTINCT documents per passage hash, and per
+    document report how many of its passages occur verbatim in some
+    OTHER document.  Flags boilerplate-heavy documents that no
+    single-pair comparison catches.
+
+    Returns (id_col, n_passages, n_dup, dup_frac, flagged);
+    ``dup_frac`` is FLOOR-scaled to 4 dp (engine-stable).
+
+    100 TB shape: one shuffle keyed by passage hash (map-side combine
+    collapses in-partition repeats), one hash-keyed join back, one
+    doc-keyed aggregate — linear in corpus passages, and the md5 key
+    space cannot skew.  No pairwise stage exists anywhere.
+    """
+    ws = F.split(F.col(text), " ")
+    n_pass = F.floor(F.size(ws) / w).cast("int")
+    passages = (
+        df.withColumn("__ws", ws)
+        .where(F.size("__ws") >= w)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_pass - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__ws", i * w + 1, w)),
+                )
+            ).alias("__passage"),
+        )
+    )
+    h = passages.select(id_col, F.md5("__passage").alias("__ph"))
+    freq = h.groupBy("__ph").agg(F.count_distinct(id_col).alias("__nd"))
+    agg = (
+        h.join(freq, "__ph")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup").cast("double") / F.col("n_passages")
+    return agg.select(
+        id_col,
+        "n_passages",
+        "n_dup",
+        (F.floor(frac * 10000) / 10000).alias("dup_frac"),
+        (frac >= flag_frac).alias("flagged"),
+    )

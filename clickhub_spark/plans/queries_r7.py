@@ -65,40 +65,15 @@ def q_llm_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     passage-hash key space is huge so the shuffle cannot skew.
     dup_frac is FLOOR-scaled (not ROUND): ratios of small integers
     land exactly on decimal halves (3/32 = .09375) where the engines'
-    ROUND modes diverge."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
+    ROUND modes diverge.  Implementation:
+    operators/textops.passage_dup_stats (shared with the 100× scale
+    smoke, tools/smoke_passage_dedup.py)."""
+    from clickhub_spark.operators.textops import passage_dup_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return passage_dup_stats(docs, "text", "doc_id", w=_PASSAGE_W).orderBy(
+        "doc_id"
     )
-    n_pass = F.floor(F.size("ws") / _PASSAGE_W).cast("int")
-    passages = docs.where(F.size("ws") >= _PASSAGE_W).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_pass - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice("ws", i * _PASSAGE_W + 1, _PASSAGE_W)
-                ),
-            )
-        ).alias("passage"),
-    )
-    h = passages.select("doc_id", F.md5("passage").alias("ph"))
-    freq = h.groupBy("ph").agg(F.count_distinct("doc_id").alias("nd"))
-    agg = (
-        h.join(freq, "ph")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_passages"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
-        )
-    )
-    frac = F.col("n_dup").cast("double") / F.col("n_passages")
-    return agg.select(
-        "doc_id",
-        "n_passages",
-        "n_dup",
-        (F.floor(frac * 10000) / 10000).alias("dup_frac"),
-        (frac >= 0.5).alias("flagged"),
-    ).orderBy("doc_id")
 
 
 @query(
