@@ -33,24 +33,24 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # check is oldest.  Names not in the registry are ignored, so entries
 # can be staged before their module lands.  Override ad hoc with
 # SPARK_GRAFT_QUERY_ORDER=comma,separated,names (prefix order).
-# Round-6 rationale (VERDICT.md r5 items 1-4): after r5, 150 of 250
-# registered queries have a driver row (r3: 50, r4: 50, r5: 50) and
-# 100 have NEVER been driver-checked.  Order:
-#   1. Queries changed or added this round (semdedup rewrite, KS/MW
-#      per-value-count rewrites, the new per-segment _by variants) —
+# Round-7 rationale (VERDICT.md r6 items 1 and 4): after r6, 200 of
+# 264 carried-over queries have a driver row (r3-r6: 50 each) and 64
+# have never been driver-checked.  Order:
+#   1. Changed/new in round 7: the 9 array-output reshapes (4 were
+#      driver-RED in r6 — the canonicalizer crashes on array cells —
+#      and 5 more shared the defect unchecked), the kendall operator
+#      rewrite, the trimmed jpeg demo, and the two new r7 queries —
 #      a changed query needs a fresh row regardless of age.
-#   2. The 97 remaining never-checked names (driver evidence is the
-#      hard currency — slots 6-50 land in the r6 window, the ~52
-#      left over front-load round 7).
-#   3. r3-window block (3 rounds stale), then r4, then r5 (freshest).
+#   2. The remaining never-checked names (slots up to ~50 land in the
+#      r7 window; ~18 spill to round 8).
+#   3. r3 block (4 rounds stale), then r4, r5, r6 (freshest).
 # The full tools/check.py gates at 3 SFs, the vanilla-session gate,
 # and the cluster gate (all 0-fail artifacts each round) carry
 # whole-surface value-checking between driver visits.
 #
-# ROUND-7 TODO: front-load (1) anything changed in round 7, (2) the
-# ~52 never-checked names below this round's window cut (everything
-# after window slot 50 in the never-checked section below), (3) the
-# r3 block (then 4 rounds stale).
+# ROUND-8 TODO: front-load (1) anything changed in round 8, (2) the
+# ~18 never-checked names left below this round's window cut, (3) the
+# r3 block (then 5 rounds stale).
 ROUND_PRIORITY = [
     # --- changed in round 7 (window front: fresh driver row required).
     # The first 9 are the array-output reshapes (VERDICT r6 item 1 —
