@@ -48,8 +48,17 @@ def kendall_tau_b(
     When omitted the operator runs one distinct-collect to derive it
     and raises ``ValueError`` if more than ``max_x_cardinality``
     distinct values exist: the pivot materializes one column pair per
-    x value, so an unbounded x must be bucketed by the caller first
-    (the y axis needs no such bound — it stays rows, not columns).
+    x value, so an unbounded x must be bucketed by the caller first.
+    The y axis stays rows, not columns, but the POOLED path broadcasts
+    the distinct-y table back to the cells (and rides one
+    single-partition cumulative window over it) — y's distinct count
+    should fit a broadcast (≲ tens of millions; quantize a raw
+    double y first, as the registered queries do).  The per-segment
+    path shuffle-joins on (seg, y) and has no such bound.
+
+    Rows whose x is not NULL but outside an EXPLICIT ``x_values`` are
+    excluded from the statistic entirely (domain-restricted tau, the
+    consistent reading) — never half-counted.
 
     Algorithm: cells = count per (x, y); pivot x into K columns over
     distinct y; cumulative strictly-below (lt) / strictly-above (gt)
@@ -92,6 +101,13 @@ def kendall_tau_b(
     p = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
         *keys, xi.alias("x"), F.col(y_col).alias("y")
     )
+    # rows whose x is OUTSIDE x_values map to NULL in the when-chain;
+    # they must be excluded from the WHOLE computation (n / tie terms
+    # included), not just from conc/disc — half-counting them would
+    # silently deflate tau (review r7).  With a data-derived domain
+    # this filter matches nothing; with an explicit x_values it makes
+    # the statistic domain-restricted by contract.
+    p = p.where(F.col("x").isNotNull())
     cells = p.groupBy(*keys, "x", "y").agg(F.count(F.lit(1)).alias("n"))
     pv = (
         cells.groupBy(*keys, "y")
@@ -171,8 +187,13 @@ def kendall_tau_b(
         )
     )
     # tie terms and n derive from CELLS (exact integer sums) — never
-    # re-scan the corpus for numbers the one shuffle already produced
-    pair_sum = (F.col("t") * (F.col("t") - 1) / 2).cast("long")
+    # re-scan the corpus for numbers the one shuffle already produced.
+    # t·(t−1) is even, so shiftright-by-1 IS /2 in pure int64 — a
+    # float division here would round past 2^53 (t > ~9.5e7 rows in
+    # one tie group) and break the exact-int64 invariant (review r7);
+    # int64 itself bounds the operator at ~4.3e9 corpus rows per
+    # group, far past any single statistic's useful range.
+    pair_sum = F.shiftright(F.col("t") * (F.col("t") - 1), 1)
     n1 = (
         cells.groupBy(*keys, "x")
         .agg(F.sum("n").alias("t"))
@@ -194,7 +215,7 @@ def kendall_tau_b(
             .crossJoin(F.broadcast(n2))
             .crossJoin(F.broadcast(nn))
         )
-    n0 = F.col("n") * (F.col("n") - 1) / 2
+    n0 = F.shiftright(F.col("n") * (F.col("n") - 1), 1)  # exact int64
     tau = (F.col("conc") - F.col("disc")) / (
         F.sqrt((n0 - F.col("n1")).cast("double"))
         * F.sqrt((n0 - F.col("n2")).cast("double"))

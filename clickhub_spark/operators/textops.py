@@ -240,7 +240,10 @@ def passage_dup_stats(
     single-pair comparison catches.
 
     Returns (id_col, n_passages, n_dup, dup_frac, flagged);
-    ``dup_frac`` is FLOOR-scaled to 4 dp (engine-stable).
+    ``dup_frac`` is FLOOR-scaled to 4 dp (engine-stable).  Documents
+    with fewer than ``w`` words have NO passages and are OMITTED from
+    the output (n_passages would be 0 and dup_frac undefined) — left-
+    join the result back to the corpus if every id must appear.
 
     100 TB shape: one shuffle keyed by passage hash (map-side combine
     collapses in-partition repeats), one hash-keyed join back, one

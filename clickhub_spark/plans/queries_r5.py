@@ -468,7 +468,12 @@ def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(18,4) so both engines pad identically and IEEE
     -0.0 normalizes away) because the correctness driver's pandas
     canonicalizer cannot sort array cells — the round-6 driver-red
-    lesson; same reshape as q_llm_embed_centroid in round 3."""
+    lesson; same reshape as q_llm_embed_centroid in round 3.  A sum
+    outside DECIMAL(18,4) range (|s| ≥ 10^14, or NaN) casts to NULL
+    under Spark's non-ANSI cast; rendering it as the literal 'null'
+    keeps k and v ALIGNED instead of concat_ws silently skipping the
+    element (review r7) — the DuckDB oracle hard-errors on the same
+    overflow, so the divergence is loud on both sides."""
     per = (
         load(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
@@ -480,7 +485,10 @@ def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",",
             F.transform(
-                pairs, lambda p: p["s"].cast("decimal(18,4)").cast("string")
+                pairs,
+                lambda p: F.coalesce(
+                    p["s"].cast("decimal(18,4)").cast("string"), F.lit("null")
+                ),
             ),
         ).alias("v"),
     )

@@ -478,11 +478,18 @@ def q_agg_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "string"
         ),
     )
+    # coalesce AFTER the decimal cast too: a bucket sum outside
+    # DECIMAL(18,2) range would cast to NULL and concat_ws would
+    # silently skip it, misaligning the series (review r7; the oracle
+    # hard-errors on the same overflow)
     sum_arr = F.transform(
         buckets,
-        lambda b: F.coalesce(F.col("m")[b]["total"], F.lit(0.0))
-        .cast("decimal(18,2)")
-        .cast("string"),
+        lambda b: F.coalesce(
+            F.coalesce(F.col("m")[b]["total"], F.lit(0.0))
+            .cast("decimal(18,2)")
+            .cast("string"),
+            F.lit("null"),
+        ),
     )
     return pairs.select(
         "o_orderstatus",

@@ -175,3 +175,22 @@ def test_complex_output_count_and_hard_floor():
     problems = compare(old, new)  # hard floor: old snapshot is no excuse
     assert any("q_seeded" in p and "Array/Map/Struct" in p for p in problems)
     assert compare({}, {"q_ok": {"Exchange": 1}}) == []
+
+
+def test_fingerprint_catches_orderless_unpartitioned_window():
+    """Review r7: Window.partitionBy() with no orderBy plans a
+    windowspecdefinition whose FIRST argument is the frame spec —
+    same Exchange SinglePartition, must be counted."""
+    orderless = (
+        "(1) Window\nArguments: [sum(x#1L) windowspecdefinition("
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS t#9L]\n"
+    )
+    assert fingerprint(orderless).get("UnpartitionedWindow") == 1
+    # partitioned order-less window stays quiet
+    part_orderless = (
+        "(1) Window\nArguments: [sum(x#1L) windowspecdefinition(seg#3, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS t#9L]\n"
+    )
+    assert "UnpartitionedWindow" not in fingerprint(part_orderless)

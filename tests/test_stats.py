@@ -113,3 +113,20 @@ def test_string_x_domain(spark):
     conc, disc, tau = brute_tau(xs, ys)
     assert (row.conc, row.disc) == (conc, disc)
     assert abs(row.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12
+
+
+def test_out_of_domain_x_excluded_consistently(spark):
+    """Review r7: rows whose x is outside an explicit x_values must be
+    excluded from the WHOLE statistic (n and tie terms included) —
+    half-counting them deflated tau silently."""
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 6, 250)
+    ys = np.round(rng.normal(size=250), 1)
+    domain = [0, 1, 2]  # exclude x in {3,4,5}
+    row = kendall_tau_b(
+        _mkdf(spark, xs, ys), "x", "y", x_values=domain
+    ).collect()[0]
+    m = np.isin(xs, domain)
+    conc, disc, tau = brute_tau(xs[m], ys[m])
+    assert (row.conc, row.disc) == (conc, disc)
+    assert abs(row.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12

@@ -95,6 +95,12 @@ UNPARTITIONED_WINDOW_CANON = {
     # value axis of the PIVOTED distinct-value table (8 bucket
     # columns) — aggregated input, corpus never enters the window
     "q_agg_kendall",
+    # chi²/Cramér's V: row/col/grand totals as ORDER-LESS windows over
+    # the ~nr×nc-cell contingency grid (one partial-aggregated shuffle
+    # reduces the corpus first) — flagged only when the r7 detector
+    # learned to see order-less unpartitioned specs; bounded input,
+    # documented in the query docstring
+    "q_agg_contingency",
 }
 # (A round-6 scan of every registered plan found unpartitioned window
 # specs in exactly these queries — every other window in the registry
@@ -126,10 +132,15 @@ def fingerprint(plan: str) -> dict[str, int]:
     # ordering expression like `CAST(x AS BIGINT) ASC NULLS FIRST`
     # contains spaces and a `\S+` match would silently miss it
     # (ADVICE r6 guard false negative).
+    # An order-less unpartitioned spec (Window.partitionBy() with no
+    # orderBy — whole-table totals) leads with the frame spec itself;
+    # it forces the same Exchange SinglePartition and must be counted
+    # too (review r7: the ordering-only regex gave it a free pass).
     n_unpart = sum(
         1
         for first in _windowspec_first_args(plan)
         if re.search(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)$", first)
+        or first.startswith("specifiedwindowframe(")
     )
     if n_unpart:
         fp["UnpartitionedWindow"] = n_unpart
