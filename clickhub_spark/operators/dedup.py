@@ -107,11 +107,20 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingles(
-    df: DataFrame, text: str, id_col: str, k: int = 3, distinct: bool = True
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    distinct: bool = True,
+    stride: int = 1,
 ) -> DataFrame:
     """k-word shingles per document: (id, shingle) — distinct per doc
     by default (the dedup/Jaccard form); ``distinct=False`` keeps every
-    occurrence (the repetition-scoring form).
+    occurrence (the repetition-scoring form).  ``stride`` spaces the
+    window starts: 1 (default) is the overlapping shingle form,
+    ``stride=k`` yields NON-overlapping passages (the
+    passage-frequency dedup form, textops.passage_dup_stats) — one
+    window pipeline serves both instead of two copies (review r7).
 
     Built-in fns only (split → transform over indices → explode) so
     the hot path stays in whole-stage codegen — no Python UDF.  The
@@ -120,7 +129,7 @@ def shingles(
     """
     words = F.col("__words")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)), F.lit(stride))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     if distinct:
         sh = F.array_distinct(sh)

@@ -83,7 +83,19 @@ def kendall_tau_b(
                 f"pair per value. Bucket {x_col!r} first (e.g. width_bucket/"
                 f"ntile) or raise max_x_cardinality deliberately."
             )
-        x_values = sorted(sample)
+        x_values = sample
+    # NaN is unordered (every comparison false): it would silently
+    # scramble Python's sort below AND Spark's when-chain equality —
+    # refuse it rather than rank it arbitrarily (review r7).  The
+    # caller-supplied list is deduped and SORTED here for the same
+    # reason: rank order must be the domain's natural order, not
+    # whatever order the caller typed.
+    if any(isinstance(v, float) and v != v for v in x_values):
+        raise ValueError(
+            f"kendall_tau_b: {x_col!r} domain contains NaN — filter or "
+            f"bucket NaN rows first (NaN has no rank)"
+        )
+    x_values = sorted(set(x_values))
     if len(x_values) < 2:
         raise ValueError(
             f"kendall_tau_b: need at least 2 distinct {x_col!r} values, "

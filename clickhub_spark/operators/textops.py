@@ -248,24 +248,16 @@ def passage_dup_stats(
     100 TB shape: one shuffle keyed by passage hash (map-side combine
     collapses in-partition repeats), one hash-keyed join back, one
     doc-keyed aggregate — linear in corpus passages, and the md5 key
-    space cannot skew.  No pairwise stage exists anywhere.
+    space cannot skew.  No pairwise stage exists anywhere.  Passage
+    construction is ``dedup.shingles(stride=w)`` — the shared window
+    pipeline, which also _spread-repartitions a narrow input before
+    the CPU-bound explode (review r7: a one-file corpus otherwise
+    builds every passage on one core).
     """
-    ws = F.split(F.col(text), " ")
-    n_pass = F.floor(F.size(ws) / w).cast("int")
-    passages = (
-        df.withColumn("__ws", ws)
-        .where(F.size("__ws") >= w)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_pass - 1),
-                    lambda i: F.concat_ws(" ", F.slice("__ws", i * w + 1, w)),
-                )
-            ).alias("__passage"),
-        )
-    )
-    h = passages.select(id_col, F.md5("__passage").alias("__ph"))
+    from clickhub_spark.operators.dedup import shingles
+
+    passages = shingles(df, text, id_col, k=w, distinct=False, stride=w)
+    h = passages.select(id_col, F.md5("shingle").alias("__ph"))
     freq = h.groupBy("__ph").agg(F.count_distinct(id_col).alias("__nd"))
     agg = (
         h.join(freq, "__ph")

@@ -52,3 +52,12 @@ def test_single_row_with_list_still_crashes():
     # short-circuit on tiny frames
     with pytest.raises(TypeError):
         driver_canon_probe(["a", "arr"], [(1, [1, 2, 3])])
+
+
+def test_single_column_list_result_crashes():
+    """Review r7: a ONE-column result with list cells took pandas'
+    argsort path and slipped past the probe while the driver's hash
+    step still rejects it — the appended probe column forces the
+    factorize path for any column count."""
+    with pytest.raises(TypeError):
+        driver_canon_probe(["arr"], [([1, 2],), ([3],)])

@@ -130,3 +130,28 @@ def test_out_of_domain_x_excluded_consistently(spark):
     conc, disc, tau = brute_tau(xs[m], ys[m])
     assert (row.conc, row.disc) == (conc, disc)
     assert abs(row.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12
+
+
+def test_nan_domain_raises(spark):
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (float("nan"), 2.0), (1.0, 3.0)], "x double, y double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        kendall_tau_b(df, "x", "y")
+    with pytest.raises(ValueError, match="NaN"):
+        kendall_tau_b(df, "x", "y", x_values=[0.0, float("nan"), 1.0])
+
+
+def test_unsorted_duplicated_x_values_normalized(spark):
+    """Review r7: the rank order must be the domain's natural order —
+    a caller passing an unsorted or duplicated list gets the same tau
+    as the sorted unique domain, not a silently scrambled ranking."""
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 4, 150)
+    ys = np.round(rng.normal(size=150), 1)
+    a = kendall_tau_b(
+        _mkdf(spark, xs, ys), "x", "y", x_values=[3, 0, 2, 1, 0]
+    ).collect()[0]
+    conc, disc, tau = brute_tau(xs, ys)
+    assert (a.conc, a.disc) == (conc, disc)
+    assert abs(a.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12

@@ -44,7 +44,14 @@ def driver_canon_probe(cols, rows):
     df = pd.DataFrame(rows, columns=list(cols))
     df = df[sorted(df.columns)]
     if len(df):
-        df.sort_values(by=list(df.columns), inplace=False)
+        # sort with an appended constant column: a SINGLE-column sort
+        # takes pandas' argsort path, which tolerates list cells that
+        # the driver's hash step still rejects (review r7) — two sort
+        # keys force the lexsort/factorize path for every column, the
+        # same unhashable-cell crash surface as the driver's full
+        # sort+hash canon
+        probe = df.assign(__canon_probe=0)
+        probe.sort_values(by=list(df.columns) + ["__canon_probe"], inplace=False)
 
 
 def normalize(rows, ndigits=6):

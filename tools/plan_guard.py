@@ -136,10 +136,18 @@ def fingerprint(plan: str) -> dict[str, int]:
     # orderBy — whole-table totals) leads with the frame spec itself;
     # it forces the same Exchange SinglePartition and must be counted
     # too (review r7: the ordering-only regex gave it a free pass).
+    # The ordering-spec match is deliberately NOT $-anchored: plan
+    # text renders string literals unquoted, so an expression like
+    # split(s, "(", 2) unbalances the depth scan and the extracted
+    # first arg can carry trailing junk past the ASC/DESC — an
+    # anchored regex would then silently miss the spec.  Unanchored,
+    # an overrun still matches (a loud false positive to adjudicate
+    # beats a silent false negative); clean partition-led specs never
+    # contain 'ASC/DESC NULLS' in their first argument.
     n_unpart = sum(
         1
         for first in _windowspec_first_args(plan)
-        if re.search(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)$", first)
+        if re.search(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)", first)
         or first.startswith("specifiedwindowframe(")
     )
     if n_unpart:
