@@ -211,9 +211,11 @@ def main() -> None:
         "q_llm_ngram_novelty",
         "q_agg_ewma",
         # r7 additions: passage-frequency dedup (one hash-keyed
-        # shuffle) and the string-distance family
+        # shuffle), the string-distance family, and closed-form OLS
+        # (one moment pass + Cramer solve)
         "q_llm_dedup_passage",
         "q_fn_editdistance",
+        "q_agg_ols",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(

@@ -123,3 +123,126 @@ def q_fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("a", "b", 8).alias("edit_dist_capped"),
         (F.floor(sim * 10000) / 10000).alias("sim_norm"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_agg_ols",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(user_id % 8 AS BIGINT) AS x1,
+               CAST(hour(ts) AS BIGINT) AS x2,
+               value AS y
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS s1,
+               CAST(SUM(x2) AS DOUBLE) AS s2,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+               ROUND(SUM(y), 4) AS sy,
+               ROUND(SUM(x1 * y), 4) AS s1y,
+               ROUND(SUM(x2 * y), 4) AS s2y,
+               ROUND(SUM(y * y), 4) AS syy
+        FROM p
+    ), d AS (
+        SELECT *,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS det,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) AS det1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) AS det2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           FLOOR(det0 / det * 1000000) / 1000000 AS b0,
+           FLOOR(det1 / det * 1000000) / 1000000 AS b1,
+           FLOOR(det2 / det * 1000000) / 1000000 AS b2,
+           FLOOR((1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                         - (det2 / det) * s2y)
+                        / (syy - sy * sy / n)) * 1000000) / 1000000 AS r2
+    FROM d
+    """,
+)
+def q_agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression by normal equations (ClickHouse
+    simpleLinearRegression generalized to 2 features + intercept; the
+    closed-form answer stochasticLinearRegression iterates toward —
+    SURVEY §2.D13 extension): fit value ~ user-bucket + hour-of-day in
+    ONE map-side moment pass.  The 3×3 Gram matrix and moment vector
+    are nine mergeable sums (partial+final aggregate, the same shape
+    as SUM — at 100 TB the corpus is read once and never shuffled:
+    the only exchange carries one row of partials per partition);
+    Cramer's rule solves the system in plain expressions on the
+    single-row result.
+
+    Cross-engine determinism: the X-moments are exact integers (the
+    features are integer buckets); the y-moments are ROUNDed to 4 dp
+    on both sides; every subsequent operation is the IDENTICAL
+    double-arithmetic formula with the identical parenthesization, so
+    both engines walk the same IEEE ops to the same bits —
+    FLOOR-scaling the outputs is then safe.  R² from the same
+    moments."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 8).cast("long").alias("x1"),
+            F.hour("ts").cast("long").alias("x2"),
+            F.col("value").alias("y"),
+        )
+    )
+    m = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.round(F.sum("y"), 4).alias("sy"),
+        F.round(F.sum(F.col("x1") * F.col("y")), 4).alias("s1y"),
+        F.round(F.sum(F.col("x2") * F.col("y")), 4).alias("s2y"),
+        F.round(F.sum(F.col("y") * F.col("y")), 4).alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    r2 = F.lit(1.0) - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (
+        syy - sy * sy / n
+    )
+    scale = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+    return m.select(
+        n.cast("long").alias("n"),
+        scale(b0).alias("b0"),
+        scale(b1).alias("b1"),
+        scale(b2).alias("b2"),
+        scale(r2).alias("r2"),
+    )

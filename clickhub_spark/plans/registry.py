@@ -72,6 +72,7 @@ ROUND_PRIORITY = [
     # new in round 7 (queries_r7.py)
     "q_llm_dedup_passage",
     "q_fn_editdistance",
+    "q_agg_ols",
     # --- never driver-checked (56 names; slots up to ~50 land in
     # the r7 window, the remainder front-loads round 8) ---
     "q_mutate_ttl",

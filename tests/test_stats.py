@@ -155,3 +155,36 @@ def test_unsorted_duplicated_x_values_normalized(spark):
     conc, disc, tau = brute_tau(xs, ys)
     assert (a.conc, a.disc) == (conc, disc)
     assert abs(a.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12
+
+
+def test_ols_query_matches_numpy_lstsq(spark):
+    """q_agg_ols: the Cramer solve over one moment pass must agree
+    with numpy's least-squares fit on the same rows (tolerance covers
+    the 4-dp y-moment rounding the cross-engine contract applies)."""
+    from clickhub_spark.catalog import load
+    from clickhub_spark.plans import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    row = all_specs()["q_agg_ols"].builder(spark, sf).collect()[0]
+    pdf = (
+        load(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 8).cast("long").alias("x1"),
+            F.hour("ts").cast("long").alias("x2"),
+            F.col("value").alias("y"),
+        )
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["x1"].to_numpy(), pdf["x2"].to_numpy()]
+    )
+    beta, *_ = np.linalg.lstsq(X, pdf["y"].to_numpy(), rcond=None)
+    assert row.n == len(pdf)
+    assert abs(row.b0 - beta[0]) < 1e-4
+    assert abs(row.b1 - beta[1]) < 1e-4
+    assert abs(row.b2 - beta[2]) < 1e-4
+    yhat = X @ beta
+    ss_res = ((pdf["y"].to_numpy() - yhat) ** 2).sum()
+    ss_tot = ((pdf["y"].to_numpy() - pdf["y"].mean()) ** 2).sum()
+    assert abs(row.r2 - (1 - ss_res / ss_tot)) < 1e-4
