@@ -246,3 +246,45 @@ def q_agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale(b2).alias("b2"),
         scale(r2).alias("r2"),
     )
+
+
+@query("q_llm_logreg_fit")  # no SQL oracle: iterative IRLS is not
+# SQL-expressible; correctness pinned by tests/test_glm.py
+# (distributed moment-pass loop ≡ single-node numpy IRLS to 1e-8,
+# deterministic refit, separable-slice stability) — the PCA contract.
+def q_llm_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score a quality classifier ON the corpus (the
+    fasttext-style step CCNet/LLaMA pipelines run; completes
+    q_llm_quality_classifier, which scores with FIXED weights):
+    logistic regression of (lang == 'en') on three text statistics,
+    fitted by operators/glm.logistic_fit — each IRLS iteration is one
+    map-side moment aggregate with the coefficients broadcast as
+    literals (no shuffle, no UDF; the driver solves a 4×4 system),
+    then a map-only scoring pass.  Output is (doc_id, label,
+    FLOOR-scaled score) — scalar wire form."""
+    from clickhub_spark.operators.glm import logistic_fit, logistic_score
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        (F.length("text").cast("double") / 1000).alias("f_len"),
+        (F.size(F.split(F.col("text"), " ")).cast("double") / 100).alias(
+            "f_words"
+        ),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[^aeiou]", "")).cast(
+                "double"
+            )
+            / (F.length("text") + 1)
+        ).alias("f_vowels"),
+    )
+    beta = logistic_fit(docs, ["f_len", "f_words", "f_vowels"], "label")
+    return (
+        logistic_score(docs, ["f_len", "f_words", "f_vowels"], beta)
+        .select(
+            "doc_id",
+            "label",
+            (F.floor(F.col("score") * 1000000) / 1000000).alias("score"),
+        )
+        .orderBy("doc_id")
+    )

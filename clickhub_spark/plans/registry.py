@@ -73,6 +73,7 @@ ROUND_PRIORITY = [
     "q_llm_dedup_passage",
     "q_fn_editdistance",
     "q_agg_ols",
+    "q_llm_logreg_fit",
     # --- never driver-checked (56 names; slots up to ~50 land in
     # the r7 window, the remainder front-loads round 8) ---
     "q_mutate_ttl",
