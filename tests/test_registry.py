@@ -36,6 +36,9 @@ def test_oracle_map_is_subset_of_queries():
         # iterative merge learning is not one SQL statement; pinned by
         # tests/test_bpe.py (≡ reference implementation merge-for-merge)
         "q_llm_bpe_train",
+        # iterative IRLS fit is not one SQL statement; pinned by
+        # tests/test_glm.py (≡ numpy IRLS to 1e-8 + invariants)
+        "q_llm_logreg_fit",
     }
 
 
