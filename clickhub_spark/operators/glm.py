@@ -78,6 +78,16 @@ def logistic_fit(
     """
     import numpy as np
 
+    # drop rows with a NULL label or feature up front: F.sum skips
+    # NULLs per-EXPRESSION, so without this a NULL-label row would be
+    # counted in the Gram sums (w·xᵢ·xⱼ, label-free) but skipped in
+    # the moment-vector sums (w·xᵢ·z) — a silently inconsistent,
+    # biased system rather than an error
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    df = df.where(cond)
+
     d = len(feature_cols) + 1
     beta = np.zeros(d)
     for _ in range(iters):

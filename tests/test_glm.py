@@ -71,3 +71,22 @@ def test_saturated_slice_stays_finite(spark):
     beta = logistic_fit(df, ["x1"], "y", iters=6)
     assert all(np.isfinite(beta))
     assert beta[1] > 0  # direction recovered
+
+
+def test_null_rows_are_dropped_not_half_counted(spark):
+    """A NULL label (or feature) must not contribute to EITHER side of
+    the normal equations.  F.sum skips NULLs per-expression, so before
+    the explicit filter a NULL-label row entered the Gram sums (which
+    never touch the label) but not the moment-vector sums — a biased
+    system, not a crash.  Fit with NULL rows appended must equal the
+    fit on the clean frame exactly."""
+    df, X, y = _toy(spark, n=600, seed=5)
+    dirty = df.unionByName(
+        spark.createDataFrame(
+            [(2.0, 2.0, None), (None, 0.5, 1), (0.5, None, 0)],
+            "x1 double, x2 double, y int",
+        )
+    )
+    clean = np.array(logistic_fit(df, ["x1", "x2"], "y"))
+    with_nulls = np.array(logistic_fit(dirty, ["x1", "x2"], "y"))
+    assert np.allclose(clean, with_nulls, atol=1e-12), (clean, with_nulls)
