@@ -288,3 +288,47 @@ def q_llm_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_seq_next_node",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), v AS (
+        SELECT user_id, next_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM o WHERE event_type = 'view'
+    )
+    SELECT user_id, next_type FROM v WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q_seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceNextNode analog (ClickHouse's where-do-users-go-NEXT
+    funnel primitive, completing the sequence family next to
+    q_seq_match/q_seq_count/q_funnel): for each user, the event type
+    immediately FOLLOWING their first 'view' event in time order —
+    NULL when the view is the user's last event, exactly
+    sequenceNextNode('forward','first_match')'s contract.
+
+    100 TB shape: ONE user_id exchange feeds both windows (lead and
+    the first-match row_number run over the same partitioning —
+    Catalyst reuses the sort), so cost is the sessionize shape: one
+    shuffle of the facts, zero joins, no SinglePartition anywhere.
+    Both windows carry the (ts, event_id) unique tiebreaker so the
+    selected row is deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w))
+    first_view = (
+        nxt.where(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return first_view.select("user_id", "next_type").orderBy("user_id")
