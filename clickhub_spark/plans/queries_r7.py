@@ -332,3 +332,44 @@ def q_seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
     )
     return first_view.select("user_id", "next_type").orderBy("user_id")
+
+
+@query(
+    "q_agg_topk_sketch",
+    oracle="""
+    WITH w AS (
+        SELECT string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+        SELECT array_to_string(ws[i:i+2], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, len(ws) - 2)) t(i)
+        WHERE len(ws) >= 3
+    ), c AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS est FROM g GROUP BY gram
+    )
+    SELECT gram, est, est AS lo, est AS hi
+    FROM c ORDER BY est DESC, gram LIMIT 10
+    """,
+)
+def q_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (ClickHouse ``topK`` — which is a
+    Space-Saving sketch, NOT an exact count; q_topk_freq keeps the
+    exact form): the 10 most frequent word 3-grams in the corpus via
+    operators/topk.topk_sketch — per-partition bounded-memory
+    summaries, shuffle ≤ capacity·P rows regardless of key
+    cardinality, merge yields a certified [lo, hi] interval per key.
+
+    Oracle parity is EXACT by construction: the corpus vocabulary is
+    31 words, so the 3-gram key space is ≤ 31³ = 29,791 < the 32,768
+    capacity — no partition can ever evict, every error and floor is
+    0, and est = lo = hi = the true count at ANY scale factor (the
+    eviction regime's invariants are pinned by
+    tests/test_topk_sketch.py instead).  Ties on est are broken by
+    gram on both sides so the selected row SET is deterministic."""
+    from clickhub_spark.operators.dedup import shingles
+    from clickhub_spark.operators.topk import topk_sketch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(docs, "text", "doc_id", k=3, distinct=False)
+    return topk_sketch(sh, "shingle", 10, capacity=32768).select(
+        F.col("key").alias("gram"), "est", "lo", "hi"
+    )
