@@ -1,33 +1,39 @@
-"""Approximate heavy hitters — the Space-Saving sketch behind
+"""Approximate heavy hitters — the frequent-elements sketch behind
 ClickHouse ``topK``/``topKWeighted`` (reference surface: the exact
 group-count form lives in q_topk_freq; THIS is the bounded-memory
-form ClickHouse actually computes, for when the key space itself is
-too big to group — URLs, shingles, n-grams at 100 TB).
+form for when the key space itself is too big to group — URLs,
+shingles, n-grams at 100 TB).
 
 Spark-first shape: one ``mapInPandas`` pass keeps a ``capacity``-entry
-Space-Saving summary PER PARTITION (Metwally et al., "Efficient
-computation of frequent and top-k elements in data streams"), so the
-shuffle carries at most ``capacity`` rows per partition instead of one
-row per distinct key.  The merge is the mergeable-summaries form
-(Agarwal et al., PODS'12): per-partition summaries are exact-count
-upper bounds with a tracked per-counter error, and a partition that
-FILLED its summary contributes its minimum counter as the ceiling on
-any key it did not report.  The final aggregate therefore yields, for
-every reported key, a certified interval [lo, hi] containing the true
-count:
+Misra-Gries summary PER PARTITION (the decrement form of the
+Space-Saving/frequent-elements family; Misra & Gries 1982, mergeable
+per Agarwal et al. PODS'12), so the shuffle carries at most
+``capacity`` rows per partition instead of one row per distinct key.
+The per-partition fold is batch-vectorized: each Arrow batch is
+pre-aggregated with ``value_counts`` and merged into the summary with
+ONE pandas index-aligned add; when the summary overflows, the
+excess-th-smallest counter ``d`` is subtracted from every counter in
+one vectorized op (dropping all counters ≤ d — at least ``excess``
+of them) and ``d`` accrues to the partition's decrement total.  No
+per-key Python loop anywhere.
 
-- ``est``  = Σ over partitions reporting the key of its counter
-  (the usual Space-Saving point estimate),
-- ``lo``   = Σ (counter − error)  — counts provably attributed,
-- ``hi``   = est + Σ over partitions NOT reporting the key of that
-  partition's summary-minimum (0 while a summary never filled).
+Misra-Gries invariants give certified bounds.  Within a partition p
+with total decrement D_p: a kept counter c satisfies
+c ≤ true_p ≤ c + D_p, and an absent key has true_p ≤ D_p.  Summing
+over partitions, for every reported key:
 
-When no partition ever evicts (capacity ≥ per-partition distinct
-keys) every error and every floor is zero, so est = lo = hi = the
-exact count — the regime the oracle-checked query runs in; the
-adversarial-capacity regime is pinned by tests/test_topk_sketch.py
-(SS invariants: hi ≥ true ≥ lo, and any key with true frequency
-> N/capacity is reported).
+- ``est`` = Σ counters  — a provable LOWER bound on the true count,
+- ``lo``  = est,
+- ``hi``  = est + Σ_p D_p — a provable UPPER bound (present
+  partitions contribute ≤ D_p of undercount, absent ones ≤ D_p).
+
+When no partition ever overflows (capacity ≥ per-partition distinct
+keys) every D_p is zero, so est = lo = hi = the exact count — the
+regime the oracle-checked query (q_agg_topk_sketch) runs in; the
+eviction regime's invariants (lo ≤ true ≤ hi, heavy hitters with
+frequency > N/capacity always reported) are pinned by
+tests/test_topk_sketch.py and the 20M-row / 2M-key scale smoke
+(tools/smoke_topk_scale.py).
 """
 
 from __future__ import annotations
@@ -38,40 +44,34 @@ from pyspark.sql import functions as F
 __all__ = ["topk_sketch"]
 
 
-def _space_saving_rows(key_col: str, capacity: int):
-    """Partition worker: fold all Arrow batches into one SS summary,
-    emit its counters plus ONE sentinel row (key NULL) carrying the
-    partition's absent-key ceiling."""
+def _misra_gries_rows(key_col: str, capacity: int):
+    """Partition worker: fold all Arrow batches into one Misra-Gries
+    summary, emit its counters plus ONE sentinel row (key NULL)
+    carrying the partition's total decrement."""
 
     def run(batches):
         import pandas as pd
 
-        counts: dict = {}
-        errs: dict = {}
-        filled = False
+        s = pd.Series(dtype="int64")
+        dec = 0
         for pdf in batches:
-            for key, w in pdf[key_col].value_counts().items():
-                w = int(w)
-                if key in counts:
-                    counts[key] += w
-                elif len(counts) < capacity:
-                    counts[key] = w
-                    errs[key] = 0
-                else:
-                    filled = True
-                    mkey = min(counts, key=counts.get)
-                    m = counts.pop(mkey)
-                    errs.pop(mkey)
-                    counts[key] = m + w
-                    errs[key] = m
-        floor = min(counts.values()) if (filled and counts) else 0
-        keys = list(counts)
+            b = pdf[key_col].value_counts()
+            if b.empty:
+                continue
+            s = s.add(b, fill_value=0).astype("int64") if len(s) else b
+            excess = len(s) - capacity
+            if excess > 0:
+                # d = excess-th smallest counter: subtracting it zeroes
+                # (at least) the excess smallest entries in one shot
+                d = int(s.nsmallest(excess).iloc[-1])
+                s = s - d
+                s = s[s > 0]
+                dec += d
         yield pd.DataFrame(
             {
-                "key": keys + [None],
-                "cnt": [counts[x] for x in keys] + [0],
-                "err": [errs[x] for x in keys] + [0],
-                "pfloor": [floor] * len(keys) + [floor],
+                "key": list(s.index) + [None],
+                "cnt": list(s.values) + [0],
+                "dec": [dec] * (len(s) + 1),
             }
         )
 
@@ -85,9 +85,10 @@ def topk_sketch(
 
     Returns (key, est, lo, hi) ordered by (est DESC, key) — ``key``
     the tiebreaker so the selected row SET is deterministic.  est is
-    the Space-Saving point estimate; [lo, hi] is a certified interval
-    for the true count (lo = est when no partition evicted near the
-    key, hi = est when every partition reported it).  Memory is
+    the summed Misra-Gries counter (a certified lower bound); hi adds
+    the summed per-partition decrements (a certified upper bound), so
+    the true count always lies in [lo, hi] and the interval collapses
+    to the exact count whenever no partition overflowed.  Memory is
     O(capacity) per task and the shuffle carries ≤ capacity·P rows —
     independent of key cardinality, the property that matters when
     the keys are URLs/shingles at 100 TB and exact groupBy state is
@@ -96,32 +97,26 @@ def topk_sketch(
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     rows = df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
-        _space_saving_rows(key_col, capacity),
-        schema="key string, cnt long, err long, pfloor long",
+        _misra_gries_rows(key_col, capacity),
+        schema="key string, cnt long, dec long",
     )
     per_key = (
         rows.where(F.col("key").isNotNull())
         .groupBy("key")
-        .agg(
-            F.sum("cnt").alias("est"),
-            F.sum(F.col("cnt") - F.col("err")).alias("lo"),
-            F.sum("pfloor").alias("pf"),
-        )
+        .agg(F.sum("cnt").alias("est"))
     )
-    # the absent-key ceiling: partitions that reported the key
-    # contribute nothing beyond their counter; partitions that did
-    # not contribute at most their summary minimum — total_floor
-    # rides a single-row broadcast cross join (house pattern)
-    total_floor = rows.where(F.col("key").isNull()).agg(
-        F.coalesce(F.sum("pfloor"), F.lit(0)).alias("total_floor")
+    # Σ_p D_p rides a single-row broadcast cross join (house pattern:
+    # totals meet the grid as a scalar, never a SinglePartition window)
+    total_dec = rows.where(F.col("key").isNull()).agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("total_dec")
     )
     return (
-        per_key.crossJoin(F.broadcast(total_floor))
+        per_key.crossJoin(F.broadcast(total_dec))
         .select(
             "key",
             "est",
-            "lo",
-            (F.col("est") + F.col("total_floor") - F.col("pf")).alias("hi"),
+            F.col("est").alias("lo"),
+            (F.col("est") + F.col("total_dec")).alias("hi"),
         )
         .orderBy(F.col("est").desc(), "key")
         .limit(k)

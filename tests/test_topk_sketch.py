@@ -1,13 +1,13 @@
-"""operators/topk — Space-Saving heavy-hitter sketch.
+"""operators/topk — Misra-Gries heavy-hitter sketch.
 
 Two regimes:
 - exact (capacity ≥ per-partition distinct): the sketch must equal
   the exact group-count answer bit-for-bit — this is the regime the
   oracle-checked query (q_agg_topk_sketch) runs in;
-- eviction (adversarially small capacity): the classic Space-Saving
-  guarantees must hold — every reported key's true count lies inside
-  the certified [lo, hi] interval, and any key whose true frequency
-  exceeds N/capacity is reported.
+- eviction (adversarially small capacity): the classic
+  frequent-elements guarantees must hold — every reported key's true
+  count lies inside the certified [lo, hi] interval, and any key
+  whose true frequency exceeds N/capacity is reported.
 """
 
 import numpy as np
@@ -41,10 +41,16 @@ def test_exact_regime_equals_groupby(spark):
 def test_eviction_regime_certified_intervals(spark):
     df, truth = _zipf_df(spark, n=30_000, n_keys=2_000, parts=8)
     got = topk_sketch(df, "key", 25, capacity=16).collect()
-    assert len(got) == 25
+    # the decrement form drops the tail aggressively, so fewer than k
+    # keys may survive — but every REPORTED interval must be valid,
+    # and the true head (far above N/capacity) must all be reported
+    assert got
     for r in got:
         t = truth.get(r.key, 0)
         assert r.lo <= t <= r.hi, (r.key, r.lo, t, r.hi)
+    head = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    reported = {r.key for r in got}
+    assert all(k in reported for k, _ in head), (head, reported)
 
 
 def test_heavy_hitter_always_reported(spark):
@@ -59,9 +65,10 @@ def test_heavy_hitter_always_reported(spark):
     assert got[0].lo <= 12_000 <= got[0].hi
 
 
-def test_single_partition_matches_classic_space_saving(spark):
-    # 1 partition, capacity 2, stream aaa bb c: SS keeps a:3(e0) and
-    # evicts b:2 for c:3(e2) -> certified intervals contain truth
+def test_single_partition_decrement_semantics(spark):
+    # 1 partition, capacity 2, stream aaa bb c: the overflow subtracts
+    # the excess-th-smallest counter (d=1), leaving a:2, b:1, dec=1 ->
+    # certified intervals [est, est+dec] contain the truth
     df = spark.createDataFrame(
         [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "key string"
     ).coalesce(1)
