@@ -216,6 +216,11 @@ def main() -> None:
         "q_llm_dedup_passage",
         "q_fn_editdistance",
         "q_agg_ols",
+        # r7 post-close additions: sequenceNextNode (one user_id
+        # exchange, WindowGroupLimit first-match prune) and the
+        # Misra-Gries heavy-hitter sketch over word 3-grams
+        "q_seq_next_node",
+        "q_agg_topk_sketch",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(
