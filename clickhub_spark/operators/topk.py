@@ -100,6 +100,13 @@ def topk_sketch(
         _misra_gries_rows(key_col, capacity),
         schema="key string, cnt long, dec long",
     )
+    # the summary feeds TWO aggregations (per-key counters + the
+    # decrement total); without materialization each would re-run the
+    # full corpus scan + sketch.  The summary is ≤ (capacity+1)·P rows
+    # — persist it eagerly so the corpus is read exactly ONCE and both
+    # branches aggregate the tiny cached table
+    rows = rows.persist()
+    rows.count()
     per_key = (
         rows.where(F.col("key").isNotNull())
         .groupBy("key")
