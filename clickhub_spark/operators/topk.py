@@ -44,10 +44,13 @@ from pyspark.sql import functions as F
 __all__ = ["topk_sketch"]
 
 
-def _misra_gries_rows(key_col: str, capacity: int):
+def _misra_gries_rows(key_col: str, capacity: int, weight_col: str = None):
     """Partition worker: fold all Arrow batches into one Misra-Gries
     summary, emit its counters plus ONE sentinel row (key NULL)
-    carrying the partition's total decrement."""
+    carrying the partition's total decrement.  With ``weight_col``
+    each batch contributes its per-key WEIGHT sums instead of row
+    counts (the topKWeighted form) — the decrement logic and all
+    invariants are unchanged, since MG never assumes unit increments."""
 
     def run(batches):
         import pandas as pd
@@ -55,7 +58,16 @@ def _misra_gries_rows(key_col: str, capacity: int):
         s = pd.Series(dtype="int64")
         dec = 0
         for pdf in batches:
-            b = pdf[key_col].value_counts()
+            if weight_col is None:
+                b = pdf[key_col].value_counts()
+            else:
+                if (pdf[weight_col] < 0).any():
+                    raise ValueError(
+                        f"{weight_col} must be non-negative for topk_sketch"
+                    )
+                b = pdf.groupby(key_col, sort=False)[weight_col].sum().astype(
+                    "int64"
+                )
             if b.empty:
                 continue
             s = s.add(b, fill_value=0).astype("int64") if len(s) else b
@@ -79,9 +91,20 @@ def _misra_gries_rows(key_col: str, capacity: int):
 
 
 def topk_sketch(
-    df: DataFrame, key_col: str, k: int, capacity: int = 4096
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    capacity: int = 4096,
+    weight_col: str = None,
 ) -> DataFrame:
     """Top-``k`` keys of ``df[key_col]`` by approximate frequency.
+
+    ``weight_col`` switches to the ClickHouse ``topKWeighted`` form:
+    keys ranked by their summed NON-NEGATIVE integer weight instead
+    of row count (NULL-weight rows are dropped; negative weights
+    raise, since a decrement-based summary's bounds assume monotone
+    mass).  All certified-bound semantics below are unchanged — MG
+    never assumes unit increments.
 
     Returns (key, est, lo, hi) ordered by (est DESC, key) — ``key``
     the tiebreaker so the selected row SET is deterministic.  est is
@@ -96,8 +119,19 @@ def topk_sketch(
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    rows = df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
-        _misra_gries_rows(key_col, capacity),
+    if weight_col is None:
+        src = df.select(F.col(key_col).cast("string").alias(key_col))
+    else:
+        # NULL weights carry no mass and are dropped JVM-side (keeps
+        # the Arrow transfer int64-exact); negative weights raise
+        # inside the fold (per-batch vectorized check, no extra scan)
+        # because a decrement summary's bounds assume monotone mass
+        src = df.where(F.col(weight_col).isNotNull()).select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(weight_col).cast("long").alias(weight_col),
+        )
+    rows = src.mapInPandas(
+        _misra_gries_rows(key_col, capacity, weight_col),
         schema="key string, cnt long, dec long",
     )
     # the summary feeds TWO aggregations (per-key counters + the

@@ -373,3 +373,41 @@ def q_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_sketch(sh, "shingle", 10, capacity=32768).select(
         F.col("key").alias("gram"), "est", "lo", "hi"
     )
+
+
+@query(
+    "q_agg_topk_weighted",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(user_id AS VARCHAR) AS usr,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), c AS (
+        SELECT usr, CAST(SUM(cents) AS BIGINT) AS est FROM w GROUP BY usr
+    )
+    SELECT usr, est, est AS lo, est AS hi
+    FROM c ORDER BY est DESC, usr LIMIT 5
+    """,
+)
+def q_agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted approximate heavy hitters (ClickHouse ``topKWeighted``
+    — q_agg_topk_sketch's weighted sibling): the 5 users carrying the
+    most total event value, ranked by summed integer weight (cents:
+    FLOOR(value·100) — both engines floor the identical IEEE product,
+    so the weights are bit-identical) through the same Misra-Gries
+    summary (operators/topk.topk_sketch, weight_col form).
+
+    Oracle parity is exact by construction: user cardinality (≤1,500
+    at sf0.1) is far under the 4,096 capacity, so no partition can
+    overflow and est = lo = hi = the exact weighted total at any SF;
+    the weighted eviction regime is pinned by
+    tests/test_topk_sketch.py."""
+    from clickhub_spark.operators.topk import topk_sketch
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return topk_sketch(
+        ev, "user_id", 5, capacity=4096, weight_col="cents"
+    ).select(F.col("key").alias("usr"), "est", "lo", "hi")

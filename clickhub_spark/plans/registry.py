@@ -77,6 +77,7 @@ ROUND_PRIORITY = [
     "q_llm_logreg_fit",
     "q_seq_next_node",
     "q_agg_topk_sketch",
+    "q_agg_topk_weighted",
     # --- never driver-checked (56 names; slots up to ~50 land in
     # the r7 window, the remainder front-loads round 8) ---
     "q_mutate_ttl",

@@ -86,3 +86,36 @@ def test_capacity_validation(spark):
         raise AssertionError("capacity=0 must raise")
     except ValueError:
         pass
+
+
+def test_weighted_exact_regime_and_validation(spark):
+    # weighted form: ranks by summed weight, not row count — key "b"
+    # has fewer rows but more mass
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 10), ("c", None)],
+        "key string, w long",
+    )
+    got = topk_sketch(df, "key", 3, capacity=16, weight_col="w").collect()
+    assert [(r.key, r.est) for r in got] == [("b", 10), ("a", 3)]
+    assert all(r.lo == r.est == r.hi for r in got)  # no overflow
+    # negative weights must fail loudly (monotone-mass invariant)
+    bad = spark.createDataFrame([("a", -1)], "key string, w long")
+    try:
+        topk_sketch(bad, "key", 1, capacity=4, weight_col="w").collect()
+        raise AssertionError("negative weight must raise")
+    except Exception as e:
+        assert "non-negative" in str(e)
+
+
+def test_weighted_eviction_intervals(spark):
+    rng = np.random.default_rng(11)
+    rows = [(f"k{int(i)}", int(w)) for i, w in
+            zip(rng.integers(0, 400, 8_000), rng.integers(1, 9, 8_000))]
+    truth = {}
+    for k, w in rows:
+        truth[k] = truth.get(k, 0) + w
+    df = spark.createDataFrame(rows, "key string, w long").repartition(5)
+    got = topk_sketch(df, "key", 10, capacity=12, weight_col="w").collect()
+    assert got
+    for r in got:
+        assert r.lo <= truth.get(r.key, 0) <= r.hi, (r.key, r.lo, r.hi)
