@@ -49,9 +49,10 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # whole-surface value-checking between driver visits.
 #
 # ROUND-8 TODO: front-load (1) anything changed in round 8, (2) the
-# ~24 never-checked names left below this round's window cut (the
-# front block grew to 18 changed/new names, incl. q_seq_next_node),
-# (3) the r3 block (then 5 rounds stale).
+# ~26 never-checked names left below this round's window cut (the
+# front block grew to 20 changed/new names: the 16 originals plus
+# q_seq_next_node, q_agg_topk_sketch, q_agg_topk_weighted, and the
+# glm NULL-drop refit), (3) the r3 block (then 5 rounds stale).
 ROUND_PRIORITY = [
     # --- changed in round 7 (window front: fresh driver row required).
     # The first 9 are the array-output reshapes (VERDICT r6 item 1 —
