@@ -10,7 +10,8 @@ Space-Saving/frequent-elements family; Misra & Gries 1982, mergeable
 per Agarwal et al. PODS'12), so the shuffle carries at most
 ``capacity`` rows per partition instead of one row per distinct key.
 The per-partition fold is batch-vectorized: each Arrow batch is
-pre-aggregated with ``value_counts`` and merged into the summary with
+pre-aggregated with ``value_counts`` (or per-key weight sums in the
+``topKWeighted`` form) and merged into the summary with
 ONE pandas index-aligned add; when the summary overflows, the
 excess-th-smallest counter ``d`` is subtracted from every counter in
 one vectorized op (dropping all counters ≤ d — at least ``excess``
@@ -138,7 +139,9 @@ def topk_sketch(
     # decrement total); without materialization each would re-run the
     # full corpus scan + sketch.  The summary is ≤ (capacity+1)·P rows
     # — persist it eagerly so the corpus is read exactly ONCE and both
-    # branches aggregate the tiny cached table
+    # branches aggregate the tiny cached table.  The (KB-scale) cache
+    # entry lives as long as the returned plan; repeated calls in a
+    # long-lived session rely on Spark's LRU block eviction
     rows = rows.persist()
     rows.count()
     per_key = (
