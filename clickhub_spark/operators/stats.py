@@ -56,6 +56,11 @@ def kendall_tau_b(
     double y first, as the registered queries do).  The per-segment
     path shuffle-joins on (seg, y) and has no such bound.
 
+    NULL x/y rows are excluded; NaN ``y`` is excluded the same way
+    (NaN has no rank — counting it as a cell would silently disagree
+    with any sequential-comparison oracle), while NaN in the x DOMAIN
+    raises, matching the explicit-domain contract below.
+
     Rows whose x is not NULL but outside an EXPLICIT ``x_values`` are
     excluded from the statistic entirely (domain-restricted tau, the
     consistent reading) — never half-counted.
@@ -110,7 +115,15 @@ def kendall_tau_b(
         xi = xi.when(F.col(x_col) == F.lit(v), F.lit(i))
 
     keys = [seg_col] if seg_col else []
-    p = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+    # NaN y is excluded like NULL y (ADVICE r7): NaN has no rank — it
+    # would form its own groupBy cell and sort last in Spark's window
+    # order, silently producing a tau no sequential-comparison oracle
+    # agrees with.  Mirrors the x-domain NaN refusal, but plan-side
+    # (no extra scan); only float y can carry NaN.
+    y_ok = F.col(y_col).isNotNull()
+    if dict(df.dtypes).get(y_col) in ("float", "double"):
+        y_ok = y_ok & ~F.isnan(F.col(y_col))
+    p = df.where(F.col(x_col).isNotNull() & y_ok).select(
         *keys, xi.alias("x"), F.col(y_col).alias("y")
     )
     # rows whose x is OUTSIDE x_values map to NULL in the when-chain;

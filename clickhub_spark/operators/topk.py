@@ -138,12 +138,14 @@ def topk_sketch(
     # the summary feeds TWO aggregations (per-key counters + the
     # decrement total); without materialization each would re-run the
     # full corpus scan + sketch.  The summary is ≤ (capacity+1)·P rows
-    # — persist it eagerly so the corpus is read exactly ONCE and both
-    # branches aggregate the tiny cached table.  The (KB-scale) cache
-    # entry lives as long as the returned plan; repeated calls in a
-    # long-lived session rely on Spark's LRU block eviction
+    # — a LAZY persist is enough for exactly-one corpus read: when the
+    # combined plan executes, the broadcast build of total_dec runs
+    # first and populates the cache, and the per_key branch then scans
+    # the tiny cached table.  Lazy also keeps this builder plan-only
+    # (explain/plan-dump consumers never trigger the corpus scan), and
+    # the (KB-scale) entry is reclaimed by the ContextCleaner when the
+    # plan is garbage-collected
     rows = rows.persist()
-    rows.count()
     per_key = (
         rows.where(F.col("key").isNotNull())
         .groupBy("key")

@@ -91,7 +91,7 @@ def q_llm_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN levenshtein(a, b) > 8 THEN -1
                      ELSE levenshtein(a, b) END AS INT) AS edit_dist_capped,
            FLOOR((1.0 - CAST(levenshtein(a, b) AS DOUBLE) /
-                  GREATEST(len(a), len(b))) * 10000) / 10000 AS sim_norm
+                  GREATEST(len(a), len(b), 1)) * 10000) / 10000 AS sim_norm
     FROM pairs ORDER BY doc_id
     """,
 )
@@ -113,9 +113,13 @@ def q_fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("a").alias("b"))
     pairs = d.join(d2, "doc_id")
     lev = F.levenshtein("a", "b")
+    # GREATEST(..., 1): two empty strings would otherwise divide 0/0,
+    # which non-ANSI Spark renders NULL but DuckDB renders NaN — the
+    # guard keeps the contract independent of data shape (ADVICE r7)
     sim = (
         F.lit(1.0)
-        - lev.cast("double") / F.greatest(F.length("a"), F.length("b"))
+        - lev.cast("double")
+        / F.greatest(F.length("a"), F.length("b"), F.lit(1))
     )
     return pairs.select(
         "doc_id",
@@ -382,6 +386,7 @@ def q_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(user_id AS VARCHAR) AS usr,
                CAST(FLOOR(value * 100) AS BIGINT) AS cents
         FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
     ), c AS (
         SELECT usr, CAST(SUM(cents) AS BIGINT) AS est FROM w GROUP BY usr
     )
@@ -404,9 +409,16 @@ def q_agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_topk_sketch.py."""
     from clickhub_spark.operators.topk import topk_sketch
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    # explicit NULL contract (ADVICE r7): the sketch drops NULL-weight
+    # rows JVM-side and pandas groupby drops NULL keys — mirror both
+    # in the filter + oracle so parity is by contract, not data shape
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
     )
     return topk_sketch(
         ev, "user_id", 5, capacity=4096, weight_col="cents"

@@ -33,85 +33,34 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # check is oldest.  Names not in the registry are ignored, so entries
 # can be staged before their module lands.  Override ad hoc with
 # SPARK_GRAFT_QUERY_ORDER=comma,separated,names (prefix order).
-# Round-7 rationale (VERDICT.md r6 items 1 and 4): after r6, 200 of
-# 264 carried-over queries have a driver row (r3-r6: 50 each) and 64
-# have never been driver-checked.  Order:
-#   1. Changed/new in round 7: the 9 array-output reshapes (4 were
-#      driver-RED in r6 — the canonicalizer crashes on array cells —
-#      and 5 more shared the defect unchecked), the kendall operator
-#      rewrite, the trimmed jpeg demo, and the two new r7 queries —
-#      a changed query needs a fresh row regardless of age.
-#   2. The remaining never-checked names (slots up to ~50 land in the
-#      r7 window; ~18 spill to round 8).
-#   3. r3 block (4 rounds stale), then r4, r5, r6 (freshest).
+# Round-8 rationale (VERDICT.md r7 item 1: drain the backlog to
+# zero): after r7, exactly 25 registered queries have never received
+# a driver CORRECTNESS row — they sat below the r7 window cut.
+# Order:
+#   1. Changed in round 8 (fresh row required regardless of age):
+#      the four ADVICE-r7 fixes plus anything added this round.
+#   2. The full 25-name never-checked backlog — after this window
+#      every registered query has ≥1 green driver row.
+#   3. r3 block (5 rounds stale), then r4, r5, r6, r7 (freshest).
 # The full tools/check.py gates at 3 SFs, the vanilla-session gate,
 # and the cluster gate (all 0-fail artifacts each round) carry
 # whole-surface value-checking between driver visits.
 #
-# ROUND-8 TODO: front-load (1) anything changed in round 8, (2) the
-# ~26 never-checked names left below this round's window cut (the
-# front block grew to 20 changed/new names: the 16 originals plus
-# q_seq_next_node, q_agg_topk_sketch, q_agg_topk_weighted, and the
-# glm NULL-drop refit), (3) the r3 block (then 5 rounds stale).
+# ROUND-9 TODO: front-load (1) anything changed in round 9, (2) the
+# tail of the r3-stale block below this round's ~50-query cut, then
+# r4.
 ROUND_PRIORITY = [
-    # --- changed in round 7 (window front: fresh driver row required).
-    # The first 9 are the array-output reshapes (VERDICT r6 item 1 —
-    # 4 driver-red in r6 + 5 queued offenders, all now scalar CSV wire
-    # form); kendall/kendall_by carry the generalized pivot and the
-    # jpeg demo its trimmed bench footprint ---
-    "q_agg_summap",
-    "q_fn_map",
-    "q_agg_moving_array",
-    "q_fn_map_higher",
-    "q_fn_array_diff",
-    "q_agg_resample",
-    "q_agg_sample_group",
-    "q_llm_pca",
-    "q_fn_array_enumerate",
+    # --- changed in round 8 (window front: fresh driver row required).
+    # ADVICE r7 fixes: editdistance zero-denominator guard,
+    # topk_weighted explicit NULL contract, topk_sketch lazy persist
+    # (plan-only builder), kendall NaN-y exclusion ---
+    "q_fn_editdistance",
+    "q_agg_topk_weighted",
+    "q_agg_topk_sketch",
     "q_agg_kendall",
     "q_agg_kendall_by",
-    "q_multimodal_jpeg_progressive",
-    # new in round 7 (queries_r7.py)
-    "q_llm_dedup_passage",
-    "q_fn_editdistance",
-    "q_agg_ols",
-    "q_llm_logreg_fit",
-    "q_seq_next_node",
-    "q_agg_topk_sketch",
-    "q_agg_topk_weighted",
-    # --- never driver-checked (56 names; slots up to ~50 land in
-    # the r7 window, the remainder front-loads round 8) ---
-    "q_mutate_ttl",
-    "q_agg_contingency",
-    "q_join_asof_fwd",
-    "q_llm_knn_ivf_exact",
-    "q_scan_partition_prune",
-    "q_stream_enrich",
-    "q_scan_csv_permissive",
-    "q_fn_numbers",
-    "q_source_numbers_ds",
-    "q_source_gitlog",
-    "q_llm_dedup_bloom",
-    "q_llm_decontam_bloom",
-    "q_win_interpolate",
-    "q_agg_quantile_weighted",
-    "q_agg_max_intersections",
-    "q_agg_uniq_upto",
-    "q_llm_url_canon",
-    "q_llm_text_normalize",
-    "q_agg_interval_length_sum",
-    "q_agg_lttb",
-    "q_stream_stateful",
-    "q_llm_score_normalize",
-    "q_llm_chunk_sentences",
-    "q_multimodal_video",
-    "q_llm_bpe_train",
-    "q_llm_dedup_editdist",
-    "q_llm_quality_classifier",
-    "q_sort_nulls",
-    "q_llm_kmeans_update",
-    "q_llm_embed_matryoshka",
-    "q_agg_auc",
+    # --- the 25-query never-driver-checked backlog (VERDICT r7 item
+    # 1: drain to zero — these missed the r7 window cut) ---
     "q_join_interval_overlap",
     "q_agg_ndcg",
     "q_stream_dedup",
@@ -137,7 +86,8 @@ ROUND_PRIORITY = [
     "q_llm_ngram_novelty",
     "q_multimodal_audio_stats",
     "q_agg_proportions_z",
-    # --- last driver row: round 3 (4 rounds stale) ---
+    # --- last driver row: round 3 (5 rounds stale — these fill the
+    # remaining ~20 window slots after the backlog) ---
     "q_llm_embed_centroid",
     "q_fill_gaps",
     "q_agg_histogram",

@@ -142,6 +142,22 @@ def test_nan_domain_raises(spark):
         kendall_tau_b(df, "x", "y", x_values=[0.0, float("nan"), 1.0])
 
 
+def test_nan_y_excluded_like_null(spark):
+    """ADVICE r7: NaN y must not form its own rank cell — it is
+    excluded exactly like NULL y, so tau over data with NaN y equals
+    tau over the NaN-free subset."""
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 4, 200)
+    ys = np.round(rng.normal(size=200), 1)
+    ys_nan = ys.copy()
+    ys_nan[::7] = np.nan
+    row = kendall_tau_b(_mkdf(spark, xs, ys_nan), "x", "y").collect()[0]
+    m = ~np.isnan(ys_nan)
+    conc, disc, tau = brute_tau(xs[m], ys[m])
+    assert (row.conc, row.disc) == (conc, disc)
+    assert abs(row.tau_b - np.floor(tau * 1e6) / 1e6) < 1e-12
+
+
 def test_unsorted_duplicated_x_values_normalized(spark):
     """Review r7: the rank order must be the domain's natural order —
     a caller passing an unsorted or duplicated list gets the same tau
