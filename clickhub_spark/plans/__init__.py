@@ -31,5 +31,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r5c,
     queries_r6,
     queries_r7,
+    queries_r8,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

@@ -59,6 +59,9 @@ ROUND_PRIORITY = [
     "q_agg_topk_sketch",
     "q_agg_kendall",
     "q_agg_kendall_by",
+    # new in round 8: eviction-regime sketch certification (VERDICT
+    # r7 item 4)
+    "q_agg_topk_bounds",
     # --- the 25-query never-driver-checked backlog (VERDICT r7 item
     # 1: drain to zero — these missed the r7 window cut) ---
     "q_join_interval_overlap",
