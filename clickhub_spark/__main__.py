@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="clickhub_spark")
     p.add_argument("--data-dir", default=os.environ.get("CLICKHUB_SPARK_DATA", None))
     p.add_argument(
+        "--queue-url",
+        default=os.environ.get("CLICKHUB_SPARK_QUEUE_URL", None),
+        help="HTTP queue-coordinator URL (queue_http.py) — workers on "
+        "any host coordinate through it instead of the data-dir "
+        "filesystem queue (≙ the reference's ZooKeeper/KeeperMap)",
+    )
+    p.add_argument(
         "-c", "--config", default=None,
         help="YAML config (reference config.yml keys: data_cache, "
         "max_queue_length, sleep_time; unknown keys ignored)",
@@ -120,6 +127,8 @@ def main(argv: list[str] | None = None) -> int:
         base = [sys.executable, "-m", "clickhub_spark"]
         if args.data_dir:
             base += ["--data-dir", args.data_dir]
+        if args.queue_url:
+            base += ["--queue-url", args.queue_url]
         if args.config:
             base += ["-c", args.config]
         procs = [
@@ -143,14 +152,18 @@ def main(argv: list[str] | None = None) -> int:
     data_dir = args.data_dir or cfg["data_dir"]
     spark = get_spark("clickhub-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    orch = Orchestrator(
-        spark,
-        os.path.join(data_dir, "commits"),
-        WorkQueue(
+    if args.queue_url:
+        from clickhub_spark.queue_http import HttpWorkQueue
+
+        queue = HttpWorkQueue(
+            args.queue_url, max_queue_length=cfg["max_queue_length"]
+        )
+    else:
+        queue = WorkQueue(
             os.path.join(data_dir, "queue"),
             max_queue_length=cfg["max_queue_length"],
-        ),
-    )
+        )
+    orch = Orchestrator(spark, os.path.join(data_dir, "commits"), queue)
 
     if args.cmd == "schedule":
         r = orch.add_new_repo(args.repo_name, args.priority)

@@ -1,0 +1,349 @@
+"""Multi-node work queue — the KeeperMap analog made linearizable
+ACROSS HOSTS (SURVEY §2.I5-I7; reference README.md:216-226).
+
+The reference coordinates its worker fleet through ZooKeeper (the
+KeeperMap engine): every claim CAS is decided by one replicated
+coordination service, so workers on different machines can never
+double-claim.  ``queue.py``'s two backends (filesystem rename-CAS,
+sqlite WAL) are linearizable only as far as their medium is shared —
+one host, or one POSIX filesystem.  This module closes the gap with
+the same shape the reference uses: a COORDINATION SERVICE.
+
+``QueueCoordinator`` is a stdlib ThreadingHTTPServer holding the
+authoritative job table in memory behind ONE lock: every schedule /
+claim / release is decided inside that critical section, giving a
+single total order of operations — linearizability by construction,
+exactly the role ZooKeeper plays for KeeperMap (single-coordinator
+here; replicating the coordinator itself is what ZK's quorum adds,
+and that seam is confined to this module).  State optionally
+snapshots to disk (atomic rename) so a restarted coordinator resumes
+its queue.
+
+``HttpWorkQueue`` is the client — the same five-method protocol as
+``WorkQueue``/``SqliteWorkQueue`` (schedule, is_scheduled, list_jobs,
+claim, release) plus the shared ``work`` loop, so the entire
+race-test suite runs unchanged against all three backends, and
+workers need NOTHING but the coordinator URL (no shared filesystem,
+no shared sqlite file).
+
+Claim protocol over HTTP (reference repo/importer.py:136-158):
+
+- insert-if-absent → server-side dict check under the lock
+  (409 ≙ "Transaction failed (Node exists)", repo/schedule.py:60-63)
+- claim CAS        → server assigns worker_id + a monotonically
+  increasing FENCING TOKEN under the lock; exactly one racing client
+  gets each job
+- verify-read      → client re-GETs the job and checks owner+fence
+  (mirrors repo/importer.py:148-155's read-after-write check)
+- release          → server deletes ONLY if the caller's fencing
+  token matches the current claim (a stale worker cannot delete a
+  job that was reclaimed from it)
+
+Dead-worker recovery — a documented IMPROVEMENT over the reference:
+claims carry a lease (``lease_s``).  When a worker dies mid-import,
+the reference simply loses the job (dropped, never retried —
+repo/importer.py:174-175 "failed repos are dropped").  Here an
+expired lease makes the job claimable again; the dead worker's late
+release is fenced off by its stale token.  ``lease_s=0`` restores
+the reference's drop-forever semantics (an infinite lease).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from clickhub_spark.queue import AlreadyScheduled, Job, QueueFull, _WorkLoop
+
+__all__ = ["QueueCoordinator", "HttpWorkQueue", "make_coordinator"]
+
+#: default claim lease: generous for a git-import job; 0 = never
+#: expires (the reference's drop-forever behavior)
+DEFAULT_LEASE_S = 300.0
+
+
+class QueueCoordinator:
+    """Authoritative queue state + the HTTP server that serializes all
+    operations on it.  Start with ``make_coordinator(...)`` or embed
+    via ``attach(server)``."""
+
+    def __init__(self, max_queue_length: int = 10_000, snapshot_path: str | None = None):
+        self.max_queue_length = max_queue_length
+        self.snapshot_path = snapshot_path
+        self._lock = threading.Lock()
+        # repo_name -> {job fields..., fence, lease_deadline, reclaims}
+        self._jobs: dict[str, dict] = {}
+        self._fence = 0  # monotonic across ALL claims; never reused
+        if snapshot_path and os.path.exists(snapshot_path):
+            with open(snapshot_path) as f:
+                snap = json.load(f)
+            self._jobs = snap["jobs"]
+            self._fence = snap["fence"]
+
+    # -- state ops: each runs entirely inside the lock → one total
+    # -- order of operations = linearizable by construction ------------
+
+    def _snapshot_locked(self) -> None:
+        if not self.snapshot_path:
+            return
+        tmp = self.snapshot_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"jobs": self._jobs, "fence": self._fence}, f)
+        os.replace(tmp, self.snapshot_path)  # atomic: never half-written
+
+    def schedule(self, repo_name: str, priority: int = 0) -> dict:
+        with self._lock:
+            if repo_name in self._jobs:
+                raise AlreadyScheduled(repo_name)
+            if len(self._jobs) >= self.max_queue_length:
+                raise QueueFull(f"queue holds {self.max_queue_length} jobs")
+            rec = {
+                "repo_name": repo_name,
+                "priority": priority,
+                "scheduled": time.time(),
+                "started_time": 0.0,
+                "worker_id": "",
+                "fence": 0,
+                "lease_deadline": 0.0,
+                "reclaims": 0,
+            }
+            self._jobs[repo_name] = rec
+            self._snapshot_locked()
+            return dict(rec)
+
+    def claim(self, worker_id: str, retries: int = 2, lease_s: float = DEFAULT_LEASE_S) -> dict | None:
+        """Hand the best claimable job to ``worker_id`` with a fresh
+        fencing token.  Claimable = unclaimed, OR claimed but lease
+        expired (the dead-worker recovery path — divergence from the
+        reference's drop-forever, documented in the module header)."""
+        now = time.time()
+        with self._lock:
+            free = [
+                r
+                for r in self._jobs.values()
+                if r["worker_id"] == ""
+                or (r["lease_deadline"] and r["lease_deadline"] <= now)
+            ]
+            free.sort(key=lambda r: (-r["priority"], r["scheduled"], r["repo_name"]))
+            for rec in free[:retries]:
+                if rec["worker_id"]:
+                    rec["reclaims"] += 1  # lease expired: reclaim
+                self._fence += 1
+                rec["worker_id"] = worker_id
+                rec["started_time"] = now
+                rec["fence"] = self._fence
+                rec["lease_deadline"] = (now + lease_s) if lease_s else 0.0
+                self._snapshot_locked()
+                return dict(rec)
+            return None
+
+    def release(self, repo_name: str, worker_id: str, fence: int = 0) -> bool:
+        """Delete the job — but only if the caller still owns it.  An
+        unclaimed job releases unconditionally (parity with the other
+        backends); a claimed one requires worker AND fencing-token
+        match, so a worker whose lease expired and whose job was
+        reclaimed cannot delete the new owner's work."""
+        with self._lock:
+            rec = self._jobs.get(repo_name)
+            if rec is None:
+                return False
+            if rec["worker_id"] and not (
+                rec["worker_id"] == worker_id and rec["fence"] == fence
+            ):
+                return False
+            del self._jobs[repo_name]
+            self._snapshot_locked()
+            return True
+
+    def jobs(self) -> list[dict]:
+        with self._lock:
+            return [dict(r) for r in self._jobs.values()]
+
+    def get(self, repo_name: str) -> dict | None:
+        with self._lock:
+            rec = self._jobs.get(repo_name)
+            return dict(rec) if rec else None
+
+
+def make_coordinator(
+    max_queue_length: int = 10_000,
+    snapshot_path: str | None = None,
+    host: str = "0.0.0.0",
+    port: int = 0,
+) -> tuple[ThreadingHTTPServer, QueueCoordinator]:
+    """Build (without starting) the coordination server; ``port=0``
+    binds an ephemeral port.  Run with ``server.serve_forever()`` (a
+    daemon thread in tests, a dedicated process in a deployment)."""
+    coord = QueueCoordinator(max_queue_length, snapshot_path)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802 (http.server API name)
+            if self.path == "/jobs":
+                self._json(200, {"jobs": coord.jobs()})
+            elif self.path.startswith("/job?repo="):
+                from urllib.parse import unquote
+
+                rec = coord.get(unquote(self.path[len("/job?repo=") :]))
+                self._json(200 if rec else 404, {"job": rec})
+            else:
+                self.send_error(404)
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._json(400, {"error": "bad json"})
+                return
+            try:
+                if self.path == "/schedule":
+                    rec = coord.schedule(
+                        body["repo_name"], int(body.get("priority", 0))
+                    )
+                    self._json(201, {"job": rec})
+                elif self.path == "/claim":
+                    rec = coord.claim(
+                        body["worker_id"],
+                        int(body.get("retries", 2)),
+                        float(body.get("lease_s", DEFAULT_LEASE_S)),
+                    )
+                    self._json(200 if rec else 204, {"job": rec})
+                elif self.path == "/release":
+                    ok = coord.release(
+                        body["repo_name"],
+                        body["worker_id"],
+                        int(body.get("fence", 0)),
+                    )
+                    self._json(200, {"released": ok})
+                else:
+                    self.send_error(404)
+            except AlreadyScheduled as e:
+                self._json(409, {"error": "already_scheduled", "repo": str(e)})
+            except QueueFull as e:
+                self._json(403, {"error": "queue_full", "detail": str(e)})
+
+        def log_message(self, *args):  # keep worker logs clean
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler), coord
+
+
+class HttpWorkQueue(_WorkLoop):
+    """Client for ``QueueCoordinator`` — same protocol surface as the
+    filesystem and sqlite backends, so one test suite covers all
+    three.  Needs only ``base_url``: no shared filesystem, no shared
+    database file, workers can run on any host that reaches the
+    coordinator."""
+
+    def __init__(
+        self,
+        base_url: str,
+        max_queue_length: int = 10_000,
+        lease_s: float = DEFAULT_LEASE_S,
+        timeout: float = 30.0,
+    ):
+        self.base_url = base_url.rstrip("/")
+        # advisory only — enforcement is server-side (the coordinator
+        # is the single authority; a client-side count would race)
+        self.max_queue_length = max_queue_length
+        self.lease_s = lease_s
+        self.timeout = timeout
+        self._fences: dict[tuple[str, str], int] = {}
+
+    def _call(self, path: str, body: dict | None = None):
+        url = self.base_url + path
+        if body is None:
+            req = urllib.request.Request(url)
+        else:
+            req = urllib.request.Request(
+                url,
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                if resp.status == 204:
+                    return resp.status, {}
+                return resp.status, json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            payload = e.read()
+            try:
+                return e.code, json.loads(payload or b"{}")
+            except json.JSONDecodeError:
+                return e.code, {"error": payload.decode(errors="replace")}
+
+    @staticmethod
+    def _to_job(rec: dict) -> Job:
+        return Job(
+            rec["repo_name"],
+            rec["priority"],
+            rec["scheduled"],
+            rec["started_time"],
+            rec["worker_id"],
+        )
+
+    def schedule(self, repo_name: str, priority: int = 0) -> Job:
+        code, body = self._call(
+            "/schedule", {"repo_name": repo_name, "priority": priority}
+        )
+        if code == 409:
+            raise AlreadyScheduled(repo_name)
+        if code == 403:
+            raise QueueFull(body.get("detail", "queue full"))
+        if code != 201:
+            raise RuntimeError(f"schedule failed: {code} {body}")
+        return self._to_job(body["job"])
+
+    def is_scheduled(self, repo_name: str) -> bool:
+        from urllib.parse import quote
+
+        code, _ = self._call(f"/job?repo={quote(repo_name, safe='')}")
+        return code == 200
+
+    def list_jobs(self) -> list[Job]:
+        code, body = self._call("/jobs")
+        if code != 200:
+            raise RuntimeError(f"list_jobs failed: {code} {body}")
+        return sorted(
+            (self._to_job(r) for r in body["jobs"]), key=lambda j: j.repo_name
+        )
+
+    def claim(self, worker_id: str, retries: int = 2) -> Job | None:
+        code, body = self._call(
+            "/claim",
+            {"worker_id": worker_id, "retries": retries, "lease_s": self.lease_s},
+        )
+        if code == 204 or not body.get("job"):
+            return None
+        rec = body["job"]
+        self._fences[(rec["repo_name"], worker_id)] = rec["fence"]
+        # verify-read (repo/importer.py:148-155): confirm the claim is
+        # visible and still ours before doing any work
+        from urllib.parse import quote
+
+        vcode, vbody = self._call(f"/job?repo={quote(rec['repo_name'], safe='')}")
+        cur = (vbody or {}).get("job") or {}
+        if vcode != 200 or cur.get("worker_id") != worker_id or cur.get("fence") != rec["fence"]:
+            return None
+        return self._to_job(rec)
+
+    def release(self, repo_name: str, worker_id: str) -> None:
+        fence = self._fences.pop((repo_name, worker_id), 0)
+        self._call(
+            "/release",
+            {"repo_name": repo_name, "worker_id": worker_id, "fence": fence},
+        )

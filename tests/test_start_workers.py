@@ -55,3 +55,69 @@ def test_start_workers_forks_processes_and_drains_queue(spark, tmp_path):
     }
     # each repo imported EXACTLY once (3 commits each, no double-claim)
     assert per_repo == {"acme/alpha": 3, "acme/beta": 3}
+
+
+def test_start_workers_http_coordinator_no_shared_queue_state(spark, tmp_path):
+    """The multi-node fleet (VERDICT r7 item 2): same two-process
+    import fleet, but coordinating through the HTTP queue coordinator
+    (queue_http.py) instead of a shared filesystem queue directory —
+    workers carry ONLY the coordinator URL, exactly the reference's
+    ZooKeeper/KeeperMap topology (README.md:216-226)."""
+    import shutil
+    import threading
+
+    from clickhub_spark.queue_http import HttpWorkQueue, make_coordinator
+    from clickhub_spark.sources.git_extract import extract_git_history
+
+    src = _mkrepo(tmp_path)
+    tsvs = extract_git_history(src, str(tmp_path / "tsv"))
+    tsv_dir = tmp_path / "by_repo"
+    tsv_dir.mkdir()
+    repos = ["acme/alpha", "acme/beta"]
+    for r in repos:
+        shutil.copy(tsvs["commits"], tsv_dir / (r.replace("/", "%2F") + ".tsv"))
+
+    srv, _ = make_coordinator(host="127.0.0.1")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        queue = HttpWorkQueue(url)
+        for r in repos:
+            queue.schedule(r)
+
+        data_dir = tmp_path / "data"
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "clickhub_spark",
+                "--data-dir",
+                str(data_dir),
+                "--queue-url",
+                url,
+                "start_workers",
+                "--tsv-dir",
+                str(tsv_dir),
+                "--n",
+                "2",
+                "--polls",
+                "3",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert queue.list_jobs() == []  # fleet drained the coordinator
+        imported = spark.read.parquet(str(data_dir / "commits"))
+        per_repo = {
+            r.repo_name: r.n
+            for r in imported.groupBy("repo_name")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        assert per_repo == {"acme/alpha": 3, "acme/beta": 3}
+    finally:
+        srv.shutdown()
+        srv.server_close()
