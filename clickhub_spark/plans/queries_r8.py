@@ -123,7 +123,7 @@ def q_agg_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     missing = (
         heavy.select("kb")
-        .join(sk.select("kb"), "kb", "left_anti")
+        .join(F.broadcast(sk.select("kb")), "kb", "left_anti")
         .agg(F.count(F.lit(1)).alias("missing_heavy"))
     )
     return (
