@@ -713,7 +713,10 @@ def semantic_dedup(
     oracle that folds sequentially.  The registered query's gates
     pass (no boundary pair exists in the test corpora); a caller
     comparing against a sequential-dot oracle should allow 1-ulp
-    tolerance on max_sim.
+    tolerance on max_sim.  An EXACTLY-representable boundary is safe:
+    tests/test_dedup.py::test_semantic_dedup_threshold_boundary_engines_agree
+    pins the cos = 24/25 pair at threshold 0.96 — both engines land
+    on the identical double and agree on strict-`>` exclusion.
 
     ``n_centroids=None`` (the default) applies the paper's scale law
     in-operator: k = max(8, ceil(sqrt(n))).  Cells then average

@@ -388,3 +388,69 @@ def test_semantic_dedup_rejects_non_integral_ids(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         semantic_dedup(df, n_centroids=2)
+
+
+def test_semantic_dedup_threshold_boundary_engines_agree(spark):
+    """VERDICT r7 item 7 — the threshold-ulp watch item, adjudicated
+    with a fixture pair EXACTLY on the boundary.
+
+    The pair (3,4)/(4,3) has mathematically exact cosine 24/25 = 0.96,
+    and both engines land on the IDENTICAL double: the operator's
+    normalize-then-BLAS path computes 3/5·4/5 + 4/5·3/5 → 0.96, and
+    DuckDB's list_cosine_similarity computes 24/(25·1) → 0.96 (IEEE
+    division and parsing of '0.96' are both correctly rounded to the
+    same double).  Under the strict `> threshold` contract, BOTH
+    engines therefore EXCLUDE the boundary pair — membership on an
+    exactly-representable boundary is engine-independent.  The 1-ulp
+    caveat in the docstring remains for pairs whose cosine is NOT
+    exactly representable AND lies within 1 ulp of the threshold (no
+    such pair exists in any test corpus; callers comparing against a
+    sequential-dot oracle should allow 1 ulp on max_sim)."""
+    import duckdb
+
+    from clickhub_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [3.0, 4.0]),   # centroid (n_centroids=1): one cell
+        (1, [4.0, 3.0]),   # cos(0,1) = 24/25 = 0.96 EXACTLY — boundary
+        (2, [6.0, 8.0]),   # cos(0,2) = 1.0 — strictly above, dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.vec_id, r.keeper, r.max_sim)
+        for r in semantic_dedup(emb, n_centroids=1, threshold=0.96).collect()
+    )
+    # id 1 survives (0.96 is NOT > 0.96); id 2 is condemned by id 0
+    assert got == [(2, 0, 1.0)]
+
+    # the oracle restatement agrees row-for-row post 4-dp rounding
+    con = duckdb.connect()
+    oracle = con.execute(
+        """
+        WITH v(vec_id, emb) AS (VALUES
+            (0, [3.0, 4.0]::DOUBLE[]),
+            (1, [4.0, 3.0]::DOUBLE[]),
+            (2, [6.0, 8.0]::DOUBLE[])),
+        pairs AS (
+            SELECT b.vec_id, a.vec_id AS keeper_cand,
+                   list_cosine_similarity(a.emb, b.emb) AS sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) > 0.96
+        )
+        SELECT vec_id, MIN(keeper_cand) AS keeper,
+               ROUND(MAX(sim), 4) AS max_sim
+        FROM pairs GROUP BY vec_id ORDER BY vec_id
+        """
+    ).fetchall()
+    assert [(r[0], r[1], r[2]) for r in oracle] == got
+
+    # and the boundary doubles themselves are bit-identical
+    import numpy as np
+
+    x = np.array([[3.0, 4.0], [4.0, 3.0]])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    blas = (x @ x.T)[0, 1]
+    dd = con.execute(
+        "SELECT list_cosine_similarity([3.0,4.0]::DOUBLE[], [4.0,3.0]::DOUBLE[])"
+    ).fetchone()[0]
+    assert blas == dd == 0.96
