@@ -53,7 +53,7 @@ def q_agg_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Events are bucketed by ``length(bin(user_id))`` — a deterministic
     log-scale key whose top bucket carries ~1/3 of all mass — and
-    sketched at capacity {3}, below the key cardinality at every test
+    sketched at capacity 3, below the key cardinality at every test
     SF, so every partition's summary evicts counters and the reported
     [lo, hi] intervals are genuinely approximate (lo < hi).  The query
     then joins the sketch output back to the exact per-key counts and
@@ -132,3 +132,4 @@ def q_agg_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(missing))
         .select("n_events", "n_keys", "n_heavy", "viol_bounds", "missing_heavy")
     )
+

@@ -338,6 +338,9 @@ class HttpWorkQueue(_WorkLoop):
         vcode, vbody = self._call(f"/job?repo={quote(rec['repo_name'], safe='')}")
         cur = (vbody or {}).get("job") or {}
         if vcode != 200 or cur.get("worker_id") != worker_id or cur.get("fence") != rec["fence"]:
+            # claim not confirmed: forget the fence (the lease will
+            # expire server-side; holding the entry would only leak)
+            self._fences.pop((rec["repo_name"], worker_id), None)
             return None
         return self._to_job(rec)
 
