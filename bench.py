@@ -119,6 +119,11 @@ def main() -> None:
     from clickhub_spark.plans import all_specs
     from clickhub_spark.session import get_spark
 
+    # sampled BEFORE any Spark work: the end-of-run loadavg_1m mostly
+    # measures the bench's own local[32] load (it saturates ~3 on an
+    # idle box), so quiet-box evidence lives here instead
+    loadavg_start = round(os.getloadavg()[0], 2)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -149,6 +154,7 @@ def main() -> None:
         # machine-load context so cross-round comparisons can
         # tell a code regression from a busy box
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_start": loadavg_start,
     }
     # TPC-H 22-query suite as a second tracked section (same method),
     # so join-decorrelation regressions surface numerically per round.
@@ -221,6 +227,9 @@ def main() -> None:
         # Misra-Gries heavy-hitter sketch over word 3-grams
         "q_seq_next_node",
         "q_agg_topk_sketch",
+        # r8 addition: the eviction-regime sketch certification (one
+        # corpus scan feeding both the sketch and the exact check)
+        "q_agg_topk_bounds",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(
@@ -255,6 +264,7 @@ def main() -> None:
         "method": out["method"],
         "baseline_round": out["baseline_round"],
         "loadavg_1m": out["loadavg_1m"],
+        "loadavg_start": out["loadavg_start"],
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
