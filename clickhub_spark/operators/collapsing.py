@@ -1,0 +1,123 @@
+"""CollapsingMergeTree / VersionedCollapsingMergeTree FINAL semantics.
+
+ClickHouse's collapsing engines store an application-written changelog:
+every row carries a ``sign`` column, +1 for a "state" row and -1 for a
+"cancel" row that revokes a previously written state.  Reading with
+FINAL collapses the changelog to the net state per key
+(ReplacingMergeTree's sibling, reference README.md:132-134 table DDL
+family; SURVEY §2.E).  The two variants differ in HOW cancels pair:
+
+- **CollapsingMergeTree**: cancels pair with states by count per key —
+  the engine only looks at the net sign balance.
+- **VersionedCollapsingMergeTree**: a cancel revokes exactly the state
+  carrying the same ``version`` value, so out-of-order delivery of
+  (state, cancel) pairs still collapses correctly.
+
+Both are one hash-aggregate shuffle on the key (map-side partial
+combine, no per-key sort) — the same 100 TB-shaped plan as
+``dedup.final_view``: at 1000 executors the changelog never
+materializes per-key row lists anywhere; each group folds to a
+constant-size accumulator (net count + two candidate rows).
+
+ClickHouse itself collapses in storage-ORDER BY sequence; this port
+takes an explicit ``order`` column list instead (as final_view does for
+the version), because "insert order" is not a total order a
+distributed engine should depend on.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NET = "__net"
+_LAST_STATE = "__last_state"
+_FIRST_CANCEL = "__first_cancel"
+
+
+def collapse_final(
+    df: DataFrame,
+    keys: Sequence[str],
+    sign: str,
+    order: Sequence[str],
+) -> DataFrame:
+    """CollapsingMergeTree FINAL read-view.
+
+    Per ``keys`` group over rows with ``sign`` ∈ {+1, -1}:
+
+    - net sign > 0 → the LAST state row by ``order`` survives,
+    - net sign = 0 → the key collapses away entirely,
+    - net sign < 0 → the FIRST cancel row survives (ClickHouse keeps a
+      cancel row when the changelog ends sign-negative, signalling the
+      broken sequence downstream rather than hiding it).
+
+    Single aggregate: ``max_by``/``min_by`` skip rows whose ordering
+    expression is NULL, so gating the ordering struct on the sign
+    selects among state rows only (resp. cancel rows) without a second
+    shuffle or a window sort.
+    """
+    cols = df.columns
+    order_struct = F.struct(*[F.col(c) for c in order])
+    agg = df.groupBy(*keys).agg(
+        F.sum(sign).alias(_NET),
+        F.max_by(
+            F.struct(*cols), F.when(F.col(sign) == 1, order_struct)
+        ).alias(_LAST_STATE),
+        F.min_by(
+            F.struct(*cols), F.when(F.col(sign) == -1, order_struct)
+        ).alias(_FIRST_CANCEL),
+    )
+    return (
+        agg.where(F.col(_NET) != 0)
+        .select(
+            F.when(F.col(_NET) > 0, F.col(_LAST_STATE))
+            .otherwise(F.col(_FIRST_CANCEL))
+            .alias("__r")
+        )
+        .select("__r.*")
+    )
+
+
+def collapse_final_versioned(
+    df: DataFrame,
+    keys: Sequence[str],
+    sign: str,
+    version: str,
+    order: Sequence[str],
+) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL read-view.
+
+    Cancels pair with states PER (key, version): a (key, version) cell
+    whose signs net to zero vanishes — regardless of arrival order,
+    which is the variant's whole point — and the surviving state per
+    cell is the last by ``order``.  FINAL then keeps the max surviving
+    ``version`` per key.
+
+    Two aggregates, but the second runs on the already-collapsed relation
+    (≤1 row per live (key, version)) — at scale the first shuffle does
+    all the data-volume work and the second is a key-cardinality fold.
+    Cells that net negative (cancel without a matching state) vanish
+    like zero cells: with per-version pairing a dangling cancel can
+    only mean its state was never written, so there is no state to
+    surface (this is where the variant's contract genuinely differs
+    from plain collapsing's net<0 rule).
+    """
+    cols = df.columns
+    order_struct = F.struct(*[F.col(c) for c in order])
+    cells = (
+        df.groupBy(*keys, version)
+        .agg(
+            F.sum(sign).alias(_NET),
+            F.max_by(
+                F.struct(*cols), F.when(F.col(sign) == 1, order_struct)
+            ).alias(_LAST_STATE),
+        )
+        .where((F.col(_NET) > 0) & F.col(_LAST_STATE).isNotNull())
+    )
+    return (
+        cells.groupBy(*keys)
+        .agg(F.max_by(F.col(_LAST_STATE), F.col(version)).alias("__r"))
+        .select("__r.*")
+    )

@@ -7,11 +7,18 @@ their driver rows only certify the exact regime; the sketch's whole
 point — certified [lo, hi] bounds while counters are being evicted —
 was pinned by units alone.  q_agg_topk_bounds closes that gap with an
 oracle-checked query whose OUTPUT is the certification itself.
+
+Second wave: the last ClickHouse table-engine semantics the tree
+lacked — CollapsingMergeTree and VersionedCollapsingMergeTree FINAL
+(operators/collapsing.py; siblings of q_dedup_replacing's
+ReplacingMergeTree) — plus ARRAY JOIN / LEFT ARRAY JOIN (explode /
+explode_outer) and windowFunnel's ``strict_order`` mode (the plain
+subsequence mode is q_funnel / q_seq_match).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhub_spark.catalog import load
@@ -133,3 +140,238 @@ def q_agg_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_events", "n_keys", "n_heavy", "viol_bounds", "missing_heavy")
     )
 
+
+# --------------------------------------------------------------------------
+# §2.E collapsing-engine siblings of ReplacingMergeTree
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_collapsing",
+    oracle="""
+    SELECT user_id, event_id AS last_event, event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events WHERE user_id IS NOT NULL
+    ) WHERE rn = 1 AND cnt % 5 <> 0
+    """,
+)
+def q_dedup_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree FINAL (≙ ENGINE = CollapsingMergeTree(sign)
+    — the changelog sibling of q_dedup_replacing's ReplacingMergeTree,
+    reference README.md:132-134 DDL family).
+
+    The query BUILDS a genuine sign-changelog from events — every event
+    writes a +1 state row, every superseded event a -1 cancel, and
+    users whose event count is ≡0 (mod 5) get their final state
+    cancelled too — then collapses it with the generic single-shuffle
+    operator (operators/collapsing.py:collapse_final).  The oracle
+    derives the expected survivor set INDEPENDENTLY (last event per
+    user, minus fully-cancelled users), so it checks the collapse
+    semantics, not the changelog plumbing.  32 of 150 users at sf0.01
+    exercise the fully-cancelled (net = 0) path."""
+    from clickhub_spark.operators.collapsing import collapse_final
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    w = Window.partitionBy("user_id")
+    seq = ev.withColumn(
+        "__rn", F.row_number().over(w.orderBy("ts", "event_id"))
+    ).withColumn("__cnt", F.count(F.lit(1)).over(w))
+    states = seq.select(*ev.columns, F.lit(1).alias("sign"))
+    cancels = seq.where(
+        (F.col("__rn") < F.col("__cnt")) | (F.col("__cnt") % 5 == 0)
+    ).select(*ev.columns, F.lit(-1).alias("sign"))
+    log = states.unionByName(cancels)
+    return collapse_final(
+        log, keys=["user_id"], sign="sign", order=["ts", "event_id"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "q_dedup_collapsing_versioned",
+    oracle="""
+    SELECT user_id, CAST(rn AS BIGINT) AS version,
+           event_id AS last_event, event_type AS last_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ) WHERE rn % 3 <> 0
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+    """,
+)
+def q_dedup_collapsing_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL (≙ ENGINE =
+    VersionedCollapsingMergeTree(sign, version)): cancels revoke the
+    state carrying the SAME version — not merely the previous state —
+    so arbitrary versions can be retracted regardless of write order.
+
+    Changelog: every event is a +1 state row versioned by its per-user
+    sequence number; every version ≡0 (mod 3) also gets a -1 cancel —
+    retractions scattered through the middle of each user's history,
+    which plain collapsing cannot express.  FINAL must therefore
+    surface the highest NON-cancelled version per user
+    (operators/collapsing.py:collapse_final_versioned — per-(key,
+    version) sign fold, then a max-version fold over survivors); the
+    oracle computes that expectation independently."""
+    from clickhub_spark.operators.collapsing import collapse_final_versioned
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    seq = ev.withColumn(
+        "version",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long"),
+    )
+    states = seq.select(*seq.columns, F.lit(1).alias("sign"))
+    cancels = seq.where(F.col("version") % 3 == 0).select(
+        *seq.columns, F.lit(-1).alias("sign")
+    )
+    log = states.unionByName(cancels)
+    return collapse_final_versioned(
+        log, keys=["user_id"], sign="sign", version="version",
+        order=["ts", "event_id"],
+    ).select(
+        "user_id",
+        "version",
+        F.col("event_id").alias("last_event"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.G ARRAY JOIN / LEFT ARRAY JOIN
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_fn_array_join",
+    oracle="""
+    WITH o AS (
+        SELECT p_partkey,
+               list_slice(string_split(p_name, ' '), 1,
+                          CAST(p_partkey % 4 AS INT)) AS arr
+        FROM part
+    ), ex AS (
+        SELECT o.p_partkey, u.word
+        FROM o LEFT JOIN LATERAL (SELECT UNNEST(arr) AS word) u ON TRUE
+    )
+    SELECT COALESCE(word, '<empty>') AS word_g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts
+    FROM ex GROUP BY 1 ORDER BY n DESC, word_g LIMIT 20
+    """,
+)
+def q_fn_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY JOIN + LEFT ARRAY JOIN (ClickHouse's explode clause):
+    unnest an array column to one row per element, LEFT variant keeping
+    rows whose array is empty (Spark ``explode_outer`` ≙ LEFT ARRAY
+    JOIN; the NULL element those rows surface as is grouped under
+    '<empty>' — dropping it would be plain ARRAY JOIN / ``explode``).
+
+    Arrays are built per part as the first ``p_partkey % 4`` words of
+    p_name (lengths 0–3, so ~¼ of parts exercise the LEFT path), then
+    the exploded relation re-aggregates per word.  Plan: map-side
+    Generate (explode) feeding one hash-aggregate shuffle — exploding
+    never materializes per-row lists driver-side and the top-20 cut is
+    TakeOrdered, so the shape holds at corpus scale."""
+    arr = (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.slice(
+                F.split("p_name", " "), 1, (F.col("p_partkey") % 4).cast("int")
+            ).alias("arr"),
+        )
+    )
+    ex = arr.select("p_partkey", F.explode_outer("arr").alias("word"))
+    return (
+        ex.groupBy(F.coalesce("word", F.lit("<empty>")).alias("word_g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+        .orderBy(F.col("n").desc(), F.col("word_g").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2 funnel: windowFunnel strict_order mode
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_strict",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+        SELECT CAST(CASE WHEN seq LIKE '%vcp%' THEN 3
+                         WHEN seq LIKE '%vc%'  THEN 2
+                         WHEN seq LIKE '%v%'   THEN 1
+                         ELSE 0 END AS INT) AS level
+        FROM seqs
+    ) GROUP BY level
+    """,
+)
+def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel strict_order mode: the view → click → purchase
+    chain only advances while NO other event intervenes — adjacency in
+    the user's full time-ordered stream, vs q_funnel / q_seq_match's
+    subsequence semantics (any gap allowed).  ClickHouse:
+    windowFunnel(w, 'strict_order')(ts, ...).
+
+    Same collapse-to-string shape as q_seq_match (one shuffle to an
+    initial-letter sequence per user — event types have distinct
+    initials v/c/p/s/e), then strict adjacency is literal-substring
+    containment: 'vcp' ⊂ seq ⇒ level 3, else 'vc' ⇒ 2, else 'v' ⇒ 1.
+    Output is the funnel-level distribution."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda r: F.substring(r["event_type"], 1, 1),
+            ),
+        ).alias("seq")
+    )
+    level = (
+        F.when(F.col("seq").contains("vcp"), 3)
+        .when(F.col("seq").contains("vc"), 2)
+        .when(F.col("seq").contains("v"), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        seqs.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -62,6 +62,12 @@ ROUND_PRIORITY = [
     # new in round 8: eviction-regime sketch certification (VERDICT
     # r7 item 4)
     "q_agg_topk_bounds",
+    # new in round 8, second wave: collapsing-engine FINALs, ARRAY
+    # JOIN, strict-order windowFunnel
+    "q_dedup_collapsing",
+    "q_dedup_collapsing_versioned",
+    "q_fn_array_join",
+    "q_funnel_strict",
     # --- the 25-query never-driver-checked backlog (VERDICT r7 item
     # 1: drain to zero — these missed the r7 window cut) ---
     "q_join_interval_overlap",
