@@ -120,6 +120,33 @@ def optimize_final(
     )
 
 
+def optimize_final_collapsing(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    sign: str,
+    order: list[str],
+    target_files: int = 8,
+) -> int:
+    """``OPTIMIZE TABLE … FINAL`` for a CollapsingMergeTree-style
+    sign-changelog table: physically collapse the changelog
+    (operators/collapsing.py semantics — net>0 keeps the last state,
+    net=0 vanishes, net<0 keeps the first cancel), compacted and
+    sorted by the key.  Idempotent: a collapsed table is a fixed point
+    (every surviving row is a lone ±1 for its key).  Same
+    writers-paused contract as ``compact``.  Returns the surviving
+    row count."""
+    from clickhub_spark.operators.collapsing import collapse_final
+
+    return _rewrite(
+        spark,
+        path,
+        lambda df: collapse_final(df, keys=keys, sign=sign, order=order)
+        .repartition(target_files)
+        .sortWithinPartitions(*keys),
+    )
+
+
 def apply_ttl(spark: SparkSession, path: str, ts_col: str, cutoff) -> int:
     """``TTL <ts_col> + INTERVAL …`` analog: drop rows older than
     ``cutoff`` (copy-on-write).  At 100 TB, date-partitioned tables

@@ -159,3 +159,37 @@ def test_collapse_single_shuffle_plan(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_optimize_final_collapsing_rewrites_and_is_idempotent(spark, tmp_path):
+    """OPTIMIZE FINAL for a sign-changelog table: the rewrite collapses
+    physically, and a second run is a fixed point (every survivor is a
+    lone ±1 for its key)."""
+    from clickhub_spark.operators.mutate import optimize_final_collapsing
+
+    path = str(tmp_path / "changelog")
+    _log(
+        spark,
+        [
+            ("a", 1, "v1", 1),
+            ("a", 2, "v1", -1),
+            ("a", 3, "v2", 1),   # net +1 -> v2 survives
+            ("b", 1, "w1", 1),
+            ("b", 2, "w1", -1),  # net 0 -> vanishes
+            ("c", 1, "x1", -1),  # net -1 -> first cancel survives
+        ],
+    ).write.parquet(path)
+
+    n = optimize_final_collapsing(
+        spark, path, keys=["k"], sign="sign", order=["seq"], target_files=1
+    )
+    assert n == 2
+    got = {(r.k, r.payload, r.sign) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", "v2", 1), ("c", "x1", -1)}
+
+    n2 = optimize_final_collapsing(
+        spark, path, keys=["k"], sign="sign", order=["seq"], target_files=1
+    )
+    assert n2 == 2
+    got2 = {(r.k, r.payload, r.sign) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
