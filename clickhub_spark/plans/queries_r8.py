@@ -183,9 +183,14 @@ def q_dedup_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
     w = Window.partitionBy("user_id")
-    seq = ev.withColumn(
-        "__rn", F.row_number().over(w.orderBy("ts", "event_id"))
-    ).withColumn("__cnt", F.count(F.lit(1)).over(w))
+    # lazy persist: both changelog branches (states, cancels) derive
+    # from the one windowed pass — one corpus read when the combined
+    # plan executes (the q_agg_topk_bounds pattern)
+    seq = (
+        ev.withColumn("__rn", F.row_number().over(w.orderBy("ts", "event_id")))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .persist()
+    )
     states = seq.select(*ev.columns, F.lit(1).alias("sign"))
     cancels = seq.where(
         (F.col("__rn") < F.col("__cnt")) | (F.col("__cnt") % 5 == 0)
@@ -237,12 +242,14 @@ def q_dedup_collapsing_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
         .select("user_id", "event_id", "ts", "event_type")
     )
+    # lazy persist: states and cancels both derive from the versioned
+    # pass — one corpus read (see q_dedup_collapsing)
     seq = ev.withColumn(
         "version",
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .cast("long"),
-    )
+    ).persist()
     states = seq.select(*seq.columns, F.lit(1).alias("sign"))
     cancels = seq.where(F.col("version") % 3 == 0).select(
         *seq.columns, F.lit(-1).alias("sign")
