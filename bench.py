@@ -230,6 +230,9 @@ def main() -> None:
         # r8 addition: the eviction-regime sketch certification (one
         # corpus scan feeding both the sketch and the exact check)
         "q_agg_topk_bounds",
+        # r8 addition: CollapsingMergeTree FINAL over a built
+        # sign-changelog (one sign-gated max_by/min_by aggregate)
+        "q_dedup_collapsing",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(
