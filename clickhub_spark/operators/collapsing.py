@@ -37,6 +37,73 @@ _LAST_STATE = "__last_state"
 _FIRST_CANCEL = "__first_cancel"
 
 
+def collapse_accumulate(
+    df: DataFrame,
+    keys: Sequence[str],
+    sign: str,
+    order: Sequence[str],
+) -> DataFrame:
+    """Fold a changelog to the MERGEABLE per-key accumulator:
+    ``keys + (__net, __last_state, __first_cancel)``.
+
+    This is the collapse's commutative-monoid partial state (the
+    AggregatingMergeTree-style ``-State`` form, ≙ operators/aggstate):
+    ``collapse_merge`` over any partition of the changelog equals one
+    accumulate over the whole — which is what makes INCREMENTAL
+    maintenance correct.  Note the plain FINAL output is NOT mergeable:
+    it discards the net count, so "collapse, then collapse the union
+    with the next batch" silently forgets how many cancels a surviving
+    state can still absorb.  Persist the accumulator between batches,
+    not the finalized view.
+    """
+    cols = df.columns
+    order_struct = F.struct(*[F.col(c) for c in order])
+    return df.groupBy(*keys).agg(
+        F.sum(sign).alias(_NET),
+        F.max_by(
+            F.struct(*cols), F.when(F.col(sign) == 1, order_struct)
+        ).alias(_LAST_STATE),
+        F.min_by(
+            F.struct(*cols), F.when(F.col(sign) == -1, order_struct)
+        ).alias(_FIRST_CANCEL),
+    )
+
+
+def collapse_merge(
+    acc: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+) -> DataFrame:
+    """Merge a union of ``collapse_accumulate`` outputs back to one
+    accumulator row per key (the ``-Merge`` combinator): nets add,
+    the latest last-state and earliest first-cancel win.  The ordering
+    expressions are gated on the struct being non-NULL — a struct of
+    NULL fields is itself non-NULL, so ``F.struct(acc.order)`` alone
+    would let an absent side win the max_by."""
+    ls, fc = F.col(_LAST_STATE), F.col(_FIRST_CANCEL)
+    ls_ord = F.when(ls.isNotNull(), F.struct(*[ls[c] for c in order]))
+    fc_ord = F.when(fc.isNotNull(), F.struct(*[fc[c] for c in order]))
+    return acc.groupBy(*keys).agg(
+        F.sum(_NET).alias(_NET),
+        F.max_by(ls, ls_ord).alias(_LAST_STATE),
+        F.min_by(fc, fc_ord).alias(_FIRST_CANCEL),
+    )
+
+
+def collapse_finalize(acc: DataFrame) -> DataFrame:
+    """FINAL read-view over an accumulator: net>0 → last state,
+    net<0 → first cancel, net=0 → nothing.  Row-local (no shuffle)."""
+    return (
+        acc.where(F.col(_NET) != 0)
+        .select(
+            F.when(F.col(_NET) > 0, F.col(_LAST_STATE))
+            .otherwise(F.col(_FIRST_CANCEL))
+            .alias("__r")
+        )
+        .select("__r.*")
+    )
+
+
 def collapse_final(
     df: DataFrame,
     keys: Sequence[str],
@@ -53,31 +120,13 @@ def collapse_final(
       cancel row when the changelog ends sign-negative, signalling the
       broken sequence downstream rather than hiding it).
 
-    Single aggregate: ``max_by``/``min_by`` skip rows whose ordering
-    expression is NULL, so gating the ordering struct on the sign
-    selects among state rows only (resp. cancel rows) without a second
-    shuffle or a window sort.
+    Single aggregate (= ``collapse_finalize(collapse_accumulate(df))``;
+    the finalize is row-local): ``max_by``/``min_by`` skip rows whose
+    ordering expression is NULL, so gating the ordering struct on the
+    sign selects among state rows only (resp. cancel rows) without a
+    second shuffle or a window sort.
     """
-    cols = df.columns
-    order_struct = F.struct(*[F.col(c) for c in order])
-    agg = df.groupBy(*keys).agg(
-        F.sum(sign).alias(_NET),
-        F.max_by(
-            F.struct(*cols), F.when(F.col(sign) == 1, order_struct)
-        ).alias(_LAST_STATE),
-        F.min_by(
-            F.struct(*cols), F.when(F.col(sign) == -1, order_struct)
-        ).alias(_FIRST_CANCEL),
-    )
-    return (
-        agg.where(F.col(_NET) != 0)
-        .select(
-            F.when(F.col(_NET) > 0, F.col(_LAST_STATE))
-            .otherwise(F.col(_FIRST_CANCEL))
-            .alias("__r")
-        )
-        .select("__r.*")
-    )
+    return collapse_finalize(collapse_accumulate(df, keys, sign, order))
 
 
 def collapse_final_versioned(

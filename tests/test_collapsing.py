@@ -193,3 +193,87 @@ def test_optimize_final_collapsing_rewrites_and_is_idempotent(spark, tmp_path):
     assert n2 == 2
     got2 = {(r.k, r.payload, r.sign) for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+# ---- mergeable accumulator (-State/-Merge form) -------------------------
+
+
+def _brute_collapse(rows):
+    """Sequential reference: rows are (k, seq, payload, sign)."""
+    by_key = {}
+    for k, seq, payload, sign in rows:
+        acc = by_key.setdefault(k, {"net": 0, "ls": None, "fc": None})
+        acc["net"] += sign
+        if sign == 1 and (acc["ls"] is None or seq > acc["ls"][0]):
+            acc["ls"] = (seq, payload)
+        if sign == -1 and (acc["fc"] is None or seq < acc["fc"][0]):
+            acc["fc"] = (seq, payload)
+    out = set()
+    for k, acc in by_key.items():
+        if acc["net"] > 0:
+            out.add((k, acc["ls"][0], acc["ls"][1], 1))
+        elif acc["net"] < 0:
+            out.add((k, acc["fc"][0], acc["fc"][1], -1))
+    return out
+
+
+def test_accumulator_fixes_the_refinalize_divergence(spark):
+    """The motivating counter-example for the mergeable form: two
+    states then (in a later batch) one cancel.  Re-collapsing the
+    FINALIZED view with the next batch forgets the absorbed +1 and
+    wrongly kills the key; the accumulator path keeps the net."""
+    from clickhub_spark.operators.collapsing import (
+        collapse_accumulate,
+        collapse_finalize,
+        collapse_merge,
+    )
+
+    batch1 = _log(spark, [("a", 1, "v1", 1), ("a", 2, "v2", 1)])
+    batch2 = _log(spark, [("a", 3, "v2", -1)])
+
+    # WRONG maintenance: finalize, then collapse (finalized ∪ next)
+    wrong = collapse_final(
+        collapse_final(batch1, ["k"], "sign", ["seq"]).unionByName(batch2),
+        ["k"],
+        "sign",
+        ["seq"],
+    )
+    assert wrong.count() == 0  # the key vanished — divergence
+
+    # RIGHT maintenance: merge accumulators, finalize at read
+    acc = collapse_merge(
+        collapse_accumulate(batch1, ["k"], "sign", ["seq"]).unionByName(
+            collapse_accumulate(batch2, ["k"], "sign", ["seq"])
+        ),
+        ["k"],
+        ["seq"],
+    )
+    got = collapse_finalize(acc).collect()
+    truth = collapse_final(
+        batch1.unionByName(batch2), ["k"], "sign", ["seq"]
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in truth]
+    assert got[0].payload == "v2"  # net 2-1=1: last state survives
+
+
+def test_accumulator_merge_with_absent_sides(spark):
+    """A batch with only cancels merged with a batch with only states:
+    the NULL-side guards must keep max_by/min_by from electing the
+    absent struct (a struct of NULL fields is itself non-NULL)."""
+    from clickhub_spark.operators.collapsing import (
+        collapse_accumulate,
+        collapse_finalize,
+        collapse_merge,
+    )
+
+    only_cancel = _log(spark, [("a", 9, "old", -1)])
+    only_state = _log(spark, [("a", 1, "v1", 1), ("a", 2, "v2", 1)])
+    acc = collapse_merge(
+        collapse_accumulate(only_cancel, ["k"], "sign", ["seq"]).unionByName(
+            collapse_accumulate(only_state, ["k"], "sign", ["seq"])
+        ),
+        ["k"],
+        ["seq"],
+    )
+    got = collapse_finalize(acc).collect()
+    assert [(r.k, r.payload, r.sign) for r in got] == [("a", "v2", 1)]

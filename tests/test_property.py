@@ -262,3 +262,84 @@ def test_progressive_scan_bytes_fuzz(payload):
         decode_jpeg(spliced)
     except (ValueError, IndexError, KeyError, _struct.error):
         pass
+
+
+changelog_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # key
+        st.integers(min_value=0, max_value=50),  # seq (order)
+        st.integers(min_value=0, max_value=9),   # payload
+        st.sampled_from([1, -1]),                # sign
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=changelog_strategy, cut=st.integers(min_value=0, max_value=30))
+def test_collapse_accumulator_merge_equals_batch(spark, rows, cut):
+    """For ANY changelog and ANY batch split: merging the per-batch
+    accumulators and finalizing equals the one-shot batch collapse,
+    and both equal a sequential reference fold.  (Ties on (k, seq)
+    among same-sign rows are excluded by deduping on those — ClickHouse
+    keeps an arbitrary row there, as does max_by.)"""
+    from clickhub_spark.operators.collapsing import (
+        collapse_accumulate,
+        collapse_final,
+        collapse_finalize,
+        collapse_merge,
+    )
+
+    # drop (k, seq, sign) duplicates so the surviving payload is unique
+    seen, dedup = set(), []
+    for r in rows:
+        key = (r[0], r[1], r[3])
+        if key not in seen:
+            seen.add(key)
+            dedup.append(r)
+    rows = dedup
+    cut = min(cut, len(rows))
+    schema = "k int, seq int, payload int, sign int"
+    whole = spark.createDataFrame(rows, schema)
+    batches = [rows[:cut], rows[cut:]]
+
+    batch = sorted(
+        tuple(r)
+        for r in collapse_final(whole, ["k"], "sign", ["seq"]).collect()
+    )
+    accs = [
+        collapse_accumulate(spark.createDataFrame(b, schema), ["k"], "sign", ["seq"])
+        for b in batches
+        if b
+    ]
+    merged = accs[0]
+    for a in accs[1:]:
+        merged = merged.unionByName(a)
+    inc = sorted(
+        tuple(r)
+        for r in collapse_finalize(
+            collapse_merge(merged, ["k"], ["seq"])
+        ).collect()
+    )
+    ref = sorted(
+        (k, seq, payload, sign)
+        for (k, seq, payload, sign) in _brute_collapse_rows(rows)
+    )
+    assert batch == inc == ref
+
+
+def _brute_collapse_rows(rows):
+    by_key = {}
+    for k, seq, payload, sign in rows:
+        acc = by_key.setdefault(k, {"net": 0, "ls": None, "fc": None})
+        acc["net"] += sign
+        if sign == 1 and (acc["ls"] is None or seq > acc["ls"][0]):
+            acc["ls"] = (seq, payload)
+        if sign == -1 and (acc["fc"] is None or seq < acc["fc"][0]):
+            acc["fc"] = (seq, payload)
+    for k, acc in by_key.items():
+        if acc["net"] > 0:
+            yield (k, acc["ls"][0], acc["ls"][1], 1)
+        elif acc["net"] < 0:
+            yield (k, acc["fc"][0], acc["fc"][1], -1)
