@@ -277,3 +277,72 @@ def test_accumulator_merge_with_absent_sides(spark):
     )
     got = collapse_finalize(acc).collect()
     assert [(r.k, r.payload, r.sign) for r in got] == [("a", "v2", 1)]
+
+
+# ---- streaming maintenance (CDC retract stream -> state table) ----------
+
+
+def test_streaming_collapse_maintenance(spark, tmp_path):
+    """Two changelog waves through the foreachBatch maintenance loop:
+    the FINAL read view equals the one-shot batch collapse after each
+    wave; a cycle with nothing new is a no-op; compaction folds the
+    partials without changing the view."""
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.streaming.collapse import (
+        compact_accumulator,
+        maintain_collapsed,
+        read_collapsed,
+    )
+
+    schema = (
+        StructType()
+        .add("k", "string")
+        .add("seq", "integer")
+        .add("payload", "string")
+        .add("sign", "integer")
+    )
+    table = str(tmp_path / "changelog")
+    acc = str(tmp_path / "acc")
+    ck = str(tmp_path / "ck")
+    args = dict(keys=["k"], sign="sign", order=["seq"])
+
+    wave1 = [("a", 1, "v1", 1), ("a", 2, "v2", 1), ("b", 1, "w1", 1)]
+    wave2 = [("a", 3, "v2", -1), ("b", 2, "w1", -1), ("c", 1, "x1", -1)]
+
+    def view():
+        return sorted(
+            tuple(r) for r in read_collapsed(spark, acc, ["k"], ["seq"]).collect()
+        )
+
+    def batch_truth(rows):
+        return sorted(
+            tuple(r)
+            for r in collapse_final(_log(spark, rows), **args).collect()
+        )
+
+    _log(spark, wave1).write.mode("append").parquet(table)
+    maintain_collapsed(spark, table, acc, ck, schema, **args)
+    assert view() == batch_truth(wave1)
+
+    _log(spark, wave2).write.mode("append").parquet(table)
+    maintain_collapsed(spark, table, acc, ck, schema, **args)
+    truth = batch_truth(wave1 + wave2)
+    assert view() == truth
+    # 'a' survives only because the accumulator kept net=2 from wave1;
+    # 'b' fully cancelled; 'c' is the net<0 surviving-cancel case
+    assert [r[0] for r in truth] == ["a", "c"]
+
+    # idempotent cycle: nothing new -> view unchanged
+    maintain_collapsed(spark, table, acc, ck, schema, **args)
+    assert view() == truth
+
+    # compaction folds partials, view identical, and maintenance
+    # continues cleanly afterwards
+    n = compact_accumulator(spark, acc, ["k"], ["seq"])
+    assert n == 3  # a, b, c accumulator rows (b net=0 kept until read)
+    assert view() == truth
+    wave3 = [("b", 3, "w2", 1)]
+    _log(spark, wave3).write.mode("append").parquet(table)
+    maintain_collapsed(spark, table, acc, ck, schema, **args)
+    assert view() == batch_truth(wave1 + wave2 + wave3)
