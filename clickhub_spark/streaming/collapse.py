@@ -14,21 +14,25 @@ is lossy and cannot be re-merged), and readers collapse partials with
 bounded by keys-per-batch; the stream never holds a growing hash of
 all keys — the 100 TB shape.
 
-At-least-once safety: foreachBatch may replay a batch after a crash
-between write and checkpoint commit, so each batch OVERWRITES its own
-``batch_id=<id>`` partition directory — a replay rewrites the same
-partials rather than double-counting the net.
+Exactly-once net accounting under at-least-once foreachBatch:
 
-``compact_accumulator`` folds all partials into one (``batch_id=-1``)
-when the partial count makes the read-time merge noticeable —
-the OPTIMIZE analog, same writers-paused contract as
-operators/mutate.compact.
+- A replayed batch OVERWRITES its own ``batch_id=<id>`` partition
+  directory — rewrite, not double-count.
+- Compaction folds partials into ``batch_id=-1`` AND records the
+  highest real batch id folded in a ``_folded_through`` marker; the
+  sink drops any (replayed) batch at or below the marker, whose rows
+  are already inside the fold.  Without the marker, a crash between a
+  batch's partial write and its checkpoint commit followed by a
+  compaction would double that batch's net on replay.
+- The compaction swap uses the same fixed-name two-rename +
+  ``recover_table`` contract as operators/mutate: a crash between the
+  renames leaves the state at ``<acc_path>.__old`` and every entry
+  point restores it before touching the table.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from typing import Sequence
 
@@ -40,7 +44,20 @@ from clickhub_spark.operators.collapsing import (
     collapse_finalize,
     collapse_merge,
 )
+from clickhub_spark.operators.mutate import recover_table
 from clickhub_spark.streaming.mv import read_event_stream
+
+#: Spark readers skip leading-underscore files, so the marker rides
+#: inside the accumulator dir without disturbing partition discovery
+_MARKER = "_folded_through"
+
+
+def _folded_through(acc_path: str) -> int:
+    try:
+        with open(os.path.join(acc_path, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
 
 
 def maintain_collapsed(
@@ -57,10 +74,15 @@ def maintain_collapsed(
     """Advance the collapsed state to cover all changelog rows
     currently in the table: stream the NEW parquet files (file-source
     checkpoint = the state's high-water mark), append each batch's
-    accumulator partial under its own overwrite-on-replay partition."""
+    accumulator partial under its own overwrite-on-replay partition.
+    Batches at or below the compaction marker are already folded and
+    are dropped (see module docstring)."""
+    recover_table(acc_path)
     stream = read_event_stream(spark, changelog_table, schema, max_files)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _folded_through(acc_path):
+            return  # replay of a batch already inside the fold
         collapse_accumulate(batch_df, keys, sign, order).write.mode(
             "overwrite"
         ).parquet(f"{acc_path}/batch_id={batch_id}")
@@ -82,14 +104,19 @@ def read_collapsed(
     schema_hint: str | None = None,
 ) -> DataFrame:
     """The FINAL read view: merge all accumulator partials and
-    finalize.  Returns an empty frame (``schema_hint`` required then)
-    before the first batch so callers can poll from t=0."""
-    try:
-        partials = spark.read.parquet(acc_path).drop("batch_id")
-    except Exception:
+    finalize.  Restores a half-swapped table first; only a genuinely
+    absent table (before the first batch) falls back to the empty
+    frame (``schema_hint`` required then) — read errors on an existing
+    table propagate instead of masquerading as 'no data yet'."""
+    recover_table(acc_path)
+    if not os.path.exists(acc_path):
         if schema_hint is None:
-            raise
+            raise FileNotFoundError(
+                f"accumulator table {acc_path!r} does not exist; pass "
+                "schema_hint to poll from t=0"
+            )
         return spark.createDataFrame([], schema_hint)
+    partials = spark.read.parquet(acc_path).drop("batch_id")
     return collapse_finalize(collapse_merge(partials, keys, order))
 
 
@@ -101,20 +128,44 @@ def compact_accumulator(
     target_files: int = 8,
 ) -> int:
     """Fold every partial into a single merged accumulator partition
-    (``batch_id=-1`` — availableNow batch ids only grow, so it never
-    collides).  Writers paused during the two-rename swap, same
-    contract as operators/mutate.compact.  Returns surviving key
-    count."""
-    merged = collapse_merge(
-        spark.read.parquet(acc_path).drop("batch_id"), keys, order
-    )
+    (``batch_id=-1``) and advance the ``_folded_through`` marker to
+    the highest real batch id folded, so a post-crash replay of any
+    folded batch is dropped by the sink rather than double-counted.
+    Writers paused during the swap, same fixed-name two-rename +
+    recover contract as operators/mutate.compact.  Returns surviving
+    accumulator row count (= live key count)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    recover_table(acc_path)
+    partials = spark.read.parquet(acc_path)
+    # the marker must reflect batches whose DATA is in the fold: an
+    # uncommitted batch dir (crash mid-write leaves no committed
+    # part-files) must NOT advance it, or its replay would be dropped
+    # and the batch lost — so derive it from the rows read, observed
+    # on the write job itself
+    obs = Observation()
     tmp = f"{acc_path}.__compacting_{uuid.uuid4().hex[:8]}"
-    merged.repartition(target_files).write.mode("overwrite").parquet(
+    fold_obs = Observation()
+    partials = partials.observe(
+        fold_obs, F.max(F.col("batch_id")).alias("max_id")
+    )
+    collapse_merge(partials.drop("batch_id"), keys, order).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).repartition(target_files).write.mode("overwrite").parquet(
         f"{tmp}/batch_id=-1"
     )
-    n = spark.read.parquet(tmp).count()
+    n = obs.get["n"]
+    max_id = fold_obs.get["max_id"]
+    folded = max(
+        max_id if max_id is not None else -1, _folded_through(acc_path)
+    )
+    with open(os.path.join(tmp, _MARKER), "w") as fh:
+        fh.write(str(folded))
     old = f"{acc_path}.__old"
-    shutil.rmtree(old, ignore_errors=True)
+    import shutil
+
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a crashed rmtree
     os.rename(acc_path, old)
     os.rename(tmp, acc_path)
     shutil.rmtree(old)

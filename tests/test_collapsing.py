@@ -198,25 +198,6 @@ def test_optimize_final_collapsing_rewrites_and_is_idempotent(spark, tmp_path):
 # ---- mergeable accumulator (-State/-Merge form) -------------------------
 
 
-def _brute_collapse(rows):
-    """Sequential reference: rows are (k, seq, payload, sign)."""
-    by_key = {}
-    for k, seq, payload, sign in rows:
-        acc = by_key.setdefault(k, {"net": 0, "ls": None, "fc": None})
-        acc["net"] += sign
-        if sign == 1 and (acc["ls"] is None or seq > acc["ls"][0]):
-            acc["ls"] = (seq, payload)
-        if sign == -1 and (acc["fc"] is None or seq < acc["fc"][0]):
-            acc["fc"] = (seq, payload)
-    out = set()
-    for k, acc in by_key.items():
-        if acc["net"] > 0:
-            out.add((k, acc["ls"][0], acc["ls"][1], 1))
-        elif acc["net"] < 0:
-            out.add((k, acc["fc"][0], acc["fc"][1], -1))
-    return out
-
-
 def test_accumulator_fixes_the_refinalize_divergence(spark):
     """The motivating counter-example for the mergeable form: two
     states then (in a later batch) one cancel.  Re-collapsing the
@@ -346,3 +327,94 @@ def test_streaming_collapse_maintenance(spark, tmp_path):
     _log(spark, wave3).write.mode("append").parquet(table)
     maintain_collapsed(spark, table, acc, ck, schema, **args)
     assert view() == batch_truth(wave1 + wave2 + wave3)
+
+
+def test_compaction_replay_does_not_double_count(spark, tmp_path):
+    """The crash window the _folded_through marker closes: a batch's
+    partial is written, compaction folds it BEFORE the stream
+    checkpoint commits, and the batch replays.  The sink must drop the
+    replay (its rows are inside the fold) — without the marker the net
+    would double and a fully-cancelled key would resurface."""
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.streaming.collapse import (
+        compact_accumulator,
+        maintain_collapsed,
+        read_collapsed,
+    )
+
+    schema = (
+        StructType()
+        .add("k", "string")
+        .add("seq", "integer")
+        .add("payload", "string")
+        .add("sign", "integer")
+    )
+    table = str(tmp_path / "changelog")
+    acc = str(tmp_path / "acc")
+    args = dict(keys=["k"], sign="sign", order=["seq"])
+    rows = [("a", 1, "v1", 1), ("a", 2, "v1", -1)]  # nets to 0
+
+    _log(spark, rows).write.mode("append").parquet(table)
+    # first pass commits batch 0's partial under checkpoint ck1
+    maintain_collapsed(spark, table, acc, str(tmp_path / "ck1"), schema, **args)
+    compact_accumulator(spark, acc, ["k"], ["seq"])
+    assert read_collapsed(spark, acc, ["k"], ["seq"]).count() == 0
+
+    # simulate the post-crash replay: a FRESH checkpoint re-delivers
+    # the same files as batch 0 again
+    maintain_collapsed(spark, table, acc, str(tmp_path / "ck2"), schema, **args)
+    got = read_collapsed(spark, acc, ["k"], ["seq"]).collect()
+    assert got == []  # replay dropped; without the marker net would be -1
+
+
+def test_read_collapsed_missing_table_contract(spark, tmp_path):
+    """Absent table: schema_hint gives the empty poll-from-t0 frame,
+    no hint raises instead of masking errors as 'no data yet'."""
+    import pytest as _pytest
+
+    from clickhub_spark.streaming.collapse import read_collapsed
+
+    missing = str(tmp_path / "nope")
+    empty = read_collapsed(
+        spark, missing, ["k"], ["seq"], schema_hint="k string, seq int"
+    )
+    assert empty.count() == 0
+    with _pytest.raises(FileNotFoundError):
+        read_collapsed(spark, missing, ["k"], ["seq"])
+
+
+def test_compaction_swap_crash_is_recoverable(spark, tmp_path):
+    """A crash between the two renames leaves the state at
+    <acc>.__old; every entry point restores it via recover_table."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.streaming.collapse import (
+        maintain_collapsed,
+        read_collapsed,
+    )
+
+    schema = (
+        StructType()
+        .add("k", "string")
+        .add("seq", "integer")
+        .add("payload", "string")
+        .add("sign", "integer")
+    )
+    table = str(tmp_path / "changelog")
+    acc = str(tmp_path / "acc")
+    args = dict(keys=["k"], sign="sign", order=["seq"])
+
+    _log(spark, [("a", 1, "v1", 1)]).write.mode("append").parquet(table)
+    maintain_collapsed(spark, table, acc, str(tmp_path / "ck"), schema, **args)
+    truth = sorted(
+        tuple(r) for r in read_collapsed(spark, acc, ["k"], ["seq"]).collect()
+    )
+    # simulate the half-swap crash
+    os.rename(acc, f"{acc}.__old")
+    got = sorted(
+        tuple(r) for r in read_collapsed(spark, acc, ["k"], ["seq"]).collect()
+    )
+    assert got == truth and os.path.isdir(acc)

@@ -45,6 +45,9 @@ def main() -> None:
     from clickhub_spark.session import get_spark
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    # the closed-form expectations assume exactly S states per key —
+    # round down to a positive multiple of S rather than mis-FAIL
+    n = max(S, n - n % S)
     k = n // S
     spark = get_spark("smoke-collapsing")
     spark.sparkContext.setLogLevel("ERROR")
