@@ -1,0 +1,109 @@
+"""GraphiteMergeTree-style retention rollup — age-tiered time-bucket
+downsampling (the last MergeTree-family engine semantic: Summing ≙
+streaming/mv, Replacing ≙ dedup.final_view, Collapsing ≙ collapsing,
+Aggregating ≙ aggstate; reference README.md:132-134 DDL family).
+
+ClickHouse's GraphiteMergeTree applies retention rules at merge time:
+recent rows keep fine resolution, older rows collapse into coarser
+time buckets with a configured aggregate.  This port expresses the
+same contract as (a) a read-view transform (``rollup_retention``) and
+(b) a physical ``OPTIMIZE``-style rewrite (``optimize_rollup``), like
+the other engine FINALs.
+
+The plan is one hash aggregate on (keys, bucket): the tier CASE and
+the bucket arithmetic are map-side scalar expressions, partials
+combine before the exchange, and the output is bounded by
+keys × buckets — at 100 TB the exchange carries the rollup, never the
+raw rows.  Bucketing uses integer epoch-second arithmetic
+(``unix_timestamp`` truncates to seconds; oracles must use
+``FLOOR(epoch(ts))`` for the same truncation — see the verify
+gotchas) so both engines land rows in identical buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rollup_retention(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    tiers: Sequence[tuple[str, int]],
+    default_bucket_s: int,
+) -> DataFrame:
+    """Collapse ``df`` into age-tiered time buckets.
+
+    ``tiers``: (cutoff, bucket_seconds) pairs, NEWEST FIRST — a row
+    with ``ts >= cutoff`` uses that tier's bucket; rows older than
+    every cutoff use ``default_bucket_s`` (the coarsest tier).
+    Cutoffs are literal timestamps, not ages: retention is relative
+    to a pinned "now", which keeps the rollup deterministic and
+    re-runnable (the ClickHouse engine evaluates age at merge time —
+    pin "now" when porting a rules file).
+
+    Output per (keys, bucket_start): ``n`` rows and ``total`` of
+    ``value_col`` — deliberately the MERGEABLE pair only (avg rules
+    derive mean = total/n at read time; carrying a materialized mean
+    both breaks re-rollup, means-of-means, and is wire-fragile: a mean
+    landing exactly on a decimal half diverges between engines'
+    rounding — observed: 1036.62/16 = 64.78875).  ``bucket_s`` is kept
+    so downstream can tell tiers apart; ``bucket_start`` is epoch
+    seconds (BIGINT) for a cross-engine-stable wire form.
+    """
+    bucket = F.lit(int(default_bucket_s))
+    for cutoff, b in reversed(tiers):
+        bucket = F.when(
+            F.col(ts_col) >= F.lit(cutoff).cast("timestamp"), int(b)
+        ).otherwise(bucket)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    start = ((epoch / bucket).cast("long") * bucket).alias("bucket_start")
+    return (
+        df.select(
+            *keys,
+            bucket.cast("long").alias("bucket_s"),
+            start,
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(*keys, "bucket_s", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("__v"), 2).alias("total"),
+        )
+    )
+
+
+def optimize_rollup(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    tiers: Sequence[tuple[str, int]],
+    default_bucket_s: int,
+    target_files: int = 8,
+) -> int:
+    """Physically rewrite the table as its retention rollup (the
+    GraphiteMergeTree merge).  Same writers-paused / recover contract
+    as the other mutations.  NOT idempotent in general — re-running
+    with the same pinned cutoffs IS a fixed point only if every bucket
+    boundary of a finer tier aligns with its own tier assignment;
+    rolling up a rollup with moved cutoffs re-aggregates the
+    ``n``/``total`` pair correctly (sums of sums), which is why the
+    output carries exactly that pair and no derived mean.
+    Returns the surviving row count."""
+    from clickhub_spark.operators.mutate import _rewrite
+
+    return _rewrite(
+        spark,
+        path,
+        lambda df: rollup_retention(
+            df, ts_col, keys, value_col, tiers, default_bucket_s
+        )
+        .repartition(target_files)
+        .sortWithinPartitions(*keys, "bucket_start"),
+    )

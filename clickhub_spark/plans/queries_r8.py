@@ -382,3 +382,60 @@ def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("level")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# §2.E GraphiteMergeTree retention rollup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_retention_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' THEN 3600
+                    WHEN ts >= TIMESTAMP '2024-01-11 00:00:00' THEN 21600
+                    ELSE 86400 END AS bucket_s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+               value
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(bucket_s AS BIGINT) AS bucket_s,
+           CAST(FLOOR(es / bucket_s) * bucket_s AS BIGINT) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM e GROUP BY event_type, bucket_s, bucket_start
+    """,
+)
+def q_agg_retention_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphiteMergeTree retention rollup (≙ ENGINE = GraphiteMergeTree
+    retention rules — the age-tiered downsampling sibling in the
+    README.md:132-134 engine family; the last MergeTree semantic the
+    tree lacked): events newer than Jan 25 keep 1-hour resolution,
+    Jan 11–25 collapse to 6-hour buckets, older to 1-day — cutoffs
+    pinned to a fixed "now" (2024-02-01) so the rollup is
+    deterministic at every SF (testdata spans Jan 1–30).
+
+    One hash aggregate on (event_type, bucket): the tier CASE and the
+    epoch-second bucket arithmetic are map-side scalars (integer
+    truncation on both engines — unix_timestamp ≡ FLOOR(epoch)), so at
+    100 TB the exchange carries keys × buckets, never raw rows.
+    Generic operator: operators/retention.rollup_retention; physical
+    merge form: optimize_rollup."""
+    from clickhub_spark.operators.retention import rollup_retention
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
+    return rollup_retention(
+        ev,
+        ts_col="ts",
+        keys=["event_type"],
+        value_col="value",
+        tiers=[("2024-01-25 00:00:00", 3600), ("2024-01-11 00:00:00", 21600)],
+        default_bucket_s=86400,
+    )

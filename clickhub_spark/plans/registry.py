@@ -70,6 +70,7 @@ ROUND_PRIORITY = [
     "q_dedup_collapsing_versioned",
     "q_fn_array_join",
     "q_funnel_strict",
+    "q_agg_retention_rollup",
     # --- the 25-query never-driver-checked backlog (VERDICT r7 item
     # 1: drain to zero — these missed the r7 window cut) ---
     "q_join_interval_overlap",
