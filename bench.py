@@ -233,6 +233,9 @@ def main() -> None:
         # r8 addition: CollapsingMergeTree FINAL over a built
         # sign-changelog (one sign-gated max_by/min_by aggregate)
         "q_dedup_collapsing",
+        # r8 addition: GraphiteMergeTree retention rollup (age-tiered
+        # downsampling, one hash aggregate)
+        "q_agg_retention_rollup",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(

@@ -55,6 +55,17 @@ def rollup_retention(
     so downstream can tell tiers apart; ``bucket_start`` is epoch
     seconds (BIGINT) for a cross-engine-stable wire form.
     """
+    cutoffs = [c for c, _ in tiers]
+    if cutoffs != sorted(cutoffs, reverse=True) or len(set(cutoffs)) != len(
+        cutoffs
+    ):
+        # misordered tiers would silently assign the COARSE bucket to
+        # the newest rows — and optimize_rollup would then destroy the
+        # fine-grained data irrecoverably; fail loudly instead
+        raise ValueError(
+            f"tiers must be newest-first with strictly decreasing "
+            f"cutoffs, got {cutoffs!r}"
+        )
     bucket = F.lit(int(default_bucket_s))
     for cutoff, b in reversed(tiers):
         bucket = F.when(
@@ -89,12 +100,15 @@ def optimize_rollup(
 ) -> int:
     """Physically rewrite the table as its retention rollup (the
     GraphiteMergeTree merge).  Same writers-paused / recover contract
-    as the other mutations.  NOT idempotent in general — re-running
-    with the same pinned cutoffs IS a fixed point only if every bucket
-    boundary of a finer tier aligns with its own tier assignment;
-    rolling up a rollup with moved cutoffs re-aggregates the
-    ``n``/``total`` pair correctly (sums of sums), which is why the
-    output carries exactly that pair and no derived mean.
+    as the other mutations.  TERMINAL: the output schema is
+    (keys, bucket_s, bucket_start, n, total) — ``ts_col``/``value_col``
+    are gone, so re-running this operator on its own output raises
+    (UNRESOLVED_COLUMN), deliberately: there is no silent double
+    rollup.  To coarsen an existing rollup, re-aggregate the mergeable
+    pair by hand (``sum(n)``, ``sum(total)`` over the coarser bucket —
+    sums of sums are exact; that is why the output carries exactly
+    that pair and no derived mean).  Periodic retention should roll
+    the RAW table with updated cutoffs, not re-roll a rollup.
     Returns the surviving row count."""
     from clickhub_spark.operators.mutate import _rewrite
 

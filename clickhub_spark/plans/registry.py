@@ -48,9 +48,10 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 #
 # ROUND-9 TODO: front-load (1) anything changed in round 9, (2) the
 # tail of the r3-stale block below this round's ~50-query cut (the
-# round-8 front grew to 10 names — 6 changed + 4 new collapsing/
-# array-join/strict-funnel — so ~15 of the r3-stale names below made
-# the window; the rest are the round-9 tail), then r4.
+# round-8 front grew to 11 names — 6 changed + 5 new: collapsing ×2,
+# array-join, strict-funnel, retention-rollup — so ~14 of the
+# r3-stale names below made the window; the rest are the round-9
+# tail), then r4.
 ROUND_PRIORITY = [
     # --- changed in round 8 (window front: fresh driver row required).
     # ADVICE r7 fixes: editdistance zero-denominator guard,

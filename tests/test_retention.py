@@ -65,3 +65,27 @@ def test_optimize_rollup_rewrites_and_pair_remerges(spark, tmp_path):
     )
     got = {(r.k): (r.n, r.total) for r in re}
     assert got == {"m1": (6, 63.0), "m2": (1, 100.0)}
+
+
+def test_misordered_tiers_raise(spark):
+    """Oldest-first tiers would silently coarsen the newest data (and
+    optimize_rollup would then destroy it) — must fail loudly."""
+    import pytest as _pytest
+
+    bad = [("2024-01-11 00:00:00", 21600), ("2024-01-25 00:00:00", 3600)]
+    with _pytest.raises(ValueError, match="newest-first"):
+        rollup_retention(_df(spark), "ts", ["k"], "v", bad, 86400)
+
+
+def test_optimize_rollup_is_terminal(spark, tmp_path):
+    """Re-running the physical rollup on its own output raises instead
+    of silently double-rolling (ts/value are gone from the schema)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "metrics")
+    _df(spark).write.parquet(path)
+    optimize_rollup(spark, path, "ts", ["k"], "v", _TIERS, 86400)
+    with _pytest.raises(Exception):
+        optimize_rollup(spark, path, "ts", ["k"], "v", _TIERS, 86400)
+    # the failed second run must not have destroyed the table
+    assert spark.read.parquet(path).count() == 5
