@@ -343,3 +343,116 @@ def _brute_collapse_rows(rows):
             yield (k, acc["ls"][0], acc["ls"][1], 1)
         elif acc["net"] < 0:
             yield (k, acc["fc"][0], acc["fc"][1], -1)
+
+
+vchangelog_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=1, max_value=6),   # version
+        st.integers(min_value=0, max_value=40),  # seq (order)
+        st.integers(min_value=0, max_value=9),   # payload
+        st.sampled_from([1, -1]),                # sign
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=vchangelog_strategy)
+def test_versioned_collapse_matches_reference(spark, rows):
+    """For ANY versioned changelog: per (key, version) cells whose
+    signs net positive survive with their last state by order; FINAL
+    is the max surviving version per key.  (Ties on (k, ver, seq, sign)
+    deduped — the survivor among exact ties is arbitrary in both.)"""
+    from clickhub_spark.operators.collapsing import collapse_final_versioned
+
+    seen, dedup = set(), []
+    for r in rows:
+        key = (r[0], r[1], r[2], r[4])
+        if key not in seen:
+            seen.add(key)
+            dedup.append(r)
+    rows = dedup
+    df = spark.createDataFrame(
+        rows, "k int, ver long, seq int, payload int, sign int"
+    )
+    got = sorted(
+        (r.k, r.ver, r.payload)
+        for r in collapse_final_versioned(
+            df, keys=["k"], sign="sign", version="ver", order=["seq"]
+        ).collect()
+    )
+    # sequential reference
+    cells = {}
+    for k, ver, seq, payload, sign in rows:
+        c = cells.setdefault((k, ver), {"net": 0, "ls": None})
+        c["net"] += sign
+        if sign == 1 and (c["ls"] is None or seq > c["ls"][0]):
+            c["ls"] = (seq, payload)
+    best = {}
+    for (k, ver), c in cells.items():
+        if c["net"] > 0 and c["ls"] is not None:
+            if k not in best or ver > best[k][0]:
+                best[k] = (ver, c["ls"][1])
+    exp = sorted((k, ver, payload) for k, (ver, payload) in best.items())
+    assert got == exp
+
+
+rollup_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # key
+        st.integers(min_value=0, max_value=29 * 86400), # offset sec in window
+        st.integers(min_value=0, max_value=99),         # value cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rollup_rows_strategy)
+def test_retention_rollup_conservation_laws(spark, rows):
+    """For ANY row set: the rollup conserves row count and value total
+    exactly (cent-valued inputs), every bucket_start is aligned to its
+    tier's width, and each row's bucket matches the brute-force tier
+    assignment."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from clickhub_spark.operators.retention import rollup_retention
+
+    t0 = int(
+        datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+    )
+    df = spark.createDataFrame(
+        [(str(k), off, c / 100.0) for k, off, c in rows],
+        "k string, off long, v double",
+    ).select("k", F.timestamp_seconds(F.lit(t0) + F.col("off")).alias("ts"), "v")
+    tiers = [("2024-01-25 00:00:00", 3600), ("2024-01-11 00:00:00", 21600)]
+    out = rollup_retention(df, "ts", ["k"], "v", tiers, 86400).collect()
+
+    assert sum(r.n for r in out) == len(rows)
+    assert abs(sum(r.total for r in out) - sum(c for _, _, c in rows) / 100.0) < 1e-6
+    assert all(r.bucket_start % r.bucket_s == 0 for r in out)
+
+    def tier_of(off):
+        if off >= 24 * 86400:
+            return 3600
+        if off >= 10 * 86400:
+            return 21600
+        return 86400
+
+    exp_buckets = {}
+    for k, off, c in rows:
+        b = tier_of(off)
+        start = ((t0 + off) // b) * b
+        cell = exp_buckets.setdefault((str(k), b, start), [0, 0])
+        cell[0] += 1
+        cell[1] += c
+    got = {(r.k, r.bucket_s, r.bucket_start): (r.n, r.total) for r in out}
+    assert set(got) == set(exp_buckets)
+    for cell, (n, cents) in exp_buckets.items():
+        gn, gtotal = got[cell]
+        assert gn == n and abs(gtotal - cents / 100.0) < 1e-9
