@@ -14,10 +14,12 @@ The plan is one hash aggregate on (keys, bucket): the tier CASE and
 the bucket arithmetic are map-side scalar expressions, partials
 combine before the exchange, and the output is bounded by
 keys × buckets — at 100 TB the exchange carries the rollup, never the
-raw rows.  Bucketing uses integer epoch-second arithmetic
-(``unix_timestamp`` truncates to seconds; oracles must use
-``FLOOR(epoch(ts))`` for the same truncation — see the verify
-gotchas) so both engines land rows in identical buckets.
+raw rows.  Bucketing: ``unix_timestamp`` truncates to whole epoch
+seconds (oracles must use ``FLOOR(epoch(ts))`` for the same
+truncation — see the verify gotchas), then the bucket start is
+``FLOOR(epoch / bucket) * bucket`` on BOTH engines — floor, not a
+long cast, so negative (pre-1970) epochs round toward -inf
+identically.
 """
 
 from __future__ import annotations
@@ -72,7 +74,11 @@ def rollup_retention(
             F.col(ts_col) >= F.lit(cutoff).cast("timestamp"), int(b)
         ).otherwise(bucket)
     epoch = F.unix_timestamp(F.col(ts_col))
-    start = ((epoch / bucket).cast("long") * bucket).alias("bucket_start")
+    # FLOOR, not cast: double division + cast("long") truncates toward
+    # zero, which diverges from the oracle's FLOOR (round toward -inf)
+    # for pre-1970 timestamps (negative epochs) — bucket -3600/86400
+    # must land at -86400, not 0
+    start = (F.floor(epoch / bucket) * bucket).alias("bucket_start")
     return (
         df.select(
             *keys,

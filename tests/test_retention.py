@@ -89,3 +89,27 @@ def test_optimize_rollup_is_terminal(spark, tmp_path):
         optimize_rollup(spark, path, "ts", ["k"], "v", _TIERS, 86400)
     # the failed second run must not have destroyed the table
     assert spark.read.parquet(path).count() == 5
+
+
+def test_pre_1970_timestamps_floor_like_the_oracle(spark):
+    """Negative epochs must FLOOR (round toward -inf), matching the
+    oracle's FLOOR(es / bucket_s) * bucket_s — a cast("long") on the
+    double division truncates toward ZERO and would put 23:00 on
+    1969-12-31 (epoch -3600) in bucket 0 instead of -86400 (the
+    r8 latent fixed in round 9; ADVICE retention.py:75)."""
+    rows = [
+        ("m", datetime(1969, 12, 31, 23, 0), 1.0),   # epoch -3600
+        ("m", datetime(1969, 12, 31, 1, 0), 2.0),    # epoch -82800
+        ("m", datetime(1970, 1, 1, 1, 0), 4.0),      # epoch 3600
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    # one all-history tier: 1-day buckets for everything
+    out = {
+        r.bucket_start: (r.n, r.total)
+        for r in rollup_retention(
+            df, "ts", ["k"], "v", [("2100-01-01 00:00:00", 3600)], 86400
+        ).collect()
+    }
+    # both 1969 rows floor into the [-86400, 0) day bucket; the 1970
+    # row floors into [0, 86400)
+    assert out == {-86400: (2, 3.0), 0: (1, 4.0)}
