@@ -1,0 +1,121 @@
+"""windowFunnel strict_order (operators/funnel.py — SURVEY §2.D
+sequence family; ClickHouse ``windowFunnel(window, 'strict_order')``).
+Fixture users pinned on BOTH sides of every semantic boundary:
+adjacency breaks, window-length cutoffs (VERDICT r8 item 2), exact
+boundary ties, and partition-edge leads."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from clickhub_spark.operators.funnel import window_funnel_strict
+
+_T0 = datetime(2024, 1, 10, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    # rows: (user, minutes_after_t0, type)
+    data = [
+        (u, i, _T0 + timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "user_id string, event_id long, ts timestamp, event_type string"
+    )
+
+
+def _levels(spark, rows, window_s=None):
+    ini = F.substring("event_type", 1, 1)
+    out = window_funnel_strict(
+        _ev(spark, rows),
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[ini == "v", ini == "c", ini == "p"],
+        ts_col="ts",
+        window_s=window_s,
+    )
+    return {r.user_id: r.level for r in out.collect()}
+
+
+def test_strict_adjacency(spark):
+    rows = [
+        # u1: v,c,p adjacent -> 3
+        ("u1", 0, "view"), ("u1", 1, "click"), ("u1", 2, "purchase"),
+        # u2: v,c then an interloper before p -> 2 (strict_order breaks)
+        ("u2", 0, "view"), ("u2", 1, "click"), ("u2", 2, "signup"),
+        ("u2", 3, "purchase"),
+        # u3: interloper between v and c -> 1
+        ("u3", 0, "view"), ("u3", 1, "error"), ("u3", 2, "click"),
+        # u4: no view at all -> 0
+        ("u4", 0, "click"), ("u4", 1, "purchase"),
+        # u5: a failed start then a full chain later -> 3 (max over
+        # all starts, not just the first)
+        ("u5", 0, "view"), ("u5", 1, "signup"),
+        ("u5", 2, "view"), ("u5", 3, "click"), ("u5", 4, "purchase"),
+    ]
+    assert _levels(spark, rows) == {
+        "u1": 3, "u2": 2, "u3": 1, "u4": 0, "u5": 3
+    }
+
+
+def test_window_bound_gates_each_step(spark):
+    w = 600  # 10 minutes
+    rows = [
+        # u1: whole chain inside the window -> 3
+        ("u1", 0, "view"), ("u1", 4, "click"), ("u1", 8, "purchase"),
+        # u2: click inside, purchase OUTSIDE the window measured from
+        # the FIRST event (15 min > 10) -> 2 even though adjacent
+        ("u2", 0, "view"), ("u2", 9, "click"), ("u2", 15, "purchase"),
+        # u3: click already outside the window -> 1
+        ("u3", 0, "view"), ("u3", 11, "click"), ("u3", 12, "purchase"),
+        # u4: exact boundary — purchase at EXACTLY window seconds
+        # after the view counts (ClickHouse: ts_k - ts_1 <= window)
+        ("u4", 0, "view"), ("u4", 5, "click"), ("u4", 10, "purchase"),
+        # u5: out-of-window full chain, then a tighter chain from a
+        # LATER start reaches 3 — the window re-anchors per start
+        ("u5", 0, "view"), ("u5", 20, "click"), ("u5", 25, "purchase"),
+        ("u5", 60, "view"), ("u5", 61, "click"), ("u5", 62, "purchase"),
+    ]
+    assert _levels(spark, rows, window_s=w) == {
+        "u1": 3, "u2": 2, "u3": 1, "u4": 3, "u5": 3
+    }
+
+
+def test_unbounded_equals_no_window_argument(spark):
+    rows = [
+        ("u1", 0, "view"), ("u1", 500, "click"), ("u1", 5000, "purchase"),
+    ]
+    # no window: arbitrarily slow chains still complete
+    assert _levels(spark, rows) == {"u1": 3}
+    # tight window gates the same chain to level 1
+    assert _levels(spark, rows, window_s=60) == {"u1": 1}
+
+
+def test_window_requires_ts(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="ts_col"):
+        window_funnel_strict(
+            _ev(spark, [("u1", 0, "view")]),
+            user_col="user_id",
+            order=["ts", "event_id"],
+            steps=[F.lit(True)],
+            window_s=60,
+        )
+
+
+def test_plan_is_window_plus_hash_agg_no_collect_list(spark):
+    """The r9 rewrite's point: no per-user collect_list buffer — the
+    physical plan is a sort-based Window + hash aggregate."""
+    ini = F.substring("event_type", 1, 1)
+    out = window_funnel_strict(
+        _ev(spark, [("u1", 0, "view")]),
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[ini == "v", ini == "c", ini == "p"],
+        ts_col="ts",
+        window_s=600,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "collect_list" not in plan
