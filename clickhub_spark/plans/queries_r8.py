@@ -183,19 +183,23 @@ def q_dedup_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
     w = Window.partitionBy("user_id")
-    # lazy persist: both changelog branches (states, cancels) derive
-    # from the one windowed pass — one corpus read when the combined
-    # plan executes (the q_agg_topk_bounds pattern)
-    seq = (
-        ev.withColumn("__rn", F.row_number().over(w.orderBy("ts", "event_id")))
-        .withColumn("__cnt", F.count(F.lit(1)).over(w))
-        .persist()
+    # single pass, no cache: each event emits its +1 state and — when
+    # superseded or in a fully-cancelled user — also its -1 cancel,
+    # via a map-side explode of the sign array.  (The round-8 form
+    # persisted the corpus-scale windowed frame to share it across a
+    # states/cancels union and never unpersisted — ADVICE r8 item 5.)
+    seq = ev.withColumn(
+        "__rn", F.row_number().over(w.orderBy("ts", "event_id"))
+    ).withColumn("__cnt", F.count(F.lit(1)).over(w))
+    cancelled = (F.col("__rn") < F.col("__cnt")) | (F.col("__cnt") % 5 == 0)
+    log = seq.select(
+        *ev.columns,
+        F.explode(
+            F.when(cancelled, F.array(F.lit(1), F.lit(-1))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("sign"),
     )
-    states = seq.select(*ev.columns, F.lit(1).alias("sign"))
-    cancels = seq.where(
-        (F.col("__rn") < F.col("__cnt")) | (F.col("__cnt") % 5 == 0)
-    ).select(*ev.columns, F.lit(-1).alias("sign"))
-    log = states.unionByName(cancels)
     return collapse_final(
         log, keys=["user_id"], sign="sign", order=["ts", "event_id"]
     ).select(
@@ -242,19 +246,23 @@ def q_dedup_collapsing_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
         .select("user_id", "event_id", "ts", "event_type")
     )
-    # lazy persist: states and cancels both derive from the versioned
-    # pass — one corpus read (see q_dedup_collapsing)
+    # single pass, no cache: versions ≡0 (mod 3) emit both their +1
+    # state and the -1 retraction via a map-side sign explode (see
+    # q_dedup_collapsing — replaces the r8 never-unpersisted persist)
     seq = ev.withColumn(
         "version",
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .cast("long"),
-    ).persist()
-    states = seq.select(*seq.columns, F.lit(1).alias("sign"))
-    cancels = seq.where(F.col("version") % 3 == 0).select(
-        *seq.columns, F.lit(-1).alias("sign")
     )
-    log = states.unionByName(cancels)
+    log = seq.select(
+        *seq.columns,
+        F.explode(
+            F.when(
+                F.col("version") % 3 == 0, F.array(F.lit(1), F.lit(-1))
+            ).otherwise(F.array(F.lit(1)))
+        ).alias("sign"),
+    )
     return collapse_final_versioned(
         log, keys=["user_id"], sign="sign", version="version",
         order=["ts", "event_id"],
