@@ -33,6 +33,7 @@ against both backends).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -65,6 +66,16 @@ class _WorkLoop:
     subclasses supply schedule/claim/release over their own CAS
     primitives."""
 
+    @contextlib.contextmanager
+    def _claim_guard(self, job, worker_id: str):
+        """Surrounds the handler call while the claim is held.  The
+        base backends' claims never expire, so this is a no-op;
+        lease-based backends override it to keep the lease alive for
+        the handler's whole duration (HttpWorkQueue's renewal
+        heartbeat) — without it, a handler outliving the lease gets
+        its job reclaimed and executed twice."""
+        yield
+
     def work(self, worker_id: str, handler, max_polls: int = 1, sleep_time: float = 0.0):
         """Handler failures are swallowed like the reference worker loop
         (repo/importer.py:161-179 keeps the worker alive; the job is
@@ -80,7 +91,8 @@ class _WorkLoop:
                     time.sleep(sleep_time)
                 continue
             try:
-                handler(job)
+                with self._claim_guard(job, worker_id):
+                    handler(job)
                 done.append(job.repo_name)
             except Exception as e:  # dropped, not retried
                 self.failures.append((job.repo_name, repr(e)))

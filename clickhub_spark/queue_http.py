@@ -46,10 +46,26 @@ repo/importer.py:174-175 "failed repos are dropped").  Here an
 expired lease makes the job claimable again; the dead worker's late
 release is fenced off by its stale token.  ``lease_s=0`` restores
 the reference's drop-forever semantics (an infinite lease).
+
+Slow-handler safety (round 9): a LIVE worker whose handler outruns
+``lease_s`` must not look dead — ``HttpWorkQueue`` pings ``/renew``
+from a heartbeat thread for the handler's whole duration (the
+``_claim_guard`` hook in the shared work loop), extending the lease
+under the same worker+fence match that gates release.  Renewal is
+what distinguishes slow from dead: a dead worker stops heartbeating
+and its lease lapses.  If renewal cannot run (a worker driving the
+claim/release protocol by hand), ``lease_s`` must exceed the
+worst-case job duration — or use ``lease_s=0``.
+
+Security posture: the coordinator binds loopback by DEFAULT; a
+non-loopback deployment should set ``token=...`` — every request
+must then carry it in ``X-Queue-Token`` (an unauthenticated peer
+could otherwise drain the queue, fence-break releases, or fill it).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
@@ -142,6 +158,32 @@ class QueueCoordinator:
                 return dict(rec)
             return None
 
+    def renew(
+        self,
+        repo_name: str,
+        worker_id: str,
+        fence: int,
+        lease_s: float = DEFAULT_LEASE_S,
+    ) -> bool:
+        """Extend the caller's lease — only while it still owns the
+        claim (worker AND fencing token match, same gate as release).
+        An expired-but-not-yet-reclaimed claim may renew: ownership
+        changes only at reclaim, and the matching fence proves none
+        has happened.  After a reclaim the old owner's renew fails,
+        telling a slow worker it has lost the job."""
+        now = time.time()
+        with self._lock:
+            rec = self._jobs.get(repo_name)
+            if (
+                rec is None
+                or rec["worker_id"] != worker_id
+                or rec["fence"] != fence
+            ):
+                return False
+            rec["lease_deadline"] = (now + lease_s) if lease_s else 0.0
+            self._snapshot_locked()
+            return True
+
     def release(self, repo_name: str, worker_id: str, fence: int = 0) -> bool:
         """Delete the job — but only if the caller still owns it.  An
         unclaimed job releases unconditionally (parity with the other
@@ -173,12 +215,19 @@ class QueueCoordinator:
 def make_coordinator(
     max_queue_length: int = 10_000,
     snapshot_path: str | None = None,
-    host: str = "0.0.0.0",
+    host: str = "127.0.0.1",
     port: int = 0,
+    token: str | None = None,
 ) -> tuple[ThreadingHTTPServer, QueueCoordinator]:
     """Build (without starting) the coordination server; ``port=0``
     binds an ephemeral port.  Run with ``server.serve_forever()`` (a
-    daemon thread in tests, a dedicated process in a deployment)."""
+    daemon thread in tests, a dedicated process in a deployment).
+
+    Binds LOOPBACK by default: exposing the queue on a routable
+    interface without ``token`` would let any network peer drain,
+    fence-break, or fill it.  Pass ``host="0.0.0.0"`` together with a
+    shared ``token`` for a real fleet — every request must then carry
+    ``X-Queue-Token: <token>`` (``HttpWorkQueue(token=...)`` does)."""
     coord = QueueCoordinator(max_queue_length, snapshot_path)
 
     class Handler(BaseHTTPRequestHandler):
@@ -190,7 +239,15 @@ def make_coordinator(
             self.end_headers()
             self.wfile.write(data)
 
+        def _authed(self) -> bool:
+            if token is None or self.headers.get("X-Queue-Token") == token:
+                return True
+            self._json(401, {"error": "bad or missing X-Queue-Token"})
+            return False
+
         def do_GET(self):  # noqa: N802 (http.server API name)
+            if not self._authed():
+                return
             if self.path == "/jobs":
                 self._json(200, {"jobs": coord.jobs()})
             elif self.path.startswith("/job?repo="):
@@ -202,6 +259,8 @@ def make_coordinator(
                 self.send_error(404)
 
         def do_POST(self):  # noqa: N802
+            if not self._authed():
+                return
             n = int(self.headers.get("Content-Length", 0))
             try:
                 body = json.loads(self.rfile.read(n) or b"{}")
@@ -221,6 +280,14 @@ def make_coordinator(
                         float(body.get("lease_s", DEFAULT_LEASE_S)),
                     )
                     self._json(200 if rec else 204, {"job": rec})
+                elif self.path == "/renew":
+                    ok = coord.renew(
+                        body["repo_name"],
+                        body["worker_id"],
+                        int(body.get("fence", 0)),
+                        float(body.get("lease_s", DEFAULT_LEASE_S)),
+                    )
+                    self._json(200, {"renewed": ok})
                 elif self.path == "/release":
                     ok = coord.release(
                         body["repo_name"],
@@ -254,6 +321,7 @@ class HttpWorkQueue(_WorkLoop):
         max_queue_length: int = 10_000,
         lease_s: float = DEFAULT_LEASE_S,
         timeout: float = 30.0,
+        token: str | None = None,
     ):
         self.base_url = base_url.rstrip("/")
         # advisory only — enforcement is server-side (the coordinator
@@ -261,17 +329,19 @@ class HttpWorkQueue(_WorkLoop):
         self.max_queue_length = max_queue_length
         self.lease_s = lease_s
         self.timeout = timeout
+        self.token = token
         self._fences: dict[tuple[str, str], int] = {}
 
     def _call(self, path: str, body: dict | None = None):
         url = self.base_url + path
+        headers = {} if self.token is None else {"X-Queue-Token": self.token}
         if body is None:
-            req = urllib.request.Request(url)
+            req = urllib.request.Request(url, headers=headers)
         else:
             req = urllib.request.Request(
                 url,
                 data=json.dumps(body).encode(),
-                headers={"Content-Type": "application/json"},
+                headers={"Content-Type": "application/json", **headers},
                 method="POST",
             )
         try:
@@ -343,6 +413,47 @@ class HttpWorkQueue(_WorkLoop):
             self._fences.pop((rec["repo_name"], worker_id), None)
             return None
         return self._to_job(rec)
+
+    def renew(self, repo_name: str, worker_id: str) -> bool:
+        """Extend this worker's lease on a claimed job.  False means
+        the claim is GONE (lease lapsed and the job was reclaimed, or
+        it was released) — the caller no longer owns the work."""
+        fence = self._fences.get((repo_name, worker_id), 0)
+        code, body = self._call(
+            "/renew",
+            {
+                "repo_name": repo_name,
+                "worker_id": worker_id,
+                "fence": fence,
+                "lease_s": self.lease_s,
+            },
+        )
+        return code == 200 and bool(body.get("renewed"))
+
+    @contextlib.contextmanager
+    def _claim_guard(self, job, worker_id: str):
+        """Heartbeat for the shared work loop: ping /renew at a third
+        of the lease period while the handler runs, so a SLOW worker
+        never looks dead (without this, a handler outliving lease_s
+        gets its job reclaimed and double-executed — ADVICE r8 item
+        1).  lease_s=0 is an infinite lease: nothing to renew."""
+        if not self.lease_s:
+            yield
+            return
+        stop = threading.Event()
+
+        def beat() -> None:
+            interval = max(self.lease_s / 3.0, 0.02)
+            while not stop.wait(interval):
+                if not self.renew(job.repo_name, worker_id):
+                    return  # claim lost/released: stop heartbeating
+        t = threading.Thread(target=beat, daemon=True)
+        t.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            t.join(timeout=self.timeout)
 
     def release(self, repo_name: str, worker_id: str) -> None:
         fence = self._fences.pop((repo_name, worker_id), 0)

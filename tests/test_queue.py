@@ -290,3 +290,312 @@ def test_http_coordinator_snapshot_restart(http_coord, tmp_path):
     finally:
         srv2.shutdown()
         srv2.server_close()
+
+
+def test_http_slow_handler_renewal_keeps_ownership(http_coord):
+    """ADVICE r9 (lease renewal): a handler running LONGER than
+    lease_s must not lose its job — the work loop's heartbeat renews
+    the lease, so a concurrently polling rival never reclaims, the
+    job completes exactly once, and the slow worker's own release
+    still succeeds (its fence stays current)."""
+    import time as _time
+
+    from clickhub_spark.queue_http import HttpWorkQueue
+
+    url, _ = http_coord
+    lease = 0.15
+    q = HttpWorkQueue(url, lease_s=lease)
+    rival = HttpWorkQueue(url, lease_s=lease)
+    q.schedule("acme/slow")
+
+    stolen = []
+    stop = threading.Event()
+
+    def poach() -> None:
+        while not stop.wait(0.03):
+            job = rival.claim("rival")
+            if job is not None:
+                stolen.append(job.repo_name)
+
+    t = threading.Thread(target=poach, daemon=True)
+    t.start()
+    try:
+        # handler takes 4x the lease: without renewal the rival WOULD
+        # reclaim (test_http_dead_worker_lease_recovery proves leases
+        # this short do lapse)
+        done = q.work("w-slow", lambda job: _time.sleep(4 * lease))
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    assert done == ["acme/slow"]
+    assert stolen == []  # renewal kept the claim alive throughout
+    assert q.failures == []
+    assert q.list_jobs() == []  # released by its rightful owner
+
+
+def test_http_renew_fails_after_reclaim(http_coord):
+    """renew() returning False is the slow-vs-dead signal: once the
+    lease lapses WITHOUT heartbeats and another worker reclaims, the
+    old owner's renew (stale fence) must be rejected — it has lost
+    the job and must not keep working on it."""
+    import time as _time
+
+    from clickhub_spark.queue_http import HttpWorkQueue
+
+    url, _ = http_coord
+    qa = HttpWorkQueue(url, lease_s=0.15)
+    qb = HttpWorkQueue(url, lease_s=300.0)
+    qa.schedule("acme/lost")
+    assert qa.claim("w-a") is not None
+    assert qa.renew("acme/lost", "w-a")  # still owned: renew works
+    _time.sleep(0.3)  # no heartbeat: lease lapses
+    assert qb.claim("w-b").repo_name == "acme/lost"  # reclaimed
+    assert not qa.renew("acme/lost", "w-a")  # stale fence: rejected
+    assert qb.renew("acme/lost", "w-b")  # new owner renews fine
+
+
+def test_http_token_auth(tmp_path):
+    """A coordinator with a shared token rejects untokened and
+    mis-tokened requests on every endpoint (401), and accepts the
+    fleet's tokened clients — the non-loopback deployment posture
+    (the default bind is loopback-only)."""
+    from clickhub_spark.queue_http import HttpWorkQueue, make_coordinator
+
+    srv, _ = make_coordinator(host="127.0.0.1", token="s3cret")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        good = HttpWorkQueue(url, token="s3cret")
+        good.schedule("acme/secure")
+        assert [j.repo_name for j in good.list_jobs()] == ["acme/secure"]
+
+        for bad in (HttpWorkQueue(url), HttpWorkQueue(url, token="wrong")):
+            with pytest.raises(RuntimeError):  # POST guarded
+                bad.schedule("acme/intruder")
+            with pytest.raises(RuntimeError):  # GET guarded
+                bad.list_jobs()
+            assert bad.claim("intruder") is None  # 401, no job handed out
+
+        job = good.claim("w1")
+        assert job.repo_name == "acme/secure"
+        good.release("acme/secure", "w1")
+        assert good.list_jobs() == []
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_coordinator_crash_failover_exactly_once(tmp_path):
+    """VERDICT r8 item 4: kill the coordinator MID-FLEET with claims
+    in flight, restart it from the snapshot on the same port, and
+    prove the exactly-once ledger: finished jobs stay finished,
+    in-flight claims survive with their fences (no double execution),
+    a pre-crash stale owner stays fenced off after the restart, and
+    the fleet drains every remaining job exactly once."""
+    import time as _time
+
+    from clickhub_spark.queue_http import HttpWorkQueue, make_coordinator
+
+    snap = str(tmp_path / "queue.snap")
+    srv, _ = make_coordinator(snapshot_path=snap, host="127.0.0.1")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+
+    q1 = HttpWorkQueue(url, lease_s=0.2)   # short-lease worker (w1)
+    q2 = HttpWorkQueue(url, lease_s=300.0)  # normal worker (w2)
+    for i in range(5):
+        q1.schedule(f"org/job{i}", priority=5 - i)
+
+    # pre-crash activity: job0 completes and releases; w1 claims job1
+    # (short lease) and STALLS; w2 claims job2 (long lease) and is
+    # mid-handler when the coordinator dies
+    assert q1.claim("w0").repo_name == "org/job0"
+    q1.release("org/job0", "w0")
+    assert q1.claim("w1").repo_name == "org/job1"
+    assert q2.claim("w2").repo_name == "org/job2"
+
+    # ---- crash ----
+    srv.shutdown()
+    srv.server_close()
+    _time.sleep(0.25)  # w1's lease lapses while the coordinator is down
+
+    # ---- restart from snapshot, same port: clients just reconnect ----
+    srv2, coord2 = make_coordinator(snapshot_path=snap, host="127.0.0.1", port=port)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        names = {j.repo_name for j in q2.list_jobs()}
+        # finished work stayed finished (no resurrected job0)...
+        assert names == {f"org/job{i}" for i in range(1, 5)}
+
+        # ...w2's unexpired claim survived the crash: job2 is not
+        # claimable by anyone else, and w2 can finish + release with
+        # its pre-crash fence
+        q3 = HttpWorkQueue(url, lease_s=300.0)
+        got = q3.claim("w3")
+        assert got.repo_name == "org/job1"  # w1's EXPIRED lease reclaims
+        q2.release("org/job2", "w2")
+        assert not q2.is_scheduled("org/job2")  # pre-crash fence honored
+
+        # the stalled w1 wakes up: its renew and release are fenced
+        # (job1 now belongs to w3) — no double completion possible
+        assert not q1.renew("org/job1", "w1")
+        q1.release("org/job1", "w1")
+        assert q3.is_scheduled("org/job1")  # still w3's
+        q3.release("org/job1", "w3")
+
+        # drain the tail; fleet-wide each job completed exactly once
+        done = q3.work("w3", lambda job: None, max_polls=4)
+        assert sorted(done) == ["org/job3", "org/job4"]
+        assert q3.list_jobs() == []
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Property: the coordinator is observationally equivalent to a sequential
+# reference model of the queue contract (VERDICT r8 item 8).  Linearizability
+# means every concurrent history collapses to SOME sequential order of the
+# lock's critical sections — so the contract itself is pinned by driving
+# generated sequential histories through both implementations and comparing
+# every observable result and the full state after each step.
+# ---------------------------------------------------------------------------
+
+
+class _ModelQueue:
+    """Independent straight-line model of the coordinator contract:
+    priority-then-FIFO-then-name claim order, monotonic fencing
+    tokens, lease expiry reclaim, owner+fence-gated release/renew."""
+
+    def __init__(self, now):
+        self.jobs = {}  # name -> dict
+        self.fence = 0
+        self.now = now
+
+    def schedule(self, name, prio):
+        if name in self.jobs:
+            return "dup"
+        self.jobs[name] = {
+            # claim order: priority DESC, then schedule time ASC, then
+            # NAME (the contract's deterministic tiebreak for claims
+            # landing in the same clock instant)
+            "prio": prio, "at": self.now(), "owner": "",
+            "fence": 0, "deadline": 0.0,
+        }
+        return "ok"
+
+    def claim(self, worker, lease_s):
+        now = self.now()
+        free = [
+            (r["prio"] * -1, r["at"], n)
+            for n, r in self.jobs.items()
+            if r["owner"] == "" or (r["deadline"] and r["deadline"] <= now)
+        ]
+        if not free:
+            return None
+        _, _, name = min(free)
+        rec = self.jobs[name]
+        self.fence += 1
+        rec["owner"], rec["fence"] = worker, self.fence
+        rec["deadline"] = (now + lease_s) if lease_s else 0.0
+        return name, self.fence
+
+    def renew(self, name, worker, fence, lease_s):
+        rec = self.jobs.get(name)
+        if rec is None or rec["owner"] != worker or rec["fence"] != fence:
+            return False
+        rec["deadline"] = (self.now() + lease_s) if lease_s else 0.0
+        return True
+
+    def release(self, name, worker, fence):
+        rec = self.jobs.get(name)
+        if rec is None:
+            return False
+        if rec["owner"] and not (rec["owner"] == worker and rec["fence"] == fence):
+            return False
+        del self.jobs[name]
+        return True
+
+    def state(self):
+        return {
+            n: (r["owner"], r["fence"]) for n, r in self.jobs.items()
+        }, self.fence
+
+
+def test_http_coordinator_matches_sequential_model():
+    """hypothesis drives generated histories of schedule / claim /
+    renew / release / clock-advance through QueueCoordinator (fake
+    clock) and the model; every op result and the post-op (owner,
+    fence) state must match, and fences must be strictly monotonic."""
+    from unittest import mock
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhub_spark import queue_http as qh
+
+    names = st.sampled_from(["r/a", "r/b", "r/c", "r/d"])
+    workers = st.sampled_from(["w1", "w2", "w3"])
+    leases = st.sampled_from([0.0, 5.0, 30.0])
+    op = st.one_of(
+        st.tuples(st.just("schedule"), names, st.integers(0, 2)),
+        st.tuples(st.just("claim"), workers, leases),
+        st.tuples(st.just("renew"), names, workers, leases),
+        st.tuples(st.just("release"), names, workers),
+        st.tuples(st.just("tick"), st.sampled_from([1.0, 6.0, 40.0])),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(op, max_size=40))
+    def run(ops):
+        clock = [1000.0]
+        with mock.patch.object(qh.time, "time", lambda: clock[0]):
+            coord = qh.QueueCoordinator()
+            model = _ModelQueue(lambda: clock[0])
+            # worker-visible fences, exactly what HttpWorkQueue tracks
+            fences: dict[tuple[str, str], int] = {}
+            last_fence = 0
+            for o in ops:
+                if o[0] == "schedule":
+                    _, name, prio = o
+                    try:
+                        coord.schedule(name, prio)
+                        got = "ok"
+                    except AlreadyScheduled:
+                        got = "dup"
+                    assert got == model.schedule(name, prio)
+                elif o[0] == "claim":
+                    _, worker, lease = o
+                    rec = coord.claim(worker, lease_s=lease)
+                    want = model.claim(worker, lease)
+                    if rec is None:
+                        assert want is None
+                    else:
+                        assert want == (rec["repo_name"], rec["fence"])
+                        assert rec["fence"] > last_fence  # monotonic
+                        last_fence = rec["fence"]
+                        fences[(rec["repo_name"], worker)] = rec["fence"]
+                elif o[0] == "renew":
+                    _, name, worker, lease = o
+                    f = fences.get((name, worker), 0)
+                    assert coord.renew(name, worker, f, lease) == model.renew(
+                        name, worker, f, lease
+                    )
+                elif o[0] == "release":
+                    _, name, worker = o
+                    f = fences.get((name, worker), 0)
+                    assert coord.release(name, worker, f) == model.release(
+                        name, worker, f
+                    )
+                else:
+                    clock[0] += o[1]
+                got_state = {
+                    r["repo_name"]: (r["worker_id"], r["fence"])
+                    for r in coord.jobs()
+                }
+                want_state, want_fence = model.state()
+                assert got_state == want_state
+                assert coord._fence == want_fence
+
+    run()
