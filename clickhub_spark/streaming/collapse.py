@@ -24,6 +24,15 @@ Exactly-once net accounting under at-least-once foreachBatch:
   are already inside the fold.  Without the marker, a crash between a
   batch's partial write and its checkpoint commit followed by a
   compaction would double that batch's net on replay.
+- Batch ids are CHECKPOINT-LOCAL, so the marker also records the
+  checkpoint's query id and the sink refuses to interpret it under a
+  different checkpoint (raises instead of silently dropping new
+  batches that happen to reuse folded ids — a reset checkpoint
+  re-reads the WHOLE changelog, so neither dropping nor appending
+  could be correct; the recovery is rebuild-from-changelog or
+  restore the original checkpoint).  acc_path + checkpoint are a
+  unit: relocate/copy them together (a copied checkpoint keeps its
+  id and stays valid).
 - The compaction swap uses the same fixed-name two-rename +
   ``recover_table`` contract as operators/mutate: a crash between the
   renames leaves the state at ``<acc_path>.__old`` and every entry
@@ -32,6 +41,7 @@ Exactly-once net accounting under at-least-once foreachBatch:
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from typing import Sequence
@@ -52,12 +62,42 @@ from clickhub_spark.streaming.mv import read_event_stream
 _MARKER = "_folded_through"
 
 
-def _folded_through(acc_path: str) -> int:
+def _folded_through(acc_path: str) -> tuple[int, str | None]:
+    """(highest folded batch id, checkpoint id the fold belongs to).
+
+    Batch ids are CHECKPOINT-LOCAL: the marker is only a valid replay
+    guard for the stream that produced those ids, so the fold records
+    which checkpoint that was (round 9 — ADVICE r8 item 2: without the
+    binding, a RESET checkpoint re-numbering from 0 would have its
+    genuinely new batches silently dropped as 'replays').  Legacy
+    plain-int markers load with checkpoint_id=None (unbound)."""
     try:
         with open(os.path.join(acc_path, _MARKER)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+            raw = fh.read().strip()
+    except OSError:
+        return -1, None
+    try:
+        obj = json.loads(raw)
+    except json.JSONDecodeError:
+        return -1, None
+    if isinstance(obj, dict):
+        return int(obj.get("folded_through", -1)), obj.get("checkpoint_id")
+    if isinstance(obj, int):  # legacy bare-int marker
+        return obj, None
+    return -1, None
+
+
+def _checkpoint_id(checkpoint: str) -> str | None:
+    """The stream's stable identity: Spark writes ``<ck>/metadata``
+    ({"id": uuid}) at query start and PRESERVES it across restarts —
+    a relocated-but-copied checkpoint keeps its id (markers stay
+    valid); a reset checkpoint gets a fresh one (markers must not
+    apply)."""
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as fh:
+            return json.load(fh).get("id")
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def maintain_collapsed(
@@ -81,7 +121,26 @@ def maintain_collapsed(
     stream = read_event_stream(spark, changelog_table, schema, max_files)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _folded_through(acc_path):
+        folded, fold_ck = _folded_through(acc_path)
+        if folded >= 0 and fold_ck is not None:
+            mine = _checkpoint_id(checkpoint)
+            if mine != fold_ck:
+                # batch ids are checkpoint-local: against a DIFFERENT
+                # checkpoint the marker can distinguish nothing —
+                # dropping loses new data, appending double-counts the
+                # fold.  Refuse loudly; the changelog table is the
+                # source of truth, so the documented recovery is a
+                # rebuild (fresh acc_path + fresh checkpoint) or
+                # restoring the original checkpoint.
+                raise RuntimeError(
+                    f"accumulator {acc_path!r} was compacted under "
+                    f"checkpoint id {fold_ck!r} but this stream runs "
+                    f"{mine!r}; batch-id replay detection is invalid "
+                    "across checkpoints — restore the original "
+                    "checkpoint, or rebuild the state from the "
+                    "changelog with a fresh acc_path + checkpoint"
+                )
+        if batch_id <= folded:
             return  # replay of a batch already inside the fold
         collapse_accumulate(batch_df, keys, sign, order).write.mode(
             "overwrite"
@@ -126,18 +185,32 @@ def compact_accumulator(
     keys: Sequence[str],
     order: Sequence[str],
     target_files: int = 8,
+    checkpoint: str | None = None,
 ) -> int:
     """Fold every partial into a single merged accumulator partition
     (``batch_id=-1``) and advance the ``_folded_through`` marker to
     the highest real batch id folded, so a post-crash replay of any
     folded batch is dropped by the sink rather than double-counted.
-    Writers paused during the swap, same fixed-name two-rename +
-    recover contract as operators/mutate.compact.  Returns surviving
-    accumulator row count (= live key count)."""
+    Pass the maintenance stream's ``checkpoint`` so the marker is
+    BOUND to the checkpoint whose batch ids it records (the sink
+    refuses to interpret it under any other checkpoint — batch ids
+    are checkpoint-local).  Writers paused during the swap, same
+    fixed-name two-rename + recover contract as
+    operators/mutate.compact.  Returns surviving accumulator row
+    count (= live key count)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     recover_table(acc_path)
+    ck_id = _checkpoint_id(checkpoint) if checkpoint else None
+    prev_folded, prev_ck = _folded_through(acc_path)
+    if prev_folded >= 0 and prev_ck is not None and prev_ck != ck_id:
+        raise RuntimeError(
+            f"accumulator {acc_path!r} carries a fold marker for "
+            f"checkpoint id {prev_ck!r}; compacting it under "
+            f"{ck_id!r} would mix checkpoint-local batch ids — pass "
+            "the stream's own checkpoint"
+        )
     partials = spark.read.parquet(acc_path)
     # the marker must reflect batches whose DATA is in the fold: an
     # uncommitted batch dir (crash mid-write leaves no committed
@@ -157,11 +230,9 @@ def compact_accumulator(
     )
     n = obs.get["n"]
     max_id = fold_obs.get["max_id"]
-    folded = max(
-        max_id if max_id is not None else -1, _folded_through(acc_path)
-    )
+    folded = max(max_id if max_id is not None else -1, prev_folded)
     with open(os.path.join(tmp, _MARKER), "w") as fh:
-        fh.write(str(folded))
+        json.dump({"folded_through": folded, "checkpoint_id": ck_id}, fh)
     old = f"{acc_path}.__old"
     import shutil
 

@@ -320,7 +320,7 @@ def test_streaming_collapse_maintenance(spark, tmp_path):
 
     # compaction folds partials, view identical, and maintenance
     # continues cleanly afterwards
-    n = compact_accumulator(spark, acc, ["k"], ["seq"])
+    n = compact_accumulator(spark, acc, ["k"], ["seq"], checkpoint=ck)
     assert n == 3  # a, b, c accumulator rows (b net=0 kept until read)
     assert view() == truth
     wave3 = [("b", 3, "w2", 1)]
@@ -334,7 +334,16 @@ def test_compaction_replay_does_not_double_count(spark, tmp_path):
     partial is written, compaction folds it BEFORE the stream
     checkpoint commits, and the batch replays.  The sink must drop the
     replay (its rows are inside the fold) — without the marker the net
-    would double and a fully-cancelled key would resurface."""
+    would double and a fully-cancelled key would resurface.
+
+    This is a true SAME-CHECKPOINT replay (round-9 tightening): the
+    batch-0 commit record is deleted from the checkpoint, so the
+    restarted stream re-delivers batch 0 under the SAME query id —
+    exactly what a crash between the partial write and the commit
+    produces.  (A fresh checkpoint is NOT a replay and now raises —
+    see test_compaction_marker_rejects_foreign_checkpoint.)"""
+    import os
+
     from pyspark.sql.types import StructType
 
     from clickhub_spark.streaming.collapse import (
@@ -352,20 +361,72 @@ def test_compaction_replay_does_not_double_count(spark, tmp_path):
     )
     table = str(tmp_path / "changelog")
     acc = str(tmp_path / "acc")
+    ck = str(tmp_path / "ck")
     args = dict(keys=["k"], sign="sign", order=["seq"])
     rows = [("a", 1, "v1", 1), ("a", 2, "v1", -1)]  # nets to 0
 
     _log(spark, rows).write.mode("append").parquet(table)
-    # first pass commits batch 0's partial under checkpoint ck1
-    maintain_collapsed(spark, table, acc, str(tmp_path / "ck1"), schema, **args)
-    compact_accumulator(spark, acc, ["k"], ["seq"])
+    # first pass commits batch 0's partial
+    maintain_collapsed(spark, table, acc, ck, schema, **args)
+    compact_accumulator(spark, acc, ["k"], ["seq"], checkpoint=ck)
     assert read_collapsed(spark, acc, ["k"], ["seq"]).count() == 0
 
-    # simulate the post-crash replay: a FRESH checkpoint re-delivers
-    # the same files as batch 0 again
-    maintain_collapsed(spark, table, acc, str(tmp_path / "ck2"), schema, **args)
+    # crash-before-commit: drop batch 0's commit record (and its
+    # checksum sidecar, or the re-commit's rename fails); the restarted
+    # stream (same checkpoint => same batch id) re-delivers batch 0
+    os.remove(os.path.join(ck, "commits", "0"))
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    maintain_collapsed(spark, table, acc, ck, schema, **args)
     got = read_collapsed(spark, acc, ["k"], ["seq"]).collect()
     assert got == []  # replay dropped; without the marker net would be -1
+
+
+def test_compaction_marker_rejects_foreign_checkpoint(spark, tmp_path):
+    """Batch ids are checkpoint-local (ADVICE r8 item 2): once the
+    fold marker is bound to checkpoint A, running the maintenance
+    stream against a RESET checkpoint B must raise — B's batch 0
+    re-reads the whole changelog, so dropping it would lose data and
+    appending it would double the fold; neither is silently chosen.
+    Compacting under the wrong checkpoint is refused the same way."""
+    import pytest as _pytest
+    from pyspark.sql.types import StructType
+
+    from clickhub_spark.streaming.collapse import (
+        compact_accumulator,
+        maintain_collapsed,
+    )
+
+    schema = (
+        StructType()
+        .add("k", "string")
+        .add("seq", "integer")
+        .add("payload", "string")
+        .add("sign", "integer")
+    )
+    table = str(tmp_path / "changelog")
+    acc = str(tmp_path / "acc")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    args = dict(keys=["k"], sign="sign", order=["seq"])
+
+    _log(spark, [("a", 1, "v1", 1)]).write.mode("append").parquet(table)
+    maintain_collapsed(spark, table, acc, ck1, schema, **args)
+    compact_accumulator(spark, acc, ["k"], ["seq"], checkpoint=ck1)
+
+    # new data arrives; a reset checkpoint would renumber from 0
+    _log(spark, [("b", 1, "w1", 1)]).write.mode("append").parquet(table)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="checkpoint"):
+        maintain_collapsed(spark, table, acc, ck2, schema, **args)
+
+    # compaction under the foreign checkpoint is refused too
+    with _pytest.raises(RuntimeError, match="checkpoint-local"):
+        compact_accumulator(spark, acc, ["k"], ["seq"], checkpoint=ck2)
+
+    # the original checkpoint continues cleanly past the marker
+    maintain_collapsed(spark, table, acc, ck1, schema, **args)
 
 
 def test_read_collapsed_missing_table_contract(spark, tmp_path):
