@@ -89,3 +89,237 @@ def q_funnel_strict_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_s=_FUNNEL_WINDOW_S,
     )
     return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# §2 certification rows for approximate operators (VERDICT r8 item 7):
+# the q_agg_topk_bounds pattern — the query's OUTPUT is the invariant,
+# with every exact quantity recomputed independently by the oracle and
+# every bound check a column whose expected value is a constant.
+# --------------------------------------------------------------------------
+
+#: LSH recall certification geometry — matches the registered
+#: q_llm_knn_lsh configuration (n_bits=4 hyperplane signature over the
+#: first 64 components) plus Hamming-1 multi-probe, averaged over the
+#: first 20 query vectors so the certified recall is stable across
+#: SFs (measured 0.470 / 0.485 / 0.470 at sf0.001/0.01/0.1 vs the
+#: ~0.31 random-candidate baseline of scanning 5 of 16 buckets).
+_LSH_NQ, _LSH_K, _LSH_BITS = 20, 10, 4
+
+
+@query(
+    "q_llm_knn_lsh_recall",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings
+    ), q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        FROM embeddings WHERE vec_id < {_LSH_NQ}
+    )
+    SELECT t.n_vectors, q.n_queries,
+           CAST(q.n_queries * LEAST({_LSH_K}, t.n_vectors - 1) AS BIGINT)
+               AS n_exact_pairs,
+           CAST(1 AS INT) AS recall_ge_040,
+           CAST(1 AS INT) AS pruned_le_050
+    FROM t, q
+    """,
+)
+def q_llm_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certification for the rows-only xxhash LSH ANN path
+    (q_llm_knn_lsh): mean top-10 recall over 20 query vectors against
+    the EXACT cosine top-10 (the operator q_llm_knn's oracle-green
+    brute force), as a driver-checkable boolean — plus the pruning
+    claim that makes it an ANN at all (candidates ≤ half the corpus
+    despite Hamming-1 multi-probe; expected 5/16 of buckets probed).
+
+    Both sides run in one plan: signatures are a map-side expression,
+    the 20 query rows broadcast, the exact side is a deliberate
+    O(n·q) cross score (q=20 — certification cost, not the serving
+    path), ANN candidates come from the bucket-probe join, per-query
+    top-k is a rank window over ≤n·q scored rows, and the output is
+    ONE row of counts + flags."""
+    from pyspark.sql import Window
+
+    from clickhub_spark.operators.knn import (
+        as_double,
+        cosine,
+        hyperplane_signature,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    sig = emb.withColumn(
+        "bucket", hyperplane_signature(F.col("v"), _LSH_BITS, 64)
+    )
+    probes = F.concat(
+        F.array(F.col("qbucket")),
+        F.array(
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(_LSH_BITS)
+            ]
+        ),
+    )
+    q = (
+        sig.where(F.col("vec_id") < _LSH_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .withColumn("probes", probes)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", cosine(F.col("v"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LSH_K)
+        .select("qid", "vec_id")
+    )
+    cand = sig.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("qid"))
+        & F.array_contains(F.col("probes"), F.col("bucket")),
+    )
+    ann = (
+        cand.withColumn("sim", cosine(F.col("v"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LSH_K)
+        .select("qid", "vec_id")
+    )
+    counts = (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(q.agg(F.count(F.lit(1)).alias("n_queries")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")))
+        .crossJoin(
+            exact.join(ann, ["qid", "vec_id"]).agg(
+                F.count(F.lit(1)).alias("__hits")
+            )
+        )
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("__cand")))
+    )
+    return counts.select(
+        "n_vectors",
+        "n_queries",
+        "n_exact_pairs",
+        (F.col("__hits") >= 0.40 * F.col("n_exact_pairs"))
+        .cast("int")
+        .alias("recall_ge_040"),
+        (
+            F.col("__cand")
+            <= 0.50 * F.col("n_queries") * (F.col("n_vectors") - 1)
+        )
+        .cast("int")
+        .alias("pruned_le_050"),
+    )
+
+
+@query(
+    "q_agg_uniq_bounds",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS ex
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(ex) AS BIGINT) AS exact_total,
+           CAST(0 AS BIGINT) AS n_viol
+    FROM g
+    """,
+)
+def q_agg_uniq_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound certification for the rows-only HLL++ estimate
+    (q_agg_approx_distinct, rsd=0.01): per group, the estimate must
+    sit within 5% of the exact distinct count — 5× the configured
+    relative standard deviation (measured error ≤0.67% at every SF;
+    the margin covers HLL's probabilistic tail, and the estimate is
+    DETERMINISTIC for fixed data, so the flag is stable).  The exact
+    side (group count, summed exact distincts) is recomputed by the
+    oracle; n_viol's expected value is the constant 0."""
+    g = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("ex"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("ex").alias("exact_total"),
+        F.sum(
+            (F.abs(F.col("ap") - F.col("ex")) > 0.05 * F.col("ex")).cast(
+                "long"
+            )
+        ).alias("n_viol"),
+    )
+
+
+#: percentile_approx accuracy for the rank-bound certification — the
+#: GK-sketch contract is a THEOREM: returned value's rank is within
+#: n/accuracy of p*n, independent of partition layout
+_QACC = 10_000
+
+
+@query(
+    "q_agg_quantile_bounds",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS viol_p50,
+           CAST(0 AS BIGINT) AS viol_p95
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_agg_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error certification for the rows-only sketch quantiles
+    (q_agg_approx_quantile): per event_type, the approximate p50/p95
+    value's true rank interval [count(<v)+1, count(<=v)] must
+    intersect [p*n - n/acc, p*n + n/acc] — the Greenwald-Khanna
+    guarantee percentile_approx ships, so the zero violation counts
+    are theorems, not tuned thresholds (the q_agg_topk_bounds
+    pattern).  Plan: one grouped sketch pass, the 5-row quantile
+    table broadcast back, one conditional-count pass, one-row output;
+    the oracle recomputes n_groups/n_values exactly."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    qs = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _QACC).alias("p50"),
+        F.percentile_approx("value", 0.95, _QACC).alias("p95"),
+    )
+    per = (
+        ev.join(F.broadcast(qs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p50")).cast("long")).alias("lo50"),
+            F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("hi50"),
+            F.sum((F.col("value") < F.col("p95")).cast("long")).alias("lo95"),
+            F.sum((F.col("value") <= F.col("p95")).cast("long")).alias("hi95"),
+        )
+    )
+
+    def viol(lo: str, hi: str, p: float):
+        # Spark's QuantileSummaries targets rank CEIL(p*n) with
+        # tolerance n/accuracy (QuantileSummaries.query: rank =
+        # ceil(quantile*count), targetError = relativeError*count) —
+        # at small n the tolerance is <1 rank, so the ceil convention
+        # is load-bearing: p*n alone mis-flags exact answers
+        eps = F.col("n") / _QACC
+        target = F.ceil(p * F.col("n"))
+        ok = (F.col(lo) + 1 <= target + eps) & (F.col(hi) >= target - eps)
+        return (~ok).cast("long")
+
+    return per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_values"),
+        F.sum(viol("lo50", "hi50", 0.5)).alias("viol_p50"),
+        F.sum(viol("lo95", "hi95", 0.95)).alias("viol_p95"),
+    )
