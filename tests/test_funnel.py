@@ -1,8 +1,12 @@
 """windowFunnel strict_order (operators/funnel.py — SURVEY §2.D
 sequence family; ClickHouse ``windowFunnel(window, 'strict_order')``).
-Fixture users pinned on BOTH sides of every semantic boundary:
-adjacency breaks, window-length cutoffs (VERDICT r8 item 2), exact
-boundary ties, and partition-edge leads."""
+Fixture users pinned on BOTH sides of every semantic boundary,
+including the engine-doc examples the round-9 form diverged on
+(ADVICE r9 #1): scan abort at the first non-matching interloper
+(``A,B,D,C`` → 2; ``v,s,v,c,p`` → 1), subsequence re-match within the
+scanned prefix (``v,c,c,p`` → 3), window-length cutoffs measured from
+the inherited chain start, exact boundary ties, and chain-start
+resets."""
 
 from datetime import datetime, timedelta
 
@@ -37,24 +41,42 @@ def _levels(spark, rows, window_s=None):
     return {r.user_id: r.level for r in out.collect()}
 
 
-def test_strict_adjacency(spark):
+def test_strict_order_scan(spark):
     rows = [
         # u1: v,c,p adjacent -> 3
         ("u1", 0, "view"), ("u1", 1, "click"), ("u1", 2, "purchase"),
-        # u2: v,c then an interloper before p -> 2 (strict_order breaks)
+        # u2: A,B,D,C from the ClickHouse docs — the non-matching D
+        # ABORTS the scan after the chain started -> 2
         ("u2", 0, "view"), ("u2", 1, "click"), ("u2", 2, "signup"),
         ("u2", 3, "purchase"),
-        # u3: interloper between v and c -> 1
+        # u3: interloper right after the chain start -> 1
         ("u3", 0, "view"), ("u3", 1, "error"), ("u3", 2, "click"),
-        # u4: no view at all -> 0
+        # u4: no view at all -> 0 (later-step events neither start
+        # nor abort the scan)
         ("u4", 0, "click"), ("u4", 1, "purchase"),
-        # u5: a failed start then a full chain later -> 3 (max over
-        # all starts, not just the first)
+        # u5: v,s,v,c,p from the ClickHouse docs — the abort is
+        # GLOBAL, a later clean chain is never scanned -> 1
         ("u5", 0, "view"), ("u5", 1, "signup"),
         ("u5", 2, "view"), ("u5", 3, "click"), ("u5", 4, "purchase"),
+        # u6: v,c,c,p — a repeated condition re-matches its level,
+        # the chain is a subsequence within the scanned prefix -> 3
+        ("u6", 0, "view"), ("u6", 1, "click"), ("u6", 2, "click"),
+        ("u6", 3, "purchase"),
+        # u7: v,p,c,p — an event matching a LATER step is not an
+        # interloper; the chain completes past it -> 3
+        ("u7", 0, "view"), ("u7", 1, "purchase"), ("u7", 2, "click"),
+        ("u7", 3, "purchase"),
+        # u8: leading interlopers BEFORE any chain start are skipped,
+        # not aborting -> 3
+        ("u8", 0, "signup"), ("u8", 1, "error"),
+        ("u8", 2, "view"), ("u8", 3, "click"), ("u8", 4, "purchase"),
+        # u9: second v restarts nothing harmful — v,v,c,p -> 3
+        ("u9", 0, "view"), ("u9", 1, "view"), ("u9", 2, "click"),
+        ("u9", 3, "purchase"),
     ]
     assert _levels(spark, rows) == {
-        "u1": 3, "u2": 2, "u3": 1, "u4": 0, "u5": 3
+        "u1": 3, "u2": 2, "u3": 1, "u4": 0, "u5": 1,
+        "u6": 3, "u7": 3, "u8": 3, "u9": 3,
     }
 
 
@@ -79,6 +101,24 @@ def test_window_bound_gates_each_step(spark):
     assert _levels(spark, rows, window_s=w) == {
         "u1": 3, "u2": 2, "u3": 1, "u4": 3, "u5": 3
     }
+
+
+def test_window_start_is_inherited_not_latest(spark):
+    """The window for step k is measured from the chain start INHERITED
+    through level k-1 (ClickHouse events_timestamp propagation), not
+    from the nearest earlier cond1 event."""
+    w = 600
+    rows = [
+        # u1: p is 12 min after the v that anchored its c-chain (out),
+        # and the fresher v@10 never got a c after it -> 2
+        ("u1", 0, "view"), ("u1", 9, "click"),
+        ("u1", 10, "view"), ("u1", 12, "purchase"),
+        # u2: same stream plus a second c after the fresh v: the new
+        # chain start propagates and p lands inside it -> 3
+        ("u2", 0, "view"), ("u2", 9, "click"),
+        ("u2", 10, "view"), ("u2", 11, "click"), ("u2", 12, "purchase"),
+    ]
+    assert _levels(spark, rows, window_s=w) == {"u1": 2, "u2": 3}
 
 
 def test_unbounded_equals_no_window_argument(spark):
