@@ -61,11 +61,15 @@ Security posture: the coordinator binds loopback by DEFAULT; a
 non-loopback deployment should set ``token=...`` — every request
 must then carry it in ``X-Queue-Token`` (an unauthenticated peer
 could otherwise drain the queue, fence-break releases, or fill it).
+The token check is constant-time (``hmac.compare_digest``), but the
+token travels in a plaintext header: non-loopback deployments should
+also run behind TLS or a trusted network.
 """
 
 from __future__ import annotations
 
 import contextlib
+import hmac
 import json
 import os
 import threading
@@ -240,7 +244,15 @@ def make_coordinator(
             self.wfile.write(data)
 
         def _authed(self) -> bool:
-            if token is None or self.headers.get("X-Queue-Token") == token:
+            # constant-time compare (ADVICE r9 #4): on the documented
+            # non-loopback deployment (host=0.0.0.0 + token) a plain
+            # == is timing-observable; such deployments should also
+            # sit behind TLS or a trusted network — the token itself
+            # travels in a plaintext header
+            got = self.headers.get("X-Queue-Token")
+            if token is None or (
+                got is not None and hmac.compare_digest(got, token)
+            ):
                 return True
             self._json(401, {"error": "bad or missing X-Queue-Token"})
             return False
@@ -445,7 +457,17 @@ class HttpWorkQueue(_WorkLoop):
         def beat() -> None:
             interval = max(self.lease_s / 3.0, 0.02)
             while not stop.wait(interval):
-                if not self.renew(job.repo_name, worker_id):
+                try:
+                    renewed = self.renew(job.repo_name, worker_id)
+                except (urllib.error.URLError, OSError):
+                    # transient transport failure (coordinator
+                    # crash/restart mid-failover — a supported state,
+                    # ADVICE r9 #2): keep the heartbeat ALIVE and
+                    # retry next interval; dying here silently lapses
+                    # the lease under a running handler and invites a
+                    # double-execute on reclaim
+                    continue
+                if not renewed:
                     return  # claim lost/released: stop heartbeating
         t = threading.Thread(target=beat, daemon=True)
         t.start()

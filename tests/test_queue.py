@@ -333,6 +333,72 @@ def test_http_slow_handler_renewal_keeps_ownership(http_coord):
     assert q.list_jobs() == []  # released by its rightful owner
 
 
+def test_http_heartbeat_survives_coordinator_outage(tmp_path):
+    """ADVICE r9 #2: a coordinator crash/restart MID-HANDLER must not
+    kill the heartbeat thread — beat() used to catch only HTTPError,
+    so the URLError from a refused connection silently terminated
+    renewal; after the coordinator came back the lease lapsed under
+    the still-running handler and a rival double-executed.  The beat
+    must retry through the outage and resume renewing on restart."""
+    import time as _time
+
+    from clickhub_spark.queue_http import HttpWorkQueue, make_coordinator
+
+    snap = str(tmp_path / "queue.snap")
+    srv, _ = make_coordinator(snapshot_path=snap, host="127.0.0.1")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+
+    lease = 0.4
+    q = HttpWorkQueue(url, lease_s=lease)
+    rival = HttpWorkQueue(url, lease_s=lease)
+    q.schedule("acme/outage")
+
+    stolen: list[str] = []
+    stop = threading.Event()
+
+    def poach() -> None:
+        while not stop.wait(0.05):
+            try:
+                job = rival.claim("rival")
+            except OSError:
+                continue  # coordinator down: rival retries too
+            if job is not None:
+                stolen.append(job.repo_name)
+
+    def handler(job) -> None:
+        # outage shorter than the remaining lease, placed right after
+        # the first beats: the old code's beat thread dies HERE
+        _time.sleep(0.2)
+        srv.shutdown()
+        srv.server_close()
+        _time.sleep(0.2)
+        srv2, _ = make_coordinator(
+            snapshot_path=snap, host="127.0.0.1", port=port
+        )
+        threading.Thread(target=srv2.serve_forever, daemon=True).start()
+        handler.srv2 = srv2
+        # keep running 4x the lease past the restart: only a LIVE
+        # heartbeat prevents the reclaim now
+        _time.sleep(4 * lease)
+
+    t = threading.Thread(target=poach, daemon=True)
+    t.start()
+    try:
+        done = q.work("w-outage", handler)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        srv2 = getattr(handler, "srv2", None)
+        if srv2 is not None:
+            srv2.shutdown()
+            srv2.server_close()
+    assert done == ["acme/outage"]
+    assert stolen == []  # heartbeat retried through the outage
+    assert q.failures == []
+
+
 def test_http_renew_fails_after_reclaim(http_coord):
     """renew() returning False is the slow-vs-dead signal: once the
     lease lapses WITHOUT heartbeats and another worker reclaims, the
