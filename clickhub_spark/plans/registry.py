@@ -33,273 +33,315 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # check is oldest.  Names not in the registry are ignored, so entries
 # can be staged before their module lands.  Override ad hoc with
 # SPARK_GRAFT_QUERY_ORDER=comma,separated,names (prefix order).
-# Round-8 rationale (VERDICT.md r7 item 1: drain the backlog to
-# zero): after r7, exactly 25 registered queries have never received
-# a driver CORRECTNESS row — they sat below the r7 window cut.
-# Order:
-#   1. Changed in round 8 (fresh row required regardless of age):
-#      the four ADVICE-r7 fixes plus anything added this round.
-#   2. The full 25-name never-checked backlog — after this window
-#      every registered query has ≥1 green driver row.
-#   3. r3 block (5 rounds stale), then r4, r5, r6, r7 (freshest).
-# The full tools/check.py gates at 3 SFs, the vanilla-session gate,
-# and the cluster gate (all 0-fail artifacts each round) carry
-# whole-surface value-checking between driver visits.
 #
-# ROUND-9 TODO: front-load (1) anything changed in round 9, (2) the
-# tail of the r3-stale block below this round's ~50-query cut (the
-# round-8 front grew to 11 names — 6 changed + 5 new: collapsing ×2,
-# array-join, strict-funnel, retention-rollup — so ~14 of the
-# r3-stale names below made the window; the rest are the round-9
-# tail), then r4.
+# PER-ROUND WORKFLOW (do this EVERY round — round 9 skipped it and
+# shipped zero new driver information): regenerate the order from
+# `python tools/staleness.py` — (1) new/changed-this-round names
+# first, (2) oldest-driver-row blocks until the ~50-name window is
+# full, (3) everything else oldest-first.  The full tools/check.py
+# gates at 3 SFs, the vanilla-session gate, and the cluster gate
+# (0-fail artifacts each round) carry whole-surface value-checking
+# between driver visits.
+#
+# Round-10 rotation: after this window no registered query's latest
+# driver row is older than round 4 (VERDICT r9 item 2's done
+# criterion).
 ROUND_PRIORITY = [
-    # --- changed in round 8 (window front: fresh driver row required).
-    # ADVICE r7 fixes: editdistance zero-denominator guard,
-    # topk_weighted explicit NULL contract, topk_sketch lazy persist
-    # (plan-only builder), kendall NaN-y exclusion ---
-    "q_fn_editdistance",
-    "q_agg_topk_weighted",
-    "q_agg_topk_sketch",
-    "q_agg_kendall",
-    "q_agg_kendall_by",
-    # new in round 8: eviction-regime sketch certification (VERDICT
-    # r7 item 4)
-    "q_agg_topk_bounds",
-    # new in round 8, second wave: collapsing-engine FINALs, ARRAY
-    # JOIN, strict-order windowFunnel
-    "q_dedup_collapsing",
-    "q_dedup_collapsing_versioned",
-    "q_fn_array_join",
+    # --- ROUND-10 WINDOW FRONT (VERDICT r9 item 2 — the rotation
+    # round 9 skipped).  1: the four round-9 queries that never got a
+    # driver row (the fixed quantile cert ships first), 2: the two new
+    # round-10 ANN recall certs, 3: queries whose CODE changed in
+    # round 10 (true strict_order funnel scan; LSH multi_probe
+    # serving alignment) ---
+    "q_agg_quantile_bounds",
+    "q_funnel_strict_window",
+    "q_llm_knn_lsh_recall",
+    "q_agg_uniq_bounds",
+    "q_llm_knn_ivf_recall",
+    "q_llm_knn_pq_recall",
     "q_funnel_strict",
-    "q_agg_retention_rollup",
-    # --- the 25-query never-driver-checked backlog (VERDICT r7 item
-    # 1: drain to zero — these missed the r7 window cut) ---
-    "q_join_interval_overlap",
-    "q_agg_ndcg",
-    "q_stream_dedup",
-    "q_llm_boilerplate",
-    "q_scan_schema_evolution",
-    "q_scan_time_travel",
-    "q_scan_snapshot_diff",
-    "q_agg_cohort_retention",
-    "q_join_asof_nearest",
-    "q_win_running_distinct",
-    "q_seq_match_time",
-    "q_fn_minmax_normalize",
-    "q_agg_mode",
-    "q_agg_time_decay",
-    "q_fn_round_modes",
-    "q_agg_theils_u",
-    "q_agg_spearman",
-    "q_agg_anova",
-    "q_agg_ewma",
-    "q_agg_acf",
-    "q_agg_cusum",
-    "q_agg_seasonal_index",
-    "q_llm_ngram_novelty",
-    "q_multimodal_audio_stats",
-    "q_agg_proportions_z",
-    # --- last driver row: round 3 (5 rounds stale — these fill the
-    # remaining ~20 window slots after the backlog) ---
-    "q_llm_embed_centroid",
-    "q_fill_gaps",
-    "q_agg_histogram",
-    "q_fn_url",
-    "q_tpch_q4",
-    "q_tpch_q18",
-    "q_agg_stats",
-    "q_llm_simhash",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q7",
-    "q_tpch_q14",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_join_any",
-    "q_llm_mixture",
+    "q_llm_knn_lsh",
+    # --- the 36-name block whose latest driver row is round 3 (six
+    # rounds stale; judge re-verified all green at sf0.01 in r9, but
+    # driver rows are the currency) ---
+    "q_agg_approx_distinct",
+    "q_agg_count",
+    "q_agg_count_col",
+    "q_agg_countif",
+    "q_agg_distinct",
+    "q_agg_max",
+    "q_agg_multi",
+    "q_agg_partial_final",
+    "q_agg_rollup",
     "q_agg_uniq_state",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_range_time",
+    "q_groupby_min",
+    "q_join_any",
     "q_llm_knn_pq",
+    "q_llm_mixture",
+    "q_llm_perplexity",
+    "q_mv_stars",
+    "q_proj_cast",
+    "q_projection_agg",
+    "q_projection_filter",
+    "q_scan_parquet",
+    "q_scan_tsv",
     "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q9",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q15",
     "q_tpch_q16",
     "q_tpch_q17",
     "q_tpch_q19",
+    "q_tpch_q2",
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
-    "q_projection_filter",
-    "q_projection_agg",
-    "q_llm_perplexity",
-    "q_scan_parquet",
-    "q_scan_tsv",
-    "q_proj_cast",
-    "q_filter_eq",
-    "q_filter_range_time",
-    "q_filter_in",
-    "q_agg_max",
-    "q_agg_count",
-    "q_agg_count_col",
-    "q_groupby_min",
-    "q_mv_stars",
-    "q_agg_countif",
-    "q_agg_partial_final",
-    "q_agg_multi",
-    "q_agg_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_rollup",
-    # --- last driver row: round 4 ---
-    "q_sample_hash",
-    "q_funnel",
-    "q_retention",
-    "q_agg_array_combinator",
-    "q_seq_match",
-    "q_topk_freq",
-    "q_agg_cube",
-    "q_agg_argmax",
-    "q_agg_quantile",
-    "q_dedup_replacing",
-    "q_topk_multi",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_stream_slide",
-    "q_llm_dedup_embed",
+    "q_tpch_q9",
+    # --- tail of the ~50-name window: the oldest round-4 names ---
     "q_agg_approx_quantile",
+    "q_agg_argmax",
+    "q_agg_array_combinator",
+    "q_agg_cube",
     "q_agg_grouping_sets",
-    "q_set_union_all",
-    "q_win_firstlast",
-    "q_llm_knn_ivf",
+    "q_agg_quantile",
+    # --- below the expected window cut: remaining r4, then r5, r6,
+    # r7, and the round-9-fresh names last (newest evidence) ---
     "q_agg_salted",
-    "q_tpch_q6",
-    "q_tpch_q3",
-    "q_win_pctrank",
-    "q_fn_interval",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
+    "q_dedup_replacing",
     "q_fn_array",
-    "q_fn_json",
+    "q_fn_cond",
+    "q_fn_date",
     "q_fn_hash",
-    "q_stream_join",
-    "q_llm_simhash_md5",
-    "q_multimodal_resize",
-    "q_multimodal_frames",
-    "q_llm_perplexity_store",
-    "q_queue_sqlite",
-    "q_llm_vocab_coverage",
-    "q_llm_shuffle",
+    "q_fn_interval",
+    "q_fn_json",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_variant",
+    "q_funnel",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_limit_offset",
+    "q_llm_dedup_embed",
+    "q_llm_knn_ivf",
     "q_llm_knn_lsh_md5",
     "q_llm_pack_sharded",
+    "q_llm_perplexity_store",
+    "q_llm_shuffle",
+    "q_llm_simhash_md5",
     "q_llm_split",
-    "q_fn_variant",
-    "q_join_salted",
-    "q_join_bucketed",
-    "q_set_intersect_all",
+    "q_llm_vocab_coverage",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_queue_sqlite",
+    "q_retention",
+    "q_sample_hash",
+    "q_seq_match",
+    "q_set_except",
     "q_set_except_all",
-    "q_limit_offset",
-    # --- last driver row: round 5 ---
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
+    "q_set_intersect",
+    "q_set_intersect_all",
+    "q_set_union",
+    "q_set_union_all",
+    "q_stream_join",
+    "q_stream_slide",
+    "q_topk_freq",
+    "q_topk_multi",
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_win_firstlast",
+    "q_win_pctrank",
+    "q_agg_collect",
+    "q_fn_bitwise",
+    "q_fn_higher_order",
     "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_left",
     "q_join_multiway",
     "q_join_range",
-    "q_join_asof",
     "q_join_range_binned",
-    "q_join_full_outer",
-    "q_win_rank",
-    "q_win_lag",
-    "q_win_running",
-    "q_win_range",
-    "q_win_topn_group",
-    "q_win_dist",
-    "q_stream_tumble",
-    "q_stream_session",
-    "q_fn_higher_order",
-    "q_fn_bitwise",
-    "q_join_cross",
-    "q_agg_collect",
+    "q_join_semi",
+    "q_llm_chunk",
+    "q_llm_contamination",
+    "q_llm_corpus_pipeline",
+    "q_llm_dedup_apply",
+    "q_llm_dedup_apply_near",
     "q_llm_dedup_exact",
+    "q_llm_dedup_groups",
+    "q_llm_dedup_incremental",
     "q_llm_dedup_jaccard",
     "q_llm_dedup_minhash",
-    "q_llm_knn",
-    "q_llm_knn_lsh",
-    "q_llm_textstats",
-    "q_llm_lang_id",
-    "q_llm_quality",
-    "q_llm_fingerprint",
-    "q_udf_scalar",
-    "q_udf_agg",
-    "q_udf_table",
-    "q_multimodal_meta",
-    "q_llm_token_bpe",
     "q_llm_dedup_minhash_md5",
-    "q_llm_dedup_groups",
-    "q_sample_stratified",
-    "q_llm_dedup_apply",
-    "q_llm_pii_scrub",
-    "q_llm_contamination",
-    "q_llm_repetition",
-    "q_llm_dedup_incremental",
-    "q_llm_chunk",
-    "q_llm_dedup_apply_near",
-    "q_llm_pack",
-    "q_llm_corpus_pipeline",
     "q_llm_dedup_substring",
+    "q_llm_fingerprint",
+    "q_llm_knn",
+    "q_llm_lang_id",
     "q_llm_minhash_sim",
-    # --- last driver row: round 6 (freshest evidence, checked last) ---
-    "q_llm_semdedup",
+    "q_llm_pack",
+    "q_llm_pii_scrub",
+    "q_llm_quality",
+    "q_llm_repetition",
+    "q_llm_textstats",
+    "q_llm_token_bpe",
+    "q_multimodal_meta",
+    "q_sample_stratified",
+    "q_stream_session",
+    "q_stream_tumble",
+    "q_udf_agg",
+    "q_udf_scalar",
+    "q_udf_table",
+    "q_win_dist",
+    "q_win_lag",
+    "q_win_range",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_topn_group",
+    "q_agg_bitmap",
+    "q_agg_bitops",
+    "q_agg_corr",
+    "q_agg_deltasum",
+    "q_agg_entropy",
     "q_agg_ks_test",
-    "q_agg_mannwhitney",
     "q_agg_ks_test_by",
+    "q_agg_mad",
+    "q_agg_mannwhitney",
     "q_agg_mannwhitney_by",
-    "q_llm_ngram_lm",
-    "q_win_ntile",
+    "q_agg_moments",
+    "q_agg_quantiles_multi",
+    "q_agg_ttest",
+    "q_fn_datetime2",
+    "q_fn_dictget",
+    "q_fn_encode",
     "q_fn_geo",
     "q_fn_ip",
-    "q_agg_bitmap",
-    "q_llm_docstore_join",
     "q_fn_string2",
-    "q_agg_entropy",
-    "q_llm_quality_v2",
-    "q_agg_corr",
-    "q_fn_datetime2",
-    "q_llm_tfidf",
-    "q_scan_zorder",
-    "q_fn_encode",
-    "q_win_nth",
-    "q_pivot",
-    "q_unpivot",
-    "q_sessionize",
-    "q_win_neighbor",
-    "q_seq_count",
-    "q_llm_kmeans_assign",
-    "q_llm_embed_quant",
     "q_llm_dataset_card",
+    "q_llm_docstore_join",
+    "q_llm_embed_quant",
+    "q_llm_importance_sample",
+    "q_llm_kmeans_assign",
+    "q_llm_ngram_lm",
+    "q_llm_quality_v2",
+    "q_llm_semdedup",
+    "q_llm_tfidf",
     "q_mutate_delete",
+    "q_mutate_update",
+    "q_pivot",
     "q_queue_fs",
     "q_scan_bloom",
-    "q_agg_quantiles_multi",
-    "q_agg_bitops",
-    "q_agg_moments",
-    "q_fn_dictget",
     "q_scan_csv",
     "q_scan_jsonl",
     "q_scan_orc",
-    "q_llm_importance_sample",
-    "q_win_locf",
-    "q_agg_mad",
-    "q_agg_ttest",
+    "q_scan_zorder",
+    "q_seq_count",
+    "q_sessionize",
     "q_sort_global",
     "q_system_parts",
-    "q_agg_deltasum",
-    "q_mutate_update",
+    "q_unpivot",
+    "q_win_locf",
+    "q_win_neighbor",
+    "q_win_nth",
+    "q_win_ntile",
+    "q_agg_auc",
+    "q_agg_contingency",
+    "q_agg_interval_length_sum",
+    "q_agg_lttb",
+    "q_agg_max_intersections",
+    "q_agg_moving_array",
+    "q_agg_ols",
+    "q_agg_quantile_weighted",
+    "q_agg_resample",
+    "q_agg_sample_group",
+    "q_agg_summap",
+    "q_agg_uniq_upto",
+    "q_fn_array_diff",
+    "q_fn_array_enumerate",
+    "q_fn_map",
+    "q_fn_map_higher",
+    "q_fn_numbers",
+    "q_join_asof_fwd",
+    "q_llm_bpe_train",
+    "q_llm_chunk_sentences",
+    "q_llm_decontam_bloom",
+    "q_llm_dedup_bloom",
+    "q_llm_dedup_editdist",
+    "q_llm_dedup_passage",
+    "q_llm_embed_matryoshka",
+    "q_llm_kmeans_update",
+    "q_llm_knn_ivf_exact",
+    "q_llm_logreg_fit",
+    "q_llm_pca",
+    "q_llm_quality_classifier",
+    "q_llm_score_normalize",
+    "q_llm_text_normalize",
+    "q_llm_url_canon",
+    "q_multimodal_jpeg_progressive",
+    "q_multimodal_video",
+    "q_mutate_ttl",
+    "q_scan_csv_permissive",
+    "q_scan_partition_prune",
+    "q_seq_next_node",
+    "q_sort_nulls",
+    "q_source_gitlog",
+    "q_source_numbers_ds",
+    "q_stream_enrich",
+    "q_stream_stateful",
+    "q_win_interpolate",
+    "q_agg_acf",
+    "q_agg_anova",
+    "q_agg_cohort_retention",
+    "q_agg_cusum",
+    "q_agg_ewma",
+    "q_agg_histogram",
+    "q_agg_kendall",
+    "q_agg_kendall_by",
+    "q_agg_mode",
+    "q_agg_ndcg",
+    "q_agg_proportions_z",
+    "q_agg_retention_rollup",
+    "q_agg_seasonal_index",
+    "q_agg_spearman",
+    "q_agg_stats",
+    "q_agg_theils_u",
+    "q_agg_time_decay",
+    "q_agg_topk_bounds",
+    "q_agg_topk_sketch",
+    "q_agg_topk_weighted",
+    "q_dedup_collapsing",
+    "q_dedup_collapsing_versioned",
+    "q_fill_gaps",
+    "q_fn_array_join",
+    "q_fn_editdistance",
+    "q_fn_minmax_normalize",
+    "q_fn_round_modes",
+    "q_fn_url",
+    "q_join_asof_nearest",
+    "q_join_interval_overlap",
+    "q_llm_boilerplate",
+    "q_llm_embed_centroid",
+    "q_llm_ngram_novelty",
+    "q_llm_simhash",
+    "q_multimodal_audio_stats",
+    "q_scan_schema_evolution",
+    "q_scan_snapshot_diff",
+    "q_scan_time_travel",
+    "q_seq_match_time",
+    "q_stream_dedup",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_win_running_distinct",
 ]
 
 
