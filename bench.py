@@ -115,6 +115,73 @@ def bench_set(
     return execs, detail
 
 
+def baseline_gate(now: dict[str, float]) -> dict | None:
+    """Load-invariant regression gate (VERDICT r8 item 5 / r9 item 4).
+
+    The absolute-seconds comparison against the pinned round-5 series
+    is unreliable on this box: ambient VM-host load drifts ±15% across
+    days and inflates every row uniformly.  Fix: BENCH_BASELINE.json
+    pins per-query exec_sec from a quiet-box capture (round-6
+    close-out, loadavg 1.81) for the headline+TPC-H sets — queries
+    measured in THIS session anyway.  The ambient factor is the MEDIAN
+    per-query now/baseline ratio: uniform load moves every ratio
+    equally (the median IS the drift), while a code regression
+    concentrated in any minority of the 42 queries cannot move it.
+    The verdict is the load-adjusted total ratio (gate ≤1.2) plus the
+    per-query outliers — both independent of how busy the box was.
+
+    Tiny rows (<0.05 s baseline) are excluded from the MEDIAN (their
+    ratios are scheduler noise) but kept in the totals; queries whose
+    plans intentionally changed since capture go in the baseline
+    file's "excluded" map with the adjudication note.
+    """
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        base_doc = json.load(fh)
+    base = {**base_doc.get("queries", {}), **base_doc.get("tpch", {})}
+    excluded = set(base_doc.get("excluded", {}))
+    cal = {
+        q: (now[q], base[q])
+        for q in base
+        if q in now and q not in excluded
+    }
+    if len(cal) < 10:
+        return {"error": f"only {len(cal)} calibration queries present"}
+    ratios = sorted(
+        n / b for n, b in cal.values() if b >= 0.05 and n > 0
+    )
+    mid = len(ratios) // 2
+    ambient = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    sum_now = sum(n for n, _ in cal.values())
+    sum_base = sum(b for _, b in cal.values())
+    ratio_raw = sum_now / sum_base
+    adjusted = ratio_raw / ambient if ambient > 0 else float("inf")
+    regressed = sorted(
+        q
+        for q, (n, b) in cal.items()
+        if b >= 0.05
+        and n / (b * ambient) > 1.5
+        and n - b * ambient > 0.2
+    )
+    return {
+        "baseline_round": base_doc.get("captured_round"),
+        "n_calibration": len(cal),
+        "ambient_factor": round(ambient, 3),
+        "ratio_raw": round(ratio_raw, 3),
+        "ratio_load_adjusted": round(adjusted, 3),
+        "gate_1p2_pass": adjusted <= 1.2,
+        "regressed_queries": regressed,
+    }
+
+
 def main() -> None:
     from clickhub_spark.plans import all_specs
     from clickhub_spark.session import get_spark
@@ -242,6 +309,14 @@ def main() -> None:
             spark, specs, [n for n in pipeline if n in specs], sf_dir
         )
         out["pipeline_total"] = round(sum(out["pipeline"].values()), 3)
+    # Load-invariant regression verdict (same-session calibration
+    # against the pinned quiet-box per-query baseline): the number the
+    # cross-round comparison should read FIRST — it does not move with
+    # ambient VM load the way the absolute totals do.  Only meaningful
+    # at the baseline's own scale (sf0.1 full run).
+    gate = baseline_gate({**timings, **out.get("tpch", {})})
+    if gate is not None:
+        out["baseline_gate"] = gate
     # Output contract (changed round 6, VERDICT r5 item 5): the driver
     # captures only a ~2000-char stdout TAIL, so the r5 full-detail
     # line (~10 KB) truncated from the front and the totals were lost
@@ -266,6 +341,7 @@ def main() -> None:
             key=lambda kv: kv[1],
             default=None,
         ),
+        "baseline_gate": out.get("baseline_gate"),
         "queries": out["queries"],
         "method": out["method"],
         "baseline_round": out["baseline_round"],
