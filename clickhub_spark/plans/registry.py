@@ -59,6 +59,9 @@ ROUND_PRIORITY = [
     "q_agg_uniq_bounds",
     "q_llm_knn_ivf_recall",
     "q_llm_knn_pq_recall",
+    "q_llm_logreg_cert",
+    "q_llm_pca_cert",
+    "q_llm_bpe_cert",
     "q_funnel_strict",
     "q_llm_knn_lsh",
     # --- the 36-name block whose latest driver row is round 3 (six
