@@ -577,3 +577,244 @@ def q_llm_bpe_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compressed_le_base"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# windowFunnel mode family (round 10): the operator's remaining three
+# engine modes — default-with-window, strict_dedup, strict_increase —
+# registered over the same view→click→purchase chain as
+# q_funnel_strict / q_funnel_strict_window, so the four modes'
+# semantics are directly comparable in driver rows.  Oracles
+# transcribe the identical window-SQL construction in DuckDB
+# (operators/funnel.py module docstring derives why the greedy DP
+# collapses to running maxima).
+# --------------------------------------------------------------------------
+
+#: same 1-day window as q_funnel_strict_window (queries_r9).
+_FW = 86_400
+
+
+@query(
+    "q_funnel_window",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               substr(event_type, 1, 1) AS i,
+               epoch(ts) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ), s0 AS (
+        SELECT *,
+               MAX(CASE WHEN i = 'v' THEN t END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a0
+        FROM e
+    ), s1 AS (
+        SELECT *,
+               (i = 'c' AND a0 IS NOT NULL AND t <= a0 + {_FW}) AS qual2
+        FROM s0
+    ), s2 AS (
+        SELECT *,
+               MAX(CASE WHEN qual2 THEN a0 END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a1
+        FROM s1
+    ), lvl AS (
+        SELECT user_id,
+               CASE WHEN i = 'p' AND a1 IS NOT NULL
+                         AND t <= a1 + {_FW} THEN 3
+                    WHEN qual2 THEN 2
+                    WHEN i = 'v' THEN 1
+                    ELSE 0 END AS l
+        FROM s2
+    ), u AS (
+        SELECT user_id, MAX(l) AS level FROM lvl GROUP BY user_id
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY level
+    """,
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel DEFAULT mode with the window bound — ClickHouse
+    ``windowFunnel(86400)(ts, type='view', 'click', 'purchase')``:
+    non-matching events are ignored (no strict_order abort), the chain
+    is a subsequence whose step k lands within one day of the chain
+    start inherited through level k-1, chain starts resetting at each
+    new 'view'.  The most-used form of the operator; completes the
+    mode family next to q_funnel (unbounded chained-min construction,
+    an independent derivation of the unbounded case) and
+    q_funnel_strict_window.
+
+    Plan: one user_id exchange, one sort, K−1 chained running-max
+    window passes, two hash aggregates (operators/funnel.py)."""
+    from clickhub_spark.operators.funnel import window_funnel
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ini = F.substring("event_type", 1, 1)
+    levels = window_funnel(
+        ev,
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[ini == "v", ini == "c", ini == "p"],
+        ts_col="ts",
+        window_s=_FW,
+    )
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_funnel_strict_dedup",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               substr(event_type, 1, 1) AS i,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ), s0 AS (
+        SELECT *,
+               MAX(CASE WHEN i = 'v' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS ach1
+        FROM e
+    ), s1 AS (
+        SELECT *, (i = 'c' AND ach1 IS NOT NULL) AS qual2 FROM s0
+    ), s2 AS (
+        SELECT *,
+               MAX(CASE WHEN qual2 THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS ach2
+        FROM s1
+    ), s3 AS (
+        SELECT *, (i = 'p' AND ach2 IS NOT NULL) AS qual3 FROM s2
+    ), s4 AS (
+        SELECT *,
+               MAX(CASE WHEN qual3 THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS ach3
+        FROM s3
+    ), lvl AS (
+        SELECT user_id, rn,
+               CASE WHEN qual3 THEN 3 WHEN qual2 THEN 2
+                    WHEN i = 'v' THEN 1 ELSE 0 END AS l,
+               CASE WHEN i = 'c' AND ach2 IS NOT NULL THEN 2
+                    WHEN i = 'p' AND ach3 IS NOT NULL THEN 3
+                    END AS dup_l
+        FROM s4
+    ), u AS (
+        SELECT user_id,
+               COALESCE(arg_min(dup_l, rn) FILTER (dup_l IS NOT NULL),
+                        MAX(l)) AS level
+        FROM lvl GROUP BY user_id
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY level
+    """,
+)
+def q_funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel strict_dedup mode, unbounded — ClickHouse: a
+    condition RE-matching an already-achieved level stops the scan at
+    that event and returns ITS level (docs: A->B->B->C stops at the
+    second B, level 2), even when a higher level was achieved earlier;
+    repeated first-step events are exempt (they reset the chain
+    start).  Plan: the shared running-max DP plus one min_by for the
+    first duplicate (operators/funnel.py); the oracle transcribes the
+    identical construction with arg_min(...) FILTER."""
+    from clickhub_spark.operators.funnel import window_funnel
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ini = F.substring("event_type", 1, 1)
+    levels = window_funnel(
+        ev,
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[ini == "v", ini == "c", ini == "p"],
+        modes=("strict_dedup",),
+    )
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_funnel_strict_increase",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               substr(event_type, 1, 1) AS i,
+               epoch(ts) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ), s0 AS (
+        SELECT *,
+               MAX(CASE WHEN i = 'v' THEN t END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a0,
+               MAX(CASE WHEN i = 'v' THEN t END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS e0
+        FROM e
+    ), s1 AS (
+        SELECT *,
+               (i = 'c' AND a0 IS NOT NULL AND t <= a0 + {_FW}
+                AND t > e0) AS qual2
+        FROM s0
+    ), s2 AS (
+        SELECT *,
+               MAX(CASE WHEN qual2 THEN a0 END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a1,
+               MAX(CASE WHEN qual2 THEN t END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS e1
+        FROM s1
+    ), lvl AS (
+        SELECT user_id,
+               CASE WHEN i = 'p' AND a1 IS NOT NULL
+                         AND t <= a1 + {_FW} AND t > e1 THEN 3
+                    WHEN qual2 THEN 2
+                    WHEN i = 'v' THEN 1
+                    ELSE 0 END AS l
+        FROM s2
+    ), u AS (
+        SELECT user_id, MAX(l) AS level FROM lvl GROUP BY user_id
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY level
+    """,
+)
+def q_funnel_strict_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel strict_increase mode with the 1-day window —
+    ClickHouse: step k only advances on a timestamp STRICTLY greater
+    than the timestamp of the event that achieved level k-1 (the
+    engine's events_timestamp pair's second element), so
+    same-timestamp events never chain.  The achieving-event timestamp
+    is itself non-decreasing in scan order, so it rides the same
+    running-max trick as the chain start — one extra window column
+    per level, same single sort (operators/funnel.py)."""
+    from clickhub_spark.operators.funnel import window_funnel
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ini = F.substring("event_type", 1, 1)
+    levels = window_funnel(
+        ev,
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[ini == "v", ini == "c", ini == "p"],
+        ts_col="ts",
+        window_s=_FW,
+        modes=("strict_increase",),
+    )
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))

@@ -62,6 +62,9 @@ ROUND_PRIORITY = [
     "q_llm_logreg_cert",
     "q_llm_pca_cert",
     "q_llm_bpe_cert",
+    "q_funnel_window",
+    "q_funnel_strict_dedup",
+    "q_funnel_strict_increase",
     "q_funnel_strict",
     "q_llm_knn_lsh",
     # --- the 36-name block whose latest driver row is round 3 (six

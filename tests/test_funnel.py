@@ -159,3 +159,117 @@ def test_plan_is_window_plus_hash_agg_no_collect_list(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "collect_list" not in plan
+
+
+def _levels_mode(spark, rows, modes=(), window_s=None):
+    from clickhub_spark.operators.funnel import window_funnel
+
+    ini = F.substring("event_type", 1, 1)
+    out = window_funnel(
+        _ev(spark, rows),
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[ini == "v", ini == "c", ini == "p"],
+        ts_col="ts",
+        window_s=window_s,
+        modes=modes,
+    )
+    return {r.user_id: r.level for r in out.collect()}
+
+
+def test_default_mode_ignores_interlopers(spark):
+    rows = [
+        # u1: v,s,c,e,p — non-matching events are simply ignored -> 3
+        ("u1", 0, "view"), ("u1", 1, "signup"), ("u1", 2, "click"),
+        ("u1", 3, "error"), ("u1", 4, "purchase"),
+        # u2: out-of-order chain -> 1 (no c after v... c BEFORE v)
+        ("u2", 0, "click"), ("u2", 1, "view"), ("u2", 2, "signup"),
+    ]
+    assert _levels_mode(spark, rows) == {"u1": 3, "u2": 1}
+
+
+def test_default_mode_window_resets_at_new_chain_start(spark):
+    w = 600  # 10 min
+    rows = [
+        # slow first chain (c at 20 min > w), fresh v@60 restarts the
+        # clock and the tight chain completes — interlopers present,
+        # which strict_order would abort on but default ignores
+        ("u1", 0, "view"), ("u1", 1, "signup"), ("u1", 20, "click"),
+        ("u1", 60, "view"), ("u1", 61, "click"), ("u1", 62, "purchase"),
+    ]
+    assert _levels_mode(spark, rows, window_s=w) == {"u1": 3}
+    # strict_order on the same stream aborts at the signup -> 1
+    assert _levels_mode(spark, rows, modes=("strict_order",), window_s=w) == {
+        "u1": 1
+    }
+
+
+def test_strict_dedup_stops_at_repeated_level(spark):
+    rows = [
+        # u1: A->B->B->C from the docs — the second B stops the scan,
+        # level = the duplicate's own level -> 2
+        ("u1", 0, "view"), ("u1", 1, "click"), ("u1", 2, "click"),
+        ("u1", 3, "purchase"),
+        # u2: no duplicates -> full chain 3
+        ("u2", 0, "view"), ("u2", 1, "click"), ("u2", 2, "purchase"),
+        # u3: repeated cond1 is EXEMPT (resets the chain start) -> 3
+        ("u3", 0, "view"), ("u3", 1, "view"), ("u3", 2, "click"),
+        ("u3", 3, "purchase"),
+        # u4: the dup stop overrides a HIGHER level achieved before it
+        # (engine returns the duplicate's level at the stop): full
+        # chain first, then a second c whose level-2 was achieved -> 2
+        ("u4", 0, "view"), ("u4", 1, "click"), ("u4", 2, "purchase"),
+        ("u4", 3, "click"),
+    ]
+    assert _levels_mode(spark, rows, modes=("strict_dedup",)) == {
+        "u1": 2, "u2": 3, "u3": 3, "u4": 2
+    }
+
+
+def test_strict_increase_requires_strictly_later_ts(spark):
+    # u1: c shares v's timestamp -> tie does not advance -> 1
+    # u2: strictly increasing -> 3
+    # u3: p ties with c -> 2
+    rows1 = [
+        ("u1", 0, "view"), ("u1", 0, "click"), ("u1", 1, "purchase"),
+        ("u2", 0, "view"), ("u2", 1, "click"), ("u2", 2, "purchase"),
+        ("u3", 0, "view"), ("u3", 1, "click"), ("u3", 1, "purchase"),
+    ]
+    assert _levels_mode(spark, rows1, modes=("strict_increase",)) == {
+        "u1": 1, "u2": 3, "u3": 2
+    }
+    # without the mode, ties advance (window test is <=)
+    assert _levels_mode(spark, rows1, window_s=600) == {
+        "u1": 3, "u2": 3, "u3": 3
+    }
+
+
+def test_modes_compose_order_plus_increase(spark):
+    rows = [
+        # interloper aborts (strict_order) before the tight chain
+        ("u1", 0, "view"), ("u1", 1, "error"),
+        ("u1", 2, "view"), ("u1", 2, "click"),
+        # clean stream but c ties v: increase blocks level 2
+        ("u2", 0, "view"), ("u2", 0, "click"), ("u2", 1, "purchase"),
+        # clean and strictly increasing
+        ("u3", 0, "view"), ("u3", 1, "click"), ("u3", 2, "purchase"),
+    ]
+    got = _levels_mode(
+        spark, rows, modes=("strict_order", "strict_increase")
+    )
+    assert got == {"u1": 1, "u2": 1, "u3": 3}
+
+
+def test_unknown_mode_rejected(spark):
+    import pytest
+
+    from clickhub_spark.operators.funnel import window_funnel
+
+    with pytest.raises(ValueError, match="unknown windowFunnel mode"):
+        window_funnel(
+            _ev(spark, [("u1", 0, "view")]),
+            user_col="user_id",
+            order=["ts", "event_id"],
+            steps=[F.lit(True)],
+            modes=("strict",),
+        )
