@@ -273,3 +273,21 @@ def test_unknown_mode_rejected(spark):
             steps=[F.lit(True)],
             modes=("strict",),
         )
+
+
+def test_dedup_composes_with_window(spark):
+    """strict_dedup's 'already achieved' state respects the window
+    gating: an out-of-window c does NOT achieve level 2, so a later c
+    is not a duplicate — it's the first real achievement."""
+    w = 600  # 10 min
+    rows = [
+        # c@20min is outside the window (no level-2), second c@62 min
+        # rides the fresh v@60 chain — NOT a dup -> 3
+        ("u1", 0, "view"), ("u1", 20, "click"),
+        ("u1", 60, "view"), ("u1", 61, "click"), ("u1", 62, "purchase"),
+        # both c's in-window: the second IS a dup, scan stops at 2
+        ("u2", 0, "view"), ("u2", 1, "click"), ("u2", 2, "click"),
+        ("u2", 3, "purchase"),
+    ]
+    got = _levels_mode(spark, rows, modes=("strict_dedup",), window_s=w)
+    assert got == {"u1": 3, "u2": 2}
