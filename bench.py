@@ -142,6 +142,15 @@ def baseline_gate(now: dict[str, float]) -> dict | None:
         return None
     with open(path) as fh:
         base_doc = json.load(fh)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if sf != str(base_doc.get("sf")):
+        # per-query now/baseline ratios are NOT uniform across scale
+        # factors (scan-bound vs fixed-overhead queries scale
+        # differently), so the median would mislabel the skew as
+        # ambient load — the gate is only meaningful at the
+        # baseline's own scale
+        return {"skipped": f"run sf {sf} != baseline sf {base_doc.get('sf')}"}
     base = {**base_doc.get("queries", {}), **base_doc.get("tpch", {})}
     excluded = set(base_doc.get("excluded", {}))
     cal = {

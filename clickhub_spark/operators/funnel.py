@@ -9,17 +9,22 @@ scan semantics, per the engine's documented examples:
   stream the chain is a SUBSEQUENCE whose step k must land within
   ``window`` seconds of the chain-start timestamp inherited through
   level k-1 (a new cond1 event restarts the chain-start clock).
-- **strict_order**: additionally, the FIRST non-matching event after a
-  cond1 event has been seen ABORTS the whole scan (docs: ``A->B->D->C``
-  gives 2; ``v,s,v,c,p`` gives 1) — non-matching events BEFORE the
-  first cond1 are skipped, and a repeated condition re-matches its
-  level (``v,c,c,p`` gives 3).
+- **strict_order**: additionally, the scan ABORTS (returning the
+  levels achieved so far) at the first "intervening" event after a
+  cond1 event has been seen — an event matching NO condition (docs:
+  ``A->B->D->C`` gives 2; ``v,s,v,c,p`` gives 1), or an event matching
+  a step whose PREVIOUS level is unachieved (the engine's out-of-order
+  branch: ``v,p,...`` aborts at the premature p with level 1; an
+  in-window-failed chain counts as achieved=false, so a late p aborts
+  too).  Non-matching events BEFORE the first cond1 are skipped, and a
+  repeated condition re-matches its level (``v,c,c,p`` gives 3).
 - **strict_dedup**: a condition RE-matching an already-achieved level
-  stops the scan immediately and returns that event's own level
-  (docs: in ``A->B->B->C`` the search stops at the second B, level 2)
-  — even if a higher level was achieved earlier, the engine returns
-  the duplicate's level; repeated cond1 events never trigger this
-  (they reset the chain start instead).
+  stops the scan at that event and returns ITS level (docs: in
+  ``A->B->B->C`` the search stops at the second B, level 2); repeated
+  cond1 events never trigger this (they reset the chain start).  A
+  COMPLETED funnel returns immediately (the engine's
+  ``event_idx + 1 == events_size`` early return), so duplicates after
+  completion never lower the result.
 - **strict_increase**: step k only advances on a timestamp STRICTLY
   greater than the timestamp of the event that achieved level k-1
   (ties don't advance).
@@ -118,26 +123,19 @@ def window_funnel(
         match_any.alias("__m"),
     ).withColumn("__rn", F.row_number().over(w_ord))
 
-    if "strict_order" in modes:
-        # abort point: the first non-matching event at/after the first
-        # cond1 event (the cond1 event itself matches, so ">= first1"
-        # and "> first1" coincide; scan order = __rn)
+    strict_order = "strict_order" in modes
+    if strict_order:
+        # the scan "arms" at the first cond1 event; before it,
+        # non-matching events are skipped and premature step-k events
+        # are no-ops.  Abort points are computed AFTER the DP (they
+        # need its state); quals are gated on armed only — rows past
+        # the first abort compute garbage that the stop logic discards
         base = base.withColumn(
             "__first1",
             F.min(F.when(F.col("__f0"), F.col("__rn"))).over(w_all),
-        ).withColumn(
-            "__brk",
-            F.min(
-                F.when(
-                    ~F.col("__m") & (F.col("__rn") > F.col("__first1")),
-                    F.col("__rn"),
-                )
-            ).over(w_all),
         )
-        valid = (
-            F.col("__first1").isNotNull()
-            & (F.col("__rn") >= F.col("__first1"))
-            & (F.col("__brk").isNull() | (F.col("__rn") < F.col("__brk")))
+        valid = F.col("__first1").isNotNull() & (
+            F.col("__rn") >= F.col("__first1")
         )
     else:
         valid = F.lit(True)
@@ -180,19 +178,34 @@ def window_funnel(
     level = F.lit(0)
     for k, ok in enumerate(qual):
         level = F.when(ok, F.lit(k + 1)).otherwise(level)
+    base = base.withColumn("__lvl", level)
 
-    if "strict_dedup" in modes:
-        # the engine returns the CURRENT event's level the moment a
-        # condition re-matches an already-achieved level (cond1 is
-        # exempt — it resets the chain start instead): a dup at step
-        # k+1 is a step-(k+1) row whose own level was already achieved
-        # strictly before.  "Already achieved" = a qualifying step-
-        # (k+1) row precedes it = __a{k} is set... for the LAST level
-        # there is no __a column, so compute it on demand.
-        # a row is a dup for ITS step (steps are mutually exclusive,
-        # so at most one per row); "already achieved" = a qualifying
-        # step-(k+1) row precedes it — __a{k} carries that for inner
-        # levels, the last level computes it on demand
+    # ---- early-return events.  The engine's scan stops at the FIRST
+    # of (disjoint per row — steps are mutually exclusive):
+    #   completion — a row reaching the top level returns K outright
+    #     (only consequential under strict_dedup: it shields trailing
+    #     duplicates; without dedup the per-user max is K either way);
+    #   strict_order aborts — a non-matching row after arming, OR a
+    #     step-k (k>=2) row whose previous level is UNACHIEVED (the
+    #     engine's out-of-order branch returns the levels-so-far
+    #     count) — both return the max level before the abort row;
+    #   strict_dedup stop — a step-k (k>=2) row whose OWN level is
+    #     already achieved returns that row's level.
+    # Rows at/after the first stop carry garbage DP state; every
+    # consumer below discards them via the earliest-stop comparison.
+    dedup = "strict_dedup" in modes
+    k_top = len(flags)
+
+    agg_cols = []
+    result_when = []  # (stop_rn scalar column name, value column)
+
+    if dedup:
+        agg_cols.append(
+            F.min(F.when(qual[-1], F.col("__rn"))).alias("__comp_rn")
+        )
+        # a dup at step k+1: the row's own level was achieved strictly
+        # before — __a{k} carries that for inner levels; the last
+        # level computes it on demand
         dup_level = F.lit(None).cast("int")
         for k in range(1, len(flags)):
             if k < len(flags) - 1:
@@ -206,31 +219,61 @@ def window_funnel(
         base = base.withColumn("__dup_lvl", dup_level).withColumn(
             "__dup_rn", F.when(dup_level.isNotNull(), F.col("__rn"))
         )
-        # min_by skips NULL-ordered rows: __stop_lvl is the FIRST
-        # dup's own level, NULL when the user has no dup — the engine
-        # returns exactly that level at the stop, so it overrides the
-        # scan max whenever present
-        return (
-            base.select(
-                F.col(user_col),
-                level.alias("__lvl"),
-                "__dup_lvl",
-                "__dup_rn",
-            )
-            .groupBy(user_col)
-            .agg(
-                F.coalesce(
-                    F.min_by("__dup_lvl", "__dup_rn"), F.max("__lvl")
-                )
-                .cast("int")
-                .alias("level")
-            )
+        agg_cols.append(F.min("__dup_rn").alias("__dup_first_rn"))
+        agg_cols.append(
+            F.min_by("__dup_lvl", "__dup_rn").alias("__dup_first_lvl")
         )
 
-    return (
-        base.select(F.col(user_col), level.alias("__lvl"))
-        .groupBy(user_col)
-        .agg(F.max("__lvl").cast("int").alias("level"))
+    if strict_order:
+        armed_after = F.col("__rn") > F.col("__first1")
+        prem = F.lit(False)
+        for k in range(1, len(flags)):
+            prem = prem | (
+                F.col(f"__f{k}") & F.col(f"__a{k - 1}").isNull()
+            )
+        brk_marker = armed_after & (~F.col("__m") | prem)
+        # the abort rn must be a per-ROW column (the pre-abort max
+        # compares each row against it inside the aggregate)
+        base = base.withColumn(
+            "__brk_rn",
+            F.min(F.when(brk_marker, F.col("__rn"))).over(w_all),
+        )
+        agg_cols.append(F.min("__brk_rn").alias("__brk_first_rn"))
+        agg_cols.append(
+            F.max(
+                F.when(
+                    F.col("__brk_rn").isNull()
+                    | (F.col("__rn") < F.col("__brk_rn")),
+                    F.col("__lvl"),
+                )
+            ).alias("__max_pre_brk")
+        )
+
+    agg_cols.append(F.max("__lvl").alias("__max_all"))
+    per_user = base.groupBy(user_col).agg(*agg_cols)
+
+    stops = []
+    if dedup:
+        stops.append("__comp_rn")
+        stops.append("__dup_first_rn")
+        result_when.append(("__comp_rn", F.lit(k_top)))
+        result_when.append(("__dup_first_rn", F.col("__dup_first_lvl")))
+    if strict_order:
+        stops.append("__brk_first_rn")
+        result_when.append(("__brk_first_rn", F.col("__max_pre_brk")))
+
+    if not stops:
+        return per_user.select(
+            F.col(user_col), F.col("__max_all").cast("int").alias("level")
+        )
+    earliest = F.least(*[F.col(c) for c in stops]) if len(stops) > 1 else F.col(stops[0])
+    result = F.col("__max_all")
+    for rn_col, value in reversed(result_when):
+        result = F.when(
+            F.col(rn_col).isNotNull() & (F.col(rn_col) == earliest), value
+        ).otherwise(result)
+    return per_user.select(
+        F.col(user_col), F.coalesce(result, F.lit(0)).cast("int").alias("level")
     )
 
 

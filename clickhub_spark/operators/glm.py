@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 __all__ = ["logistic_fit", "logistic_score", "irls_numpy"]
 
 
+#: default L2 penalty for the Gram solve — ALSO the lambda the
+#: stationarity certificate (q_llm_logreg_cert) checks the gradient
+#: against; single-sourced so the fit and its certificate cannot
+#: drift apart.
+DEFAULT_RIDGE = 1e-6
+
+
 def _moment_pass(df: DataFrame, feats: list, label: str, beta, ridge: float):
     """One IRLS iteration's aggregate: returns (XtWX, XtWz) as numpy.
 
@@ -65,7 +72,7 @@ def logistic_fit(
     feature_cols: list,
     label_col: str,
     iters: int = 8,
-    ridge: float = 1e-6,
+    ridge: float = DEFAULT_RIDGE,
 ) -> list:
     """Fit logistic regression; returns [intercept, *coefficients].
 

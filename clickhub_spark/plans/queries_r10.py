@@ -346,25 +346,6 @@ def q_llm_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAD_TOL = 1e-6
 
 
-def _logreg_features(df: DataFrame):
-    """The exact feature construction q_llm_logreg_fit trains on —
-    shared so the certificate certifies the registered fit."""
-    return df.select(
-        "doc_id",
-        (F.col("lang") == "en").cast("int").alias("label"),
-        (F.length("text").cast("double") / 1000).alias("f_len"),
-        (F.size(F.split(F.col("text"), " ")).cast("double") / 100).alias(
-            "f_words"
-        ),
-        (
-            F.length(F.regexp_replace(F.col("text"), r"[^aeiou]", "")).cast(
-                "double"
-            )
-            / (F.length("text") + 1)
-        ).alias("f_vowels"),
-    )
-
-
 @query(
     "q_llm_logreg_cert",
     oracle="""
@@ -386,11 +367,15 @@ def q_llm_logreg_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), so a wrong coefficient, a dropped partition, or a biased
     moment pass all surface as a nonzero gradient.  viol_grad counts
     parameters whose residual exceeds the gate — expected 0, a
-    theorem, not a tuned threshold."""
-    from clickhub_spark.operators.glm import logistic_fit
+    theorem, not a tuned threshold.  The design matrix and the ridge
+    λ are IMPORTED from the registered fit's own definitions
+    (queries_r7.logreg_features, glm.DEFAULT_RIDGE), so the
+    certificate cannot drift from what it certifies."""
+    from clickhub_spark.operators.glm import DEFAULT_RIDGE, logistic_fit
+    from clickhub_spark.plans.queries_r7 import logreg_features
 
     feats = ["f_len", "f_words", "f_vowels"]
-    docs = _logreg_features(load(spark, sf_dir, "documents"))
+    docs = logreg_features(load(spark, sf_dir, "documents"))
     beta = logistic_fit(docs, feats, "label")
 
     cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
@@ -403,7 +388,8 @@ def q_llm_logreg_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = docs.agg(*aggs)
     viol = sum(
         (
-            F.abs(F.col(f"__g{i}") - F.lit(1e-6 * beta[i])) > _GRAD_TOL
+            F.abs(F.col(f"__g{i}") - F.lit(DEFAULT_RIDGE * beta[i]))
+            > _GRAD_TOL
         ).cast("long")
         for i in range(len(cols))
     )
@@ -510,11 +496,14 @@ def q_llm_bpe_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
       (single characters, the end-of-word marker, or the output of an
       EARLIER merge) — well-formedness of the learned merge list;
     - viol_roundtrip: decode(encode(text)) == normalized text for
-      EVERY document — BPE merges only ever concatenate symbols
-      within a word, so detokenization is exact; checked distributed
-      (one mapInPandas over the corpus that tokenizes with the
-      learned merges and reconstructs with the same Python string
-      semantics the trainer used);
+      EVERY document — BPE merges only ever concatenate ADJACENT
+      symbols within a word, so the symbol concatenation is a merge
+      invariant: "".join(tokens) must equal the word stream with the
+      end-of-word marker appended to each word.  Compared as joined
+      STRINGS (never by re-splitting on the marker, which would
+      miscount legitimate text that itself contains the marker
+      sequence); checked distributed (one mapInPandas over the corpus
+      with the same Python string semantics the trainer used);
     - compressed_le_base: applying merges never increases the token
       count (each merge application strictly reduces symbols), so the
       corpus token total is bounded by the base char+EOW count.
@@ -550,9 +539,11 @@ def q_llm_bpe_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                         syms = _merge_once(syms, left, right)
                     out.extend(syms)
                 toks += len(out)
-                # decode: concatenate, then EOW marks word ends
-                decoded = "".join(out).split(EOW)
-                if [w for w in decoded if w] != words:
+                # decode: symbol concatenation is invariant under
+                # merges — compare the joined strings directly (a
+                # split on EOW would break on text that legitimately
+                # contains the marker sequence)
+                if "".join(out) != "".join(w + EOW for w in words):
                     bad += 1
             yield pd.DataFrame(
                 {"n": [len(pdf)], "bad": [bad], "toks": [toks], "base": [base]}
@@ -704,14 +695,24 @@ def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, rn,
                CASE WHEN qual3 THEN 3 WHEN qual2 THEN 2
                     WHEN i = 'v' THEN 1 ELSE 0 END AS l,
+               CASE WHEN qual3 THEN rn END AS comp_rn,
                CASE WHEN i = 'c' AND ach2 IS NOT NULL THEN 2
                     WHEN i = 'p' AND ach3 IS NOT NULL THEN 3
                     END AS dup_l
         FROM s4
     ), u AS (
         SELECT user_id,
-               COALESCE(arg_min(dup_l, rn) FILTER (dup_l IS NOT NULL),
-                        MAX(l)) AS level
+               CASE WHEN MIN(comp_rn) IS NOT NULL
+                         AND (MIN(CASE WHEN dup_l IS NOT NULL
+                                       THEN rn END) IS NULL
+                              OR MIN(comp_rn) <
+                                 MIN(CASE WHEN dup_l IS NOT NULL
+                                          THEN rn END))
+                    THEN 3
+                    ELSE COALESCE(
+                        arg_min(dup_l, rn) FILTER (dup_l IS NOT NULL),
+                        MAX(l))
+                    END AS level
         FROM lvl GROUP BY user_id
     )
     SELECT CAST(level AS INT) AS level,
@@ -723,11 +724,14 @@ def q_funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel strict_dedup mode, unbounded — ClickHouse: a
     condition RE-matching an already-achieved level stops the scan at
     that event and returns ITS level (docs: A->B->B->C stops at the
-    second B, level 2), even when a higher level was achieved earlier;
-    repeated first-step events are exempt (they reset the chain
-    start).  Plan: the shared running-max DP plus one min_by for the
-    first duplicate (operators/funnel.py); the oracle transcribes the
-    identical construction with arg_min(...) FILTER."""
+    second B, level 2); repeated first-step events are exempt (they
+    reset the chain start), and a COMPLETED funnel returns
+    immediately (the engine's events_size early return), so a
+    duplicate after the purchase never lowers the result.  Plan: the
+    shared running-max DP plus one min_by for the first duplicate and
+    one conditional min for the completion shield
+    (operators/funnel.py); the oracle transcribes the identical
+    construction with arg_min(...) FILTER."""
     from clickhub_spark.operators.funnel import window_funnel
 
     ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())

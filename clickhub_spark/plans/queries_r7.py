@@ -252,6 +252,27 @@ def q_agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def logreg_features(df: DataFrame) -> DataFrame:
+    """The quality-classifier design matrix: (lang == 'en') label +
+    three text statistics.  SINGLE-SOURCED — q_llm_logreg_fit trains
+    on it and q_llm_logreg_cert (queries_r10) certifies the same
+    construction; edits here change both together."""
+    return df.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        (F.length("text").cast("double") / 1000).alias("f_len"),
+        (F.size(F.split(F.col("text"), " ")).cast("double") / 100).alias(
+            "f_words"
+        ),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[^aeiou]", "")).cast(
+                "double"
+            )
+            / (F.length("text") + 1)
+        ).alias("f_vowels"),
+    )
+
+
 @query("q_llm_logreg_fit")  # no SQL oracle: iterative IRLS is not
 # SQL-expressible; correctness pinned by tests/test_glm.py
 # (distributed moment-pass loop ≡ single-node numpy IRLS to 1e-8,
@@ -268,20 +289,7 @@ def q_llm_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR-scaled score) — scalar wire form."""
     from clickhub_spark.operators.glm import logistic_fit, logistic_score
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("lang") == "en").cast("int").alias("label"),
-        (F.length("text").cast("double") / 1000).alias("f_len"),
-        (F.size(F.split(F.col("text"), " ")).cast("double") / 100).alias(
-            "f_words"
-        ),
-        (
-            F.length(F.regexp_replace(F.col("text"), r"[^aeiou]", "")).cast(
-                "double"
-            )
-            / (F.length("text") + 1)
-        ).alias("f_vowels"),
-    )
+    docs = logreg_features(load(spark, sf_dir, "documents"))
     beta = logistic_fit(docs, ["f_len", "f_words", "f_vowels"], "label")
     return (
         logistic_score(docs, ["f_len", "f_words", "f_vowels"], beta)

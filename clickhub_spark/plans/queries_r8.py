@@ -348,10 +348,11 @@ def q_fn_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, regexp_extract(seq, 'v[vcp]*') AS run FROM seqs
     )
     SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
-        SELECT CAST(CASE WHEN run LIKE '%c%p%' THEN 3
-                         WHEN run LIKE '%c%'   THEN 2
-                         WHEN run <> ''        THEN 1
-                         ELSE 0 END AS INT) AS level
+        SELECT CAST(CASE WHEN run = ''                  THEN 0
+                         WHEN regexp_matches(run, '^v+p') THEN 1
+                         WHEN run LIKE '%c%p%'          THEN 3
+                         WHEN run LIKE '%c%'            THEN 2
+                         ELSE 1 END AS INT) AS level
         FROM runs
     ) GROUP BY level
     """,
@@ -365,15 +366,21 @@ def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ClickHouse: windowFunnel(w, 'strict_order')(ts, ...) — docs:
     A,B,D,C → 2; v,s,v,c,p → 1; v,c,c,p → 3.
 
+    The abort also fires on an OUT-OF-ORDER step event — one whose
+    previous level is unachieved (the engine's strict_order branch
+    returns the levels-so-far count): a p before any c stops the scan
+    at level 1.
+
     The Spark side is K chained running-max window columns over one
     per-user sort (operators/funnel.window_funnel_strict — the greedy
     DP's chain starts are non-decreasing, so last ≡ max).  The oracle
     keeps an independent collapse-to-string derivation: the scanned
     prefix is exactly regexp 'v[vcp]*' over the per-user initial
-    string (first v through the last consecutive step-matching event),
-    and unbounded subsequence level inside it is '%c%p%' / '%c%'
-    containment — two different constructions of the same semantics.
-    The time-bounded sibling is q_funnel_strict_window."""
+    string; inside it (unbounded window ⇒ any c after the leading v
+    achieves level 2) the level is: '^v+p' ⇒ premature-p abort at 1,
+    '%c%p%' ⇒ 3, '%c%' ⇒ 2, else 1 — a different construction of the
+    same semantics.  The time-bounded sibling is
+    q_funnel_strict_window."""
     from clickhub_spark.operators.funnel import window_funnel_strict
 
     ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())

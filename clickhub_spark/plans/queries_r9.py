@@ -45,17 +45,10 @@ _FUNNEL_WINDOW_S = 86_400
                MIN(CASE WHEN i = 'v' THEN rn END)
                    OVER (PARTITION BY user_id) AS first1
         FROM e
-    ), v AS (
-        SELECT *,
-               MIN(CASE WHEN i NOT IN ('v','c','p') AND rn > first1
-                        THEN rn END)
-                   OVER (PARTITION BY user_id) AS brk
-        FROM b
     ), q AS (
-        SELECT user_id, i, t, rn,
-               (first1 IS NOT NULL AND rn >= first1
-                AND (brk IS NULL OR rn < brk)) AS valid
-        FROM v
+        SELECT user_id, i, t, rn, first1,
+               (first1 IS NOT NULL AND rn >= first1) AS valid
+        FROM b
     ), s0 AS (
         SELECT *,
                MAX(CASE WHEN valid AND i = 'v' THEN t END)
@@ -75,16 +68,27 @@ _FUNNEL_WINDOW_S = 86_400
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING) AS a1
         FROM s1
-    ), lvl AS (
-        SELECT user_id,
+    ), s3 AS (
+        SELECT *,
                CASE WHEN valid AND i = 'p' AND a1 IS NOT NULL
                          AND t <= a1 + {_FUNNEL_WINDOW_S} THEN 3
                     WHEN qual2 THEN 2
                     WHEN valid AND i = 'v' THEN 1
-                    ELSE 0 END AS l
+                    ELSE 0 END AS l,
+               (rn > first1 AND (i NOT IN ('v','c','p')
+                                 OR (i = 'c' AND a0 IS NULL)
+                                 OR (i = 'p' AND a1 IS NULL))) AS brk_m
         FROM s2
+    ), s4 AS (
+        SELECT *,
+               MIN(CASE WHEN brk_m THEN rn END)
+                   OVER (PARTITION BY user_id) AS brk
+        FROM s3
     ), u AS (
-        SELECT user_id, MAX(l) AS level FROM lvl GROUP BY user_id
+        SELECT user_id,
+               COALESCE(MAX(CASE WHEN brk IS NULL OR rn < brk
+                                 THEN l END), 0) AS level
+        FROM s4 GROUP BY user_id
     )
     SELECT CAST(level AS INT) AS level,
            CAST(COUNT(*) AS BIGINT) AS n_users
@@ -95,11 +99,14 @@ def q_funnel_strict_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel WITH the window-length bound — ClickHouse
     ``windowFunnel(86400, 'strict_order')(ts, type='view', 'click',
     'purchase')``: true scan semantics (round-10 rewrite, ADVICE r9
-    #1) — the scan aborts at the first non-matching event after a
-    chain starts; within the scanned prefix the chain is a
-    subsequence whose step k must land within one day of the chain
-    start INHERITED through level k-1 (chain starts reset at each new
-    'view'; ClickHouse events_timestamp propagation).
+    #1) — the scan aborts at the first intervening event after a
+    chain starts: one matching NO step, or one matching a step whose
+    previous level is unachieved (the engine's out-of-order branch —
+    with the window, a 'p' whose chain expired aborts too); within
+    the scanned prefix the chain is a subsequence whose step k must
+    land within one day of the chain start INHERITED through level
+    k-1 (chain starts reset at each new 'view'; ClickHouse
+    events_timestamp propagation).
 
     Plan: per-user row_number + two partition-wide extrema locate the
     abort point; the greedy DP is K−1 chained running-max window

@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import contextlib
 import hmac
+import http.client
 import json
 import os
 import threading
@@ -534,10 +535,13 @@ class HttpWorkQueue(_WorkLoop):
             while not stop.wait(interval):
                 try:
                     renewed = self.renew(job.repo_name, worker_id)
-                except (urllib.error.URLError, OSError):
+                except (urllib.error.URLError, OSError, http.client.HTTPException):
                     # transient transport failure (coordinator
                     # crash/restart mid-failover — a supported state,
-                    # ADVICE r9 #2): keep the heartbeat ALIVE and
+                    # ADVICE r9 #2; HTTPException covers a coordinator
+                    # killed MID-RESPONSE: BadStatusLine/IncompleteRead
+                    # are not OSErrors and urllib does not wrap them
+                    # in URLError): keep the heartbeat ALIVE and
                     # retry next interval; dying here silently lapses
                     # the lease under a running handler and invites a
                     # double-execute on reclaim

@@ -62,8 +62,9 @@ def test_strict_order_scan(spark):
         # the chain is a subsequence within the scanned prefix -> 3
         ("u6", 0, "view"), ("u6", 1, "click"), ("u6", 2, "click"),
         ("u6", 3, "purchase"),
-        # u7: v,p,c,p — an event matching a LATER step is not an
-        # interloper; the chain completes past it -> 3
+        # u7: v,p,c,p — the premature p (its previous level is
+        # unachieved) is an out-of-order event: the engine's
+        # strict_order branch aborts and returns the levels-so-far -> 1
         ("u7", 0, "view"), ("u7", 1, "purchase"), ("u7", 2, "click"),
         ("u7", 3, "purchase"),
         # u8: leading interlopers BEFORE any chain start are skipped,
@@ -76,7 +77,7 @@ def test_strict_order_scan(spark):
     ]
     assert _levels(spark, rows) == {
         "u1": 3, "u2": 2, "u3": 1, "u4": 0, "u5": 1,
-        "u6": 3, "u7": 3, "u8": 3, "u9": 3,
+        "u6": 3, "u7": 1, "u8": 3, "u9": 3,
     }
 
 
@@ -93,13 +94,16 @@ def test_window_bound_gates_each_step(spark):
         # u4: exact boundary — purchase at EXACTLY window seconds
         # after the view counts (ClickHouse: ts_k - ts_1 <= window)
         ("u4", 0, "view"), ("u4", 5, "click"), ("u4", 10, "purchase"),
-        # u5: out-of-window full chain, then a tighter chain from a
-        # LATER start reaches 3 — the window re-anchors per start
+        # u5: the out-of-window click never achieves level 2, so the
+        # p@25 is an OUT-OF-ORDER event under strict_order — the scan
+        # aborts at it and the later tight chain is never seen -> 1
+        # (the default-mode twin in test_default_mode_window_resets
+        # shows the re-anchoring behavior strict_order forecloses)
         ("u5", 0, "view"), ("u5", 20, "click"), ("u5", 25, "purchase"),
         ("u5", 60, "view"), ("u5", 61, "click"), ("u5", 62, "purchase"),
     ]
     assert _levels(spark, rows, window_s=w) == {
-        "u1": 3, "u2": 2, "u3": 1, "u4": 3, "u5": 3
+        "u1": 3, "u2": 2, "u3": 1, "u4": 3, "u5": 1
     }
 
 
@@ -215,14 +219,18 @@ def test_strict_dedup_stops_at_repeated_level(spark):
         # u3: repeated cond1 is EXEMPT (resets the chain start) -> 3
         ("u3", 0, "view"), ("u3", 1, "view"), ("u3", 2, "click"),
         ("u3", 3, "purchase"),
-        # u4: the dup stop overrides a HIGHER level achieved before it
-        # (engine returns the duplicate's level at the stop): full
-        # chain first, then a second c whose level-2 was achieved -> 2
+        # u4: a COMPLETED funnel returns immediately (the engine's
+        # events_size early return), so the duplicate c AFTER the
+        # purchase is never scanned -> 3
         ("u4", 0, "view"), ("u4", 1, "click"), ("u4", 2, "purchase"),
         ("u4", 3, "click"),
+        # u5: dup BEFORE completion still stops — the second c
+        # precedes the p, scan returns 2 and never sees the p
+        ("u5", 0, "view"), ("u5", 1, "click"), ("u5", 2, "click"),
+        ("u5", 3, "purchase"), ("u5", 4, "purchase"),
     ]
     assert _levels_mode(spark, rows, modes=("strict_dedup",)) == {
-        "u1": 2, "u2": 3, "u3": 3, "u4": 2
+        "u1": 2, "u2": 3, "u3": 3, "u4": 3, "u5": 2
     }
 
 

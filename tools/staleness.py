@@ -85,15 +85,16 @@ def main() -> int:
             rows.append((-1, name, "NEVER"))
     rows.sort(key=lambda t: (t[0], t[1]))
 
-    hist: dict[str, int] = {}
+    hist: dict[int, int] = {}
     for rnd, name, status in rows:
         label = f"r{rnd}" if rnd >= 0 else "NEVER"
         print(f"{label:>6}  {status:<9}  {name}")
-        hist[label] = hist.get(label, 0) + 1
+        hist[rnd] = hist.get(rnd, 0) + 1
 
     print("---")
-    for label in sorted(hist, key=lambda s: (s != "NEVER", s)):
-        print(f"{label:>6}: {hist[label]}")
+    for rnd in sorted(hist):  # numeric: r10 sorts after r9, NEVER first
+        label = f"r{rnd}" if rnd >= 0 else "NEVER"
+        print(f"{label:>6}: {hist[rnd]}")
     print(f"registered: {len(names)}  newest driver round: r{newest}")
 
     if args.max_age is not None:
