@@ -7,7 +7,7 @@ with the user space, state bounded by the step count (never a per-user
 event buffer).  The engine's own aggregate state buffers every
 matching event per user; this form only ever holds a sort run.
 
-The check is ANALYTIC: users are synthesized in four deterministic
+The check is ANALYTIC: users are synthesized in five deterministic
 archetypes whose level under every mode is known exactly —
 
 - "clean":    v,c,p strictly increasing, inside the window  → 3/3/3/3
@@ -17,6 +17,9 @@ archetypes whose level under every mode is known exactly —
               3 strict_order (re-match), 2 dedup, 3 increase
 - "tied":     v, then c at the SAME timestamp, then p        → 3 default
               (window ties pass), 1 strict_increase
+- "premature": v,p,c (p before its previous level exists)    → 2 default
+              (p is a no-op, c still chains), 1 strict_order
+              (the out-of-order p aborts the scan)
 
 so the per-mode level histograms are closed-form in the archetype
 counts and verified with one scalar aggregate each; nothing
@@ -45,11 +48,11 @@ def main() -> None:
     spark = get_spark("smoke-funnel")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # archetype = user_id % 4; events generated distributed (no driver
+    # archetype = user_id % 5; events generated distributed (no driver
     # lists).  Timestamps: user-specific base + small per-step offsets
     # (all inside the 1-day window); "tied" gives c the SAME ts as v.
     users = spark.range(n_users).select(
-        F.col("id").alias("user_id"), (F.col("id") % 4).alias("arch")
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("arch")
     )
     step = users.select(
         "user_id",
@@ -62,12 +65,14 @@ def main() -> None:
         ).alias("pos"),
     )
     # event letter per (arch, pos): clean/tied = v,c,p;
-    # broken = v,x,c,p; dup = v,c,c,p
+    # broken = v,x,c,p; dup = v,c,c,p; premature = v,p,c
     etype = (
         F.when(F.col("pos") == 0, F.lit("v"))
         .when((F.col("arch") == 1) & (F.col("pos") == 1), F.lit("x"))
         .when((F.col("arch") == 1) & (F.col("pos") == 2), F.lit("c"))
         .when((F.col("arch") == 2) & (F.col("pos").isin(1, 2)), F.lit("c"))
+        .when((F.col("arch") == 4) & (F.col("pos") == 1), F.lit("p"))
+        .when((F.col("arch") == 4) & (F.col("pos") == 2), F.lit("c"))
         .when(F.col("pos") == 1, F.lit("c"))
         .otherwise(F.lit("p"))
     )
@@ -86,15 +91,25 @@ def main() -> None:
     ).repartition(32)
     n_events = ev.count()
 
-    n_clean, n_broken, n_dup, n_tied = (
-        (n_users - a + 3) // 4 for a in range(4)
+    n_clean, n_broken, n_dup, n_tied, n_prem = (
+        (n_users - a + 4) // 5 for a in range(5)
     )
     expect = {
         # level -> count, per mode (derivation in module docstring)
-        "default": {3: n_clean + n_broken + n_dup + n_tied},
-        "strict_order": {3: n_clean + n_dup + n_tied, 1: n_broken},
-        "strict_dedup": {3: n_clean + n_broken + n_tied, 2: n_dup},
-        "strict_increase": {3: n_clean + n_broken + n_dup, 1: n_tied},
+        "default": {3: n_clean + n_broken + n_dup + n_tied, 2: n_prem},
+        "strict_order": {
+            3: n_clean + n_dup + n_tied,
+            1: n_broken + n_prem,
+        },
+        "strict_dedup": {
+            3: n_clean + n_broken + n_tied,
+            2: n_dup + n_prem,
+        },
+        "strict_increase": {
+            3: n_clean + n_broken + n_dup,
+            1: n_tied,
+            2: n_prem,
+        },
     }
 
     out: dict = {"metric": "funnel_scale_smoke", "n_users": n_users, "n_events": n_events}
