@@ -312,6 +312,13 @@ def main() -> None:
         # r8 addition: GraphiteMergeTree retention rollup (age-tiered
         # downsampling, one hash aggregate)
         "q_agg_retention_rollup",
+        # r10 additions: the windowFunnel mode family (one user_id
+        # exchange, one sort, K chained running-max window passes —
+        # strict_order carries the abort-point extrema, strict_dedup
+        # the completion/dup stop aggregate)
+        "q_funnel_window",
+        "q_funnel_strict_window",
+        "q_funnel_strict_dedup",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(
