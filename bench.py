@@ -163,6 +163,10 @@ def baseline_gate(now: dict[str, float]) -> dict | None:
     ratios = sorted(
         n / b for n, b in cal.values() if b >= 0.05 and n > 0
     )
+    if not ratios:
+        # the >=10-calibration guard does not imply any pair survives
+        # the tiny-row filter; never die at the END of a full capture
+        return {"error": "no calibration pairs above the 0.05s floor"}
     mid = len(ratios) // 2
     ambient = (
         ratios[mid]

@@ -155,8 +155,14 @@ def window_funnel(
     qual = [F.col("__valid") & F.col("__f0")]
     base = base.withColumn("__a0", F.max(F.when(qual[0], start0)).over(w_prev))
     if inc:
+        # with a window bound, start0 IS __t, so __e0 would be the
+        # exact same running max as __a0 — alias instead of paying a
+        # second window aggregate
         base = base.withColumn(
-            "__e0", F.max(F.when(qual[0], F.col("__t"))).over(w_prev)
+            "__e0",
+            F.col("__a0")
+            if window_s is not None
+            else F.max(F.when(qual[0], F.col("__t"))).over(w_prev),
         )
     for k in range(1, len(flags)):
         prev = F.col(f"__a{k - 1}")

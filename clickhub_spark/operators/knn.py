@@ -33,6 +33,28 @@ def _scored(emb: DataFrame, vec_col: str, id_col: str, query: DataFrame) -> Data
     )
 
 
+def exact_topk_pairs(emb: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-k per query vector — the deliberate O(n·q)
+    cross score every ANN recall certification compares against
+    (q=20: certification cost, not a serving path).  ``emb`` carries
+    (vec_id, v), ``q`` carries (qid, qv); self-pairs are excluded and
+    ties break on vec_id so the selected SET is deterministic.
+    SINGLE-SOURCED for q_llm_knn_{lsh,ivf,pq}_recall — the three
+    certified baselines stay comparable by construction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", cosine(F.col("v"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query_id: int, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

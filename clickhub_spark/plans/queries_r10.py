@@ -44,21 +44,12 @@ _PQ_M, _PQ_CODES, _PQ_K = 16, 32, 20
 
 
 def _exact_pairs(emb: DataFrame, q: DataFrame, k: int) -> DataFrame:
-    """Exact cosine top-k per query — the deliberate O(n·q) cross
-    score (q=20: certification cost, not the serving path), identical
-    to q_llm_knn_lsh_recall's exact side."""
-    from clickhub_spark.operators.knn import cosine
+    """Shared exact side of the ANN recall certifications —
+    operators/knn.exact_topk_pairs (single-sourced with
+    q_llm_knn_lsh_recall's exact side in queries_r9)."""
+    from clickhub_spark.operators.knn import exact_topk_pairs
 
-    w = Window.partitionBy("qid").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .withColumn("sim", cosine(F.col("v"), F.col("qv")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", "vec_id")
-    )
+    return exact_topk_pairs(emb, q, k)
 
 
 @query(

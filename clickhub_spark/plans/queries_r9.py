@@ -224,13 +224,10 @@ def q_llm_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )
-    exact = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .withColumn("sim", cosine(F.col("v"), F.col("qv")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _LSH_K)
-        .select("qid", "vec_id")
-    )
+    # exact side single-sourced with the IVF/PQ certs (round 10)
+    from clickhub_spark.operators.knn import exact_topk_pairs
+
+    exact = exact_topk_pairs(emb, q.select("qid", "qv"), _LSH_K)
     cand = sig.join(
         F.broadcast(q),
         (F.col("vec_id") != F.col("qid"))

@@ -109,11 +109,8 @@ class QueueCoordinator:
         # (it would go stale while the primary keeps writing) nor
         # serves/writes anything until promote(); see make_coordinator
         self.serving = not standby
-        if self.serving and snapshot_path and os.path.exists(snapshot_path):
-            with open(snapshot_path) as f:
-                snap = json.load(f)
-            self._jobs = snap["jobs"]
-            self._fence = snap["fence"]
+        if self.serving:
+            self.reload_from_snapshot()
 
     def promote(self) -> None:
         """Warm-standby takeover: load the shared snapshot ledger
@@ -502,10 +499,11 @@ class HttpWorkQueue(_WorkLoop):
             return None
         return self._to_job(rec)
 
-    def renew(self, repo_name: str, worker_id: str) -> bool:
-        """Extend this worker's lease on a claimed job.  False means
-        the claim is GONE (lease lapsed and the job was reclaimed, or
-        it was released) — the caller no longer owns the work."""
+    def _renew_status(self, repo_name: str, worker_id: str) -> tuple[int, bool]:
+        """(http_status, renewed).  Only a 200 is AUTHORITATIVE about
+        claim ownership; 503 (unpromoted standby), 401, or a proxy
+        5xx says nothing about the lease — callers that must not
+        abandon a live claim (the heartbeat) retry on those."""
         fence = self._fences.get((repo_name, worker_id), 0)
         code, body = self._call(
             "/renew",
@@ -516,7 +514,14 @@ class HttpWorkQueue(_WorkLoop):
                 "lease_s": self.lease_s,
             },
         )
-        return code == 200 and bool(body.get("renewed"))
+        return code, code == 200 and bool(body.get("renewed"))
+
+    def renew(self, repo_name: str, worker_id: str) -> bool:
+        """Extend this worker's lease on a claimed job.  False means
+        the renewal did not happen — authoritatively lost (reclaimed/
+        released) OR the coordinator could not confirm it; use
+        ``_renew_status`` to tell the two apart."""
+        return self._renew_status(repo_name, worker_id)[1]
 
     @contextlib.contextmanager
     def _claim_guard(self, job, worker_id: str):
@@ -534,7 +539,9 @@ class HttpWorkQueue(_WorkLoop):
             interval = max(self.lease_s / 3.0, 0.02)
             while not stop.wait(interval):
                 try:
-                    renewed = self.renew(job.repo_name, worker_id)
+                    code, renewed = self._renew_status(
+                        job.repo_name, worker_id
+                    )
                 except (urllib.error.URLError, OSError, http.client.HTTPException):
                     # transient transport failure (coordinator
                     # crash/restart mid-failover — a supported state,
@@ -545,6 +552,12 @@ class HttpWorkQueue(_WorkLoop):
                     # retry next interval; dying here silently lapses
                     # the lease under a running handler and invites a
                     # double-execute on reclaim
+                    continue
+                if code != 200:
+                    # non-authoritative HTTP status (503 unpromoted
+                    # standby mid-failover, 401 during a token roll,
+                    # proxy 5xx): says nothing about the lease — same
+                    # retry posture as a transport error
                     continue
                 if not renewed:
                     return  # claim lost/released: stop heartbeating

@@ -360,11 +360,16 @@ def test_http_heartbeat_survives_coordinator_outage(tmp_path):
     stop = threading.Event()
 
     def poach() -> None:
+        import http.client as _hc
+
         while not stop.wait(0.05):
             try:
                 job = rival.claim("rival")
-            except OSError:
-                continue  # coordinator down: rival retries too
+            except (OSError, _hc.HTTPException):
+                # coordinator down / killed mid-response: rival
+                # retries too (a dead poacher would make the
+                # stolen==[] assertion vacuous)
+                continue
             if job is not None:
                 stolen.append(job.repo_name)
 
