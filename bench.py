@@ -323,6 +323,10 @@ def main() -> None:
         "q_funnel_window",
         "q_funnel_strict_window",
         "q_funnel_strict_dedup",
+        # r10: exact sequential LTTB (one applyInPandas per series)
+        # and its full-recurrence distributed certification
+        "q_agg_lttb_exact",
+        "q_agg_lttb_cert",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(

@@ -813,3 +813,239 @@ def q_funnel_strict_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         modes=("strict_increase",),
     )
     return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# largestTriangleThreeBuckets — ClickHouse's time-series downsampling
+# aggregate (operators/lttb.py), plus its full-recurrence certification
+# (the greedy selection is verifiable by induction from the output
+# alone: endpoints + one-point-per-bucket + per-bucket argmax).
+# --------------------------------------------------------------------------
+
+#: downsample target for the registered queries: 20 points per series
+#: (sf0.001 series are SHORTER than 20 → pass-through regime also gets
+#: driver coverage; sf0.01/0.1 exercise the greedy selection).
+_LTTB_N = 20
+
+
+@query("q_agg_lttb_exact", oracle=None)  # greedy selection: engine-internal
+def q_agg_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(20)(ts, value)`` per
+    event_type — the EXACT sequential form (Steinarsson's greedy:
+    each bucket's pick anchors on the previously SELECTED point),
+    which is what the engine's aggregate computes inside its sorted
+    state; q_agg_lttb (queries_r5c) keeps the parallel
+    neighbor-centroid approximation for the pure-SQL shape.
+    Rows-only: the greedy selection has no SQL form, but
+    q_agg_lttb_cert re-verifies the ENTIRE recurrence distributed,
+    and tests/test_lttb.py pins a single-process reference sweep.
+    Plan: one applyInPandas per series (per-series state = that
+    series' points, the engine's own aggregate posture; the scale
+    axis is series count)."""
+    from clickhub_spark.operators.lttb import lttb
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    out = lttb(
+        ev, "event_type", "ts", "value", _LTTB_N, order_cols=["event_id"]
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "rank",
+        (F.floor(F.col("x") * 1000000) / 1000000).alias("x"),
+        (F.floor(F.col("y") * 10000) / 10000).alias("y"),
+    ).orderBy("event_type", "rank")
+
+
+@query(
+    "q_agg_lttb_cert",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, COUNT(*) AS cnt FROM events
+        WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_series,
+           CAST(SUM(cnt) AS BIGINT) AS n_points,
+           CAST(SUM(LEAST(cnt, {_LTTB_N})) AS BIGINT) AS n_selected,
+           CAST(0 AS BIGINT) AS viol_points,
+           CAST(0 AS BIGINT) AS viol_bucket,
+           CAST(0 AS BIGINT) AS viol_argmax
+    FROM s
+    """,
+)
+def q_agg_lttb_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-recurrence certification for the rows-only exact LTTB
+    downsampler (q_agg_lttb_exact): the greedy algorithm is
+    characterized by
+    three checkable properties, verified DISTRIBUTED against the raw
+    series —
+
+    - viol_points: every selected rank exists in its series with
+      matching (x, y) and sits in its recomputed bucket (bucket_of's
+      integer arithmetic; endpoints are ranks 0 and n-1 by the same
+      formula; pass-through series must re-emit every rank);
+    - viol_bucket: per full-length series, exactly n_out selections
+      across n_out distinct buckets; per short series, all n points;
+    - viol_argmax: for every interior bucket, the selected point
+      maximizes the triangle area against the PREVIOUS selection and
+      the NEXT-bucket average anchor — the greedy recurrence itself;
+      with endpoints and buckets pinned, induction over buckets makes
+      this a complete verification of the algorithm (the
+      q_llm_logreg_cert posture).  Area comparison carries a 1e-9
+      relative slack: the fit's numpy anchor means and the JVM's avg
+      can differ in the last ulp.
+
+    The oracle recomputes n_series / n_points / n_selected exactly
+    and pins the violation zeros.  The exact side joins the tiny
+    selection table (n_series × 20 rows) broadcast against the corpus
+    — one applyInPandas fit, two broadcast joins, three aggregates."""
+    from pyspark.sql import Window
+
+    from clickhub_spark.operators.lttb import bucket_of, lttb
+
+    nb = _LTTB_N - 2
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").asc(), F.col("event_id").asc()
+    )
+    wall = Window.partitionBy("event_type")
+    pts = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("double").alias("x"),
+            F.col("value").cast("double").alias("y"),
+            "event_id",
+        )
+        .withColumn("rank", F.row_number().over(w) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    pts = pts.withColumn(
+        "pb", bucket_of(F.col("rank"), F.col("n"), _LTTB_N)
+    )
+
+    sel = lttb(
+        ev, "event_type", "ts", "value", _LTTB_N, order_cols=["event_id"]
+    ).join(
+        pts.groupBy("event_type").agg(F.max("n").alias("n")), "event_type"
+    )
+    full = F.col("n") > _LTTB_N
+
+    # --- selected rows exist, match, and sit in their buckets ---
+    jp = sel.join(
+        pts.select(
+            "event_type",
+            "rank",
+            F.col("x").alias("px"),
+            F.col("y").alias("py"),
+            "pb",
+        ),
+        ["event_type", "rank"],
+        "left",
+    )
+    exp_bucket = F.when(full, F.col("pb")).otherwise(
+        F.col("rank").cast("int")
+    )
+    bad_point = (
+        F.col("px").isNull()
+        | (F.col("px") != F.col("x"))
+        | (F.col("py") != F.col("y"))
+        | (F.col("bucket") != exp_bucket)
+    )
+    viol_points = jp.agg(
+        F.sum(bad_point.cast("long")).alias("viol_points")
+    )
+
+    # --- per-series selection counts / bucket coverage ---
+    per = sel.groupBy("event_type", "n").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.count_distinct("bucket").alias("db"),
+    )
+    bad_series = (
+        F.col("m") != F.least(F.col("n"), F.lit(_LTTB_N))
+    ) | ((F.col("n") > _LTTB_N) & (F.col("db") != _LTTB_N))
+    viol_bucket = per.agg(
+        F.sum(bad_series.cast("long")).alias("viol_bucket")
+    )
+
+    # --- the greedy recurrence: per-bucket argmax ---
+    prevs = sel.where(full & (F.col("bucket") <= nb - 2)).select(
+        F.col("event_type").alias("et"),
+        F.when(F.col("bucket") == -1, F.lit(0))
+        .otherwise(F.col("bucket") + 1)
+        .alias("b"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    )
+    anchors_mid = (
+        pts.where((F.col("n") > _LTTB_N) & F.col("pb").between(1, nb - 1))
+        .groupBy("event_type", "pb")
+        .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+        .select(
+            F.col("event_type").alias("et"),
+            (F.col("pb") - 1).alias("b"),
+            "cx",
+            "cy",
+        )
+    )
+    anchors_last = sel.where(full & (F.col("bucket") == _LTTB_N - 1)).select(
+        F.col("event_type").alias("et"),
+        F.lit(nb - 1).alias("b"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    )
+    # distinct column names (et/b vs event_type/pb|bucket) keep the
+    # sel/pts self-join lineage unambiguous
+    params = prevs.join(
+        anchors_mid.unionByName(anchors_last), ["et", "b"]
+    )
+
+    def area(x, y):
+        return F.abs(
+            (F.col("ax") - F.col("cx")) * (y - F.col("ay"))
+            - (F.col("ax") - x) * (F.col("cy") - F.col("ay"))
+        )
+
+    cand = pts.join(
+        F.broadcast(params),
+        (F.col("event_type") == F.col("et")) & (F.col("pb") == F.col("b")),
+    ).select("et", "b", area(F.col("x"), F.col("y")).alias("a"))
+    maxa = cand.groupBy("et", "b").agg(F.max("a").alias("maxa"))
+    sel_int = (
+        sel.where(full & F.col("bucket").between(0, nb - 1))
+        .join(
+            F.broadcast(params),
+            (F.col("event_type") == F.col("et"))
+            & (F.col("bucket") == F.col("b")),
+        )
+        .select("et", "b", area(F.col("x"), F.col("y")).alias("sela"))
+    )
+    viol_argmax = (
+        sel_int.join(maxa, ["et", "b"])
+        .agg(
+            F.sum(
+                (
+                    (F.col("maxa") - F.col("sela"))
+                    > 1e-9 * F.greatest(F.col("maxa"), F.lit(1.0))
+                ).cast("long")
+            ).alias("viol_argmax")
+        )
+    )
+
+    return (
+        pts.agg(
+            F.count_distinct("event_type").alias("n_series"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .crossJoin(sel.agg(F.count(F.lit(1)).alias("n_selected")))
+        .crossJoin(viol_points)
+        .crossJoin(viol_bucket)
+        .crossJoin(viol_argmax)
+        .select(
+            "n_series",
+            "n_points",
+            "n_selected",
+            "viol_points",
+            "viol_bucket",
+            "viol_argmax",
+        )
+    )

@@ -106,7 +106,12 @@ ROUND_PRIORITY = [
     "q_tpch_q21",
     "q_tpch_q22",
     "q_tpch_q9",
-    # --- tail of the ~50-name window: the oldest round-4 names ---
+    # --- just past the expected 50-name cut (the r3 block's driver
+    # rows outrank brand-new queries that already carry 3-SF + vanilla
+    # + cluster gates): the round-10 LTTB pair, then the oldest r4
+    # names ---
+    "q_agg_lttb_exact",
+    "q_agg_lttb_cert",
     "q_agg_approx_quantile",
     "q_agg_argmax",
     "q_agg_array_combinator",

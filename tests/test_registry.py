@@ -39,6 +39,10 @@ def test_oracle_map_is_subset_of_queries():
         # iterative IRLS fit is not one SQL statement; pinned by
         # tests/test_glm.py (≡ numpy IRLS to 1e-8 + invariants)
         "q_llm_logreg_fit",
+        # sequential greedy selection is not one SQL statement; the
+        # FULL recurrence is re-verified distributed by
+        # q_agg_lttb_cert + tests/test_lttb.py reference sweep
+        "q_agg_lttb_exact",
     }
 
 
