@@ -24,13 +24,14 @@ def main() -> None:
         "note": (
             "Final-tree verification: ALL FOUR gates re-run after the "
             "round's last code change (the round-9 miss this round "
-            "explicitly repairs). 289 registered queries (new this "
+            "explicitly repairs). 291 registered queries (new this "
             "round: q_llm_knn_ivf_recall, q_llm_knn_pq_recall, "
             "q_llm_logreg_cert, q_llm_pca_cert, q_llm_bpe_cert, "
             "q_funnel_window, q_funnel_strict_dedup, "
-            "q_funnel_strict_increase), 278 oracled; the 11 rows-only "
-            "queries now ALL have an oracle-green twin or a "
-            "driver-checkable certification row. Round-10 window: the "
+            "q_funnel_strict_increase, q_agg_lttb_exact, "
+            "q_agg_lttb_cert), 279 oracled; the 12 rows-only queries "
+            "ALL have an oracle-green twin or a driver-checkable "
+            "certification row. Round-10 window: the "
             "4 round-9 never-checked names + the fixed quantile cert "
             "first, then the new certs and the changed funnel/LSH "
             "queries, then the FULL 36-name r3-stale block — after "
@@ -68,10 +69,12 @@ def main() -> None:
                 "q_llm_logreg_cert",
                 "q_llm_pca_cert",
                 "q_llm_bpe_cert",
+                "q_agg_lttb_exact",
+                "q_agg_lttb_cert",
             ],
         },
         "plan_guard": {
-            "plans": 289,
+            "plans": 291,
             "regressions": 0,
             "notes": [
                 "funnel family pinned: 1 user_id Exchange + 1 Sort + K chained Windows",
@@ -79,7 +82,7 @@ def main() -> None:
             ],
         },
         "pytest": (
-            "406 passed (full tree): windowFunnel differential vs engine-scan "
+            "418 passed (full tree): windowFunnel differential vs engine-scan "
             "transcription, mode-combination units, warm-standby exactly-once "
             "takeover, heartbeat outage retry (fails on pre-fix code), "
             "certification identities"
