@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -143,7 +144,12 @@ def baseline_gate(now: dict[str, float]) -> dict | None:
     with open(path) as fh:
         base_doc = json.load(fh)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    if m is None:
+        # a custom data dir with no sfN.NN suffix is not a silent
+        # "sf mismatch" skip — surface the unparseable path explicitly
+        return {"error": f"cannot parse scale factor from {sf_dir!r}"}
+    sf = m.group(1)
     if sf != str(base_doc.get("sf")):
         # per-query now/baseline ratios are NOT uniform across scale
         # factors (scan-bound vs fixed-overhead queries scale

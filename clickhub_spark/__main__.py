@@ -81,7 +81,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     v = sub.add_parser("serve")  # reference app.py:65 (Flask, port 5000)
-    v.add_argument("--host", default="0.0.0.0")
+    v.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address (loopback by default; pass 0.0.0.0 to "
+        "expose the unauthenticated endpoint externally — the "
+        "reference's posture, app.py:65)",
+    )
     v.add_argument("--port", type=int, default=5000)
 
     e = sub.add_parser("extract")  # ≙ clone + git-import (repo/importer.py:86-90)

@@ -844,7 +844,11 @@ def q_agg_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis is series count)."""
     from clickhub_spark.operators.lttb import lttb
 
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # Match lttb()'s NULL contract exactly: rows with NULL x (ts) OR
+    # NULL y (value) have no position on the plane and are dropped.
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     out = lttb(
         ev, "event_type", "ts", "value", _LTTB_N, order_cols=["event_id"]
     )
@@ -862,7 +866,7 @@ def q_agg_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT event_type, COUNT(*) AS cnt FROM events
-        WHERE value IS NOT NULL GROUP BY event_type
+        WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY event_type
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_series,
            CAST(SUM(cnt) AS BIGINT) AS n_points,
@@ -904,7 +908,11 @@ def q_agg_lttb_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhub_spark.operators.lttb import bucket_of, lttb
 
     nb = _LTTB_N - 2
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # pts must mirror lttb()'s NULL-drop contract (NULL ts OR value)
+    # or ranks misalign and the cert reports spurious violations.
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy(
         F.col("x").asc(), F.col("event_id").asc()
     )

@@ -72,6 +72,7 @@ import contextlib
 import hmac
 import http.client
 import json
+import logging
 import os
 import threading
 import time
@@ -80,6 +81,8 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from clickhub_spark.queue import AlreadyScheduled, Job, QueueFull, _WorkLoop
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = ["QueueCoordinator", "HttpWorkQueue", "make_coordinator"]
 
@@ -523,6 +526,26 @@ class HttpWorkQueue(_WorkLoop):
         ``_renew_status`` to tell the two apart."""
         return self._renew_status(repo_name, worker_id)[1]
 
+    #: every Nth consecutive failed/non-authoritative heartbeat emits
+    #: one warning — a permanently unreachable or misconfigured
+    #: coordinator (rolled token → endless 401, repointed URL → 404)
+    #: should be VISIBLE, not a silent daemon spin (ADVICE r10 #3)
+    BEAT_WARN_EVERY = 10
+
+    def _beat_miss(self, job, misses: int, why: str) -> int:
+        misses += 1
+        if misses % self.BEAT_WARN_EVERY == 0:
+            _LOG.warning(
+                "heartbeat for %s: %d consecutive non-authoritative "
+                "renew attempts (last: %s) — coordinator unreachable "
+                "or misconfigured; lease may lapse and the job may be "
+                "reclaimed while this handler is still running",
+                job.repo_name,
+                misses,
+                why,
+            )
+        return misses
+
     @contextlib.contextmanager
     def _claim_guard(self, job, worker_id: str):
         """Heartbeat for the shared work loop: ping /renew at a third
@@ -537,6 +560,7 @@ class HttpWorkQueue(_WorkLoop):
 
         def beat() -> None:
             interval = max(self.lease_s / 3.0, 0.02)
+            misses = 0  # consecutive non-authoritative renew attempts
             while not stop.wait(interval):
                 try:
                     code, renewed = self._renew_status(
@@ -552,13 +576,16 @@ class HttpWorkQueue(_WorkLoop):
                     # retry next interval; dying here silently lapses
                     # the lease under a running handler and invites a
                     # double-execute on reclaim
+                    misses = self._beat_miss(job, misses, "transport")
                     continue
                 if code != 200:
                     # non-authoritative HTTP status (503 unpromoted
                     # standby mid-failover, 401 during a token roll,
                     # proxy 5xx): says nothing about the lease — same
                     # retry posture as a transport error
+                    misses = self._beat_miss(job, misses, f"http {code}")
                     continue
+                misses = 0
                 if not renewed:
                     return  # claim lost/released: stop heartbeating
         t = threading.Thread(target=beat, daemon=True)

@@ -43,11 +43,17 @@ _BODY = {
 
 
 def make_server(
-    orch: Orchestrator, host: str = "0.0.0.0", port: int = 5000
+    orch: Orchestrator, host: str = "127.0.0.1", port: int = 5000
 ) -> ThreadingHTTPServer:
     """Build (without starting) the HTTP server; ``port=0`` binds an
     ephemeral port (tests).  ``server.server_address`` has the bound
-    address."""
+    address.
+
+    Binds LOOPBACK by default — the same posture as
+    ``QueueCoordinator`` (queue_http.py): an unauthenticated admin
+    endpoint must be an explicit opt-in on an external interface.
+    The reference binds 0.0.0.0 (app.py:65); reproduce that with
+    ``host="0.0.0.0"`` deliberately."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (http.server API name)
@@ -77,8 +83,11 @@ def make_server(
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(orch: Orchestrator, host: str = "0.0.0.0", port: int = 5000) -> None:
-    """Blocking serve loop (≙ app.run(host="0.0.0.0", port=5000),
-    reference app.py:65)."""
+def serve(
+    orch: Orchestrator, host: str = "127.0.0.1", port: int = 5000
+) -> None:
+    """Blocking serve loop (≙ app.run(..., port=5000), reference
+    app.py:65 — but loopback-first; pass ``host="0.0.0.0"`` to
+    opt in to an external bind, see make_server)."""
     with make_server(orch, host, port) as srv:
         srv.serve_forever()

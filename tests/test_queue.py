@@ -751,3 +751,28 @@ def test_http_coordinator_matches_sequential_model():
                 assert coord._fence == want_fence
 
     run()
+
+
+def test_heartbeat_warns_on_persistent_misses(caplog):
+    """ADVICE r10 #3: a permanently unreachable/misconfigured
+    coordinator (endless 401 after a token roll, 404 from a repoint)
+    must surface periodically instead of spinning a silent daemon.
+    _beat_miss keeps the retry posture but logs every
+    BEAT_WARN_EVERY-th consecutive non-authoritative attempt."""
+    import logging
+
+    from clickhub_spark.queue import Job
+    from clickhub_spark.queue_http import HttpWorkQueue
+
+    q = HttpWorkQueue.__new__(HttpWorkQueue)  # no coordinator needed
+    job = Job(repo_name="acme/unreachable", priority=0)
+    misses = 0
+    with caplog.at_level(logging.WARNING, logger="clickhub_spark.queue_http"):
+        for _ in range(q.BEAT_WARN_EVERY - 1):
+            misses = q._beat_miss(job, misses, "http 401")
+        assert not caplog.records  # below threshold: silent retry
+        misses = q._beat_miss(job, misses, "http 401")
+    assert misses == q.BEAT_WARN_EVERY
+    assert len(caplog.records) == 1
+    msg = caplog.records[0].getMessage()
+    assert "acme/unreachable" in msg and "http 401" in msg

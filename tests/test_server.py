@@ -91,3 +91,15 @@ def test_full_app_loop_over_http(served):
     assert done == ["acme/widgets"]
     assert orch.commits_final().count() == 20
     assert _get(f"{base}/add_new_repo?repo=acme/widgets") == (200, "ALREADY_PROCESSED")
+
+
+def test_default_bind_is_loopback():
+    """VERDICT r10 hygiene: the unauthenticated admin endpoint binds
+    127.0.0.1 unless the caller explicitly opts into an external
+    interface — same posture as the queue coordinator.  (orch is
+    never touched at bind time, so None suffices.)"""
+    srv = make_server(None, port=0)
+    try:
+        assert srv.server_address[0] == "127.0.0.1"
+    finally:
+        srv.server_close()
