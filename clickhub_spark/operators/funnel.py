@@ -44,12 +44,22 @@ smaller), and every expression is JVM-side whole-stage codegen: the
 100 TB shape (one user_id exchange, one sort, K window passes, one
 hash aggregate).
 
-Restriction vs the engine: step conditions must be mutually exclusive
-per event (one event advancing two consecutive levels via multi-match
-is not modeled), and same-timestamp events are ordered by the caller's
-unique tiebreaker rather than the engine's nondeterministic
-merge-order ties — a documented determinism improvement.  The
-registered funnels use distinct event types, as real funnels do.
+Multi-match (overlapping step conditions): the engine's aggregate
+inserts one ``(timestamp, step)`` ENTRY per condition an event
+matches (in condition-index order) and scans the entry list — one
+event can advance several pending levels.  ``multi_match=True``
+reproduces exactly that: each row explodes into one entry per matched
+step (plus a no-match sentinel entry, which strict_order's abort
+needs), the step index joins the sort order as the intra-event
+tiebreaker, and the same running-max DP runs over the entry stream —
+on which the conditions ARE mutually exclusive by construction.  The
+default (``multi_match=False``) skips the explode for the common
+real-funnel case of distinct event types; ``check_exclusive=True``
+turns the documented exclusivity precondition into a raised error
+instead of a silent engine divergence.  Same-timestamp events are
+ordered by the caller's unique tiebreaker rather than the engine's
+nondeterministic merge-order ties — a documented determinism
+improvement.
 """
 
 from __future__ import annotations
@@ -71,12 +81,16 @@ def window_funnel(
     ts_col: str | None = None,
     window_s: float | None = None,
     modes: Sequence[str] = (),
+    multi_match: bool = False,
+    check_exclusive: bool = False,
 ) -> DataFrame:
     """Per-user funnel level under ClickHouse windowFunnel semantics.
 
     ``steps``: boolean Columns, one per funnel step, each evaluated on
-    a single event row (e.g. ``F.col("event_type") == "view"``) and
-    mutually exclusive per row.  ``order`` must be a total order per
+    a single event row (e.g. ``F.col("event_type") == "view"``);
+    unless ``multi_match=True`` they must be mutually exclusive per
+    row (module docstring; ``check_exclusive=True`` enforces it with
+    one extra validation job).  ``order`` must be a total order per
     user (include a unique tiebreaker) so both engines walk the same
     stream.  ``modes``: any combination of ``strict_order``,
     ``strict_dedup``, ``strict_increase`` (module docstring).  With
@@ -98,6 +112,52 @@ def window_funnel(
     needs_ts = window_s is not None or "strict_increase" in modes
     if needs_ts and ts_col is None:
         raise ValueError("window_s / strict_increase requires ts_col")
+
+    if multi_match:
+        # the engine's entry-list model (module docstring): one row
+        # per (event, matched step) in condition-index order, plus a
+        # single -1 sentinel for no-match events (strict_order's
+        # intervening-event abort must still see them).  The DP below
+        # then runs on conditions that are exclusive BY CONSTRUCTION.
+        matched = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.coalesce(c.cast("boolean"), F.lit(False)),
+                        F.lit(k),
+                    )
+                    for k, c in enumerate(steps)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        entries = F.when(F.size(matched) > 0, matched).otherwise(
+            F.array(F.lit(-1))
+        )
+        expanded = df.withColumn("__step", F.explode(entries))
+        return window_funnel(
+            expanded,
+            user_col,
+            [*order, "__step"],
+            [F.col("__step") == k for k in range(len(steps))],
+            ts_col=ts_col,
+            window_s=window_s,
+            modes=modes,
+        )
+    if check_exclusive:
+        nmatch = reduce(
+            lambda a, b: a + b,
+            [
+                F.coalesce(c.cast("boolean"), F.lit(False)).cast("int")
+                for c in steps
+            ],
+        )
+        if df.where(nmatch >= 2).limit(1).count():
+            raise ValueError(
+                "step conditions overlap (an event matches >=2 steps): "
+                "windowFunnel's single-match DP would silently diverge "
+                "from the engine — pass multi_match=True"
+            )
     ts = (
         F.col(ts_col).cast("double")
         if ts_col is not None

@@ -24,20 +24,18 @@ from clickhub_spark.operators.funnel import window_funnel
 _CONDS = ["v", "c", "p"]  # step letters; x/y match nothing
 
 
-def _reference_level(evts, window_s, modes):
-    """Sequential transcription of the engine scan (module docstring).
-
-    ``evts``: [(ts, letter)] in scan order.  Mutually exclusive
-    conditions (one letter, one step).
-    """
+def _reference_level_entries(entries, window_s, modes, k_top):
+    """Sequential transcription of the engine scan (module docstring)
+    over its ENTRY list: ``entries`` = [(ts, step_idx)] in scan order,
+    step_idx = -1 for an event matching no condition.  The engine's
+    aggregate stores exactly this list (one entry per condition an
+    event matches, condition-index order within an event)."""
     strict_order = "strict_order" in modes
     dedup = "strict_dedup" in modes
     inc = "strict_increase" in modes
-    k_top = len(_CONDS)
     et: list[tuple[float, float] | None] = [None] * k_top
     first_event = False
-    for ts, letter in evts:
-        idx = _CONDS.index(letter) if letter in _CONDS else -1
+    for ts, idx in entries:
         if idx == -1:
             if strict_order and first_event:
                 break  # intervening non-matching event aborts
@@ -66,6 +64,15 @@ def _reference_level(evts, window_s, modes):
         if et[lvl - 1] is not None:
             return lvl
     return 0
+
+
+def _reference_level(evts, window_s, modes):
+    """Mutually exclusive conditions: one letter, at most one entry."""
+    entries = [
+        (ts, _CONDS.index(letter) if letter in _CONDS else -1)
+        for ts, letter in evts
+    ]
+    return _reference_level_entries(entries, window_s, modes, len(_CONDS))
 
 
 def _random_streams(n, seed):
@@ -130,3 +137,111 @@ def test_differential_vs_engine_scan(spark):
                     f"got {have}, engine scan says {want}; "
                     f"stream={evts}"
                 )
+
+
+# overlapping conditions: 'b' matches steps 0 AND 1, 'q' matches
+# steps 1 AND 2, 'z' matches ALL three — the engine inserts one entry
+# per matched condition and one event can climb several levels
+_MULTI_CONDS = [
+    {"v", "b", "z"},
+    {"c", "b", "q", "z"},
+    {"p", "q", "z"},
+]
+
+
+def test_differential_multi_match(spark):
+    """VERDICT r10 #5: with multi_match=True, overlapping step
+    conditions must reproduce the engine's entry-list scan (one event
+    advancing multiple pending chains) across every mode combo."""
+    rng = random.Random(2027)
+    streams = {}
+    for uid in range(150):
+        length = rng.randint(0, 12)
+        ts = 0.0
+        evts = []
+        for _ in range(length):
+            ts += rng.choice([0.0, 0.0, 1.0, 1.0, 5.0])
+            evts.append((ts, rng.choice("vvccppbbqqzxy")))
+        streams[f"u{uid}"] = evts
+    rows = [
+        (uid, i, float(ts), letter)
+        for uid, evts in streams.items()
+        for i, (ts, letter) in enumerate(evts)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts double, event_type string"
+    )
+    steps = [F.col("event_type").isin(*sorted(s)) for s in _MULTI_CONDS]
+    k_top = len(_MULTI_CONDS)
+    for window_s in (None, 3.0):
+        for modes in _MODE_COMBOS:
+            got = {
+                r.user_id: r.level
+                for r in window_funnel(
+                    df,
+                    user_col="user_id",
+                    order=["ts", "event_id"],
+                    steps=steps,
+                    ts_col="ts",
+                    window_s=window_s,
+                    modes=modes,
+                    multi_match=True,
+                ).collect()
+            }
+            for uid, evts in streams.items():
+                if not evts:
+                    continue
+                entries = []
+                for ts, letter in evts:
+                    idxs = [
+                        k
+                        for k, cond in enumerate(_MULTI_CONDS)
+                        if letter in cond
+                    ]
+                    entries.extend(
+                        (ts, k) for k in (idxs if idxs else [-1])
+                    )
+                want = _reference_level_entries(
+                    entries, window_s, modes, k_top
+                )
+                have = got.get(uid, 0)
+                assert have == want, (
+                    f"uid={uid} modes={modes} window={window_s}: "
+                    f"got {have}, engine scan says {want}; "
+                    f"stream={evts}"
+                )
+
+
+def test_check_exclusive_guard(spark):
+    """check_exclusive=True turns the single-match precondition into a
+    raised error (ADVICE r10 #2) instead of a silent divergence; and
+    exclusive conditions pass the guard unchanged."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("u1", 0, 1.0, "b")],
+        "user_id string, event_id long, ts double, event_type string",
+    )
+    overlapping = [
+        F.col("event_type").isin("v", "b"),
+        F.col("event_type").isin("c", "b"),
+    ]
+    with pytest.raises(ValueError, match="multi_match"):
+        window_funnel(
+            df,
+            user_col="user_id",
+            order=["ts", "event_id"],
+            steps=overlapping,
+            check_exclusive=True,
+        )
+    exclusive = [F.col("event_type") == "v", F.col("event_type") == "b"]
+    out = window_funnel(
+        df,
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=exclusive,
+        check_exclusive=True,
+    )
+    # guard passes; the lone 'b' (step 2, step 1 unachieved) → level 0
+    assert [(r.user_id, r.level) for r in out.collect()] == [("u1", 0)]
+
