@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 _NET = "__net"
 _LAST_STATE = "__last_state"
 _FIRST_CANCEL = "__first_cancel"
+_LS_ORD = "__ls_ord"
+_LC_ORD = "__lc_ord"
 
 
 def collapse_accumulate(
@@ -44,7 +46,10 @@ def collapse_accumulate(
     order: Sequence[str],
 ) -> DataFrame:
     """Fold a changelog to the MERGEABLE per-key accumulator:
-    ``keys + (__net, __last_state, __first_cancel)``.
+    ``keys + (__net, __last_state, __first_cancel, __ls_ord,
+    __lc_ord)`` — the last two are the ``order`` positions of the last
+    state / last cancel, which finalize compares to decide whether the
+    changelog ENDS on a state row (the engine's ``last_is_positive``).
 
     This is the collapse's commutative-monoid partial state (the
     AggregatingMergeTree-style ``-State`` form, ≙ operators/aggstate):
@@ -66,6 +71,8 @@ def collapse_accumulate(
         F.min_by(
             F.struct(*cols), F.when(F.col(sign) == -1, order_struct)
         ).alias(_FIRST_CANCEL),
+        F.max(F.when(F.col(sign) == 1, order_struct)).alias(_LS_ORD),
+        F.max(F.when(F.col(sign) == -1, order_struct)).alias(_LC_ORD),
     )
 
 
@@ -87,21 +94,42 @@ def collapse_merge(
         F.sum(_NET).alias(_NET),
         F.max_by(ls, ls_ord).alias(_LAST_STATE),
         F.min_by(fc, fc_ord).alias(_FIRST_CANCEL),
+        F.max(_LS_ORD).alias(_LS_ORD),
+        F.max(_LC_ORD).alias(_LC_ORD),
     )
 
 
 def collapse_finalize(acc: DataFrame) -> DataFrame:
-    """FINAL read-view over an accumulator: net>0 → last state,
-    net<0 → first cancel, net=0 → nothing.  Row-local (no shuffle)."""
-    return (
-        acc.where(F.col(_NET) != 0)
-        .select(
-            F.when(F.col(_NET) > 0, F.col(_LAST_STATE))
-            .otherwise(F.col(_FIRST_CANCEL))
-            .alias("__r")
-        )
-        .select("__r.*")
+    """FINAL read-view over an accumulator, transcribing the engine's
+    ``CollapsingSortedAlgorithm::insertRows`` per-key epilogue exactly:
+
+    - more states than cancels  → the last state row,
+    - more cancels than states  → the first cancel row,
+    - equal counts, ending on a CANCEL → nothing (full cancellation),
+    - equal counts, ending on a STATE  → BOTH the first cancel and the
+      last state (the engine keeps the unmatched-cancel + fresh-state
+      pair so a later merge can still collapse it — and FINAL reads
+      surface exactly that pair).
+
+    "Ends on a state" compares the order position of the last state
+    against the last cancel; on an exact order tie the state is taken
+    to precede its cancel (a cancel revokes a previously written
+    state), so a tied pair fully cancels.  Row-local (no shuffle)."""
+    last_is_state = (
+        F.col(_LS_ORD).isNotNull()
+        & (F.col(_LC_ORD).isNull() | (F.col(_LS_ORD) > F.col(_LC_ORD)))
     )
+    survivors = (
+        F.when(F.col(_NET) > 0, F.array(F.col(_LAST_STATE)))
+        .when(F.col(_NET) < 0, F.array(F.col(_FIRST_CANCEL)))
+        .when(
+            last_is_state
+            & F.col(_LAST_STATE).isNotNull()
+            & F.col(_FIRST_CANCEL).isNotNull(),
+            F.array(F.col(_FIRST_CANCEL), F.col(_LAST_STATE)),
+        )
+    )
+    return acc.select(F.explode(survivors).alias("__r")).select("__r.*")
 
 
 def collapse_final(
@@ -115,7 +143,9 @@ def collapse_final(
     Per ``keys`` group over rows with ``sign`` ∈ {+1, -1}:
 
     - net sign > 0 → the LAST state row by ``order`` survives,
-    - net sign = 0 → the key collapses away entirely,
+    - net sign = 0 → the key collapses away entirely — UNLESS the
+      changelog ends on a state row, in which case the engine keeps
+      the (first cancel, last state) pair (collapse_finalize),
     - net sign < 0 → the FIRST cancel row survives (ClickHouse keeps a
       cancel row when the changelog ends sign-negative, signalling the
       broken sequence downstream rather than hiding it).

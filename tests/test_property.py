@@ -332,17 +332,29 @@ def test_collapse_accumulator_merge_equals_batch(spark, rows, cut):
 def _brute_collapse_rows(rows):
     by_key = {}
     for k, seq, payload, sign in rows:
-        acc = by_key.setdefault(k, {"net": 0, "ls": None, "fc": None})
+        acc = by_key.setdefault(
+            k, {"net": 0, "ls": None, "fc": None, "lc": None}
+        )
         acc["net"] += sign
         if sign == 1 and (acc["ls"] is None or seq > acc["ls"][0]):
             acc["ls"] = (seq, payload)
         if sign == -1 and (acc["fc"] is None or seq < acc["fc"][0]):
             acc["fc"] = (seq, payload)
+        if sign == -1 and (acc["lc"] is None or seq > acc["lc"]):
+            acc["lc"] = seq
     for k, acc in by_key.items():
         if acc["net"] > 0:
             yield (k, acc["ls"][0], acc["ls"][1], 1)
         elif acc["net"] < 0:
             yield (k, acc["fc"][0], acc["fc"][1], -1)
+        elif acc["ls"] is not None and (
+            acc["lc"] is None or acc["ls"][0] > acc["lc"]
+        ):
+            # engine rule: equal counts ENDING on a state keep the
+            # (first cancel, last state) pair; order ties read
+            # state-before-cancel, so a tied pair fully cancels
+            yield (k, acc["fc"][0], acc["fc"][1], -1)
+            yield (k, acc["ls"][0], acc["ls"][1], 1)
 
 
 vchangelog_strategy = st.lists(
