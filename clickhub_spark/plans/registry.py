@@ -47,79 +47,25 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # driver row is older than round 4 (VERDICT r9 item 2's done
 # criterion).
 ROUND_PRIORITY = [
-    # --- ROUND-10 WINDOW FRONT (VERDICT r9 item 2 — the rotation
-    # round 9 skipped).  1: the four round-9 queries that never got a
-    # driver row (the fixed quantile cert ships first), 2: the two new
-    # round-10 ANN recall certs, 3: queries whose CODE changed in
-    # round 10 (true strict_order funnel scan; LSH multi_probe
-    # serving alignment) ---
-    "q_agg_quantile_bounds",
-    "q_funnel_strict_window",
-    "q_llm_knn_lsh_recall",
-    "q_agg_uniq_bounds",
-    "q_llm_knn_ivf_recall",
-    "q_llm_knn_pq_recall",
-    "q_llm_logreg_cert",
-    "q_llm_pca_cert",
-    "q_llm_bpe_cert",
-    "q_funnel_window",
-    "q_funnel_strict_dedup",
-    "q_funnel_strict_increase",
-    "q_funnel_strict",
-    "q_llm_knn_lsh",
-    # --- the 36-name block whose latest driver row is round 3 (six
-    # rounds stale; judge re-verified all green at sf0.01 in r9, but
-    # driver rows are the currency) ---
-    "q_agg_approx_distinct",
-    "q_agg_count",
-    "q_agg_count_col",
-    "q_agg_countif",
-    "q_agg_distinct",
-    "q_agg_max",
-    "q_agg_multi",
-    "q_agg_partial_final",
-    "q_agg_rollup",
-    "q_agg_uniq_state",
-    "q_filter_eq",
-    "q_filter_in",
-    "q_filter_range_time",
-    "q_groupby_min",
-    "q_join_any",
-    "q_llm_knn_pq",
-    "q_llm_mixture",
-    "q_llm_perplexity",
-    "q_mv_stars",
-    "q_proj_cast",
-    "q_projection_agg",
-    "q_projection_filter",
-    "q_scan_parquet",
-    "q_scan_tsv",
-    "q_tpch_q1",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_tpch_q9",
-    # --- just past the expected 50-name cut (the r3 block's driver
-    # rows outrank brand-new queries that already carry 3-SF + vanilla
-    # + cluster gates): the round-10 LTTB pair, then the oldest r4
-    # names ---
-    "q_agg_lttb_exact",
+    # --- ROUND-11 WINDOW FRONT (VERDICT r10 items 1-2).  1: the
+    # LTTB pair — the only 2/291 registered queries with NO driver
+    # CORRECTNESS row in any round (added after the r10 window
+    # filled); 2: q_dedup_collapsing, whose collapse_finalize
+    # changed this round (engine-faithful equal-counts-ending-on-
+    # state rule); 3: 47 of the 50-name r4-stale block.  The three
+    # r4 names deferred past the window (q_funnel, q_seq_match,
+    # q_win_pctrank) are exactly the ones that now carry engine-scan
+    # DIFFERENTIAL tests or a fresh r10 judge check — the strongest
+    # non-driver pins — and lead the round-12 window below. ---
     "q_agg_lttb_cert",
+    "q_agg_lttb_exact",
+    "q_dedup_collapsing",
     "q_agg_approx_quantile",
     "q_agg_argmax",
     "q_agg_array_combinator",
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_quantile",
-    # --- below the expected window cut: remaining r4, then r5, r6,
-    # r7, and the round-9-fresh names last (newest evidence) ---
     "q_agg_salted",
     "q_dedup_replacing",
     "q_fn_array",
@@ -131,7 +77,6 @@ ROUND_PRIORITY = [
     "q_fn_math",
     "q_fn_string",
     "q_fn_variant",
-    "q_funnel",
     "q_join_bucketed",
     "q_join_salted",
     "q_limit_offset",
@@ -149,7 +94,6 @@ ROUND_PRIORITY = [
     "q_queue_sqlite",
     "q_retention",
     "q_sample_hash",
-    "q_seq_match",
     "q_set_except",
     "q_set_except_all",
     "q_set_intersect",
@@ -163,6 +107,8 @@ ROUND_PRIORITY = [
     "q_tpch_q3",
     "q_tpch_q6",
     "q_win_firstlast",
+    "q_funnel",
+    "q_seq_match",
     "q_win_pctrank",
     "q_agg_collect",
     "q_fn_bitwise",
@@ -324,7 +270,6 @@ ROUND_PRIORITY = [
     "q_agg_topk_bounds",
     "q_agg_topk_sketch",
     "q_agg_topk_weighted",
-    "q_dedup_collapsing",
     "q_dedup_collapsing_versioned",
     "q_fill_gaps",
     "q_fn_array_join",
@@ -353,6 +298,56 @@ ROUND_PRIORITY = [
     "q_tpch_q7",
     "q_tpch_q8",
     "q_win_running_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_count",
+    "q_agg_count_col",
+    "q_agg_countif",
+    "q_agg_distinct",
+    "q_agg_max",
+    "q_agg_multi",
+    "q_agg_partial_final",
+    "q_agg_quantile_bounds",
+    "q_agg_rollup",
+    "q_agg_uniq_bounds",
+    "q_agg_uniq_state",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_range_time",
+    "q_funnel_strict",
+    "q_funnel_strict_dedup",
+    "q_funnel_strict_increase",
+    "q_funnel_strict_window",
+    "q_funnel_window",
+    "q_groupby_min",
+    "q_join_any",
+    "q_llm_bpe_cert",
+    "q_llm_knn_ivf_recall",
+    "q_llm_knn_lsh",
+    "q_llm_knn_lsh_recall",
+    "q_llm_knn_pq",
+    "q_llm_knn_pq_recall",
+    "q_llm_logreg_cert",
+    "q_llm_mixture",
+    "q_llm_pca_cert",
+    "q_llm_perplexity",
+    "q_mv_stars",
+    "q_proj_cast",
+    "q_projection_agg",
+    "q_projection_filter",
+    "q_scan_parquet",
+    "q_scan_tsv",
+    "q_tpch_q1",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q9",
 ]
 
 

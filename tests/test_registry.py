@@ -77,3 +77,57 @@ def test_column_names_match_oracle_aliases(spark):
         df = spec.builder(spark, SF_DIR)
         for c in df.columns:
             assert "(" not in c, f"{name} has unaliased column {c}"
+
+
+def test_round_priority_rotation_bounds_staleness():
+    """VERDICT r10 #7: the driver verifies only the first 50 names of
+    ROUND_PRIORITY each round.  This gate makes a skipped rotation a
+    RED TEST instead of a judge catch: simulating the upcoming driver
+    run over the committed prefix, no registered query may end up more
+    than MAX_AGE rounds behind the newest CORRECTNESS file, and any
+    never-checked query must sit inside the window.
+
+    MAX_AGE is 7, not the steady-state 6 (291 names / 50 per round):
+    round 9 skipped rotation entirely, leaving a 53-name backlog (50
+    r4-stale + 2 never-checked + 1 changed-this-round) that one
+    50-slot window cannot clear — exactly 3 names must touch 7.  The
+    three chosen (q_funnel, q_seq_match, q_win_pctrank) carry
+    engine-scan differential tests or a fresh judge row and lead the
+    next window (ROUND_PRIORITY[50:53]); once the backlog drains,
+    steady-state rotation keeps everything within 6 ≤ 7."""
+    import json
+    import re
+    from pathlib import Path
+
+    from clickhub_spark.plans.registry import ROUND_PRIORITY
+
+    repo = Path(__file__).resolve().parent.parent
+    rounds = {}
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        rounds[int(m.group(1))] = json.loads(p.read_text())
+    if not rounds:
+        return  # fresh clone without driver artifacts: nothing to gate
+    latest = {}
+    for rnd in sorted(rounds):
+        for name in rounds[rnd]:
+            latest[name] = rnd
+    registered = list(entrymod.queries())
+    assert sorted(set(ROUND_PRIORITY)) == sorted(registered), (
+        "ROUND_PRIORITY must cover the registry exactly once"
+    )
+    window = set(ROUND_PRIORITY[:50])
+    next_round = max(rounds) + 1
+    stale = []
+    for name in registered:
+        simulated = next_round if name in window else latest.get(name)
+        if simulated is None:
+            stale.append(f"{name}: never driver-checked and not in window")
+        elif next_round - simulated > 7:
+            stale.append(
+                f"{name}: would be {next_round - simulated} rounds stale "
+                f"(last row r{simulated})"
+            )
+    assert not stale, (
+        "rotate ROUND_PRIORITY (tools/staleness.py):\n" + "\n".join(stale)
+    )
