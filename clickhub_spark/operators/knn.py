@@ -451,6 +451,50 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    rerank: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Two-stage PQ serving — the production ANN shape at scale: the
+    ADC scan over the codes table selects ``rerank`` candidates
+    (bandwidth-bound, m small ints per vector), then EXACT cosine
+    re-ranks only those ``rerank`` raw vectors to the final top-k.
+
+    Why the second stage exists: ADC rank quality DEGRADES with
+    neighbor density — quantization distortion is constant while the
+    sim gaps between true neighbors shrink as the corpus grows, so a
+    single-stage recall floor certified at small scale does not
+    survive a 100× corpus (measured: recall@20 0.30 single-stage vs
+    0.86 two-stage at 50k clustered vectors, tools/smoke_ann_scale.py).
+    The re-rank is a broadcast semi-join of ``rerank`` ids against
+    the corpus — raw vectors are touched for candidates only, never
+    scanned."""
+    cand = pq_probe_topk(
+        spark, index_path, query_vec, k=rerank, exclude_id=exclude_id
+    ).select("vec_id")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(
+            F.broadcast(cand),
+            emb[id_col] == cand["vec_id"],
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(as_double(F.col(vec_col)), qlit), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def hyperplane_signature_md5(vec: F.Column, n_bits: int = 4, dim: int = 64) -> F.Column:
     """Engine-portable twin of ``hyperplane_signature``: plane weights
     are ±1 from md5 hex parity (md5("p:i") first hex char ≤ '7' → +1),

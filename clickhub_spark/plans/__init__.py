@@ -34,5 +34,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r8,
     queries_r9,
     queries_r10,
+    queries_r11,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

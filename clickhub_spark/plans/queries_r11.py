@@ -1,0 +1,196 @@
+"""Round-11 query wave: the two-stage PQ re-rank recall
+certification.
+
+Round 11's 500k-vector ANN smoke (tools/smoke_ann_scale.py, VERDICT
+r10 #4) showed the single-stage ADC recall floor certified at
+sf<=0.1 does NOT survive realistic corpus density: quantization
+distortion stays constant while true-neighbor sim gaps shrink, so
+recall@20 falls from ~0.44 (2k vectors) to ~0.30 (50k).  The
+production serving shape is therefore TWO-STAGE — ADC candidates,
+exact re-rank (operators/knn.py:pq_rerank_topk) — and this module
+certifies that path the same way q_llm_knn_pq_recall certifies the
+single-stage scan: a driver-checkable boolean over the registered
+build-once artifact.
+
+Measured two-stage recall@20 (m=16, n_codes=32, rerank=10x):
+1.000 / 0.998 / 0.950 at sf0.001/0.01/0.1 and 0.855 at 50k clustered
+vectors — gate 0.60 keeps ~30% headroom under the worst measured
+point while sitting far above the single-stage floor it repairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhub_spark.plans.queries_core import load
+from clickhub_spark.plans.queries_r10 import (
+    _NQ,
+    _PQ_CODES,
+    _PQ_K,
+    _PQ_M,
+    _exact_pairs,
+)
+from clickhub_spark.plans.registry import query
+
+#: ADC candidate depth of the certified two-stage configuration:
+#: 10 candidates per final slot (rerank = 10 * k = 200), the ratio
+#: tools/smoke_ann_scale.py certifies at 500k vectors.
+_PQ_RERANK = 10 * _PQ_K
+
+
+@query(
+    "q_llm_knn_pq_rerank_recall",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings
+    ), q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        FROM embeddings WHERE vec_id < {_NQ}
+    )
+    SELECT t.n_vectors, q.n_queries,
+           CAST(q.n_queries * LEAST({_PQ_K}, t.n_vectors - 1) AS BIGINT)
+               AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS cand_overflow,
+           CAST(1 AS INT) AS recall_ge_060
+    FROM t, q
+    """,
+)
+def q_llm_knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certification for the TWO-STAGE PQ serving path
+    (operators/knn.py:pq_rerank_topk): ADC top-(10·k) candidates per
+    query from the same build-once artifact q_llm_knn_pq serves
+    (m=16, n_codes=32), exact cosine re-rank to top-20, mean recall
+    over 20 query vectors against the exact top-20 as a
+    driver-checkable boolean.
+
+    Also pins the structural contract of the candidate stage:
+    cand_overflow counts queries whose candidate set exceeds the
+    rerank depth (must be 0 — the window cap is the stage's whole
+    scale guarantee: the exact re-rank touches at most 10·k raw
+    vectors per query no matter the corpus size).
+
+    Plan shape: one mapInPandas ADC scan emitting all 20 queries'
+    sims per Arrow batch (the single-stage cert's own scan), a rank
+    window capped at 10·k, a broadcast semi-join of the tiny
+    candidate table back to the raw vectors, and a second rank
+    window over candidate rows only.  At 100 TB the codes scan does
+    all the data-volume work; stage two is 20 x 200 rows."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from clickhub_spark.artifacts import derived_artifact_path
+    from clickhub_spark.functions.vectors import cosine
+    from clickhub_spark.operators.knn import as_double, build_pq_index
+
+    raw = load(spark, sf_dir, "embeddings")
+    path = derived_artifact_path(raw, f"pq{_PQ_M}x{_PQ_CODES}")
+    if not os.path.isdir(path + "/codes"):
+        from clickhub_spark.artifacts import prune_stale
+
+        build_pq_index(raw, path, _PQ_M, _PQ_CODES)
+        prune_stale(path)
+
+    emb = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    q = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    # parameter fetches: m x n_codes codebook + the 20 query vectors
+    cb = spark.read.parquet(path + "/codebooks").collect()
+    m = 1 + max(r.sub for r in cb)
+    n_codes = 1 + max(r.code for r in cb)
+    d = len(cb[0].centroid)
+    books = np.empty((m, n_codes, d))
+    for r in cb:
+        books[r.sub, r.code] = r.centroid
+    qrows = q.collect()
+    qids = np.asarray([r.qid for r in qrows])
+    Q = np.asarray([r.qv for r in qrows], dtype="float64")
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    tables = np.stack(
+        [
+            ((Qn[:, None, s * d : (s + 1) * d] - books[s][None, :, :]) ** 2).sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    def adc(batches):
+        sub_idx = np.arange(m)[None, :]
+        for pdf in batches:
+            codes = np.asarray(list(pdf["code"]), dtype="int64")
+            out = []
+            for qi in range(len(qids)):
+                dist2 = tables[qi][sub_idx, codes].sum(-1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[qi],
+                            "vid": pdf["vid"],
+                            "sim": np.round(1.0 - dist2 / 2.0, 4),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    codes = spark.read.parquet(path + "/codes")
+    sims = codes.mapInPandas(adc, "qid long, vid long, sim double").where(
+        F.col("vid") != F.col("qid")
+    )
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vid").asc()
+    )
+    cand = (
+        sims.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= _PQ_RERANK)
+        .select("qid", F.col("vid").alias("vec_id"))
+    )
+
+    # stage two: exact cosine over candidate rows only (broadcast of
+    # the <= nq * rerank candidate table), then the final top-k rank
+    rer = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "qid")
+        .withColumn("sim", cosine(F.col("v"), F.col("qv")))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _PQ_K)
+        .select("qid", "vec_id")
+    )
+    exact = _exact_pairs(emb, q, _PQ_K)
+
+    counts = (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(q.agg(F.count(F.lit(1)).alias("n_queries")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")))
+        .crossJoin(
+            exact.join(ann, ["qid", "vec_id"]).agg(
+                F.count(F.lit(1)).alias("__hits")
+            )
+        )
+        .crossJoin(
+            cand.groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("__nc"))
+            .agg(
+                F.sum(
+                    (F.col("__nc") > _PQ_RERANK).cast("long")
+                ).alias("cand_overflow")
+            )
+        )
+    )
+    return counts.select(
+        "n_vectors",
+        "n_queries",
+        "n_exact_pairs",
+        F.coalesce(F.col("cand_overflow"), F.lit(0)).alias("cand_overflow"),
+        (F.col("__hits") >= 0.60 * F.col("n_exact_pairs"))
+        .cast("int")
+        .alias("recall_ge_060"),
+    )

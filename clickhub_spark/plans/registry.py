@@ -48,15 +48,17 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # criterion).
 ROUND_PRIORITY = [
     # --- ROUND-11 WINDOW FRONT (VERDICT r10 items 1-2).  1: the
-    # LTTB pair — the only 2/291 registered queries with NO driver
+    # NEW two-stage PQ recall cert (queries_r11); 2: the LTTB pair —
+    # the only 2 previously registered queries with NO driver
     # CORRECTNESS row in any round (added after the r10 window
-    # filled); 2: q_dedup_collapsing, whose collapse_finalize
+    # filled); 3: q_dedup_collapsing, whose collapse_finalize
     # changed this round (engine-faithful equal-counts-ending-on-
-    # state rule); 3: 47 of the 50-name r4-stale block.  The three
-    # r4 names deferred past the window (q_funnel, q_seq_match,
-    # q_win_pctrank) are exactly the ones that now carry engine-scan
-    # DIFFERENTIAL tests or a fresh r10 judge check — the strongest
-    # non-driver pins — and lead the round-12 window below. ---
+    # state rule); 4: 46 of the 50-name r4-stale block.  The four
+    # r4 names deferred past the window (q_win_firstlast, q_funnel,
+    # q_seq_match, q_win_pctrank) carry engine-scan DIFFERENTIAL
+    # tests or a fresh r10 judge check — the strongest non-driver
+    # pins — and lead the round-12 window below. ---
+    "q_llm_knn_pq_rerank_recall",
     "q_agg_lttb_cert",
     "q_agg_lttb_exact",
     "q_dedup_collapsing",
