@@ -194,3 +194,151 @@ def q_llm_knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("recall_ge_060"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.D sequence family: multi-match funnel + sequenceNextNode
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_multimatch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, s.step
+        FROM events, UNNEST([
+            CASE WHEN event_type = 'view' AND value < 8 THEN 0 END,
+            CASE WHEN (event_type = 'click' AND value < 12)
+                   OR (event_type = 'view' AND value < 4) THEN 1 END,
+            CASE WHEN (event_type = 'purchase' AND value < 16)
+                   OR value < 2 THEN 2 END
+        ]) AS s(step)
+        WHERE user_id IS NOT NULL AND s.step IS NOT NULL
+    ), o AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id, step) AS rn
+        FROM e
+    ), s0 AS (
+        SELECT *,
+               MAX(CASE WHEN step = 0 THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a0
+        FROM o
+    ), s1 AS (
+        SELECT *, (step = 1 AND a0 IS NOT NULL) AS q2 FROM s0
+    ), s2 AS (
+        SELECT *,
+               MAX(CASE WHEN q2 THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a1
+        FROM s1
+    ), lvl AS (
+        SELECT user_id,
+               CASE WHEN step = 2 AND a1 IS NOT NULL THEN 3
+                    WHEN q2 THEN 2
+                    WHEN step = 0 THEN 1 ELSE 0 END AS l
+        FROM s2
+    ), u AS (
+        SELECT user_id, MAX(l) AS level FROM lvl GROUP BY user_id
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY level
+    """,
+)
+def q_funnel_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel with OVERLAPPING step conditions (multi-match,
+    NEW round 11 — operators/funnel.py): one event can advance
+    several pending levels, exactly as the engine's aggregate inserts
+    one (ts, step) entry per matched condition.  Steps here overlap
+    on purpose: a 'view' with value > 450 matches ALL THREE
+    conditions and climbs the whole funnel alone.
+
+    The oracle transcribes the entry-explode + chained running-max
+    construction (the family's documented oracle posture); the
+    SEMANTICS are pinned independently by
+    tests/test_funnel_differential.py::test_differential_multi_match,
+    a fuzz against the sequential engine-scan transcription over
+    overlapping alphabets.
+
+    Plan: map-side explode (<= 3 entries/event, no shuffle), then the
+    single-match DP — one user_id exchange, one sort, K window
+    passes."""
+    from clickhub_spark.operators.funnel import window_funnel
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ty, val = F.col("event_type"), F.col("value")
+    levels = window_funnel(
+        ev,
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[
+            (ty == "view") & (val < 8),
+            ((ty == "click") & (val < 12)) | ((ty == "view") & (val < 4)),
+            ((ty == "purchase") & (val < 16)) | (val < 2),
+        ],
+        multi_match=True,
+    )
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_seq_next_node_chain",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS nxt1,
+               LEAD(event_type, 2) OVER w AS nxt2,
+               row_number() OVER w AS rn
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT user_id, nxt2,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS mr
+        FROM o WHERE event_type = 'view' AND nxt1 = 'click'
+    )
+    SELECT COALESCE(nxt2, '<end>') AS next_node,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM m WHERE mr = 1
+    GROUP BY 1
+    """,
+)
+def q_seq_next_node_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceNextNode with a MULTI-EVENT base chain (ClickHouse
+    ``sequenceNextNode('forward', 'first_match')(ts, event_type,
+    event_type = 'view', event_type = 'view', event_type =
+    'click')``): for each user, the event that FOLLOWS the first
+    consecutive view→click pair in the time-ordered stream ('<end>'
+    when the chain closes the stream).  Completes the family next to
+    q_seq_next_node (queries_r7), which covers the single-event
+    base.
+
+    One user_id exchange shared by the lead pair scan and the
+    first-match rank; the aggregate runs on <=1 row per user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    m = o.where(
+        (F.col("event_type") == "view") & (F.col("nxt1") == "click")
+    ).withColumn(
+        "mr",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("rn")
+        ),
+    )
+    return (
+        m.where(F.col("mr") == 1)
+        .groupBy(F.coalesce(F.col("nxt2"), F.lit("<end>")).alias("next_node"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
