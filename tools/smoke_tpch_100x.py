@@ -18,6 +18,7 @@ from clickhub_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 BIG = "/tmp/spark_graft_lineitem_100x"
+BIG_ORD = "/tmp/spark_graft_orders_100x"
 
 
 def q1(li):
@@ -84,13 +85,21 @@ def main():
     big = spark.read.parquet(BIG)
     out["rows_1x"], out["rows_100x"] = n1, big.count()
 
-    # orders replicated the same way for the join (kept lazy/on the fly)
-    orders_big = orders.crossJoin(
-        spark.range(100).withColumnRenamed("id", "__rep")
-    ).select(
-        (F.col("o_orderkey") + F.col("__rep") * 10_000_000).alias("o_orderkey"),
-        *[c for c in orders.columns if c != "o_orderkey"],
-    )
+    # orders replicated the same way, ALSO materialized to parquet:
+    # the replication crossJoin is harness scaffolding — left lazy it
+    # leaks a BroadcastNestedLoopJoin into the measured q3 plan and
+    # the fingerprint gate (correctly) flags it
+    if not os.path.exists(BIG_ORD + "/_SUCCESS"):
+        shutil.rmtree(BIG_ORD, ignore_errors=True)
+        orders.crossJoin(
+            spark.range(100).withColumnRenamed("id", "__rep")
+        ).select(
+            (F.col("o_orderkey") + F.col("__rep") * 10_000_000).alias(
+                "o_orderkey"
+            ),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        ).repartition(32).write.mode("overwrite").parquet(BIG_ORD)
+    orders_big = spark.read.parquet(BIG_ORD)
 
     out["q1_1x_sec"] = t(q1(li1))
     out["q1_100x_sec"] = t(q1(big))
