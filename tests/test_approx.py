@@ -164,3 +164,47 @@ def test_lsh_multi_probe_improves_or_matches_recall(spark):
     if q_bucket is not None:
         allowed = {q_bucket} | {q_bucket ^ (1 << b) for b in range(4)}
         assert {r.bucket for r in multi} <= allowed
+
+
+def test_pq_rerank_equals_exact_at_full_depth(spark, tmp_path):
+    """Two-stage PQ (NEW round 11): with rerank >= corpus size the
+    candidate stage passes every vector through, so the exact re-rank
+    must return EXACTLY the brute-force top-k (same ids, same order);
+    and at a narrow depth the result is still capped at k rows drawn
+    only from the ADC candidates."""
+    from clickhub_spark.operators.knn import (
+        brute_force_topk,
+        build_pq_index,
+        pq_probe_topk,
+        pq_rerank_topk,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "pq")
+    build_pq_index(emb, idx, m=32, n_codes=16)
+    qrow = emb.where(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in qrow.embedding]
+    n = emb.count()
+
+    exact = [r.vec_id for r in brute_force_topk(emb, 0, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in pq_rerank_topk(
+            spark, idx, emb, qv, k=10, rerank=n, exclude_id=0
+        ).collect()
+    ]
+    assert full == exact  # full-depth two-stage IS the exact ranking
+
+    cand = {
+        r.vec_id
+        for r in pq_probe_topk(spark, idx, qv, k=25, exclude_id=0).collect()
+    }
+    narrow = [
+        r.vec_id
+        for r in pq_rerank_topk(
+            spark, idx, emb, qv, k=10, rerank=25, exclude_id=0
+        ).collect()
+    ]
+    assert len(narrow) == 10
+    assert set(narrow) <= cand  # stage two never leaves the candidates
+    assert 0 not in narrow

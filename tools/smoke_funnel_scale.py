@@ -134,7 +134,37 @@ def main() -> None:
         if not ok:
             out[mode]["got"] = hist
             out[mode]["want"] = exp
-    out["all_ok"] = all(out[m]["ok"] for m in expect)
+    # multi-match path (round 11): with mutually exclusive steps the
+    # entry-explode form must return the IDENTICAL histogram — this
+    # run pins that equivalence at n_events scale and measures the
+    # explode's overhead vs the plain default run above (semantics
+    # under genuinely overlapping conditions are pinned by
+    # tests/test_funnel_differential.py::test_differential_multi_match)
+    t0 = time.time()
+    levels = window_funnel(
+        ev,
+        user_col="user_id",
+        order=["ts", "event_id"],
+        steps=[ini == "v", ini == "c", ini == "p"],
+        ts_col="ts",
+        window_s=86_400,
+        multi_match=True,
+    )
+    hist = {
+        int(r["level"]): int(r["n"])
+        for r in levels.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ok = hist == expect["default"]
+    out["default_multimatch"] = {"sec": round(time.time() - t0, 2), "ok": ok}
+    if not ok:
+        out["default_multimatch"]["got"] = hist
+        out["default_multimatch"]["want"] = expect["default"]
+
+    out["all_ok"] = (
+        all(out[m]["ok"] for m in expect) and out["default_multimatch"]["ok"]
+    )
     print(json.dumps(out))
 
 
