@@ -131,11 +131,13 @@ def optimize_final_collapsing(
     """``OPTIMIZE TABLE … FINAL`` for a CollapsingMergeTree-style
     sign-changelog table: physically collapse the changelog
     (operators/collapsing.py semantics — net>0 keeps the last state,
-    net=0 vanishes, net<0 keeps the first cancel), compacted and
-    sorted by the key.  Idempotent: a collapsed table is a fixed point
-    (every surviving row is a lone ±1 for its key).  Same
-    writers-paused contract as ``compact``.  Returns the surviving
-    row count."""
+    net<0 keeps the first cancel, net=0 vanishes unless the changelog
+    ends on a state, which keeps the engine's (first cancel, last
+    state) pair), compacted and sorted by the key.  Idempotent: a
+    collapsed table is a fixed point (a lone ±1 survives as itself; a
+    kept cancel+state pair re-collapses to the same pair, the cancel
+    ordering before the state).  Same writers-paused contract as
+    ``compact``.  Returns the surviving row count."""
     from clickhub_spark.operators.collapsing import collapse_final
 
     return _rewrite(
