@@ -33,6 +33,7 @@ D = 64
 def main():
     spark = get_spark("smoke-ann-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    from clickhub_spark.plans.queries_r9 import q_llm_knn_lsh_recall
     from clickhub_spark.plans.queries_r10 import (
         q_llm_knn_ivf_recall,
         q_llm_knn_pq_recall,
@@ -79,6 +80,11 @@ def main():
         out["pq_rerank_sec"] = round(time.time() - t0, 3)
         out["pq_rerank"] = rr.asDict()
 
+        t0 = time.time()
+        lsh = q_llm_knn_lsh_recall(spark, td).collect()[0]
+        out["lsh_sec"] = round(time.time() - t0, 3)
+        out["lsh"] = lsh.asDict()
+
     # the single-stage PQ floor (recall_ge_035) is reported but NOT
     # gated at scale: ADC rank quality degrades with neighbor density
     # (distortion constant, true-neighbor gaps shrinking), which is
@@ -91,6 +97,8 @@ def main():
         and pq.bad_codes == 0
         and rr.recall_ge_060 == 1
         and rr.cand_overflow == 0
+        and lsh.recall_ge_040 == 1
+        and lsh.pruned_le_050 == 1
     )
     out["gates_ok"] = bool(ok)
     print(json.dumps(out))
