@@ -342,3 +342,102 @@ def q_seq_next_node_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("nxt2"), F.lit("<end>")).alias("next_node"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# general sequenceMatch/sequenceCount operator (operators/seqmatch) —
+# arbitrary patterns with overlapping conditions, registered over the
+# events table.  Bitset alphabet shared with the oracle: conds (c1=view,
+# c2=click OR value<40, c3=purchase) → bitset 1..7 → substr('ABCDEFG').
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seq_match_pattern",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                + CASE WHEN event_type = 'click' OR value < 40
+                       THEN 2 ELSE 0 END
+                + CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+                   AS b
+        FROM events WHERE user_id IS NOT NULL
+    ), s AS (
+        SELECT user_id,
+               string_agg(substr('ABCDEFG', b, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM e WHERE b > 0 GROUP BY user_id
+    )
+    SELECT user_id,
+           regexp_matches(seq, '[ACEG].*[BCFG].*[DEFG]') AS matched
+    FROM s
+    """,
+)
+def q_seq_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General sequenceMatch operator (operators/seqmatch.py, NEW
+    round 11) on an OVERLAPPING condition set — ClickHouse
+    ``sequenceMatch('(?1).*(?2).*(?3)')(ts, type='view',
+    type='click' OR value<40, type='purchase')``: a low-value view
+    event matches conditions 1 AND 2 simultaneously (one entry, two
+    bits), which the fixed-shape q_seq_match cannot express.
+
+    JVM path: per-user bitset chars → one rlike; one user_id shuffle,
+    no Python.  Engine-automaton semantics differentially pinned in
+    tests/test_seqmatch.py over random overlapping streams."""
+    from clickhub_spark.operators.seqmatch import sequence_match
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ty, val = F.col("event_type"), F.col("value")
+    return sequence_match(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [ty == "view", (ty == "click") | (val < 40), ty == "purchase"],
+        "(?1).*(?2).*(?3)",
+    )
+
+
+@query(
+    "q_seq_count_adjacent",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                + CASE WHEN event_type = 'click' OR value < 40
+                       THEN 2 ELSE 0 END
+                + CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+                   AS b
+        FROM events WHERE user_id IS NOT NULL
+    ), s AS (
+        SELECT user_id,
+               string_agg(substr('ABCDEFG', b, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM e WHERE b > 0 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, '[BCFG][DEFG]')) AS INT)
+               AS n_matches
+    FROM s
+    """,
+)
+def q_seq_count_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General sequenceCount with DIRECT adjacency — ClickHouse
+    ``sequenceCount('(?1)(?2)')``: how many times a condition-2 entry
+    immediately follows a condition-1 entry in the user's entry list
+    (non-overlapping, scan-restart semantics ≡ left-to-right
+    non-overlapping regex find).  Conditions overlap as in
+    q_seq_match_pattern; conds here are (c1 = click OR value<40,
+    c2 = purchase) mapped onto the same 3-bit alphabet."""
+    from clickhub_spark.operators.seqmatch import sequence_count
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ty, val = F.col("event_type"), F.col("value")
+    out = sequence_count(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [ty == "view", (ty == "click") | (val < 40), ty == "purchase"],
+        "(?2)(?3)",
+    )
+    return out
