@@ -142,13 +142,16 @@ def _entry_string(
     )
 
 
-def _match_entries(entries, tokens, k_top, start=0):
+def _match_entries(entries, tokens, k_top, start=0, want_events=False):
     """Backtracking automaton over [(ts, bitset)]; returns end index
-    (one past the last consumed entry, minimal for stars) or None."""
+    (one past the last consumed entry, minimal for stars) or None.
+    With ``want_events`` returns (end, [ts of each matched ``(?N)``
+    atom]) — the sequenceMatchEvents trail of the FIRST (earliest-
+    anchor, minimal-star) match."""
 
     def go(pi, ei, last_ts, time_cond):
         if pi == len(tokens):
-            return ei
+            return ei, []
         tok = tokens[pi]
         if tok[0] == "time":
             return go(pi + 1, ei, last_ts, tok)
@@ -175,7 +178,13 @@ def _match_entries(entries, tokens, k_top, start=0):
             }[op]
             if not ok:
                 return None
-        return go(pi + 1, ei + 1, ts, None)
+        r = go(pi + 1, ei + 1, ts, None)
+        if r is None:
+            return None
+        end, trail = r
+        if tok[0] == "cond":
+            trail = [ts, *trail]
+        return end, trail
 
     anchors = (
         [start] if tokens and tokens[0][0] == "star" else range(start, len(entries) + 1)
@@ -183,7 +192,7 @@ def _match_entries(entries, tokens, k_top, start=0):
     for a in anchors:
         r = go(0, a, None, None)
         if r is not None:
-            return r
+            return r if want_events else r[0]
     return None
 
 
@@ -301,4 +310,60 @@ def sequence_count(
     return seqs.select(
         F.col(user_col).alias("user_id"),
         F.regexp_count("__seq", F.lit(rx)).cast("int").alias("n_matches"),
+    )
+
+
+def sequence_match_events(
+    df: DataFrame,
+    user_col: str,
+    order: Sequence[str],
+    conds: Sequence[Column],
+    pattern: str,
+    ts_col: str,
+    user_type: str = "bigint",
+) -> DataFrame:
+    """sequenceMatchEvents analog: per user, the timestamps of the
+    entries matched by each ``(?N)`` atom of the FIRST match
+    (earliest anchor, minimal stars — the engine's scan order), or an
+    empty array when the pattern does not match.  Always runs the
+    automaton path (the trail needs positions, which the regex fast
+    path discards).  Returns (user_id, event_times array<double>)."""
+    import pandas as pd
+
+    tokens = parse_pattern(pattern)
+    if len(conds) > _MAX_CONDS:
+        raise ValueError(f"max {_MAX_CONDS} conditions")
+    k_top = len(conds)
+    bit_cols = [f"__c{k}" for k in range(k_top)]
+    prep = df.select(
+        F.col(user_col),
+        F.col(ts_col).cast("double").alias("__ts"),
+        *[F.col(c) for c in order if c not in (user_col, ts_col)],
+        *[
+            F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"__c{k}")
+            for k, c in enumerate(conds)
+        ],
+    )
+    sort_cols = ["__ts" if c == ts_col else c for c in order]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        entries = []
+        ts = pdf["__ts"].to_numpy()
+        bits = [pdf[c].to_numpy() for c in bit_cols]
+        for i in range(len(pdf)):
+            b = sum((1 << k) for k in range(k_top) if bits[k][i])
+            if b:
+                entries.append((float(ts[i]), b))
+        r = _match_entries(entries, tokens, k_top, want_events=True)
+        trail = r[1] if r is not None else []
+        return pd.DataFrame(
+            {
+                "user_id": [pdf[user_col].iloc[0]],
+                "event_times": [[float(t) for t in trail]],
+            }
+        )
+
+    return prep.groupBy(user_col).applyInPandas(
+        fit, f"user_id {user_type}, event_times array<double>"
     )

@@ -441,3 +441,79 @@ def q_seq_count_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(?2)(?3)",
     )
     return out
+
+
+@query(
+    "q_seq_match_events",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch(ts) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               (event_type = 'view') AS c1,
+               (event_type = 'click' OR value < 40) AS c2,
+               (event_type = 'purchase') AS c3
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND (event_type IN ('view', 'click', 'purchase')
+               OR value < 40)
+    ), m1 AS (
+        SELECT user_id, MIN(rn) AS r1 FROM e WHERE c1 GROUP BY user_id
+    ), m2 AS (
+        SELECT e.user_id, MIN(rn) AS r2
+        FROM e JOIN m1 USING (user_id)
+        WHERE c2 AND rn > r1 GROUP BY e.user_id
+    ), m3 AS (
+        SELECT e.user_id, MIN(rn) AS r3
+        FROM e JOIN m2 USING (user_id)
+        WHERE c3 AND rn > r2 GROUP BY e.user_id
+    ), u AS (SELECT DISTINCT user_id FROM e)
+    SELECT u.user_id,
+           (m3.user_id IS NOT NULL) AS matched,
+           ROUND(CASE WHEN m3.user_id IS NOT NULL
+                 THEN (SELECT t FROM e WHERE e.user_id = u.user_id
+                       AND e.rn = m1.r1) END, 6) AS ts1,
+           ROUND(CASE WHEN m3.user_id IS NOT NULL
+                 THEN (SELECT t FROM e WHERE e.user_id = u.user_id
+                       AND e.rn = m2.r2) END, 6) AS ts2,
+           ROUND(CASE WHEN m3.user_id IS NOT NULL
+                 THEN (SELECT t FROM e WHERE e.user_id = u.user_id
+                       AND e.rn = m3.r3) END, 6) AS ts3
+    FROM u
+    LEFT JOIN m1 USING (user_id)
+    LEFT JOIN m2 USING (user_id)
+    LEFT JOIN m3 USING (user_id)
+    """,
+)
+def q_seq_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatchEvents analog (operators/seqmatch.py, NEW round
+    11): the TIMESTAMPS of the entries matched by each (?N) atom of
+    the first match of ``(?1).*(?2).*(?3)`` over overlapping
+    conditions (c2 = click OR value<40 overlaps c1 = view).
+
+    The oracle derives the trail INDEPENDENTLY of the automaton: for
+    an all-subsequence pattern the first match is the greedy one —
+    first c1 entry, first c2 entry after it, first c3 entry after
+    that — three correlated mins over the entry list, not a
+    transcription of the backtracking code.  Trail exploded to scalar
+    columns (the driver compare hashes scalars, not arrays)."""
+    from clickhub_spark.operators.seqmatch import sequence_match_events
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ty, val = F.col("event_type"), F.col("value")
+    out = sequence_match_events(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [ty == "view", (ty == "click") | (val < 40), ty == "purchase"],
+        "(?1).*(?2).*(?3)",
+        ts_col="ts",
+    )
+    t = F.col("event_times")
+    return out.select(
+        "user_id",
+        (F.size(t) == 3).alias("matched"),
+        F.round(F.element_at(t, 1), 6).alias("ts1"),
+        F.round(F.element_at(t, 2), 6).alias("ts2"),
+        F.round(F.element_at(t, 3), 6).alias("ts3"),
+    )

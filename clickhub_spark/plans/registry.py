@@ -48,25 +48,28 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # criterion).
 ROUND_PRIORITY = [
     # --- ROUND-11 WINDOW FRONT (VERDICT r10 items 1-2).  1: the
-    # FIVE new round-11 queries (two-stage PQ recall cert,
-    # multi-match funnel, sequenceNextNode chain, and the general
-    # sequenceMatch/sequenceCount operator pair); 2: the LTTB pair —
+    # SIX new round-11 queries (two-stage PQ recall cert,
+    # multi-match funnel, sequenceNextNode chain, the general
+    # sequenceMatch/sequenceCount operator pair, and
+    # sequenceMatchEvents with an independent greedy-derivation
+    # oracle); 2: the LTTB pair —
     # the only 2 previously registered queries with NO driver
     # CORRECTNESS row in any round (added after the r10 window
     # filled); 3: q_dedup_collapsing, whose collapse_finalize
     # changed this round (engine-faithful equal-counts-ending-on-
-    # state rule); 4: 42 of the 50-name r4-stale block.  The eight
-    # r4 names deferred past the window (q_topk_freq, q_topk_multi,
-    # q_tpch_q3, q_tpch_q6, q_win_firstlast, q_funnel, q_seq_match,
-    # q_win_pctrank) carry engine-scan DIFFERENTIAL tests,
-    # bench/100x-smoke coverage, or a fresh r10 judge check — the
-    # strongest non-driver pins — and lead the round-12 window
+    # state rule); 4: 41 of the 50-name r4-stale block.  The nine
+    # r4 names deferred past the window (q_stream_slide, q_topk_freq,
+    # q_topk_multi, q_tpch_q3, q_tpch_q6, q_win_firstlast, q_funnel,
+    # q_seq_match, q_win_pctrank) carry engine-scan DIFFERENTIAL
+    # tests, bench/100x-smoke coverage, or a fresh r10 judge check —
+    # the strongest non-driver pins — and lead the round-12 window
     # below. ---
     "q_llm_knn_pq_rerank_recall",
     "q_funnel_multimatch",
     "q_seq_next_node_chain",
     "q_seq_match_pattern",
     "q_seq_count_adjacent",
+    "q_seq_match_events",
     "q_agg_lttb_cert",
     "q_agg_lttb_exact",
     "q_dedup_collapsing",
