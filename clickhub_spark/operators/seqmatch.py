@@ -196,6 +196,89 @@ def _match_entries(entries, tokens, k_top, start=0, want_events=False):
     return None
 
 
+def _automaton_over_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order: Sequence[str],
+    conds: Sequence[Column],
+    per_user,
+    out_field: str,
+    out_name: str,
+    user_type: str,
+) -> DataFrame:
+    """Shared executor for the automaton paths: one user_id
+    repartition + within-partition sort, then ONE mapInPandas over
+    each partition's Arrow batches with a boundary-carry buffer (a
+    user whose rows straddle two batches is deferred to the next) —
+    the per-user Python work runs without per-group UDF dispatch or
+    per-group DataFrame construction, which dominates
+    groupBy().applyInPandas at hundreds of thousands of tiny groups
+    (measured 73 s → single-digit seconds at 1M events / 300k users,
+    tools/smoke_seqmatch_scale.py).  ``per_user(entries)`` maps the
+    entry list [(ts, bitset)] to the output value."""
+    import pandas as pd
+
+    k_top = len(conds)
+    bit_cols = [f"__c{k}" for k in range(k_top)]
+    prep = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).cast("double").alias("__ts"),
+            *[F.col(c) for c in order if c not in (user_col, ts_col)],
+            *[
+                F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"__c{k}")
+                for k, c in enumerate(conds)
+            ],
+        )
+        .repartition(F.col("__u"))
+        .sortWithinPartitions(
+            "__u", *["__ts" if c == ts_col else c for c in order]
+        )
+    )
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        users, vals = [], []
+        ts = pdf["__ts"].to_numpy()
+        bits = [pdf[c].to_numpy() for c in bit_cols]
+        uvals = pdf["__u"].to_numpy()
+        i, n = 0, len(pdf)
+        while i < n:
+            j = i
+            uid = uvals[i]
+            entries = []
+            while j < n and uvals[j] == uid:
+                b = 0
+                for k in range(k_top):
+                    if bits[k][j]:
+                        b |= 1 << k
+                if b:
+                    entries.append((float(ts[j]), b))
+                j += 1
+            users.append(uid)
+            vals.append(per_user(entries))
+            i = j
+        return pd.DataFrame({"user_id": users, out_name: vals})
+
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["__u"].iloc[-1]
+            mask = pdf["__u"] == last
+            carry = pdf[mask]
+            rest = pdf[~mask]
+            if len(rest):
+                yield process(rest)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return prep.mapInPandas(gen, f"user_id {user_type}, {out_field}")
+
+
 def _automaton_apply(
     df: DataFrame,
     user_col: str,
@@ -206,32 +289,10 @@ def _automaton_apply(
     count: bool,
     user_type: str,
 ) -> DataFrame:
-    import pandas as pd
-
     k_top = len(conds)
-    bit_cols = [f"__c{k}" for k in range(k_top)]
-    prep = df.select(
-        F.col(user_col),
-        F.col(ts_col).cast("double").alias("__ts"),
-        *[F.col(c) for c in order if c not in (user_col, ts_col)],
-        *[
-            F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"__c{k}")
-            for k, c in enumerate(conds)
-        ],
-    )
-    sort_cols = ["__ts" if c == ts_col else c for c in order]
-    out_field = "n_matches int" if count else "matched boolean"
+    if count:
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        entries = []
-        ts = pdf["__ts"].to_numpy()
-        bits = [pdf[c].to_numpy() for c in bit_cols]
-        for i in range(len(pdf)):
-            b = sum((1 << k) for k in range(k_top) if bits[k][i])
-            if b:
-                entries.append((float(ts[i]), b))
-        if count:
+        def per_user(entries):
             n, pos = 0, 0
             while True:
                 r = _match_entries(entries, tokens, k_top, pos)
@@ -239,18 +300,19 @@ def _automaton_apply(
                     break
                 n += 1
                 pos = max(r, pos + 1)
-            val = n
-        else:
-            val = _match_entries(entries, tokens, k_top) is not None
-        return pd.DataFrame(
-            {
-                "user_id": [pdf[user_col].iloc[0]],
-                ("n_matches" if count else "matched"): [val],
-            }
+            return n
+
+        return _automaton_over_users(
+            df, user_col, ts_col, order, conds, per_user,
+            "n_matches int", "n_matches", user_type,
         )
 
-    return prep.groupBy(user_col).applyInPandas(
-        fit, f"user_id {user_type}, {out_field}"
+    def per_user(entries):
+        return _match_entries(entries, tokens, k_top) is not None
+
+    return _automaton_over_users(
+        df, user_col, ts_col, order, conds, per_user,
+        "matched boolean", "matched", user_type,
     )
 
 
@@ -328,42 +390,16 @@ def sequence_match_events(
     empty array when the pattern does not match.  Always runs the
     automaton path (the trail needs positions, which the regex fast
     path discards).  Returns (user_id, event_times array<double>)."""
-    import pandas as pd
-
     tokens = parse_pattern(pattern)
     if len(conds) > _MAX_CONDS:
         raise ValueError(f"max {_MAX_CONDS} conditions")
     k_top = len(conds)
-    bit_cols = [f"__c{k}" for k in range(k_top)]
-    prep = df.select(
-        F.col(user_col),
-        F.col(ts_col).cast("double").alias("__ts"),
-        *[F.col(c) for c in order if c not in (user_col, ts_col)],
-        *[
-            F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"__c{k}")
-            for k, c in enumerate(conds)
-        ],
-    )
-    sort_cols = ["__ts" if c == ts_col else c for c in order]
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        entries = []
-        ts = pdf["__ts"].to_numpy()
-        bits = [pdf[c].to_numpy() for c in bit_cols]
-        for i in range(len(pdf)):
-            b = sum((1 << k) for k in range(k_top) if bits[k][i])
-            if b:
-                entries.append((float(ts[i]), b))
+    def per_user(entries):
         r = _match_entries(entries, tokens, k_top, want_events=True)
-        trail = r[1] if r is not None else []
-        return pd.DataFrame(
-            {
-                "user_id": [pdf[user_col].iloc[0]],
-                "event_times": [[float(t) for t in trail]],
-            }
-        )
+        return [float(t) for t in r[1]] if r is not None else []
 
-    return prep.groupBy(user_col).applyInPandas(
-        fit, f"user_id {user_type}, event_times array<double>"
+    return _automaton_over_users(
+        df, user_col, ts_col, order, conds, per_user,
+        "event_times array<double>", "event_times", user_type,
     )
