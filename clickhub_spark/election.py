@@ -1,0 +1,220 @@
+"""Automated coordinator failover — a filesystem-lease election that
+drives the warm-standby ``promote()`` seam (queue_http.py's
+documented "a ZK/Raft election can drive /promote unchanged"),
+closing the last delta to the reference's ZooKeeper deployment for
+single-shared-filesystem fleets.
+
+Protocol (the classic lease with epoch fencing, on the same
+linearizable filesystem primitives queue.py's rename-CAS backend
+uses):
+
+- the election medium is a directory of EPOCH FILES ``epoch_N``,
+  created with ``O_CREAT|O_EXCL`` — the filesystem linearizes
+  creation, so exactly ONE contender wins each epoch;
+- the leader renews its epoch file's expiry (tmp + atomic rename)
+  every ``lease_s/3``; before renewing it checks for a HIGHER epoch
+  and, finding one, steps down immediately (it has been fenced);
+- a follower attempts ``epoch_{N+1}`` only after observing the
+  current lease expired plus a GRACE of one full lease period —
+  strictly longer than the leader's renew interval, so a live leader
+  that merely scheduled late keeps its lease;
+- the leader additionally SELF-FENCES on its own clock: if its last
+  successful renewal is older than ``lease_s``, it stops serving
+  before any follower may take over (``Elector.is_valid`` is wired
+  into the coordinator's ``serving`` flag via step_down).
+
+Assumptions (stated, not hidden): contenders share one coherent
+filesystem (same box, or a POSIX-coherent network mount — the same
+requirement the snapshot ledger already makes); the SHARED expiry in
+the lease file is wall-clock, so cross-node clock skew must be small
+relative to ``lease_s`` (the standard lease-protocol assumption —
+pick lease_s comfortably above your NTP error).  The leader's
+self-fence uses its OWN monotonic clock against durations it
+measured itself, so it is skew-immune.
+
+Split-brain analysis: a follower promotes no earlier than
+``expiry + lease_s``; the deposed leader stops serving at
+``expiry`` by its own clock (self-fence) or at its next renew check
+(≤ lease_s/3 after the higher epoch appears), whichever comes first
+— both strictly before the takeover under the stated assumptions.
+The snapshot ledger is only ever written by one serving coordinator
+at a time.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import threading
+import time
+
+_LOG = logging.getLogger(__name__)
+
+_EPOCH_RE = re.compile(r"^epoch_(\d+)$")
+
+
+class FileLease:
+    """The shared-filesystem lease cell."""
+
+    def __init__(self, lease_dir: str, node_id: str, lease_s: float):
+        self.dir = lease_dir
+        self.node_id = node_id
+        self.lease_s = float(lease_s)
+        os.makedirs(lease_dir, exist_ok=True)
+
+    # -- reads ---------------------------------------------------------
+    def current(self) -> tuple[int, str | None, float]:
+        """(epoch, owner, expires) of the highest epoch; (0, None, 0)
+        before the first election."""
+        best = 0
+        for name in os.listdir(self.dir):
+            m = _EPOCH_RE.match(name)
+            if m:
+                best = max(best, int(m.group(1)))
+        if not best:
+            return 0, None, 0.0
+        try:
+            with open(os.path.join(self.dir, f"epoch_{best}")) as f:
+                doc = json.load(f)
+            return best, doc.get("owner"), float(doc.get("expires", 0.0))
+        except (OSError, json.JSONDecodeError):
+            # freshly created, write racing: treat as live-unknown so
+            # nobody steals an epoch that is mid-write
+            return best, None, time.time() + self.lease_s
+
+    def highest_epoch(self) -> int:
+        return self.current()[0]
+
+    # -- writes --------------------------------------------------------
+    def _write(self, epoch: int, *, exclusive: bool) -> bool:
+        path = os.path.join(self.dir, f"epoch_{epoch}")
+        # wall-clock expiry: the only cross-node comparison in the
+        # protocol (module docstring's skew assumption)
+        doc = {"owner": self.node_id, "expires": time.time() + self.lease_s}
+        if exclusive:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f)
+            return True
+        tmp = path + f".tmp.{self.node_id}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+        return True
+
+    def try_acquire(self, epoch: int) -> bool:
+        """Claim ``epoch`` — O_EXCL create, exactly one winner.  The
+        winner prunes epoch files older than the previous 5 (bounded
+        directory growth over a long leadership history)."""
+        won = self._write(epoch, exclusive=True)
+        if won:
+            for name in os.listdir(self.dir):
+                m = _EPOCH_RE.match(name)
+                if m and int(m.group(1)) < epoch - 5:
+                    try:
+                        os.unlink(os.path.join(self.dir, name))
+                    except OSError:
+                        pass
+        return won
+
+    def renew(self, epoch: int) -> bool:
+        """Extend the expiry of an epoch this node owns.  Returns
+        False (WITHOUT renewing) if a higher epoch exists — the owner
+        has been fenced and must step down."""
+        if self.highest_epoch() > epoch:
+            return False
+        self._write(epoch, exclusive=False)
+        return True
+
+
+class Elector:
+    """Runs the lease protocol for one coordinator.  ``coord`` needs
+    ``promote()`` and a ``serving`` flag (QueueCoordinator's API)."""
+
+    def __init__(
+        self,
+        coord,
+        lease_dir: str,
+        node_id: str,
+        lease_s: float = 2.0,
+    ):
+        self.coord = coord
+        self.lease = FileLease(lease_dir, node_id, lease_s)
+        self.node_id = node_id
+        self.lease_s = float(lease_s)
+        self.epoch = 0
+        self._last_renew = 0.0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- role state ------------------------------------------------------
+    def is_leader(self) -> bool:
+        return self.epoch > 0 and self.coord.serving
+
+    def is_valid(self) -> bool:
+        """Leader self-fence check: the lease is only trusted for
+        lease_s past the last successful renewal (own clock)."""
+        return time.monotonic() - self._last_renew < self.lease_s
+
+    # -- protocol steps ----------------------------------------------
+    def _step_down(self, why: str) -> None:
+        if self.coord.serving:
+            _LOG.warning("%s: stepping down (%s)", self.node_id, why)
+        self.coord.serving = False
+        self.epoch = 0
+
+    def _tick(self) -> None:
+        now = time.time()
+        if self.is_leader():
+            if not self.is_valid():
+                self._step_down("own lease expired without renewal")
+                return
+            if self.lease.renew(self.epoch):
+                self._last_renew = time.monotonic()
+            else:
+                self._step_down("fenced by a higher epoch")
+            return
+        cur_epoch, owner, expires = self.lease.current()
+        if cur_epoch and now < expires + self.lease_s:
+            return  # live (or within grace) — do not contend
+        if self.lease.try_acquire(cur_epoch + 1):
+            self.epoch = cur_epoch + 1
+            self._last_renew = time.monotonic()
+            self.coord.promote()
+            _LOG.warning(
+                "%s: won epoch %d, promoted", self.node_id, self.epoch
+            )
+
+    # -- lifecycle -----------------------------------------------------
+    def start(self) -> "Elector":
+        """If the coordinator is already serving (bootstrap primary),
+        claim the first epoch immediately so followers see a lease."""
+        if self.coord.serving:
+            cur = self.lease.highest_epoch()
+            if self.lease.try_acquire(cur + 1):
+                self.epoch = cur + 1
+                self._last_renew = time.monotonic()
+            else:
+                # someone else already leads: fall back to follower
+                self.coord.serving = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        interval = self.lease_s / 3.0
+        while not self._stop.wait(interval):
+            try:
+                self._tick()
+            except OSError as exc:  # pragma: no cover - transient FS
+                _LOG.warning("%s: election tick failed: %s", self.node_id, exc)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=self.lease_s)

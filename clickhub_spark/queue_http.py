@@ -79,6 +79,7 @@ import time
 import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Sequence
 
 from clickhub_spark.queue import AlreadyScheduled, Job, QueueFull, _WorkLoop
 
@@ -401,6 +402,7 @@ class HttpWorkQueue(_WorkLoop):
         lease_s: float = DEFAULT_LEASE_S,
         timeout: float = 30.0,
         token: str | None = None,
+        failover_urls: Sequence[str] = (),
     ):
         self.base_url = base_url.rstrip("/")
         # advisory only — enforcement is server-side (the coordinator
@@ -409,6 +411,13 @@ class HttpWorkQueue(_WorkLoop):
         self.lease_s = lease_s
         self.timeout = timeout
         self.token = token
+        #: candidate coordinators for AUTOMATIC repoint: on a
+        #: transport failure or a 503-standby answer, the client
+        #: probes /health across base+failovers and repoints to the
+        #: serving one (fencing tokens preserved — repoint()).  Pair
+        #: with election.Elector on the coordinators for hands-off
+        #: failover.
+        self.failover_urls = [u.rstrip("/") for u in failover_urls]
         self._fences: dict[tuple[str, str], int] = {}
 
     def repoint(self, base_url: str) -> None:
@@ -420,8 +429,8 @@ class HttpWorkQueue(_WorkLoop):
         fenced off its own claims."""
         self.base_url = base_url.rstrip("/")
 
-    def _call(self, path: str, body: dict | None = None):
-        url = self.base_url + path
+    def _request(self, base: str, path: str, body: dict | None = None):
+        url = base + path
         headers = {} if self.token is None else {"X-Queue-Token": self.token}
         if body is None:
             req = urllib.request.Request(url, headers=headers)
@@ -443,6 +452,51 @@ class HttpWorkQueue(_WorkLoop):
                 return e.code, json.loads(payload or b"{}")
             except json.JSONDecodeError:
                 return e.code, {"error": payload.decode(errors="replace")}
+
+    def _failover(self) -> bool:
+        """Probe /health across base + failover candidates; repoint to
+        the first SERVING coordinator that is not the current base.
+        Never raises (each probe failure just skips the candidate)."""
+        if not self.failover_urls:
+            return False
+        for cand in [self.base_url, *self.failover_urls]:
+            try:
+                code, body = self._request(cand, "/health")
+            except (
+                urllib.error.URLError,
+                OSError,
+                http.client.HTTPException,
+            ):
+                continue
+            if code == 200 and body.get("serving"):
+                if cand != self.base_url:
+                    _LOG.warning(
+                        "repointing to promoted coordinator %s", cand
+                    )
+                    self.repoint(cand)
+                    return True
+                return False  # current base is fine after all
+        return False
+
+    def _call(self, path: str, body: dict | None = None):
+        try:
+            code, resp = self._request(self.base_url, path, body)
+        except (urllib.error.URLError, OSError, http.client.HTTPException):
+            # dead/unreachable coordinator: one failover attempt, then
+            # let the caller's retry posture handle it
+            if not self._failover():
+                raise
+            return self._request(self.base_url, path, body)
+        if (
+            code == 503
+            and isinstance(resp, dict)
+            and resp.get("error") == "standby"
+            and self._failover()
+        ):
+            # a deposed/unpromoted coordinator answered: retry against
+            # the serving one
+            return self._request(self.base_url, path, body)
+        return code, resp
 
     @staticmethod
     def _to_job(rec: dict) -> Job:
