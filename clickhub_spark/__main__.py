@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
         "filesystem queue (≙ the reference's ZooKeeper/KeeperMap)",
     )
     p.add_argument(
+        "--queue-failover-urls",
+        default=os.environ.get("CLICKHUB_SPARK_QUEUE_FAILOVER", ""),
+        help="comma-separated standby coordinator URLs — the worker "
+        "auto-repoints (fencing tokens preserved) when the primary "
+        "dies or answers 503-standby; pair with `coordinator "
+        "--lease-dir` for hands-off failover",
+    )
+    p.add_argument(
         "-c", "--config", default=None,
         help="YAML config (reference config.yml keys: data_cache, "
         "max_queue_length, sleep_time; unknown keys ignored)",
@@ -110,7 +118,55 @@ def main(argv: list[str] | None = None) -> int:
         "--format", choices=["table", "json", "csv", "tsv"], default="table"
     )
 
+    c = sub.add_parser("coordinator")  # HTTP queue coordinator (queue_http)
+    c.add_argument("--host", default="127.0.0.1")
+    c.add_argument("--port", type=int, default=8377)
+    c.add_argument("--snapshot", default=None, help="shared ledger path")
+    c.add_argument("--token", default=None)
+    c.add_argument("--standby", action="store_true")
+    c.add_argument(
+        "--lease-dir",
+        default=None,
+        help="enable automated failover: filesystem-lease election "
+        "over this shared dir (election.py); a standby started with "
+        "the same --snapshot and --lease-dir self-promotes when the "
+        "leader's lease lapses",
+    )
+    c.add_argument("--node-id", default=None)
+    c.add_argument("--lease-s", type=float, default=2.0)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "coordinator":  # no Spark session needed
+        from clickhub_spark.queue_http import make_coordinator
+
+        srv, coord = make_coordinator(
+            snapshot_path=args.snapshot,
+            host=args.host,
+            port=args.port,
+            token=args.token,
+            standby=args.standby,
+        )
+        el = None
+        if args.lease_dir:
+            from clickhub_spark.election import Elector
+
+            el = Elector(
+                coord,
+                args.lease_dir,
+                args.node_id or f"coord-{os.getpid()}",
+                lease_s=args.lease_s,
+            ).start()
+        host, port = srv.server_address[0], srv.server_address[1]
+        print(f"coordinator on {host}:{port} (serving={coord.serving})")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            if el is not None:
+                el.stop()
+        return 0
 
     if args.cmd == "extract":  # no Spark session needed
         from clickhub_spark.sources.git_extract import clone, extract_git_history
@@ -162,7 +218,11 @@ def main(argv: list[str] | None = None) -> int:
         from clickhub_spark.queue_http import HttpWorkQueue
 
         queue = HttpWorkQueue(
-            args.queue_url, max_queue_length=cfg["max_queue_length"]
+            args.queue_url,
+            max_queue_length=cfg["max_queue_length"],
+            failover_urls=[
+                u for u in args.queue_failover_urls.split(",") if u
+            ],
         )
     else:
         queue = WorkQueue(
