@@ -26,22 +26,26 @@ def main() -> None:
         "round": 11,
         "note": (
             "Final-tree verification: all four gates re-run after the "
-            "round's last code change. 294 registered queries (new this "
+            "round's last code change. 297 registered queries (new this "
             "round: q_llm_knn_pq_rerank_recall, q_funnel_multimatch, "
-            "q_seq_next_node_chain), 282 oracled; the 12 rows-only "
-            "queries all keep an oracle-green twin or certification "
-            "row. Round-11 window: the 3 new queries + the LTTB pair "
-            "(the only 2 never-driver-checked names) + "
+            "q_seq_next_node_chain, q_seq_match_pattern, "
+            "q_seq_count_adjacent, q_seq_match_events), 285 oracled; "
+            "the 12 rows-only queries all keep an oracle-green twin or "
+            "certification row. Round-11 window: the 6 new queries + "
+            "the LTTB pair (the only 2 never-driver-checked names) + "
             "q_dedup_collapsing (collapse_finalize changed: "
-            "engine-faithful equal-counts-ending-on-state rule) + 44 "
-            "of the r4-stale block; the 6 deferred r4 names each carry "
+            "engine-faithful equal-counts-ending-on-state rule) + 41 "
+            "of the r4-stale block; the 9 deferred r4 names each carry "
             "an engine-scan differential test, bench/100x coverage, or "
             "a fresh r10 judge row, and rotation staleness is now a "
             "pytest gate (test_registry.py). Differential pattern "
             "extended to collapsing (CollapsingSortedAlgorithm "
             "epilogue), versioned collapsing (pair deletion), and the "
             "sequenceMatch family (backtracking automaton driving the "
-            "REGISTERED builders)."
+            "REGISTERED builders). Also new: general sequenceMatch/"
+            "Count/MatchEvents operators, streaming windowFunnel "
+            "(stream==batch pinned), automated coordinator failover "
+            "(filesystem-lease election; cross-process SIGKILL drill)."
         ),
         "gates_on_final_tree": {
             "sf0.01_engine_session": g1,
@@ -67,6 +71,9 @@ def main() -> None:
                 "q_llm_knn_pq_rerank_recall",
                 "q_funnel_multimatch",
                 "q_seq_next_node_chain",
+                "q_seq_match_pattern",
+                "q_seq_count_adjacent",
+                "q_seq_match_events",
             ],
         },
         "scale_artifacts_round11": {
@@ -99,24 +106,39 @@ def main() -> None:
                 "the single-match DP on exclusive steps, 2.0s on "
                 "local[32]"
             ),
+            "seqmatch_1M_events": (
+                "regex path: match 4.6s / count 2.2s; automaton time "
+                "path 3.4s after the mapInPandas boundary-carry "
+                "rewrite (was 73s per-group) — "
+                "tools/smoke_seqmatch_scale.py, closed-form archetypes"
+            ),
+            "failover_sigkill_drill": (
+                "cross-process: primary SIGKILLed mid-handler, standby "
+                "self-promoted via filesystem-lease election, worker "
+                "auto-repointed, job completed exactly once — "
+                "tools/smoke_failover.py"
+            ),
         },
         "plan_guard": {
-            "plans": 294,
+            "plans": 297,
             "regressions": 0,
             "notes": [
-                "only intended deltas this round: 3 new query rows "
+                "only intended deltas this round: 6 new query rows "
                 "(q_funnel_multimatch: 2 Exchange/3 Window — the "
                 "multi-match explode is map-side)",
             ],
         },
         "pytest": (
-            "429 passed (full tree): collapsing merge-rule "
+            "440 passed (full tree): collapsing merge-rule "
             "differential (random + boundary changelogs), versioned "
             "pair-deletion fuzz, sequenceMatch automaton differential "
             "driving the registered builders, funnel multi-match "
             "differential over overlapping alphabets, check_exclusive "
             "guard, pq_rerank full-depth==exact, rotation staleness "
-            "gate (red on the pre-rotation tree)"
+            "gate (red on the pre-rotation tree), streaming-funnel "
+            "stream==batch equivalence, seqmatch operator "
+            "differentials, election exactly-one-winner + deposition "
+            "+ end-to-end failover"
         ),
         "cluster_check": {
             "master": cluster.get("master"),
