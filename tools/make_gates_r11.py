@@ -101,10 +101,12 @@ def main() -> None:
                     "broadcast->sort-merge adaptation at 100x"
                 ),
             },
-            "funnel_multimatch_680k_events": (
+            "funnel_multimatch_1.7M_events": (
                 "entry-explode form returns the identical histogram to "
-                "the single-match DP on exclusive steps, 2.0s on "
-                "local[32]"
+                "the single-match DP on exclusive steps: 2.5s vs 4.5s "
+                "default at 1.7M events on local[32] "
+                "(tools/smoke_funnel_scale.py, all four modes + "
+                "multimatch green)"
             ),
             "seqmatch_1M_events": (
                 "regex path: match 4.6s / count 2.2s; automaton time "
