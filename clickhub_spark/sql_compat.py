@@ -349,6 +349,53 @@ def _rewrite_parametric(sql: str, name: str, render) -> str:
         i = j2
 
 
+def _sequence_sql(params: list[str], args: list[str], count: bool) -> str:
+    """Render sequenceMatch/sequenceCount('pat')(ts, c1, …) as pure
+    aggregate SQL: per-row condition bitset → one alphabet char per
+    MATCHING row (CASE yields NULL otherwise; collect_list drops
+    NULLs — the engine's events-matching-nothing-are-skipped insert
+    rule), array_sort by (ts, char), concat, then regexp_like /
+    regexp_count against the compiled pattern (lazy stars, see
+    operators/seqmatch._regex_of)."""
+    from clickhub_spark.operators.seqmatch import (
+        _ALPHA,
+        _has_time,
+        _regex_of,
+        parse_pattern,
+    )
+
+    pattern = params[0].strip()
+    if pattern and pattern[0] in "'\"":
+        pattern = pattern[1:-1]
+    tokens = parse_pattern(pattern)
+    if _has_time(tokens):
+        raise ValueError(
+            "sequenceMatch/sequenceCount with (?t…) time conditions "
+            "is not expressible as string-aggregate SQL — use "
+            "clickhub_spark.operators.seqmatch (the automaton path)"
+        )
+    ts, conds = args[0], args[1:]
+    if not 1 <= len(conds) <= 6:
+        raise ValueError("sequenceMatch supports 1..6 conditions")
+    rx = _regex_of(tokens, len(conds))
+    bitset = " + ".join(
+        f"(CAST(COALESCE(CAST(({c}) AS BOOLEAN), false) AS INT) * {1 << k})"
+        for k, c in enumerate(conds)
+    )
+    alpha = _ALPHA[: (1 << len(conds)) - 1]
+    entry = (
+        f"CASE WHEN ({bitset}) > 0 THEN "
+        f"named_struct('o', {ts}, 'c', substring('{alpha}', {bitset}, 1)) END"
+    )
+    seq = (
+        "concat_ws('', transform(array_sort("
+        f"collect_list({entry})), e -> e.c))"
+    )
+    if count:
+        return f"CAST(regexp_count({seq}, '{rx}') AS INT)"
+    return f"regexp_like({seq}, '{rx}')"
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """ClickHouse ``ORDER BY o LIMIT n BY g [LIMIT m]`` (first n rows
     per group, then an optional overall limit) → a row_number window
@@ -457,6 +504,18 @@ def translate(sql: str) -> str:
         out, "quantile", lambda ps, args: f"percentile_approx({args[0]}, {ps[0]})"
     )
     out = _rewrite_call(out, "median", lambda a: f"percentile_approx({a[0]}, 0.5)")
+    # sequenceMatch('pattern')(ts, cond1, …) / sequenceCount — the
+    # general pattern aggregates (operators/seqmatch.py is the
+    # DataFrame form; this is the same bitset-string + regex
+    # compilation rendered as pure aggregate SQL).  Time-conditioned
+    # patterns need per-entry timestamps, which a string cannot carry
+    # — those raise with a pointer to the operator.
+    out = _rewrite_parametric(
+        out, "sequenceMatch", lambda ps, args: _sequence_sql(ps, args, False)
+    )
+    out = _rewrite_parametric(
+        out, "sequenceCount", lambda ps, args: _sequence_sql(ps, args, True)
+    )
     # multiIf(c1, v1, …, else) → CASE chain
     def _multi_if(args: list[str]) -> str:
         whens = "".join(

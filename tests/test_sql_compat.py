@@ -559,3 +559,55 @@ def test_call_patterns_inside_string_literals_stay_verbatim():
     # literal-only statement is untouched end-to-end
     lit_only = "SELECT 'multiIf(a,b,c) splitByChar(1,2)' AS s FROM t"
     assert translate(lit_only) == lit_only
+
+
+def test_sequence_match_sql(spark):
+    """sequenceMatch/sequenceCount('pattern')(ts, conds…) in
+    ClickHouse-dialect SQL compile to the bitset-string aggregate and
+    agree with the registered operator's oracle-checked semantics —
+    including one event matching several conditions."""
+    load(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    df = run(
+        spark,
+        """
+        SELECT user_id,
+               sequenceMatch('(?1).*(?2).*(?3)')(
+                   ts, event_type = 'view',
+                   event_type = 'click' OR value < 40,
+                   event_type = 'purchase') AS matched,
+               sequenceCount('(?2)(?3)')(
+                   ts, event_type = 'view',
+                   event_type = 'click' OR value < 40,
+                   event_type = 'purchase') AS n_adj
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        """,
+    )
+    got = {r.user_id: (r.matched, r.n_adj) for r in df.collect()}
+    from clickhub_spark.plans.queries_r11 import (
+        q_seq_count_adjacent,
+        q_seq_match_pattern,
+    )
+
+    want_m = {
+        r.user_id: r.matched
+        for r in q_seq_match_pattern(spark, SF_DIR).collect()
+    }
+    want_c = {
+        r.user_id: r.n_matches
+        for r in q_seq_count_adjacent(spark, SF_DIR).collect()
+    }
+    # SQL tie-break inside one timestamp is (ts, char) vs the
+    # operator's (ts, event_id); subsequence MATCH and adjacency
+    # counts only differ under cross-event ties, rare in testdata —
+    # compare exactly (testdata timestamps are unique per user)
+    for uid, m in want_m.items():
+        assert got[uid][0] == m, f"user {uid} match"
+    for uid, c in want_c.items():
+        assert got[uid][1] == c, f"user {uid} count"
+
+
+def test_sequence_match_time_condition_raises():
+    with pytest.raises(ValueError, match="seqmatch"):
+        translate(
+            "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(ts, a, b) FROM t"
+        )
