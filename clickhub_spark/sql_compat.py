@@ -396,6 +396,60 @@ def _sequence_sql(params: list[str], args: list[str], count: bool) -> str:
     return f"regexp_like({seq}, '{rx}')"
 
 
+def _window_funnel_sql(params: list[str], args: list[str]) -> str:
+    """Render ``windowFunnel(w)(ts, c1, …)`` as pure aggregate SQL —
+    DEFAULT mode only: sorted entry array (first-match step per event,
+    the else-if chain; events matching nothing are dropped) folded
+    through ``aggregate()``, whose sequential lambda IS the engine
+    scan: a cond1 entry resets the chain start, a step-k entry within
+    ``w`` seconds of the start inherited through level k-1 carries the
+    start forward.  Strict modes need the abort/stop bookkeeping of
+    operators/funnel.window_funnel — they raise with that pointer."""
+    w = params[0].strip()
+    if len(params) > 1:
+        raise ValueError(
+            "windowFunnel strict modes are not expressible as one SQL "
+            "aggregate — use clickhub_spark.operators.funnel"
+        )
+    ts, conds = args[0], args[1:]
+    k_top = len(conds)
+    if not 1 <= k_top <= 8:
+        raise ValueError("windowFunnel supports 1..8 steps")
+    step = "CASE " + " ".join(
+        f"WHEN ({c}) THEN {k}" for k, c in enumerate(conds)
+    ) + " END"
+    entry = (
+        f"CASE WHEN ({' OR '.join(f'({c})' for c in conds)}) THEN "
+        f"named_struct('t', CAST({ts} AS DOUBLE), 's', {step}) END"
+    )
+    entries = f"array_sort(collect_list({entry}))"
+    init = (
+        "named_struct("
+        + ", ".join(f"'a{k}', CAST(NULL AS DOUBLE)" for k in range(k_top))
+        + ")"
+    )
+    fields = [
+        # level 1: a cond1 entry (re)starts the chain clock
+        "'a0', CASE WHEN e.s = 0 THEN e.t ELSE st.a0 END"
+    ]
+    for k in range(1, k_top):
+        fields.append(
+            f"'a{k}', CASE WHEN e.s = {k} AND st.a{k - 1} IS NOT NULL "
+            f"AND e.t <= st.a{k - 1} + {w} THEN st.a{k - 1} "
+            f"ELSE st.a{k} END"
+        )
+    merge = f"(st, e) -> named_struct({', '.join(fields)})"
+    level = (
+        "st -> CASE "
+        + " ".join(
+            f"WHEN st.a{k} IS NOT NULL THEN {k + 1}"
+            for k in range(k_top - 1, -1, -1)
+        )
+        + " ELSE 0 END"
+    )
+    return f"CAST(aggregate({entries}, {init}, {merge}, {level}) AS INT)"
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """ClickHouse ``ORDER BY o LIMIT n BY g [LIMIT m]`` (first n rows
     per group, then an optional overall limit) → a row_number window
@@ -516,6 +570,8 @@ def translate(sql: str) -> str:
     out = _rewrite_parametric(
         out, "sequenceCount", lambda ps, args: _sequence_sql(ps, args, True)
     )
+    # windowFunnel(w)(ts, c1, …) — default mode as an aggregate() fold
+    out = _rewrite_parametric(out, "windowFunnel", _window_funnel_sql)
     # multiIf(c1, v1, …, else) → CASE chain
     def _multi_if(args: list[str]) -> str:
         whens = "".join(

@@ -611,3 +611,35 @@ def test_sequence_match_time_condition_raises():
         translate(
             "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(ts, a, b) FROM t"
         )
+
+
+def test_window_funnel_sql(spark):
+    """windowFunnel(w)(ts, c1, …) in ClickHouse-dialect SQL — the
+    aggregate() sequential fold must reproduce the operator's
+    oracle-checked default-mode levels; strict modes raise with a
+    pointer to the operator."""
+    load(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    df = run(
+        spark,
+        """
+        SELECT level, count() AS n_users FROM (
+            SELECT user_id,
+                   windowFunnel(86400)(
+                       ts, substring(event_type, 1, 1) = 'v',
+                       substring(event_type, 1, 1) = 'c',
+                       substring(event_type, 1, 1) = 'p') AS level
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ) GROUP BY level
+        """,
+    )
+    got = {r.level: r.n_users for r in df.collect()}
+    from clickhub_spark.plans.queries_r10 import q_funnel_window
+
+    want = {
+        r.level: r.n_users for r in q_funnel_window(spark, SF_DIR).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="funnel"):
+        translate(
+            "SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM t"
+        )
