@@ -131,7 +131,7 @@ def main() -> None:
             ],
         },
         "pytest": (
-            "440 passed (full tree): collapsing merge-rule "
+            "443 passed (full tree): collapsing merge-rule "
             "differential (random + boundary changelogs), versioned "
             "pair-deletion fuzz, sequenceMatch automaton differential "
             "driving the registered builders, funnel multi-match "
@@ -139,8 +139,9 @@ def main() -> None:
             "guard, pq_rerank full-depth==exact, rotation staleness "
             "gate (red on the pre-rotation tree), streaming-funnel "
             "stream==batch equivalence, seqmatch operator "
-            "differentials, election exactly-one-winner + deposition "
-            "+ end-to-end failover"
+            "differentials, SQL-dialect sequenceMatch/windowFunnel vs "
+            "the oracle-checked builders, election exactly-one-winner "
+            "+ deposition + end-to-end failover"
         ),
         "cluster_check": {
             "master": cluster.get("master"),
