@@ -254,8 +254,9 @@ def q_funnel_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEW round 11 — operators/funnel.py): one event can advance
     several pending levels, exactly as the engine's aggregate inserts
     one (ts, step) entry per matched condition.  Steps here overlap
-    on purpose: a 'view' with value > 450 matches ALL THREE
-    conditions and climbs the whole funnel alone.
+    on purpose: a 'view' event with value < 2 matches ALL THREE
+    conditions (view & value<8; view & value<4; value<2) and climbs
+    the whole funnel alone.
 
     The oracle transcribes the entry-explode + chained running-max
     construction (the family's documented oracle posture); the

@@ -47,81 +47,28 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # driver row is older than round 4 (VERDICT r9 item 2's done
 # criterion).
 ROUND_PRIORITY = [
-    # --- ROUND-11 WINDOW FRONT (VERDICT r10 items 1-2).  1: the
-    # SIX new round-11 queries (two-stage PQ recall cert,
-    # multi-match funnel, sequenceNextNode chain, the general
-    # sequenceMatch/sequenceCount operator pair, and
-    # sequenceMatchEvents with an independent greedy-derivation
-    # oracle); 2: the LTTB pair —
-    # the only 2 previously registered queries with NO driver
-    # CORRECTNESS row in any round (added after the r10 window
-    # filled); 3: q_dedup_collapsing, whose collapse_finalize
-    # changed this round (engine-faithful equal-counts-ending-on-
-    # state rule); 4: 41 of the 50-name r4-stale block.  The nine
-    # r4 names deferred past the window (q_stream_slide, q_topk_freq,
-    # q_topk_multi, q_tpch_q3, q_tpch_q6, q_win_firstlast, q_funnel,
-    # q_seq_match, q_win_pctrank) carry engine-scan DIFFERENTIAL
-    # tests, bench/100x-smoke coverage, or a fresh r10 judge check —
-    # the strongest non-driver pins — and lead the round-12 window
-    # below. ---
-    "q_llm_knn_pq_rerank_recall",
-    "q_funnel_multimatch",
-    "q_seq_next_node_chain",
-    "q_seq_match_pattern",
-    "q_seq_count_adjacent",
-    "q_seq_match_events",
-    "q_agg_lttb_cert",
-    "q_agg_lttb_exact",
-    "q_dedup_collapsing",
-    "q_agg_approx_quantile",
-    "q_agg_argmax",
-    "q_agg_array_combinator",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_quantile",
-    "q_agg_salted",
-    "q_dedup_replacing",
-    "q_fn_array",
-    "q_fn_cond",
-    "q_fn_date",
-    "q_fn_hash",
-    "q_fn_interval",
-    "q_fn_json",
-    "q_fn_math",
-    "q_fn_string",
-    "q_fn_variant",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_limit_offset",
-    "q_llm_dedup_embed",
-    "q_llm_knn_ivf",
-    "q_llm_knn_lsh_md5",
-    "q_llm_pack_sharded",
-    "q_llm_perplexity_store",
-    "q_llm_shuffle",
-    "q_llm_simhash_md5",
-    "q_llm_split",
-    "q_llm_vocab_coverage",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_queue_sqlite",
-    "q_retention",
-    "q_sample_hash",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect",
-    "q_set_intersect_all",
-    "q_set_union",
-    "q_set_union_all",
-    "q_stream_join",
+    # --- ROUND-12 WINDOW (VERDICT r11 items 1 & 6; the rotation
+    # gate in tests/test_registry.py was RED on the r11 final tree
+    # demanding exactly this).  Regenerated oldest-driver-row-first
+    # from `python tools/staleness.py`:
+    # 1: the nine r4-stale names deferred past the r11 window
+    #    (judge-re-verified green at sf0.1 in the r11 session);
+    # 2: the r5 block (49 names) — 41 fit the 50-name window; the
+    #    8 deferred past it sit at 7-rounds stale in the round-12
+    #    simulation (<= MAX_AGE 7) and lead the round-13 window;
+    # 3: everything else oldest-first (r6, r7, r9, r10, r11),
+    #    name-sorted within a round for determinism.
+    # New round-12 registrations are inserted at the VERY FRONT as
+    # they land (never-checked names must sit inside the window).
+    # ---
+    "q_funnel",
+    "q_seq_match",
     "q_stream_slide",
     "q_topk_freq",
     "q_topk_multi",
     "q_tpch_q3",
     "q_tpch_q6",
     "q_win_firstlast",
-    "q_funnel",
-    "q_seq_match",
     "q_win_pctrank",
     "q_agg_collect",
     "q_fn_bitwise",
@@ -361,7 +308,58 @@ ROUND_PRIORITY = [
     "q_tpch_q21",
     "q_tpch_q22",
     "q_tpch_q9",
+    "q_agg_approx_quantile",
+    "q_agg_argmax",
+    "q_agg_array_combinator",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_lttb_cert",
+    "q_agg_lttb_exact",
+    "q_agg_quantile",
+    "q_agg_salted",
+    "q_dedup_collapsing",
+    "q_dedup_replacing",
+    "q_fn_array",
+    "q_fn_cond",
+    "q_fn_date",
+    "q_fn_hash",
+    "q_fn_interval",
+    "q_fn_json",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_variant",
+    "q_funnel_multimatch",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_limit_offset",
+    "q_llm_dedup_embed",
+    "q_llm_knn_ivf",
+    "q_llm_knn_lsh_md5",
+    "q_llm_knn_pq_rerank_recall",
+    "q_llm_pack_sharded",
+    "q_llm_perplexity_store",
+    "q_llm_shuffle",
+    "q_llm_simhash_md5",
+    "q_llm_split",
+    "q_llm_vocab_coverage",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_queue_sqlite",
+    "q_retention",
+    "q_sample_hash",
+    "q_seq_count_adjacent",
+    "q_seq_match_events",
+    "q_seq_match_pattern",
+    "q_seq_next_node_chain",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect",
+    "q_set_intersect_all",
+    "q_set_union",
+    "q_set_union_all",
+    "q_stream_join",
 ]
+
 
 
 @dataclass(frozen=True)
