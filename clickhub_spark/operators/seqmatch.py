@@ -77,10 +77,18 @@ def parse_pattern(pattern: str) -> list[tuple]:
         if tok[0] == "time" and (
             i == 0
             or i == len(out) - 1
-            or out[i - 1][0] == "time"
+            or out[i - 1][0] not in ("cond", "any")
             or out[i + 1][0] not in ("cond", "any")
         ):
-            raise ValueError("(?t…) must sit between two event atoms")
+            # The engine's parser rejects a temporal condition unless it
+            # DIRECTLY follows an event atom — '.*(?t>5)(?2)' and
+            # '(?1).*(?t>5)(?2)' are parse errors there, so raising here
+            # (instead of silently dropping or reinterpreting the
+            # constraint across the star) keeps dialect parity.
+            raise ValueError(
+                "(?t…) must sit directly between two event atoms "
+                "((?N) or .); a '.*' may not precede or follow it"
+            )
     return out
 
 

@@ -35,5 +35,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r9,
     queries_r10,
     queries_r11,
+    queries_r12,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

@@ -1,0 +1,253 @@
+"""Round-12 query wave: driver CORRECTNESS rows for the two evidence
+gaps VERDICT r11 named.
+
+1. The general sequenceMatch operator's ``(?t…)`` TIME path
+   (operators/seqmatch.py automaton branch) had only unit
+   differentials and the 1M-event scale smoke — all four registered
+   r11 q_seq_* queries exercise the regex / timeless-automaton paths.
+   ``q_seq_match_pattern_time`` and ``q_seq_count_time_gap`` register
+   the time branch with INDEPENDENT DuckDB oracles (direct EXISTS /
+   pair-count formulations of the semantics, not transcriptions of
+   the backtracking code).
+
+2. sequenceNextNode covered only forward/first_match (q_seq_next_node,
+   r7; q_seq_next_node_chain, r11).  ClickHouse's full surface is
+   direction in {forward, backward} x base in {head, tail,
+   first_match, last_match}; ``q_seq_next_node_backward`` (backward/
+   tail) and ``q_seq_next_node_last_match`` (forward/last_match) add
+   the reversed-traversal forms — the same one-exchange window
+   construction with the rank/lead direction flipped.
+
+Bitset alphabet shared with the r11 family: conds (c1 = view,
+c2 = click OR value < 40, c3 = purchase[, AND value >= 40 where the
+count's non-overlap proof needs c2/c3 disjoint]) — see each oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhub_spark.plans.queries_core import load
+from clickhub_spark.plans.registry import query
+
+
+@query(
+    "q_seq_match_pattern_time",
+    oracle="""
+    WITH e0 AS (
+        SELECT user_id, epoch(ts) AS t, ts, event_id,
+               COALESCE(event_type = 'view', FALSE) AS c1,
+               COALESCE(event_type = 'click' OR value < 40, FALSE) AS c2,
+               COALESCE(event_type = 'purchase', FALSE) AS c3
+        FROM events WHERE user_id IS NOT NULL
+    ), e AS (
+        SELECT user_id, t, c1, c2, c3,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM e0 WHERE c1 OR c2 OR c3
+    ), mx AS (
+        SELECT user_id, MAX(rn) AS last_c3 FROM e WHERE c3 GROUP BY user_id
+    ), hits AS (
+        SELECT DISTINCT a.user_id
+        FROM e a
+        JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        JOIN mx ON mx.user_id = a.user_id
+        WHERE a.c1 AND b.c2 AND (b.t - a.t) < 3600 AND mx.last_c3 > b.rn
+    )
+    SELECT u.user_id, (hits.user_id IS NOT NULL) AS matched
+    FROM (SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL) u
+    LEFT JOIN hits USING (user_id)
+    """,
+)
+def q_seq_match_pattern_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General sequenceMatch with a TIME CONSTRAINT on the automaton
+    path (operators/seqmatch.py:145 time branch — VERDICT r11 gap #2):
+    ClickHouse ``sequenceMatch('(?1)(?t<3600)(?2).*(?3)')(ts,
+    type='view', type='click' OR value<40, type='purchase')`` — a
+    view entry IMMEDIATELY followed (in the entry list) by a c2 entry
+    within one hour, then any later purchase entry.  Conditions
+    overlap (a low-value view matches c1 AND c2), so the bitset entry
+    model is exercised, and ``(?t…)`` forces the boundary-carry
+    mapInPandas automaton (regex cannot see timestamps).
+
+    The oracle is an INDEPENDENT derivation — match existence is an
+    EXISTS over adjacent entry pairs plus a later-c3 max-rank bound —
+    not a transcription of the backtracking code.  Plan: one user_id
+    exchange -> sortWithinPartitions -> ONE MapInPandas."""
+    from clickhub_spark.operators.seqmatch import sequence_match
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ty, val = F.col("event_type"), F.col("value")
+    return sequence_match(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [ty == "view", (ty == "click") | (val < 40), ty == "purchase"],
+        "(?1)(?t<3600)(?2).*(?3)",
+        ts_col="ts",
+    )
+
+
+@query(
+    "q_seq_count_time_gap",
+    oracle="""
+    WITH e0 AS (
+        SELECT user_id, epoch(ts) AS t, ts, event_id,
+               COALESCE(event_type = 'view', FALSE) AS c1,
+               COALESCE(event_type = 'click' OR value < 40, FALSE) AS c2,
+               COALESCE(event_type = 'purchase' AND value >= 40,
+                        FALSE) AS c3
+        FROM events WHERE user_id IS NOT NULL
+    ), e AS (
+        SELECT user_id, t, c2, c3,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM e0 WHERE c1 OR c2 OR c3
+    ), p AS (
+        SELECT user_id, c2, t,
+               LEAD(c3) OVER w AS nxt_c3,
+               LEAD(t)  OVER w AS nxt_t
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), m AS (
+        SELECT user_id, COUNT(*) AS n FROM p
+        WHERE c2 AND nxt_c3 AND (nxt_t - t) > 600
+        GROUP BY user_id
+    )
+    SELECT u.user_id, CAST(COALESCE(m.n, 0) AS INT) AS n_matches
+    FROM (SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL) u
+    LEFT JOIN m USING (user_id)
+    """,
+)
+def q_seq_count_time_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General sequenceCount with a time constraint — ClickHouse
+    ``sequenceCount('(?2)(?t>600)(?3)')(ts, c1, c2, c3)``: how many
+    times a c3 entry immediately follows a c2 entry in the user's
+    entry list with a gap LONGER than 10 minutes (non-overlapping,
+    scan-restart).  c3 is ``purchase AND value >= 40`` so c2 and c3
+    are DISJOINT, which makes the engine's greedy non-overlapping
+    count provably equal to the plain count of qualifying adjacent
+    pairs (a match's second entry can never start the next match —
+    the oracle counts pairs via one LEAD window, independent of the
+    automaton).  c1 = view still shapes the ENTRY LIST: a view entry
+    sitting between a c2 and a c3 event breaks their adjacency
+    exactly as the engine's insert rule dictates."""
+    from clickhub_spark.operators.seqmatch import sequence_count
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ty, val = F.col("event_type"), F.col("value")
+    return sequence_count(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ty == "view",
+            (ty == "click") | (val < 40),
+            (ty == "purchase") & (val >= 40),
+        ],
+        "(?2)(?t>600)(?3)",
+        ts_col="ts",
+    )
+
+
+@query(
+    "q_seq_next_node_backward",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rd,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                   AS prev_type
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT COALESCE(prev_type, '<end>') AS next_node,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM o WHERE rd = 1 AND event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def q_seq_next_node_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceNextNode BACKWARD direction, tail base (ClickHouse
+    ``sequenceNextNode('backward', 'tail')(ts, event_type,
+    event_type = 'click', event_type = 'click')`` — VERDICT r11 #5):
+    for each user whose LAST event is a click, the event immediately
+    BEFORE it in time ('<end>' when the click is the user's only
+    event), aggregated to next_node counts.
+
+    Same shape as the forward family with the traversal reversed: one
+    user_id exchange feeds the descending rank and the descending
+    lead (= previous event in time); the aggregate runs on <=1 row
+    per user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wd).alias("rd"),
+        F.lead("event_type").over(wd).alias("prev_type"),
+    )
+    return (
+        o.where((F.col("rd") == 1) & (F.col("event_type") == "click"))
+        .groupBy(
+            F.coalesce(F.col("prev_type"), F.lit("<end>")).alias("next_node")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_seq_next_node_last_match",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER w AS next_type,
+               row_number() OVER w AS rn
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), v AS (
+        SELECT user_id, next_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY rn DESC) AS mr
+        FROM o WHERE event_type = 'view'
+    )
+    SELECT user_id, COALESCE(next_type, '<end>') AS next_node
+    FROM v WHERE mr = 1
+    """,
+)
+def q_seq_next_node_last_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceNextNode forward direction, LAST_MATCH base (ClickHouse
+    ``sequenceNextNode('forward', 'last_match')(ts, event_type,
+    event_type = 'view', event_type = 'view')`` — VERDICT r11 #5):
+    for each user, the event type immediately following their LAST
+    'view' event in time order ('<end>' when that view closes the
+    stream).  Mirrors q_seq_next_node (r7, first_match) with the
+    match rank reversed; both windows share the single user_id
+    exchange and sort."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    v = o.where(F.col("event_type") == "view").withColumn(
+        "mr",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("rn").desc())
+        ),
+    )
+    return v.where(F.col("mr") == 1).select(
+        "user_id",
+        F.coalesce(F.col("next_type"), F.lit("<end>")).alias("next_node"),
+    )

@@ -61,6 +61,10 @@ ROUND_PRIORITY = [
     # New round-12 registrations are inserted at the VERY FRONT as
     # they land (never-checked names must sit inside the window).
     # ---
+    "q_seq_match_pattern_time",
+    "q_seq_count_time_gap",
+    "q_seq_next_node_backward",
+    "q_seq_next_node_last_match",
     "q_funnel",
     "q_seq_match",
     "q_stream_slide",

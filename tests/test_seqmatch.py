@@ -87,6 +87,23 @@ def test_parse_pattern():
         parse_pattern("(?1)(?t<5)")  # dangling time condition
     with pytest.raises(ValueError):
         parse_pattern("(?x)")
+    # The engine's parser requires (?t…) to DIRECTLY follow an event
+    # atom: a preceding '.*' is a parse error there, and silently
+    # dropping (leading case: last_ts would be None) or reinterpreting
+    # the constraint across the star would be a semantics divergence
+    # (ADVICE r11).
+    with pytest.raises(ValueError, match="directly between"):
+        parse_pattern(".*(?t>5)(?2)")
+    with pytest.raises(ValueError, match="directly between"):
+        parse_pattern("(?1).*(?t>5)(?2)")
+    with pytest.raises(ValueError, match="directly between"):
+        parse_pattern("(?1)(?t>5).*(?2)")
+    # '.' IS an event atom — time next to it stays legal.
+    assert parse_pattern(".(?t<5)(?1)") == [
+        ("any",),
+        ("time", "<", 5.0),
+        ("cond", 0),
+    ]
 
 
 def test_seqmatch_regex_path_vs_automaton(spark):
