@@ -396,58 +396,135 @@ def _sequence_sql(params: list[str], args: list[str], count: bool) -> str:
     return f"regexp_like({seq}, '{rx}')"
 
 
+#: ClickHouse mode spellings → operator names ('strict_deduplication'
+#: is the engine's documented spelling; the operator shortens it).
+_FUNNEL_MODES = {
+    "strict_order": "strict_order",
+    "strict_dedup": "strict_dedup",
+    "strict_deduplication": "strict_dedup",
+    "strict_increase": "strict_increase",
+}
+
+
 def _window_funnel_sql(params: list[str], args: list[str]) -> str:
-    """Render ``windowFunnel(w)(ts, c1, …)`` as pure aggregate SQL —
-    DEFAULT mode only: sorted entry array (first-match step per event,
-    the else-if chain; events matching nothing are dropped) folded
-    through ``aggregate()``, whose sequential lambda IS the engine
-    scan: a cond1 entry resets the chain start, a step-k entry within
-    ``w`` seconds of the start inherited through level k-1 carries the
-    start forward.  Strict modes need the abort/stop bookkeeping of
-    operators/funnel.window_funnel — they raise with that pointer."""
+    """Render ``windowFunnel(w[, mode, …])(ts, c1, …)`` — ALL four
+    ClickHouse modes — as one pure aggregate() sequential fold that
+    transcribes the engine scan (the getEventLevel loop, pinned by
+    tests/test_funnel_differential.py's reference): the entry list
+    holds one (t, step) struct per MATCHED CONDITION of each event
+    (the engine inserts per condition, so overlapping step conditions
+    advance several pending levels — one entry per event would
+    silently under-count, ADVICE r11), plus a -1 sentinel per
+    non-matching event when strict_order needs its intervening-event
+    abort.  The fold state carries per level the (chain-start,
+    achieved-at) pair, the strict_order first-event flag, and a
+    frozen early-return level (completion / strict_dedup stop /
+    strict_order abort).  Cross-event timestamp ties order by (t,
+    step) — the engine's own tie order is merge-nondeterministic, and
+    the DataFrame operator documents the same determinism pin via its
+    caller tiebreaker.  This is the dialect-parity path; the 100 TB
+    shape is operators/funnel.window_funnel (running-max windows, no
+    per-user arrays)."""
     w = params[0].strip()
-    if len(params) > 1:
-        raise ValueError(
-            "windowFunnel strict modes are not expressible as one SQL "
-            "aggregate — use clickhub_spark.operators.funnel"
-        )
+    modes: set[str] = set()
+    for p in params[1:]:
+        name = p.strip().strip("'\"")
+        if name not in _FUNNEL_MODES:
+            raise ValueError(f"unknown windowFunnel mode {name!r}")
+        modes.add(_FUNNEL_MODES[name])
+    strict_order = "strict_order" in modes
+    dedup = "strict_dedup" in modes
+    inc = "strict_increase" in modes
     ts, conds = args[0], args[1:]
     k_top = len(conds)
     if not 1 <= k_top <= 8:
         raise ValueError("windowFunnel supports 1..8 steps")
-    step = "CASE " + " ".join(
-        f"WHEN ({c}) THEN {k}" for k, c in enumerate(conds)
-    ) + " END"
-    entry = (
-        f"CASE WHEN ({' OR '.join(f'({c})' for c in conds)}) THEN "
-        f"named_struct('t', CAST({ts} AS DOUBLE), 's', {step}) END"
-    )
-    entries = f"array_sort(collect_list({entry}))"
-    init = (
-        "named_struct("
-        + ", ".join(f"'a{k}', CAST(NULL AS DOUBLE)" for k in range(k_top))
-        + ")"
-    )
-    fields = [
-        # level 1: a cond1 entry (re)starts the chain clock
-        "'a0', CASE WHEN e.s = 0 THEN e.t ELSE st.a0 END"
+
+    tsd = f"CAST({ts} AS DOUBLE)"
+    per_cond = [
+        f"CASE WHEN ({c}) THEN named_struct('t', {tsd}, 's', {k}) END"
+        for k, c in enumerate(conds)
     ]
-    for k in range(1, k_top):
-        fields.append(
-            f"'a{k}', CASE WHEN e.s = {k} AND st.a{k - 1} IS NOT NULL "
-            f"AND e.t <= st.a{k - 1} + {w} THEN st.a{k - 1} "
-            f"ELSE st.a{k} END"
+    if strict_order:
+        any_c = " OR ".join(f"({c})" for c in conds)
+        per_cond.append(
+            f"CASE WHEN NOT COALESCE({any_c}, false) THEN "
+            f"named_struct('t', {tsd}, 's', -1) END"
         )
-    merge = f"(st, e) -> named_struct({', '.join(fields)})"
-    level = (
-        "st -> CASE "
+    entries = (
+        "array_sort(flatten(collect_list(filter(array("
+        + ", ".join(per_cond)
+        + "), x -> x IS NOT NULL))))"
+    )
+
+    def st_with(**over: str) -> str:
+        fields = []
+        for k in range(k_top):
+            fields.append(f"'f{k}', " + over.get(f"f{k}", f"st.f{k}"))
+            fields.append(f"'l{k}', " + over.get(f"l{k}", f"st.l{k}"))
+        fields.append("'fe', " + over.get("fe", "st.fe"))
+        fields.append("'dn', " + over.get("dn", "st.dn"))
+        return "named_struct(" + ", ".join(fields) + ")"
+
+    init = st_with(
+        **{f"f{k}": "CAST(NULL AS DOUBLE)" for k in range(k_top)},
+        **{f"l{k}": "CAST(NULL AS DOUBLE)" for k in range(k_top)},
+        fe="false",
+        dn="CAST(NULL AS INT)",
+    ).replace("st.", "")  # init has no prior state to copy from
+    level_now = (
+        "CASE "
         + " ".join(
-            f"WHEN st.a{k} IS NOT NULL THEN {k + 1}"
+            f"WHEN st.f{k} IS NOT NULL THEN {k + 1}"
             for k in range(k_top - 1, -1, -1)
         )
         + " ELSE 0 END"
     )
-    return f"CAST(aggregate({entries}, {init}, {merge}, {level}) AS INT)"
+
+    branches = ["WHEN st.dn IS NOT NULL THEN st"]  # frozen (early return)
+    if strict_order:
+        # intervening non-matching event after the first cond1: abort
+        branches.append(
+            "WHEN e.s = -1 THEN CASE WHEN st.fe THEN "
+            + st_with(dn=level_now)
+            + " ELSE st END"
+        )
+    branches.append(
+        f"WHEN e.s = 0 THEN {st_with(f0='e.t', l0='e.t', fe='true')}"
+    )
+    for k in range(1, k_top):
+        inner = []
+        if dedup:
+            # duplicate of an achieved level stops at ITS level
+            inner.append(
+                f"WHEN st.f{k} IS NOT NULL THEN {st_with(dn=str(k + 1))}"
+            )
+        if strict_order:
+            # out-of-order step event (previous level unachieved)
+            inner.append(
+                f"WHEN st.fe AND st.f{k - 1} IS NULL THEN "
+                + st_with(dn=level_now)
+            )
+        ok = f"st.f{k - 1} IS NOT NULL AND e.t <= st.f{k - 1} + {w}"
+        if inc:
+            ok += f" AND st.l{k - 1} < e.t"
+        adv = {f"f{k}": f"st.f{k - 1}", f"l{k}": "e.t"}
+        if k == k_top - 1:
+            adv["dn"] = str(k_top)  # completion early return
+        inner.append(f"WHEN {ok} THEN {st_with(**adv)}")
+        branches.append(
+            f"WHEN e.s = {k} THEN CASE {' '.join(inner)} ELSE st END"
+        )
+    merge = f"(st, e) -> CASE {' '.join(branches)} ELSE st END"
+    finish = (
+        "st -> CASE WHEN st.dn IS NOT NULL THEN st.dn "
+        + " ".join(
+            f"WHEN st.f{k} IS NOT NULL THEN {k + 1}"
+            for k in range(k_top - 1, -1, -1)
+        )
+        + " ELSE 0 END"
+    )
+    return f"CAST(aggregate({entries}, {init}, {merge}, {finish}) AS INT)"
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -570,7 +647,8 @@ def translate(sql: str) -> str:
     out = _rewrite_parametric(
         out, "sequenceCount", lambda ps, args: _sequence_sql(ps, args, True)
     )
-    # windowFunnel(w)(ts, c1, …) — default mode as an aggregate() fold
+    # windowFunnel(w[, mode…])(ts, c1, …) — all four engine modes as
+    # one aggregate() fold of the engine scan (per-condition entries)
     out = _rewrite_parametric(out, "windowFunnel", _window_funnel_sql)
     # multiIf(c1, v1, …, else) → CASE chain
     def _multi_if(args: list[str]) -> str:
