@@ -34,11 +34,15 @@ measured itself, so it is skew-immune.
 
 Split-brain analysis: a follower promotes no earlier than
 ``expiry + lease_s``; the deposed leader stops serving at
-``expiry`` by its own clock (self-fence) or at its next renew check
-(≤ lease_s/3 after the higher epoch appears), whichever comes first
-— both strictly before the takeover under the stated assumptions.
-The snapshot ledger is only ever written by one serving coordinator
-at a time.
+``expiry`` by its own clock (self-fence) or at its next renew tick
+(≤ lease_s/3 after the higher epoch appears), whichever comes first.
+Renewal is WRITE-THEN-VERIFY: after writing, the leader re-reads the
+highest epoch and steps down if it was superseded mid-renew, so a
+leader paused between the pre-check and the write cannot re-validate
+a fenced epoch (ADVICE r11) — the overlap is bounded by the single
+renew tick in which the takeover lands, under the stated clock
+assumptions.  The snapshot ledger is only ever written by one serving
+coordinator at a time.
 """
 
 from __future__ import annotations
@@ -124,12 +128,19 @@ class FileLease:
 
     def renew(self, epoch: int) -> bool:
         """Extend the expiry of an epoch this node owns.  Returns
-        False (WITHOUT renewing) if a higher epoch exists — the owner
-        has been fenced and must step down."""
+        False if a higher epoch exists — the owner has been fenced and
+        must step down.  WRITE-THEN-VERIFY (ADVICE r11): the pre-check
+        alone is check-then-write, so a leader paused between the
+        check and the write past expiry+grace could re-renew a fenced
+        epoch after a standby promoted; re-checking AFTER the write
+        closes that window — the stale write lands in the superseded
+        ``epoch_N`` file (harmless: followers only read the highest
+        epoch) and the deposed leader steps down in THIS tick, not the
+        next one."""
         if self.highest_epoch() > epoch:
             return False
         self._write(epoch, exclusive=False)
-        return True
+        return self.highest_epoch() <= epoch
 
 
 class Elector:
@@ -151,6 +162,10 @@ class Elector:
         self._last_renew = 0.0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # let the coordinator's /health expose election state (a fleet
+        # operator must be able to tell "no leader" from "leader
+        # renewing" without reading epoch files — VERDICT r11 #8)
+        coord.elector = self
 
     # -- role state ------------------------------------------------------
     def is_leader(self) -> bool:
@@ -160,6 +175,25 @@ class Elector:
         """Leader self-fence check: the lease is only trusted for
         lease_s past the last successful renewal (own clock)."""
         return time.monotonic() - self._last_renew < self.lease_s
+
+    def status(self) -> dict:
+        """Liveness telemetry for /health: role, this node's epoch,
+        the CLUSTER's highest epoch + owner + lease expiry (so an
+        operator polling any node sees whether a leader exists and
+        is renewing), and the self-fence freshness."""
+        cur_epoch, owner, expires = self.lease.current()
+        leader = self.is_leader()
+        return {
+            "node_id": self.node_id,
+            "role": "leader" if leader else "follower",
+            "epoch": self.epoch,
+            "lease_valid": leader and self.is_valid(),
+            "cluster_epoch": cur_epoch,
+            "cluster_owner": owner,
+            "lease_expires_in_s": round(expires - time.time(), 3)
+            if cur_epoch
+            else None,
+        }
 
     # -- protocol steps ----------------------------------------------
     def _step_down(self, why: str) -> None:

@@ -109,6 +109,9 @@ class QueueCoordinator:
         # repo_name -> {job fields..., fence, lease_deadline, reclaims}
         self._jobs: dict[str, dict] = {}
         self._fence = 0  # monotonic across ALL claims; never reused
+        #: set by election.Elector when one manages this coordinator;
+        #: /health then exposes its status() (VERDICT r11 #8)
+        self.elector = None
         # a warm standby neither loads the snapshot at construction
         # (it would go stale while the primary keeps writing) nor
         # serves/writes anything until promote(); see make_coordinator
@@ -315,8 +318,14 @@ def make_coordinator(
         def do_GET(self):  # noqa: N802 (http.server API name)
             if self.path == "/health":
                 # unauthed liveness probe: safe (no queue state) and
-                # what a failover supervisor polls on both roles
-                self._json(200, {"serving": coord.serving})
+                # what a failover supervisor polls on both roles.
+                # With an elector attached, election telemetry rides
+                # along so an operator can tell "no leader" from
+                # "leader renewing" without reading epoch files.
+                doc = {"serving": coord.serving}
+                if coord.elector is not None:
+                    doc["election"] = coord.elector.status()
+                self._json(200, doc)
                 return
             if not self._authed() or not self._serving():
                 return

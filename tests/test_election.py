@@ -64,6 +64,77 @@ def test_deposed_leader_steps_down(tmp_path):
         el.stop()
 
 
+def test_renew_write_then_verify(tmp_path):
+    """ADVICE r11: renew is no longer check-then-write.  A leader
+    whose pre-check passes but whose epoch is superseded before (or
+    while) the write lands must see renew() == False — simulated by
+    making the rival's higher epoch appear between the pre-check and
+    the post-write verify."""
+    lease_dir = str(tmp_path / "lease")
+    mine = FileLease(lease_dir, "old-leader", 60.0)
+    assert mine.try_acquire(1)
+    assert mine.renew(1) is True  # healthy path
+
+    rival = FileLease(lease_dir, "rival", 60.0)
+    calls = {"n": 0}
+    real_highest = mine.highest_epoch
+
+    def paused_highest():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 1  # pre-check: pause happens AFTER this read
+        return real_highest()  # post-write verify sees the takeover
+
+    mine.highest_epoch = paused_highest
+    assert rival.try_acquire(2)  # takeover lands during the pause
+    assert mine.renew(1) is False  # write-then-verify catches it
+    assert calls["n"] == 2
+    # the stale write landed in epoch_1 only; the cluster view is
+    # untouched (followers read the highest epoch)
+    epoch, owner, _ = rival.current()
+    assert (epoch, owner) == (2, "rival")
+
+
+def test_status_and_health_telemetry(tmp_path):
+    """VERDICT r11 #8: Elector.status() rides on /health so an
+    operator can distinguish "no leader" from "leader renewing"
+    without reading epoch files."""
+    import json
+    import urllib.request
+
+    snap = str(tmp_path / "q.snap")
+    lease_dir = str(tmp_path / "lease")
+    srv, coord = make_coordinator(snapshot_path=snap, host="127.0.0.1")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    el = Elector(coord, lease_dir, "n1", lease_s=0.5).start()
+    try:
+        with urllib.request.urlopen(url + "/health", timeout=2) as r:
+            doc = json.loads(r.read())
+        e = doc["election"]
+        assert doc["serving"] is True
+        assert e["role"] == "leader" and e["epoch"] == 1
+        assert e["lease_valid"] is True
+        assert e["cluster_epoch"] == 1 and e["cluster_owner"] == "n1"
+        assert e["lease_expires_in_s"] > 0
+
+        # depose: a rival's higher epoch flips the telemetry to
+        # follower at the next renew tick
+        FileLease(lease_dir, "rival", 60.0).try_acquire(2)
+        assert _spin(lambda: not coord.serving, 2.0)
+        with urllib.request.urlopen(url + "/health", timeout=2) as r:
+            doc = json.loads(r.read())
+        e = doc["election"]
+        assert doc["serving"] is False
+        assert e["role"] == "follower" and e["epoch"] == 0
+        assert e["lease_valid"] is False
+        assert e["cluster_epoch"] == 2 and e["cluster_owner"] == "rival"
+    finally:
+        el.stop()
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_auto_failover_end_to_end(tmp_path):
     """The full hands-off failover: primary dies mid-handler, its
     elector stops renewing, the standby's elector wins the next epoch

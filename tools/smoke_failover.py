@@ -65,8 +65,17 @@ def main() -> int:
         )
         url1, url2 = "http://127.0.0.1:18451", "http://127.0.0.1:18452"
         try:
-            assert _wait_health(url1)["serving"] is True
-            assert _wait_health(url2)["serving"] is False
+            h1 = _wait_health(url1)
+            assert h1["serving"] is True
+            # the primary's elector claims epoch 1 at start(); /health
+            # must expose it (VERDICT r11 #8: operators distinguish
+            # "no leader" from "leader renewing" via /health alone)
+            el1 = h1.get("election") or _wait_health(url1)["election"]
+            assert el1["role"] == "leader" and el1["epoch"] >= 1, el1
+            out["pre_kill_election"] = el1
+            h2 = _wait_health(url2)
+            assert h2["serving"] is False
+            assert h2["election"]["role"] == "follower", h2
             q = HttpWorkQueue(url1, lease_s=0.5, failover_urls=[url2])
             q.schedule("acme/kill9")
             executions: list[str] = []
@@ -85,16 +94,24 @@ def main() -> int:
             out["work_sec"] = round(time.time() - t0, 2)
             h2 = _health(url2)
             out["standby_serving"] = h2["serving"]
+            out["post_takeover_election"] = h2.get("election")
             out["completed"] = done
             out["executions"] = executions
             out["failures"] = q.failures
             out["repointed"] = q.base_url == url2
+            el2 = h2.get("election") or {}
             out["ok"] = (
                 done == ["acme/kill9"]
                 and executions == ["acme/kill9"]
                 and not q.failures
                 and h2["serving"] is True
                 and q.base_url == url2
+                # takeover telemetry: the standby won a HIGHER epoch,
+                # /health says so, and its lease is actively renewed
+                and el2.get("role") == "leader"
+                and el2.get("epoch", 0) > el1["epoch"]
+                and el2.get("cluster_owner") == "standby"
+                and el2.get("lease_valid") is True
             )
         finally:
             for proc in (p1, p2):
