@@ -251,3 +251,105 @@ def q_seq_next_node_last_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(F.col("next_type"), F.lit("<end>")).alias("next_node"),
     )
+
+
+@query(
+    "q_seq_next_node_head",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER w AS next_type,
+               row_number() OVER w AS rn
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT COALESCE(next_type, '<end>') AS next_node,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM o WHERE rn = 1 AND event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def q_seq_next_node_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceNextNode forward direction, HEAD base (ClickHouse
+    ``sequenceNextNode('forward', 'head')(ts, event_type,
+    event_type = 'error', event_type = 'error')``): for each user
+    whose FIRST event is an error, the event immediately after it
+    ('<end>' when the error is the only event), aggregated to
+    next_node counts ('error' because every SF's testdata has users
+    opening with one; no user opens with a 'view' at sf0.001).
+    With q_seq_next_node (first_match, r7), q_seq_next_node_chain
+    (multi-event base, r11), and the r12 backward/last_match forms
+    this completes the engine's meaningful direction x base matrix.
+
+    One user_id exchange feeds the ascending rank and lead; the
+    aggregate runs on <=1 row per user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        o.where((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .groupBy(
+            F.coalesce(F.col("next_type"), F.lit("<end>")).alias("next_node")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_seq_next_node_backward_first",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER wd AS prev_type,
+               row_number() OVER wd AS rd
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW wd AS (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC)
+    ), v AS (
+        SELECT user_id, prev_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY rd) AS mr
+        FROM o WHERE event_type = 'view'
+    )
+    SELECT user_id, COALESCE(prev_type, '<end>') AS next_node
+    FROM v WHERE mr = 1
+    """,
+)
+def q_seq_next_node_backward_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sequenceNextNode BACKWARD direction, FIRST_MATCH base
+    (ClickHouse ``sequenceNextNode('backward', 'first_match')(ts,
+    event_type, event_type = 'view', event_type = 'view')``): the
+    first match in backward traversal is the user's LATEST view; the
+    "next node" in backward direction is the event immediately BEFORE
+    it in time ('<end>' when that view opens the stream).  Per-user
+    rows, mirroring q_seq_next_node (forward/first_match) with the
+    traversal reversed — both windows share one user_id exchange."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(wd).alias("prev_type"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    v = o.where(F.col("event_type") == "view").withColumn(
+        "mr",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("rd")),
+    )
+    return v.where(F.col("mr") == 1).select(
+        "user_id",
+        F.coalesce(F.col("prev_type"), F.lit("<end>")).alias("next_node"),
+    )

@@ -65,6 +65,8 @@ ROUND_PRIORITY = [
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",
     "q_seq_next_node_last_match",
+    "q_seq_next_node_head",
+    "q_seq_next_node_backward_first",
     "q_funnel",
     "q_seq_match",
     "q_stream_slide",
