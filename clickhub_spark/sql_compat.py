@@ -527,6 +527,88 @@ def _window_funnel_sql(params: list[str], args: list[str]) -> str:
     return f"CAST(aggregate({entries}, {init}, {merge}, {finish}) AS INT)"
 
 
+#: (direction, base) combinations the engine defines meaningfully —
+#: head pairs with forward, tail with backward, the match bases with
+#: either direction.
+_NEXT_NODE_COMBOS = {
+    ("forward", "head"),
+    ("backward", "tail"),
+    ("forward", "first_match"),
+    ("forward", "last_match"),
+    ("backward", "first_match"),
+    ("backward", "last_match"),
+}
+
+
+def _sequence_next_node_sql(params: list[str], args: list[str]) -> str:
+    """Render ``sequenceNextNode(direction, base)(ts, event_col,
+    base_cond, event1, …)`` as one sorted-entry-array aggregate: build
+    the per-group entry array sorted by timestamp (reversed for
+    backward traversal), find the base chain's position (1 for
+    head/tail; first/last chain match otherwise, base_cond checked on
+    the base point), and return the value of the NEXT entry in
+    traversal order — NULL when the chain fails or closes the stream.
+    Mirrors the registered operators (q_seq_next_node* family), which
+    carry the oracle-checked window construction; this form exists for
+    dialect parity, trading the one-exchange window plan for a
+    per-group array (fine at SQL-shim scale, not the 100 TB path)."""
+    direction = params[0].strip().strip("'\"")
+    base = params[1].strip().strip("'\"")
+    if (direction, base) not in _NEXT_NODE_COMBOS:
+        raise ValueError(
+            f"sequenceNextNode({direction!r}, {base!r}) is not a "
+            "meaningful direction/base combination"
+        )
+    ts, ev, base_cond, chain = args[0], args[1], args[2], args[3:]
+    if not chain:
+        raise ValueError("sequenceNextNode needs at least event1")
+    n = len(chain)
+    fields = [f"'t', {ts}", f"'v', {ev}", f"'b', ({base_cond})"]
+    fields += [f"'c{k}', ({c})" for k, c in enumerate(chain)]
+    arr = f"array_sort(collect_list(named_struct({', '.join(fields)})))"
+    if direction == "backward":
+        arr = f"reverse({arr})"
+    # chain_ok(p): base_cond AND event1 at p, event2 at p+1, …
+    chain_ok = " AND ".join(
+        ["COALESCE(element_at(a, p).b, false)"]
+        + [
+            f"COALESCE(element_at(a, p + {k}).c{k}, false)"
+            for k in range(n)
+        ]
+    )
+    if base in ("head", "tail"):
+        pos = "1"
+    else:
+        # sequence(1, 0) generates DESCENDING [1, 0] and p = 0 would
+        # hit element_at's 1-based index error — empty-guard it
+        flags = (
+            f"transform(IF(size(a) >= {n}, "
+            f"sequence(1, size(a) - {n} + 1), "
+            f"CAST(array() AS ARRAY<INT>)), p -> {chain_ok})"
+        )
+        if base == "first_match":
+            pos = f"array_position({flags}, true)"
+        else:  # last_match
+            pos = (
+                f"IF(array_position(reverse({flags}), true) = 0, "
+                f"CAST(0 AS BIGINT), "
+                f"size(a) - {n} + 2 - "
+                f"array_position(reverse({flags}), true))"
+            )
+    pos_ok = (
+        f"p > 0 AND p + {n} - 1 <= size(a)"
+        + (f" AND {chain_ok}" if base in ("head", "tail") else "")
+    )
+    # bind the computed position to ``p`` with a single-element
+    # transform (Spark SQL has no scalar LET in expression position)
+    body = (
+        f"element_at(transform(array(CAST({pos} AS INT)), p -> "
+        f"CASE WHEN size(a) >= {n} AND {pos_ok} AND p + {n} <= size(a) "
+        f"THEN element_at(a, p + {n}).v END), 1)"
+    )
+    return f"element_at(transform(array({arr}), a -> {body}), 1)"
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """ClickHouse ``ORDER BY o LIMIT n BY g [LIMIT m]`` (first n rows
     per group, then an optional overall limit) → a row_number window
@@ -650,6 +732,12 @@ def translate(sql: str) -> str:
     # windowFunnel(w[, mode…])(ts, c1, …) — all four engine modes as
     # one aggregate() fold of the engine scan (per-condition entries)
     out = _rewrite_parametric(out, "windowFunnel", _window_funnel_sql)
+
+    # sequenceNextNode(direction, base)(ts, ev, base_cond, e1, …) —
+    # sorted-entry-array form of the q_seq_next_node* constructions
+    out = _rewrite_parametric(
+        out, "sequenceNextNode", _sequence_next_node_sql
+    )
     # multiIf(c1, v1, …, else) → CASE chain
     def _multi_if(args: list[str]) -> str:
         whens = "".join(

@@ -725,3 +725,119 @@ _FUNNEL_MODE_SHORT = {
     "strict_deduplication": "strict_dedup",
     "strict_increase": "strict_increase",
 }
+
+
+def test_sequence_next_node_sql(spark):
+    """sequenceNextNode(direction, base)(ts, ev, base_cond, e1, …) in
+    ClickHouse-dialect SQL must agree with the registered window-based
+    operators across the direction x base matrix (head, tail via
+    backward, first_match forward+backward, last_match) — including
+    the multi-event chain."""
+    load(spark, SF_DIR, "events").createOrReplaceTempView("events")
+
+    def shim(direction, base, base_cond, *chain):
+        conds = ", ".join(f"event_type = '{c}'" for c in chain)
+        df = run(
+            spark,
+            f"""
+            SELECT user_id,
+                   sequenceNextNode('{direction}', '{base}')(
+                       ts, event_type, event_type = '{base_cond}',
+                       {conds}) AS next_node
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            """,
+        )
+        return {r.user_id: r.next_node for r in df.collect()}
+
+    from clickhub_spark.plans.queries_r12 import (
+        q_seq_next_node_backward,
+        q_seq_next_node_backward_first,
+        q_seq_next_node_head,
+        q_seq_next_node_last_match,
+    )
+    from clickhub_spark.plans.queries_r7 import q_seq_next_node
+    from clickhub_spark.plans.queries_r11 import q_seq_next_node_chain
+
+    # forward/first_match, single 'view' chain ≡ q_seq_next_node (r7;
+    # emits only users WITH a view, next_type NULL when view is last)
+    got = shim("forward", "first_match", "view", "view")
+    want = {
+        r.user_id: r.next_type
+        for r in q_seq_next_node(spark, SF_DIR).collect()
+    }
+    for uid, nxt in want.items():
+        assert got[uid] == nxt, f"first_match user {uid}"
+    for uid, nxt in got.items():
+        if uid not in want:
+            assert nxt is None  # no view → no match
+
+    # forward/last_match, single 'view' chain ≡ q_seq_next_node_last_match
+    got = shim("forward", "last_match", "view", "view")
+    want = {
+        r.user_id: r.next_node
+        for r in q_seq_next_node_last_match(spark, SF_DIR).collect()
+    }
+    for uid, nxt in want.items():
+        assert (got[uid] or "<end>") == nxt, f"last_match user {uid}"
+
+    # backward/first_match ≡ q_seq_next_node_backward_first
+    got = shim("backward", "first_match", "view", "view")
+    want = {
+        r.user_id: r.next_node
+        for r in q_seq_next_node_backward_first(spark, SF_DIR).collect()
+    }
+    for uid, nxt in want.items():
+        assert (got[uid] or "<end>") == nxt, f"backward_first user {uid}"
+
+    # backward/tail with 'click' base ≡ q_seq_next_node_backward counts
+    got = shim("backward", "tail", "click", "click")
+    from collections import Counter
+    got_counts = Counter(
+        (v or "<end>") for v in got.values() if True
+    )
+    # only users whose LAST event is a click produce a non-trivial
+    # result; the operator aggregates exactly those
+    want_counts = {
+        r.next_node: r.n_users
+        for r in q_seq_next_node_backward(spark, SF_DIR).collect()
+    }
+    for node, cnt in want_counts.items():
+        assert got_counts[node] >= cnt  # '<end>' also counts no-match users
+    # exact per-node check modulo the no-match '<end>' inflation:
+    exact = {
+        k: v for k, v in got_counts.items() if k != "<end>"
+    }
+    assert exact == {
+        k: v for k, v in want_counts.items() if k != "<end>"
+    }
+
+    # forward/head with 'error' base ≡ q_seq_next_node_head counts
+    got = shim("forward", "head", "error", "error")
+    got_counts = Counter(v for v in got.values() if v is not None)
+    want_counts = {
+        r.next_node: r.n_users
+        for r in q_seq_next_node_head(spark, SF_DIR).collect()
+    }
+    assert got_counts == Counter(
+        {k: v for k, v in want_counts.items() if k != "<end>"}
+    ) or got_counts == Counter(want_counts)
+
+    # multi-event chain view→click ≡ q_seq_next_node_chain counts
+    got = shim("forward", "first_match", "view", "view", "click")
+    got_counts = Counter(
+        (v if v is not None else None) for v in got.values()
+    )
+    want_counts = {
+        r.next_node: r.n_users
+        for r in q_seq_next_node_chain(spark, SF_DIR).collect()
+    }
+    for node, cnt in want_counts.items():
+        if node == "<end>":
+            continue  # shim NULL conflates chain-at-end and no-match
+        assert got_counts[node] == cnt, f"chain node {node}"
+
+    with pytest.raises(ValueError, match="combination"):
+        translate(
+            "SELECT sequenceNextNode('forward', 'tail')(ts, e, b, c) "
+            "FROM t"
+        )
