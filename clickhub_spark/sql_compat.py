@@ -527,6 +527,26 @@ def _window_funnel_sql(params: list[str], args: list[str]) -> str:
     return f"CAST(aggregate({entries}, {init}, {merge}, {finish}) AS INT)"
 
 
+def _retention_sql(args: list[str]) -> str:
+    """Render ``retention(cond1, …, condN)`` — the engine's cohort
+    aggregate returning an array of 0/1 flags per group: r[1] = cond1
+    held on some event; r[i] = cond1 AND cond_i each held on some
+    (possibly different) event.  Pure max-flags:
+    ``array(m1, m1*m2, …)`` with ``m_k = max(IF(cond_k, 1, 0))``.
+    NOTE for consumers: index the result with ``element_at(r, i)``
+    (1-based, matching ClickHouse's r[i]) — Spark's bracket subscript
+    on arrays is 0-based and is NOT rewritten by the shim."""
+    if not args:
+        raise ValueError("retention() needs at least one condition")
+    ms = [
+        f"MAX(IF(COALESCE(({c}), false), 1, 0))" for c in args
+    ]
+    cells = [f"CAST({ms[0]} AS INT)"] + [
+        f"CAST({ms[0]} * {m} AS INT)" for m in ms[1:]
+    ]
+    return f"array({', '.join(cells)})"
+
+
 #: (direction, base) combinations the engine defines meaningfully —
 #: head pairs with forward, tail with backward, the match bases with
 #: either direction.
@@ -738,6 +758,9 @@ def translate(sql: str) -> str:
     out = _rewrite_parametric(
         out, "sequenceNextNode", _sequence_next_node_sql
     )
+
+    # retention(cond1, …) — cohort flag array via max-flags
+    out = _rewrite_call(out, "retention", _retention_sql, nargs=1)
     # multiIf(c1, v1, …, else) → CASE chain
     def _multi_if(args: list[str]) -> str:
         whens = "".join(

@@ -841,3 +841,57 @@ def test_sequence_next_node_sql(spark):
             "SELECT sequenceNextNode('forward', 'tail')(ts, e, b, c) "
             "FROM t"
         )
+
+
+def test_retention_sql(spark):
+    """retention(cond1, …) — r[1] = cond1 ever held; r[i] = cond1 AND
+    cond_i each held on some event of the group.  Checked against a
+    direct DataFrame max-flags aggregate, and the funnel-report usage
+    (SUM of element_at over users) against plain conditional counts."""
+    load(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    df = run(
+        spark,
+        """
+        SELECT user_id,
+               retention(event_type = 'view',
+                         event_type = 'click',
+                         event_type = 'purchase') AS r
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        """,
+    )
+    from pyspark.sql import functions as F
+
+    got = {r.user_id: list(r.r) for r in df.collect()}
+    base = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("event_type").isNotNull())
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("m1"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("m2"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "m3"
+            ),
+        )
+    )
+    for r in base.collect():
+        assert got[r.user_id] == [r.m1, r.m1 * r.m2, r.m1 * r.m3], (
+            f"user {r.user_id}"
+        )
+    # report form: SUM(element_at(r, i)) over users
+    rep = run(
+        spark,
+        """
+        SELECT SUM(element_at(r, 1)) AS r1, SUM(element_at(r, 2)) AS r2
+        FROM (
+            SELECT user_id,
+                   retention(event_type = 'view',
+                             event_type = 'click') AS r
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        )
+        """,
+    ).first()
+    want1 = base.where("m1 = 1").count()
+    want2 = base.where("m1 = 1 AND m2 = 1").count()
+    assert (rep.r1, rep.r2) == (want1, want2)
