@@ -572,6 +572,10 @@ def _sequence_next_node_sql(params: list[str], args: list[str]) -> str:
     carry the oracle-checked window construction; this form exists for
     dialect parity, trading the one-exchange window plan for a
     per-group array (fine at SQL-shim scale, not the 100 TB path)."""
+    if len(params) != 2:
+        raise ValueError(
+            "sequenceNextNode takes exactly (direction, base) params"
+        )
     direction = params[0].strip().strip("'\"")
     base = params[1].strip().strip("'\"")
     if (direction, base) not in _NEXT_NODE_COMBOS:
@@ -579,9 +583,12 @@ def _sequence_next_node_sql(params: list[str], args: list[str]) -> str:
             f"sequenceNextNode({direction!r}, {base!r}) is not a "
             "meaningful direction/base combination"
         )
+    if len(args) < 4:
+        raise ValueError(
+            "sequenceNextNode needs (ts, event_col, base_cond, "
+            "event1, …) — at least four arguments"
+        )
     ts, ev, base_cond, chain = args[0], args[1], args[2], args[3:]
-    if not chain:
-        raise ValueError("sequenceNextNode needs at least event1")
     n = len(chain)
     fields = [f"'t', {ts}", f"'v', {ev}", f"'b', ({base_cond})"]
     fields += [f"'c{k}', ({c})" for k, c in enumerate(chain)]
@@ -608,23 +615,24 @@ def _sequence_next_node_sql(params: list[str], args: list[str]) -> str:
         )
         if base == "first_match":
             pos = f"array_position({flags}, true)"
-        else:  # last_match
+        else:  # last_match — bind the reversed position once (the
+            # flags transform re-runs the whole chain scan otherwise)
             pos = (
-                f"IF(array_position(reverse({flags}), true) = 0, "
-                f"CAST(0 AS BIGINT), "
-                f"size(a) - {n} + 2 - "
-                f"array_position(reverse({flags}), true))"
+                f"element_at(transform(array(array_position("
+                f"reverse({flags}), true)), rp -> "
+                f"IF(rp = 0, rp, size(a) - {n} + 2 - rp)), 1)"
             )
+    # p > 0 = chain matched (match bases) / always for head-tail;
+    # p + n <= size(a) = a next node exists (implies the chain fits)
     pos_ok = (
-        f"p > 0 AND p + {n} - 1 <= size(a)"
+        f"p > 0 AND p + {n} <= size(a)"
         + (f" AND {chain_ok}" if base in ("head", "tail") else "")
     )
     # bind the computed position to ``p`` with a single-element
     # transform (Spark SQL has no scalar LET in expression position)
     body = (
         f"element_at(transform(array(CAST({pos} AS INT)), p -> "
-        f"CASE WHEN size(a) >= {n} AND {pos_ok} AND p + {n} <= size(a) "
-        f"THEN element_at(a, p + {n}).v END), 1)"
+        f"CASE WHEN {pos_ok} THEN element_at(a, p + {n}).v END), 1)"
     )
     return f"element_at(transform(array({arr}), a -> {body}), 1)"
 

@@ -11,23 +11,23 @@ pattern level:
 
 - level j ("atoms 0..j-1 matched, waiting for atom j") is a STAR level
   when ``.*`` separates atoms j-1 and j: its state survives gaps, and
-  because the only place a stored timestamp is ever read again is the
-  single time constraint on the j-th transition, keeping the EXTREMAL
-  timestamp (max for ``<``/``<=``, min for ``>``/``>=``) is exact, not
-  an approximation;
+  its stored timestamp is NEVER read — the parser rejects a time
+  constraint adjacent to ``.*`` (parse_pattern, matching the engine's
+  grammar), so a time-constrained transition always reads an ADJACENT
+  level's slot;
 - an ADJACENT level (no star) must consume the very next entry, so its
   state lives exactly one entry — and every creator within one entry
-  writes the same timestamp.
+  writes the same timestamp, making the slot single-valued.
 
-Total state: <= 6 timestamps + the sticky matched flag, independent of
-history length — the engine's own aggregate buffers every matching
-event per user, so this is strictly smaller at 100 TB.
-``sequenceCount``'s scan-restart anchoring, by contrast, depends on
-LOOKAHEAD (the restart position is the end of the FIRST anchor's
-match, which later entries determine), so exact incremental counting
-is impossible one-pass with bounded state; count over the table with
-the batch operator instead.  ``(?t == n)`` constraints would need the
-full timestamp SET per level and are rejected.
+The single-valued-slot property makes the fold EXACT for every legal
+pattern, including ``==`` time constraints.  Total state: <= 6
+timestamps + the sticky matched flag, independent of history length —
+the engine's own aggregate buffers every matching event per user, so
+this is strictly smaller at 100 TB.  ``sequenceCount``'s scan-restart
+anchoring, by contrast, depends on LOOKAHEAD (the restart position is
+the end of the FIRST anchor's match, which later entries determine),
+so exact incremental counting is impossible one-pass with bounded
+state; count over the table with the batch operator instead.
 
 ORDERING CONTRACT: same as streaming/funnel.py — cross-batch delivery
 must be per-user time-ordered (rows are sorted within each batch);
@@ -52,10 +52,7 @@ STATE_SCHEMA = "matched boolean, " + ", ".join(
 
 
 def compile_atoms(pattern: str) -> list[dict]:
-    """Pattern → atom list [{kind, idx, time, star_before, keep_max}].
-    ``keep_max`` is the extremal-merge direction for the STAR slot
-    feeding this atom's transition (exactness argument in the module
-    docstring)."""
+    """Pattern → atom list [{kind, idx, time, star_before}]."""
     tokens = parse_pattern(pattern)
     atoms: list[dict] = []
     star_pending = False
@@ -64,12 +61,6 @@ def compile_atoms(pattern: str) -> list[dict]:
         if tok[0] == "star":
             star_pending = True
         elif tok[0] == "time":
-            if tok[1] == "==":
-                raise ValueError(
-                    "(?t == n) needs the full timestamp set per level "
-                    "— not streamable with bounded state; use the "
-                    "batch operator (operators/seqmatch)"
-                )
             time_pending = (tok[1], tok[2])
         else:
             atoms.append(
@@ -78,10 +69,6 @@ def compile_atoms(pattern: str) -> list[dict]:
                     "idx": tok[1] if tok[0] == "cond" else None,
                     "time": time_pending,
                     "star_before": star_pending,
-                    # '<'/'<=' passes more easily with a LATER previous
-                    # timestamp; '>'/'>=' with an earlier one
-                    "keep_max": time_pending is None
-                    or time_pending[0] in ("<", "<="),
                 }
             )
             star_pending = False
@@ -90,6 +77,10 @@ def compile_atoms(pattern: str) -> list[dict]:
         raise ValueError("pattern has no event atoms")
     if len(atoms) > _MAX_ATOMS:
         raise ValueError(f"max {_MAX_ATOMS} event atoms")
+    for a in atoms:
+        # parse_pattern guarantees a time constraint never sits next
+        # to '.*' — the exactness of the single-slot fold rests on it
+        assert not (a["time"] and a["star_before"]), pattern
     return atoms
 
 
@@ -102,6 +93,7 @@ def _time_ok(time: tuple | None, dt: float) -> bool:
         "<=": dt <= bound,
         ">": dt > bound,
         ">=": dt >= bound,
+        "==": dt == bound,
     }[op]
 
 
@@ -136,15 +128,10 @@ def nfa_fold(entries, atoms, matched: bool, slots: list):
         for tgt in adv:
             if tgt == n:
                 matched = True
-            elif atoms[tgt]["star_before"]:
-                cur = slots[tgt]
-                if cur is None:
-                    slots[tgt] = ts
-                elif atoms[tgt]["keep_max"]:
-                    slots[tgt] = max(cur, ts)
-                else:
-                    slots[tgt] = min(cur, ts)
             else:
+                # a star slot's value is never read (time constraints
+                # only sit on adjacent transitions); an adjacent slot's
+                # creators within one entry all write this same ts
                 slots[tgt] = ts
     return matched, slots
 

@@ -688,10 +688,13 @@ def test_window_funnel_sql_mode_matrix(spark):
         (ty == "c") | ((ty == "v") & (val < 30)),
         ty == "p",
     ]
+    from clickhub_spark.sql_compat import _FUNNEL_MODES
+
     combos = [
         (),
         ("strict_order",),
         ("strict_deduplication",),
+        ("strict_dedup",),  # the operator's shorthand spelling
         ("strict_increase",),
         ("strict_order", "strict_increase"),
         ("strict_order", "strict_deduplication", "strict_increase"),
@@ -713,18 +716,11 @@ def test_window_funnel_sql_mode_matrix(spark):
                 steps=conds_df,
                 ts_col="ts",
                 window_s=6.0,
-                modes=[_FUNNEL_MODE_SHORT[m] for m in combo],
+                modes=[_FUNNEL_MODES[m] for m in combo],
                 multi_match=True,
             ).collect()
         }
         assert got == want, f"modes={combo}: shim != operator"
-
-
-_FUNNEL_MODE_SHORT = {
-    "strict_order": "strict_order",
-    "strict_deduplication": "strict_dedup",
-    "strict_increase": "strict_increase",
-}
 
 
 def test_sequence_next_node_sql(spark):

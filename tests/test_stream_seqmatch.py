@@ -39,6 +39,8 @@ _PATTERNS = [
     "(?2)(?3)",
     "(?1)(?2)(?3)",
     "(?3).*(?1)",
+    "(?1)(?t==1)(?2)",
+    "(?1).*(?2)(?t>=2)(?3)",
 ]
 
 
@@ -85,10 +87,13 @@ def test_nfa_fold_is_incremental():
 
 
 def test_compile_atoms_rejections():
-    with pytest.raises(ValueError, match="bounded state"):
-        compile_atoms("(?1)(?t==5)(?2)")
     with pytest.raises(ValueError, match="event atoms"):
         compile_atoms(".*")
+    # (?t==n) IS streamable: the constraint reads an adjacent slot,
+    # which is single-valued — compile must accept it
+    atoms = compile_atoms("(?1)(?t==5)(?2)")
+    assert atoms[1]["time"] == ("==", 5.0)
+    assert atoms[1]["star_before"] is False
 
 
 def _make_streams(n_users, seed):

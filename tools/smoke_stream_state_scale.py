@@ -96,9 +96,13 @@ def run_stream(spark, tag, make_out):
     q.awaitTermination()
     sec = round(time.time() - t0, 3)
     rows = spark.sql(f"SELECT * FROM {name}").collect()
-    final = {}
+    # memory-sink row order is not contractually batch-ordered; both
+    # outputs are MONOTONE per user (matched never un-matches, levels
+    # never drop in default mode), so max() is the final value
+    final: dict = {}
     for r in rows:
-        final[r[0]] = r[1]
+        cur = final.get(r[0])
+        final[r[0]] = r[1] if cur is None else max(cur, r[1])
     return sec, final, len(rows)
 
 
