@@ -1,0 +1,89 @@
+"""Assemble GATES_r12.json from the final-tree gate logs plus the
+round's scale artifacts (MinHash-banding 100x, streaming state 200k).
+
+Usage: python tools/make_gates_r12.py <sf001_engine.log> \
+       <sf01_engine.log> <sf001_vanilla.log> <stream_state.json>
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def tally(path: str) -> dict:
+    txt = open(path).read()
+    m = re.findall(r"(\d+) pass, (\d+) rows-only, (\d+) fail", txt)
+    if not m:
+        raise SystemExit(f"no tally in {path}")
+    p, r, f = map(int, m[-1])
+    return {"pass": p, "rows_only": r, "fail": f}
+
+
+def main() -> None:
+    g1, g2, g3 = (tally(p) for p in sys.argv[1:4])
+    stream_state = json.load(open(sys.argv[4]))
+    cluster = json.load(open("/root/repo/CLUSTER_GATE_r12.json"))
+    dedup = json.load(open("/root/repo/DEDUP_100X_r12.json"))
+    doc = {
+        "round": 12,
+        "note": (
+            "Final-tree verification: gates re-run after the round's "
+            "last code change (sequence: plan_guard refresh + empty "
+            "fingerprint diff first — now codified in the verify "
+            "skill). 303 registered queries (new this round: "
+            "q_seq_match_pattern_time, q_seq_count_time_gap — the "
+            "general seqmatch (?t…) automaton path's first driver "
+            "rows, independent EXISTS/pair-count oracles — plus "
+            "q_seq_next_node_head / _backward / _last_match / "
+            "_backward_first completing the direction x base matrix); "
+            "291 oracled-green, the 12 rows-only unchanged with their "
+            "oracle-green twins. Round-12 window: 6 new names + the "
+            "9 r4-stale names the r11 verdict front-loaded + 35 of "
+            "the r5 block; the 8 deferred r5 names sit at exactly "
+            "7-rounds stale and lead the r13 window. Also new: "
+            "windowFunnel ALL FOUR MODES + sequenceNextNode + "
+            "retention() in the ClickHouse-SQL shim (per-matched-"
+            "condition entries fix the overlapping-steps undercount); "
+            "streaming sequenceMatch (bounded NFA state, exactness "
+            "differential vs the batch backtracker); election "
+            "write-then-verify renew + /health telemetry pinned in "
+            "the SIGKILL drill; MinHash-banding 100x artifact."
+        ),
+        "gates_on_final_tree": {
+            "sf0.01_engine_session": g1,
+            "sf0.1_engine_session": g2,
+            "sf0.01_vanilla_session": g3,
+            "cluster_local-cluster[2,8,4096]": {
+                "pass": cluster.get("n_pass"),
+                "rows_only": cluster.get("n_rowsonly"),
+                "fail": cluster.get("n_fail"),
+                "artifact": "CLUSTER_GATE_r12.json",
+            },
+        },
+        "scale_artifacts": {
+            "dedup_100x": {
+                "artifact": "DEDUP_100X_r12.json",
+                "gates_ok": dedup.get("gates_ok"),
+                "pairs_big_sec": dedup.get("pairs_big_sec"),
+                "scaling": dedup.get("scaling"),
+            },
+            "stream_state_200k": {
+                "gates_ok": stream_state.get("gates_ok"),
+                "seqmatch_sec": stream_state.get("seqmatch_sec"),
+                "funnel_sec": stream_state.get("funnel_sec"),
+                "mismatches": stream_state.get("seqmatch_mismatches", 0)
+                + stream_state.get("funnel_mismatches", 0),
+            },
+        },
+        "fail_total": g1["fail"] + g2["fail"] + g3["fail"]
+        + (cluster.get("n_fail") or 0),
+    }
+    with open("/root/repo/GATES_r12.json", "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"fail_total": doc["fail_total"]}))
+
+
+if __name__ == "__main__":
+    main()
