@@ -52,8 +52,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     if name == "events":
+        # scope the legacy conf to THIS read: it is captured at plan
+        # time (verified: a frame planned under it executes correctly
+        # after restore), and leaving it session-wide would make every
+        # LATER nanos-parquet read in the session silently come back
+        # as bigint instead of failing fast
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", prev
+                )
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -77,7 +91,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 #: the ReplacingMergeTree ORDER BY prefix + version column
 #: (reference README.md:133-134; types.json:7,13,19).
 FINAL_KEYS = {
-    "commits": (["repo_name", "time", "hash"], ["updated_at"]),
+    # version carries the lines_added tiebreak because stamp_updated_at
+    # gives EVERY row of one import batch the same timestamp — without
+    # it the view keeps an arbitrary row per in-batch duplicate, and
+    # would diverge from Orchestrator.commits_final (which resolves
+    # ties the same deterministic way)
+    "commits": (["repo_name", "time", "hash"], ["updated_at", "lines_added"]),
     "file_changes": (["repo_name", "time", "commit_hash", "path"], ["updated_at"]),
     "line_changes": (
         # reference types.json:19 ORDER BY (repo_name, time, commit_hash,

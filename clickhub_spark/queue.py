@@ -112,7 +112,12 @@ class WorkQueue(_WorkLoop):
     # -- schedule (reference repo/schedule.py:37-67) ---------------------
 
     def schedule(self, repo_name: str, priority: int = 0) -> Job:
-        if len(self.list_jobs()) >= self.max_queue_length:
+        # capacity check by directory-entry COUNT (≙ the reference's
+        # SELECT count()), not list_jobs(): parsing every job file is
+        # O(queue) JSON loads per schedule — ~10k opens per call at
+        # the documented capacity
+        n_jobs = sum(1 for p in os.listdir(self.root) if ".job" in p)
+        if n_jobs >= self.max_queue_length:
             raise QueueFull(f"queue holds {self.max_queue_length} jobs")
         # A claimed job lives at <repo>.job.claimed.<worker>, so the
         # O_EXCL insert below would not see it — check in-flight claims

@@ -217,7 +217,12 @@ def parse_history(log_text: str) -> tuple[list[list], list[list], list[list]]:
     blocks = [b for b in text.split("\n" + _HDR) if b.strip()]
     for block in reversed(blocks):  # git log prints newest first
         lines = block.splitlines()
-        chash, author, when, message = (lines[0].split(_SEP) + ["", "", ""])[:4]
+        # maxsplit=3: a raw \x01 inside the SUBJECT (legal in git
+        # messages) must stay part of the message — an unbounded split
+        # would truncate it (or shift fields for a \x01 in the author)
+        chash, author, when, message = (
+            lines[0].split(_SEP, 3) + ["", "", ""]
+        )[:4]
         if not _HASH_RE.fullmatch(chash):
             # a mid-line \x01 in content can still corrupt ONE header;
             # drop that block rather than emit rows under a bogus hash
@@ -352,7 +357,20 @@ def extract_git_history(repo_dir: str, out_dir: str) -> dict[str, str]:
         p = os.path.join(out_dir, f"{name}.tsv")
         with open(p, "w") as f:
             for row in rows:
-                f.write("\t".join(str(v) for v in row) + "\n")
+                # ClickHouse-TSV backslash escaping, matching the
+                # engine_tsv sink: without it, code-content cells
+                # containing backslashes would be mangled by the
+                # reader's unescape (and a literal '\\N' cell would
+                # read back as NULL)
+                f.write(
+                    "\t".join(
+                        str(v).replace("\\", "\\\\")
+                        if isinstance(v, str)
+                        else str(v)
+                        for v in row
+                    )
+                    + "\n"
+                )
         paths[name] = p
     return paths
 

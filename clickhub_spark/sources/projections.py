@@ -128,16 +128,33 @@ def read_for_filter(
     (frame, chosen name); the frame is row-identical to the base table
     so the caller's filter works unchanged on any route."""
     preds = set(pred_cols)
+
+    def aligned(name: str) -> DataFrame:
+        # read the projection under the BASE's schema and column
+        # order: a hive-partitioned copy otherwise (a) re-infers the
+        # partition column's type from the dir names (a numeric-string
+        # value like '07' comes back as int 7, so the caller's string
+        # filter silently matches nothing on this route only) and
+        # (b) moves the partition column to the end of the schema —
+        # either way the routed frame stops being row-identical
+        base_schema = spark.read.parquet(
+            os.path.join(base_dir, "base")
+        ).schema
+        df = spark.read.schema(base_schema).parquet(
+            os.path.join(base_dir, f"proj_{name}")
+        )
+        return df.select(*[f.name for f in base_schema.fields])
+
     sorts = [m for m in _manifest(base_dir) if m["kind"] == "sort"]
     for m in sorts:
         if m["partition_by"] and m["partition_by"] in preds:
-            return spark.read.parquet(os.path.join(base_dir, f"proj_{m['name']}")), m["name"]
+            return aligned(m["name"]), m["name"]
     # among sort-key matches, a globally-sorted copy beats a
     # partitioned one: its row-group min/max ranges are disjoint
     # table-wide, not merely within each partition dir
     for m in sorted(sorts, key=lambda m: m["partition_by"] is not None):
         if m["sort_cols"] and m["sort_cols"][0] in preds:
-            return spark.read.parquet(os.path.join(base_dir, f"proj_{m['name']}")), m["name"]
+            return aligned(m["name"]), m["name"]
     return spark.read.parquet(os.path.join(base_dir, "base")), "base"
 
 

@@ -160,8 +160,13 @@ _GIT_REC_SEP = "\x00"
 # author-date %at is stable across clones; committer fields are not
 # (rebases/am rewrite them) but we read them anyway — the fixture repos
 # fix both via GIT_AUTHOR_DATE/GIT_COMMITTER_DATE.
+#: machine-formatted fields (%H, %at, %P — no \x01 can ever appear in
+#: them) come FIRST so a raw \x01 inside a free-text field (author
+#: name or subject, both legal in git) can only blur the an/ae/s
+#: boundaries, never shift the hash/time/parents parse (int(%at)
+#: would raise on a shifted field otherwise)
 _GIT_FORMAT = "%x00" + _GIT_FIELD_SEP.join(
-    ["%H", "%an", "%ae", "%at", "%P", "%s"]
+    ["%H", "%at", "%P", "%an", "%ae", "%s"]
 )
 
 
@@ -192,8 +197,18 @@ class GitLogReader(DataSourceReader):
             ["git", "-C", self.repo, "rev-list", "--count", "HEAD"],
             capture_output=True,
             text=True,
-            check=True,
+            check=False,
         )
+        if out.returncode != 0:
+            # a just-initialized repo has no HEAD — an empty table,
+            # not a planning crash (git_extract.git_log_raw's contract)
+            if "does not have any commits" in out.stderr or (
+                "unknown revision" in out.stderr
+            ):
+                return [GitLogPartition(self.repo, 0, 0)]
+            raise RuntimeError(
+                f"git rev-list failed in {self.repo!r}: {out.stderr[:200]}"
+            )
         total = int(out.stdout.strip())
         return [
             GitLogPartition(self.repo, p.start, p.end - p.start)
@@ -201,6 +216,8 @@ class GitLogReader(DataSourceReader):
         ]
 
     def read(self, partition: GitLogPartition):
+        if partition.count == 0:  # empty-repo sentinel partition
+            return
         out = subprocess.run(
             [
                 "git",
@@ -223,7 +240,7 @@ class GitLogReader(DataSourceReader):
         recs = [r.strip("\n") for r in out.stdout.split(_GIT_REC_SEP)]
         recs = [r for r in recs if r]
         for idx, rec in enumerate(recs):
-            h, an, ae, at, parents, subject = rec.split(_GIT_FIELD_SEP, 5)
+            h, at, parents, an, ae, subject = rec.split(_GIT_FIELD_SEP, 5)
             yield (
                 partition.skip + idx,
                 h,
@@ -350,10 +367,17 @@ class TsvSinkWriter(DataSourceWriter):
                 cells = []
                 for name in self.field_names:
                     v = row[name]
-                    s = "\\N" if v is None else str(v)
-                    for bad, repl in _TSV_CTRL.items():
-                        if bad in s:
-                            s = s.replace(bad, repl)
+                    if v is None:
+                        s = "\\N"
+                    else:
+                        # escape backslashes FIRST (the ClickHouse TSV
+                        # rule): without it a genuine string value of
+                        # exactly "\\N" round-trips as NULL through the
+                        # readers' null-marker match
+                        s = str(v).replace("\\", "\\\\")
+                        for bad, repl in _TSV_CTRL.items():
+                            if bad in s:
+                                s = s.replace(bad, repl)
                     cells.append(s)
                 f.write("\t".join(cells) + "\n")
                 n += 1

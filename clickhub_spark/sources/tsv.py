@@ -34,12 +34,28 @@ def read_positional_tsv(
     positional = [f for f in schema.fields if f.name not in literals]
     # nullValue \N: the ClickHouse TSV null marker this package's own
     # engine_tsv sink writes — without it a NULL round-trips as the
-    # literal two-char string (or an ANSI cast error on typed columns)
+    # literal two-char string (or an ANSI cast error on typed columns).
+    # quote="": the engine's TSV format is UNQUOTED — with Spark's
+    # default quote char, a field that merely BEGINS with a double
+    # quote gets quote-parsed (quote stripped, or the tab delimiter
+    # swallowed until a closing quote, shifting every later column).
     raw = spark.read.csv(
-        path, sep="\t", header=False, inferSchema=False, nullValue="\\N"
+        path, sep="\t", header=False, inferSchema=False,
+        nullValue="\\N", quote="",
     )
+
+    def decode(c, dt):
+        # inverse of the sink's backslash escaping (string fields
+        # only; numeric/time cells never contain backslashes).  The
+        # null marker was already matched BEFORE unescaping, so an
+        # escaped "\\N" cell correctly survives as the value "\N".
+        if dt.typeName() == "string":
+            return F.replace(c, F.lit("\\\\"), F.lit("\\"))
+        return c
+
     cols = [
-        F.col(f"_c{i}").cast(f.dataType).alias(f.name) for i, f in enumerate(positional)
+        decode(F.col(f"_c{i}"), f.dataType).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(positional)
     ]
     cols += [
         F.lit(v).cast(schema[name].dataType).alias(name) for name, v in literals.items()
@@ -122,7 +138,11 @@ def read_positional_tsv_tolerant(
     good = flagged.where(~F.col("__bad"))
     cols = [
         (
-            F.get(F.col("__cells"), i)
+            # unescape backslashes on string fields (inverse of the
+            # sink's escaping; the null marker matched pre-unescape)
+            F.replace(
+                F.get(F.col("__cells"), i), F.lit("\\\\"), F.lit("\\")
+            )
             if f.dataType.typeName() == "string"
             else F.get(F.col("__cells"), i).try_cast(f.dataType)
         ).alias(f.name)

@@ -211,6 +211,9 @@ def compact(
     import shutil
     import uuid
 
+    from clickhub_spark.operators.mutate import recover_table
+
+    recover_table(path)  # a previous swap may have died mid-rename
     df = spark.read.parquet(path)
     n = df.count()
     tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
@@ -222,7 +225,13 @@ def compact(
     else:
         (df.repartition(target_files).sortWithinPartitions(*sort_cols)
            .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    # FIXED old name (the recover_table contract, operators/mutate.py):
+    # a crash between the two renames must leave the data at the
+    # deterministic <path>.__old that recover_table restores — a
+    # random suffix would strand the table unidentifiably
+    old = f"{path}.__old"
+    if os.path.isdir(old):  # stale leftover: table AND .__old exist,
+        shutil.rmtree(old)  # so the swap completed — drop the orphan
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -185,16 +185,20 @@ def compact_accumulator(
     keys: Sequence[str],
     order: Sequence[str],
     target_files: int = 8,
-    checkpoint: str | None = None,
+    *,
+    checkpoint: str,
 ) -> int:
     """Fold every partial into a single merged accumulator partition
     (``batch_id=-1``) and advance the ``_folded_through`` marker to
     the highest real batch id folded, so a post-crash replay of any
     folded batch is dropped by the sink rather than double-counted.
-    Pass the maintenance stream's ``checkpoint`` so the marker is
-    BOUND to the checkpoint whose batch ids it records (the sink
-    refuses to interpret it under any other checkpoint — batch ids
-    are checkpoint-local).  Writers paused during the swap, same
+    ``checkpoint`` (REQUIRED — an unbound marker with a null
+    checkpoint id would bypass the sink's mismatch guard and silently
+    drop genuinely-new batches after a checkpoint reset) is the
+    maintenance stream's checkpoint dir, so the marker is BOUND to
+    the checkpoint whose batch ids it records (the sink refuses to
+    interpret it under any other checkpoint — batch ids are
+    checkpoint-local).  Writers paused during the swap, same
     fixed-name two-rename + recover contract as
     operators/mutate.compact.  Returns surviving accumulator row
     count (= live key count)."""
@@ -202,7 +206,7 @@ def compact_accumulator(
     from pyspark.sql import functions as F
 
     recover_table(acc_path)
-    ck_id = _checkpoint_id(checkpoint) if checkpoint else None
+    ck_id = _checkpoint_id(checkpoint)
     prev_folded, prev_ck = _folded_through(acc_path)
     if prev_folded >= 0 and prev_ck is not None and prev_ck != ck_id:
         raise RuntimeError(

@@ -172,6 +172,36 @@ def test_line_changes_load_through_catalog_schema(spark, tmp_path):
     assert all(r.time is not None for r in rows)
 
 
+def test_backslash_content_round_trips_through_ingest(spark, tmp_path):
+    """Round-12 review finding: extract writes ClickHouse-TSV
+    backslash escaping and read_positional_tsv unescapes — a code
+    line containing backslashes (regex, Windows path, or the literal
+    string '\\N') must survive the extract -> TSV -> ingest loop
+    byte-identically instead of being mangled or nulled."""
+    import subprocess
+
+    from clickhub_spark.catalog import LINE_CHANGES_SCHEMA
+
+    repo = str(tmp_path / "bs")
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    for k, v in (("user.email", "t@t"), ("user.name", "t")):
+        subprocess.run(["git", "-C", repo, "config", k, v], check=True)
+    hostile = 're.sub(r"\\\\d+", "", s)\npath = "C:\\\\tmp"\nmarker = "\\\\N"\n'
+    with open(f"{repo}/f.py", "w") as fh:
+        fh.write(hostile)
+    subprocess.run(["git", "-C", repo, "add", "."], check=True)
+    subprocess.run(
+        ["git", "-C", repo, "commit", "-q", "-m", "bs"], check=True
+    )
+    tsvs = extract_git_history(repo, str(tmp_path / "tsv"))
+    lc = read_positional_tsv(
+        spark, tsvs["line_changes"], LINE_CHANGES_SCHEMA,
+        literals={"repo_name": "a/b"},
+    )
+    got = {r.line for r in lc.collect()}
+    assert got == {ln for ln in hostile.splitlines()}
+
+
 def test_empty_repo_yields_empty_tsvs(tmp_path):
     repo = str(tmp_path / "empty")
     subprocess.run(["git", "init", "-q", repo], check=True)

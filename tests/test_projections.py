@@ -163,3 +163,27 @@ def test_zorder_write_gives_locality_in_both_dims(spark, tmp_path):
     assert sx < 0.35 and sy > 0.9
     # z-order: BOTH dims well under full span
     assert zx < 0.55 and zy < 0.55
+
+
+def test_numeric_string_partition_route_is_row_identical(spark, tmp_path):
+    """Round-12 review finding: hive partition-column TYPE INFERENCE
+    rewrote a numeric-string partition value ('07' -> int 7) and moved
+    the column to the end of the schema, so a string filter matched
+    rows on the base route and ZERO rows on the projection route.
+    read_for_filter now reads projections under the base's schema."""
+    base = str(tmp_path / "evts")
+    df = spark.createDataFrame(
+        [(i, f"{i % 3:02d}", float(i)) for i in range(60)],
+        "id long, bucket string, v double",
+    )
+    materialize(df, base, [
+        SortProjection("by_bucket", sort_cols=("id",), partition_by="bucket"),
+    ])
+    routed, name = read_for_filter(spark, base, ["bucket"])
+    assert name == "by_bucket"
+    assert routed.columns == df.columns  # base column ORDER preserved
+    assert dict(routed.dtypes)["bucket"] == "string"
+    got = routed.where(F.col("bucket") == "07").count()
+    assert got == df.where(F.col("bucket") == "07").count()
+    # and a value that exists: '01' has 20 rows
+    assert routed.where(F.col("bucket") == "01").count() == 20

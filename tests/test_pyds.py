@@ -205,3 +205,15 @@ def test_gitlog_survives_hostile_subjects(spark, tmp_path):
     assert len(rows) == 3
     # newest first
     assert [r.subject for r in rows] == list(reversed(subjects))
+
+
+def test_gitlog_empty_repo_yields_empty_table(spark, _register, tmp_path):
+    """Round-12 review finding: a just-initialized repo (no HEAD)
+    crashed partition planning with a raw CalledProcessError; it now
+    yields an empty table, matching git_extract.git_log_raw."""
+    import subprocess
+
+    repo = str(tmp_path / "fresh")
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    df = spark.read.format("gitlog").option("path", repo).load()
+    assert df.count() == 0

@@ -248,3 +248,30 @@ def test_dedup_ingest_compaction_preserves_store_results(spark, tmp_path):
     n_plain = len(glob.glob(s_plain + "/band=*/*.parquet"))
     n_comp = len(glob.glob(s_comp + "/band=*/*.parquet"))
     assert n_comp < n_plain
+
+
+def test_compact_crash_recovery_fixed_old_name(spark, tmp_path):
+    """Round-12 review finding: compact parked the old table at a
+    RANDOM .__old_<uuid> name, so a crash between its two renames
+    stranded the table unrecoverably.  It now uses the fixed
+    <path>.__old and runs recover_table first, like every other swap."""
+    import os
+
+    from clickhub_spark.operators.mutate import recover_table
+    from clickhub_spark.sources.writer import compact
+
+    table = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(4).write.parquet(
+        table
+    )
+    # simulate the crash window: table renamed away, new dir not yet in
+    os.rename(table, table + ".__old")
+    assert recover_table(table)  # reader-side recovery contract
+    n = compact(spark, table, ["id"], target_files=1)
+    assert n == 100
+    # and compact itself recovers when called directly on a crashed swap
+    os.rename(table, table + ".__old")
+    n = compact(spark, table, ["id"], target_files=1)
+    assert n == 100
+    assert spark.read.parquet(table).count() == 100
+    assert not os.path.exists(table + ".__old")

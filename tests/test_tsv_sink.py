@@ -102,6 +102,47 @@ def test_null_encoding(spark, tmp_path):
     assert lines == ["1\t\\N", "2\tx"]
 
 
+def test_hostile_values_round_trip_exactly(spark, tmp_path):
+    """Round-12 review findings: (1) the readers run UNQUOTED — a
+    value merely BEGINNING with a double quote must not be
+    quote-parsed (stripped quote / swallowed tab); (2) backslashes
+    are escaped on write and unescaped on read, so a genuine string
+    value of exactly '\\N' survives instead of round-tripping as
+    NULL, while a real NULL still does."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from clickhub_spark.sources.tsv import (
+        read_positional_tsv,
+        read_positional_tsv_tolerant,
+    )
+
+    schema = StructType(
+        [StructField("s", StringType()), StructField("n", LongType())]
+    )
+    rows = [
+        ('"quoted start', 1),
+        ("\\N", 2),  # the literal two-char string, NOT a null
+        ("C:\\path\\to", 3),
+        (None, 4),  # a real null
+        ('"fully quoted"', 5),
+        ('mid"quote', 6),
+    ]
+    out = str(tmp_path / "hostile")
+    os.makedirs(out)
+    spark.createDataFrame(rows, schema).coalesce(1).write.format(
+        "engine_tsv"
+    ).option("path", out).mode("append").save()
+    want = sorted(rows, key=lambda r: r[1])
+    got = read_positional_tsv(spark, out, schema).orderBy("n").collect()
+    assert [(r.s, r.n) for r in got] == want
+    got_tol = (
+        read_positional_tsv_tolerant(spark, out, schema)
+        .orderBy("n")
+        .collect()
+    )
+    assert [(r.s, r.n) for r in got_tol] == want
+
+
 def test_append_twice_accumulates(spark, tmp_path):
     # part file names are job-unique: a second append must never
     # rename over the first job's files
