@@ -722,6 +722,23 @@ def translate(sql: str) -> str:
         "uniqUpTo",
         lambda ps, args: f"LEAST(count(DISTINCT {args[0]}), {int(ps[0]) + 1})",
     )
+    # topK(N)(x) → the N most frequent values as an array, most
+    # frequent first, value ASC as the deterministic tiebreak (the
+    # engine's Space-Saving order on ties is insertion-dependent).
+    # Exact counting over the group's collected values — O(distinct x
+    # rows) per group in interpreted HOFs, the dialect-parity shape;
+    # the 100 TB path is the Misra-Gries operator (operators/topk.py).
+    def _topk(ps, args):
+        x, n = args[0], int(ps[0])
+        lst = f"collect_list({x})"
+        ranked = (
+            f"array_sort(transform(array_distinct({lst}), v -> "
+            f"named_struct('neg', -size(filter({lst}, e -> e = v)), "
+            f"'v', v)))"
+        )
+        return f"transform(slice({ranked}, 1, {n}), s -> s.v)"
+
+    out = _rewrite_parametric(out, "topK", _topk)
     # <agg>If(col, cond) → <agg>(CASE WHEN cond THEN col END); Spark
     # only has count_if.  Balanced-paren argument scan so nested calls
     # work.

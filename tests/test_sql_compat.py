@@ -839,6 +839,58 @@ def test_sequence_next_node_sql(spark):
         )
 
 
+def test_topk_sql(spark):
+    """topK(N)(x) — the N most frequent values, most frequent first,
+    value-ascending on count ties (pinned determinism; the engine's
+    own tie order is insertion-dependent).  Checked against a direct
+    groupBy count."""
+    load(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    df = run(
+        spark,
+        "SELECT topK(2)(event_type) AS top2 "
+        "FROM events WHERE event_type IS NOT NULL",
+    )
+    got = list(df.first().top2)
+    from pyspark.sql import functions as F
+
+    counts = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("event_type"))
+        .limit(2)
+        .collect()
+    )
+    assert got == [r.event_type for r in counts]
+    # per-group form
+    df2 = run(
+        spark,
+        "SELECT user_id, topK(1)(event_type) AS top1 "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id",
+    )
+    one = {r.user_id: list(r.top1) for r in df2.collect()}
+    base = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("user_id").isNotNull())
+        .where(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .count()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("count").desc(), F.col("event_type")
+    )
+    want = {
+        r.user_id: [r.event_type]
+        for r in base.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert one == want
+
+
 def test_retention_sql(spark):
     """retention(cond1, …) — r[1] = cond1 ever held; r[i] = cond1 AND
     cond_i each held on some event of the group.  Checked against a
