@@ -527,6 +527,76 @@ def _window_funnel_sql(params: list[str], args: list[str]) -> str:
     return f"CAST(aggregate({entries}, {init}, {merge}, {finish}) AS INT)"
 
 
+def _sequence_match_events_sql(params: list[str], args: list[str]) -> str:
+    """Render ``sequenceMatchEvents('(?1).*(?2)…')(ts, c1, …)`` — the
+    timestamps of the entries matched by each ``(?N)`` atom of the
+    FIRST match — for STRICT SUBSEQUENCE patterns
+    ``(?1).*(?2).*….*(?N)``, where the engine's earliest-anchor
+    minimal-star trail IS the greedy chain (level k matches the first
+    qualifying entry after level k-1's match; the independent
+    correlated-min construction q_seq_match_events' oracle uses).
+    One aggregate() fold over the sorted entry array; each update
+    reads the PRE-ENTRY state, so one entry never advances two
+    levels.  Other pattern shapes (adjacency, time constraints,
+    arbitrary atom order) need the backtracking automaton — they
+    raise with a pointer to operators/seqmatch.sequence_match_events.
+    Returns array<double> of epoch seconds, empty when unmatched."""
+    pattern = params[0].strip().strip("'\"")
+    from clickhub_spark.operators.seqmatch import parse_pattern
+
+    tokens = parse_pattern(pattern)
+    shape_ok = (
+        len(tokens) % 2 == 1
+        and all(t[0] == "cond" for t in tokens[0::2])
+        and all(t == ("star",) for t in tokens[1::2])
+    )
+    if not shape_ok:
+        raise ValueError(
+            "sequenceMatchEvents in SQL supports only subsequence "
+            "patterns '(?i).*(?j).*….*(?k)'; use "
+            "clickhub_spark.operators.seqmatch.sequence_match_events "
+            "for adjacency / time-constrained patterns"
+        )
+    atom_idx = [t[1] for t in tokens[0::2]]
+    ts, conds = args[0], args[1:]
+    n = len(atom_idx)
+    if max(atom_idx) >= len(conds):
+        raise ValueError(
+            f"pattern references (?{max(atom_idx) + 1}) but only "
+            f"{len(conds)} conditions were given"
+        )
+    entry = (
+        f"CASE WHEN ({' OR '.join(f'COALESCE(({c}), false)' for c in conds)})"
+        f" THEN named_struct('t', CAST({ts} AS DOUBLE), "
+        + ", ".join(
+            f"'c{k}', COALESCE(({c}), false)" for k, c in enumerate(conds)
+        )
+        + ") END"
+    )
+    entries = f"array_sort(collect_list({entry}))"
+    init = (
+        "named_struct("
+        + ", ".join(f"'t{k}', CAST(NULL AS DOUBLE)" for k in range(n))
+        + ")"
+    )
+    fields = [
+        f"'t0', CASE WHEN st.t0 IS NULL AND e.c{atom_idx[0]} "
+        "THEN e.t ELSE st.t0 END"
+    ]
+    for k in range(1, n):
+        fields.append(
+            f"'t{k}', CASE WHEN st.t{k} IS NULL AND st.t{k - 1} IS NOT "
+            f"NULL AND e.c{atom_idx[k]} THEN e.t ELSE st.t{k} END"
+        )
+    merge = f"(st, e) -> named_struct({', '.join(fields)})"
+    trail = ", ".join(f"st.t{k}" for k in range(n))
+    finish = (
+        f"st -> CASE WHEN st.t{n - 1} IS NOT NULL THEN array({trail}) "
+        "ELSE CAST(array() AS ARRAY<DOUBLE>) END"
+    )
+    return f"aggregate({entries}, {init}, {merge}, {finish})"
+
+
 def _retention_sql(args: list[str]) -> str:
     """Render ``retention(cond1, …, condN)`` — the engine's cohort
     aggregate returning an array of 0/1 flags per group: r[1] = cond1
@@ -786,6 +856,12 @@ def translate(sql: str) -> str:
 
     # retention(cond1, …) — cohort flag array via max-flags
     out = _rewrite_call(out, "retention", _retention_sql, nargs=1)
+
+    # sequenceMatchEvents('(?i).*(?j)…')(ts, c1, …) — greedy trail
+    # fold for subsequence patterns (others raise → the operator)
+    out = _rewrite_parametric(
+        out, "sequenceMatchEvents", _sequence_match_events_sql
+    )
     # multiIf(c1, v1, …, else) → CASE chain
     def _multi_if(args: list[str]) -> str:
         whens = "".join(

@@ -839,6 +839,45 @@ def test_sequence_next_node_sql(spark):
         )
 
 
+def test_sequence_match_events_sql(spark):
+    """sequenceMatchEvents('(?1).*(?2).*(?3)')(ts, c1, c2, c3) in
+    ClickHouse-dialect SQL (subsequence form only) must reproduce the
+    registered operator's trail — q_seq_match_events carries the
+    independent correlated-min oracle for the same construction."""
+    load(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    df = run(
+        spark,
+        """
+        SELECT user_id,
+               sequenceMatchEvents('(?1).*(?2).*(?3)')(
+                   ts, event_type = 'view',
+                   event_type = 'click' OR value < 40,
+                   event_type = 'purchase') AS trail
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        """,
+    )
+    got = {r.user_id: [round(t, 6) for t in r.trail] for r in df.collect()}
+    from clickhub_spark.plans.queries_r11 import q_seq_match_events
+
+    want = {}
+    for r in q_seq_match_events(spark, SF_DIR).collect():
+        want[r.user_id] = (
+            [r.ts1, r.ts2, r.ts3] if r.matched else []
+        )
+    # operator emits every user (automaton path); the shim groups over
+    # the same filter, so the keys line up exactly
+    assert got == want
+    with pytest.raises(ValueError, match="subsequence"):
+        translate(
+            "SELECT sequenceMatchEvents('(?1)(?2)')(ts, a, b) FROM t"
+        )
+    with pytest.raises(ValueError, match="subsequence"):
+        translate(
+            "SELECT sequenceMatchEvents('(?1)(?t<5)(?2)')(ts, a, b) "
+            "FROM t"
+        )
+
+
 def test_topk_sql(spark):
     """topK(N)(x) — the N most frequent values, most frequent first,
     value-ascending on count ties (pinned determinism; the engine's
