@@ -641,7 +641,11 @@ def _sequence_next_node_sql(params: list[str], args: list[str]) -> str:
     Mirrors the registered operators (q_seq_next_node* family), which
     carry the oracle-checked window construction; this form exists for
     dialect parity, trading the one-exchange window plan for a
-    per-group array (fine at SQL-shim scale, not the 100 TB path)."""
+    per-group array (fine at SQL-shim scale, not the 100 TB path).
+    Cross-event timestamp ties order by (t, value, conds) — the
+    operators use the caller's unique tiebreaker instead; the engine's
+    own tie order is merge-nondeterministic, so any pinned order is a
+    determinism improvement."""
     if len(params) != 2:
         raise ValueError(
             "sequenceNextNode takes exactly (direction, base) params"
