@@ -36,5 +36,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r10,
     queries_r11,
     queries_r12,
+    queries_r12b,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

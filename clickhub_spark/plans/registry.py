@@ -61,6 +61,11 @@ ROUND_PRIORITY = [
     # New round-12 registrations are inserted at the VERY FRONT as
     # they land (never-checked names must sit inside the window).
     # ---
+    "q_ch_sql_funnel_strict",
+    "q_ch_sql_seq_count",
+    "q_ch_sql_next_node",
+    "q_ch_sql_retention",
+    "q_ch_sql_topk",
     "q_seq_match_pattern_time",
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",
