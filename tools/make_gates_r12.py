@@ -40,24 +40,27 @@ def main() -> None:
             "Final-tree verification: gates re-run after the round's "
             "last code change (sequence: plan_guard refresh + empty "
             "fingerprint diff first — now codified in the verify "
-            "skill). 303 registered queries (new this round: "
-            "q_seq_match_pattern_time, q_seq_count_time_gap — the "
+            "skill). 308 registered queries, 11 new this round: "
+            "q_seq_match_pattern_time + q_seq_count_time_gap (the "
             "general seqmatch (?t…) automaton path's first driver "
-            "rows, independent EXISTS/pair-count oracles — plus "
-            "q_seq_next_node_head / _backward / _last_match / "
-            "_backward_first completing the direction x base matrix); "
-            "291 oracled-green, the 12 rows-only unchanged with their "
-            "oracle-green twins. Round-12 window: 6 new names + the "
-            "9 r4-stale names the r11 verdict front-loaded + 35 of "
-            "the r5 block; the 8 deferred r5 names sit at exactly "
-            "7-rounds stale and lead the r13 window. Also new: "
-            "windowFunnel ALL FOUR MODES + sequenceNextNode + "
-            "retention() in the ClickHouse-SQL shim (per-matched-"
-            "condition entries fix the overlapping-steps undercount); "
-            "streaming sequenceMatch (bounded NFA state, exactness "
-            "differential vs the batch backtracker); election "
-            "write-then-verify renew + /health telemetry pinned in "
-            "the SIGKILL drill; MinHash-banding 100x artifact."
+            "rows, independent EXISTS/pair-count oracles), four "
+            "sequenceNextNode forms completing the direction x base "
+            "matrix, and FIVE q_ch_sql_* queries running literal "
+            "ClickHouse-dialect statements through sql_compat end to "
+            "end (windowFunnel strict_order via the new all-modes "
+            "fold, sequenceCount, sequenceNextNode, retention, topK) "
+            "— the shim was previously pytest-only. 296 oracled-"
+            "green, the 12 rows-only unchanged with their oracle-"
+            "green twins. Round-12 window: 11 new + the 9 r4-stale "
+            "names + 30 of the r5 block; the 19 deferred r5 names "
+            "sit at exactly 7-rounds stale and lead the r13 window. "
+            "Also: streaming sequenceMatch (bounded NFA state, "
+            "exactness differential vs the batch backtracker); "
+            "election write-then-verify renew + /health telemetry "
+            "pinned in the SIGKILL drill; two review passes (16 "
+            "findings fixed, incl. TSV quote/backslash fidelity and "
+            "the compact swap-recovery contract); MinHash-banding "
+            "100x artifact; ANN re-certified at 1M vectors."
         ),
         "gates_on_final_tree": {
             "sf0.01_engine_session": g1,
