@@ -277,3 +277,184 @@ def q_ch_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type IS NOT NULL
         """,
     )
+
+
+@query(
+    "q_ch_sql_funnel_multimatch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, s.step
+        FROM events, UNNEST([
+            CASE WHEN event_type = 'view' AND value < 8 THEN 0 END,
+            CASE WHEN (event_type = 'click' AND value < 12)
+                   OR (event_type = 'view' AND value < 4) THEN 1 END,
+            CASE WHEN (event_type = 'purchase' AND value < 16)
+                   OR value < 2 THEN 2 END
+        ]) AS s(step)
+        WHERE user_id IS NOT NULL AND s.step IS NOT NULL
+    ), o AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id, step) AS rn
+        FROM e
+    ), s0 AS (
+        SELECT *,
+               MAX(CASE WHEN step = 0 THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a0
+        FROM o
+    ), s1 AS (
+        SELECT *, (step = 1 AND a0 IS NOT NULL) AS q2 FROM s0
+    ), s2 AS (
+        SELECT *,
+               MAX(CASE WHEN q2 THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a1
+        FROM s1
+    ), lvl AS (
+        SELECT user_id,
+               CASE WHEN step = 2 AND a1 IS NOT NULL THEN 3
+                    WHEN q2 THEN 2
+                    WHEN step = 0 THEN 1 ELSE 0 END AS l
+        FROM s2
+    ), u AS (
+        SELECT user_id, MAX(l) AS level FROM lvl GROUP BY user_id
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY level
+    """,
+)
+def q_ch_sql_funnel_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel with OVERLAPPING step conditions as a literal
+    dialect statement — the exact silent-undercount case ADVICE r11
+    flagged in the old one-entry-per-event shim fold, now a DRIVER
+    row: a 'view' with value < 2 matches all three steps and must
+    climb the whole funnel alone.  Same steps and oracle as
+    q_funnel_multimatch (r11, the operator form); the dialect's
+    mandatory window is set far beyond the data's time span, so the
+    unbounded oracle applies.  Per-user timestamps are unique at
+    every SF, so the fold's (t, step) entry order equals the
+    operator's (ts, event_id, step)."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT CAST(level AS INT) AS level, count() AS n_users FROM (
+            SELECT user_id,
+                   windowFunnel(1000000000)(
+                       ts,
+                       event_type = 'view' AND value < 8,
+                       (event_type = 'click' AND value < 12)
+                           OR (event_type = 'view' AND value < 4),
+                       (event_type = 'purchase' AND value < 16)
+                           OR value < 2) AS level
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ) GROUP BY level
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_seq_events",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch(ts) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               (event_type = 'view') AS c1,
+               (event_type = 'click' OR value < 40) AS c2,
+               (event_type = 'purchase') AS c3
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND (event_type IN ('view', 'click', 'purchase')
+               OR value < 40)
+    ), m1 AS (
+        SELECT user_id, MIN(rn) AS r1 FROM e WHERE c1 GROUP BY user_id
+    ), m2 AS (
+        SELECT e.user_id, MIN(rn) AS r2
+        FROM e JOIN m1 USING (user_id)
+        WHERE c2 AND rn > r1 GROUP BY e.user_id
+    ), m3 AS (
+        SELECT e.user_id, MIN(rn) AS r3
+        FROM e JOIN m2 USING (user_id)
+        WHERE c3 AND rn > r2 GROUP BY e.user_id
+    ), u AS (SELECT DISTINCT user_id FROM events
+             WHERE user_id IS NOT NULL)
+    SELECT u.user_id,
+           (m3.user_id IS NOT NULL) AS matched,
+           ROUND(CASE WHEN m3.user_id IS NOT NULL
+                 THEN (SELECT t FROM e WHERE e.user_id = u.user_id
+                       AND e.rn = m1.r1) END, 6) AS ts1,
+           ROUND(CASE WHEN m3.user_id IS NOT NULL
+                 THEN (SELECT t FROM e WHERE e.user_id = u.user_id
+                       AND e.rn = m2.r2) END, 6) AS ts2,
+           ROUND(CASE WHEN m3.user_id IS NOT NULL
+                 THEN (SELECT t FROM e WHERE e.user_id = u.user_id
+                       AND e.rn = m3.r3) END, 6) AS ts3
+    FROM u
+    LEFT JOIN m1 USING (user_id)
+    LEFT JOIN m2 USING (user_id)
+    LEFT JOIN m3 USING (user_id)
+    """,
+)
+def q_ch_sql_seq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceMatchEvents('(?1).*(?2).*(?3)')`` as a literal
+    dialect statement (the round-12 greedy-trail aggregate fold),
+    trail exploded to scalar columns for the driver canon.  The
+    oracle is q_seq_match_events' (r11) INDEPENDENT correlated-min
+    derivation, extended over the full user set (the dialect GROUP
+    BY emits entry-less users with an empty trail)."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT user_id,
+               size(trail) = 3 AS matched,
+               round(element_at(trail, 1), 6) AS ts1,
+               round(element_at(trail, 2), 6) AS ts2,
+               round(element_at(trail, 3), 6) AS ts3
+        FROM (
+            SELECT user_id,
+                   sequenceMatchEvents('(?1).*(?2).*(?3)')(
+                       ts, event_type = 'view',
+                       event_type = 'click' OR value < 40,
+                       event_type = 'purchase') AS trail
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        )
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_limit_by",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, event_id, event_type, ts
+    FROM r WHERE rn <= 2
+    """,
+)
+def q_ch_sql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY … LIMIT 2 BY event_type`` as a literal
+    dialect statement — the first two events of each type in time
+    order (globally-unique event_id as the tiebreaker).  The shim
+    rewrites LIMIT BY to a row_number window over the statement's
+    ORDER BY — which must be projected by the body (the documented
+    single-tail scope), so ts rides along in the output.  The oracle
+    IS that window, written directly in DuckDB."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT user_id, event_id, event_type, ts
+        FROM events WHERE user_id IS NOT NULL
+        ORDER BY ts, event_id LIMIT 2 BY event_type
+        """,
+    )

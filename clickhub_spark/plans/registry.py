@@ -51,21 +51,24 @@ ROUND_PRIORITY = [
     # gate in tests/test_registry.py was RED on the r11 final tree
     # demanding exactly this).  Regenerated oldest-driver-row-first
     # from `python tools/staleness.py`:
-    # 1: the ELEVEN new round-12 registrations (5 ClickHouse-dialect
-    #    statement queries + the (?t…) automaton pair + 4
+    # 1: the FOURTEEN new round-12 registrations (8 ClickHouse-
+    #    dialect statement queries + the (?t…) automaton pair + 4
     #    sequenceNextNode matrix forms) — never-checked names must
     #    sit inside the window;
     # 2: the nine r4-stale names deferred past the r11 window
     #    (judge-re-verified green at sf0.1 in the r11 session);
-    # 3: 30 of the r5 block's 49 names fill the window; the 19
+    # 3: 27 of the r5 block's 49 names fill the window; the 22
     #    deferred sit at exactly 7-rounds stale in the round-12
     #    simulation (<= MAX_AGE 7) and MUST lead the round-13 window
-    #    (then r6: 19+31 fit r13, 15 r6 left for r14 — the backlog
-    #    drains by r15);
+    #    (then r6: 22+28 fit r13, 18 r6 left to lead r14 — the
+    #    backlog drains by r15);
     # 4: everything else oldest-first (r6, r7, r9, r10, r11),
     #    name-sorted within a round for determinism.
     # ---
     "q_ch_sql_funnel_strict",
+    "q_ch_sql_funnel_multimatch",
+    "q_ch_sql_seq_events",
+    "q_ch_sql_limit_by",
     "q_ch_sql_seq_count",
     "q_ch_sql_next_node",
     "q_ch_sql_retention",

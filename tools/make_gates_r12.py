@@ -45,14 +45,16 @@ def main() -> None:
             "general seqmatch (?t…) automaton path's first driver "
             "rows, independent EXISTS/pair-count oracles), four "
             "sequenceNextNode forms completing the direction x base "
-            "matrix, and FIVE q_ch_sql_* queries running literal "
+            "matrix, and EIGHT q_ch_sql_* queries running literal "
             "ClickHouse-dialect statements through sql_compat end to "
             "end (windowFunnel strict_order via the new all-modes "
-            "fold, sequenceCount, sequenceNextNode, retention, topK) "
-            "— the shim was previously pytest-only. 296 oracled-"
+            "fold, multi-match windowFunnel with overlapping steps, "
+            "sequenceCount, sequenceMatchEvents, sequenceNextNode, "
+            "retention, topK, LIMIT BY) "
+            "— the shim was previously pytest-only. 299 oracled-"
             "green, the 12 rows-only unchanged with their oracle-"
-            "green twins. Round-12 window: 11 new + the 9 r4-stale "
-            "names + 30 of the r5 block; the 19 deferred r5 names "
+            "green twins. Round-12 window: 14 new + the 9 r4-stale "
+            "names + 27 of the r5 block; the 22 deferred r5 names "
             "sit at exactly 7-rounds stale and lead the r13 window. "
             "Also: streaming sequenceMatch (bounded NFA state, "
             "exactness differential vs the batch backtracker); "
