@@ -40,7 +40,7 @@ def main() -> None:
             "Final-tree verification: gates re-run after the round's "
             "last code change (sequence: plan_guard refresh + empty "
             "fingerprint diff first — now codified in the verify "
-            "skill). 308 registered queries, 11 new this round: "
+            "skill). 311 registered queries, 14 new this round: "
             "q_seq_match_pattern_time + q_seq_count_time_gap (the "
             "general seqmatch (?t…) automaton path's first driver "
             "rows, independent EXISTS/pair-count oracles), four "
