@@ -162,8 +162,21 @@ class WorkQueue(_WorkLoop):
     def claim(self, worker_id: str, retries: int = 2) -> Job | None:
         """Candidate scan ORDER BY priority DESC, started_time ASC
         LIMIT ``retries`` (repo/importer.py:138-139), then optimistic
-        CAS + verify-read per candidate."""
-        unclaimed = [j for j in self.list_jobs() if j.worker_id == ""]
+        CAS + verify-read per candidate.  Only UNCLAIMED job files are
+        parsed — a claimed job lives at ``<repo>.job.claimed.<w>``, so
+        filtering on the NAME first keeps a worker poll at
+        O(unclaimed) JSON loads instead of O(queue) (in-flight jobs
+        can dominate the directory under a busy fleet)."""
+        unclaimed = []
+        for p in sorted(os.listdir(self.root)):
+            if not p.endswith(".job"):
+                continue  # claimed (.job.claimed.<w>) or foreign file
+            try:
+                with open(os.path.join(self.root, p)) as f:
+                    unclaimed.append(Job(**json.load(f)))
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # racing claim/release — skip, stale read
+        unclaimed = [j for j in unclaimed if j.worker_id == ""]
         unclaimed.sort(key=lambda j: (-j.priority, j.scheduled, j.repo_name))
         for job in unclaimed[:retries]:
             src = os.path.join(self.root, _safe(job.repo_name) + ".job")
