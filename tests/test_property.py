@@ -468,3 +468,54 @@ def test_retention_rollup_conservation_laws(spark, rows):
     for cell, (n, cents) in exp_buckets.items():
         gn, gtotal = got[cell]
         assert gn == n and abs(gtotal - cents / 100.0) < 1e-9
+
+
+# TSV escaping round-trip (round 12): the sink escapes backslashes and
+# frames out control characters; the readers unescape.  Property: any
+# string whose control characters were already spaced out (the sink's
+# documented lossy framing rule) round-trips BYTE-IDENTICALLY through
+# write -> read, including values that look like the \N null marker,
+# quote characters, and arbitrary backslash runs.
+# min_size=1: the strict CSV reader maps an EMPTY unquoted cell to
+# NULL (long-standing Spark csv behavior; the tolerant reader keeps
+# '' — its docstring documents the difference), so '' is excluded
+# from the byte-identity property.
+_tsv_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="\t\n\r\x00",
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(_tsv_text, min_size=1, max_size=12))
+def test_tsv_sink_round_trip_property(spark, vals, tmp_path_factory):
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from clickhub_spark.sources.pyds import register_sources
+    from clickhub_spark.sources.tsv import read_positional_tsv
+
+    register_sources(spark)
+    # strip remaining C0/C1 controls the strategy can still emit —
+    # the sink frames them to spaces (documented lossy rule), so the
+    # identity property only holds for control-free values; keep
+    # non-empty (see strategy note)
+    vals = [
+        "".join(ch for ch in v if ch >= " ") or "_" for v in vals
+    ]
+    out = str(tmp_path_factory.mktemp("tsvprop") / "t")
+    os.makedirs(out)
+    schema = StructType(
+        [StructField("s", StringType()), StructField("n", LongType())]
+    )
+    rows = [(v, i) for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.format(
+        "engine_tsv"
+    ).option("path", out).mode("append").save()
+    got = read_positional_tsv(spark, out, schema).orderBy("n").collect()
+    assert [(r.s, r.n) for r in got] == rows
