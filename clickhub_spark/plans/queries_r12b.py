@@ -76,9 +76,10 @@ def _events_view(spark: SparkSession, sf_dir: str) -> None:
                     WHEN qual2 THEN 2
                     WHEN valid AND i = 'v' THEN 1
                     ELSE 0 END AS l,
-               (rn > first1 AND (i NOT IN ('v','c','p')
-                                 OR (i = 'c' AND a0 IS NULL)
-                                 OR (i = 'p' AND a1 IS NULL))) AS brk_m
+               (rn > first1
+                AND (COALESCE(i NOT IN ('v','c','p'), TRUE)
+                     OR (i = 'c' AND a0 IS NULL)
+                     OR (i = 'p' AND a1 IS NULL))) AS brk_m
         FROM s2
     ), s4 AS (
         SELECT *,
@@ -319,8 +320,16 @@ def q_ch_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN q2 THEN 2
                     WHEN step = 0 THEN 1 ELSE 0 END AS l
         FROM s2
-    ), u AS (
+    ), m AS (
         SELECT user_id, MAX(l) AS level FROM lvl GROUP BY user_id
+    ), u AS (
+        -- the dialect GROUP BY emits users with ZERO step-matching
+        -- entries at level 0; CTE e drops them, so join back the
+        -- full user set (the entry-less-user gap, review round 12)
+        SELECT au.user_id, COALESCE(m.level, 0) AS level
+        FROM (SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL) au
+        LEFT JOIN m USING (user_id)
     )
     SELECT CAST(level AS INT) AS level,
            CAST(COUNT(*) AS BIGINT) AS n_users
@@ -413,9 +422,9 @@ def q_ch_sql_seq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT user_id,
                size(trail) = 3 AS matched,
-               round(element_at(trail, 1), 6) AS ts1,
-               round(element_at(trail, 2), 6) AS ts2,
-               round(element_at(trail, 3), 6) AS ts3
+               round(try_element_at(trail, 1), 6) AS ts1,
+               round(try_element_at(trail, 2), 6) AS ts2,
+               round(try_element_at(trail, 3), 6) AS ts3
         FROM (
             SELECT user_id,
                    sequenceMatchEvents('(?1).*(?2).*(?3)')(

@@ -75,9 +75,10 @@ _FUNNEL_WINDOW_S = 86_400
                     WHEN qual2 THEN 2
                     WHEN valid AND i = 'v' THEN 1
                     ELSE 0 END AS l,
-               (rn > first1 AND (i NOT IN ('v','c','p')
-                                 OR (i = 'c' AND a0 IS NULL)
-                                 OR (i = 'p' AND a1 IS NULL))) AS brk_m
+               (rn > first1
+                AND (COALESCE(i NOT IN ('v','c','p'), TRUE)
+                     OR (i = 'c' AND a0 IS NULL)
+                     OR (i = 'p' AND a1 IS NULL))) AS brk_m
         FROM s2
     ), s4 AS (
         SELECT *,

@@ -606,7 +606,9 @@ def _retention_sql(args: list[str]) -> str:
     NOTE for consumers: index the result with ``element_at(r, i)``
     (1-based, matching ClickHouse's r[i]) — Spark's bracket subscript
     on arrays is 0-based and is NOT rewritten by the shim."""
-    if not args:
+    if not args or not any(a.strip() for a in args):
+        # a zero-argument call reaches here as args == [''] (the
+        # balanced-paren scanner yields one empty slice)
         raise ValueError("retention() needs at least one condition")
     ms = [
         f"MAX(IF(COALESCE(({c}), false), 1, 0))" for c in args
@@ -803,6 +805,13 @@ def translate(sql: str) -> str:
     # rows) per group in interpreted HOFs, the dialect-parity shape;
     # the 100 TB path is the Misra-Gries operator (operators/topk.py).
     def _topk(ps, args):
+        if len(ps) > 1:
+            raise ValueError(
+                "topK(N, load_factor, 'counts') variants are not "
+                "supported — the 'counts' mode changes the result "
+                "shape to (value, count) tuples; use topK(N)(x) or "
+                "the Misra-Gries operator (operators/topk.py)"
+            )
         x, n = args[0], int(ps[0])
         lst = f"collect_list({x})"
         ranked = (
