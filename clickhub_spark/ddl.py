@@ -1,0 +1,767 @@
+"""ClickHouse DDL/DML statement front-end — executes the reference's
+CREATE / INSERT statements verbatim against the Spark warehouse.
+
+The compat shim (sql_compat.py) covers every SELECT the reference app
+issues; this module covers the remaining statement classes the
+reference issues once at setup / enqueue time, so a user can point
+the reference's *literal* bootstrap scripts at this engine:
+
+- ``CREATE DATABASE IF NOT EXISTS git`` (reference create_db.py:30)
+- ``CREATE TABLE … ENGINE = KeeperMap('git_queue') PRIMARY KEY
+  repo_name`` for the work/clone queues (create_db.py:37-53,
+  incl. the trailing comma in its column list)
+- ``CREATE TABLE git.{commits,file_changes,line_changes} … ENGINE =
+  ReplacingMergeTree ORDER BY (…)`` (reference types.json schemas)
+- ``CREATE TABLE git.github_events … ENGINE = MergeTree ORDER BY
+  (event_type, repo_name, created_at) SETTINGS …``
+  (create_db.py:69-128)
+- ``INSERT INTO git.new_queue (repo_name) VALUES ('…')``
+  (reference test.py:35)
+
+Design: DDL parses to a :class:`TableDef` (ClickHouse column types →
+Spark ``StructType`` using the same widths the hand-built catalog
+uses — catalog.py:132-135: UInt32/64→Long, UInt8/Int8→Integer,
+Enum8→label String, LowCardinality unwrapped).  Engines dispatch to
+the machinery that already implements their semantics Spark-first:
+
+- MergeTree family   → sort-clustered zstd parquet via
+  ``sources.writer.write_sorted`` (ORDER BY = the cluster key, so
+  min/max row-group pruning plays the role of the primary index);
+- ReplacingMergeTree → the same, plus ``read_final`` through
+  ``operators.dedup.final_view`` (keys = ORDER BY, version = the
+  MATERIALIZED now() column, exactly catalog.FINAL_KEYS's shape);
+- KeeperMap          → ``queue.WorkQueue`` (the atomic rename-claim
+  filesystem queue that already models KeeperMap CAS semantics).
+
+Table metadata persists as ``_ddl.json`` beside the data so a new
+session (or a crashed one) reloads the warehouse from disk — the
+analog of ClickHouse's metadata/*.sql files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+class DdlError(ValueError):
+    """Statement rejected — unparseable or violating table state."""
+
+
+# --------------------------------------------------------------------------
+# ClickHouse type → Spark type
+# --------------------------------------------------------------------------
+
+#: scalar name → Spark type, matching the hand-built catalog's widths
+#: (catalog.py:132-135 widens UInt32 to Long; UInt8 flags stay Integer).
+_SCALARS: dict[str, DataType] = {
+    "String": StringType(),
+    "UUID": StringType(),
+    "IPv4": StringType(),
+    "IPv6": StringType(),
+    "Bool": BooleanType(),
+    "Boolean": BooleanType(),
+    "Int8": IntegerType(),
+    "UInt8": IntegerType(),
+    "Int16": IntegerType(),
+    "UInt16": IntegerType(),
+    "Int32": IntegerType(),
+    "UInt32": LongType(),
+    "Int64": LongType(),
+    # UInt64 has no lossless Spark integral type; LongType preserves
+    # the reference workload's actual range (comment ids, counters).
+    "UInt64": LongType(),
+    "Float32": FloatType(),
+    "Float64": DoubleType(),
+    "Date": DateType(),
+    "Date32": DateType(),
+    "DateTime": TimestampType(),
+}
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    ch_type: str  # raw ClickHouse type text, round-trips via JSON
+    spark_type: DataType
+    enum_labels: dict[int, str] | None = None
+    materialized: str | None = None  # MATERIALIZED expression text
+    default: str | None = None  # DEFAULT expression text
+
+
+@dataclass
+class TableDef:
+    database: str
+    name: str
+    columns: list[ColumnDef]
+    engine: str
+    engine_args: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    primary_key: list[str] = field(default_factory=list)
+    settings: dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.name}"
+
+    def ingest_schema(self) -> StructType:
+        """Schema the caller inserts — MATERIALIZED columns excluded
+        (they are populated at write time, like the reference's
+        ``updated_at DateTime MATERIALIZED now()``)."""
+        return StructType(
+            [
+                StructField(c.name, c.spark_type, True)
+                for c in self.columns
+                if c.materialized is None
+            ]
+        )
+
+    def full_schema(self) -> StructType:
+        return StructType(
+            [StructField(c.name, c.spark_type, True) for c in self.columns]
+        )
+
+    def version_columns(self) -> list[str]:
+        """ReplacingMergeTree version: ClickHouse without an explicit
+        engine-arg version keeps the last-inserted row; the ingest-time
+        MATERIALIZED DateTime column is that insertion order."""
+        return [c.name for c in self.columns if c.materialized is not None]
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split at top-level ``sep`` — nested parens and single-quoted
+    strings (with backslash escapes) are opaque."""
+    parts, depth, buf, i = [], 0, [], 0
+    in_str = False
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "\\" and i + 1 < len(text):
+                buf.append(text[i : i + 2])
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            buf.append(ch)
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_type(ch: str) -> tuple[DataType, dict[int, str] | None]:
+    """ClickHouse type text → (Spark type, enum labels or None)."""
+    ch = ch.strip()
+    m = re.fullmatch(r"(\w+)\s*(?:\((.*)\))?", ch, re.DOTALL)
+    if not m:
+        raise DdlError(f"unparseable type: {ch!r}")
+    base, inner = m.group(1), m.group(2)
+    if base in ("LowCardinality", "Nullable"):
+        # dictionary encoding / nullability are physical attributes in
+        # Spark (parquet handles both); the logical type is the inner.
+        if inner is None:
+            raise DdlError(f"{base} needs an inner type: {ch!r}")
+        return parse_type(inner)
+    if base in ("Enum8", "Enum16"):
+        labels: dict[int, str] = {}
+        for entry in _split_top(inner or ""):
+            em = re.fullmatch(r"\s*'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)\s*", entry)
+            if not em:
+                raise DdlError(f"bad enum entry {entry!r} in {ch!r}")
+            labels[int(em.group(2))] = em.group(1).replace("\\'", "'")
+        # query-visible type is the label string (catalog.py:262 and
+        # the Enum-label predicate queries, SURVEY §2 B8)
+        return StringType(), labels
+    if base == "FixedString":
+        return StringType(), None
+    if base in ("DateTime", "DateTime64"):
+        # timezone / precision arguments don't change the Spark type
+        return TimestampType(), None
+    if base == "Decimal":
+        args = _split_top(inner or "")
+        if len(args) != 2:
+            raise DdlError(f"Decimal needs (precision, scale): {ch!r}")
+        return DecimalType(int(args[0]), int(args[1])), None
+    if base in ("Decimal32", "Decimal64", "Decimal128"):
+        prec = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[base]
+        return DecimalType(prec, int((inner or "0").strip())), None
+    if base == "Array":
+        elem, _ = parse_type(inner or "")
+        return ArrayType(elem, True), None
+    if base == "Map":
+        args = _split_top(inner or "")
+        if len(args) != 2:
+            raise DdlError(f"Map needs (key, value): {ch!r}")
+        k, _ = parse_type(args[0])
+        v, _ = parse_type(args[1])
+        return MapType(k, v, True), None
+    if base == "Tuple":
+        fields = []
+        for i, entry in enumerate(_split_top(inner or "")):
+            nm = re.match(r"`?(\w+)`?\s+(.+)", entry, re.DOTALL)
+            if nm:
+                fname, ftype = nm.group(1), nm.group(2)
+            else:
+                fname, ftype = f"_{i + 1}", entry
+            t, _ = parse_type(ftype)
+            fields.append(StructField(fname, t, True))
+        return StructType(fields), None
+    if base in _SCALARS and inner is None:
+        return _SCALARS[base], None
+    if base in _SCALARS:  # e.g. DateTime('UTC') handled above; others odd
+        raise DdlError(f"type {base} takes no arguments: {ch!r}")
+    raise DdlError(f"unsupported ClickHouse type: {ch!r}")
+
+
+# --------------------------------------------------------------------------
+# CREATE TABLE parsing
+# --------------------------------------------------------------------------
+
+#: column modifiers that terminate the type expression
+_MODIFIERS = ("MATERIALIZED", "DEFAULT", "ALIAS", "CODEC", "TTL", "COMMENT")
+
+
+def _parse_column(entry: str) -> ColumnDef:
+    m = re.match(r"\s*(?:`([^`]+)`|(\w+))\s+(.*)", entry, re.DOTALL)
+    if not m:
+        raise DdlError(f"unparseable column entry: {entry!r}")
+    name = m.group(1) or m.group(2)
+    rest = m.group(3).strip()
+    # split off modifiers (word boundaries outside quotes/parens —
+    # entries are single columns so a top-level keyword scan suffices)
+    materialized = default = None
+    upper = rest.upper()
+    cut = len(rest)
+    first_mod = None
+    for kw in _MODIFIERS:
+        pos = _find_keyword(upper, kw)
+        if pos is not None and pos < cut:
+            cut, first_mod = pos, kw
+    type_text = rest[:cut].strip()
+    tail = rest[cut:].strip()
+    if first_mod == "MATERIALIZED":
+        materialized = tail[len("MATERIALIZED") :].strip()
+    elif first_mod == "DEFAULT":
+        default = tail[len("DEFAULT") :].strip()
+    # ALIAS/CODEC/TTL/COMMENT tails don't affect the stored schema
+    spark_type, labels = parse_type(type_text)
+    return ColumnDef(name, type_text, spark_type, labels, materialized, default)
+
+
+def _find_keyword(upper: str, kw: str) -> int | None:
+    """Position of top-level keyword ``kw`` (outside parens/quotes)."""
+    depth = 0
+    in_str = False
+    i = 0
+    n = len(upper)
+    while i < n:
+        ch = upper[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith(kw, i):
+            before_ok = i == 0 or not (upper[i - 1].isalnum() or upper[i - 1] == "_")
+            j = i + len(kw)
+            after_ok = j == n or not (upper[j].isalnum() or upper[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return None
+
+
+def _key_list(text: str) -> list[str]:
+    text = text.strip()
+    if text.startswith("(") and text.endswith(")"):
+        text = text[1:-1]
+    return [c.strip().strip("`") for c in _split_top(text)]
+
+
+def parse_create_table(sql: str) -> TableDef:
+    """Parse a ClickHouse ``CREATE TABLE`` statement verbatim —
+    tolerates the reference's trailing column comma
+    (create_db.py:44) and arbitrary whitespace/newlines."""
+    m = re.match(
+        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"(?:`?(\w+)`?\.)?`?(\w+)`?\s*\(",
+        sql,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise DdlError(f"not a CREATE TABLE statement: {sql[:80]!r}")
+    if_not_exists = m.group(1) is not None
+    database = m.group(2) or "default"
+    name = m.group(3)
+    # find the matching close paren of the column list
+    start = m.end() - 1
+    depth = 0
+    in_str = False
+    end = None
+    for i in range(start, len(sql)):
+        ch = sql[i]
+        if in_str:
+            if ch == "\\":
+                continue
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end is None:
+        raise DdlError("unbalanced parens in CREATE TABLE")
+    body = sql[start + 1 : end]
+    columns = [_parse_column(entry) for entry in _split_top(body)]
+    if not columns:
+        raise DdlError("CREATE TABLE with empty column list")
+    tail = sql[end + 1 :]
+
+    em = re.search(r"ENGINE\s*=\s*(\w+)\s*(\(([^)]*)\))?", tail, re.IGNORECASE)
+    if not em:
+        raise DdlError("CREATE TABLE without ENGINE clause")
+    engine = em.group(1)
+    engine_args = (
+        [a.strip().strip("'") for a in _split_top(em.group(3))]
+        if em.group(3)
+        else []
+    )
+
+    def clause(kw: str) -> list[str]:
+        cm = re.search(
+            kw + r"\s+(\([^)]*\)|[\w`.]+)", tail, re.IGNORECASE
+        )
+        return _key_list(cm.group(1)) if cm else []
+
+    order_by = clause(r"ORDER\s+BY")
+    primary_key = clause(r"PRIMARY\s+KEY")
+    settings: dict[str, str] = {}
+    sm = re.search(r"SETTINGS\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
+    if sm:
+        for kv in _split_top(sm.group(1)):
+            k, _, v = kv.partition("=")
+            if k.strip():
+                settings[k.strip()] = v.strip()
+    return TableDef(
+        database=database,
+        name=name,
+        columns=columns,
+        engine=engine,
+        engine_args=engine_args,
+        order_by=order_by,
+        primary_key=primary_key or order_by[:1],
+        settings=settings,
+        if_not_exists=if_not_exists,
+    )
+
+
+# --------------------------------------------------------------------------
+# INSERT … VALUES parsing (reference test.py:35)
+# --------------------------------------------------------------------------
+
+
+def parse_insert_values(sql: str):
+    """``INSERT INTO db.tbl (c1, c2) VALUES (…), (…)`` → (db, table,
+    cols, rows of python literals).  Covers the literal forms the
+    dialect uses: single-quoted strings, ints, floats, NULL."""
+    m = re.match(
+        r"\s*INSERT\s+INTO\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s*"
+        r"(\(([^)]*)\))?\s*VALUES\s*(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise DdlError(f"not an INSERT … VALUES statement: {sql[:80]!r}")
+    database = m.group(1) or "default"
+    table = m.group(2)
+    cols = _key_list(m.group(4)) if m.group(4) else None
+    rows = []
+    for tup in _split_top(m.group(5).strip()):
+        tup = tup.strip()
+        if not (tup.startswith("(") and tup.endswith(")")):
+            raise DdlError(f"bad VALUES tuple: {tup!r}")
+        rows.append([_literal(v) for v in _split_top(tup[1:-1])])
+    if not rows:
+        raise DdlError("INSERT with no VALUES tuples")
+    return database, table, cols, rows
+
+
+def _literal(text: str):
+    text = text.strip()
+    if text.upper() == "NULL":
+        return None
+    if text.startswith("'") and text.endswith("'"):
+        return text[1:-1].replace("\\'", "'").replace("''", "'")
+    if re.fullmatch(r"-?\d+", text):
+        return int(text)
+    if re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?", text):
+        return float(text)
+    raise DdlError(f"unsupported literal in VALUES: {text!r}")
+
+
+# --------------------------------------------------------------------------
+# Warehouse — the executor
+# --------------------------------------------------------------------------
+
+_MERGE_TREE_ENGINES = {
+    "MergeTree",
+    "ReplacingMergeTree",
+    "SummingMergeTree",
+    "CollapsingMergeTree",
+    "VersionedCollapsingMergeTree",
+    "AggregatingMergeTree",
+    "GraphiteMergeTree",
+}
+
+
+class Warehouse:
+    """Executes DDL/DML statements against a directory-backed catalog.
+
+    Layout: ``{root}/{db}/{table}/_ddl.json`` (metadata) +
+    ``{root}/{db}/{table}/data/`` (sort-clustered parquet) or
+    ``…/queue/`` (KeeperMap job files).  Metadata is written before
+    data, so a table either exists with a schema or not at all.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._tables: dict[str, TableDef] = {}
+        self._queues: dict[str, object] = {}
+        self._reload()
+
+    # -- persistence -------------------------------------------------------
+
+    def _dir(self, db: str, table: str) -> str:
+        return os.path.join(self.root, db, table)
+
+    def _reload(self) -> None:
+        for meta in sorted(
+            __import__("glob").glob(os.path.join(self.root, "*", "*", "_ddl.json"))
+        ):
+            with open(meta, encoding="utf-8") as f:
+                d = json.load(f)
+            td = _tabledef_from_json(d)
+            self._tables[td.qualified] = td
+
+    def _persist(self, td: TableDef) -> None:
+        path = self._dir(td.database, td.name)
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "_ddl.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(_tabledef_to_json(td), f, indent=1)
+        os.replace(tmp, os.path.join(path, "_ddl.json"))
+
+    # -- statement dispatch --------------------------------------------------
+
+    def execute(self, sql: str, spark: SparkSession | None = None) -> str:
+        """Execute one DDL/DML statement; returns a short status tag.
+        SELECTs belong to sql_compat.run — rejected here explicitly."""
+        head = sql.strip().split(None, 2)
+        verb = (head[0].upper() if head else "") + (
+            " " + head[1].upper() if len(head) > 1 else ""
+        )
+        if verb.startswith("CREATE DATABASE"):
+            return self._create_database(sql)
+        if verb.startswith("CREATE TABLE"):
+            return self._create_table(sql)
+        if verb.startswith("DROP TABLE"):
+            return self._drop_table(sql)
+        if verb.startswith("TRUNCATE"):
+            return self._truncate(sql)
+        if verb.startswith("INSERT"):
+            return self._insert(sql, spark)
+        raise DdlError(
+            f"not a DDL/DML statement (SELECTs go through sql_compat.run): "
+            f"{sql[:60]!r}"
+        )
+
+    def _create_database(self, sql: str) -> str:
+        m = re.match(
+            r"\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise DdlError(f"unparseable CREATE DATABASE: {sql!r}")
+        path = os.path.join(self.root, m.group(2))
+        if os.path.exists(path) and not m.group(1):
+            raise DdlError(f"database {m.group(2)} already exists")
+        os.makedirs(path, exist_ok=True)
+        return "ok"
+
+    def _create_table(self, sql: str) -> str:
+        td = parse_create_table(sql)
+        if td.qualified in self._tables:
+            if td.if_not_exists:
+                return "exists"
+            raise DdlError(f"table {td.qualified} already exists")
+        if td.engine == "KeeperMap":
+            if not td.primary_key:
+                raise DdlError("KeeperMap requires PRIMARY KEY")
+        elif td.engine in _MERGE_TREE_ENGINES:
+            if not td.order_by:
+                raise DdlError(f"{td.engine} requires ORDER BY")
+            known = {c.name for c in td.columns}
+            missing = [k for k in td.order_by if k not in known]
+            if missing:
+                raise DdlError(f"ORDER BY references unknown columns {missing}")
+        else:
+            raise DdlError(f"unsupported engine {td.engine}")
+        self._persist(td)
+        self._tables[td.qualified] = td
+        return "ok"
+
+    def _drop_table(self, sql: str) -> str:
+        m = re.match(
+            r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise DdlError(f"unparseable DROP TABLE: {sql!r}")
+        db, name = m.group(2) or "default", m.group(3)
+        q = f"{db}.{name}"
+        if q not in self._tables:
+            if m.group(1):
+                return "absent"
+            raise DdlError(f"table {q} does not exist")
+        shutil.rmtree(self._dir(db, name), ignore_errors=True)
+        self._tables.pop(q)
+        self._queues.pop(q, None)
+        return "ok"
+
+    def _truncate(self, sql: str) -> str:
+        m = re.match(
+            r"\s*TRUNCATE\s+(?:TABLE\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise DdlError(f"unparseable TRUNCATE: {sql!r}")
+        db, name = m.group(1) or "default", m.group(2)
+        td = self._require(f"{db}.{name}")
+        for sub in ("data", "queue"):
+            shutil.rmtree(
+                os.path.join(self._dir(td.database, td.name), sub),
+                ignore_errors=True,
+            )
+        return "ok"
+
+    def _insert(self, sql: str, spark: SparkSession | None) -> str:
+        db, table, cols, rows = parse_insert_values(sql)
+        td = self._require(f"{db}.{table}")
+        if td.engine == "KeeperMap":
+            # enqueue semantics (reference test.py:35 inserts into
+            # new_queue to schedule a repo): key column is PRIMARY KEY
+            key = td.primary_key[0]
+            names = cols or [c.name for c in td.columns]
+            if key not in names:
+                raise DdlError(f"KeeperMap INSERT must provide {key}")
+            ki = names.index(key)
+            pi = names.index("priority") if "priority" in names else None
+            q = self.queue(f"{db}.{table}")
+            for row in rows:
+                q.schedule(
+                    row[ki], priority=int(row[pi]) if pi is not None else 0
+                )
+            return f"scheduled {len(rows)}"
+        if spark is None:
+            raise DdlError("INSERT into a MergeTree table needs a SparkSession")
+        schema = td.ingest_schema()
+        names = cols or [f.name for f in schema.fields]
+        sub = StructType([schema[n] for n in names])
+        df = spark.createDataFrame(
+            [tuple(r) for r in rows], schema=sub
+        )
+        # fill unnamed columns with NULLs so the stored schema is stable
+        for f_ in schema.fields:
+            if f_.name not in names:
+                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        self.insert(spark, f"{db}.{table}", df.select(*[f.name for f in schema.fields]))
+        return f"inserted {len(rows)}"
+
+    # -- table access --------------------------------------------------------
+
+    def _require(self, qualified: str) -> TableDef:
+        if qualified not in self._tables:
+            raise DdlError(f"table {qualified} does not exist")
+        return self._tables[qualified]
+
+    def has_table(self, qualified: str) -> bool:
+        return qualified in self._tables
+
+    def table_def(self, qualified: str) -> TableDef:
+        return self._require(qualified)
+
+    def queue(self, qualified: str):
+        """KeeperMap table → the filesystem WorkQueue backing it."""
+        td = self._require(qualified)
+        if td.engine != "KeeperMap":
+            raise DdlError(f"{qualified} is not a KeeperMap table")
+        if qualified not in self._queues:
+            from clickhub_spark.queue import WorkQueue
+
+            self._queues[qualified] = WorkQueue(
+                os.path.join(self._dir(td.database, td.name), "queue")
+            )
+        return self._queues[qualified]
+
+    def insert(self, spark: SparkSession, qualified: str, df: DataFrame) -> None:
+        """Append a batch: align to the ingest schema, stamp
+        MATERIALIZED now() columns, sort-cluster on ORDER BY."""
+        from clickhub_spark.sources.writer import write_sorted
+
+        td = self._require(qualified)
+        if td.engine not in _MERGE_TREE_ENGINES:
+            raise DdlError(f"{qualified} ({td.engine}) is not insertable parquet")
+        expect = [f.name for f in td.ingest_schema().fields]
+        if list(df.columns) != expect:
+            missing = set(expect) - set(df.columns)
+            if missing:
+                raise DdlError(f"INSERT missing columns {sorted(missing)}")
+            df = df.select(*expect)
+        for c in td.columns:
+            if c.materialized is not None:
+                if c.materialized.replace(" ", "") == "now()":
+                    df = df.withColumn(c.name, F.current_timestamp())
+                else:
+                    df = df.withColumn(c.name, F.expr(c.materialized))
+        write_sorted(
+            df,
+            os.path.join(self._dir(td.database, td.name), "data"),
+            partition_by=None,
+            sort_cols=list(td.order_by),
+        )
+
+    def read(self, spark: SparkSession, qualified: str) -> DataFrame:
+        td = self._require(qualified)
+        return spark.read.schema(td.full_schema()).parquet(
+            os.path.join(self._dir(td.database, td.name), "data")
+        )
+
+    def read_final(self, spark: SparkSession, qualified: str) -> DataFrame:
+        """ReplacingMergeTree FINAL view: ORDER BY is the dedup key,
+        the MATERIALIZED ingest timestamp the version (the same shape
+        as catalog.FINAL_KEYS)."""
+        from clickhub_spark.operators.dedup import final_view
+
+        td = self._require(qualified)
+        df = self.read(spark, qualified)
+        if td.engine != "ReplacingMergeTree":
+            return df
+        version = td.version_columns() or list(td.order_by)
+        return final_view(df, keys=list(td.order_by), version=version)
+
+    def register_views(self, spark: SparkSession) -> list[str]:
+        """Register ``db_table`` (and ``db_table_final`` for replacing
+        tables) temp views for sql_compat SELECTs."""
+        out = []
+        for q, td in self._tables.items():
+            if td.engine not in _MERGE_TREE_ENGINES:
+                continue
+            base = f"{td.database}_{td.name}"
+            data_dir = os.path.join(self._dir(td.database, td.name), "data")
+            if not os.path.isdir(data_dir):
+                continue
+            self.read(spark, q).createOrReplaceTempView(base)
+            out.append(base)
+            if td.engine == "ReplacingMergeTree":
+                self.read_final(spark, q).createOrReplaceTempView(f"{base}_final")
+                out.append(f"{base}_final")
+        return out
+
+
+def _tabledef_to_json(td: TableDef) -> dict:
+    return {
+        "database": td.database,
+        "name": td.name,
+        "engine": td.engine,
+        "engine_args": td.engine_args,
+        "order_by": td.order_by,
+        "primary_key": td.primary_key,
+        "settings": td.settings,
+        "columns": [
+            {
+                "name": c.name,
+                "type": c.ch_type,
+                "materialized": c.materialized,
+                "default": c.default,
+            }
+            for c in td.columns
+        ],
+    }
+
+
+def _tabledef_from_json(d: dict) -> TableDef:
+    cols = []
+    for c in d["columns"]:
+        spark_type, labels = parse_type(c["type"])
+        cols.append(
+            ColumnDef(
+                c["name"],
+                c["type"],
+                spark_type,
+                labels,
+                c.get("materialized"),
+                c.get("default"),
+            )
+        )
+    return TableDef(
+        database=d["database"],
+        name=d["name"],
+        columns=cols,
+        engine=d["engine"],
+        engine_args=d.get("engine_args", []),
+        order_by=d.get("order_by", []),
+        primary_key=d.get("primary_key", []),
+        settings=d.get("settings", {}),
+    )
