@@ -467,3 +467,78 @@ def q_ch_sql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ts, event_id LIMIT 2 BY event_type
         """,
     )
+
+
+@query(
+    "q_ch_sql_with_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'purchase' AND value > 99
+        GROUP BY 1
+    ), b AS (
+        SELECT min(h) AS lo, max(h) AS hi FROM hourly
+    ), spine AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS TIMESTAMP) AS h
+        FROM b
+    )
+    SELECT s.h AS h, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN hourly d USING (h)
+    """,
+)
+def q_ch_sql_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY h WITH FILL STEP INTERVAL 1 HOUR`` as a LITERAL
+    ClickHouse-dialect statement (docs: ORDER BY … WITH FILL).  The
+    ``value > 99`` slice leaves real hour gaps at every SF (635 / 512
+    / 20 missing hours at sf0.001/0.01/0.1), so the inserted zero
+    rows are load-bearing in the hash compare.  run() executes the
+    inner aggregate and applies operators/fill.py — a one-row min/max
+    bound exploded through sequence(), full-outer joined back; the
+    oracle builds the identical spine via generate_series."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT toStartOfHour(ts) AS h, count() AS n
+        FROM events WHERE event_type = 'purchase' AND value > 99
+        GROUP BY h ORDER BY h WITH FILL STEP INTERVAL 1 HOUR
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_with_fill_range",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(FLOOR(value / 8) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM events WHERE event_type = 'view' AND value BETWEEN 0 AND 99
+        GROUP BY 1
+    ), spine AS (
+        SELECT UNNEST(generate_series(0, 19)) AS bucket
+    )
+    SELECT s.bucket AS bucket, COALESCE(a.n, 0) AS n,
+           COALESCE(a.users, 0) AS users
+    FROM spine s LEFT JOIN agg a USING (bucket)
+    """,
+)
+def q_ch_sql_with_fill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH FILL FROM 0 TO 20`` (TO exclusive) over a numeric
+    bucket key: data tops out at bucket 12 (value <= 99, width 8), so
+    buckets 13-19 are inserted with column defaults (0 counts) at
+    EVERY scale factor — the FROM/TO extension path is always
+    exercised, not only when the data happens to have gaps.  Multiple
+    non-fill aggregate columns pin the per-column default fill."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT toInt64(value / 8) AS bucket, count() AS n,
+               uniqExact(user_id) AS users
+        FROM events WHERE event_type = 'view' AND value BETWEEN 0 AND 99
+        GROUP BY bucket ORDER BY bucket WITH FILL FROM 0 TO 20
+        """,
+    )

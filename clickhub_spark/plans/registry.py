@@ -73,6 +73,12 @@ ROUND_PRIORITY = [
     "q_ch_sql_next_node",
     "q_ch_sql_retention",
     "q_ch_sql_topk",
+    # round-12 session-2 additions (never-checked → inside the window;
+    # the two r5 names they displace — q_stream_session,
+    # q_stream_tumble — sit at exactly 7-rounds stale and join the 22
+    # already leading the r13 window)
+    "q_ch_sql_with_fill",
+    "q_ch_sql_with_fill_range",
     "q_seq_match_pattern_time",
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",

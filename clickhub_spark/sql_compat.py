@@ -1077,7 +1077,79 @@ def translate(sql: str) -> str:
     return out
 
 
+#: FROM/TO literal: int, toDate('…'), toDateTime('…'); STEP literal:
+#: int or INTERVAL n UNIT.
+_FILL_LIT = r"(?:toDate(?:Time)?\('[^']*'\)|INTERVAL\s+\d+\s+\w+|-?\d+)"
+
+_WITH_FILL_RE = re.compile(
+    r"ORDER\s+BY\s+`?(\w+)`?\s*(ASC|DESC)?\s+WITH\s+FILL"
+    rf"(\s+FROM\s+(?P<from>{_FILL_LIT}))?"
+    rf"(\s+TO\s+(?P<to>{_FILL_LIT}))?"
+    rf"(\s+STEP\s+(?P<step>{_FILL_LIT}))?"
+    r"(\s+INTERPOLATE\s*\(\s*(?P<interp>[\w`,\s]+)\))?"
+    r"\s*$",
+    re.IGNORECASE,
+)
+
+
+def _fill_literal(text: str):
+    """WITH FILL bound/step literal → a Column expression."""
+    from pyspark.sql import functions as F
+
+    text = text.strip()
+    m = re.fullmatch(r"toDate\('([^']*)'\)", text, re.IGNORECASE)
+    if m:
+        return F.to_date(F.lit(m.group(1)))
+    m = re.fullmatch(r"toDateTime\('([^']*)'\)", text, re.IGNORECASE)
+    if m:
+        return F.to_timestamp(F.lit(m.group(1)))
+    if re.fullmatch(r"INTERVAL\s+\d+\s+\w+", text, re.IGNORECASE):
+        return F.expr(text)
+    return F.lit(int(text))
+
+
+def parse_with_fill(sql: str):
+    """``ORDER BY col [DESC] WITH FILL [FROM …] [TO …] [STEP …]
+    [INTERPOLATE (…)]`` at the end of a statement → (inner_sql,
+    kwargs for operators.fill.with_fill) or None.  The clause can't
+    render to one Spark SQL string (inserted-row defaults depend on
+    the result's column TYPES), so ``run`` executes the inner query
+    and applies the DataFrame fill operator — the same delegation the
+    windowFunnel strict modes use."""
+    spans = _literal_spans(sql)
+    m = _WITH_FILL_RE.search(sql)
+    if not m or _in_spans(spans, m.start()):
+        loose = re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE)
+        if loose and not _in_spans(spans, loose.start()):
+            raise ValueError(
+                "unsupported WITH FILL form: single-column ORDER BY with "
+                "optional FROM/TO/STEP/INTERPOLATE at statement end"
+            )
+        return None
+    kwargs = {
+        "col": m.group(1),
+        "desc": (m.group(2) or "").upper() == "DESC",
+        "from_": _fill_literal(m.group("from")) if m.group("from") else None,
+        "to": _fill_literal(m.group("to")) if m.group("to") else None,
+        "step": _fill_literal(m.group("step")) if m.group("step") else None,
+        "interpolate": tuple(
+            c.strip().strip("`")
+            for c in (m.group("interp") or "").split(",")
+            if c.strip()
+        ),
+    }
+    return sql[: m.start()], kwargs
+
+
 def run(spark: SparkSession, sql: str) -> DataFrame:
     """Translate and execute a ClickHouse-dialect statement against
-    the session's registered views."""
+    the session's registered views.  ``ORDER BY … WITH FILL`` is
+    executed as inner-query + DataFrame fill operator (see
+    parse_with_fill)."""
+    filled = parse_with_fill(sql)
+    if filled is not None:
+        from clickhub_spark.operators.fill import with_fill
+
+        inner, kwargs = filled
+        return with_fill(spark.sql(translate(inner)), **kwargs)
     return spark.sql(translate(sql))
