@@ -18,6 +18,7 @@ Tie posture: per-user timestamps are unique at every testdata SF
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clickhub_spark.plans.queries_core import load
 from clickhub_spark.plans.registry import query
@@ -540,5 +541,51 @@ def q_ch_sql_with_fill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                uniqExact(user_id) AS users
         FROM events WHERE event_type = 'view' AND value BETWEEN 0 AND 99
         GROUP BY bucket ORDER BY bucket WITH FILL FROM 0 TO 20
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_asof",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), v AS (
+        SELECT user_id, ts, value AS seen_value FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL
+    )
+    SELECT p.user_id AS user_id, p.event_id AS event_id,
+           p.ts AS ts, p.value AS value, v.seen_value AS seen_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_ch_sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF LEFT JOIN … USING (user_id, ts)`` as a LITERAL
+    ClickHouse-dialect statement: each purchase joined to the user's
+    latest prior view.  run() substitutes the fragment with the
+    union+window asof operator (operators/asof.py — no candidate-pair
+    materialization, ONE shuffle on the key), which is why this is a
+    delegation and not a SQL render: the range-join + row_number form
+    a pure rewrite would need explodes at 100 TB.  The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — an independent engine's
+    implementation of the same semantics, not a transcription.
+    Unmatched rows keep NULL (ClickHouse join_use_nulls = 1)."""
+    ev = load(spark, sf_dir, "events")
+    ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id", "ts", "value").createOrReplaceTempView(
+        "purchases_t"
+    )
+    ev.where(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "ts", F.col("value").alias("seen_value")
+    ).createOrReplaceTempView("views_t")
+    return run(
+        spark,
+        """
+        SELECT user_id, event_id, ts, value, seen_value
+        FROM purchases_t ASOF LEFT JOIN views_t USING (user_id, ts)
         """,
     )

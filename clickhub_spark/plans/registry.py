@@ -79,6 +79,7 @@ ROUND_PRIORITY = [
     # already leading the r13 window)
     "q_ch_sql_with_fill",
     "q_ch_sql_with_fill_range",
+    "q_ch_sql_asof",
     "q_seq_match_pattern_time",
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",

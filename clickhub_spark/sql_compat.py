@@ -1141,11 +1141,76 @@ def parse_with_fill(sql: str):
     return sql[: m.start()], kwargs
 
 
+#: ``FROM t1 ASOF [LEFT] JOIN t2 USING (k…, ts)`` — ClickHouse's USING
+#: form: every listed column except the LAST is an equality key; the
+#: last is the as-of inequality (left.ts >= right.ts, backward).
+_ASOF_USING_RE = re.compile(
+    r"FROM\s+`?(\w+)`?\s+ASOF\s+(LEFT\s+)?JOIN\s+`?(\w+)`?\s+"
+    r"USING\s*\(([^)]*)\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_asof_join(spark: SparkSession, sql: str) -> str:
+    """Substitute one ``ASOF [LEFT] JOIN … USING`` fragment with a
+    temp view computed by operators/asof.asof_join (union+window —
+    no candidate-pair materialization; the reason this is a run()-
+    level delegation and not a SQL rewrite, which would need a range
+    join + row_number and explode at scale).
+
+    Matched right columns keep their own names (the USING form's
+    unqualified access); unmatched left rows keep NULLs — ClickHouse
+    with ``join_use_nulls = 1`` (the default fills type defaults
+    instead; documented divergence).  Plain ASOF JOIN (no LEFT) drops
+    unmatched left rows, per ClickHouse.
+    """
+    spans = _literal_spans(sql)
+    m = _ASOF_USING_RE.search(sql)
+    if not m or _in_spans(spans, m.start()):
+        if re.search(r"\bASOF\b", sql, re.IGNORECASE) and not m:
+            loose = re.search(r"\bASOF\b", sql, re.IGNORECASE)
+            if not _in_spans(spans, loose.start()):
+                raise ValueError(
+                    "unsupported ASOF JOIN form: FROM t1 ASOF [LEFT] JOIN "
+                    "t2 USING (keys…, ts) is the supported dialect subset"
+                )
+        return sql
+    from clickhub_spark.operators.asof import asof_join
+
+    left_name, keep_left, right_name = m.group(1), bool(m.group(2)), m.group(3)
+    using = [c.strip().strip("`") for c in m.group(4).split(",") if c.strip()]
+    if len(using) < 2:
+        raise ValueError("ASOF JOIN USING needs at least (key, ts)")
+    keys, ts = using[:-1], using[-1]
+    left = spark.table(left_name)
+    right = spark.table(right_name)
+    values = [c for c in right.columns if c not in keys and c != ts]
+    clash = [c for c in values if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"ASOF JOIN USING: right columns {clash} collide with left; "
+            "alias them apart in a view first"
+        )
+    joined = asof_join(
+        left, right, on=keys, left_ts=ts, right_ts=ts, right_values=values
+    )
+    if not keep_left:
+        joined = joined.where(joined["asof_ts"].isNotNull())
+    out = joined.select(
+        *left.columns, *[joined[f"asof_{c}"].alias(c) for c in values]
+    )
+    view = "__asof_join"
+    out.createOrReplaceTempView(view)
+    return sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
+
+
 def run(spark: SparkSession, sql: str) -> DataFrame:
     """Translate and execute a ClickHouse-dialect statement against
-    the session's registered views.  ``ORDER BY … WITH FILL`` is
-    executed as inner-query + DataFrame fill operator (see
-    parse_with_fill)."""
+    the session's registered views.  ``ORDER BY … WITH FILL`` and
+    ``ASOF JOIN … USING`` are executed by delegating to the
+    registered DataFrame operators (see parse_with_fill /
+    _rewrite_asof_join)."""
+    sql = _rewrite_asof_join(spark, sql)
     filled = parse_with_fill(sql)
     if filled is not None:
         from clickhub_spark.operators.fill import with_fill

@@ -982,3 +982,72 @@ def test_retention_sql(spark):
     want1 = base.where("m1 = 1").count()
     want2 = base.where("m1 = 1 AND m2 = 1").count()
     assert (rep.r1, rep.r2) == (want1, want2)
+
+
+def test_asof_join_using_left_and_inner(spark):
+    """ASOF [LEFT] JOIN … USING delegation (operators/asof.py):
+    backward inclusive match, LEFT keeps unmatched with NULL
+    (join_use_nulls=1 semantics), inner drops them."""
+    import datetime as dt
+
+    from clickhub_spark import sql_compat
+
+    T = dt.datetime
+    spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), "o1"), (1, T(2024, 1, 1, 12), "o2"),
+         (2, T(2024, 1, 1, 9), "o3")],
+        "uid int, ts timestamp, oid string",
+    ).createOrReplaceTempView("asof_orders_t")
+    spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9), 100.0), (1, T(2024, 1, 1, 11), 110.0),
+         (3, T(2024, 1, 1, 8), 999.0)],
+        "uid int, ts timestamp, px double",
+    ).createOrReplaceTempView("asof_quotes_t")
+    left = sql_compat.run(
+        spark,
+        "SELECT uid, oid, px FROM asof_orders_t "
+        "ASOF LEFT JOIN asof_quotes_t USING (uid, ts)",
+    )
+    assert sorted(tuple(r) for r in left.collect()) == [
+        (1, "o1", 100.0), (1, "o2", 110.0), (2, "o3", None),
+    ]
+    inner = sql_compat.run(
+        spark,
+        "SELECT uid, oid, px FROM asof_orders_t "
+        "ASOF JOIN asof_quotes_t USING (uid, ts)",
+    )
+    assert sorted(tuple(r) for r in inner.collect()) == [
+        (1, "o1", 100.0), (1, "o2", 110.0),
+    ]
+
+
+def test_asof_join_unsupported_forms_raise(spark):
+    from clickhub_spark import sql_compat
+
+    with pytest.raises(ValueError, match="supported dialect subset"):
+        sql_compat.run(spark, "SELECT 1 FROM a ASOF JOIN b ON a.x = b.x")
+    with pytest.raises(ValueError, match="at least"):
+        sql_compat.run(spark, "SELECT 1 FROM a ASOF JOIN b USING (ts)")
+    # inert inside string literals
+    assert sql_compat.translate("SELECT 'ASOF JOIN' AS s") == (
+        "SELECT 'ASOF JOIN' AS s"
+    )
+
+
+def test_asof_join_column_collision_raises(spark):
+    import datetime as dt
+
+    from clickhub_spark import sql_compat
+
+    T = dt.datetime
+    spark.createDataFrame(
+        [(1, T(2024, 1, 1), 5.0)], "uid int, ts timestamp, v double"
+    ).createOrReplaceTempView("asof_l_t")
+    spark.createDataFrame(
+        [(1, T(2024, 1, 1), 6.0)], "uid int, ts timestamp, v double"
+    ).createOrReplaceTempView("asof_r_t")
+    with pytest.raises(ValueError, match="collide"):
+        sql_compat.run(
+            spark,
+            "SELECT uid, v FROM asof_l_t ASOF JOIN asof_r_t USING (uid, ts)",
+        )
