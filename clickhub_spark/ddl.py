@@ -618,10 +618,19 @@ class Warehouse:
             raise DdlError("INSERT into a MergeTree table needs a SparkSession")
         schema = td.ingest_schema()
         names = cols or [f.name for f in schema.fields]
-        sub = StructType([schema[n] for n in names])
-        df = spark.createDataFrame(
-            [tuple(r) for r in rows], schema=sub
+        unknown = [n for n in names if n not in schema.fieldNames()]
+        if unknown:
+            raise DdlError(f"INSERT references unknown columns {unknown}")
+        # VALUES literals arrive as python str/int/float/None; route
+        # through strings and CAST so '2024-01-01 00:00:00' coerces to
+        # TimestampType exactly like a ClickHouse server would
+        as_str = StructType(
+            [StructField(n, StringType(), True) for n in names]
         )
+        df = spark.createDataFrame(
+            [tuple(None if v is None else str(v) for v in r) for r in rows],
+            schema=as_str,
+        ).select(*[F.col(n).cast(schema[n].dataType).alias(n) for n in names])
         # fill unnamed columns with NULLs so the stored schema is stable
         for f_ in schema.fields:
             if f_.name not in names:

@@ -589,3 +589,73 @@ def q_ch_sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM purchases_t ASOF LEFT JOIN views_t USING (user_id, ts)
         """,
     )
+
+
+@query(
+    "q_ch_ddl_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('org/alpha', CAST(2 AS BIGINT), CAST(30 AS BIGINT)),
+        ('org/beta',  CAST(1 AS BIGINT), CAST(7  AS BIGINT))
+    ) AS t(repo_name, n_commits, lines_added)
+    """,
+)
+def q_ch_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL/DML front-end (ddl.py) under driver correctness: the
+    reference's LITERAL git.commits CREATE TABLE (types.json:7) plus
+    INSERT … VALUES statements build a ReplacingMergeTree table in a
+    scratch warehouse; the FINAL view then dedups the re-imported
+    row and a ClickHouse-dialect SELECT aggregates it.  Every layer
+    is the statement path — no DataFrame shortcuts — so a parser or
+    engine-dispatch regression flips this row red.  Content is fixed
+    (sf-independent); the oracle is the hand-computed result."""
+    import shutil
+    import tempfile
+
+    from clickhub_spark.ddl import Warehouse
+
+    root = tempfile.gettempdir() + "/chwh_ddl_roundtrip"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+    wh.execute("CREATE DATABASE IF NOT EXISTS git")
+    # reference types.json:7 — verbatim
+    wh.execute(
+        "CREATE TABLE git.commits ( `hash` String, `author` "
+        "LowCardinality(String), `time` DateTime, `message` String, "
+        "`files_added` UInt32, `files_deleted` UInt32, `files_renamed` "
+        "UInt32, `files_modified` UInt32, `lines_added` UInt32, "
+        "`lines_deleted` UInt32, `hunks_added` UInt32, `hunks_removed` "
+        "UInt32, `hunks_changed` UInt32, `repo_name` "
+        "LowCardinality(String), `updated_at` DateTime MATERIALIZED "
+        "now() ) ENGINE = ReplacingMergeTree ORDER BY (repo_name, time, "
+        "hash)"
+    )
+    ins = (
+        "INSERT INTO git.commits (hash, author, time, message, "
+        "files_added, files_deleted, files_renamed, files_modified, "
+        "lines_added, lines_deleted, hunks_added, hunks_removed, "
+        "hunks_changed, repo_name) VALUES "
+    )
+    wh.execute(
+        ins + "('h1', 'alice', '2024-01-01 10:00:00', 'm1', "
+        "1, 0, 0, 0, 10, 2, 1, 0, 0, 'org/alpha'), "
+        "('h2', 'bob', '2024-01-02 11:00:00', 'm2', "
+        "2, 1, 0, 0, 20, 3, 2, 0, 0, 'org/alpha'), "
+        "('h3', 'carol', '2024-01-03 12:00:00', 'm3', "
+        "1, 0, 0, 0, 7, 1, 1, 0, 0, 'org/beta')",
+        spark=spark,
+    )
+    # idempotent re-import: the same h2 arrives again (identical
+    # payload) — base table holds 4 rows, FINAL must keep 3
+    wh.execute(
+        ins + "('h2', 'bob', '2024-01-02 11:00:00', 'm2', "
+        "2, 1, 0, 0, 20, 3, 2, 0, 0, 'org/alpha')",
+        spark=spark,
+    )
+    wh.register_views(spark)
+    return run(
+        spark,
+        "SELECT repo_name, count() AS n_commits, "
+        "sum(lines_added) AS lines_added "
+        "FROM git_commits_final GROUP BY repo_name",
+    )

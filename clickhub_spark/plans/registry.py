@@ -80,6 +80,7 @@ ROUND_PRIORITY = [
     "q_ch_sql_with_fill",
     "q_ch_sql_with_fill_range",
     "q_ch_sql_asof",
+    "q_ch_ddl_roundtrip",
     "q_seq_match_pattern_time",
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",
