@@ -111,8 +111,21 @@ def main(argv: list[str] | None = None) -> int:
     fr.add_argument("--show", type=int, default=20)
 
     x = sub.add_parser("sql")  # ClickHouse-dialect SQL over registered tables
-    x.add_argument("--query", required=True, help="ClickHouse-dialect SQL")
+    x.add_argument("--query", default=None, help="ClickHouse-dialect SQL")
+    x.add_argument(
+        "--file",
+        default=None,
+        help="file of ;-separated ClickHouse-dialect statements — the "
+        "reference create_db.py bootstrap runs verbatim here (DDL/DML "
+        "dispatch to the warehouse, SELECTs print)",
+    )
     x.add_argument("--sf-dir", default=None, help="also register testdata tables")
+    x.add_argument(
+        "--warehouse",
+        default=None,
+        help="warehouse root for CREATE/INSERT statements "
+        "(default {data-dir}/warehouse)",
+    )
     x.add_argument("--show", type=int, default=20)
     x.add_argument(
         "--format", choices=["table", "json", "csv", "tsv"], default="table"
@@ -276,8 +289,12 @@ def main(argv: list[str] | None = None) -> int:
         serve(orch, args.host, args.port)
     elif args.cmd == "sql":
         from clickhub_spark.catalog import register_final_views, register_views
+        from clickhub_spark.ddl import Warehouse, _split_top
         from clickhub_spark.sql_compat import run
 
+        if not args.query and not args.file:
+            print("sql: one of --query/--file is required", file=sys.stderr)
+            return 2
         if args.sf_dir:
             register_views(spark, args.sf_dir)
         for table in ("commits", "file_changes", "line_changes"):
@@ -285,7 +302,19 @@ def main(argv: list[str] | None = None) -> int:
             if os.path.isdir(path):
                 spark.read.parquet(path).createOrReplaceTempView(table)
         register_final_views(spark, data_dir)
-        _emit(run(spark, args.query), args.show, getattr(args, "format", "table"))
+        wh = Warehouse(args.warehouse or os.path.join(data_dir, "warehouse"))
+        wh.register_views(spark)
+        text = args.query or ""
+        if args.file:
+            with open(args.file, encoding="utf-8") as f:
+                text = f.read()
+        for stmt in _split_top(text, ";"):
+            verb = stmt.lstrip().split(None, 1)[0].upper() if stmt.strip() else ""
+            if verb in ("CREATE", "DROP", "TRUNCATE", "INSERT"):
+                print(wh.execute(stmt, spark=spark))
+                wh.register_views(spark)  # new tables visible to later SELECTs
+            else:
+                _emit(run(spark, stmt), args.show, getattr(args, "format", "table"))
     elif args.cmd == "query":
         from clickhub_spark.plans import all_specs
 

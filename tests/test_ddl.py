@@ -331,3 +331,42 @@ def test_register_views_for_sql_compat(spark, wh):
 def test_select_rejected_with_pointer(wh):
     with pytest.raises(DdlError, match="sql_compat.run"):
         wh.execute("SELECT 1")
+
+
+def test_cli_sql_file_bootstrap(spark, tmp_path, capsys, monkeypatch):
+    """`python -m clickhub_spark sql --file bootstrap.sql` — the
+    reference create_db.py analog: ;-separated DDL/DML dispatch to the
+    warehouse, trailing SELECT prints through the dialect shim."""
+    from clickhub_spark.__main__ import main
+
+    boot = tmp_path / "bootstrap.sql"
+    boot.write_text(
+        "CREATE DATABASE IF NOT EXISTS git;\n"
+        + COMMITS_DDL
+        + ";\n"
+        "INSERT INTO git.commits (hash, author, time, message, "
+        "files_added, files_deleted, files_renamed, files_modified, "
+        "lines_added, lines_deleted, hunks_added, hunks_removed, "
+        "hunks_changed, repo_name) VALUES "
+        "('h1', 'alice', '2024-01-01 10:00:00', 'm1', "
+        "1, 0, 0, 0, 10, 2, 1, 0, 0, 'org/alpha');\n"
+        "SELECT repo_name, count() AS n FROM git_commits_final "
+        "GROUP BY repo_name\n"
+    )
+    rc = main(
+        [
+            "--data-dir", str(tmp_path / "data"),
+            "sql", "--file", str(boot), "--format", "json",
+        ]
+    )
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "ok" in out and "inserted 1" in out
+    assert '"repo_name": "org/alpha"' in out.replace("'", '"') or "org/alpha" in out
+
+
+def test_cli_sql_requires_query_or_file(tmp_path, capsys):
+    from clickhub_spark.__main__ import main
+
+    rc = main(["--data-dir", str(tmp_path), "sql"])
+    assert rc == 2
