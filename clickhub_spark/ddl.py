@@ -519,6 +519,10 @@ class Warehouse:
             return self._truncate(sql)
         if verb.startswith("INSERT"):
             return self._insert(sql, spark)
+        if verb.startswith("ALTER TABLE"):
+            return self._alter(sql)
+        if verb.startswith("OPTIMIZE"):
+            return self._optimize(sql, spark)
         raise DdlError(
             f"not a DDL/DML statement (SELECTs go through sql_compat.run): "
             f"{sql[:60]!r}"
@@ -631,12 +635,113 @@ class Warehouse:
             [tuple(None if v is None else str(v) for v in r) for r in rows],
             schema=as_str,
         ).select(*[F.col(n).cast(schema[n].dataType).alias(n) for n in names])
-        # fill unnamed columns with NULLs so the stored schema is stable
+        # fill omitted columns with their DEFAULT (ClickHouse computes
+        # defaults on INSERT), else NULL, so the stored schema is stable
+        defaults = {c.name: c.default for c in td.columns}
         for f_ in schema.fields:
             if f_.name not in names:
-                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+                fill = (
+                    F.expr(defaults[f_.name]).cast(f_.dataType)
+                    if defaults.get(f_.name) is not None
+                    else F.lit(None).cast(f_.dataType)
+                )
+                df = df.withColumn(f_.name, fill)
         self.insert(spark, f"{db}.{table}", df.select(*[f.name for f in schema.fields]))
         return f"inserted {len(rows)}"
+
+    def _alter(self, sql: str) -> str:
+        """``ALTER TABLE t ADD COLUMN [IF NOT EXISTS] name Type
+        [DEFAULT expr]`` / ``DROP COLUMN [IF EXISTS] name`` — a pure
+        metadata update, like ClickHouse's instant ALTER: no data
+        rewrite.  ADDed columns read as their DEFAULT (or NULL) from
+        pre-ALTER parquet files via the schema-on-read projection in
+        :meth:`read`; DROPped columns simply leave the read schema
+        (parquet ignores extra file columns)."""
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+"
+            r"(ADD|DROP)\s+COLUMN\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?(.*)$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise DdlError(
+                f"unsupported ALTER TABLE form (ADD/DROP COLUMN only): "
+                f"{sql[:80]!r}"
+            )
+        db, name, action, guarded, rest = (
+            m.group(1) or "default",
+            m.group(2),
+            m.group(3).upper(),
+            m.group(4) is not None,
+            m.group(5).strip(),
+        )
+        td = self._require(f"{db}.{name}")
+        if action == "DROP":
+            col = rest.strip().strip("`")
+            present = any(c.name == col for c in td.columns)
+            if not present:
+                if guarded:
+                    return "absent"
+                raise DdlError(f"column {col!r} does not exist on {td.qualified}")
+            if col in td.order_by or col in td.primary_key:
+                raise DdlError(f"cannot drop key column {col!r}")
+            td.columns = [c for c in td.columns if c.name != col]
+            self._persist(td)
+            return "ok"
+        cdef = _parse_column(rest)
+        if any(c.name == cdef.name for c in td.columns):
+            if guarded:
+                return "exists"
+            raise DdlError(f"column {cdef.name!r} already exists on {td.qualified}")
+        td.columns.append(cdef)
+        self._persist(td)
+        return "ok"
+
+    def _optimize(self, sql: str, spark: SparkSession | None) -> str:
+        """``OPTIMIZE TABLE t [FINAL] [DEDUPLICATE]`` — the MergeTree
+        background-merge, on demand: compacts the part files (writer.
+        compact's crash-safe swap), applying the engine's merge
+        semantics while rewriting — ReplacingMergeTree FINAL collapses
+        to the latest version per ORDER BY key; DEDUPLICATE drops
+        full-row duplicates."""
+        m = re.match(
+            r"\s*OPTIMIZE\s+TABLE\s+(?:`?(\w+)`?\.)?`?(\w+)`?"
+            r"(\s+FINAL)?(\s+DEDUPLICATE)?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise DdlError(f"unparseable OPTIMIZE TABLE: {sql[:80]!r}")
+        db, name = m.group(1) or "default", m.group(2)
+        final, dedup = m.group(3) is not None, m.group(4) is not None
+        td = self._require(f"{db}.{name}")
+        if td.engine not in _MERGE_TREE_ENGINES:
+            raise DdlError(f"OPTIMIZE applies to MergeTree tables, not {td.engine}")
+        if spark is None:
+            raise DdlError("OPTIMIZE needs a SparkSession")
+        data = os.path.join(self._dir(td.database, td.name), "data")
+        if not os.path.isdir(data):
+            return "empty"
+        transform = None
+        if final and td.engine == "ReplacingMergeTree":
+            from clickhub_spark.operators.dedup import final_view
+
+            keys = list(td.order_by)
+            version = td.version_columns() or keys
+
+            def transform(df, _k=keys, _v=version):  # noqa: ANN001
+                return final_view(df, keys=_k, version=_v)
+
+        if dedup:
+            inner = transform
+
+            def transform(df, _inner=inner):  # noqa: ANN001
+                return (_inner(df) if _inner else df).distinct()
+
+        from clickhub_spark.sources.writer import compact
+
+        n = compact(spark, data, sort_cols=list(td.order_by), transform=transform)
+        return f"optimized {n}"
 
     # -- table access --------------------------------------------------------
 
@@ -692,10 +797,24 @@ class Warehouse:
         )
 
     def read(self, spark: SparkSession, qualified: str) -> DataFrame:
+        """Schema-on-read projection: the DECLARED schema drives the
+        scan, so pre-ALTER files serve ADDed columns as NULL (then
+        their DEFAULT below — ClickHouse computes defaults on read
+        for old parts the same way) and DROPped columns are simply
+        not read."""
         td = self._require(qualified)
-        return spark.read.schema(td.full_schema()).parquet(
+        df = spark.read.schema(td.full_schema()).parquet(
             os.path.join(self._dir(td.database, td.name), "data")
         )
+        for c in td.columns:
+            if c.default is not None:
+                df = df.withColumn(
+                    c.name,
+                    F.coalesce(
+                        F.col(c.name), F.expr(c.default).cast(c.spark_type)
+                    ),
+                )
+        return df
 
     def read_final(self, spark: SparkSession, qualified: str) -> DataFrame:
         """ReplacingMergeTree FINAL view: ORDER BY is the dedup key,

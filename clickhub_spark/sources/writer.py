@@ -189,6 +189,7 @@ def compact(
     sort_cols: list[str],
     target_files: int = 8,
     partition_by: list[str] | None = None,
+    transform=None,
 ) -> int:
     """Compact a table's small files (streaming foreachBatch appends
     accumulate one file per micro-batch) into ``target_files`` sorted
@@ -215,6 +216,11 @@ def compact(
 
     recover_table(path)  # a previous swap may have died mid-rename
     df = spark.read.parquet(path)
+    if transform is not None:
+        # OPTIMIZE TABLE … FINAL/DEDUPLICATE (ddl.py): the merge pass
+        # applies the engine's merge semantics (final_view dedup,
+        # DISTINCT) while it rewrites — same swap contract
+        df = transform(df)
     n = df.count()
     tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
     if partition_by:

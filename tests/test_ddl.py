@@ -370,3 +370,81 @@ def test_cli_sql_requires_query_or_file(tmp_path, capsys):
 
     rc = main(["--data-dir", str(tmp_path), "sql"])
     assert rc == 2
+
+
+# --------------------------------------------------------------------------
+# ALTER TABLE / OPTIMIZE TABLE
+# --------------------------------------------------------------------------
+
+
+def test_alter_add_column_reads_default_from_old_files(spark, wh):
+    wh.execute(
+        "CREATE TABLE git.t (`k` String, `n` UInt32, "
+        "`updated_at` DateTime MATERIALIZED now()) "
+        "ENGINE = ReplacingMergeTree ORDER BY (k)"
+    )
+    wh.execute("INSERT INTO git.t (k, n) VALUES ('a', 1)", spark=spark)
+    assert wh.execute(
+        "ALTER TABLE git.t ADD COLUMN `score` UInt32 DEFAULT 42"
+    ) == "ok"
+    # pre-ALTER file serves the default; post-ALTER insert may omit it
+    wh.execute("INSERT INTO git.t (k, n) VALUES ('b', 2)", spark=spark)
+    wh.execute(
+        "INSERT INTO git.t (k, n, score) VALUES ('c', 3, 7)", spark=spark
+    )
+    got = {r.k: r.score for r in wh.read(spark, "git.t").collect()}
+    assert got == {"a": 42, "b": 42, "c": 7}
+    # idempotence guards
+    assert wh.execute(
+        "ALTER TABLE git.t ADD COLUMN IF NOT EXISTS `score` UInt32"
+    ) == "exists"
+    with pytest.raises(DdlError, match="already exists"):
+        wh.execute("ALTER TABLE git.t ADD COLUMN `score` UInt32")
+
+
+def test_alter_drop_column_and_key_protection(spark, wh):
+    wh.execute(
+        "CREATE TABLE git.t2 (`k` String, `n` UInt32, `x` String) "
+        "ENGINE = MergeTree ORDER BY (k)"
+    )
+    wh.execute("INSERT INTO git.t2 (k, n, x) VALUES ('a', 1, 'gone')", spark=spark)
+    assert wh.execute("ALTER TABLE git.t2 DROP COLUMN x") == "ok"
+    assert wh.read(spark, "git.t2").columns == ["k", "n"]
+    assert wh.execute("ALTER TABLE git.t2 DROP COLUMN IF EXISTS x") == "absent"
+    with pytest.raises(DdlError, match="does not exist"):
+        wh.execute("ALTER TABLE git.t2 DROP COLUMN x")
+    with pytest.raises(DdlError, match="key column"):
+        wh.execute("ALTER TABLE git.t2 DROP COLUMN k")
+    # metadata survives a reload
+    td = Warehouse(wh.root).table_def("git.t2")
+    assert [c.name for c in td.columns] == ["k", "n"]
+
+
+def test_optimize_final_materializes_replacing_dedup(spark, wh):
+    wh.execute(COMMITS_DDL)
+    schema = wh.table_def("git.commits").ingest_schema()
+    t0 = datetime.datetime(2024, 1, 1)
+    row = ("h", "a", t0, "m", 0, 0, 0, 0, 0, 0, 0, 0, 0, "r")
+    wh.insert(spark, "git.commits", spark.createDataFrame([row], schema=schema))
+    wh.insert(spark, "git.commits", spark.createDataFrame([row], schema=schema))
+    assert wh.read(spark, "git.commits").count() == 2
+    out = wh.execute("OPTIMIZE TABLE git.commits FINAL", spark=spark)
+    assert out == "optimized 1"
+    # the BASE table is now physically deduped (merge materialized)
+    assert wh.read(spark, "git.commits").count() == 1
+
+
+def test_optimize_deduplicate_drops_full_row_dupes(spark, wh):
+    wh.execute(
+        "CREATE TABLE git.t3 (`k` String, `n` UInt32) "
+        "ENGINE = MergeTree ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO git.t3 (k, n) VALUES ('a', 1), ('a', 1), ('a', 2)",
+        spark=spark,
+    )
+    assert wh.execute(
+        "OPTIMIZE TABLE git.t3 DEDUPLICATE", spark=spark
+    ) == "optimized 2"
+    assert wh.read(spark, "git.t3").count() == 2
+    assert wh.execute("OPTIMIZE TABLE git.t3", spark=spark) == "optimized 2"
