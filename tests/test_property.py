@@ -519,3 +519,117 @@ def test_tsv_sink_round_trip_property(spark, vals, tmp_path_factory):
     ).option("path", out).mode("append").save()
     got = read_positional_tsv(spark, out, schema).orderBy("n").collect()
     assert [(r.s, r.n) for r in got] == rows
+
+
+# --------------------------------------------------------------------------
+# DDL parser (ddl.py): render → parse → JSON round-trip
+# --------------------------------------------------------------------------
+
+_scalar_types = st.sampled_from(
+    ["String", "UInt8", "UInt32", "UInt64", "Int8", "Int32", "Int64",
+     "Float32", "Float64", "Date", "DateTime", "DateTime('UTC')",
+     "Bool", "UUID", "Decimal(12, 3)"]
+)
+_ch_types = st.recursive(
+    _scalar_types,
+    lambda inner: st.one_of(
+        inner.map(lambda t: f"LowCardinality({t})" if "(" not in t else t),
+        inner.map(lambda t: f"Nullable({t})" if "(" not in t else t),
+        inner.map(lambda t: f"Array({t})"),
+        st.tuples(inner, inner).map(lambda kv: f"Map(String, {kv[1]})"),
+    ),
+    max_leaves=3,
+)
+_col_names = st.lists(
+    st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True),
+    min_size=1, max_size=8, unique=True,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(names=_col_names, types=st.lists(_ch_types, min_size=8, max_size=8))
+def test_ddl_render_parse_json_roundtrip(names, types):
+    """For ANY rendered CREATE TABLE over random ClickHouse type
+    trees: parse → serialize → reparse preserves every column name,
+    raw type text, and derived Spark type (the _ddl.json persistence
+    contract)."""
+    from clickhub_spark.ddl import (
+        _tabledef_from_json,
+        _tabledef_to_json,
+        parse_create_table,
+    )
+
+    cols = ", ".join(
+        f"`{n}` {t}" for n, t in zip(names, types[: len(names)])
+    )
+    sql = (
+        f"CREATE TABLE db1.t1 ({cols}) ENGINE = MergeTree "
+        f"ORDER BY ({names[0]})"
+    )
+    td = parse_create_table(sql)
+    td2 = _tabledef_from_json(_tabledef_to_json(td))
+    assert [(c.name, c.ch_type, c.spark_type) for c in td.columns] == [
+        (c.name, c.ch_type, c.spark_type) for c in td2.columns
+    ]
+    assert td2.order_by == [names[0]]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    labels=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="'\\\x00"
+            ),
+            min_size=1, max_size=12,
+        ),
+        min_size=1, max_size=6, unique=True,
+    )
+)
+def test_ddl_enum_labels_roundtrip(labels):
+    """Enum8 label maps survive parse for arbitrary quote-free ASCII
+    labels (escaped quotes covered separately in test_ddl.py)."""
+    from clickhub_spark.ddl import parse_type
+
+    inner = ", ".join(f"'{lb}' = {i}" for i, lb in enumerate(labels))
+    _, parsed = parse_type(f"Enum8({inner})")
+    assert parsed == dict(enumerate(labels))
+
+
+# --------------------------------------------------------------------------
+# WITH FILL (operators/fill.py) vs a sequential python model
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.integers(min_value=-20, max_value=20),
+        min_size=1, max_size=12, unique=True,
+    ),
+    bounds=st.tuples(
+        st.integers(min_value=-25, max_value=25),
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=5),
+    ),
+)
+def test_with_fill_matches_python_model(spark, xs, bounds):
+    """For ANY integer row set and FROM/TO/STEP: output keys are
+    exactly (originals ∪ grid∩[FROM,TO)), sorted; original rows keep
+    their value, inserted rows carry the default 0."""
+    from pyspark.sql import functions as F
+
+    from clickhub_spark.operators.fill import with_fill
+
+    lo, width, step = bounds
+    hi = lo + width
+    df = spark.createDataFrame([(x, x * 10) for x in xs], "x int, v int")
+    out = with_fill(
+        df, "x", from_=F.lit(lo), to=F.lit(hi), step=F.lit(step)
+    ).collect()
+    grid = set(range(lo, hi, step))
+    expect_keys = sorted(set(xs) | grid)
+    assert [r.x for r in out] == expect_keys
+    vals = {x: x * 10 for x in xs}
+    for r in out:
+        assert r.v == vals.get(r.x, 0)
