@@ -1051,3 +1051,63 @@ def test_asof_join_column_collision_raises(spark):
             spark,
             "SELECT uid, v FROM asof_l_t ASOF JOIN asof_r_t USING (uid, ts)",
         )
+
+
+_PROBE_CASES = [
+    # round-12 probe-battery closures: (CH expression, expected)
+    ("toYYYYMMDD(d)", 20240315),
+    ("toStartOfInterval(d, INTERVAL 15 MINUTE)", "2024-03-15 10:30:00"),
+    ("toStartOfInterval(d, INTERVAL 6 HOUR)", "2024-03-15 06:00:00"),
+    ("roundBankers(2.5)", 2.0),
+    ("roundBankers(3.5)", 4.0),
+    ("empty(s)", False),
+    ("notEmpty(s)", True),
+    ("concatWithSeparator('-', 'a', 'b')", "a-b"),
+    ("multiSearchAny(s, ['lph', 'zzz'])", True),
+    ("multiSearchAny(s, ['zzz'])", False),
+    ("countSubstrings('abcabc', 'bc')", 2),
+    ("bitAnd(12, 10)", 8),
+    ("bitOr(12, 10)", 14),
+    ("bitXor(12, 10)", 6),
+    ("bitNot(0)", -1),
+    ("bitShiftLeft(1, 4)", 16),
+    ("bitShiftRight(16, 4)", 1),
+    ("arraySum([1,2,3])", 6.0),
+    ("arrayAvg([1,2,3])", 2.0),
+    ("arrayEnumerate([7,8])", [1, 2]),
+    ("arrayEnumerate(CAST(array() AS ARRAY<INT>))", []),
+    ("hasAll([1,2,3], [1,2])", True),
+    ("hasAll([1,2], [1,9])", False),
+    ("hasAny([1,2], [2,9])", True),
+    ("range(3)", [0, 1, 2]),
+    ("range(0)", []),
+    ("toString(42)", "42"),
+    ("assumeNotNull(s)", "alpha"),
+    ("positionCaseInsensitive('Hello', 'LL')", 3),
+    ("reinterpretAsString('x')", "x"),
+]
+
+
+@pytest.mark.parametrize(("expr", "want"), _PROBE_CASES)
+def test_probe_battery_functions(spark, expr, want):
+    """Round-12 dialect probe battery: each expression verified
+    against the ClickHouse docs semantics (bankers rounding is
+    HALF_EVEN; range/arrayEnumerate are empty-safe; hasAll on an
+    empty needle is true; countSubstrings counts non-overlapping)."""
+    import datetime
+
+    spark.createDataFrame(
+        [(1, "alpha", 10.5, "2024-03-15 10:30:00")],
+        "id int, s string, v double, ds string",
+    ).selectExpr(
+        "id", "s", "v", "CAST(ds AS TIMESTAMP) AS d"
+    ).createOrReplaceTempView("probe_t")
+    got = run(spark, f"SELECT {expr} AS r FROM probe_t").first()["r"]
+    if isinstance(got, datetime.datetime):
+        got = got.strftime("%Y-%m-%d %H:%M:%S")
+    assert got == want
+
+
+def test_probe_battery_unsupported_interval_unit_raises(spark):
+    with pytest.raises(ValueError, match="toStartOfInterval"):
+        translate("SELECT toStartOfInterval(d, INTERVAL 1 MONTH) FROM t")
