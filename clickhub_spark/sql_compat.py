@@ -1057,6 +1057,113 @@ def translate(sql: str) -> str:
         "toYYYYMMDD",
         lambda args: f"CAST(date_format({args[0]}, 'yyyyMMdd') AS INT)",
     )
+    # --- aggregate-side probe-battery closures ---
+    # moment statistics: Spark's skewness is the POPULATION form
+    # (ClickHouse skewPop) and kurtosis is EXCESS population kurtosis
+    # (ClickHouse kurtPop − 3); the Samp forms divide by the SAMPLE
+    # stddev instead, i.e. scale by (σ/s)^k
+    out = re.sub(r"\bskewPop\s*\(", "skewness(", out)
+    out = _rewrite_call(
+        out,
+        "skewSamp",
+        lambda a: (
+            f"(skewness({a[0]}) * pow(stddev_pop({a[0]}) "
+            f"/ stddev_samp({a[0]}), 3))"
+        ),
+    )
+    out = _rewrite_call(out, "kurtPop", lambda a: f"(kurtosis({a[0]}) + 3)")
+    out = _rewrite_call(
+        out,
+        "kurtSamp",
+        lambda a: (
+            f"((kurtosis({a[0]}) + 3) * pow(stddev_pop({a[0]}) "
+            f"/ stddev_samp({a[0]}), 4))"
+        ),
+    )
+    out = re.sub(r"\buniqCombined(?:64)?\s*\(", "approx_count_distinct(", out)
+    out = re.sub(r"\buniqHLL12\s*\(", "approx_count_distinct(", out)
+    # anyHeavy is ClickHouse's approximate majority element; mode() is
+    # the deterministic heavy-hitter analog
+    out = re.sub(r"\banyHeavy\s*\(", "mode(", out)
+    out = re.sub(r"\bcountDistinct\s*\(", "count(DISTINCT ", out)
+    out = re.sub(r"\bgroupArrayDistinct\s*\(", "collect_set(", out)
+    out = re.sub(r"\bgroupBitAnd\s*\(", "bit_and(", out)
+    out = re.sub(r"\bgroupBitOr\s*\(", "bit_or(", out)
+    out = re.sub(r"\bgroupBitXor\s*\(", "bit_xor(", out)
+    # quantileExactWeighted(p)(x, w) → percentile's 3-arg frequency form
+    out = _rewrite_parametric(
+        out,
+        "quantileExactWeighted",
+        lambda ps, a: f"percentile({a[0]}, {ps[0]}, {a[1]})",
+    )
+    out = _rewrite_call(
+        out,
+        "avgWeighted",
+        lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out,
+        "sumCount",
+        lambda a: f"struct(sum({a[0]}) AS sum, count({a[0]}) AS count)",
+    )
+    out = _rewrite_call(
+        out,
+        "singleValueOrNull",
+        lambda a: f"(CASE WHEN count(DISTINCT {a[0]}) = 1 THEN max({a[0]}) END)",
+    )
+    out = _rewrite_call(
+        out,
+        "countEqual",
+        lambda a: f"size(filter({a[0]}, __e -> __e <=> {a[1]}))",
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out,
+        "arrayCount",
+        lambda a: (
+            f"size(filter({a[1]}, {a[0]}))"
+            if len(a) == 2
+            else f"size(filter({a[0]}, __e -> __e <> 0))"
+        ),
+    )
+    # running-scan array forms (ClickHouse returns the input's numeric
+    # type; these widen to DOUBLE, same documented trade as arraySum)
+    out = _rewrite_call(
+        out,
+        "arrayCumSum",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__acc, __e) -> array_append(__acc, "
+            f"coalesce(try_element_at(__acc, -1), CAST(0 AS DOUBLE)) + __e))"
+        ),
+    )
+    out = _rewrite_call(
+        out,
+        "arrayDifference",
+        lambda a: (
+            f"transform({a[0]}, (__x, __i) -> CASE WHEN __i = 0 "
+            f"THEN __x - __x ELSE __x - element_at({a[0]}, __i) END)"
+        ),
+    )
+    out = re.sub(r"\barrayZip\s*\(", "arrays_zip(", out)
+    # map-merging aggregates need an explode + re-aggregate (two
+    # operators), which a single expression rewrite cannot express —
+    # point at the registered DataFrame query instead of failing with
+    # an opaque UNRESOLVED_ROUTINE
+    spans_unr = _literal_spans(out)
+    for unr, pointer in (
+        ("sumMap", "q_agg_summap"),
+        ("minMap", "q_agg_summap (minMap shape)"),
+        ("maxMap", "q_agg_summap (maxMap shape)"),
+    ):
+        mu = re.search(rf"\b{unr}\s*\(", out)
+        if mu and not _in_spans(spans_unr, mu.start()):
+            raise ValueError(
+                f"{unr} needs an explode + re-aggregate, not expressible "
+                f"as one SQL rewrite — use the registered DataFrame query "
+                f"{pointer} (plans/queries_r5.py)"
+            )
     out = re.sub(r"\btoUnixTimestamp\s*\(", "unix_timestamp(", out)
     out = re.sub(r"\bfromUnixTimestamp\s*\(", "from_unixtime(", out)
     # URL functions → parse_url

@@ -1111,3 +1111,79 @@ def test_probe_battery_functions(spark, expr, want):
 def test_probe_battery_unsupported_interval_unit_raises(spark):
     with pytest.raises(ValueError, match="toStartOfInterval"):
         translate("SELECT toStartOfInterval(d, INTERVAL 1 MONTH) FROM t")
+
+
+def test_aggregate_probe_battery(spark):
+    """Round-12 aggregate-side probe battery.  Moment statistics are
+    verified against hand-computed central moments: ClickHouse
+    skewPop = m3/m2^1.5 (Spark's skewness), skewSamp divides by the
+    SAMPLE stddev cubed, kurtPop = m4/m2^2 (Spark's kurtosis is the
+    EXCESS form, hence +3), kurtSamp by the sample variance squared."""
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 9.5, -2.25]
+    rows = [(1, "a", vals[0]), (1, "b", vals[1])] + [
+        (2, c, v) for c, v in zip("cddef", vals[2:])
+    ]
+    spark.createDataFrame(rows, "k int, s string, v double").createOrReplaceTempView(
+        "agg_probe_t"
+    )
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((x - mu) ** 2 for x in vals) / n
+    m3 = sum((x - mu) ** 3 for x in vals) / n
+    m4 = sum((x - mu) ** 4 for x in vals) / n
+    s2 = sum((x - mu) ** 2 for x in vals) / (n - 1)
+    cases = [
+        ("skewPop(v)", m3 / m2**1.5),
+        ("skewSamp(v)", m3 / s2**1.5),
+        ("kurtPop(v)", m4 / m2**2),
+        ("kurtSamp(v)", m4 / s2**2),
+        ("uniqCombined(s)", 6),
+        ("uniqHLL12(s)", 6),
+        ("anyHeavy(s)", "d"),
+        ("countDistinct(s)", 6),
+        ("groupBitAnd(k)", 0),
+        ("groupBitOr(k)", 3),
+        ("groupBitXor(k)", 2),
+        ("avgWeighted(v, k)", (1 * 1 + 2 * 1 + (3 + 4 + 5 + 9.5 - 2.25) * 2) / 12),
+        ("singleValueOrNull(k)", None),
+    ]
+    for expr, want in cases:
+        got = run(spark, f"SELECT {expr} AS r FROM agg_probe_t").first()["r"]
+        if isinstance(want, float):
+            assert abs(got - want) < 1e-9, (expr, got, want)
+        else:
+            assert got == want, (expr, got, want)
+    one = run(
+        spark, "SELECT singleValueOrNull(k) AS r FROM agg_probe_t WHERE k = 1"
+    ).first()["r"]
+    assert one == 1
+    pair = run(spark, "SELECT sumCount(v) AS r FROM agg_probe_t").first()["r"]
+    assert abs(pair["sum"] - sum(vals)) < 1e-9 and pair["count"] == 7
+    wq = run(
+        spark,
+        "SELECT quantileExactWeighted(0.5)(v, k) AS r FROM agg_probe_t",
+    ).first()["r"]
+    # weights: [1,2]x1 + [3,4,5,9.5,-2.25]x2 -> expanded median = 3.5
+    assert abs(wq - 3.5) < 1e-9
+
+
+def test_array_scan_probe_battery(spark):
+    cases = [
+        ("countEqual([1,2,1], 1)", 2),
+        ("arrayCount(x -> x > 1, [1,2,3])", 2),
+        ("arrayCumSum([1,2,3])", [1.0, 3.0, 6.0]),
+        ("arrayCumSum(CAST(array() AS ARRAY<INT>))", []),
+        ("arrayDifference([1,4,9])", [0, 3, 5]),
+    ]
+    for expr, want in cases:
+        got = run(spark, f"SELECT {expr} AS r").first()["r"]
+        assert got == want, (expr, got, want)
+    zipped = run(spark, "SELECT arrayZip([1,2], ['a','b']) AS r").first()["r"]
+    assert [tuple(e) for e in zipped] == [(1, "a"), (2, "b")]
+
+
+def test_summap_unrenderable_pointer(spark):
+    with pytest.raises(ValueError, match="q_agg_summap"):
+        translate("SELECT sumMap(map(s, v)) FROM t")
+    # inert inside literals
+    assert "sumMap" in translate("SELECT 'use sumMap(x)' AS s")
