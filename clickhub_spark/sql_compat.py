@@ -27,6 +27,13 @@ Reference statements covered (all of them):
 - SELECT repo_name, count() FROM github_events WHERE event_type =
   'WatchEvent' GROUP BY repo_name (README.md:258-262)
 - countIf(...) (README.md:265); IN-list probes (repo/schedule.py:94)
+
+The reference's remaining statement classes — CREATE DATABASE/TABLE
+(create_db.py, types.json), INSERT … VALUES (test.py:35), ALTER,
+OPTIMIZE — execute through the DDL/DML front-end (ddl.py); ``run``
+handles SELECT-shaped statements only.  Statement-level delegations
+(``ORDER BY … WITH FILL``, ``ASOF JOIN … USING``) execute the inner
+query and apply the registered DataFrame operator.
 """
 
 from __future__ import annotations
