@@ -42,6 +42,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clickhub_spark.ddl import _split_top
+
 #: ClickHouse function name → Spark SQL equivalent (1:1 renames).
 _FN_RENAMES = {
     "toYear": "year",
@@ -1302,10 +1304,136 @@ def translate(sql: str) -> str:
     out = re.sub(r"\bFINAL\b", "", out)
     # [1, 2, 3] array literals → array(1, 2, 3); x[1] subscripts kept
     out = _rewrite_array_literals(out)
+    # --- statement-level passes (round-12 probe battery 3) ---
+    # trailing FORMAT <name> (output format is a transport concern —
+    # the CLI's --format flag) and SETTINGS k = v, … (engine knobs;
+    # Catalyst plans without hints) are stripped
+    spans3 = _literal_spans(out)
+    for pat in (r"\sFORMAT\s+\w+\s*$", r"\sSETTINGS\s+\w+\s*=[^;]*$"):
+        m3 = re.search(pat, out, re.IGNORECASE)
+        if m3 and not _in_spans(spans3, m3.start()):
+            out = out[: m3.start()]
+            spans3 = _literal_spans(out)
+    # ClickHouse scalar WITH: `WITH <literal> AS <ident>, …` binds a
+    # CONSTANT to a name (not a CTE — no parenthesized subquery);
+    # substitute the literal at each identifier use
+    m3 = re.match(
+        r"(\s*)WITH\s+((?:-?\d+(?:\.\d+)?|'[^']*')\s+AS\s+\w+"
+        r"(?:\s*,\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s+AS\s+\w+)*)\s*(SELECT\b.*)$",
+        out,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m3:
+        body = m3.group(3)
+        for entry in _split_top(m3.group(2)):
+            em = re.fullmatch(
+                r"(-?\d+(?:\.\d+)?|'[^']*')\s+AS\s+(\w+)", entry.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if em:
+                lit, ident = em.group(1), em.group(2)
+                segs3 = _split_quoted(body)
+                body = "".join(
+                    t if is_lit else re.sub(rf"\b{ident}\b", lit, t)
+                    for is_lit, t in segs3
+                )
+        out = m3.group(1) + body
+    # GLOBAL IN / GLOBAL JOIN: a distributed-execution hint (ship the
+    # set to every shard); Catalyst chooses broadcast vs shuffle
+    # itself, so the keyword is dropped
+    segs3 = _split_quoted(out)
+    out = "".join(
+        t if is_lit else re.sub(r"\bGLOBAL\s+", "", t) for is_lit, t in segs3
+    )
+    # ANY join strictness: at most one right row per key — rewrite the
+    # right table as a row_number()-deduped subquery over its ON-
+    # equality keys (ClickHouse keeps an arbitrary matching row; the
+    # key-ordered row_number is the deterministic analog)
+    out = _rewrite_any_join(out)
+    # ClickHouse `LIMIT offset, n` comma form → LIMIT n OFFSET offset
+    # (must run AFTER _rewrite_limit_by would — but LIMIT BY has its
+    # own keyword, so the lookahead to a bare number is unambiguous)
+    out = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", out,
+        flags=re.IGNORECASE,
+    )
+    # SELECT * REPLACE (expr AS col, …) → * EXCEPT (cols), exprs
+    # (Spark has EXCEPT natively but no REPLACE; the replaced columns
+    # move to the end of the projection — documented divergence, and
+    # immaterial to the driver's name-sorted compare)
+    def _replace_mod(m4: re.Match) -> str:
+        entries = _split_top(m4.group(1))
+        cols = []
+        for e in entries:
+            rm = re.match(r"(?s)(.+)\s+AS\s+(\w+)\s*$", e.strip(), re.IGNORECASE)
+            if not rm:
+                # `v * replace(s, 'a', 'b')` is ARITHMETIC times the
+                # renamed replace() function, not the modifier — only
+                # all-`expr AS col` entry lists are the REPLACE form
+                return m4.group(0)
+            cols.append(rm.group(2))
+        return (
+            f"* EXCEPT ({', '.join(cols)}), "
+            + ", ".join(e.strip() for e in entries)
+        )
+
+    out = re.sub(
+        r"\*\s+REPLACE\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        _replace_mod,
+        out,
+        flags=re.IGNORECASE,
+    )
     # structural clauses last, over the function-translated text
     out = _rewrite_array_join_clause(out)
     out = _rewrite_limit_by(out)
     return out
+
+
+def _rewrite_any_join(sql: str) -> str:
+    """``a ANY {LEFT|INNER} JOIN b [AS x] ON <equalities>`` — dedupe
+    the right side to one row per ON-key before joining.  Supported
+    subset: a named right TABLE and AND-ed `l.k = r.k` equalities
+    (subquery right sides: dedupe them yourself)."""
+    m = re.search(
+        r"\bANY\s+(LEFT|INNER)?\s*JOIN\s+(`?\w+`?)(?:\s+(?:AS\s+)?(\w+))?"
+        r"\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|UNION)\b|\s*$)",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        if re.search(r"\bANY\s+(LEFT|INNER|RIGHT)?\s*JOIN\b", sql, re.IGNORECASE):
+            raise ValueError(
+                "unsupported ANY JOIN form: named right table with ON "
+                "equality conditions is the supported dialect subset"
+            )
+        return sql
+    strict, table, alias, conds = (
+        m.group(1) or "INNER",
+        m.group(2),
+        m.group(3) or m.group(2).strip("`"),
+        m.group(4).strip(),
+    )
+    right_keys = []
+    for cm in re.finditer(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", conds):
+        if cm.group(1) == alias:
+            right_keys.append(cm.group(2))
+        elif cm.group(3) == alias:
+            right_keys.append(cm.group(4))
+    if not right_keys:
+        raise ValueError(
+            f"ANY JOIN: no ON equality references the right alias {alias!r}"
+        )
+    keys = ", ".join(dict.fromkeys(right_keys))
+    sub = (
+        f"(SELECT * EXCEPT (__any_rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {keys}) AS __any_rn FROM {table}) "
+        f"WHERE __any_rn = 1) AS {alias}"
+    )
+    return (
+        sql[: m.start()]
+        + f"{strict} JOIN {sub} ON {conds}"
+        + sql[m.end() :]
+    )
 
 
 #: FROM/TO literal: int, toDate('…'), toDateTime('…'); STEP literal:

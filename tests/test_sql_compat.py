@@ -1187,3 +1187,75 @@ def test_summap_unrenderable_pointer(spark):
         translate("SELECT sumMap(map(s, v)) FROM t")
     # inert inside literals
     assert "sumMap" in translate("SELECT 'use sumMap(x)' AS s")
+
+
+def test_statement_level_probe_battery(spark):
+    """Round-12 probe battery 3 — statement-level constructs:
+    ClickHouse's comma-LIMIT (`LIMIT offset, n`), `* REPLACE`,
+    scalar WITH constants, GLOBAL hints (dropped — Catalyst picks
+    broadcast vs shuffle itself), FORMAT/SETTINGS suffixes."""
+    spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(10)],
+        "id int, g string, v double",
+    ).createOrReplaceTempView("stmt_t")
+    assert [
+        r.id for r in run(spark, "SELECT id FROM stmt_t ORDER BY id LIMIT 2, 3").collect()
+    ] == [2, 3, 4]
+    df = run(spark, "SELECT * REPLACE (v * 2 AS v) FROM stmt_t ORDER BY id LIMIT 2")
+    assert df.columns[-1] == "v" and [r.v for r in df.collect()] == [0.0, 2.0]
+    # arithmetic times the replace() FUNCTION is not the modifier
+    got = run(
+        spark, "SELECT 2 * length(replaceAll(g, 'g', 'xx')) AS r FROM stmt_t LIMIT 1"
+    ).first().r
+    assert got == 6
+    assert run(
+        spark, "SELECT count() AS r FROM stmt_t WHERE id GLOBAL IN (1, 2)"
+    ).first().r == 2
+    assert run(
+        spark,
+        "SELECT count() AS r FROM stmt_t a GLOBAL JOIN stmt_t b ON a.id = b.id",
+    ).first().r == 10
+    assert run(
+        spark,
+        "WITH 2 AS two SELECT id * two AS r FROM stmt_t ORDER BY id DESC LIMIT 1",
+    ).first().r == 18
+    assert run(
+        spark,
+        "WITH 2 AS two, 'g1' AS grp SELECT count() AS r FROM stmt_t "
+        "WHERE g = grp AND id < two + 6",
+    ).first().r == 3
+    assert run(spark, "SELECT count() AS r FROM stmt_t FORMAT JSON").first().r == 10
+    assert run(
+        spark, "SELECT count() AS r FROM stmt_t SETTINGS max_threads = 4"
+    ).first().r == 10
+    # inert inside literals
+    assert run(
+        spark, "SELECT 'GLOBAL IN x FORMAT JSON' AS s FROM stmt_t LIMIT 1"
+    ).first().s == "GLOBAL IN x FORMAT JSON"
+
+
+def test_any_join_strictness(spark):
+    """ANY LEFT/INNER JOIN dedupes the right side to one row per
+    ON-key (ClickHouse keeps an arbitrary matching row; the rewrite's
+    key-ordered row_number is the deterministic analog).  The right
+    table here has a UNIQUE best row per key so the choice is pinned."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, s string"
+    ).createOrReplaceTempView("any_l")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "k int, p double"
+    ).createOrReplaceTempView("any_r")
+    out = run(
+        spark,
+        "SELECT a.k AS k, count() AS n FROM any_l a ANY LEFT JOIN any_r b "
+        "ON a.k = b.k GROUP BY a.k",
+    ).collect()
+    # without ANY, k=1 would join twice; with it, exactly once each
+    assert sorted((r.k, r.n) for r in out) == [(1, 1), (2, 1), (3, 1)]
+    inner = run(
+        spark,
+        "SELECT count() AS n FROM any_l a ANY INNER JOIN any_r b ON a.k = b.k",
+    ).first().n
+    assert inner == 2
+    with pytest.raises(ValueError, match="ANY JOIN"):
+        translate("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
