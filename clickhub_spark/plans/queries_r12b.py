@@ -659,3 +659,51 @@ def q_ch_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(lines_added) AS lines_added "
         "FROM git_commits_final GROUP BY repo_name",
     )
+
+
+@query(
+    "q_ch_sql_any_join",
+    oracle="""
+    WITH first_v AS (
+        SELECT user_id,
+               CAST(MIN(value) AS DOUBLE) AS first_value
+        FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), p AS (
+        SELECT user_id, event_id, value FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    )
+    SELECT p.user_id AS user_id, p.event_id AS event_id,
+           p.value AS value, f.first_value AS first_value
+    FROM p LEFT JOIN first_v f USING (user_id)
+    """,
+)
+def q_ch_sql_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANY LEFT JOIN`` strictness as a literal dialect statement:
+    each purchase joined to AT MOST ONE row of a per-user quote view.
+    The rewrite dedupes the right side with a key-partitioned
+    row_number subquery BEFORE the join — one extra window over the
+    small side, no fanout on the probe side.  The right view is
+    unique-per-key BY CONSTRUCTION (min aggregate), so ClickHouse's
+    'arbitrary matching row' is pinned and the oracle is a plain
+    LEFT JOIN against the same aggregate."""
+    ev = load(spark, sf_dir, "events")
+    ev.where(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).groupBy("user_id").agg(
+        F.min("value").cast("double").alias("first_value")
+    ).createOrReplaceTempView("first_view_t")
+    ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id", "value").createOrReplaceTempView(
+        "purchases_any_t"
+    )
+    return run(
+        spark,
+        """
+        SELECT a.user_id AS user_id, a.event_id AS event_id,
+               a.value AS value, b.first_value AS first_value
+        FROM purchases_any_t a ANY LEFT JOIN first_view_t b
+        ON a.user_id = b.user_id
+        """,
+    )

@@ -81,6 +81,7 @@ ROUND_PRIORITY = [
     "q_ch_sql_with_fill_range",
     "q_ch_sql_asof",
     "q_ch_ddl_roundtrip",
+    "q_ch_sql_any_join",
     "q_seq_match_pattern_time",
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",
