@@ -122,6 +122,10 @@ class TableDef:
     primary_key: list[str] = field(default_factory=list)
     settings: dict[str, str] = field(default_factory=dict)
     if_not_exists: bool = False
+    #: raw ClickHouse PARTITION BY expression (e.g. ``toYYYYMM(time)``)
+    #: — materialized at write as the hive partition dir
+    #: ``_partition_id`` (ClickHouse's virtual column of that name)
+    partition_expr: str | None = None
 
     @property
     def qualified(self) -> str:
@@ -383,6 +387,12 @@ def parse_create_table(sql: str) -> TableDef:
 
     order_by = clause(r"ORDER\s+BY")
     primary_key = clause(r"PRIMARY\s+KEY")
+    pm = re.search(
+        r"PARTITION\s+BY\s+(\w+\s*\([^)]*\)|\([^)]*\)|[\w`]+)",
+        tail,
+        re.IGNORECASE,
+    )
+    partition_expr = pm.group(1).strip().strip("`") if pm else None
     settings: dict[str, str] = {}
     sm = re.search(r"SETTINGS\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
     if sm:
@@ -400,6 +410,7 @@ def parse_create_table(sql: str) -> TableDef:
         primary_key=primary_key or order_by[:1],
         settings=settings,
         if_not_exists=if_not_exists,
+        partition_expr=partition_expr,
     )
 
 
@@ -740,7 +751,15 @@ class Warehouse:
 
         from clickhub_spark.sources.writer import compact
 
-        n = compact(spark, data, sort_cols=list(td.order_by), transform=transform)
+        n = compact(
+            spark,
+            data,
+            sort_cols=list(td.order_by),
+            partition_by=(
+                ["_partition_id"] if td.partition_expr is not None else None
+            ),
+            transform=transform,
+        )
         return f"optimized {n}"
 
     # -- table access --------------------------------------------------------
@@ -789,10 +808,24 @@ class Warehouse:
                     df = df.withColumn(c.name, F.current_timestamp())
                 else:
                     df = df.withColumn(c.name, F.expr(c.materialized))
+        partition_by = None
+        if td.partition_expr is not None:
+            # materialize ClickHouse's _partition_id virtual column as
+            # the hive partition dir: queries filtering on it get
+            # PartitionFilters pruning (the MergeTree partition-prune
+            # analog); the expression runs through the dialect shim so
+            # toYYYYMM(time)-style forms work verbatim
+            from clickhub_spark.sql_compat import translate  # noqa: PLC0415
+
+            df = df.withColumn(
+                "_partition_id",
+                F.expr(translate(td.partition_expr)).cast("string"),
+            )
+            partition_by = "_partition_id"
         write_sorted(
             df,
             os.path.join(self._dir(td.database, td.name), "data"),
-            partition_by=None,
+            partition_by=partition_by,
             sort_cols=list(td.order_by),
         )
 
@@ -857,6 +890,7 @@ def _tabledef_to_json(td: TableDef) -> dict:
         "order_by": td.order_by,
         "primary_key": td.primary_key,
         "settings": td.settings,
+        "partition_expr": td.partition_expr,
         "columns": [
             {
                 "name": c.name,
@@ -892,4 +926,5 @@ def _tabledef_from_json(d: dict) -> TableDef:
         order_by=d.get("order_by", []),
         primary_key=d.get("primary_key", []),
         settings=d.get("settings", {}),
+        partition_expr=d.get("partition_expr"),
     )

@@ -448,3 +448,45 @@ def test_optimize_deduplicate_drops_full_row_dupes(spark, wh):
     ) == "optimized 2"
     assert wh.read(spark, "git.t3").count() == 2
     assert wh.execute("OPTIMIZE TABLE git.t3", spark=spark) == "optimized 2"
+
+
+# --------------------------------------------------------------------------
+# PARTITION BY
+# --------------------------------------------------------------------------
+
+
+def test_partition_by_prunes_and_survives_optimize(spark, wh):
+    """PARTITION BY toYYYYMM(time): the expression materializes as
+    ClickHouse's `_partition_id` virtual column backing a hive
+    partition dir, so an equality filter on it shows PartitionFilters
+    in the scan (the MergeTree partition-prune analog) and OPTIMIZE
+    preserves the layout (one compacted file set per partition)."""
+    import os
+
+    wh.execute(
+        "CREATE TABLE git.pt (`k` String, `time` DateTime, `n` UInt32) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(time) ORDER BY (k, time)"
+    )
+    td = wh.table_def("git.pt")
+    assert td.partition_expr == "toYYYYMM(time)"
+    wh.execute(
+        "INSERT INTO git.pt (k, time, n) VALUES "
+        "('a', '2024-01-05 00:00:00', 1), ('b', '2024-01-20 00:00:00', 2), "
+        "('c', '2024-02-01 00:00:00', 3)",
+        spark=spark,
+    )
+    data = os.path.join(wh.root, "git", "pt", "data")
+    parts = sorted(d for d in os.listdir(data) if d.startswith("_partition_id="))
+    assert parts == ["_partition_id=202401", "_partition_id=202402"]
+    df = wh.read(spark, "git.pt")
+    jan = df.where(df["_partition_id"] == "202401")
+    plan = jan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "202401" in plan
+    assert jan.count() == 2
+    # OPTIMIZE keeps the hive layout
+    assert wh.execute("OPTIMIZE TABLE git.pt", spark=spark) == "optimized 3"
+    parts2 = sorted(d for d in os.listdir(data) if d.startswith("_partition_id="))
+    assert parts2 == parts
+    assert wh.read(spark, "git.pt").count() == 3
+    # metadata reload keeps the expression
+    assert Warehouse(wh.root).table_def("git.pt").partition_expr == "toYYYYMM(time)"
