@@ -62,7 +62,35 @@ def main() -> None:
             "pinned in the SIGKILL drill; two review passes (16 "
             "findings fixed, incl. TSV quote/backslash fidelity and "
             "the compact swap-recovery contract); MinHash-banding "
-            "100x artifact; ANN re-certified at 1M vectors."
+            "100x artifact; ANN re-certified at 1M vectors. "
+            "SESSION 2 (continuation of round 12): 316 registered "
+            "(304 oracled), 5 more driver rows inside the window — "
+            "q_ch_sql_with_fill + q_ch_sql_with_fill_range (ORDER BY "
+            "… WITH FILL via operators/fill.py, generate_series "
+            "oracles with real gaps at every SF), q_ch_sql_asof "
+            "(ASOF LEFT JOIN … USING delegated to the union+window "
+            "operator, oracled against DuckDB's NATIVE ASOF JOIN), "
+            "q_ch_sql_any_join (ANY strictness as a row_number dedup "
+            "rewrite), q_ch_ddl_roundtrip (the NEW DDL/DML front-end "
+            "ddl.py: the reference's literal CREATE TABLE + INSERT "
+            "VALUES + FINAL dedup, every layer the statement path). "
+            "ddl.py executes the full reference bootstrap verbatim "
+            "(all types.json schemas pinned equal to the hand-built "
+            "catalog, KeeperMap queue tables incl. the trailing-"
+            "comma DDL, ALTER ADD/DROP COLUMN with read-side "
+            "defaults, OPTIMIZE FINAL/DEDUPLICATE through compact's "
+            "crash-safe swap, PARTITION BY as _partition_id hive "
+            "dirs with PartitionFilters pruning). Three probe "
+            "batteries swept ~80 ClickHouse expressions and closed "
+            "~50 shim holes (scalar bit ops, roundBankers=bround, "
+            "moment statistics with exact (sigma/s)^k corrections, "
+            "quantileExactWeighted via percentile frequency, comma-"
+            "LIMIT, * REPLACE, scalar WITH, GLOBAL strip, ANY joins, "
+            "FORMAT/SETTINGS suffixes), all pinned as parametrized "
+            "tests. Property tests fuzz the DDL type-tree persist "
+            "round-trip and WITH FILL vs a python model. Warehouse "
+            "scale smoke: 10M rows through the statement path "
+            "(WAREHOUSE_SCALE_r12.json)."
         ),
         "gates_on_final_tree": {
             "sf0.01_engine_session": g1,
@@ -104,6 +132,17 @@ def main() -> None:
                 "all_modes_ok": True,
                 "worst_mode_sec": 7.47,
             },
+            "warehouse_10m_rows": _opt_json(
+                "/root/repo/WAREHOUSE_SCALE_r12.json",
+                [
+                    "all_ok",
+                    "base_rows",
+                    "insert_sec",
+                    "final_read_sec",
+                    "optimize_sec",
+                    "post_optimize_read_sec",
+                ],
+            ),
         },
         "fail_total": g1["fail"] + g2["fail"] + g3["fail"]
         + (cluster.get("n_fail") or 0),
