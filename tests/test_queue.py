@@ -351,7 +351,12 @@ def test_http_heartbeat_survives_coordinator_outage(tmp_path):
     port = srv.server_address[1]
     url = f"http://127.0.0.1:{port}"
 
-    lease = 0.4
+    # 1.2 s, not 0.4: the beat thread wakes every lease/3, and under a
+    # fully loaded box (the whole suite drives 32 Spark threads) GIL /
+    # scheduler jitter can delay a wake-up past a 0.4 s lease — the
+    # rival then steals LEGITIMATELY and the assertion reads as a code
+    # bug.  The scenario only needs outage (~0.4 s) < remaining lease.
+    lease = 1.2
     q = HttpWorkQueue(url, lease_s=lease)
     rival = HttpWorkQueue(url, lease_s=lease)
     q.schedule("acme/outage")
