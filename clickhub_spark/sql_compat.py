@@ -91,6 +91,35 @@ _FN_RENAMES = {
     "leftPad": "lpad",
     "rightPad": "rpad",
     "modulo": "mod",
+    # probe battery 4 — still strictly 1:1:
+    "bitCount": "bit_count",
+    "base64Encode": "base64",
+    "generateUUIDv4": "uuid",
+    "currentDatabase": "current_database",
+    "currentUser": "current_user",
+    "toTypeName": "typeof",  # Spark type names, not ClickHouse's
+    "toISOWeek": "weekofyear",  # Spark weekofyear is the ISO week
+    # probe battery 5 — 1:1:
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    "substringIndex": "substring_index",
+    "toLastDayOfMonth": "last_day",
+    "makeDate": "make_date",
+    "makeDateTime": "make_timestamp",
+    "toUnixTimestamp64Milli": "unix_millis",
+    "fromUnixTimestamp64Milli": "timestamp_millis",
+    "positionUTF8": "instr",  # CH (haystack, needle) = instr order
+    "uniqTheta": "approx_count_distinct",
+    "now64": "now",  # µs vs the engine's configurable sub-second scale
+    "JSONExtractKeys": "json_object_keys",
+    # 64-bit hash families: deterministic xxhash64 stands in for the
+    # engine's sip/farm/wy/halfMD5 (different algorithm, same
+    # bucketing/sampling contract — the cityHash64 precedent)
+    "sipHash64": "xxhash64",
+    "farmHash64": "xxhash64",
+    "wyHash64": "xxhash64",
+    "halfMD5": "xxhash64",
     # round-6 surface widening — still strictly 1:1 (same arg order,
     # same meaning); names whose semantics diverge between the
     # dialects (toDayOfWeek's weekday origin, fromUnixTimestamp's
@@ -116,6 +145,17 @@ _FN_RENAMES = {
 #: <agg>If(x, cond) → <agg>(CASE WHEN cond THEN x END); Spark only has
 #: count_if, the other -If combinators need the CASE rewrite.
 _IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+
+#: accurateCast('Type') targets — ANSI CAST already throws on overflow,
+#: which IS the "accurate" contract (unsigned types widen: Spark has no
+#: unsigned integers, the engine's documented trade)
+_CH_CAST_TYPES = {
+    "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+    "Int64": "BIGINT", "UInt8": "SMALLINT", "UInt16": "INT",
+    "UInt32": "BIGINT", "UInt64": "BIGINT", "Float32": "FLOAT",
+    "Float64": "DOUBLE", "String": "STRING", "Date": "DATE",
+    "DateTime": "TIMESTAMP", "Bool": "BOOLEAN",
+}
 
 _START_OF = {
     "toStartOfHour": "hour",
@@ -771,6 +811,63 @@ def _rewrite_array_join_clause(sql: str) -> str:
     )
 
 
+_CLAUSE_AFTER_WHERE = re.compile(
+    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT"
+    r"|SETTINGS|FORMAT)\b",
+    re.IGNORECASE,
+)
+
+
+def _merge_prewhere(sql: str) -> str:
+    """``PREWHERE p1 WHERE p2`` → ``WHERE (p1) AND (p2)`` (ClickHouse
+    applies the conjunction; PREWHERE is only a scan-order hint).
+    Clause boundaries are found at paren-depth 0 outside string
+    literals, so subqueries inside either predicate are inert.  A
+    PREWHERE with no following WHERE is left for the plain keyword
+    rename."""
+    spans = _literal_spans(sql)
+    m = re.search(r"\bPREWHERE\b", sql)
+    if not m or _in_spans(spans, m.start()):
+        return sql
+
+    def _scan_clause_end(start: int, stop_where: bool) -> tuple[int, str]:
+        """Return (index, keyword) of the next depth-0 clause keyword
+        at/after ``start`` ('' at end of statement)."""
+        depth, j = 0, start
+        while j < len(sql):
+            if _in_spans(spans, j):
+                j += 1
+                continue
+            ch = sql[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch.isalpha() and (j == 0 or not sql[j - 1].isalnum()):
+                if stop_where:
+                    mw = re.match(r"WHERE\b", sql[j:], re.IGNORECASE)
+                    if mw:
+                        return j, "WHERE"
+                mk = _CLAUSE_AFTER_WHERE.match(sql, j)
+                if mk:
+                    return j, mk.group(1).upper()
+            j += 1
+        return len(sql), ""
+
+    pre_end, kw = _scan_clause_end(m.end(), stop_where=True)
+    if kw != "WHERE":
+        return sql  # no WHERE to merge with; plain rename handles it
+    p1 = sql[m.end() : pre_end].strip()
+    where_body_start = pre_end + len("WHERE")
+    body_end, _ = _scan_clause_end(where_body_start, stop_where=False)
+    p2 = sql[where_body_start:body_end].strip()
+    return (
+        sql[: m.start()]
+        + f"WHERE ({p1}) AND ({p2}) "
+        + sql[body_end:]
+    )
+
+
 def translate(sql: str) -> str:
     """Rewrite ClickHouse SQL to Spark SQL."""
     out = sql
@@ -926,11 +1023,31 @@ def translate(sql: str) -> str:
         return f"date_format({args[0]}, {fmt})"
 
     out = _rewrite_call(out, "formatDateTime", _fmt_datetime, nargs=2)
-    # dateDiff('unit', a, b) → timestampdiff(UNIT, a, b)
+    # dateDiff('unit', a, b) counts crossed UNIT BOUNDARIES in
+    # ClickHouse (dateDiff('hour', 22:58, 23:05) = 1), while Spark's
+    # timestampdiff counts COMPLETE elapsed units (= 0 there) — so the
+    # operands are date_trunc'ed to the unit first.  age('unit', a, b)
+    # is ClickHouse's complete-units form: plain timestampdiff.
+    def _date_diff(a: list[str]) -> str:
+        unit = a[0].strip().strip("'\"").upper()
+        if unit not in (
+            "SECOND", "MINUTE", "HOUR", "DAY", "WEEK",
+            "MONTH", "QUARTER", "YEAR",
+        ):
+            raise ValueError(f"dateDiff: unsupported unit {unit!r}")
+        return (
+            f"timestampdiff({unit}, date_trunc('{unit}', {a[1]}), "
+            f"date_trunc('{unit}', {a[2]}))"
+        )
+
+    out = _rewrite_call(out, "dateDiff", _date_diff, nargs=3)
+    out = _rewrite_call(out, "date_diff", _date_diff, nargs=3)
     out = _rewrite_call(
         out,
-        "dateDiff",
-        lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
+        "age",
+        lambda a: (
+            f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})"
+        ),
         nargs=3,
     )
     # arraySlice: ClickHouse's 2-arg form means "offset to end" (Spark's
@@ -952,6 +1069,889 @@ def translate(sql: str) -> str:
     out = _rewrite_call(out, "addMonths", lambda a: f"add_months({a[0]}, {a[1]})", nargs=2)
     out = _rewrite_call(
         out, "subtractMonths", lambda a: f"add_months({a[0]}, -({a[1]}))", nargs=2
+    )
+    # --- probe battery 4 (round-12 session 3): remaining add/subtract
+    # units render as timestampadd (n may be any expression, so the
+    # INTERVAL literal form doesn't apply)
+    for ch_unit, sp_unit in [
+        ("Hours", "HOUR"), ("Minutes", "MINUTE"), ("Seconds", "SECOND"),
+        ("Weeks", "WEEK"), ("Quarters", "QUARTER"), ("Years", "YEAR"),
+    ]:
+        out = _rewrite_call(
+            out, f"add{ch_unit}",
+            lambda a, u=sp_unit: f"timestampadd({u}, {a[1]}, {a[0]})", nargs=2,
+        )
+        out = _rewrite_call(
+            out, f"subtract{ch_unit}",
+            lambda a, u=sp_unit: f"timestampadd({u}, -({a[1]}), {a[0]})", nargs=2,
+        )
+    out = _rewrite_call(
+        out, "toMonday", lambda a: f"to_date(date_trunc('week', {a[0]}))"
+    )
+    # timeSlot = toStartOfInterval(t, 30 MINUTE); toRelative*Num is the
+    # epoch count in the unit (ClickHouse counts from 1970 in server TZ;
+    # the engine session pins UTC so unix_timestamp matches)
+    out = _rewrite_call(
+        out, "timeSlot",
+        lambda a: (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / 1800) "
+            f"* 1800 AS BIGINT))"
+        ),
+    )
+    for rel_unit, rel_div in [
+        ("Second", 1), ("Minute", 60), ("Hour", 3600), ("Day", 86400),
+    ]:
+        out = _rewrite_call(
+            out, f"toRelative{rel_unit}Num",
+            lambda a, dv=rel_div: (
+                f"CAST(floor(unix_timestamp({a[0]}) / {dv}) AS BIGINT)"
+            ),
+        )
+    out = _rewrite_call(out, "toISOYear", lambda a: f"extract(YEAROFWEEK FROM {a[0]})")
+    # arithmetic named forms → operators; ClickHouse divide() is always
+    # floating-point division, which Spark's / on integers also is
+    out = _rewrite_call(out, "plus", lambda a: f"(({a[0]}) + ({a[1]}))", nargs=2)
+    out = _rewrite_call(out, "minus", lambda a: f"(({a[0]}) - ({a[1]}))", nargs=2)
+    out = _rewrite_call(out, "multiply", lambda a: f"(({a[0]}) * ({a[1]}))", nargs=2)
+    # divide() is ALWAYS Float64 division in ClickHouse, with IEEE
+    # zero-divisor results (x/0 → ±Inf, 0/0 → NaN).  Spark 4's ANSI
+    # mode throws DIVIDE_BY_ZERO for EVERY numeric type incl. double,
+    # so the zero-divisor branches are spelled out (a -0.0 divisor
+    # loses its sign — documented delta)
+    def _ch_divide(a: list[str]) -> str:
+        num, den = f"CAST({a[0]} AS DOUBLE)", f"CAST({a[1]} AS DOUBLE)"
+        return (
+            f"(CASE WHEN {den} = 0.0 THEN "
+            f"CASE WHEN isnan({num}) OR {num} = 0.0 THEN CAST('NaN' AS DOUBLE) "
+            f"WHEN {num} > 0 THEN CAST('Infinity' AS DOUBLE) "
+            f"ELSE CAST('-Infinity' AS DOUBLE) END "
+            f"ELSE {num} / {den} END)"
+        )
+
+    out = _rewrite_call(out, "divide", _ch_divide, nargs=2)
+    out = _rewrite_call(out, "negate", lambda a: f"(-({a[0]}))")
+    out = _rewrite_call(
+        out, "intDivOrZero",
+        lambda a: f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE div({a[0]}, {a[1]}) END",
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out, "moduloOrZero",
+        lambda a: f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END",
+        nargs=2,
+    )
+    # gcd/lcm: Euclid unrolled as an aggregate() fold — 92 iterations
+    # bounds the worst case for 64-bit inputs (consecutive Fibonacci
+    # numbers), each step a no-op once the remainder hits 0
+    def _gcd_expr(x: str, y: str) -> str:
+        return (
+            f"aggregate(sequence(1, 92), "
+            f"named_struct('a', abs(CAST({x} AS BIGINT)), "
+            f"'b', abs(CAST({y} AS BIGINT))), "
+            f"(__s, __i) -> IF(__s.b = 0, __s, "
+            f"named_struct('a', __s.b, 'b', __s.a % __s.b)), __s -> __s.a)"
+        )
+
+    out = _rewrite_call(out, "gcd", lambda a: f"({_gcd_expr(a[0], a[1])})", nargs=2)
+    out = _rewrite_call(
+        out, "lcm",
+        lambda a: (
+            f"div(abs(CAST({a[0]} AS BIGINT) * CAST({a[1]} AS BIGINT)), "
+            f"{_gcd_expr(a[0], a[1])})"
+        ),
+        nargs=2,
+    )
+    out = _rewrite_call(out, "exp2", lambda a: f"pow(2, {a[0]})")
+    out = _rewrite_call(out, "exp10", lambda a: f"pow(10, {a[0]})")
+    out = _rewrite_call(
+        out, "intExp2",
+        lambda a: f"shiftleft(CAST(1 AS BIGINT), CAST({a[0]} AS INT))",
+    )
+    out = _rewrite_call(
+        out, "intExp10", lambda a: f"CAST(round(pow(10, {a[0]})) AS BIGINT)"
+    )
+    # erf via Abramowitz-Stegun 7.1.26 (|error| <= 1.5e-7): Spark has
+    # no gamma/error functions; the rational approximation is pure
+    # arithmetic and stays inside whole-stage codegen
+    def _erf_expr(x: str) -> str:
+        t = f"(1 / (1 + 0.3275911 * abs({x})))"
+        poly = (
+            f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * "
+            f"(1.421413741 + {t} * (-1.453152027 + {t} * 1.061405429)))))"
+        )
+        return f"(sign({x}) * (1 - {poly} * exp(-(({x}) * ({x})))))"
+
+    out = _rewrite_call(out, "erfc", lambda a: f"(1 - {_erf_expr(a[0])})")
+    out = _rewrite_call(out, "erf", lambda a: _erf_expr(a[0]))
+    out = _rewrite_call(
+        out, "isFinite",
+        lambda a: (
+            f"(NOT isnan({a[0]}) AND abs({a[0]}) <> CAST('Infinity' AS DOUBLE))"
+        ),
+    )
+    out = _rewrite_call(
+        out, "isInfinite", lambda a: f"(abs({a[0]}) = CAST('Infinity' AS DOUBLE))"
+    )
+    out = _rewrite_call(
+        out, "bitTest",
+        lambda a: (
+            f"CAST(shiftright(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT)) "
+            f"& 1 AS INT)"
+        ),
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    )
+    out = _rewrite_call(
+        out, "bitmaskToList",
+        lambda a: (
+            f"array_join(filter(transform(sequence(0, 62), __i -> "
+            f"IF((shiftright(CAST({a[0]} AS BIGINT), __i) & 1) = 1, "
+            f"CAST(shiftleft(CAST(1 AS BIGINT), __i) AS STRING), NULL)), "
+            f"__v -> __v IS NOT NULL), ',')"
+        ),
+    )
+    out = _rewrite_call(
+        out, "IPv4NumToString",
+        lambda a: (
+            f"concat(CAST(shiftright(CAST({a[0]} AS BIGINT), 24) & 255 AS STRING), "
+            f"'.', CAST(shiftright(CAST({a[0]} AS BIGINT), 16) & 255 AS STRING), "
+            f"'.', CAST(shiftright(CAST({a[0]} AS BIGINT), 8) & 255 AS STRING), "
+            f"'.', CAST(CAST({a[0]} AS BIGINT) & 255 AS STRING))"
+        ),
+    )
+    out = _rewrite_call(
+        out, "IPv4StringToNum",
+        lambda a: (
+            f"aggregate(transform(split({a[0]}, '\\\\.'), "
+            f"__o -> CAST(__o AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(__a, __o) -> __a * 256 + __o)"
+        ),
+    )
+    # splitByString(sep, s): args reversed vs split(), and the
+    # separator is a PLAIN string, so it is regex-quoted with \Q…\E
+    out = _rewrite_call(
+        out, "splitByString",
+        lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+        nargs=2,
+    )
+
+    # CH extract(s, re) returns the first match (first capture group if
+    # the pattern has one).  Only the 2-arg COMMA form is rewritten, so
+    # SQL's EXTRACT(field FROM ts) never matches.
+    def _ch_extract(a: list[str]) -> str:
+        if len(a) != 2:
+            return f"extract({', '.join(a)})"
+        idx = 0
+        lit = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip())
+        if lit and re.compile(lit.group(1).replace("''", "'")).groups > 0:
+            idx = 1
+        return f"regexp_extract({a[0]}, {a[1]}, {idx})"
+
+    out = _rewrite_call(out, "extract", _ch_extract, nargs=2)
+
+    # format('{} and {}', …) → format_string('%s and %s', …); {N} is
+    # 0-based positional in ClickHouse, %N$s is 1-based in Java
+    def _ch_format(a: list[str]) -> str:
+        lit = re.fullmatch(r"'((?:[^']|'')*)'", a[0].strip())
+        if not lit:
+            raise ValueError("format(): the format string must be a literal")
+        s = lit.group(1).replace("%", "%%")
+        s = re.sub(r"\{(\d+)\}", lambda m2: f"%{int(m2.group(1)) + 1}$s", s)
+        s = s.replace("{}", "%s")
+        return f"format_string('{s}', {', '.join(a[1:])})"
+
+    out = _rewrite_call(out, "format", _ch_format, nargs=2)
+    # CH transform(x, [from…], [to…][, default]) is the lookup-table
+    # form; Spark's 2-arg transform(arr, lambda) HOF passes through
+    def _ch_transform(a: list[str]) -> str:
+        if len(a) < 3:
+            return f"transform({', '.join(a)})"
+        mapped = f"try_element_at(map_from_arrays({a[1]}, {a[2]}), {a[0]})"
+        return f"coalesce({mapped}, {a[3] if len(a) == 4 else a[0]})"
+
+    out = _rewrite_call(out, "transform", _ch_transform, nargs=2)
+    # tuple(…) → named_struct with positional _N names; tupleElement
+    # reads them back (literal index only — the tuple() form's naming)
+    out = _rewrite_call(
+        out, "tuple",
+        lambda a: (
+            "named_struct("
+            + ", ".join(f"'_{i + 1}', {arg}" for i, arg in enumerate(a))
+            + ")"
+        ),
+    )
+
+    def _tuple_element(a: list[str]) -> str:
+        if not re.fullmatch(r"\d+", a[1].strip()):
+            raise ValueError(
+                "tupleElement: literal positional index only (the tuple() "
+                "render names fields _1, _2, …)"
+            )
+        return f"({a[0]})._{a[1].strip()}"
+
+    out = _rewrite_call(out, "tupleElement", _tuple_element, nargs=2)
+    # greatCircleDistance(lon1, lat1, lon2, lat2) → meters, haversine
+    # on ClickHouse's sphere radius 6372797.560856 m
+    out = _rewrite_call(
+        out, "greatCircleDistance",
+        lambda a: (
+            f"(2 * 6372797.560856 * asin(sqrt("
+            f"pow(sin(radians(({a[3]}) - ({a[1]})) / 2), 2) "
+            f"+ cos(radians({a[1]})) * cos(radians({a[3]})) "
+            f"* pow(sin(radians(({a[2]}) - ({a[0]})) / 2), 2))))"
+        ),
+        nargs=4,
+    )
+    # --- battery-4 array surface ---
+    out = _rewrite_call(
+        out, "arrayElement", lambda a: f"try_element_at({a[0]}, {a[1]})", nargs=2
+    )
+
+    def _array_intersect_fold(a: list[str]) -> str:
+        expr = a[0]
+        for nxt in a[1:]:
+            expr = f"array_intersect({expr}, {nxt})"
+        return expr
+
+    out = _rewrite_call(out, "arrayIntersect", _array_intersect_fold, nargs=2)
+    out = _rewrite_call(
+        out, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))", nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})", nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayPopBack",
+        lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
+    )
+    out = _rewrite_call(
+        out, "arrayPopFront",
+        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    )
+    out = _rewrite_call(
+        out, "arrayWithConstant",
+        lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))",
+        nargs=2,
+    )
+    # arrayResize pads with the element type's NULL (ClickHouse pads
+    # with the type DEFAULT — documented delta) unless a pad is given;
+    # try_element_at past the end is a TYPED null of the element type
+    def _array_resize(a: list[str]) -> str:
+        pad = a[2] if len(a) == 3 else f"try_element_at({a[0]}, size({a[0]}) + 1)"
+        return (
+            f"CASE WHEN ({a[1]}) <= size({a[0]}) THEN slice({a[0]}, 1, ({a[1]})) "
+            f"ELSE concat({a[0]}, array_repeat({pad}, ({a[1]}) - size({a[0]}))) END"
+        )
+
+    out = _rewrite_call(out, "arrayResize", _array_resize, nargs=2)
+    # arrayCompact: keep element i iff it differs from element i-1
+    # (consecutive-dup collapse, null-safe <=>)
+    out = _rewrite_call(
+        out, "arrayCompact",
+        lambda a: (
+            f"filter({a[0]}, (__x, __i) -> __i = 0 "
+            f"OR NOT (__x <=> try_element_at({a[0]}, __i)))"
+        ),
+    )
+
+    def _lambda_parts(text: str) -> tuple[str, str]:
+        m2 = re.match(r"^\(?\s*(\w+)\s*\)?\s*->\s*(.+)$", text.strip(), re.DOTALL)
+        if not m2:
+            raise ValueError(f"expected a 1-arg lambda, got {text!r}")
+        return m2.group(1), m2.group(2)
+
+    # arraySort/arrayReverseSort by-key lambda forms → array_sort with
+    # a three-way comparator over the key expression
+    def _array_sort_by(a: list[str], desc: bool) -> str:
+        if len(a) == 1:
+            return (
+                f"reverse(sort_array({a[0]}))" if desc else f"sort_array({a[0]})"
+            )
+        p, body = _lambda_parts(a[0])
+        fl = re.sub(rf"\b{p}\b", "__l", body)
+        fr = re.sub(rf"\b{p}\b", "__r", body)
+        lo, hi = ("1", "-1") if desc else ("-1", "1")
+        return (
+            f"array_sort({a[1]}, (__l, __r) -> CASE WHEN ({fl}) < ({fr}) "
+            f"THEN {lo} WHEN ({fl}) > ({fr}) THEN {hi} ELSE 0 END)"
+        )
+
+    out = _rewrite_call(
+        out, "arrayReverseSort", lambda a: _array_sort_by(a, True)
+    )
+    out = _rewrite_call(
+        out, "arraySort",
+        lambda a: _array_sort_by(a, False) if len(a) == 2 else f"sort_array({a[0]})",
+    )
+
+    def _array_index_of_match(a: list[str], last: bool) -> str:
+        p, body = _lambda_parts(a[0])
+        return (
+            f"coalesce(try_element_at(filter(transform({a[1]}, "
+            f"({p}, __ci) -> IF({body}, __ci + 1, CAST(NULL AS INT))), "
+            f"__v -> __v IS NOT NULL), {-1 if last else 1}), 0)"
+        )
+
+    out = _rewrite_call(
+        out, "arrayFirstIndex", lambda a: _array_index_of_match(a, False), nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayLastIndex", lambda a: _array_index_of_match(a, True), nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayFirst",
+        lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)", nargs=2,
+    )
+    out = _rewrite_call(
+        out, "arrayLast",
+        lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)", nargs=2,
+    )
+
+    # arrayReduce('agg', arr) for the aggregate names with a pure
+    # array-expression equivalent; others raise (a string cannot carry
+    # an arbitrary aggregate through one rewrite)
+    def _array_reduce(a: list[str]) -> str:
+        nm = a[0].strip().strip("'\"").lower()
+        arr = a[1]
+        fold_sum = f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __e) -> __a + __e)"
+        renders = {
+            "sum": fold_sum,
+            "min": f"array_min({arr})",
+            "max": f"array_max({arr})",
+            "avg": f"({fold_sum} / nullif(size({arr}), 0))",
+            "count": f"size({arr})",
+            "any": f"try_element_at({arr}, 1)",
+            "anylast": f"try_element_at({arr}, -1)",
+            "uniq": f"size(array_distinct({arr}))",
+            "uniqexact": f"size(array_distinct({arr}))",
+            "grouparray": arr,
+        }
+        if nm not in renders:
+            raise ValueError(
+                f"arrayReduce: unsupported aggregate {nm!r} (supported: "
+                f"{sorted(renders)})"
+            )
+        return renders[nm]
+
+    out = _rewrite_call(out, "arrayReduce", _array_reduce, nargs=2)
+    # emptyArray<T>() constructors → typed empty array casts
+    out = re.sub(
+        r"\bemptyArrayU?Int(?:8|16|32|64)\s*\(\s*\)",
+        "CAST(array() AS ARRAY<BIGINT>)", out,
+    )
+    out = re.sub(
+        r"\bemptyArrayFloat(?:32|64)\s*\(\s*\)",
+        "CAST(array() AS ARRAY<DOUBLE>)", out,
+    )
+    out = re.sub(
+        r"\bemptyArrayString\s*\(\s*\)", "CAST(array() AS ARRAY<STRING>)", out
+    )
+    out = re.sub(
+        r"\bemptyArrayDateTime\s*\(\s*\)",
+        "CAST(array() AS ARRAY<TIMESTAMP>)", out,
+    )
+    out = re.sub(
+        r"\bemptyArrayDate\s*\(\s*\)", "CAST(array() AS ARRAY<DATE>)", out
+    )
+    # --- battery-4 aggregate surface ---
+    # -If combinators beyond sum/avg/min/max (the CASE table): any_value
+    # and last need ignoreNulls=true or the NULL from a non-matching
+    # row wins; uniq keeps the approx/exact split of the bare names
+    out = _rewrite_call(
+        out, "anyIf",
+        lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)", nargs=2,
+    )
+    out = _rewrite_call(
+        out, "anyLastIf",
+        lambda a: f"last(CASE WHEN {a[1]} THEN {a[0]} END, true)", nargs=2,
+    )
+    out = _rewrite_call(
+        out, "uniqIf",
+        lambda a: f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)",
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out, "uniqExactIf",
+        lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)", nargs=2,
+    )
+    out = _rewrite_call(
+        out, "argMaxIf",
+        lambda a: f"max_by({a[0]}, CASE WHEN {a[2]} THEN {a[1]} END)", nargs=3,
+    )
+    out = _rewrite_call(
+        out, "argMinIf",
+        lambda a: f"min_by({a[0]}, CASE WHEN {a[2]} THEN {a[1]} END)", nargs=3,
+    )
+    # -Distinct combinators → DISTINCT aggregates
+    out = re.sub(r"\bsumDistinct\s*\(", "sum(DISTINCT ", out)
+    out = re.sub(r"\bavgDistinct\s*\(", "avg(DISTINCT ", out)
+    # -Array combinators: aggregate over every element of every row's
+    # array (sums widen to DOUBLE, same trade as arraySum)
+    _fold_sum = "aggregate({e}, CAST(0 AS DOUBLE), (__a, __e) -> __a + __e)"
+    out = _rewrite_call(
+        out, "sumArray", lambda a: f"sum({_fold_sum.format(e=a[0])})"
+    )
+    out = _rewrite_call(out, "minArray", lambda a: f"min(array_min({a[0]}))")
+    out = _rewrite_call(out, "maxArray", lambda a: f"max(array_max({a[0]}))")
+    out = _rewrite_call(
+        out, "avgArray",
+        lambda a: f"(sum({_fold_sum.format(e=a[0])}) / sum(size({a[0]})))",
+    )
+    out = _rewrite_call(out, "countArray", lambda a: f"sum(size({a[0]}))")
+    # parametric groupArray(N)(x) caps the collected list; the Sample
+    # form keeps a deterministic prefix (ClickHouse samples randomly —
+    # documented delta, same cardinality contract)
+    out = _rewrite_parametric(
+        out, "groupArraySample",
+        lambda ps, a: f"slice(collect_list({a[0]}), 1, {ps[0]})",
+    )
+    out = _rewrite_parametric(
+        out, "groupArray",
+        lambda ps, a: f"slice(collect_list({a[0]}), 1, {ps[0]})",
+    )
+    # exact multi-quantiles and exact median
+    out = _rewrite_parametric(
+        out, "quantilesExact",
+        lambda ps, a: f"percentile({a[0]}, array({', '.join(ps)}))",
+    )
+    out = _rewrite_call(out, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
+    out = _rewrite_parametric(
+        out, "quantilesTDigest",
+        lambda ps, a: f"percentile_approx({a[0]}, array({', '.join(ps)}))",
+    )
+    out = _rewrite_parametric(
+        out, "quantileTDigest",
+        lambda ps, a: f"percentile_approx({a[0]}, {ps[0]})",
+    )
+    # boundingRatio(x, y) = slope between the min-x and max-x points
+    out = _rewrite_call(
+        out, "boundingRatio",
+        lambda a: (
+            f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) "
+            f"/ CAST(max({a[0]}) - min({a[0]}) AS DOUBLE))"
+        ),
+        nargs=2,
+    )
+    # human-readable formatters: CASE ladders over the unit thresholds
+    # (binary KiB/MiB/… for sizes, decimal thousand/million/… for
+    # quantities — the engine's exact unit names and 2-dp rendering)
+    def _readable_size(a: list[str]) -> str:
+        b = f"CAST({a[0]} AS DOUBLE)"
+        whens = " ".join(
+            f"WHEN abs({b}) < {float(1024 ** (i + 1))} THEN "
+            f"format_string('%.2f {u}', {b} / {float(1024 ** i)})"
+            for i, u in enumerate(["B", "KiB", "MiB", "GiB", "TiB"])
+        )
+        return (
+            f"(CASE {whens} ELSE format_string('%.2f PiB', "
+            f"{b} / {float(1024 ** 5)}) END)"
+        )
+
+    out = _rewrite_call(out, "formatReadableSize", _readable_size)
+
+    def _readable_qty(a: list[str]) -> str:
+        b = f"CAST({a[0]} AS DOUBLE)"
+        whens = " ".join(
+            f"WHEN abs({b}) < {hi} THEN format_string('%.2f{u}', {b} / {dv})"
+            for hi, u, dv in [
+                ("1000.0", "", "1.0"),
+                ("1000000.0", " thousand", "1000.0"),
+                ("1.0E9", " million", "1000000.0"),
+                ("1.0E12", " billion", "1.0E9"),
+            ]
+        )
+        return (
+            f"(CASE {whens} ELSE format_string('%.2f trillion', "
+            f"{b} / 1.0E12) END)"
+        )
+
+    out = _rewrite_call(out, "formatReadableQuantity", _readable_qty)
+    # sleep() is an engine-side throttle; rendered as its return value
+    out = _rewrite_call(out, "sleepEachRow", lambda a: "0")
+    out = _rewrite_call(out, "sleep", lambda a: "0")
+    # ClickHouse rand() is uniform UInt32, not [0,1) — a bare rename
+    # would silently change every derived distribution.  The UInt32
+    # rewrite runs FIRST so the rand() it emits (and the one
+    # randCanonical renames to) are not themselves re-rewritten.
+    out = _rewrite_call(
+        out, "rand",
+        lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)", nargs=0,
+    )
+    out = re.sub(r"\brandCanonical\s*\(", "rand(", out)
+    # --- probe battery 5 (round-12 session 3): strings, week grids,
+    # rounding ladders, array sweeps, URL/JSON surface, conversions ---
+    out = _rewrite_call(
+        out, "multiSearchFirstIndex",
+        lambda a: (
+            f"coalesce(try_element_at(filter(transform({a[1]}, "
+            f"(__n, __i) -> IF(contains({a[0]}, __n), __i + 1, "
+            f"CAST(NULL AS INT))), __v -> __v IS NOT NULL), 1), 0)"
+        ),
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out, "multiSearchAllPositions",
+        lambda a: f"transform({a[1]}, __n -> instr({a[0]}, __n))", nargs=2,
+    )
+    out = _rewrite_call(
+        out, "countMatches",
+        lambda a: f"size(regexp_extract_all({a[0]}, {a[1]}, 0))", nargs=2,
+    )
+    out = _rewrite_call(
+        out, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]})", nargs=2
+    )
+    out = _rewrite_call(
+        out, "alphaTokens",
+        lambda a: f"regexp_extract_all({a[0]}, '[a-zA-Z]+', 0)",
+    )
+    # toWeek/toYearWeek: ClickHouse default mode 0 = Sunday-start weeks
+    # numbered 0-53 from the year's first Sunday; mode 3 = ISO.  The
+    # year-week rolls back into the PREVIOUS year's last week for days
+    # before the first Sunday (MySQL YEARWEEK semantics).
+    def _week0_expr(d: str) -> str:
+        dd = f"CAST({d} AS DATE)"
+        fs = f"next_day(date_sub(trunc({dd}, 'YEAR'), 1), 'SU')"
+        return (
+            f"CASE WHEN datediff({dd}, {fs}) < 0 THEN 0 "
+            f"ELSE CAST(floor(datediff({dd}, {fs}) / 7) AS INT) + 1 END"
+        )
+
+    def _to_week(a: list[str]) -> str:
+        mode = a[1].strip() if len(a) > 1 else "0"
+        if mode == "3":
+            return f"weekofyear({a[0]})"
+        if mode != "0":
+            raise ValueError("toWeek: modes 0 (Sunday, 0-53) and 3 (ISO) only")
+        return f"({_week0_expr(a[0])})"
+
+    def _to_year_week(a: list[str]) -> str:
+        mode = a[1].strip() if len(a) > 1 else "0"
+        if mode == "3":
+            return (
+                f"(extract(YEAROFWEEK FROM {a[0]}) * 100 "
+                f"+ weekofyear({a[0]}))"
+            )
+        if mode != "0":
+            raise ValueError(
+                "toYearWeek: modes 0 (Sunday, 0-53) and 3 (ISO) only"
+            )
+        d31 = f"date_sub(trunc(CAST({a[0]} AS DATE), 'YEAR'), 1)"
+        return (
+            f"(CASE WHEN ({_week0_expr(a[0])}) = 0 "
+            f"THEN (year({a[0]}) - 1) * 100 + ({_week0_expr(d31)}) "
+            f"ELSE year({a[0]}) * 100 + ({_week0_expr(a[0])}) END)"
+        )
+
+    out = _rewrite_call(out, "toYearWeek", _to_year_week)
+    out = _rewrite_call(out, "toWeek", _to_week)
+    # minute grids beyond toStartOfInterval's INTERVAL form
+    for grid_name, grid_s in [
+        ("toStartOfFiveMinutes", 300), ("toStartOfTenMinutes", 600),
+        ("toStartOfFifteenMinutes", 900),
+    ]:
+        out = _rewrite_call(
+            out, grid_name,
+            lambda a, w=grid_s: (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / {w}) "
+                f"* {w} AS BIGINT))"
+            ),
+        )
+    out = _rewrite_call(
+        out, "toStartOfSecond", lambda a: f"date_trunc('second', {a[0]})"
+    )
+    # toTime: keep the time of day, pin the date to 1970-01-02 (the
+    # engine's convention)
+    out = _rewrite_call(
+        out, "toTime",
+        lambda a: (
+            f"timestamp_seconds(86400 + pmod(unix_timestamp({a[0]}), 86400))"
+        ),
+    )
+    out = _rewrite_call(
+        out, "YYYYMMDDToDate",
+        lambda a: f"to_date(CAST({a[0]} AS STRING), 'yyyyMMdd')",
+    )
+    # toDayOfWeek default mode 0: Monday=1 … Sunday=7 (Spark dayofweek
+    # is Sunday=1 — a bare rename would shift every weekday)
+    out = _rewrite_call(
+        out, "toDayOfWeek",
+        lambda a: f"(pmod(dayofweek({a[0]}) + 5, 7) + 1)",
+    )
+
+    def _parse_datetime(a: list[str]) -> str:
+        lit = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip())
+        if not lit:
+            raise ValueError("parseDateTime: literal format string only")
+        fmt = lit.group(1)
+        for ch_tok, sp_tok in _FMT_TOKENS.items():
+            fmt = fmt.replace(ch_tok, sp_tok)
+        return f"to_timestamp({a[0]}, '{fmt}')"
+
+    out = _rewrite_call(out, "parseDateTime", _parse_datetime, nargs=2)
+    out = _rewrite_call(
+        out, "parseDateTimeBestEffortOrNull",
+        lambda a: f"TRY_CAST({a[0]} AS TIMESTAMP)",
+    )
+    out = _rewrite_call(
+        out, "parseDateTimeBestEffort", lambda a: f"CAST({a[0]} AS TIMESTAMP)"
+    )
+    # numeric trunc/truncate toward zero with optional precision; the
+    # 2-arg STRING form stays Spark's date trunc(date, fmt)
+    def _trunc_num(a: list[str]) -> str:
+        if len(a) == 2 and not re.fullmatch(r"-?\d+", a[1].strip()):
+            return f"trunc({', '.join(a)})"
+        n = int(a[1]) if len(a) == 2 else 0
+        p = 10 ** n
+        return f"(CAST(CAST(({a[0]}) * {p} AS BIGINT) AS DOUBLE) / {p})"
+
+    out = _rewrite_call(out, "truncate", _trunc_num)
+    out = _rewrite_call(out, "trunc", _trunc_num)
+
+    # rounding ladders: roundDown picks the greatest element <= x
+    # (falling back to the smallest element), roundDuration is
+    # roundDown over the engine's fixed duration ladder, roundAge uses
+    # the engine's age bands, roundToExp2 the floor power of two
+    def _round_down(a: list[str]) -> str:
+        return (
+            f"coalesce(array_max(filter({a[1]}, __e -> __e <= ({a[0]}))), "
+            f"array_min({a[1]}))"
+        )
+
+    out = _rewrite_call(out, "roundDown", _round_down, nargs=2)
+    out = _rewrite_call(
+        out, "roundDuration",
+        lambda a: _round_down(
+            [a[0], "[0, 1, 10, 30, 60, 120, 180, 240, 300, 600, "
+                   "1200, 1800, 3600, 7200, 18000, 36000]"]
+        ),
+    )
+    out = _rewrite_call(
+        out, "roundAge",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) < 1 THEN 0 WHEN ({a[0]}) < 18 THEN 17 "
+            f"WHEN ({a[0]}) < 25 THEN 18 WHEN ({a[0]}) < 35 THEN 25 "
+            f"WHEN ({a[0]}) < 45 THEN 35 WHEN ({a[0]}) < 55 THEN 45 "
+            f"ELSE 55 END)"
+        ),
+    )
+    out = _rewrite_call(
+        out, "roundToExp2",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) < 1 THEN 0 ELSE "
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(floor(log2({a[0]})) AS INT)) END)"
+        ),
+    )
+    out = _rewrite_call(
+        out, "max2", lambda a: f"greatest({a[0]}, {a[1]})", nargs=2
+    )
+    out = _rewrite_call(
+        out, "min2", lambda a: f"least({a[0]}, {a[1]})", nargs=2
+    )
+    out = _rewrite_call(
+        out, "clamp",
+        lambda a: f"least(greatest({a[0]}, {a[1]}), {a[2]})", nargs=3,
+    )
+    out = _rewrite_call(
+        out, "ifNotFinite",
+        lambda a: (
+            f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = "
+            f"CAST('Infinity' AS DOUBLE) THEN {a[1]} ELSE {a[0]} END)"
+        ),
+        nargs=2,
+    )
+    out = _rewrite_call(out, "xor", lambda a: f"(({a[0]}) <> ({a[1]}))", nargs=2)
+    # battery-5 array sweeps
+    out = _rewrite_call(
+        out, "arrayDotProduct",
+        lambda a: (
+            f"aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), "
+            f"CAST(0 AS DOUBLE), (__a, __e) -> __a + __e)"
+        ),
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out, "arrayJaccardIndex",
+        lambda a: (
+            f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) "
+            f"/ size(array_union({a[0]}, {a[1]})))"
+        ),
+        nargs=2,
+    )
+
+    def _array_rotate(a: list[str], right: bool) -> str:
+        n = f"-({a[1]})" if right else a[1]
+        k = f"pmod({n}, greatest(size({a[0]}), 1))"
+        return (
+            f"(CASE WHEN size({a[0]}) = 0 THEN {a[0]} ELSE "
+            f"concat(slice({a[0]}, {k} + 1, size({a[0]}) - {k}), "
+            f"slice({a[0]}, 1, {k})) END)"
+        )
+
+    out = _rewrite_call(
+        out, "arrayRotateLeft", lambda a: _array_rotate(a, False), nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayRotateRight", lambda a: _array_rotate(a, True), nargs=2
+    )
+
+    def _array_shift(a: list[str], right: bool) -> str:
+        arr = a[0]
+        n = f"(-({a[1]}))" if right else f"({a[1]})"
+        pad = a[2] if len(a) == 3 else f"try_element_at({arr}, size({arr}) + 1)"
+        k = f"least(greatest({n}, -size({arr})), size({arr}))"
+        return (
+            f"(CASE WHEN {k} >= 0 THEN "
+            f"concat(slice({arr}, {k} + 1, size({arr}) - {k}), "
+            f"array_repeat({pad}, {k})) "
+            f"ELSE concat(array_repeat({pad}, -{k}), "
+            f"slice({arr}, 1, size({arr}) + {k})) END)"
+        )
+
+    out = _rewrite_call(
+        out, "arrayShiftLeft", lambda a: _array_shift(a, False), nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayShiftRight", lambda a: _array_shift(a, True), nargs=2
+    )
+    out = _rewrite_call(
+        out, "arrayEnumerateUniq",
+        lambda a: (
+            f"transform({a[0]}, (__x, __i) -> "
+            f"size(filter(slice({a[0]}, 1, __i + 1), __e -> __e <=> __x)))"
+        ),
+    )
+    out = _rewrite_call(
+        out, "hasSubstr",
+        lambda a: (
+            f"(CASE WHEN size({a[1]}) = 0 THEN true "
+            f"WHEN size({a[0]}) < size({a[1]}) THEN false "
+            f"ELSE exists(sequence(1, size({a[0]}) - size({a[1]}) + 1), "
+            f"__i -> slice({a[0]}, __i, size({a[1]})) = {a[1]}) END)"
+        ),
+        nargs=2,
+    )
+    # binary hash digests: Spark's md5/sha1/sha2 return HEX STRINGS;
+    # unhex restores ClickHouse's FixedString binary so hex(MD5(x))
+    # round-trips identically
+    out = _rewrite_call(out, "MD5", lambda a: f"unhex(md5({a[0]}))")
+    out = _rewrite_call(out, "SHA1", lambda a: f"unhex(sha1({a[0]}))")
+    for sha_bits in (224, 256, 384, 512):
+        out = _rewrite_call(
+            out, f"SHA{sha_bits}",
+            lambda a, b=sha_bits: f"unhex(sha2({a[0]}, {b}))",
+        )
+    # battery-5 conversions
+    out = _rewrite_call(
+        out, r"toFloat(?:32|64)OrZero",
+        lambda a: f"coalesce(TRY_CAST({a[0]} AS DOUBLE), CAST(0 AS DOUBLE))",
+    )
+    out = _rewrite_call(
+        out, r"toFloat(?:32|64)OrNull",
+        lambda a: f"TRY_CAST({a[0]} AS DOUBLE)",
+    )
+    out = _rewrite_call(
+        out, r"toU?Int(?:8|16|32|64)OrNull",
+        lambda a: f"TRY_CAST({a[0]} AS BIGINT)",
+    )
+    out = _rewrite_call(
+        out, "toDateOrNull", lambda a: f"TRY_CAST({a[0]} AS DATE)"
+    )
+    out = _rewrite_call(
+        out, "toDateOrZero",
+        lambda a: f"coalesce(TRY_CAST({a[0]} AS DATE), DATE'1970-01-01')",
+    )
+    out = _rewrite_call(
+        out, "toDateTimeOrNull", lambda a: f"TRY_CAST({a[0]} AS TIMESTAMP)"
+    )
+    out = _rewrite_call(
+        out, "toDateTimeOrZero",
+        lambda a: (
+            f"coalesce(TRY_CAST({a[0]} AS TIMESTAMP), "
+            f"TIMESTAMP'1970-01-01 00:00:00')"
+        ),
+    )
+
+    def _accurate_cast(a: list[str], try_: bool) -> str:
+        t = a[1].strip().strip("'\"")
+        sqlt = _CH_CAST_TYPES.get(t)
+        if not sqlt:
+            raise ValueError(f"accurateCast: unsupported type {t!r}")
+        return f"{'TRY_CAST' if try_ else 'CAST'}({a[0]} AS {sqlt})"
+
+    out = _rewrite_call(
+        out, "accurateCastOrNull", lambda a: _accurate_cast(a, True), nargs=2
+    )
+    out = _rewrite_call(
+        out, "accurateCast", lambda a: _accurate_cast(a, False), nargs=2
+    )
+    for dec_name, dec_prec in (
+        ("toDecimal32", 9), ("toDecimal64", 18), ("toDecimal128", 38),
+    ):
+        out = _rewrite_call(
+            out, dec_name,
+            lambda a, p=dec_prec: (
+                f"CAST({a[0]} AS DECIMAL({p}, {int(a[1])}))"
+            ),
+            nargs=2,
+        )
+    out = _rewrite_call(out, "toBool", lambda a: f"CAST({a[0]} AS BOOLEAN)")
+    out = _rewrite_call(out, "toNullable", lambda a: f"({a[0]})")
+    # battery-5 aggregates
+    out = _rewrite_parametric(
+        out, "quantileDeterministic",
+        lambda ps, a: f"percentile_approx({a[0]}, {ps[0]})",
+    )
+
+    def _topk_weighted(ps: list[str], a: list[str]) -> str:
+        n = int(ps[0])
+        lst = f"collect_list(named_struct('x', {a[0]}, 'w', {a[1]}))"
+        ranked = (
+            f"array_sort(transform(array_distinct(transform({lst}, "
+            f"__s -> __s.x)), __v -> named_struct('neg', "
+            f"-aggregate(filter({lst}, __s -> __s.x <=> __v), "
+            f"CAST(0 AS DOUBLE), (__a2, __s) -> __a2 + __s.w), 'v', __v)))"
+        )
+        return f"transform(slice({ranked}, 1, {n}), __s -> __s.v)"
+
+    out = _rewrite_parametric(out, "topKWeighted", _topk_weighted)
+    out = _rewrite_parametric(
+        out, "groupConcat",
+        lambda ps, a: f"array_join(collect_list({a[0]}), {ps[0]})",
+    )
+    out = _rewrite_call(
+        out, "groupConcat",
+        lambda a: f"array_join(collect_list({a[0]}), '')",
+    )
+
+    def _entropy(a: list[str]) -> str:
+        lst = f"collect_list({a[0]})"
+        cnt = f"size(filter({lst}, __e -> __e <=> __v))"
+        return (
+            f"(log2(size({lst})) - aggregate(transform("
+            f"array_distinct({lst}), __v -> CAST({cnt} AS DOUBLE) "
+            f"* log2({cnt})), CAST(0 AS DOUBLE), "
+            f"(__a2, __e2) -> __a2 + __e2) / size({lst}))"
+        )
+
+    out = _rewrite_call(out, "entropy", _entropy)
+    # simpleLinearRegression(x, y) → Tuple(k, b), named _1/_2 to
+    # compose with the tupleElement render
+    # try_divide: a single-point / constant-x group has var_pop = 0,
+    # which ANSI division would turn into a query-killing error
+    # (ClickHouse yields nan there; NULL is the documented analog)
+    out = _rewrite_call(
+        out, "simpleLinearRegression",
+        lambda a: (
+            f"named_struct('_1', try_divide(covar_pop({a[0]}, {a[1]}), "
+            f"var_pop({a[0]})), '_2', avg({a[1]}) "
+            f"- try_divide(covar_pop({a[0]}, {a[1]}), var_pop({a[0]})) "
+            f"* avg({a[0]}))"
+        ),
+        nargs=2,
     )
     # --- round-12 probe-battery closures (each verified against the
     # ClickHouse docs semantics; one render per name, no UDFs) ---
@@ -1162,17 +2162,55 @@ def translate(sql: str) -> str:
     # an opaque UNRESOLVED_ROUTINE
     spans_unr = _literal_spans(out)
     for unr, pointer in (
-        ("sumMap", "q_agg_summap"),
-        ("minMap", "q_agg_summap (minMap shape)"),
-        ("maxMap", "q_agg_summap (maxMap shape)"),
+        ("sumMap", "needs an explode + re-aggregate — use the registered "
+                   "DataFrame query q_agg_summap (plans/queries_r5.py)"),
+        ("minMap", "needs an explode + re-aggregate — use q_agg_summap's "
+                   "shape with min (plans/queries_r5.py)"),
+        ("maxMap", "needs an explode + re-aggregate — use q_agg_summap's "
+                   "shape with max (plans/queries_r5.py)"),
+        # battery 4: data-ORDER-dependent scans — an aggregate rewrite
+        # has no row order to scan; use a window over an explicit sort
+        ("deltaSum", "is a data-order scan — use a sum over a lag() "
+                     "window with an explicit ORDER BY (q_win_running shape)"),
+        ("deltaSumTimestamp", "is a data-order scan — use a sum over a "
+                              "lag() window ordered by the timestamp"),
+        ("runningDifference", "is a data-order scan — use lag() over an "
+                              "explicit ORDER BY window"),
+        ("neighbor", "is a data-order scan — use lag()/lead() over an "
+                     "explicit ORDER BY window"),
+        ("maxIntersections", "needs an interval sweep — use the "
+                             "range-join operator (operators/rangejoin.py)"),
+        ("lgamma", "has no Spark builtin — precompute or use a pandas_udf"),
+        ("tgamma", "has no Spark builtin — precompute or use a pandas_udf"),
+        # battery 5
+        ("ngramDistance", "needs shingle sets — use the n-gram Jaccard "
+                          "dedup operator (operators/dedup.py)"),
+        ("arrayAUC", "needs tie-averaged ranks over a sort — use a "
+                     "rank() window over exploded scores"),
+        ("proportionsZTest", "confidence bounds need the normal inverse "
+                             "CDF — compute z from counts and use erf()"),
+        ("studentTTest", "p-values need the t CDF (incomplete beta) — "
+                         "compute the t statistic from moment aggregates"),
+        ("welchTTest", "p-values need the t CDF (incomplete beta) — "
+                       "compute the t statistic from moment aggregates"),
+        ("mannWhitneyUTest", "needs global ranks — use a rank() window "
+                             "then the U statistic as plain aggregates"),
+        ("cramersV", "needs pair counts (a two-level GROUP BY), not one "
+                     "aggregate expression"),
+        ("contingency", "needs pair counts (a two-level GROUP BY), not "
+                        "one aggregate expression"),
+        ("theilsU", "needs pair counts (a two-level GROUP BY), not one "
+                    "aggregate expression"),
+        ("groupArrayMovingSum", "is a data-order scan — use sum() over "
+                                "a sliding window with an explicit sort"),
+        ("groupArrayMovingAvg", "is a data-order scan — use avg() over "
+                                "a sliding window with an explicit sort"),
+        ("JSONType", "has no single-expression analog — probe with "
+                     "json_array_length / json_object_keys instead"),
     ):
         mu = re.search(rf"\b{unr}\s*\(", out)
         if mu and not _in_spans(spans_unr, mu.start()):
-            raise ValueError(
-                f"{unr} needs an explode + re-aggregate, not expressible "
-                f"as one SQL rewrite — use the registered DataFrame query "
-                f"{pointer} (plans/queries_r5.py)"
-            )
+            raise ValueError(f"{unr} {pointer}")
     out = re.sub(r"\btoUnixTimestamp\s*\(", "unix_timestamp(", out)
     out = re.sub(r"\bfromUnixTimestamp\s*\(", "from_unixtime(", out)
     # URL functions → parse_url
@@ -1266,6 +2304,83 @@ def translate(sql: str) -> str:
         return f"({_json_extract(args)} IS NOT NULL)"
 
     out = _rewrite_call(out, "JSONHas", _json_has, nargs=2)
+    # --- battery-5 JSON surface (build on _json_extract's literal-key
+    # JSONPath prefixing) ---
+    # JSONExtractRaw: get_json_object returns raw JSON for objects and
+    # arrays but UNQUOTED scalars (ClickHouse keeps string quotes) —
+    # documented delta on scalar values
+    out = _rewrite_call(out, "JSONExtractRaw", _json_extract, nargs=2)
+
+    def _json_array_raw(args: list[str]) -> str:
+        if len(args) == 1:
+            j, base = args[0], "$"
+        else:
+            m2 = re.fullmatch(r"'([^'$][^']*)'", args[1])
+            if not m2:
+                raise ValueError("JSONExtractArrayRaw: literal bare key only")
+            j, base = args[0], f"$.{m2.group(1)}"
+        ln = f"json_array_length(get_json_object({j}, '{base}'))"
+        return (
+            f"(CASE WHEN coalesce({ln}, 0) = 0 "
+            f"THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE transform(sequence(0, {ln} - 1), __i -> "
+            f"get_json_object({j}, concat('{base}[', __i, ']'))) END)"
+        )
+
+    out = _rewrite_call(out, "JSONExtractArrayRaw", _json_array_raw)
+
+    def _json_length(args: list[str]) -> str:
+        target = args[0] if len(args) == 1 else _json_extract(args)
+        return (
+            f"coalesce(json_array_length({target}), "
+            f"size(json_object_keys({target})))"
+        )
+
+    out = _rewrite_call(out, "JSONLength", _json_length)
+    # '$'-probe: invalid JSON → NULL (valid scalar/object returns its
+    # text).  ClickHouse's isValidJSON('null') = 1 is a delta (NULL
+    # probe reads as invalid here).
+    out = _rewrite_call(
+        out, "isValidJSON",
+        lambda a: f"(get_json_object({a[0]}, '$') IS NOT NULL)",
+    )
+    # --- battery-5 URL surface ---
+    out = _rewrite_call(
+        out, "queryString", lambda a: f"parse_url({a[0]}, 'QUERY')"
+    )
+    out = _rewrite_call(out, "fragment", lambda a: f"parse_url({a[0]}, 'REF')")
+    out = _rewrite_call(
+        out, "netloc", lambda a: f"parse_url({a[0]}, 'AUTHORITY')"
+    )
+    out = _rewrite_call(
+        out, "topLevelDomain",
+        lambda a: (
+            f"regexp_extract(parse_url({a[0]}, 'HOST'), "
+            f"'\\\\.([^.]+)$', 1)"
+        ),
+    )
+    out = _rewrite_call(
+        out, "cutQueryString",
+        lambda a: f"regexp_replace({a[0]}, '\\\\?[^#]*', '')",
+    )
+    out = _rewrite_call(
+        out, "pathFull",
+        lambda a: (
+            f"regexp_replace({a[0]}, "
+            f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')"
+        ),
+    )
+
+    def _first_sig_subdomain(a: list[str]) -> str:
+        parts = f"split(parse_url({a[0]}, 'HOST'), '\\\\.')"
+        return (
+            f"(CASE WHEN size({parts}) <= 1 THEN try_element_at({parts}, 1) "
+            f"WHEN size({parts}) >= 3 AND try_element_at({parts}, -2) IN "
+            f"('com', 'net', 'org', 'co') THEN try_element_at({parts}, -3) "
+            f"ELSE try_element_at({parts}, -2) END)"
+        )
+
+    out = _rewrite_call(out, "firstSignificantSubdomain", _first_sig_subdomain)
     # toStartOf* → date_trunc
     for ch, unit in _START_OF.items():
         out = _rewrite_call(out, ch, lambda args, u=unit: f"date_trunc('{u}', {args[0]})")
@@ -1282,10 +2397,54 @@ def translate(sql: str) -> str:
             txt = re.sub(rf"\b{ch}\s*\(", f"{sp}(", txt)
         segs[k] = (False, txt)
     out = "".join(t for _, t in segs)
+    # ClickHouse's bare `any(x)` aggregate (first-value) — lowercase
+    # call position only, and never after a comparison operator, so
+    # SQL's quantified `= ANY(subquery)` is untouched.  A bare rename
+    # in _FN_RENAMES would hit that collision; worse, leaving it be
+    # makes Spark parse any(bool_col) as bool_or — silently wrong.
+    segs = _split_quoted(out)
+    for k, (lit, txt) in enumerate(segs):
+        if lit:
+            continue
+        pieces, pos = [], 0
+        for m_any in re.finditer(r"\bany\s*\(", txt):
+            prev = txt[: m_any.start()].rstrip()
+            if prev and prev[-1] in "=<>!":
+                continue  # quantified comparison, not the aggregate
+            pieces.append(txt[pos : m_any.start()])
+            pieces.append("any_value(")
+            pos = m_any.end()
+        pieces.append(txt[pos:])
+        segs[k] = (False, "".join(pieces))
+    out = "".join(t for _, t in segs)
     # PREWHERE is ClickHouse's manual predicate-pushdown hint; Catalyst
-    # pushes predicates itself, so it is plain WHERE here.  (A query
-    # using BOTH clauses is not in the supported dialect subset.)
+    # pushes predicates itself, so it is plain WHERE here.  When BOTH
+    # clauses appear, ClickHouse applies their conjunction — merge the
+    # PREWHERE predicate into the WHERE clause (both sides
+    # parenthesized so OR-predicates keep their binding).
+    out = _merge_prewhere(out)
     out = re.sub(r"\bPREWHERE\b", "WHERE", out)
+    # SAMPLE k (fraction or n/m) → TABLESAMPLE (… PERCENT); SAMPLE n
+    # (n ≥ 1, approximate row target) → TABLESAMPLE (n ROWS).  The
+    # OFFSET form has no Spark analog and raises.
+    spans_smp = _literal_spans(out)
+    m_smp = re.search(
+        r"\bSAMPLE\s+(\d+(?:\.\d+)?)(\s*/\s*(\d+))?(\s+OFFSET\b)?", out
+    )
+    if m_smp and not _in_spans(spans_smp, m_smp.start()):
+        if m_smp.group(4):
+            raise ValueError("SAMPLE … OFFSET has no Spark TABLESAMPLE analog")
+        if m_smp.group(3):
+            frac = float(m_smp.group(1)) / float(m_smp.group(3))
+            repl = f"TABLESAMPLE ({frac * 100:g} PERCENT)"
+        else:
+            v = float(m_smp.group(1))
+            repl = (
+                f"TABLESAMPLE ({v * 100:g} PERCENT)"
+                if v < 1
+                else f"TABLESAMPLE ({int(v)} ROWS)"
+            )
+        out = out[: m_smp.start()] + repl + out[m_smp.end() :]
     # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ()): the totals
     # row is the empty grouping set (its group columns read NULL, like
     # ClickHouse's zero-value row).  Non-greedy up to WITH TOTALS keeps

@@ -513,9 +513,12 @@ def test_round6_function_renames_execute(spark):
     assert row.cc == [3, 1, 2, 9]
     assert str(row.plus3) == "2024-03-18" and str(row.minus3) == "2024-03-12"
     assert row.ux > 0
-    # semantics-diverging names stay unmapped (weekday origin differs)
+    # toDayOfWeek was deliberately unmapped through round 12 session 2
+    # (a bare rename would shift every weekday — Spark's dayofweek is
+    # Sunday=1); battery 5 added the origin-correcting render, so the
+    # old "stays unmapped" pin flips to "maps with Monday=1"
     t = translate("SELECT toDayOfWeek(x) FROM t")
-    assert "toDayOfWeek" in t
+    assert "toDayOfWeek" not in t and "pmod(dayofweek(x) + 5, 7) + 1" in t
 
 
 def test_string_literals_inert_in_call_rewrites(spark):
@@ -1259,3 +1262,428 @@ def test_any_join_strictness(spark):
     assert inner == 2
     with pytest.raises(ValueError, match="ANY JOIN"):
         translate("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
+
+
+# --- probe battery 4 (round-12 session 3) ---
+
+_PROBE4_SCALAR_CASES = [
+    # lookup-table transform (Spark's 2-arg HOF passes through)
+    ("transform(g, ['g1','g2'], [10,20], 0)", 10),
+    ("transform('zz', ['g1','g2'], [10,20], 0)", 0),
+    ("transform(s, ['alpha'], ['seen'])", "seen"),
+    ("transform('other', ['alpha'], ['seen'])", "other"),
+    ("tupleElement(tuple(7, 'x'), 2)", "x"),
+    ("tupleElement(tuple(7, 'x'), 1)", 7),
+    ("splitByString('a ', 'a ba c')", ["", "b", "c"]),
+    ("extract('a1b2c33', '\\\\d+')", "1"),
+    ("extract('a1b2', '([a-z])\\\\d')", "a"),  # first capture group
+    ("format('{} and {}', 'a', 'b')", "a and b"),
+    ("format('{1} {0}', 'a', 'b')", "b a"),
+    ("format('100% {}', 'done')", "100% done"),
+    ("toMonday(d)", "2024-03-11"),  # 2024-03-15 is a Friday
+    ("toISOWeek(toDateTime('2024-01-01 00:00:00'))", 1),
+    ("toISOYear(toDateTime('2023-01-01 00:00:00'))", 2022),  # Sunday: ISO wk 52/2022
+    ("timeSlot(toDateTime('2024-03-15 10:47:12'))", "2024-03-15 10:30:00"),
+    ("toRelativeHourNum(d)", 475138),  # floor(1710498600 / 3600)
+    ("addHours(d, 2)", "2024-03-15 12:30:00"),
+    ("subtractMinutes(d, 31)", "2024-03-15 09:59:00"),
+    ("addYears(d, 1)", "2025-03-15 10:30:00"),
+    ("intDiv(7, 2)", 3),
+    ("intDivOrZero(7, 0)", 0),
+    ("moduloOrZero(7, 0)", 0),
+    ("moduloOrZero(7, 3)", 1),
+    ("plus(1, 2)", 3),
+    ("minus(3, 1)", 2),
+    ("multiply(2, 3)", 6),
+    ("divide(6, 4)", 1.5),
+    ("isInfinite(divide(1.0, 0.0))", True),  # CH: x/0 = Inf, no error
+    ("isNaN(divide(0.0, 0.0))", True),
+    ("isFinite(divide(6.0, 4.0))", True),
+    ("negate(5)", -5),
+    ("gcd(12, 18)", 6),
+    ("gcd(0, 5)", 5),
+    ("lcm(4, 6)", 12),
+    ("exp2(3)", 8.0),
+    ("exp10(2)", 100.0),
+    ("intExp2(4)", 16),
+    ("intExp10(3)", 1000),
+    ("bitTest(5, 0)", 1),
+    ("bitTest(5, 1)", 0),
+    ("bitCount(255)", 8),
+    ("base64Encode('ab')", "YWI="),
+    ("base64Decode('YWI=')", "ab"),
+    ("bitmaskToList(10)", "2,8"),
+    ("bitmaskToList(0)", ""),
+    ("IPv4NumToString(16909060)", "1.2.3.4"),
+    ("IPv4StringToNum('1.2.3.4')", 16909060),
+    ("toTypeName(1)", "int"),  # Spark type names (documented delta)
+    # arrays — ClickHouse 1-based indexing, negative from the end
+    ("arrayElement([7,8], 1)", 7),
+    ("arrayElement([7,8], -1)", 8),
+    ("arrayElement([7,8], 5)", None),  # CH type default — documented delta
+    ("arrayIntersect([1,2,3], [2,3,4])", [2, 3]),
+    ("arrayPushBack([1,2], 3)", [1, 2, 3]),
+    ("arrayPushFront([2,3], 1)", [1, 2, 3]),
+    ("arrayPopBack([1,2,3])", [1, 2]),
+    ("arrayPopFront([1,2,3])", [2, 3]),
+    ("arrayPopBack(CAST(array() AS ARRAY<INT>))", []),
+    ("arrayResize([1,2,3], 2)", [1, 2]),
+    ("arrayResize([1,2], 4, 9)", [1, 2, 9, 9]),
+    ("arrayResize([1,2], 4)", [1, 2, None, None]),  # CH pads 0 — delta
+    ("arrayCompact([1,1,2,1])", [1, 2, 1]),
+    ("arraySort(x -> -x, [1,3,2])", [3, 2, 1]),
+    ("arrayReverseSort([1,3,2])", [3, 2, 1]),
+    ("arrayReverseSort(x -> -x, [1,3,2])", [1, 2, 3]),
+    ("arrayFirst(x -> x > 1, [1,2,3])", 2),
+    ("arrayLast(x -> x > 0, [1,2,3])", 3),
+    ("arrayFirst(x -> x > 9, [1,2,3])", None),  # CH default 0 — delta
+    ("arrayFirstIndex(x -> x > 1, [1,2,3])", 2),
+    ("arrayLastIndex(x -> x > 0, [1,2,3])", 3),
+    ("arrayFirstIndex(x -> x > 9, [1,2,3])", 0),
+    ("arrayReduce('sum', [1,2,3])", 6.0),
+    ("arrayReduce('max', [1,5,3])", 5),
+    ("arrayReduce('avg', [1,2,3])", 2.0),
+    ("arrayReduce('count', [1,2,3])", 3),
+    ("arrayReduce('anyLast', [1,2,3])", 3),
+    ("arrayReduce('uniqExact', [1,1,2])", 2),
+    ("emptyArrayInt32()", []),
+    ("emptyArrayString()", []),
+    ("arrayWithConstant(3, 'x')", ["x", "x", "x"]),
+    ("formatReadableSize(1048576)", "1.00 MiB"),
+    ("formatReadableSize(1100)", "1.07 KiB"),
+    ("formatReadableSize(5)", "5.00 B"),
+    ("formatReadableQuantity(1234567)", "1.23 million"),
+    ("formatReadableQuantity(123)", "123.00"),
+    ("sleep(0)", 0),
+]
+
+
+@pytest.mark.parametrize(("expr", "want"), _PROBE4_SCALAR_CASES)
+def test_probe_battery4_scalars(spark, expr, want):
+    """Battery-4 closures, each pinned to the ClickHouse docs value
+    (deviations — NULL instead of the type default, Spark type names —
+    are marked inline and in the render comments)."""
+    import datetime
+
+    spark.createDataFrame(
+        [(1, "alpha", 10.5, "2024-03-15 10:30:00", "g1")],
+        "id int, s string, v double, ds string, g string",
+    ).selectExpr(
+        "id", "s", "v", "CAST(ds AS TIMESTAMP) AS d", "g"
+    ).createOrReplaceTempView("probe4_t")
+    got = run(spark, f"SELECT {expr} AS r FROM probe4_t").first()["r"]
+    if isinstance(got, datetime.datetime):
+        got = got.strftime("%Y-%m-%d %H:%M:%S")
+    elif isinstance(got, datetime.date):
+        got = got.strftime("%Y-%m-%d")
+    if isinstance(want, float):
+        assert got == pytest.approx(want, rel=1e-9), (expr, got, want)
+    else:
+        assert got == want, (expr, got, want)
+
+
+def test_probe_battery4_erf_and_distance(spark):
+    """erf/erfc (Abramowitz-Stegun, |err| <= 1.5e-7) and the haversine
+    greatCircleDistance against the ClickHouse docs example value."""
+    r = run(spark, "SELECT erf(1.0) AS a, erfc(1.0) AS b").first()
+    assert r["a"] == pytest.approx(0.8427007929497149, abs=2e-7)
+    assert r["b"] == pytest.approx(0.1572992070502851, abs=2e-7)
+    # docs: greatCircleDistance(55.755831, 37.617673, -55.755831,
+    # -37.617673) = 14132374.194975 m (antipodal-ish Moscow example)
+    d = run(
+        spark,
+        "SELECT greatCircleDistance(55.755831, 37.617673, "
+        "-55.755831, -37.617673) AS m",
+    ).first()["m"]
+    assert d == pytest.approx(14132374.194975, rel=5e-3)
+
+
+def test_probe_battery4_aggregates(spark):
+    """Aggregate-side battery 4: -If beyond sum/avg/min/max, -Distinct,
+    -Array combinators, capped groupArray(N), exact multi-quantiles,
+    boundingRatio, and the any()/anyLast() first/last-value semantics
+    (Spark's bare any() is bool_or — a silently wrong parse the shim
+    must never emit)."""
+    spark.createDataFrame(
+        [(1, "a", 1.0, [1, 2]), (1, "b", 2.0, [3]), (2, "c", 3.0, []),
+         (2, "d", 4.0, [4, 5]), (2, "d", 5.0, [6])],
+        "k int, s string, v double, arr array<int>",
+    ).createOrReplaceTempView("agg4_t")
+    cases = [
+        ("anyIf(s, k = 2)", {"c", "d"}),
+        ("anyLastIf(s, k = 1)", {"a", "b"}),
+        ("uniqExactIf(s, k = 2)", {2}),
+        ("argMaxIf(s, v, v < 5)", {"d"}),
+        ("argMinIf(s, v, v > 1)", {"b"}),
+        ("sumDistinct(k)", {3}),
+        ("sumArray(arr)", {21.0}),
+        ("minArray(arr)", {1}),
+        ("maxArray(arr)", {6}),
+        ("avgArray(arr)", {3.5}),
+        ("countArray(arr)", {6}),
+        ("medianExact(v)", {3.0}),
+        ("boundingRatio(v, k)", {(2 - 1) / (5.0 - 1.0)}),
+        ("any(s)", {"a", "b", "c", "d"}),  # first value, NOT bool_or
+    ]
+    for expr, allowed in cases:
+        got = run(spark, f"SELECT {expr} AS r FROM agg4_t").first()["r"]
+        assert got in allowed, (expr, got, allowed)
+    qs = run(
+        spark, "SELECT quantilesExact(0.25, 0.5)(v) AS r FROM agg4_t"
+    ).first()["r"]
+    assert qs == [2.0, 3.0]
+    capped = run(spark, "SELECT groupArray(2)(s) AS r FROM agg4_t").first()["r"]
+    assert len(capped) == 2 and set(capped) <= {"a", "b", "c", "d"}
+    # uniqIf is the approx form; exact at this cardinality
+    assert run(spark, "SELECT uniqIf(s, k = 2) AS r FROM agg4_t").first()["r"] == 2
+    # rand(): ClickHouse returns uniform UInt32, not [0,1)
+    rv = run(spark, "SELECT rand() AS r").first()["r"]
+    assert isinstance(rv, int) and 0 <= rv < 2**32
+    assert 0.0 <= run(spark, "SELECT randCanonical() AS r").first()["r"] < 1.0
+
+
+def test_probe_battery4_statement_level(spark):
+    """PREWHERE merged with WHERE as a conjunction (both sides
+    parenthesized), SAMPLE → TABLESAMPLE, and the quantified-ANY
+    guard on the any() rename."""
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, v double"
+    ).createOrReplaceTempView("stmt4_t")
+    got = [
+        r.id
+        for r in run(
+            spark,
+            "SELECT id FROM stmt4_t PREWHERE id > 2 WHERE id < 5 ORDER BY id",
+        ).collect()
+    ]
+    assert got == [3, 4]
+    # OR in the WHERE keeps its binding: (id>2) AND (id<2 OR id>8)
+    got = [
+        r.id
+        for r in run(
+            spark,
+            "SELECT id FROM stmt4_t PREWHERE id > 2 "
+            "WHERE id < 2 OR id > 8 ORDER BY id",
+        ).collect()
+    ]
+    assert got == [9]
+    # subquery inside the PREWHERE predicate is inert to the clause scan
+    got = run(
+        spark,
+        "SELECT count() AS n FROM stmt4_t "
+        "PREWHERE id IN (SELECT id FROM stmt4_t WHERE id > 5) WHERE id < 8",
+    ).first()["n"]
+    assert got == 2  # ids 6, 7
+    n = run(spark, "SELECT count() AS n FROM stmt4_t SAMPLE 3").first()["n"]
+    assert n == 3
+    n = run(spark, "SELECT count() AS n FROM stmt4_t SAMPLE 0.5").first()["n"]
+    assert 0 <= n <= 10
+    n = run(spark, "SELECT count() AS n FROM stmt4_t SAMPLE 1/2").first()["n"]
+    assert 0 <= n <= 10
+    with pytest.raises(ValueError, match="SAMPLE"):
+        translate("SELECT count() FROM t SAMPLE 1/10 OFFSET 1/2")
+    # quantified comparison stays ANY (uppercase or operator-adjacent)
+    assert "= ANY(" in translate("SELECT 1 FROM t WHERE x = ANY(SELECT 1)")
+    assert "=any(" in translate("SELECT 1 FROM t WHERE x =any(SELECT 1)")
+    # inert inside literals
+    assert run(spark, "SELECT 'use any(x)' AS s").first()["s"] == "use any(x)"
+
+
+def test_probe_battery4_order_dependent_raises(spark):
+    for fn in ("deltaSum(v)", "runningDifference(v)", "neighbor(v, 1)",
+               "maxIntersections(a, b)", "lgamma(v)", "tgamma(v)"):
+        with pytest.raises(ValueError, match=fn.split("(")[0]):
+            translate(f"SELECT {fn} FROM t")
+    # inert inside literals
+    assert "deltaSum" in translate("SELECT 'docs: deltaSum(x)' AS s")
+
+
+# --- probe battery 5 (round-12 session 3) ---
+
+_PROBE5_SCALAR_CASES = [
+    # maps
+    ("mapKeys(map('a', 1, 'b', 2))", ["a", "b"]),
+    ("mapValues(map('a', 1, 'b', 2))", [1, 2]),
+    ("mapContains(map('a', 1), 'a')", True),
+    ("mapContains(map('a', 1), 'z')", False),
+    # strings
+    ("multiSearchFirstIndex(s, ['zz', 'beta'])", 2),
+    ("multiSearchFirstIndex(s, ['zz'])", 0),
+    ("multiSearchAllPositions(s, ['al', 'beta', 'zz'])", [1, 7, 0]),
+    ("countMatches('a1b2c3', '\\\\d')", 3),
+    ("splitByRegexp('\\\\d+', 'a1b22c')", ["a", "b", "c"]),
+    ("alphaTokens('ab1cd2ef')", ["ab", "cd", "ef"]),
+    ("substringIndex('www.ex.com', '.', 2)", "www.ex"),
+    # dates — 2024-03-15 is a Friday; first 2024 Sunday is Jan 7
+    ("toWeek(d)", 10),
+    ("toWeek(d, 3)", 11),  # ISO week of 2024-03-15
+    ("toYearWeek(d)", 202410),
+    ("toYearWeek(toDateTime('2024-01-01 00:00:00'))", 202353),  # pre-first-Sunday
+    ("toWeek(toDateTime('2024-01-07 00:00:00'))", 1),
+    ("dateDiff('hour', toDateTime('2024-03-15 22:58:00'), "
+     "toDateTime('2024-03-15 23:05:00'))", 1),  # boundary crossed
+    ("age('hour', toDateTime('2024-03-15 22:58:00'), "
+     "toDateTime('2024-03-15 23:05:00'))", 0),  # <1 complete hour
+    ("date_diff('day', toDateTime('2024-03-14 23:00:00'), "
+     "toDateTime('2024-03-15 01:00:00'))", 1),
+    ("toLastDayOfMonth(d)", "2024-03-31"),
+    ("toStartOfFiveMinutes(d)", "2024-03-15 10:30:00"),
+    ("toStartOfFifteenMinutes(toDateTime('2024-03-15 10:47:12'))",
+     "2024-03-15 10:45:00"),
+    ("toTime(d)", "1970-01-02 10:30:00"),
+    ("makeDate(2024, 3, 15)", "2024-03-15"),
+    ("makeDateTime(2024, 3, 15, 10, 30, 0)", "2024-03-15 10:30:00"),
+    ("YYYYMMDDToDate(20240315)", "2024-03-15"),
+    ("toDayOfWeek(d)", 5),  # Friday, Monday=1
+    ("toDayOfWeek(toDateTime('2024-03-17 00:00:00'))", 7),  # Sunday
+    ("toUnixTimestamp64Milli(d)", 1710498600000),
+    ("fromUnixTimestamp64Milli(1710498600000)", "2024-03-15 10:30:00"),
+    ("parseDateTime('2024-03-15', '%Y-%m-%d')", "2024-03-15 00:00:00"),
+    ("parseDateTimeBestEffort('2024-03-15 10:30:00')", "2024-03-15 10:30:00"),
+    ("toStartOfSecond(d)", "2024-03-15 10:30:00"),
+    # rounding
+    ("trunc(123.456)", 123.0),
+    ("truncate(123.456, 2)", 123.45),
+    ("truncate(-123.456, 2)", -123.45),  # toward zero
+    ("roundToExp2(100)", 64),
+    ("roundToExp2(0)", 0),
+    ("roundDuration(45)", 30),
+    ("roundAge(5)", 17),
+    ("roundAge(30)", 25),
+    ("roundDown(7, [1, 5, 10])", 5),
+    ("roundDown(0, [1, 5, 10])", 1),  # below the ladder → smallest
+    # numeric
+    ("max2(1, 2)", 2),
+    ("min2(1, 2)", 1),
+    ("clamp(5, 1, 3)", 3),
+    ("clamp(0, 1, 3)", 1),
+    ("ifNotFinite(divide(1.0, 0.0), -1.0)", -1.0),
+    ("ifNotFinite(2.5, -1.0)", 2.5),
+    ("xor(true, false)", True),
+    ("xor(true, true)", False),
+    # arrays
+    ("arrayDotProduct([1, 2], [3, 4])", 11.0),
+    ("arrayJaccardIndex([1, 2], [2, 3])", 1.0 / 3.0),
+    ("arrayRotateLeft([1, 2, 3], 1)", [2, 3, 1]),
+    ("arrayRotateRight([1, 2, 3], 1)", [3, 1, 2]),
+    ("arrayRotateLeft(CAST(array() AS ARRAY<INT>), 2)", []),
+    ("arrayShiftLeft([1, 2, 3], 1)", [2, 3, None]),
+    ("arrayShiftLeft([1, 2, 3], 1, 9)", [2, 3, 9]),
+    ("arrayShiftRight([1, 2, 3], 1, 9)", [9, 1, 2]),
+    ("arrayEnumerateUniq([10, 20, 10])", [1, 1, 2]),
+    ("hasSubstr([1, 2, 3, 4], [2, 3])", True),
+    ("hasSubstr([1, 2, 3, 4], [2, 4])", False),
+    ("hasSubstr([1, 2], CAST(array() AS ARRAY<INT>))", True),
+    # hashes: hex(MD5(x)) must round-trip the engine's binary digest
+    ("hex(MD5('abc'))", "900150983CD24FB0D6963F7D28E17F72"),
+    ("hex(SHA256(''))",
+     "E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855"),
+    # JSON
+    ("JSONLength(j)", 2),
+    ("JSONExtractRaw(j, 'b')", "[2,3]"),
+    ("JSONExtractArrayRaw(j, 'b')", ["2", "3"]),
+    ("JSONExtractKeys(j)", ["a", "b"]),
+    ("isValidJSON(j)", True),
+    ("isValidJSON('{bad')", False),
+    # URL
+    ("queryString(url)", "x=1&y=2"),
+    ("fragment(url)", "frag"),
+    ("topLevelDomain(url)", "uk"),
+    ("cutQueryString(url)", "https://sub.example.co.uk/p/q#frag"),
+    ("pathFull(url)", "/p/q?x=1&y=2#frag"),
+    ("firstSignificantSubdomain(url)", "example"),
+    ("firstSignificantSubdomain('https://news.yandex.ru/x')", "yandex"),
+    # conversions
+    ("toFloat64OrZero('xx')", 0.0),
+    ("toFloat64OrZero('1.5')", 1.5),
+    ("toFloat64OrNull('xx')", None),
+    ("toInt64OrNull('7')", 7),
+    ("toDateOrNull('2024-03-15')", "2024-03-15"),
+    ("toDateTimeOrZero('bad')", "1970-01-01 00:00:00"),
+    ("accurateCast(1, 'Int64')", 1),
+    ("accurateCastOrNull('x', 'Int64')", None),
+    ("toBool('true')", True),
+    ("toNullable(5)", 5),
+]
+
+
+@pytest.mark.parametrize(("expr", "want"), _PROBE5_SCALAR_CASES)
+def test_probe_battery5_scalars(spark, expr, want):
+    """Battery-5 closures, pinned to the ClickHouse docs semantics:
+    toWeek mode 0 counts Sunday-start weeks from the year's first
+    Sunday (week 0 before it, YEARWEEK rolls into the previous year);
+    dateDiff counts crossed unit BOUNDARIES while age counts complete
+    units; trunc/truncate go toward zero; MD5/SHA digests are binary
+    so hex() round-trips the engine's output."""
+    import datetime
+
+    spark.createDataFrame(
+        [(1, "alpha beta", 10.5, "2024-03-15 10:30:00",
+          '{"a": 1, "b": [2, 3]}',
+          "https://sub.example.co.uk/p/q?x=1&y=2#frag")],
+        "id int, s string, v double, ds string, j string, url string",
+    ).selectExpr(
+        "id", "s", "v", "CAST(ds AS TIMESTAMP) AS d", "j", "url"
+    ).createOrReplaceTempView("probe5_t")
+    got = run(spark, f"SELECT {expr} AS r FROM probe5_t").first()["r"]
+    if isinstance(got, datetime.datetime):
+        got = got.strftime("%Y-%m-%d %H:%M:%S")
+    elif isinstance(got, datetime.date):
+        got = got.strftime("%Y-%m-%d")
+    if isinstance(want, float):
+        assert got == pytest.approx(want, rel=1e-9), (expr, got, want)
+    else:
+        assert got == want, (expr, got, want)
+
+
+def test_probe_battery5_aggregates(spark):
+    """topKWeighted ranks by weight sums; groupConcat joins; entropy
+    is Shannon log2 over the value distribution; quantileDeterministic
+    ignores its determinator (Spark's sketch is already deterministic);
+    simpleLinearRegression returns (k, b) readable via tupleElement."""
+    import math
+
+    spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 2), ("b", 10.0, 3), ("c", 1.0, 4)],
+        "g string, w double, x int",
+    ).createOrReplaceTempView("agg5_t")
+    top = run(
+        spark, "SELECT topKWeighted(2)(g, w) AS r FROM agg5_t"
+    ).first()["r"]
+    assert top == ["b", "a"]  # weights: b=10, a=3, c=1
+    gc = run(
+        spark,
+        "SELECT groupConcat('-')(g) AS r FROM "
+        "(SELECT g FROM agg5_t ORDER BY g LIMIT 2)",
+    ).first()["r"]
+    assert gc == "a-a"
+    # entropy over {a, a, b, c}: 2 * (2/4)·log2 contributions
+    ent = run(spark, "SELECT entropy(g) AS r FROM agg5_t").first()["r"]
+    want = -(0.5 * math.log2(0.5) + 0.25 * math.log2(0.25) * 2)
+    assert ent == pytest.approx(want, rel=1e-9)
+    qd = run(
+        spark, "SELECT quantileDeterministic(0.5)(w, x) AS r FROM agg5_t"
+    ).first()["r"]
+    assert qd in (1.0, 2.0)
+    kb = run(
+        spark,
+        "SELECT tupleElement(simpleLinearRegression(x, w), 1) AS k, "
+        "tupleElement(simpleLinearRegression(x, w), 2) AS b FROM agg5_t",
+    ).first()
+    # x=[1,2,3,4], y=[1,2,10,1]: k = covar/var, b = ȳ − k·x̄
+    xs, ys = [1, 2, 3, 4], [1.0, 2.0, 10.0, 1.0]
+    mx, my = sum(xs) / 4, sum(ys) / 4
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / 4
+    var = sum((a - mx) ** 2 for a in xs) / 4
+    assert kb["k"] == pytest.approx(cov / var, rel=1e-9)
+    assert kb["b"] == pytest.approx(my - cov / var * mx, rel=1e-9)
+
+
+def test_probe_battery5_raises(spark):
+    for fn in ("ngramDistance(a, b)", "arrayAUC(s, l)",
+               "studentTTest(a, b)", "welchTTest(a, b)",
+               "mannWhitneyUTest(a, b)", "cramersV(a, b)",
+               "contingency(a, b)", "JSONType(j)",
+               "groupArrayMovingSum(v)", "proportionsZTest(a,b,c,d,e,f)"):
+        with pytest.raises(ValueError, match=fn.split("(")[0]):
+            translate(f"SELECT {fn} FROM t")
