@@ -37,5 +37,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r11,
     queries_r12,
     queries_r12b,
+    queries_r12c,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

@@ -1,0 +1,154 @@
+"""Round-12c: probe-battery-4 dialect surface under DRIVER correctness.
+
+Battery 4 closed ~50 more ClickHouse-dialect holes in sql_compat
+(PREWHERE+WHERE conjunction, SAMPLE → TABLESAMPLE, the any()/anyLast()
+first-value aggregates, -If/-Distinct/-Array combinators, the lookup
+transform(), 1-based arrayElement, gcd/lcm, splitByString, …).  All
+of them are pytest-pinned (tests/test_sql_compat.py battery-4 blocks);
+these queries put the representative, DETERMINISTIC subset under the
+driver's value-hash compare by running literal ClickHouse statements
+end to end (sql_compat.run → translate → spark.sql) with independent
+DuckDB oracles.
+
+Reference anchors: ClickHouse SELECT clause order incl. PREWHERE and
+WITH TOTALS (the engine the reference's repo/importer.py drives);
+the reference's own statements use the plain subset (README.md:265),
+so this widening is engine parity beyond the app's needs.
+
+Float posture: every derived double is ROUNDed on both sides (driver
+canon convention, registry docstring).  The WITH TOTALS totals row
+carries NULL group keys on both engines (GROUPING SETS rendering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhub_spark.plans.queries_core import load
+from clickhub_spark.plans.registry import query
+from clickhub_spark.sql_compat import run
+
+
+def _events_view(spark: SparkSession, sf_dir: str) -> None:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+@query(
+    "q_ch_sql_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) + 0.0 AS sv,
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS big,
+           ROUND(quantile_cont(value, 0.5), 4) + 0.0 AS med
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def q_ch_sql_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY … WITH TOTALS`` as a literal dialect statement: the
+    shim renders the totals row as the empty grouping set (NULL group
+    keys — ClickHouse shows the type default in flat formats, but the
+    row SET is identical).  countIf and medianExact ride along so the
+    battery's -If and exact-quantile renders face the value-hash.
+    One exchange: GROUPING SETS shares the shuffle across both sets."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT event_type,
+               count() AS n,
+               round(sum(value), 4) + 0.0 AS sv,
+               countIf(value > 50) AS big,
+               round(medianExact(value), 4) + 0.0 AS med
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type WITH TOTALS
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_prewhere",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) + 0.0 AS sv
+    FROM events
+    WHERE (value > 5)
+      AND (event_type IN ('view', 'click') OR value > 90)
+    GROUP BY event_type
+    """,
+)
+def q_ch_sql_prewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PREWHERE p1 WHERE p2`` — ClickHouse applies the CONJUNCTION
+    (PREWHERE is only a scan-order hint); the shim merges the clauses
+    with both sides parenthesized so the OR in the WHERE keeps its
+    binding.  Catalyst pushes the merged predicate into the parquet
+    scan — the hint's purpose is native to the planner here."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT event_type, count() AS n, round(sum(value), 4) + 0.0 AS sv
+        FROM events
+        PREWHERE value > 5
+        WHERE event_type IN ('view', 'click') OR value > 90
+        GROUP BY event_type
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_battery4",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'view' THEN 'V'
+                WHEN event_type = 'click' THEN 'C'
+                ELSE '?' END AS et_code,
+           str_split(event_type, 'e')[1] AS et_head,
+           CAST(gcd(event_id, 24) AS BIGINT) AS g,
+           CAST(event_id & 1 AS INT) AS low_bit,
+           CAST((event_id >> 24) & 255 AS VARCHAR) || '.' ||
+           CAST((event_id >> 16) & 255 AS VARCHAR) || '.' ||
+           CAST((event_id >> 8) & 255 AS VARCHAR) || '.' ||
+           CAST(event_id & 255 AS VARCHAR) AS ip,
+           CAST(date_trunc('week', ts) AS DATE) AS monday,
+           CAST(CASE WHEN user_id % 5 = 0 THEN 0
+                     ELSE event_id % (user_id % 5) END AS BIGINT) AS mz,
+           ROUND((value + 1.0) / (abs(value) + 2.0), 4) + 0.0 AS dv
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def q_ch_sql_battery4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A literal dialect statement sweeping the battery-4 scalar
+    renders that are deterministic and DuckDB-expressible: lookup
+    transform(), splitByString + 1-based arrayElement, gcd (the
+    92-step Euclid fold), bitTest, IPv4NumToString, toMonday,
+    moduloOrZero, and divide()'s always-Float64 division (the IEEE
+    zero-divisor branches are pytest-pinned; the driver row keeps a
+    strictly positive denominator so both engines hash finite
+    values).  All
+    expressions stay inside whole-stage codegen (no UDFs); the
+    predicate and 4-column read reach the parquet scan."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT event_id,
+               transform(event_type, ['view', 'click'], ['V', 'C'], '?')
+                   AS et_code,
+               arrayElement(splitByString('e', event_type), 1) AS et_head,
+               gcd(event_id, 24) AS g,
+               bitTest(event_id, 0) AS low_bit,
+               IPv4NumToString(event_id) AS ip,
+               toMonday(ts) AS monday,
+               moduloOrZero(event_id, user_id % 5) AS mz,
+               round(divide(value + 1.0, abs(value) + 2.0), 4) + 0.0 AS dv
+        FROM events
+        WHERE event_id < 500
+        """,
+    )

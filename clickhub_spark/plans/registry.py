@@ -82,6 +82,13 @@ ROUND_PRIORITY = [
     "q_ch_sql_asof",
     "q_ch_ddl_roundtrip",
     "q_ch_sql_any_join",
+    # round-12 session-3 additions (never-checked → inside the window;
+    # the three more r5 names they displace join the r13 lead block at
+    # exactly 7-rounds stale — battery-4 statement queries: WITH
+    # TOTALS, PREWHERE+WHERE conjunction, the scalar-render sweep)
+    "q_ch_sql_totals",
+    "q_ch_sql_prewhere",
+    "q_ch_sql_battery4",
     "q_seq_match_pattern_time",
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",
