@@ -310,7 +310,10 @@ def main(argv: list[str] | None = None) -> int:
                 text = f.read()
         for stmt in _split_top(text, ";"):
             verb = stmt.lstrip().split(None, 1)[0].upper() if stmt.strip() else ""
-            if verb in ("CREATE", "DROP", "TRUNCATE", "INSERT"):
+            if verb in (
+                "CREATE", "DROP", "TRUNCATE", "INSERT", "ALTER", "OPTIMIZE",
+                "SHOW", "DESCRIBE", "DESC", "EXISTS", "RENAME",
+            ):
                 print(wh.execute(stmt, spark=spark))
                 wh.register_views(spark)  # new tables visible to later SELECTs
             else:

@@ -126,6 +126,12 @@ class TableDef:
     #: — materialized at write as the hive partition dir
     #: ``_partition_id`` (ClickHouse's virtual column of that name)
     partition_expr: str | None = None
+    #: engine "View" / "MaterializedView": the stored SELECT text
+    select: str | None = None
+    #: engine "MaterializedView": the ``TO db.table`` target and the
+    #: source table whose INSERTs trigger the view
+    mv_target: str | None = None
+    mv_source: str | None = None
 
     @property
     def qualified(self) -> str:
@@ -153,6 +159,64 @@ class TableDef:
         engine-arg version keeps the last-inserted row; the ingest-time
         MATERIALIZED DateTime column is that insertion order."""
         return [c.name for c in self.columns if c.materialized is not None]
+
+
+def ch_type_of(dt: DataType) -> str:
+    """Spark type → ClickHouse type text (the reverse of
+    :func:`parse_type`, for CTAS-derived schemas).  Signed widths only
+    — Spark has no unsigned integers, so a round-trip of an unsigned
+    source type lands on the signed type of the same storage width
+    (the documented catalog.py trade)."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, ByteType, DateType, DecimalType,
+        DoubleType, FloatType, IntegerType, LongType, ShortType,
+        StringType, TimestampType,
+    )
+
+    if isinstance(dt, ArrayType):
+        return f"Array({ch_type_of(dt.elementType)})"
+    if isinstance(dt, DecimalType):
+        return f"Decimal({dt.precision}, {dt.scale})"
+    for py_t, ch in (
+        (LongType, "Int64"), (IntegerType, "Int32"), (ShortType, "Int16"),
+        (ByteType, "Int8"), (DoubleType, "Float64"), (FloatType, "Float32"),
+        (StringType, "String"), (BooleanType, "Bool"), (DateType, "Date"),
+        (TimestampType, "DateTime"),
+    ):
+        if isinstance(dt, py_t):
+            return ch
+    raise DdlError(f"no ClickHouse type mapping for {dt.simpleString()}")
+
+
+def create_statement(td: TableDef) -> str:
+    """Serialize a TableDef back to its CREATE TABLE statement
+    (``SHOW CREATE TABLE``); round-trips through
+    :func:`parse_create_table`."""
+    cols = []
+    for c in td.columns:
+        ent = f"`{c.name}` {c.ch_type}"
+        if c.materialized is not None:
+            ent += f" MATERIALIZED {c.materialized}"
+        if c.default is not None:
+            ent += f" DEFAULT {c.default}"
+        cols.append(ent)
+    out = (
+        f"CREATE TABLE {td.database}.{td.name} ({', '.join(cols)}) "
+        f"ENGINE = {td.engine}"
+    )
+    if td.engine_args:
+        out += "(" + ", ".join(td.engine_args) + ")"
+    if td.partition_expr:
+        out += f" PARTITION BY {td.partition_expr}"
+    if td.primary_key:
+        out += f" PRIMARY KEY ({', '.join(td.primary_key)})"
+    if td.order_by:
+        out += f" ORDER BY ({', '.join(td.order_by)})"
+    if td.settings:
+        out += " SETTINGS " + ", ".join(
+            f"{k} = {v}" for k, v in td.settings.items()
+        )
+    return out
 
 
 def _split_top(text: str, sep: str = ",") -> list[str]:
@@ -415,6 +479,26 @@ def parse_create_table(sql: str) -> TableDef:
 
 
 # --------------------------------------------------------------------------
+#: ``INSERT INTO db.t [(cols)] SELECT …`` — the ETL form; the source
+#: SELECT runs through the dialect shim against the session's views
+#: (incl. the warehouse's own), columns match by POSITION like the
+#: server.
+_INSERT_SELECT_RE = re.compile(
+    r"\s*INSERT\s+INTO\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s*"
+    r"(?:\(([^)]*)\)\s*)?(SELECT\b.*|WITH\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: ``CREATE TABLE db.t ENGINE = … [ORDER BY …] AS SELECT …`` — the
+#: schema is derived from the SELECT result (ch_type_of), then the
+#: result is the first inserted batch.
+_CTAS_RE = re.compile(
+    r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s+"
+    r"(ENGINE\s*=.*?)\s+AS\s+(SELECT\b.*|WITH\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 # INSERT … VALUES parsing (reference test.py:35)
 # --------------------------------------------------------------------------
 
@@ -522,18 +606,41 @@ class Warehouse:
         )
         if verb.startswith("CREATE DATABASE"):
             return self._create_database(sql)
+        if verb.startswith(("CREATE VIEW", "CREATE MATERIALIZED")):
+            return self._create_view(sql, spark)
+        if verb.startswith(("DROP VIEW", "DROP MATERIALIZED")):
+            return self._drop_table(
+                re.sub(
+                    r"DROP\s+(MATERIALIZED\s+)?VIEW", "DROP TABLE", sql,
+                    count=1, flags=re.IGNORECASE,
+                )
+            )
         if verb.startswith("CREATE TABLE"):
+            m_ctas = _CTAS_RE.match(sql)
+            if m_ctas:
+                return self._create_table_as(m_ctas, spark)
             return self._create_table(sql)
         if verb.startswith("DROP TABLE"):
             return self._drop_table(sql)
         if verb.startswith("TRUNCATE"):
             return self._truncate(sql)
         if verb.startswith("INSERT"):
+            m_sel = _INSERT_SELECT_RE.match(sql)
+            if m_sel:
+                return self._insert_select(m_sel, spark)
             return self._insert(sql, spark)
         if verb.startswith("ALTER TABLE"):
             return self._alter(sql)
         if verb.startswith("OPTIMIZE"):
             return self._optimize(sql, spark)
+        if verb.startswith("SHOW"):
+            return self._show(sql)
+        if verb.startswith(("DESCRIBE", "DESC")):
+            return self._describe(sql)
+        if verb.startswith("EXISTS"):
+            return self._exists(sql)
+        if verb.startswith("RENAME"):
+            return self._rename(sql)
         raise DdlError(
             f"not a DDL/DML statement (SELECTs go through sql_compat.run): "
             f"{sql[:60]!r}"
@@ -646,8 +753,16 @@ class Warehouse:
             [tuple(None if v is None else str(v) for v in r) for r in rows],
             schema=as_str,
         ).select(*[F.col(n).cast(schema[n].dataType).alias(n) for n in names])
-        # fill omitted columns with their DEFAULT (ClickHouse computes
-        # defaults on INSERT), else NULL, so the stored schema is stable
+        self._finish_insert(spark, td, df, names)
+        return f"inserted {len(rows)}"
+
+    def _finish_insert(
+        self, spark: SparkSession, td: TableDef, df: DataFrame, names: list[str]
+    ) -> None:
+        """Shared INSERT tail: fill omitted columns with their DEFAULT
+        (ClickHouse computes defaults on INSERT), else NULL, so the
+        stored schema is stable; then append in ingest-schema order."""
+        schema = td.ingest_schema()
         defaults = {c.name: c.default for c in td.columns}
         for f_ in schema.fields:
             if f_.name not in names:
@@ -657,8 +772,313 @@ class Warehouse:
                     else F.lit(None).cast(f_.dataType)
                 )
                 df = df.withColumn(f_.name, fill)
-        self.insert(spark, f"{db}.{table}", df.select(*[f.name for f in schema.fields]))
-        return f"inserted {len(rows)}"
+        self.insert(
+            spark, td.qualified, df.select(*[f.name for f in schema.fields])
+        )
+
+    def _insert_select(self, m: re.Match, spark: SparkSession | None) -> str:
+        """``INSERT INTO db.t [(cols)] SELECT …`` — the source SELECT
+        runs through the dialect shim against the session's registered
+        views (incl. this warehouse's own tables), then columns match
+        by POSITION with server-style casts, exactly like ClickHouse's
+        INSERT SELECT."""
+        if spark is None:
+            raise DdlError("INSERT … SELECT needs a SparkSession")
+        from clickhub_spark.sql_compat import run as _run
+
+        db, table = m.group(1) or "default", m.group(2)
+        td = self._require(f"{db}.{table}")
+        if td.engine == "KeeperMap":
+            raise DdlError("INSERT … SELECT into KeeperMap is not supported")
+        schema = td.ingest_schema()
+        names = (
+            [c.strip().strip("`") for c in _split_top(m.group(3))]
+            if m.group(3)
+            else [f.name for f in schema.fields]
+        )
+        unknown = [n for n in names if n not in schema.fieldNames()]
+        if unknown:
+            raise DdlError(f"INSERT references unknown columns {unknown}")
+        self.register_views(spark)
+        src = _run(spark, m.group(4))
+        if len(src.columns) != len(names):
+            raise DdlError(
+                f"INSERT … SELECT provides {len(src.columns)} columns, "
+                f"target list has {len(names)}"
+            )
+        src = src.toDF(*names).select(
+            *[F.col(n).cast(schema[n].dataType).alias(n) for n in names]
+        )
+        self._finish_insert(spark, td, src, names)
+        return f"inserted select into {td.qualified}"
+
+    def _create_table_as(self, m: re.Match, spark: SparkSession | None) -> str:
+        """``CREATE TABLE db.t ENGINE = … [ORDER BY …] AS SELECT …`` —
+        the column set comes from the SELECT result (Spark types →
+        ClickHouse text via ch_type_of), the result is the first
+        batch.  MergeTree-family engines only."""
+        if spark is None:
+            raise DdlError("CREATE TABLE … AS SELECT needs a SparkSession")
+        from clickhub_spark.sql_compat import run as _run
+
+        if_not_exists = m.group(1) is not None
+        db, name = m.group(2) or "default", m.group(3)
+        if f"{db}.{name}" in self._tables:
+            if if_not_exists:
+                return "exists"
+            raise DdlError(f"table {db}.{name} already exists")
+        clauses = m.group(4)
+        em = re.search(r"ENGINE\s*=\s*(\w+)", clauses, re.IGNORECASE)
+        engine = em.group(1) if em else "MergeTree"
+        if engine not in _MERGE_TREE_ENGINES:
+            raise DdlError(f"CTAS supports MergeTree engines, not {engine}")
+        om = re.search(
+            r"ORDER\s+BY\s+(\([^)]*\)|\S+)", clauses, re.IGNORECASE
+        )
+        order_by = _key_list(om.group(1)) if om else []
+        if order_by == ["tuple()"]:
+            order_by = []
+        self.register_views(spark)
+        src = _run(spark, m.group(5))
+        cols = []
+        for f_ in src.schema.fields:
+            ch = ch_type_of(f_.dataType)
+            spark_type, labels = parse_type(ch)
+            cols.append(ColumnDef(f_.name, ch, spark_type, labels))
+        missing = [k for k in order_by if k not in {c.name for c in cols}]
+        if missing:
+            raise DdlError(f"ORDER BY references absent columns {missing}")
+        td = TableDef(
+            database=db, name=name, columns=cols, engine=engine,
+            order_by=order_by, if_not_exists=if_not_exists,
+        )
+        os.makedirs(self._dir(db, name), exist_ok=True)
+        self._persist(td)
+        self._tables[td.qualified] = td
+        names = [c.name for c in cols]
+        src = src.select(
+            *[F.col(n).cast(td.ingest_schema()[n].dataType).alias(n) for n in names]
+        )
+        self._finish_insert(spark, td, src, names)
+        return f"created {td.qualified} as select"
+
+    # -- introspection statements --------------------------------------------
+
+    def _show(self, sql: str) -> str:
+        s = sql.strip().rstrip(";").strip()
+        if re.fullmatch(r"SHOW\s+DATABASES", s, re.IGNORECASE):
+            on_disk = (
+                d for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d))
+            )
+            return "\n".join(
+                sorted({td.database for td in self._tables.values()} | set(on_disk))
+            )
+        m = re.fullmatch(
+            r"SHOW\s+TABLES(?:\s+FROM\s+`?(\w+)`?)?", s, re.IGNORECASE
+        )
+        if m:
+            db = m.group(1) or "default"
+            return "\n".join(
+                sorted(
+                    td.name for td in self._tables.values() if td.database == db
+                )
+            )
+        m = re.fullmatch(
+            r"SHOW\s+CREATE\s+TABLE\s+(?:`?(\w+)`?\.)?`?(\w+)`?",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return create_statement(
+                self._require(f"{m.group(1) or 'default'}.{m.group(2)}")
+            )
+        raise DdlError(f"unsupported SHOW form: {sql[:60]!r}")
+
+    def _describe(self, sql: str) -> str:
+        m = re.fullmatch(
+            r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*;?\s*",
+            sql.strip(),
+            re.IGNORECASE,
+        )
+        if not m:
+            raise DdlError(f"unparseable DESCRIBE: {sql[:60]!r}")
+        td = self._require(f"{m.group(1) or 'default'}.{m.group(2)}")
+        lines = []
+        for c in td.columns:
+            extra = ""
+            if c.materialized is not None:
+                extra = f"\tMATERIALIZED\t{c.materialized}"
+            elif c.default is not None:
+                extra = f"\tDEFAULT\t{c.default}"
+            lines.append(f"{c.name}\t{c.ch_type}{extra}")
+        return "\n".join(lines)
+
+    def _exists(self, sql: str) -> str:
+        m = re.fullmatch(
+            r"EXISTS\s+(?:TABLE\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*;?\s*",
+            sql.strip(),
+            re.IGNORECASE,
+        )
+        if not m:
+            raise DdlError(f"unparseable EXISTS: {sql[:60]!r}")
+        return "1" if f"{m.group(1) or 'default'}.{m.group(2)}" in self._tables else "0"
+
+    def _rename(self, sql: str) -> str:
+        """``RENAME TABLE a.b TO c.d[, …]`` — move the table directory
+        (metadata travels inside it) and re-persist under the new
+        identity; an instant metadata operation like the engine's."""
+        m = re.fullmatch(
+            r"RENAME\s+TABLE\s+(.+)", sql.strip().rstrip(";"),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise DdlError(f"unparseable RENAME TABLE: {sql[:60]!r}")
+        moves = []
+        for pair in _split_top(m.group(1)):
+            pm = re.fullmatch(
+                r"\s*(?:`?(\w+)`?\.)?`?(\w+)`?\s+TO\s+"
+                r"(?:`?(\w+)`?\.)?`?(\w+)`?\s*",
+                pair,
+                re.IGNORECASE,
+            )
+            if not pm:
+                raise DdlError(f"unparseable RENAME pair: {pair!r}")
+            src = f"{pm.group(1) or 'default'}.{pm.group(2)}"
+            dst_db, dst_name = pm.group(3) or "default", pm.group(4)
+            dst = f"{dst_db}.{dst_name}"
+            self._require(src)
+            if dst in self._tables:
+                raise DdlError(f"RENAME target {dst} already exists")
+            moves.append((src, dst_db, dst_name))
+        import shutil
+
+        for src, dst_db, dst_name in moves:
+            td = self._tables.pop(src)
+            old_dir = self._dir(td.database, td.name)
+            os.makedirs(os.path.join(self.root, dst_db), exist_ok=True)
+            shutil.move(old_dir, self._dir(dst_db, dst_name))
+            td.database, td.name = dst_db, dst_name
+            self._tables[td.qualified] = td
+            self._persist(td)
+            self._queues.pop(src, None)
+        return f"renamed {len(moves)}"
+
+    # -- views and materialized views ------------------------------------------
+
+    def _create_view(self, sql: str, spark: SparkSession | None) -> str:
+        """``CREATE VIEW db.v AS SELECT …`` (a stored SELECT,
+        registered as a session view) and ``CREATE MATERIALIZED VIEW
+        db.mv TO db.target AS SELECT …`` — ClickHouse's INSERT-trigger
+        semantics: every INSERT into the FROM table runs the SELECT
+        over the INSERTED BLOCK only and appends the result to the
+        target (no global recompute; aggregates land as partial states
+        the target engine merges on read, e.g. SummingMergeTree).
+        The implicit-inner-table form (no TO) is not supported."""
+        m = re.match(
+            r"\s*CREATE\s+(MATERIALIZED\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"(?:`?(\w+)`?\.)?`?(\w+)`?\s*"
+            r"(?:TO\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+)?AS\s+(SELECT\b.*|WITH\b.*)$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise DdlError(f"unparseable CREATE VIEW: {sql[:80]!r}")
+        materialized = m.group(1) is not None
+        db, name = m.group(3) or "default", m.group(4)
+        if f"{db}.{name}" in self._tables:
+            if m.group(2):
+                return "exists"
+            raise DdlError(f"view {db}.{name} already exists")
+        select = m.group(7).strip()
+        mv_target = mv_source = None
+        if materialized:
+            if m.group(6) is None:
+                raise DdlError(
+                    "CREATE MATERIALIZED VIEW needs an explicit TO table "
+                    "(implicit .inner tables are not supported)"
+                )
+            mv_target = f"{m.group(5) or 'default'}.{m.group(6)}"
+            self._require(mv_target)
+            fm = re.search(
+                r"\bFROM\s+(?:`?(\w+)`?\.)?`?(\w+)`?", select, re.IGNORECASE
+            )
+            if not fm:
+                raise DdlError("MATERIALIZED VIEW SELECT needs a FROM table")
+            mv_source = f"{fm.group(1) or 'default'}.{fm.group(2)}"
+        elif m.group(6) is not None:
+            raise DdlError("TO is only valid for MATERIALIZED VIEW")
+        td = TableDef(
+            database=db,
+            name=name,
+            columns=[],
+            engine="MaterializedView" if materialized else "View",
+            select=select,
+            mv_target=mv_target,
+            mv_source=mv_source,
+        )
+        os.makedirs(self._dir(db, name), exist_ok=True)
+        self._persist(td)
+        self._tables[td.qualified] = td
+        if spark is not None:
+            self.register_views(spark)
+        return f"created view {td.qualified}"
+
+    def _rewrite_table_refs(self, sql: str) -> str:
+        """``db.table`` references to THIS warehouse's tables become
+        their registered ``db_table`` view names (the dialect shim
+        only strips the reference's git./default. prefixes)."""
+        for q in self._tables:
+            db, name = q.split(".", 1)
+            sql = re.sub(rf"\b{db}\.{name}\b", f"{db}_{name}", sql)
+        return sql
+
+    def _trigger_mvs(
+        self, spark: SparkSession, source_q: str, batch: DataFrame
+    ) -> None:
+        """Run every MATERIALIZED VIEW whose FROM is ``source_q`` over
+        the inserted block and append to its target — chained views
+        recurse naturally (a target's own views fire on its insert);
+        the depth guard turns a definition cycle into a loud error."""
+        mvs = [
+            td for td in self._tables.values()
+            if td.engine == "MaterializedView" and td.mv_source == source_q
+        ]
+        if not mvs:
+            return
+        self._mv_depth = getattr(self, "_mv_depth", 0) + 1
+        try:
+            if self._mv_depth > 10:
+                raise DdlError(
+                    f"materialized-view chain deeper than 10 at {source_q} "
+                    f"(definition cycle?)"
+                )
+            for mv in mvs:
+                db, name = source_q.split(".", 1)
+                sel = mv.select
+                for pat in (
+                    rf"\b{db}\.{name}\b", rf"\b{db}_{name}\b", rf"\b{name}\b"
+                ):
+                    sel = re.sub(pat, "__mv_batch", sel)
+                batch.createOrReplaceTempView("__mv_batch")
+                from clickhub_spark.sql_compat import run as _run
+
+                out = _run(spark, self._rewrite_table_refs(sel))
+                tgt = self._require(mv.mv_target)
+                schema = tgt.ingest_schema()
+                names = [f.name for f in schema.fields if f.name in out.columns]
+                if not names:
+                    raise DdlError(
+                        f"MV {mv.qualified}: SELECT columns {out.columns} "
+                        f"share no names with target {tgt.qualified}"
+                    )
+                # ClickHouse matches MV output to the target BY NAME
+                aligned = out.select(
+                    *[F.col(n).cast(schema[n].dataType).alias(n) for n in names]
+                )
+                self._finish_insert(spark, tgt, aligned, names)
+        finally:
+            self._mv_depth -= 1
 
     def _alter(self, sql: str) -> str:
         """``ALTER TABLE t ADD COLUMN [IF NOT EXISTS] name Type
@@ -828,6 +1248,8 @@ class Warehouse:
             partition_by=partition_by,
             sort_cols=list(td.order_by),
         )
+        # ClickHouse materialized views fire per inserted block
+        self._trigger_mvs(spark, qualified, df)
 
     def read(self, spark: SparkSession, qualified: str) -> DataFrame:
         """Schema-on-read projection: the DECLARED schema drives the
@@ -849,22 +1271,97 @@ class Warehouse:
                 )
         return df
 
+    def _engine_arg_cols(self, td: TableDef) -> list[str]:
+        """Engine-argument column names — ``ReplacingMergeTree(ver)``,
+        ``SummingMergeTree((a, b))``, ``CollapsingMergeTree(sign)``."""
+        out: list[str] = []
+        for a in td.engine_args:
+            out.extend(
+                x.strip().strip("`") for x in a.strip("() ").split(",") if x.strip()
+            )
+        return out
+
     def read_final(self, spark: SparkSession, qualified: str) -> DataFrame:
-        """ReplacingMergeTree FINAL view: ORDER BY is the dedup key,
-        the MATERIALIZED ingest timestamp the version (the same shape
-        as catalog.FINAL_KEYS)."""
+        """Merge-on-read FINAL view per engine:
+
+        - ReplacingMergeTree: last row per ORDER BY key, version = the
+          engine-arg column, else the MATERIALIZED ingest timestamp
+          (catalog.FINAL_KEYS's shape);
+        - SummingMergeTree: numeric non-key columns summed per key
+          (engine args narrow the summed set); all-zero-sum rows drop,
+          non-summed extras take min() (the engine keeps an arbitrary
+          one — min is the deterministic analog);
+        - CollapsingMergeTree / VersionedCollapsingMergeTree: the
+          engine-exact collapse (operators/collapsing.py), sign (and
+          version) from the engine args."""
+        from pyspark.sql.types import NumericType
+
         from clickhub_spark.operators.dedup import final_view
 
         td = self._require(qualified)
         df = self.read(spark, qualified)
-        if td.engine != "ReplacingMergeTree":
-            return df
-        version = td.version_columns() or list(td.order_by)
-        return final_view(df, keys=list(td.order_by), version=version)
+        keys = list(td.order_by)
+        args = self._engine_arg_cols(td)
+        if td.engine == "ReplacingMergeTree":
+            version = args or td.version_columns() or keys
+            return final_view(df, keys=keys, version=version)
+        if td.engine == "SummingMergeTree":
+            numeric = [
+                c.name
+                for c in td.columns
+                if isinstance(c.spark_type, NumericType) and c.name not in keys
+            ]
+            sum_cols = args or numeric
+            others = [
+                c.name for c in td.columns
+                if c.name not in keys and c.name not in sum_cols
+            ]
+            agg = [F.sum(c).alias(c) for c in sum_cols] + [
+                F.min(c).alias(c) for c in others
+            ]
+            out = df.groupBy(*keys).agg(*agg)
+            if sum_cols:
+                keep = None
+                for c in sum_cols:
+                    cond = F.col(c) != 0
+                    keep = cond if keep is None else (keep | cond)
+                out = out.where(keep)
+            return out.select(*[c.name for c in td.columns])
+        if td.engine == "CollapsingMergeTree":
+            from clickhub_spark.operators.collapsing import collapse_final
+
+            sign = args[0]
+            order = td.version_columns() or keys
+            return collapse_final(df, keys=keys, sign=sign, order=order)
+        if td.engine == "VersionedCollapsingMergeTree":
+            from clickhub_spark.operators.collapsing import (
+                collapse_final_versioned,
+            )
+
+            sign, version = args[0], args[1]
+            order = td.version_columns() or [version]
+            # ClickHouse requires the version as the LAST ORDER BY
+            # component; the collapse keys are the prefix before it
+            cell_keys = [k for k in keys if k != version]
+            return collapse_final_versioned(
+                df, keys=cell_keys, sign=sign, version=version, order=order
+            )
+        return df
+
+    #: engines whose read_final differs from the raw read
+    _FINAL_ENGINES = {
+        "ReplacingMergeTree",
+        "SummingMergeTree",
+        "CollapsingMergeTree",
+        "VersionedCollapsingMergeTree",
+    }
 
     def register_views(self, spark: SparkSession) -> list[str]:
-        """Register ``db_table`` (and ``db_table_final`` for replacing
-        tables) temp views for sql_compat SELECTs."""
+        """Register ``db_table`` (and ``db_table_final`` where the
+        engine merges on read) temp views for sql_compat SELECTs.
+        Stored Views register after tables (their SELECTs read them);
+        a MATERIALIZED VIEW's name reads its TO target, like the
+        engine."""
         out = []
         for q, td in self._tables.items():
             if td.engine not in _MERGE_TREE_ENGINES:
@@ -875,9 +1372,27 @@ class Warehouse:
                 continue
             self.read(spark, q).createOrReplaceTempView(base)
             out.append(base)
-            if td.engine == "ReplacingMergeTree":
+            if td.engine in self._FINAL_ENGINES:
                 self.read_final(spark, q).createOrReplaceTempView(f"{base}_final")
                 out.append(f"{base}_final")
+        for q, td in self._tables.items():
+            base = f"{td.database}_{td.name}"
+            if td.engine == "MaterializedView":
+                tgt = self._tables.get(td.mv_target)
+                if tgt is None:
+                    continue
+                data_dir = os.path.join(self._dir(tgt.database, tgt.name), "data")
+                if not os.path.isdir(data_dir):
+                    continue
+                self.read(spark, td.mv_target).createOrReplaceTempView(base)
+                out.append(base)
+            elif td.engine == "View":
+                from clickhub_spark.sql_compat import run as _run
+
+                _run(
+                    spark, self._rewrite_table_refs(td.select)
+                ).createOrReplaceTempView(base)
+                out.append(base)
         return out
 
 
@@ -891,6 +1406,9 @@ def _tabledef_to_json(td: TableDef) -> dict:
         "primary_key": td.primary_key,
         "settings": td.settings,
         "partition_expr": td.partition_expr,
+        "select": td.select,
+        "mv_target": td.mv_target,
+        "mv_source": td.mv_source,
         "columns": [
             {
                 "name": c.name,
@@ -927,4 +1445,7 @@ def _tabledef_from_json(d: dict) -> TableDef:
         primary_key=d.get("primary_key", []),
         settings=d.get("settings", {}),
         partition_expr=d.get("partition_expr"),
+        select=d.get("select"),
+        mv_target=d.get("mv_target"),
+        mv_source=d.get("mv_source"),
     )

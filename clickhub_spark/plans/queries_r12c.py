@@ -152,3 +152,123 @@ def q_ch_sql_battery4(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id < 500
         """,
     )
+
+
+@query(
+    "q_ch_ddl_ctas",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) + 0.0 AS sv
+    FROM events WHERE event_type = 'view'
+    GROUP BY CAST(ts AS DATE)
+    UNION ALL
+    SELECT CAST(ts AS DATE) + 1000 AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) + 0.0 AS sv
+    FROM events WHERE event_type = 'click'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_ch_ddl_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse ETL statement surface end to end: CREATE TABLE …
+    AS SELECT derives the schema from a dialect aggregate over events
+    and writes it sort-clustered; INSERT … SELECT appends a second
+    slice (click days shifted +1000 so key sets are disjoint) matching
+    columns by position through the shim; RENAME TABLE moves the
+    table; the final dialect SELECT reads the renamed view.  Every
+    layer is the statement path — a parser, dispatch, or
+    insert-alignment regression flips this row red.  The oracle
+    recomputes both slices directly from parquet."""
+    import shutil
+    import tempfile
+
+    from clickhub_spark.ddl import Warehouse
+
+    _events_view(spark, sf_dir)
+    root = tempfile.gettempdir() + "/chwh_ddl_ctas"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+    wh.execute("CREATE DATABASE IF NOT EXISTS ana")
+    wh.execute(
+        "CREATE TABLE ana.daily ENGINE = MergeTree() ORDER BY (d) AS "
+        "SELECT toDate(ts) AS d, count() AS n, "
+        "round(sum(value), 4) + 0.0 AS sv "
+        "FROM events WHERE event_type = 'view' GROUP BY toDate(ts)",
+        spark=spark,
+    )
+    wh.execute(
+        "INSERT INTO ana.daily "
+        "SELECT addDays(toDate(ts), 1000) AS d, count() AS n, "
+        "round(sum(value), 4) + 0.0 AS sv "
+        "FROM events WHERE event_type = 'click' GROUP BY toDate(ts)",
+        spark=spark,
+    )
+    wh.execute("RENAME TABLE ana.daily TO ana.daily_all")
+    wh.register_views(spark)
+    return run(spark, "SELECT d, n, sv FROM ana_daily_all")
+
+
+@query(
+    "q_ch_ddl_mv",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS et, value AS v, event_id
+        FROM events WHERE event_type IS NOT NULL
+    ), blocks AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n, ROUND(SUM(v), 4) AS sv
+        FROM ev WHERE event_id % 2 = 0 GROUP BY et
+        UNION ALL
+        SELECT et, CAST(count(*) AS BIGINT) AS n, ROUND(SUM(v), 4) AS sv
+        FROM ev WHERE event_id % 2 = 1 GROUP BY et
+    )
+    SELECT et, CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(SUM(sv), 4) + 0.0 AS sv
+    FROM blocks GROUP BY et
+    """,
+)
+def q_ch_ddl_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's insert-maintained rollup, every layer a literal
+    statement: a MATERIALIZED VIEW ``TO`` a SummingMergeTree target
+    fires PER INSERTED BLOCK (the SELECT runs over the block only —
+    no global recompute), each block appending one partial-aggregate
+    row per key; the SummingMergeTree merges the partials on read.
+    Two INSERT … SELECT blocks (even/odd event_id) land two partials
+    per key; the oracle reproduces the block-wise rounding exactly.
+    At 100 TB this is the pattern that replaces full-table rollup
+    jobs: each ingest batch shuffles only itself."""
+    import shutil
+    import tempfile
+
+    from clickhub_spark.ddl import Warehouse
+
+    _events_view(spark, sf_dir)
+    root = tempfile.gettempdir() + "/chwh_ddl_mv"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+    wh.execute("CREATE DATABASE IF NOT EXISTS ana")
+    wh.execute(
+        "CREATE TABLE ana.ev (`et` String, `v` Float64) "
+        "ENGINE = MergeTree ORDER BY (et)"
+    )
+    wh.execute(
+        "CREATE TABLE ana.totals (`et` String, `n` Int64, `sv` Float64) "
+        "ENGINE = SummingMergeTree ORDER BY (et)"
+    )
+    wh.execute(
+        "CREATE MATERIALIZED VIEW ana.mv TO ana.totals AS "
+        "SELECT et, count() AS n, round(sum(v), 4) AS sv "
+        "FROM ana.ev GROUP BY et",
+        spark=spark,
+    )
+    for parity in (0, 1):
+        wh.execute(
+            "INSERT INTO ana.ev SELECT event_type, value FROM events "
+            f"WHERE event_id % 2 = {parity} AND event_type IS NOT NULL",
+            spark=spark,
+        )
+    wh.register_views(spark)
+    return run(
+        spark,
+        "SELECT et, n, round(sv, 4) + 0.0 AS sv FROM ana_totals_final",
+    )

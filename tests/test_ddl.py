@@ -490,3 +490,239 @@ def test_partition_by_prunes_and_survives_optimize(spark, wh):
     assert wh.read(spark, "git.pt").count() == 3
     # metadata reload keeps the expression
     assert Warehouse(wh.root).table_def("git.pt").partition_expr == "toYYYYMM(time)"
+
+
+# --- round-12 session 3: warehouse statement surface -------------------------
+
+
+def test_insert_select_positional_with_casts(spark, wh):
+    """INSERT … SELECT matches columns by POSITION with server-style
+    casts, sources through the dialect shim (so ClickHouse functions
+    work in the SELECT), and sees the warehouse's own views."""
+    wh.execute("CREATE DATABASE IF NOT EXISTS ana")
+    wh.execute(
+        "CREATE TABLE ana.src (`k` Int64, `v` Float64) "
+        "ENGINE = MergeTree ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO ana.src (k, v) VALUES (1, 1.5), (2, 2.5), (3, 3.5)",
+        spark=spark,
+    )
+    wh.execute(
+        "CREATE TABLE ana.dst (`k` Int64, `doubled` Float64, "
+        "`tag` String DEFAULT 'x') ENGINE = MergeTree ORDER BY (k)"
+    )
+    out = wh.execute(
+        # dialect fn (multiply) + warehouse view + explicit column list;
+        # the omitted `tag` column takes its DEFAULT
+        "INSERT INTO ana.dst (k, doubled) "
+        "SELECT k, multiply(v, 2) FROM ana_src WHERE k < 3",
+        spark=spark,
+    )
+    assert out == "inserted select into ana.dst"
+    got = wh.read(spark, "ana.dst").orderBy("k").collect()
+    assert [(r.k, r.doubled, r.tag) for r in got] == [
+        (1, 3.0, "x"), (2, 5.0, "x"),
+    ]
+    with pytest.raises(DdlError, match="columns"):
+        wh.execute(
+            "INSERT INTO ana.dst (k) SELECT k, v FROM ana_src", spark=spark
+        )
+
+
+def test_create_table_as_select(spark, wh):
+    """CTAS derives the column set from the SELECT result (Spark →
+    ClickHouse types via ch_type_of) and writes the result as the
+    first batch, sort-clustered on ORDER BY."""
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (1, "a", 3.0)],
+        "k long, g string, v double",
+    ).createOrReplaceTempView("ctas_src")
+    out = wh.execute(
+        "CREATE TABLE default.agg ENGINE = MergeTree() ORDER BY (g) AS "
+        "SELECT g, count() AS n, sum(v) AS sv FROM ctas_src GROUP BY g",
+        spark=spark,
+    )
+    assert out == "created default.agg as select"
+    td = wh.table_def("default.agg")
+    assert [(c.name, c.ch_type) for c in td.columns] == [
+        ("g", "String"), ("n", "Int64"), ("sv", "Float64"),
+    ]
+    got = wh.read(spark, "default.agg").orderBy("g").collect()
+    assert [(r.g, r.n, r.sv) for r in got] == [("a", 2, 4.0), ("b", 1, 2.0)]
+    # IF NOT EXISTS short-circuits; plain CTAS on an existing table raises
+    assert wh.execute(
+        "CREATE TABLE IF NOT EXISTS default.agg ENGINE = MergeTree() "
+        "ORDER BY (g) AS SELECT g FROM ctas_src",
+        spark=spark,
+    ) == "exists"
+    with pytest.raises(DdlError, match="already exists"):
+        wh.execute(
+            "CREATE TABLE default.agg ENGINE = MergeTree() ORDER BY (g) "
+            "AS SELECT g FROM ctas_src",
+            spark=spark,
+        )
+
+
+def test_show_describe_exists_rename(spark, wh):
+    wh.execute("CREATE DATABASE IF NOT EXISTS git")
+    wh.execute(
+        "CREATE TABLE git.tags (`name` String, `weight` UInt32 DEFAULT 1, "
+        "`updated_at` DateTime MATERIALIZED now()) "
+        "ENGINE = ReplacingMergeTree ORDER BY (name)"
+    )
+    assert "git" in wh.execute("SHOW DATABASES").split("\n")
+    assert wh.execute("SHOW TABLES FROM git") == "tags"
+    assert wh.execute("EXISTS TABLE git.tags") == "1"
+    assert wh.execute("EXISTS git.nope") == "0"
+    desc = wh.execute("DESCRIBE TABLE git.tags").split("\n")
+    assert desc[0] == "name\tString"
+    assert desc[1] == "weight\tUInt32\tDEFAULT\t1"
+    assert desc[2].startswith("updated_at\tDateTime\tMATERIALIZED")
+    # SHOW CREATE TABLE round-trips through the parser
+    stmt = wh.execute("SHOW CREATE TABLE git.tags")
+    td2 = parse_create_table(stmt)
+    td = wh.table_def("git.tags")
+    assert [(c.name, c.ch_type, c.default, c.materialized) for c in td2.columns] == [
+        (c.name, c.ch_type, c.default, c.materialized) for c in td.columns
+    ]
+    assert (td2.engine, td2.order_by) == (td.engine, td.order_by)
+    # RENAME moves data + metadata and survives a fresh reload
+    wh.execute(
+        "INSERT INTO git.tags (name) VALUES ('v1')", spark=spark
+    )
+    assert wh.execute("RENAME TABLE git.tags TO git.labels") == "renamed 1"
+    assert wh.execute("EXISTS git.tags") == "0"
+    assert wh.execute("EXISTS git.labels") == "1"
+    assert wh.read(spark, "git.labels").count() == 1
+    wh2 = Warehouse(wh.root)  # fresh process reloads the moved metadata
+    assert wh2.execute("EXISTS git.labels") == "1"
+    with pytest.raises(DdlError, match="does not exist"):
+        wh.execute("RENAME TABLE git.tags TO git.x")
+
+
+def test_create_view_registers_stored_select(spark, wh):
+    wh.execute("CREATE DATABASE IF NOT EXISTS ana")
+    wh.execute(
+        "CREATE TABLE ana.src (`k` Int64, `v` Float64) "
+        "ENGINE = MergeTree ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO ana.src (k, v) VALUES (1, 1.0), (2, 2.0)", spark=spark
+    )
+    out = wh.execute(
+        # db.table reference form — rewritten to the registered view
+        "CREATE VIEW ana.doubled AS SELECT k, multiply(v, 2) AS v2 "
+        "FROM ana.src",
+        spark=spark,
+    )
+    assert out == "created view ana.doubled"
+    from clickhub_spark.sql_compat import run
+
+    wh.register_views(spark)
+    got = run(spark, "SELECT k, v2 FROM ana_doubled ORDER BY k").collect()
+    assert [(r.k, r.v2) for r in got] == [(1, 2.0), (2, 4.0)]
+    # persists across a reload
+    wh2 = Warehouse(wh.root)
+    assert wh2.table_def("ana.doubled").select.startswith("SELECT")
+    assert wh.execute("EXISTS ana.doubled") == "1"
+    wh.execute("DROP VIEW ana.doubled")
+    assert wh.execute("EXISTS ana.doubled") == "0"
+
+
+def test_materialized_view_fires_per_inserted_block(spark, wh):
+    """ClickHouse MV semantics: each INSERT into the FROM table runs
+    the SELECT over the inserted block only and appends to the TO
+    table; a SummingMergeTree target then merges the partial
+    aggregates on read — the insert-maintained rollup."""
+    from clickhub_spark.sql_compat import run
+
+    wh.execute("CREATE DATABASE IF NOT EXISTS ana")
+    wh.execute(
+        "CREATE TABLE ana.events (`g` String, `v` Int64) "
+        "ENGINE = MergeTree ORDER BY (g)"
+    )
+    wh.execute(
+        "CREATE TABLE ana.totals (`g` String, `n` Int64, `sv` Int64) "
+        "ENGINE = SummingMergeTree ORDER BY (g)"
+    )
+    wh.execute(
+        "CREATE MATERIALIZED VIEW ana.ev_totals TO ana.totals AS "
+        "SELECT g, count() AS n, sum(v) AS sv FROM ana.events GROUP BY g",
+        spark=spark,
+    )
+    wh.execute(
+        "INSERT INTO ana.events (g, v) VALUES ('a', 1), ('a', 2), ('b', 5)",
+        spark=spark,
+    )
+    wh.execute(
+        "INSERT INTO ana.events (g, v) VALUES ('a', 10)", spark=spark
+    )
+    # raw target holds one partial row per block per key (a: 2 blocks)
+    assert wh.read(spark, "ana.totals").count() == 3
+    merged = {
+        (r.g, r.n, r.sv)
+        for r in wh.read_final(spark, "ana.totals").collect()
+    }
+    assert merged == {("a", 3, 13), ("b", 1, 5)}
+    # the registered _final view and the MV name itself (reads target)
+    wh.register_views(spark)
+    via_final = {
+        (r.g, r.n, r.sv)
+        for r in run(
+            spark, "SELECT g, n, sv FROM ana_totals_final"
+        ).collect()
+    }
+    assert via_final == merged
+    assert run(spark, "SELECT count() AS c FROM ana_ev_totals").first().c == 3
+    # reload: MV metadata survives and keeps firing
+    wh2 = Warehouse(wh.root)
+    wh2.execute(
+        "INSERT INTO ana.events (g, v) VALUES ('b', 7)", spark=spark
+    )
+    merged2 = {
+        (r.g, r.n, r.sv)
+        for r in wh2.read_final(spark, "ana.totals").collect()
+    }
+    assert merged2 == {("a", 3, 13), ("b", 2, 12)}
+
+
+def test_materialized_view_requires_to_and_existing_target(spark, wh):
+    wh.execute(
+        "CREATE TABLE default.t (`k` Int64) ENGINE = MergeTree ORDER BY (k)"
+    )
+    with pytest.raises(DdlError, match="TO"):
+        wh.execute(
+            "CREATE MATERIALIZED VIEW default.m AS SELECT k FROM default.t",
+            spark=spark,
+        )
+    with pytest.raises(DdlError, match="does not exist"):
+        wh.execute(
+            "CREATE MATERIALIZED VIEW default.m TO default.absent AS "
+            "SELECT k FROM default.t",
+            spark=spark,
+        )
+
+
+def test_collapsing_final_via_ddl(spark, wh):
+    """CollapsingMergeTree(sign) read_final dispatches to the
+    engine-exact collapse operator; a +1/-1 pair cancels, the
+    surviving state is the last by ingest order."""
+    wh.execute(
+        "CREATE TABLE default.st (`k` Int64, `x` Int64, `sign` Int8, "
+        "`updated_at` DateTime MATERIALIZED now()) "
+        "ENGINE = CollapsingMergeTree(sign) ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO default.st (k, x, sign) VALUES (1, 10, 1)", spark=spark
+    )
+    wh.execute(
+        "INSERT INTO default.st (k, x, sign) VALUES (1, 10, -1), "
+        "(1, 20, 1), (2, 5, 1)",
+        spark=spark,
+    )
+    got = {
+        (r.k, r.x)
+        for r in wh.read_final(spark, "default.st").select("k", "x").collect()
+    }
+    assert got == {(1, 20), (2, 5)}
