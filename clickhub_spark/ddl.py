@@ -1393,7 +1393,64 @@ class Warehouse:
                     spark, self._rewrite_table_refs(td.select)
                 ).createOrReplaceTempView(base)
                 out.append(base)
+        out.extend(self.register_system_views(spark))
         return out
+
+    def register_system_views(self, spark: SparkSession) -> list[str]:
+        """The engine's introspection relations, from warehouse
+        metadata + parquet footers (introspect.table_parts — no data
+        scan): ``system.tables`` / ``system.columns`` /
+        ``system.parts`` / ``system.databases``, reachable from the
+        dialect as ``SELECT … FROM system.tables`` (translate maps the
+        qualifier to these ``system_*`` view names)."""
+        from clickhub_spark.introspect import table_parts
+
+        tbl_rows, col_rows, part_rows = [], [], []
+        for td in self._tables.values():
+            data = os.path.join(self._dir(td.database, td.name), "data")
+            total_rows = total_bytes = 0
+            for p in (table_parts(data) if os.path.isdir(data) else []):
+                part_rows.append(
+                    (td.database, td.name, p.partition, p.file,
+                     p.rows, p.bytes, p.row_groups, True)
+                )
+                total_rows += p.rows
+                total_bytes += p.bytes
+            tbl_rows.append(
+                (td.database, td.name, td.engine, total_rows, total_bytes)
+            )
+            for i, c in enumerate(td.columns, 1):
+                col_rows.append(
+                    (td.database, td.name, c.name, c.ch_type, i,
+                     c.default, c.materialized)
+                )
+        for name, rows, schema in (
+            (
+                "system_tables", tbl_rows,
+                "database string, name string, engine string, "
+                "total_rows long, total_bytes long",
+            ),
+            (
+                "system_columns", col_rows,
+                "database string, table string, name string, type string, "
+                "position int, default_expression string, "
+                "materialized_expression string",
+            ),
+            (
+                "system_parts", part_rows,
+                "database string, table string, partition_id string, "
+                "name string, rows long, bytes_on_disk long, "
+                "row_groups int, active boolean",
+            ),
+            (
+                "system_databases",
+                [(d,) for d in sorted({t.database for t in self._tables.values()})],
+                "name string",
+            ),
+        ):
+            spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+        return ["system_tables", "system_columns", "system_parts",
+                "system_databases"]
 
 
 def _tabledef_to_json(td: TableDef) -> dict:

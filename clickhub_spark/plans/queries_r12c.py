@@ -272,3 +272,40 @@ def q_ch_ddl_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT et, n, round(sv, 4) + 0.0 AS sv FROM ana_totals_final",
     )
+
+
+@query(
+    "q_ch_sql_table_fns",
+    oracle="""
+    SELECT b.range AS bucket,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n,
+           ROUND(SUM(COALESCE(l.l_extendedprice, 0)), 2) + 0.0 AS rev
+    FROM range(0, 8) b
+    LEFT JOIN lineitem l
+      ON CAST(floor(l.l_quantity / 7) AS BIGINT) = b.range
+    GROUP BY b.range
+    """,
+)
+def q_ch_sql_table_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect TABLE FUNCTIONS as a literal statement: ``numbers(8)``
+    (the engine's integer generator — rendered as Spark's range()
+    table with the `number` column) LEFT JOINed to ``file(path,
+    'Parquet')`` (the engine's local-file relation — Spark's
+    path-based ``parquet.`…``` table, so the scan gets pushdown and
+    pruning like any catalog table).  l_quantity is 1..50 so every
+    bucket 0..7 is populated; the oracle uses DuckDB's native range()
+    table function against the pre-registered lineitem view (the same
+    parquet file() reads)."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        f"""
+        SELECT b.number AS bucket,
+               count(l.l_orderkey) AS n,
+               round(sum(coalesce(l.l_extendedprice, 0)), 2) + 0.0 AS rev
+        FROM numbers(8) AS b
+        LEFT JOIN file('{sf_dir}/lineitem.parquet', 'Parquet') AS l
+          ON toInt64(floor(l.l_quantity / 7)) = b.number
+        GROUP BY b.number
+        """,
+    )

@@ -871,6 +871,20 @@ def _merge_prewhere(sql: str) -> str:
 def translate(sql: str) -> str:
     """Rewrite ClickHouse SQL to Spark SQL."""
     out = sql
+    # system tables: system.one is the engine's 1-row dummy relation;
+    # the rest map to the system_* views the Warehouse registers
+    # (register_system_views) — system.tables/columns/parts/databases
+    out = re.sub(r"\bsystem\.one\b", "(SELECT 1 AS dummy)", out)
+    out = re.sub(r"\bsystem\.(\w+)", r"system_\1", out)
+    # system.columns/parts use the engine's real column names `table`
+    # and `rows`, which Spark's ANSI parser reserves — backtick the
+    # bare identifiers, but only in statements touching those views
+    if re.search(r"\bsystem_(columns|parts)\b", out):
+        segs0 = _split_quoted(out)
+        out = "".join(
+            t if lit else re.sub(r"(?<!`)\b(table|rows)\b(?!`)", r"`\1`", t)
+            for lit, t in segs0
+        )
     # db-qualified tables: git.commits → commits (our views are flat)
     out = re.sub(r"\b(?:git|default)\.(\w+)", r"\1", out)
     # bare count() → count(*)
@@ -1582,6 +1596,27 @@ def translate(sql: str) -> str:
     out = re.sub(r"\brandCanonical\s*\(", "rand(", out)
     # --- probe battery 5 (round-12 session 3): strings, week grids,
     # rounding ladders, array sweeps, URL/JSON surface, conversions ---
+    # file(path, format) table function → Spark's path-based table
+    # (format.`path`) for on-disk formats.  numbers() renders LATER —
+    # after the scalar range()→array rewrite, which would otherwise
+    # consume the range() this render emits.
+    def _file_fn(a: list[str]) -> str:
+        pm = re.fullmatch(r"'([^']+)'", a[0].strip())
+        fm = re.fullmatch(r"'(\w+)'", a[1].strip())
+        if not pm or not fm:
+            raise ValueError("file(): literal path and format required")
+        fmt = {
+            "parquet": "parquet", "orc": "orc", "json": "json",
+            "jsoneachrow": "json", "csv": "csv",
+        }.get(fm.group(1).lower())
+        if fmt is None:
+            raise ValueError(
+                f"file(): unsupported format {fm.group(1)!r} "
+                f"(Parquet/ORC/JSONEachRow/CSV)"
+            )
+        return f"{fmt}.`{pm.group(1)}`"
+
+    out = _rewrite_call(out, "file", _file_fn, nargs=2)
     out = _rewrite_call(
         out, "multiSearchFirstIndex",
         lambda a: (
@@ -2035,6 +2070,19 @@ def translate(sql: str) -> str:
         lambda a: (
             f"CASE WHEN ({a[0]}) <= 0 THEN array() "
             f"ELSE sequence(0, ({a[0]}) - 1) END"
+        ),
+    )
+    # numbers(N) / numbers(start, count) table function → Spark's
+    # range() table with the engine's `number` column name.  MUST run
+    # after the scalar range()→array rewrite just above, which would
+    # otherwise consume the range() emitted here.
+    out = _rewrite_call(
+        out,
+        "numbers",
+        lambda a: (
+            f"(SELECT id AS number FROM range({a[0]}))"
+            if len(a) == 1
+            else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
         ),
     )
     # toStartOfInterval(t, INTERVAL n unit) — second-based units only
@@ -2727,7 +2775,21 @@ def run(spark: SparkSession, sql: str) -> DataFrame:
     the session's registered views.  ``ORDER BY … WITH FILL`` and
     ``ASOF JOIN … USING`` are executed by delegating to the
     registered DataFrame operators (see parse_with_fill /
-    _rewrite_asof_join)."""
+    _rewrite_asof_join).  ``EXPLAIN [AST|SYNTAX|PLAN|PIPELINE]
+    SELECT …`` returns Catalyst's plan text as a one-column relation
+    (AST/SYNTAX show the analyzed/translated form, PLAN/PIPELINE the
+    physical plan — the engine's four views collapse onto Spark's
+    two)."""
+    m_exp = re.match(
+        r"\s*EXPLAIN(\s+(?:AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m_exp:
+        mode = (m_exp.group(1) or "").strip().upper()
+        inner = translate(m_exp.group(2))
+        spark_mode = "EXTENDED" if mode in ("AST", "SYNTAX") else "FORMATTED"
+        return spark.sql(f"EXPLAIN {spark_mode} {inner}")
     sql = _rewrite_asof_join(spark, sql)
     filled = parse_with_fill(sql)
     if filled is not None:

@@ -726,3 +726,64 @@ def test_collapsing_final_via_ddl(spark, wh):
         for r in wh.read_final(spark, "default.st").select("k", "x").collect()
     }
     assert got == {(1, 20), (2, 5)}
+
+
+def test_system_views_and_table_functions(spark, wh):
+    """system.tables/columns/parts/databases from warehouse metadata
+    (footer stats only); numbers() and file() table functions in the
+    dialect."""
+    from clickhub_spark.sql_compat import run
+
+    wh.execute("CREATE DATABASE IF NOT EXISTS git")
+    wh.execute(
+        "CREATE TABLE git.tags (`name` String, `weight` UInt32) "
+        "ENGINE = ReplacingMergeTree ORDER BY (name)"
+    )
+    wh.execute(
+        "INSERT INTO git.tags (name, weight) VALUES ('v1', 3), ('v2', 7)",
+        spark=spark,
+    )
+    wh.register_views(spark)
+    t = run(
+        spark,
+        "SELECT engine, total_rows FROM system.tables "
+        "WHERE database = 'git' AND name = 'tags'",
+    ).first()
+    assert (t.engine, t.total_rows) == ("ReplacingMergeTree", 2)
+    cols = run(
+        spark,
+        "SELECT name, type FROM system.columns "
+        "WHERE table = 'tags' ORDER BY position",
+    ).collect()
+    assert [(r.name, r.type) for r in cols] == [
+        ("name", "String"), ("weight", "UInt32"),
+    ]
+    p = run(
+        spark,
+        "SELECT sum(rows) AS r, count() AS files FROM system.parts "
+        "WHERE table = 'tags' AND active",
+    ).first()
+    assert p.r == 2 and p.files >= 1
+    assert run(
+        spark, "SELECT count() AS c FROM system.databases WHERE name = 'git'"
+    ).first().c == 1
+    # system.one and the table functions
+    assert run(spark, "SELECT 1 AS x FROM system.one").first().x == 1
+    nums = run(
+        spark, "SELECT sum(number) AS s FROM numbers(10)"
+    ).first().s
+    assert nums == 45
+    assert run(
+        spark, "SELECT min(number) AS lo, max(number) AS hi FROM numbers(5, 3)"
+    ).first().asDict() == {"lo": 5, "hi": 7}
+    got = run(
+        spark,
+        "SELECT count() AS c FROM "
+        "file('/root/testdata/sf0.001/lineitem.parquet', 'Parquet')",
+    ).first().c
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/lineitem.parquet'"
+    ).fetchone()[0]
+    assert got == want

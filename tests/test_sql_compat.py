@@ -1687,3 +1687,16 @@ def test_probe_battery5_raises(spark):
                "groupArrayMovingSum(v)", "proportionsZTest(a,b,c,d,e,f)"):
         with pytest.raises(ValueError, match=fn.split("(")[0]):
             translate(f"SELECT {fn} FROM t")
+
+
+def test_explain_statement(spark):
+    """EXPLAIN [variant] SELECT returns the plan as a one-column
+    relation; PLAN/PIPELINE map to the physical (FORMATTED) view,
+    AST/SYNTAX to the analyzed (EXTENDED) one."""
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("exp_t")
+    plan = run(spark, "EXPLAIN SELECT count() FROM exp_t").first()[0]
+    assert "Aggregate" in plan or "HashAggregate" in plan
+    syn = run(spark, "EXPLAIN SYNTAX SELECT countIf(k > 0) FROM exp_t").first()[0]
+    assert "count" in syn  # the translated (Spark) form is shown
+    pipe = run(spark, "EXPLAIN PIPELINE SELECT k FROM exp_t WHERE k = 1").first()[0]
+    assert "Scan" in pipe
