@@ -594,6 +594,12 @@ class Warehouse:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(_tabledef_to_json(td), f, indent=1)
         os.replace(tmp, os.path.join(path, "_ddl.json"))
+        self._bump_catalog()
+
+    def _bump_catalog(self) -> None:
+        """Invalidate the system-view cache (any metadata or data
+        change)."""
+        self._catalog_version = getattr(self, "_catalog_version", 0) + 1
 
     # -- statement dispatch --------------------------------------------------
 
@@ -676,6 +682,25 @@ class Warehouse:
             missing = [k for k in td.order_by if k not in known]
             if missing:
                 raise DdlError(f"ORDER BY references unknown columns {missing}")
+            # the collapsing engines take their sign/version from the
+            # engine args — validate at CREATE like the server does,
+            # instead of an IndexError when read_final first runs
+            need = {"CollapsingMergeTree": 1, "VersionedCollapsingMergeTree": 2}
+            n_req = need.get(td.engine)
+            if n_req is not None:
+                args = self._engine_arg_cols(td)
+                if len(args) < n_req:
+                    raise DdlError(
+                        f"{td.engine} needs {n_req} engine argument(s) "
+                        f"(sign{', version' if n_req == 2 else ''}), "
+                        f"got {args}"
+                    )
+                unknown_args = [a for a in args[:n_req] if a not in known]
+                if unknown_args:
+                    raise DdlError(
+                        f"{td.engine} engine args reference unknown "
+                        f"columns {unknown_args}"
+                    )
         else:
             raise DdlError(f"unsupported engine {td.engine}")
         self._persist(td)
@@ -699,6 +724,7 @@ class Warehouse:
         shutil.rmtree(self._dir(db, name), ignore_errors=True)
         self._tables.pop(q)
         self._queues.pop(q, None)
+        self._bump_catalog()
         return "ok"
 
     def _truncate(self, sql: str) -> str:
@@ -716,6 +742,7 @@ class Warehouse:
                 os.path.join(self._dir(td.database, td.name), sub),
                 ignore_errors=True,
             )
+        self._bump_catalog()
         return "ok"
 
     def _insert(self, sql: str, spark: SparkSession | None) -> str:
@@ -832,10 +859,22 @@ class Warehouse:
         engine = em.group(1) if em else "MergeTree"
         if engine not in _MERGE_TREE_ENGINES:
             raise DdlError(f"CTAS supports MergeTree engines, not {engine}")
+        if engine in ("CollapsingMergeTree", "VersionedCollapsingMergeTree"):
+            raise DdlError(
+                f"CTAS does not parse {engine}'s sign/version engine "
+                f"args — CREATE TABLE explicitly, then INSERT … SELECT"
+            )
+        # capture through the next clause keyword (or end), so an
+        # unparenthesized multi-key ORDER BY k1, k2 is not silently
+        # truncated to its first key (which would dedup on the wrong
+        # key in every _final read)
         om = re.search(
-            r"ORDER\s+BY\s+(\([^)]*\)|\S+)", clauses, re.IGNORECASE
+            r"ORDER\s+BY\s+(.+?)(?:\s+(?:PARTITION\s+BY|PRIMARY\s+KEY|"
+            r"SETTINGS)\b.*)?$",
+            clauses,
+            re.IGNORECASE | re.DOTALL,
         )
-        order_by = _key_list(om.group(1)) if om else []
+        order_by = _key_list(om.group(1).strip()) if om else []
         if order_by == ["tuple()"]:
             order_by = []
         self.register_views(spark)
@@ -1027,11 +1066,19 @@ class Warehouse:
     def _rewrite_table_refs(self, sql: str) -> str:
         """``db.table`` references to THIS warehouse's tables become
         their registered ``db_table`` view names (the dialect shim
-        only strips the reference's git./default. prefixes)."""
-        for q in self._tables:
-            db, name = q.split(".", 1)
-            sql = re.sub(rf"\b{db}\.{name}\b", f"{db}_{name}", sql)
-        return sql
+        only strips the reference's git./default. prefixes).  String
+        literals are inert (a 'db.table' constant stays verbatim)."""
+        from clickhub_spark.sql_compat import _split_quoted
+
+        segs = _split_quoted(sql)
+        for k, (lit, txt) in enumerate(segs):
+            if lit:
+                continue
+            for q in self._tables:
+                db, name = q.split(".", 1)
+                txt = re.sub(rf"\b{db}\.{name}\b", f"{db}_{name}", txt)
+            segs[k] = (False, txt)
+        return "".join(t for _, t in segs)
 
     def _trigger_mvs(
         self, spark: SparkSession, source_q: str, batch: DataFrame
@@ -1055,11 +1102,26 @@ class Warehouse:
                 )
             for mv in mvs:
                 db, name = source_q.split(".", 1)
-                sel = mv.select
-                for pat in (
-                    rf"\b{db}\.{name}\b", rf"\b{db}_{name}\b", rf"\b{name}\b"
-                ):
-                    sel = re.sub(pat, "__mv_batch", sel)
+                # replace only TABLE-position references: db.tbl and
+                # db_tbl anywhere, the bare name only after FROM/JOIN —
+                # so a string literal or a column sharing the source
+                # table's name is never corrupted (review finding)
+                from clickhub_spark.sql_compat import _split_quoted
+
+                segs = _split_quoted(mv.select)
+                for k, (lit, txt) in enumerate(segs):
+                    if lit:
+                        continue
+                    txt = re.sub(rf"\b{db}\.{name}\b", "__mv_batch", txt)
+                    txt = re.sub(rf"\b{db}_{name}\b", "__mv_batch", txt)
+                    txt = re.sub(
+                        rf"(\b(?:FROM|JOIN)\s+){name}\b",
+                        r"\g<1>__mv_batch",
+                        txt,
+                        flags=re.IGNORECASE,
+                    )
+                    segs[k] = (False, txt)
+                sel = "".join(t for _, t in segs)
                 batch.createOrReplaceTempView("__mv_batch")
                 from clickhub_spark.sql_compat import run as _run
 
@@ -1180,6 +1242,7 @@ class Warehouse:
             ),
             transform=transform,
         )
+        self._bump_catalog()
         return f"optimized {n}"
 
     # -- table access --------------------------------------------------------
@@ -1248,6 +1311,7 @@ class Warehouse:
             partition_by=partition_by,
             sort_cols=list(td.order_by),
         )
+        self._bump_catalog()
         # ClickHouse materialized views fire per inserted block
         self._trigger_mvs(spark, qualified, df)
 
@@ -1375,24 +1439,47 @@ class Warehouse:
             if td.engine in self._FINAL_ENGINES:
                 self.read_final(spark, q).createOrReplaceTempView(f"{base}_final")
                 out.append(f"{base}_final")
-        for q, td in self._tables.items():
-            base = f"{td.database}_{td.name}"
-            if td.engine == "MaterializedView":
-                tgt = self._tables.get(td.mv_target)
-                if tgt is None:
-                    continue
-                data_dir = os.path.join(self._dir(tgt.database, tgt.name), "data")
-                if not os.path.isdir(data_dir):
-                    continue
-                self.read(spark, td.mv_target).createOrReplaceTempView(base)
-                out.append(base)
-            elif td.engine == "View":
-                from clickhub_spark.sql_compat import run as _run
+        # views may reference each other; a fixpoint loop registers in
+        # dependency order regardless of catalog-reload order — a view
+        # whose SELECT can't resolve (its dependency never registers)
+        # is SKIPPED, matching the engine's error-at-query-time posture
+        # rather than one broken view aborting every registration
+        pending = [
+            td for td in self._tables.values()
+            if td.engine in ("View", "MaterializedView")
+        ]
+        while pending:
+            progressed = False
+            still = []
+            for td in pending:
+                base = f"{td.database}_{td.name}"
+                try:
+                    if td.engine == "MaterializedView":
+                        tgt = self._tables.get(td.mv_target)
+                        if tgt is None:
+                            continue
+                        data_dir = os.path.join(
+                            self._dir(tgt.database, tgt.name), "data"
+                        )
+                        if not os.path.isdir(data_dir):
+                            continue
+                        self.read(spark, td.mv_target).createOrReplaceTempView(
+                            base
+                        )
+                    else:
+                        from clickhub_spark.sql_compat import run as _run
 
-                _run(
-                    spark, self._rewrite_table_refs(td.select)
-                ).createOrReplaceTempView(base)
+                        _run(
+                            spark, self._rewrite_table_refs(td.select)
+                        ).createOrReplaceTempView(base)
+                except Exception:  # noqa: BLE001 — resolve next round
+                    still.append(td)
+                    continue
                 out.append(base)
+                progressed = True
+            if not progressed:
+                break
+            pending = still
         out.extend(self.register_system_views(spark))
         return out
 
@@ -1402,7 +1489,15 @@ class Warehouse:
         scan): ``system.tables`` / ``system.columns`` /
         ``system.parts`` / ``system.databases``, reachable from the
         dialect as ``SELECT … FROM system.tables`` (translate maps the
-        qualifier to these ``system_*`` view names)."""
+        qualifier to these ``system_*`` view names).  Cached per
+        (session, catalog version): register_views runs after every
+        CLI statement, and re-reading every parquet footer each time
+        would make metadata cost scale with script length (review
+        finding)."""
+        cache_key = (id(spark), getattr(self, "_catalog_version", 0))
+        if getattr(self, "_sys_views_key", None) == cache_key:
+            return ["system_tables", "system_columns", "system_parts",
+                    "system_databases"]
         from clickhub_spark.introspect import table_parts
 
         tbl_rows, col_rows, part_rows = [], [], []
@@ -1449,6 +1544,7 @@ class Warehouse:
             ),
         ):
             spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+        self._sys_views_key = cache_key
         return ["system_tables", "system_columns", "system_parts",
                 "system_databases"]
 

@@ -17,6 +17,8 @@ Tie posture: per-user timestamps are unique at every testdata SF
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -614,7 +616,9 @@ def q_ch_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clickhub_spark.ddl import Warehouse
 
-    root = tempfile.gettempdir() + "/chwh_ddl_roundtrip"
+    # pid-suffixed: concurrent runs (or two users on a shared box)
+    # must not rmtree each other's live warehouse (review finding)
+    root = tempfile.gettempdir() + f"/chwh_ddl_roundtrip_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     wh = Warehouse(root)
     wh.execute("CREATE DATABASE IF NOT EXISTS git")

@@ -22,6 +22,8 @@ carries NULL group keys on both engines (GROUPING SETS rendering).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhub_spark.plans.queries_core import load
@@ -186,7 +188,9 @@ def q_ch_ddl_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhub_spark.ddl import Warehouse
 
     _events_view(spark, sf_dir)
-    root = tempfile.gettempdir() + "/chwh_ddl_ctas"
+    # pid-suffixed: concurrent runs (or two users on a shared box)
+    # must not rmtree each other's live warehouse (review finding)
+    root = tempfile.gettempdir() + f"/chwh_ddl_ctas_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     wh = Warehouse(root)
     wh.execute("CREATE DATABASE IF NOT EXISTS ana")
@@ -243,7 +247,9 @@ def q_ch_ddl_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhub_spark.ddl import Warehouse
 
     _events_view(spark, sf_dir)
-    root = tempfile.gettempdir() + "/chwh_ddl_mv"
+    # pid-suffixed: concurrent runs (or two users on a shared box)
+    # must not rmtree each other's live warehouse (review finding)
+    root = tempfile.gettempdir() + f"/chwh_ddl_mv_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     wh = Warehouse(root)
     wh.execute("CREATE DATABASE IF NOT EXISTS ana")

@@ -843,7 +843,11 @@ def _merge_prewhere(sql: str) -> str:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0 and ch.isalpha() and (j == 0 or not sql[j - 1].isalnum()):
+            elif (
+                depth == 0
+                and ch.isalpha()
+                and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_"))
+            ):
                 if stop_where:
                     mw = re.match(r"WHERE\b", sql[j:], re.IGNORECASE)
                     if mw:
@@ -873,9 +877,23 @@ def translate(sql: str) -> str:
     out = sql
     # system tables: system.one is the engine's 1-row dummy relation;
     # the rest map to the system_* views the Warehouse registers
-    # (register_system_views) — system.tables/columns/parts/databases
-    out = re.sub(r"\bsystem\.one\b", "(SELECT 1 AS dummy)", out)
-    out = re.sub(r"\bsystem\.(\w+)", r"system_\1", out)
+    # (register_system_views) — system.tables/columns/parts/databases.
+    # Segment-wise so a 'system.tables' string constant stays verbatim.
+    segs_sys = _split_quoted(out)
+    out = "".join(
+        t
+        if lit
+        else re.sub(
+            r"\bsystem\.(\w+)",
+            lambda m_s: (
+                "(SELECT 1 AS dummy)"
+                if m_s.group(1) == "one"
+                else f"system_{m_s.group(1)}"
+            ),
+            t,
+        )
+        for lit, t in segs_sys
+    )
     # system.columns/parts use the engine's real column names `table`
     # and `rows`, which Spark's ANSI parser reserves — backtick the
     # bare identifiers, but only in statements touching those views
@@ -1135,7 +1153,9 @@ def translate(sql: str) -> str:
     def _ch_divide(a: list[str]) -> str:
         num, den = f"CAST({a[0]} AS DOUBLE)", f"CAST({a[1]} AS DOUBLE)"
         return (
-            f"(CASE WHEN {den} = 0.0 THEN "
+            f"(CASE WHEN {num} IS NULL OR {den} IS NULL "
+            f"THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {den} = 0.0 THEN "
             f"CASE WHEN isnan({num}) OR {num} = 0.0 THEN CAST('NaN' AS DOUBLE) "
             f"WHEN {num} > 0 THEN CAST('Infinity' AS DOUBLE) "
             f"ELSE CAST('-Infinity' AS DOUBLE) END "
@@ -2486,10 +2506,12 @@ def translate(sql: str) -> str:
             frac = float(m_smp.group(1)) / float(m_smp.group(3))
             repl = f"TABLESAMPLE ({frac * 100:g} PERCENT)"
         else:
+            # k in [0, 1] is a FRACTION in ClickHouse (SAMPLE 1 = the
+            # whole table); only k > 1 is an approximate row target
             v = float(m_smp.group(1))
             repl = (
                 f"TABLESAMPLE ({v * 100:g} PERCENT)"
-                if v < 1
+                if v <= 1
                 else f"TABLESAMPLE ({int(v)} ROWS)"
             )
         out = out[: m_smp.start()] + repl + out[m_smp.end() :]

@@ -787,3 +787,64 @@ def test_system_views_and_table_functions(spark, wh):
         "SELECT count(*) FROM '/root/testdata/sf0.001/lineitem.parquet'"
     ).fetchone()[0]
     assert got == want
+
+
+def test_review_fixes_round12_session3(spark, wh):
+    """Regression pins for the session-3 review findings."""
+    from clickhub_spark.sql_compat import run
+
+    # (1) unparenthesized multi-key CTAS ORDER BY keeps every key
+    spark.createDataFrame(
+        [(1, 2, 3.0)], "k1 long, k2 long, v double"
+    ).createOrReplaceTempView("rv_src")
+    wh.execute(
+        "CREATE TABLE default.rv ENGINE = ReplacingMergeTree "
+        "ORDER BY k1, k2 AS SELECT k1, k2, v FROM rv_src",
+        spark=spark,
+    )
+    assert wh.table_def("default.rv").order_by == ["k1", "k2"]
+    # (2) MV SELECT string literals and same-named columns survive
+    wh.execute("CREATE DATABASE IF NOT EXISTS ana")
+    wh.execute(
+        "CREATE TABLE ana.click (`et` String, `v` Int64) "
+        "ENGINE = MergeTree ORDER BY (et)"
+    )
+    wh.execute(
+        "CREATE TABLE ana.keep (`et` String, `v` Int64) "
+        "ENGINE = MergeTree ORDER BY (et)"
+    )
+    wh.execute(
+        "CREATE MATERIALIZED VIEW ana.filt TO ana.keep AS "
+        "SELECT et, v FROM ana.click WHERE et != 'click'",
+        spark=spark,
+    )
+    wh.execute(
+        "INSERT INTO ana.click (et, v) VALUES ('click', 1), ('view', 2)",
+        spark=spark,
+    )
+    kept = wh.read(spark, "ana.keep").collect()
+    assert [(r.et, r.v) for r in kept] == [("view", 2)]
+    # (3) collapsing engines validate their args at CREATE
+    with pytest.raises(DdlError, match="engine argument"):
+        wh.execute(
+            "CREATE TABLE default.badc (`k` Int64, `sign` Int8) "
+            "ENGINE = CollapsingMergeTree ORDER BY (k)"
+        )
+    with pytest.raises(DdlError, match="unknown"):
+        wh.execute(
+            "CREATE TABLE default.badc2 (`k` Int64) "
+            "ENGINE = CollapsingMergeTree(nosuch) ORDER BY (k)"
+        )
+    # (4) view-on-view resolves regardless of catalog-reload order
+    wh.execute(
+        "CREATE VIEW ana.z_base AS SELECT et, v * 2 AS v2 FROM ana.keep",
+        spark=spark,
+    )
+    wh.execute(
+        "CREATE VIEW ana.a_on_top AS SELECT sum(v2) AS s FROM ana.z_base",
+        spark=spark,
+    )
+    wh2 = Warehouse(wh.root)  # fresh reload: a_on_top sorts before z_base
+    names = wh2.register_views(spark)
+    assert "ana_a_on_top" in names and "ana_z_base" in names
+    assert run(spark, "SELECT s FROM ana_a_on_top").first().s == 4

@@ -1700,3 +1700,33 @@ def test_explain_statement(spark):
     assert "count" in syn  # the translated (Spark) form is shown
     pipe = run(spark, "EXPLAIN PIPELINE SELECT k FROM exp_t WHERE k = 1").first()[0]
     assert "Scan" in pipe
+
+
+def test_review_fixes_round12_session3(spark):
+    """Regression pins for the session-3 review findings on the shim."""
+    # PREWHERE scan must not fire inside identifiers containing WHERE
+    spark.createDataFrame(
+        [(2, 3.0)], "col_where int, b double"
+    ).createOrReplaceTempView("rvfix_t")
+    got = run(
+        spark,
+        "SELECT col_where FROM rvfix_t PREWHERE col_where > 1 WHERE b = 3.0",
+    ).first()[0]
+    assert got == 2
+    # divide(NULL, 0) is NULL, not -Infinity
+    r = run(
+        spark,
+        "SELECT divide(CAST(NULL AS DOUBLE), 0.0) AS a, "
+        "divide(1.0, CAST(NULL AS DOUBLE)) AS b",
+    ).first()
+    assert r.a is None and r.b is None
+    # SAMPLE 1 is the whole table (fraction), not one row
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "id int"
+    ).createOrReplaceTempView("smp_t")
+    assert run(spark, "SELECT count() AS n FROM smp_t SAMPLE 1").first().n == 10
+    # system.* rewrite is inert inside string literals
+    assert (
+        "'system.tables'"
+        in translate("SELECT 'system.tables' AS s FROM system.one")
+    )
