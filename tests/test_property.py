@@ -633,3 +633,164 @@ def test_with_fill_matches_python_model(spark, xs, bounds):
     vals = {x: x * 10 for x in xs}
     for r in out:
         assert r.v == vals.get(r.x, 0)
+
+
+# --- round-12 session-3: battery-render differentials vs python models ---
+# One Spark job per family over a seeded random batch (hypothesis's
+# per-example round-trip through spark.sql would be ~100x slower for
+# the same coverage; the seed pins reproducibility).
+
+
+def _dialect_batch(spark, rows, schema, exprs):
+    """Evaluate dialect expressions over a batch in ONE spark job."""
+    from clickhub_spark.sql_compat import run
+
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("prop_b")
+    cols = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    return run(spark, f"SELECT __row_id, {cols} FROM prop_b").collect()
+
+
+def test_gcd_lcm_render_matches_math(spark):
+    import math
+    import random
+
+    rng = random.Random(12012)
+    rows = [
+        (i, rng.randint(-10**9, 10**9), rng.randint(-10**6, 10**6))
+        for i in range(200)
+    ]
+    rows += [(200, 0, 0), (201, 0, 7), (202, -12, 18), (203, 2**62, 2**31)]
+    got = _dialect_batch(
+        spark, rows, "__row_id int, a long, b long", ["gcd(a, b)"]
+    )
+    by_id = {r["__row_id"]: r for r in got}
+    for i, a, b in rows:
+        assert by_id[i]["r0"] == math.gcd(a, b), (a, b, by_id[i]["r0"])
+    # lcm over pairs whose |a*b| fits BIGINT (the render multiplies
+    # before dividing; ANSI raises LOUDLY on overflow, the posture we
+    # want — ClickHouse would silently wrap)
+    safe = [(i, a, b) for i, a, b in rows[:203] if a and b]
+    got = _dialect_batch(
+        spark, safe, "__row_id int, a long, b long", ["lcm(a, b)"]
+    )
+    by_id = {r["__row_id"]: r for r in got}
+    for i, a, b in safe:
+        want = abs(a * b) // math.gcd(a, b)
+        assert by_id[i]["r0"] == want, (a, b, by_id[i]["r0"])
+
+
+def test_toweek_render_matches_mysql_model(spark):
+    """toWeek/toYearWeek mode 0 vs a direct python implementation of
+    the MySQL WEEK(,0)/YEARWEEK(,0) definition (weeks start Sunday,
+    week 1 begins at the year's first Sunday, earlier days roll into
+    week 0 / the previous year's last week)."""
+    import datetime
+    import random
+
+    def week0(d: datetime.date) -> int:
+        jan1 = d.replace(month=1, day=1)
+        # first Sunday on/after Jan 1 (weekday(): Mon=0 … Sun=6)
+        fs = jan1 + datetime.timedelta(days=(6 - jan1.weekday()) % 7)
+        return 0 if d < fs else (d - fs).days // 7 + 1
+
+    def yearweek0(d: datetime.date) -> int:
+        w = week0(d)
+        if w > 0:
+            return d.year * 100 + w
+        d31 = datetime.date(d.year - 1, 12, 31)
+        return d31.year * 100 + week0(d31)
+
+    rng = random.Random(31337)
+    days = [
+        datetime.date(2020, 1, 1) + datetime.timedelta(days=rng.randint(0, 3650))
+        for _ in range(150)
+    ]
+    # pin year boundaries incl. a leap year and a Jan-1-Sunday year
+    # (2023-01-01 is a Sunday: week 1 starts on New Year's Day)
+    for y in (2021, 2022, 2023, 2024):
+        for md in ((1, 1), (1, 7), (12, 31)):
+            days.append(datetime.date(y, *md))
+    rows = [(i, d.strftime("%Y-%m-%d 12:00:00")) for i, d in enumerate(days)]
+    got = _dialect_batch(
+        spark,
+        [(i, s) for i, s in rows],
+        "__row_id int, ds string",
+        ["toWeek(CAST(ds AS TIMESTAMP))", "toYearWeek(CAST(ds AS TIMESTAMP))"],
+    )
+    by_id = {r["__row_id"]: r for r in got}
+    for i, d in enumerate(days):
+        assert by_id[i]["r0"] == week0(d), (d, by_id[i]["r0"], week0(d))
+        assert by_id[i]["r1"] == yearweek0(d), (d, by_id[i]["r1"])
+
+
+def test_array_rotate_shift_render_matches_python(spark):
+    import random
+
+    rng = random.Random(777)
+    cases = []
+    for i in range(120):
+        arr = [rng.randint(-5, 5) for _ in range(rng.randint(0, 8))]
+        n = rng.randint(-10, 10)
+        cases.append((i, arr, n))
+    got = _dialect_batch(
+        spark,
+        cases,
+        "__row_id int, arr array<int>, n int",
+        [
+            "arrayRotateLeft(arr, n)",
+            "arrayRotateRight(arr, n)",
+            "arrayShiftLeft(arr, n, 9)",
+            "arrayShiftRight(arr, n, 9)",
+        ],
+    )
+    by_id = {r["__row_id"]: r for r in got}
+
+    def rot_left(a, n):
+        if not a:
+            return []
+        k = n % len(a)
+        return a[k:] + a[:k]
+
+    def shift_left(a, n, pad):
+        k = max(-len(a), min(n, len(a)))
+        if k >= 0:
+            return a[k:] + [pad] * k
+        return [pad] * (-k) + a[: len(a) + k]
+
+    for i, arr, n in cases:
+        r = by_id[i]
+        assert r["r0"] == rot_left(arr, n), ("rotL", arr, n, r["r0"])
+        assert r["r1"] == rot_left(arr, -n), ("rotR", arr, n, r["r1"])
+        assert r["r2"] == shift_left(arr, n, 9), ("shL", arr, n, r["r2"])
+        assert r["r3"] == shift_left(arr, -n, 9), ("shR", arr, n, r["r3"])
+
+
+def test_prewhere_merge_equals_conjunction(spark):
+    """PREWHERE p1 WHERE p2 must select exactly the AND of the two
+    predicates for randomized predicate pairs (incl. ORs, so the
+    parenthesization is load-bearing)."""
+    import random
+
+    from clickhub_spark.sql_compat import run
+
+    rng = random.Random(4242)
+    spark.createDataFrame(
+        [(i, rng.randint(0, 9), rng.randint(0, 9)) for i in range(200)],
+        "id int, a int, b int",
+    ).createOrReplaceTempView("pw_t")
+    preds = ["a > 3", "a < 7 OR b > 8", "b = 2 OR a = 0", "a % 2 = 0"]
+    for p1 in preds:
+        for p2 in preds:
+            got = {
+                r.id
+                for r in run(
+                    spark, f"SELECT id FROM pw_t PREWHERE {p1} WHERE {p2}"
+                ).collect()
+            }
+            want = {
+                r.id
+                for r in spark.sql(
+                    f"SELECT id FROM pw_t WHERE ({p1}) AND ({p2})"
+                ).collect()
+            }
+            assert got == want, (p1, p2)
