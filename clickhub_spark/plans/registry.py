@@ -83,9 +83,11 @@ ROUND_PRIORITY = [
     "q_ch_ddl_roundtrip",
     "q_ch_sql_any_join",
     # round-12 session-3 additions (never-checked → inside the window;
-    # the three more r5 names they displace join the r13 lead block at
+    # the SIX more r5 names they displace join the r13 lead block at
     # exactly 7-rounds stale — battery-4 statement queries: WITH
-    # TOTALS, PREWHERE+WHERE conjunction, the scalar-render sweep)
+    # TOTALS, PREWHERE+WHERE conjunction, the scalar-render sweep,
+    # then the warehouse ETL pair (CTAS, insert-triggered MV) and the
+    # numbers()/file() table-function join)
     "q_ch_sql_totals",
     "q_ch_sql_prewhere",
     "q_ch_sql_battery4",
