@@ -315,3 +315,60 @@ def q_ch_sql_table_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.number
         """,
     )
+
+
+@query(
+    "q_ch_sql_battery5",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, ts, value,
+               date_trunc('year', ts)::DATE AS jan1
+        FROM events WHERE event_id < 400
+    ), wk AS (
+        SELECT *,
+               date_diff('day',
+                         jan1 + CAST((7 - dayofweek(jan1)) % 7 AS INTEGER),
+                         ts::DATE) AS days_from_fs
+        FROM base
+    )
+    SELECT event_id,
+           CAST(CASE WHEN days_from_fs < 0 THEN 0
+                     ELSE days_from_fs // 7 + 1 END AS INT) AS wk,
+           CAST(CASE WHEN days_from_fs < 0 THEN 202353
+                     ELSE year(ts) * 100 + (days_from_fs // 7 + 1)
+                END AS INT) AS yw,
+           CAST(isodow(ts) AS INT) AS dow,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts)
+                AS BIGINT) AS dd,
+           CAST(floor(epoch(ts - TIMESTAMP '2024-01-01 00:00:00') / 3600)
+                AS BIGINT) AS ah,
+           ROUND(1.0 * value + 2.0 * 1.0, 4) + 0.0 AS dp,
+           ROUND(least(greatest(value, 10.0), 50.0), 4) + 0.0 AS cl
+    FROM wk
+    """,
+)
+def q_ch_sql_battery5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery-5 renders under the driver's value-hash, as one literal
+    statement over events: toWeek/toYearWeek mode 0 (Jan 1-6 2024
+    precede the year's first Sunday, so the week-0 branch AND the
+    year-week rollback to 202353 are exercised on real rows),
+    toDayOfWeek (Monday=1 ≡ DuckDB isodow), dateDiff (BOUNDARY
+    crossings ≡ DuckDB date_diff) vs age (complete units ≡ epoch
+    floor), arrayDotProduct, and clamp.  The oracle reimplements the
+    MySQL week-0 definition from first principles (first-Sunday
+    datediff), not via the shim's construction."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT event_id,
+               toWeek(ts) AS wk,
+               toYearWeek(ts) AS yw,
+               toDayOfWeek(ts) AS dow,
+               dateDiff('day', toDateTime('2024-01-01 00:00:00'), ts) AS dd,
+               age('hour', toDateTime('2024-01-01 00:00:00'), ts) AS ah,
+               round(arrayDotProduct([1.0, 2.0], [value, 1.0]), 4) + 0.0 AS dp,
+               round(clamp(value, 10.0, 50.0), 4) + 0.0 AS cl
+        FROM events WHERE event_id < 400
+        """,
+    )
