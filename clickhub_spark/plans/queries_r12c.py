@@ -372,3 +372,33 @@ def q_ch_sql_battery5(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id < 400
         """,
     )
+
+
+@query(
+    "q_ch_sql_qualify",
+    oracle="""
+    SELECT user_id, event_id, ROUND(value, 4) + 0.0 AS v
+    FROM events WHERE user_id IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id) = 1
+    """,
+)
+def q_ch_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``QUALIFY`` — the post-window filter — as a literal statement:
+    each user's top event by value (event_id the deterministic
+    tiebreak).  The shim wraps the query, filters on a helper
+    projection column, and drops it; the oracle is DuckDB's NATIVE
+    QUALIFY — an independent engine's implementation of the clause,
+    not a transcription.  One exchange (the window's hash partition
+    by user_id); the filter runs post-window exactly as the clause
+    defines."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT user_id, event_id, round(value, 4) + 0.0 AS v
+        FROM events WHERE user_id IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) = 1
+        """,
+    )

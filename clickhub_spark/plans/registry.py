@@ -95,6 +95,7 @@ ROUND_PRIORITY = [
     "q_ch_ddl_mv",
     "q_ch_sql_table_fns",
     "q_ch_sql_battery5",
+    "q_ch_sql_qualify",
     "q_seq_match_pattern_time",
     "q_seq_count_time_gap",
     "q_seq_next_node_backward",

@@ -818,6 +818,96 @@ _CLAUSE_AFTER_WHERE = re.compile(
 )
 
 
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT … FROM … QUALIFY <pred>`` — ClickHouse's post-window
+    filter (Spark has no QUALIFY).  Rewrite: append ``(<pred>) AS
+    __qualify`` to the inner projection (windows are legal there),
+    wrap, filter, and drop the helper column; trailing ORDER BY /
+    LIMIT move OUTSIDE the wrapper, where they ran in the original.
+    Top-level set operations with QUALIFY are out of scope (raise)."""
+    spans = _literal_spans(sql)
+    m = re.search(r"\bQUALIFY\b", sql, re.IGNORECASE)
+    if not m or _in_spans(spans, m.start()):
+        return sql
+    # the QUALIFY keyword must sit at paren depth 0 (subquery QUALIFYs
+    # are rewritten when their own text passes through translate)
+    depth = 0
+    for j in range(m.start()):
+        if _in_spans(spans, j):
+            continue
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+    if depth != 0:
+        return sql
+    if re.search(r"\b(UNION|INTERSECT|EXCEPT)\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "QUALIFY with a top-level set operation is not supported — "
+            "apply QUALIFY inside a subquery per branch"
+        )
+    # predicate runs to the next depth-0 trailing clause
+    tail_kw = re.compile(
+        r"\b(ORDER\s+BY|LIMIT|SETTINGS|FORMAT)\b", re.IGNORECASE
+    )
+    j, pred_end = m.end(), len(sql)
+    depth = 0
+    while j < len(sql):
+        if _in_spans(spans, j):
+            j += 1
+            continue
+        ch = sql[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch.isalpha()
+            and not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+            and tail_kw.match(sql, j)
+        ):
+            pred_end = j
+            break
+        j += 1
+    pred = sql[m.end() : pred_end].strip()
+    tail = sql[pred_end:]
+    inner = sql[: m.start()].rstrip()
+    # insert the predicate at the end of the SELECT list: before the
+    # first depth-0 FROM
+    f = re.search(r"\bFROM\b", inner, re.IGNORECASE)
+    pos, depth = None, 0
+    k = 0
+    inner_spans = _literal_spans(inner)
+    while k < len(inner):
+        if _in_spans(inner_spans, k):
+            k += 1
+            continue
+        ch = inner[k]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "Ff"
+            and re.match(r"FROM\b", inner[k:], re.IGNORECASE)
+            and not (inner[k - 1].isalnum() or inner[k - 1] == "_")
+        ):
+            pos = k
+            break
+        k += 1
+    if pos is None or not f:
+        raise ValueError("QUALIFY needs a SELECT … FROM statement")
+    inner = (
+        inner[:pos].rstrip() + f", ({pred}) AS __qualify " + inner[pos:]
+    )
+    return (
+        f"SELECT * EXCEPT (__qualify) FROM ({inner}) __q "
+        f"WHERE __qualify" + (f" {tail.strip()}" if tail.strip() else "")
+    )
+
+
 def _merge_prewhere(sql: str) -> str:
     """``PREWHERE p1 WHERE p2`` → ``WHERE (p1) AND (p2)`` (ClickHouse
     applies the conjunction; PREWHERE is only a scan-order hint).
@@ -2492,6 +2582,8 @@ def translate(sql: str) -> str:
     # parenthesized so OR-predicates keep their binding).
     out = _merge_prewhere(out)
     out = re.sub(r"\bPREWHERE\b", "WHERE", out)
+    # QUALIFY: the post-window filter — wrap, filter, drop the helper
+    out = _rewrite_qualify(out)
     # SAMPLE k (fraction or n/m) → TABLESAMPLE (… PERCENT); SAMPLE n
     # (n ≥ 1, approximate row target) → TABLESAMPLE (n ROWS).  The
     # OFFSET form has no Spark analog and raises.

@@ -1730,3 +1730,41 @@ def test_review_fixes_round12_session3(spark):
         "'system.tables'"
         in translate("SELECT 'system.tables' AS s FROM system.one")
     )
+
+
+def test_qualify_rewrite(spark):
+    """QUALIFY (the post-window filter): direct window predicates,
+    alias-referencing predicates over GROUP BY, trailing ORDER BY /
+    LIMIT staying outside the wrapper, and literal inertness."""
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 9.0), (3, "b", 7.0), (4, "b", 2.0)],
+        "id int, g string, v double",
+    ).createOrReplaceTempView("qual_t")
+    top = run(
+        spark,
+        "SELECT g, v FROM qual_t QUALIFY row_number() OVER "
+        "(PARTITION BY g ORDER BY v DESC) = 1 ORDER BY g",
+    ).collect()
+    assert [(r.g, r.v) for r in top] == [("a", 9.0), ("b", 7.0)]
+    assert top[0].asDict().keys() == {"g", "v"}  # helper column dropped
+    agg = run(
+        spark,
+        "SELECT g, sum(v) AS sv, row_number() OVER (ORDER BY sum(v) DESC) "
+        "AS rn FROM qual_t GROUP BY g QUALIFY rn = 1",
+    ).first()
+    assert (agg.g, agg.sv) == ("a", 14.0)
+    lim = run(
+        spark,
+        "SELECT id FROM qual_t QUALIFY row_number() OVER "
+        "(ORDER BY v DESC) <= 3 ORDER BY id LIMIT 2",
+    ).collect()
+    assert [r.id for r in lim] == [1, 2]
+    assert (
+        run(spark, "SELECT 'has QUALIFY word' AS s FROM qual_t LIMIT 1")
+        .first().s == "has QUALIFY word"
+    )
+    with pytest.raises(ValueError, match="QUALIFY"):
+        translate(
+            "SELECT g FROM a QUALIFY rank() OVER (ORDER BY g) = 1 "
+            "UNION ALL SELECT g FROM b"
+        )
