@@ -47,84 +47,22 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # driver row is older than round 4 (VERDICT r9 item 2's done
 # criterion).
 ROUND_PRIORITY = [
-    # --- ROUND-12 WINDOW (VERDICT r11 items 1 & 6; the rotation
-    # gate in tests/test_registry.py was RED on the r11 final tree
-    # demanding exactly this).  Regenerated oldest-driver-row-first
-    # from `python tools/staleness.py`:
-    # 1: the FOURTEEN new round-12 registrations (8 ClickHouse-
-    #    dialect statement queries + the (?t…) automaton pair + 4
-    #    sequenceNextNode matrix forms) — never-checked names must
-    #    sit inside the window;
-    # 2: the nine r4-stale names deferred past the r11 window
-    #    (judge-re-verified green at sf0.1 in the r11 session);
-    # 3: 27 of the r5 block's 49 names fill the window; the 22
-    #    deferred sit at exactly 7-rounds stale in the round-12
-    #    simulation (<= MAX_AGE 7) and MUST lead the round-13 window
-    #    (then r6: 22+28 fit r13, 18 r6 left to lead r14 — the
-    #    backlog drains by r15);
-    # 4: everything else oldest-first (r6, r7, r9, r10, r11),
+    # --- ROUND-13 WINDOW (VERDICT r12 item 1; the rotation gate in
+    # tests/test_registry.py was RED on the r12 final tree demanding
+    # exactly this).  Regenerated oldest-driver-row-first from
+    # `python tools/staleness.py`:
+    # 1: new round-13 registrations are inserted at the TOP of this
+    #    list as they land (never-checked names must sit inside the
+    #    ~50-name driver window);
+    # 2: the full 35-name r5 block (at exactly 7-rounds stale in the
+    #    r13 simulation — the MAX_AGE bound) leads;
+    # 3: r6 names fill the remainder of the window (15 of 46; the 31
+    #    deferred sit at 7-rounds stale and MUST lead the round-14
+    #    window — the r9-skip backlog fully drains at r15);
+    # 4: everything else oldest-first (r7, r9, r10, r11, r12),
     #    name-sorted within a round for determinism.
     # ---
-    "q_ch_sql_funnel_strict",
-    "q_ch_sql_funnel_multimatch",
-    "q_ch_sql_seq_events",
-    "q_ch_sql_limit_by",
-    "q_ch_sql_seq_count",
-    "q_ch_sql_next_node",
-    "q_ch_sql_retention",
-    "q_ch_sql_topk",
-    # round-12 session-2 additions (never-checked → inside the window;
-    # the two r5 names they displace — q_stream_session,
-    # q_stream_tumble — sit at exactly 7-rounds stale and join the 22
-    # already leading the r13 window)
-    "q_ch_sql_with_fill",
-    "q_ch_sql_with_fill_range",
-    "q_ch_sql_asof",
-    "q_ch_ddl_roundtrip",
-    "q_ch_sql_any_join",
-    # round-12 session-3 additions (never-checked → inside the window;
-    # the SIX more r5 names they displace join the r13 lead block at
-    # exactly 7-rounds stale — battery-4 statement queries: WITH
-    # TOTALS, PREWHERE+WHERE conjunction, the scalar-render sweep,
-    # then the warehouse ETL pair (CTAS, insert-triggered MV) and the
-    # numbers()/file() table-function join)
-    "q_ch_sql_totals",
-    "q_ch_sql_prewhere",
-    "q_ch_sql_battery4",
-    "q_ch_ddl_ctas",
-    "q_ch_ddl_mv",
-    "q_ch_sql_table_fns",
-    "q_ch_sql_battery5",
-    "q_ch_sql_qualify",
-    "q_seq_match_pattern_time",
-    "q_seq_count_time_gap",
-    "q_seq_next_node_backward",
-    "q_seq_next_node_last_match",
-    "q_seq_next_node_head",
-    "q_seq_next_node_backward_first",
-    "q_funnel",
-    "q_seq_match",
-    "q_stream_slide",
-    "q_topk_freq",
-    "q_topk_multi",
-    "q_tpch_q3",
-    "q_tpch_q6",
-    "q_win_firstlast",
-    "q_win_pctrank",
-    "q_agg_collect",
-    "q_fn_bitwise",
-    "q_fn_higher_order",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full_outer",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_range_binned",
-    "q_join_semi",
+    # --- last driver row r5 (35 names) ---
     "q_llm_chunk",
     "q_llm_contamination",
     "q_llm_corpus_pipeline",
@@ -160,6 +98,7 @@ ROUND_PRIORITY = [
     "q_win_rank",
     "q_win_running",
     "q_win_topn_group",
+    # --- last driver row r6 (46 names) ---
     "q_agg_bitmap",
     "q_agg_bitops",
     "q_agg_corr",
@@ -206,6 +145,7 @@ ROUND_PRIORITY = [
     "q_win_neighbor",
     "q_win_nth",
     "q_win_ntile",
+    # --- last driver row r7 (45 names) ---
     "q_agg_auc",
     "q_agg_contingency",
     "q_agg_interval_length_sum",
@@ -251,6 +191,7 @@ ROUND_PRIORITY = [
     "q_stream_enrich",
     "q_stream_stateful",
     "q_win_interpolate",
+    # --- last driver row r9 (48 names) ---
     "q_agg_acf",
     "q_agg_anova",
     "q_agg_cohort_retention",
@@ -299,6 +240,7 @@ ROUND_PRIORITY = [
     "q_tpch_q7",
     "q_tpch_q8",
     "q_win_running_distinct",
+    # --- last driver row r10 (50 names) ---
     "q_agg_approx_distinct",
     "q_agg_count",
     "q_agg_count_col",
@@ -349,6 +291,7 @@ ROUND_PRIORITY = [
     "q_tpch_q21",
     "q_tpch_q22",
     "q_tpch_q9",
+    # --- last driver row r11 (50 names) ---
     "q_agg_approx_quantile",
     "q_agg_argmax",
     "q_agg_array_combinator",
@@ -399,6 +342,57 @@ ROUND_PRIORITY = [
     "q_set_union",
     "q_set_union_all",
     "q_stream_join",
+    # --- last driver row r12 (50 names) ---
+    "q_agg_collect",
+    "q_ch_ddl_ctas",
+    "q_ch_ddl_mv",
+    "q_ch_ddl_roundtrip",
+    "q_ch_sql_any_join",
+    "q_ch_sql_asof",
+    "q_ch_sql_battery4",
+    "q_ch_sql_battery5",
+    "q_ch_sql_funnel_multimatch",
+    "q_ch_sql_funnel_strict",
+    "q_ch_sql_limit_by",
+    "q_ch_sql_next_node",
+    "q_ch_sql_prewhere",
+    "q_ch_sql_qualify",
+    "q_ch_sql_retention",
+    "q_ch_sql_seq_count",
+    "q_ch_sql_seq_events",
+    "q_ch_sql_table_fns",
+    "q_ch_sql_topk",
+    "q_ch_sql_totals",
+    "q_ch_sql_with_fill",
+    "q_ch_sql_with_fill_range",
+    "q_fn_bitwise",
+    "q_fn_higher_order",
+    "q_funnel",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_range_binned",
+    "q_join_semi",
+    "q_seq_count_time_gap",
+    "q_seq_match",
+    "q_seq_match_pattern_time",
+    "q_seq_next_node_backward",
+    "q_seq_next_node_backward_first",
+    "q_seq_next_node_head",
+    "q_seq_next_node_last_match",
+    "q_stream_slide",
+    "q_topk_freq",
+    "q_topk_multi",
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_win_firstlast",
+    "q_win_pctrank",
 ]
 
 
