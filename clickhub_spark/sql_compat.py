@@ -841,7 +841,29 @@ def _rewrite_qualify(sql: str) -> str:
             depth -= 1
     if depth != 0:
         return sql
-    if re.search(r"\b(UNION|INTERSECT|EXCEPT)\b", sql, re.IGNORECASE):
+    # set-op guard: only a DEPTH-0 set operation outside string
+    # literals conflicts with the wrap-in-subquery rewrite.  A UNION
+    # inside a derived table, an EXCEPT in a string constant, or the
+    # `SELECT * EXCEPT (col)` projection modifier must NOT trip it
+    # (ADVICE r12).
+    for m_set in re.finditer(r"\b(UNION|INTERSECT|EXCEPT)\b", sql, re.IGNORECASE):
+        if _in_spans(spans, m_set.start()):
+            continue
+        d = 0
+        for j in range(m_set.start()):
+            if _in_spans(spans, j):
+                continue
+            if sql[j] == "(":
+                d += 1
+            elif sql[j] == ")":
+                d -= 1
+        if d != 0:
+            continue
+        if (
+            m_set.group(1).upper() == "EXCEPT"
+            and sql[: m_set.start()].rstrip().endswith("*")
+        ):
+            continue  # `SELECT * EXCEPT (col)` projection form
         raise ValueError(
             "QUALIFY with a top-level set operation is not supported — "
             "apply QUALIFY inside a subquery per branch"
@@ -916,7 +938,7 @@ def _merge_prewhere(sql: str) -> str:
     PREWHERE with no following WHERE is left for the plain keyword
     rename."""
     spans = _literal_spans(sql)
-    m = re.search(r"\bPREWHERE\b", sql)
+    m = re.search(r"\bPREWHERE\b", sql, re.IGNORECASE)
     if not m or _in_spans(spans, m.start()):
         return sql
 
@@ -988,9 +1010,20 @@ def translate(sql: str) -> str:
     # and `rows`, which Spark's ANSI parser reserves — backtick the
     # bare identifiers, but only in statements touching those views
     if re.search(r"\bsystem_(columns|parts)\b", out):
+        # a lowercase window frame (`rows between …`, `rows 3
+        # preceding`, `rows unbounded/current …`) in the same
+        # statement is frame SYNTAX, not the system-view column —
+        # quoting it is a parse error (ADVICE r12)
         segs0 = _split_quoted(out)
         out = "".join(
-            t if lit else re.sub(r"(?<!`)\b(table|rows)\b(?!`)", r"`\1`", t)
+            t
+            if lit
+            else re.sub(
+                r"(?<!`)\b(table|rows)\b(?!`)"
+                r"(?!\s+(?i:between|unbounded|current)\b)(?!\s+\d)",
+                r"`\1`",
+                t,
+            )
             for lit, t in segs0
         )
     # db-qualified tables: git.commits → commits (our views are flat)
@@ -2539,6 +2572,11 @@ def translate(sql: str) -> str:
         )
 
     out = _rewrite_call(out, "firstSignificantSubdomain", _first_sig_subdomain)
+    # anyLast(x): last NON-NULL value in ClickHouse — needs the
+    # ignoreNulls flag, so it can't live in the 1:1 _FN_RENAMES table
+    # (that entry stays for arrayReduce('anyLast', ...) name lookups;
+    # call positions are consumed here first).
+    out = _rewrite_call(out, "anyLast", lambda a: f"last_value({a[0]}, true)")
     # toStartOf* → date_trunc
     for ch, unit in _START_OF.items():
         out = _rewrite_call(out, ch, lambda args, u=unit: f"date_trunc('{u}', {args[0]})")
@@ -2555,33 +2593,49 @@ def translate(sql: str) -> str:
             txt = re.sub(rf"\b{ch}\s*\(", f"{sp}(", txt)
         segs[k] = (False, txt)
     out = "".join(t for _, t in segs)
-    # ClickHouse's bare `any(x)` aggregate (first-value) — lowercase
-    # call position only, and never after a comparison operator, so
-    # SQL's quantified `= ANY(subquery)` is untouched.  A bare rename
-    # in _FN_RENAMES would hit that collision; worse, leaving it be
-    # makes Spark parse any(bool_col) as bool_or — silently wrong.
-    segs = _split_quoted(out)
-    for k, (lit, txt) in enumerate(segs):
-        if lit:
+    # ClickHouse's bare `any(x)` aggregate (first NON-NULL value) —
+    # lowercase call position only, and never after a comparison
+    # operator, so SQL's quantified `= ANY(subquery)` is untouched.
+    # A bare rename in _FN_RENAMES would hit that collision; worse,
+    # leaving it be makes Spark parse any(bool_col) as bool_or —
+    # silently wrong.  Rendered any_value(x, true): ClickHouse any()
+    # SKIPS NULLs, Spark's default does not (ADVICE r12) — the
+    # matching close paren is found at depth outside literal spans so
+    # commas/parens nested in x are inert.
+    spans_any = _literal_spans(out)
+    any_edits: list[tuple[int, int, int]] = []
+    for m_any in re.finditer(r"\bany\s*\(", out):
+        if _in_spans(spans_any, m_any.start()):
             continue
-        pieces, pos = [], 0
-        for m_any in re.finditer(r"\bany\s*\(", txt):
-            prev = txt[: m_any.start()].rstrip()
-            if prev and prev[-1] in "=<>!":
-                continue  # quantified comparison, not the aggregate
-            pieces.append(txt[pos : m_any.start()])
-            pieces.append("any_value(")
-            pos = m_any.end()
-        pieces.append(txt[pos:])
-        segs[k] = (False, "".join(pieces))
-    out = "".join(t for _, t in segs)
+        prev = out[: m_any.start()].rstrip()
+        if prev and prev[-1] in "=<>!":
+            continue  # quantified comparison, not the aggregate
+        depth, j = 1, m_any.end()
+        while j < len(out) and depth:
+            if not _in_spans(spans_any, j):
+                if out[j] == "(":
+                    depth += 1
+                elif out[j] == ")":
+                    depth -= 1
+            j += 1
+        if depth:
+            continue  # unbalanced — leave for Spark's parser to report
+        any_edits.append((m_any.start(), m_any.end(), j - 1))
+    for start, open_end, close in reversed(any_edits):
+        out = out[:close] + ", true" + out[close:]
+        out = out[:start] + "any_value(" + out[open_end:]
     # PREWHERE is ClickHouse's manual predicate-pushdown hint; Catalyst
     # pushes predicates itself, so it is plain WHERE here.  When BOTH
     # clauses appear, ClickHouse applies their conjunction — merge the
     # PREWHERE predicate into the WHERE clause (both sides
     # parenthesized so OR-predicates keep their binding).
     out = _merge_prewhere(out)
-    out = re.sub(r"\bPREWHERE\b", "WHERE", out)
+    # fallback rename for a PREWHERE with no WHERE to merge into —
+    # any case (ADVICE r12), literal-safe like every other pass
+    out = "".join(
+        t if lit else re.sub(r"\bPREWHERE\b", "WHERE", t, flags=re.IGNORECASE)
+        for lit, t in _split_quoted(out)
+    )
     # QUALIFY: the post-window filter — wrap, filter, drop the helper
     out = _rewrite_qualify(out)
     # SAMPLE k (fraction or n/m) → TABLESAMPLE (… PERCENT); SAMPLE n

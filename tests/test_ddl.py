@@ -848,3 +848,86 @@ def test_review_fixes_round12_session3(spark, wh):
     names = wh2.register_views(spark)
     assert "ana_a_on_top" in names and "ana_z_base" in names
     assert run(spark, "SELECT s FROM ana_a_on_top").first().s == 4
+
+
+def test_mv_qualified_columns_resolve(spark, wh):
+    """ADVICE r12: an MV SELECT that qualifies columns with the source
+    table's name (SELECT ev.x FROM ana.ev / FROM ana.ev AS e /
+    implicit alias) must still resolve when the trigger substitutes
+    the inserted block — the FROM-position rewrite aliases
+    __mv_batch back AS the source name and qualifier references are
+    rewritten to the bare name."""
+    wh.execute("CREATE DATABASE IF NOT EXISTS ana")
+    wh.execute(
+        "CREATE TABLE ana.ev (`g` String, `v` Int64) "
+        "ENGINE = MergeTree ORDER BY (g)"
+    )
+    for tgt in ("agg1", "agg2", "agg3"):
+        wh.execute(
+            f"CREATE TABLE ana.{tgt} (`g` String, `sv` Int64) "
+            "ENGINE = SummingMergeTree ORDER BY (g)"
+        )
+    # bare-name qualifiers against the db-qualified FROM
+    wh.execute(
+        "CREATE MATERIALIZED VIEW ana.mvq1 TO ana.agg1 AS "
+        "SELECT ev.g AS g, sum(ev.v) AS sv FROM ana.ev "
+        "WHERE ev.v > 0 GROUP BY ev.g",
+        spark=spark,
+    )
+    # explicit AS alias is kept
+    wh.execute(
+        "CREATE MATERIALIZED VIEW ana.mvq2 TO ana.agg2 AS "
+        "SELECT e.g AS g, sum(e.v) AS sv FROM ana.ev AS e "
+        "WHERE e.v > 0 GROUP BY e.g",
+        spark=spark,
+    )
+    # implicit (no-AS) alias is kept
+    wh.execute(
+        "CREATE MATERIALIZED VIEW ana.mvq3 TO ana.agg3 AS "
+        "SELECT e2.g AS g, sum(e2.v) AS sv FROM ana.ev e2 "
+        "WHERE e2.v > 0 GROUP BY e2.g",
+        spark=spark,
+    )
+    wh.execute(
+        "INSERT INTO ana.ev (g, v) VALUES ('a', 1), ('a', -5), ('b', 2)",
+        spark=spark,
+    )
+    for tgt in ("agg1", "agg2", "agg3"):
+        got = {
+            (r.g, r.sv)
+            for r in wh.read_final(spark, f"ana.{tgt}").collect()
+        }
+        assert got == {("a", 1), ("b", 2)}, tgt
+
+
+def test_parse_insert_values_hardening():
+    """VERDICT r12 what's-wrong #3: the column list is paren-aware and
+    non-bare entries fail with a CLEAN error, never a mis-split."""
+    # expression in VALUES → clean unsupported-literal error
+    with pytest.raises(DdlError, match="unsupported literal"):
+        parse_insert_values(
+            "INSERT INTO t (a, b) VALUES (concat('x','y'), 1)"
+        )
+    # expression / DEFAULT in the COLUMN LIST → clean error
+    with pytest.raises(DdlError, match="bare column names only"):
+        parse_insert_values(
+            "INSERT INTO t (a, cast(b AS Int64)) VALUES (1, 2)"
+        )
+    with pytest.raises(DdlError, match="bare column names only"):
+        parse_insert_values("INSERT INTO t (a, b DEFAULT 3) VALUES (1, 2)")
+    # lowercase keywords parse
+    db, tbl, cols, rows = parse_insert_values(
+        "insert into ana.t (a, b) values (1, 'x'), (2, NULL)"
+    )
+    assert (db, tbl, cols) == ("ana", "t", ["a", "b"])
+    assert rows == [[1, "x"], [2, None]]
+    # no column list still parses
+    db, tbl, cols, rows = parse_insert_values("INSERT INTO t VALUES (1)")
+    assert cols is None and rows == [[1]]
+    # a paren inside a string literal in the VALUES is opaque
+    _, _, _, rows = parse_insert_values(
+        "INSERT INTO t (a) VALUES ('close ) paren')"
+    )
+    assert rows == [["close ) paren"]]
+    with pytest.raises(DdlError, match="unbalanced"):
+        parse_insert_values("INSERT INTO t (a, b VALUES (1, 2)")

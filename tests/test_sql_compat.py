@@ -1768,3 +1768,100 @@ def test_qualify_rewrite(spark):
             "SELECT g FROM a QUALIFY rank() OVER (ORDER BY g) = 1 "
             "UNION ALL SELECT g FROM b"
         )
+
+
+def test_advice_fixes_round13(spark):
+    """Regression pins for the round-12 ADVICE findings on the shim:
+    (1) QUALIFY's set-op guard fires only on DEPTH-0 set operations
+    outside literals — not on a UNION inside a derived table, an
+    'except' in a string constant, or the `* EXCEPT (col)` projection
+    modifier; (2) bare any()/anyLast() skip NULLs like ClickHouse
+    (any_value/last_value get the ignoreNulls flag); (3) a lowercase
+    window frame `rows between …` is not corrupted by the system-view
+    `table`/`rows` identifier quoting; (4) lowercase `prewhere` is
+    merged/renamed like the uppercase form."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, g string"
+    ).createOrReplaceTempView("adv13_t")
+    # (1a) UNION inside a derived table is fine under QUALIFY
+    got = [
+        r.id
+        for r in run(
+            spark,
+            "SELECT id, g FROM (SELECT id, g FROM adv13_t UNION ALL "
+            "SELECT id + 10 AS id, g FROM adv13_t) u "
+            "QUALIFY row_number() OVER (PARTITION BY g ORDER BY id) = 1 "
+            "ORDER BY id",
+        ).collect()
+    ]
+    assert got == [1, 3]
+    # (1b) set-op keyword inside a string literal is inert
+    got = run(
+        spark,
+        "SELECT id, 'union except intersect' AS s FROM adv13_t "
+        "QUALIFY row_number() OVER (ORDER BY id) = 1",
+    ).first()
+    assert got.id == 1 and got.s == "union except intersect"
+    # (1c) `* EXCEPT (col)` projection modifier is not a set op
+    cols = run(
+        spark,
+        "SELECT * EXCEPT (g) FROM adv13_t "
+        "QUALIFY row_number() OVER (ORDER BY id) <= 2",
+    ).columns
+    assert cols == ["id"]
+    # depth-0 set op still raises
+    with pytest.raises(ValueError, match="QUALIFY"):
+        translate(
+            "SELECT g FROM a QUALIFY rank() OVER (ORDER BY g) = 1 "
+            "EXCEPT SELECT g FROM b"
+        )
+    # (2) any()/anyLast() skip NULLs (ClickHouse first/last NON-NULL)
+    spark.createDataFrame(
+        [(1, None), (1, "x"), (2, "y"), (2, None)],
+        "k int, s string",
+    ).createOrReplaceTempView("adv13_any")
+    rows = {
+        (r.k, r.a, r.z)
+        for r in run(
+            spark,
+            "SELECT k, any(s) AS a, anyLast(s) AS z FROM adv13_any "
+            "GROUP BY k",
+        ).collect()
+    }
+    assert rows == {(1, "x", "x"), (2, "y", "y")}
+    # nested parens/literals inside the any() argument are inert
+    got = run(
+        spark,
+        "SELECT any(concat(s, '(not a paren)')) AS a FROM adv13_any "
+        "WHERE k = 1",
+    ).first()["a"]
+    assert got == "x(not a paren)"
+    # (3) lowercase frame syntax survives system-view quoting
+    t = translate(
+        "SELECT sum(rows) OVER (ORDER BY table "
+        "rows between 1 preceding and current row) AS r "
+        "FROM system.parts"
+    )
+    assert "`rows` between" not in t
+    assert "rows between 1 preceding" in t
+    assert "sum(`rows`)" in t and "ORDER BY `table`" in t
+    # (4) lowercase prewhere: merged with where, and renamed alone
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "id int"
+    ).createOrReplaceTempView("adv13_pw")
+    got = [
+        r.id
+        for r in run(
+            spark,
+            "select id from adv13_pw prewhere id > 2 where id < 5 "
+            "order by id",
+        ).collect()
+    ]
+    assert got == [3, 4]
+    n = run(
+        spark, "select count() as n from adv13_pw prewhere id > 7"
+    ).first()["n"]
+    assert n == 2
+    # a 'prewhere' inside a string literal stays verbatim
+    s = run(spark, "SELECT 'use prewhere x' AS s").first()["s"]
+    assert s == "use prewhere x"
