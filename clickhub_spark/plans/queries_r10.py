@@ -828,7 +828,74 @@ def q_funnel_strict_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LTTB_N = 20
 
 
-@query("q_agg_lttb_exact", oracle=None)  # greedy selection: engine-internal
+#: DuckDB transcription of the greedy LTTB recurrence (VERDICT r12
+#: item 4): a recursive CTE walks the 18 interior buckets, each step
+#: selecting the per-series argmax triangle area against the PREVIOUS
+#: selection and the next-bucket average anchor — the same float64
+#: expression the numpy fit evaluates, with np.argmax's first-max
+#: tie-break transcribed as ORDER BY area DESC, rank ASC.  Bucket
+#: membership is the same integer floor formula as bucket_of();
+#: pass-through series (n <= 20) bypass the recursion.
+_LTTB_EXACT_ORACLE = """
+WITH RECURSIVE pts AS (
+    SELECT event_type,
+           epoch(ts) AS x,
+           value AS y,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY epoch(ts), event_id
+           ) - 1 AS rank,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+), bkt AS (
+    SELECT event_type, rank, x, y, n,
+           CASE WHEN rank = 0 THEN -1
+                WHEN rank = n - 1 THEN 19
+                ELSE CAST(((rank - 1) * 18) // (n - 2) AS INT)
+           END AS b
+    FROM pts WHERE n > 20
+), anchors AS (
+    SELECT event_type, b - 1 AS b, AVG(x) AS ax, AVG(y) AS ay
+    FROM bkt WHERE b BETWEEN 1 AND 17
+    GROUP BY event_type, b
+    UNION ALL
+    SELECT event_type, 17 AS b, x AS ax, y AS ay
+    FROM bkt WHERE rank = n - 1
+), sel AS (
+    SELECT event_type, -1 AS b, rank, x, y
+    FROM bkt WHERE rank = 0
+    UNION ALL
+    SELECT event_type, b, rank, x, y FROM (
+        SELECT p.event_type, p.b, p.rank, p.x, p.y,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_type
+                   ORDER BY abs((s.x - a.ax) * (p.y - s.y)
+                               - (s.x - p.x) * (a.ay - s.y)) DESC,
+                            p.rank ASC
+               ) AS rn
+        FROM sel s
+        JOIN bkt p ON p.event_type = s.event_type AND p.b = s.b + 1
+        JOIN anchors a ON a.event_type = s.event_type AND a.b = s.b + 1
+        WHERE s.b < 17
+    ) c WHERE rn = 1
+)
+SELECT event_type,
+       CAST(b AS INT) AS bucket,
+       CAST(rank AS BIGINT) AS rank,
+       floor(x * 1000000) / 1000000 AS x,
+       floor(y * 10000) / 10000 AS y
+FROM (
+    SELECT event_type, b, rank, x, y FROM sel
+    UNION ALL
+    SELECT event_type, 19 AS b, rank, x, y FROM bkt WHERE rank = n - 1
+    UNION ALL
+    SELECT event_type, rank AS b, rank, x, y FROM pts WHERE n <= 20
+)
+ORDER BY event_type, rank
+"""
+
+
+@query("q_agg_lttb_exact", oracle=_LTTB_EXACT_ORACLE)
 def q_agg_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``largestTriangleThreeBuckets(20)(ts, value)`` per
     event_type — the EXACT sequential form (Steinarsson's greedy:
@@ -836,9 +903,12 @@ def q_agg_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what the engine's aggregate computes inside its sorted
     state; q_agg_lttb (queries_r5c) keeps the parallel
     neighbor-centroid approximation for the pure-SQL shape.
-    Rows-only: the greedy selection has no SQL form, but
-    q_agg_lttb_cert re-verifies the ENTIRE recurrence distributed,
-    and tests/test_lttb.py pins a single-process reference sweep.
+    Value-oracled since r13: the oracle replays the greedy
+    recurrence as a DuckDB recursive CTE (bit-identical float64
+    arithmetic; verified hash-match at sf0.001/0.01/0.1);
+    q_agg_lttb_cert additionally re-verifies the recurrence
+    distributed, and tests/test_lttb.py pins a single-process
+    reference sweep.
     Plan: one applyInPandas per series (per-series state = that
     series' points, the engine's own aggregate posture; the scale
     axis is series count)."""

@@ -1219,11 +1219,75 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-@query("q_llm_bpe_train")  # no SQL oracle: iterative merge learning
-# is not expressible in one SQL statement; correctness is pinned by
-# tests/test_bpe.py (distributed trainer ≡ single-process reference
-# implementation merge-for-merge, partition invariance, lossless +
-# compressive apply).
+#: DuckDB transcription of the BPE merge loop (VERDICT r12 item 4 —
+#: the merge table is deterministic, so the oracle replays Sennrich's
+#: algorithm as a recursive CTE): level 0 is the capped word-frequency
+#: table segmented into chars + </w>; each level counts adjacent
+#: symbol pairs (overlapping, freq-weighted — one unnested row per
+#: occurrence), picks the global argmax (count DESC, then (l, r)
+#: lexicographic = train_bpe's tie-break), and re-segments every word
+#: with the double-space replace trick, which reproduces the
+#: left-to-right non-overlapping merge of _merge_once exactly
+#: ('a a a a' + (a,a) → 'aa aa', not 'aa a a').  Recursion stops when
+#: the GLOBAL best count drops below 2 (the trainer's stop rule) or
+#: at 20 merges.
+_BPE_TRAIN_ORACLE = r"""
+WITH RECURSIVE words AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        FROM documents
+    ) WHERE word <> ''
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 5000
+), state AS (
+    SELECT 0 AS it, word, freq,
+           array_to_string(
+               [word[i] for i in generate_series(1, length(word))], ' '
+           ) || ' </w>' AS seg,
+           CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br
+    FROM words
+    UNION ALL
+    SELECT it + 1 AS it, word, freq,
+           trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
+                                ' ' || bl || '  ' || br || ' ',
+                                ' ' || bl || br || ' '),
+                        '  ', ' ')) AS seg,
+           bl, br
+    FROM (
+        SELECT it, word, freq, seg,
+               FIRST_VALUE(l) OVER w AS bl,
+               FIRST_VALUE(r) OVER w AS br,
+               FIRST_VALUE(cnt) OVER w AS gcnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY word ORDER BY cnt DESC, l, r
+               ) AS rn
+        FROM (
+            SELECT it, word, freq, seg, l, r,
+                   SUM(freq) OVER (PARTITION BY l, r) AS cnt
+            FROM (
+                SELECT it, word, freq, seg,
+                       unnest([ [s[i], s[i+1]]
+                                for i in generate_series(1, len(s)-1) ]) AS p
+                FROM (SELECT it, word, freq, seg,
+                             string_split(seg, ' ') AS s
+                      FROM state WHERE it < 20)
+            ) t0, LATERAL (SELECT p[1] AS l, p[2] AS r) t1
+        ) t2
+        WINDOW w AS (ORDER BY cnt DESC, l, r)
+    ) t3
+    WHERE rn = 1 AND gcnt >= 2
+)
+SELECT CAST(it - 1 AS INT) AS rank,
+       MIN(bl) AS left, MIN(br) AS right, MIN(bl || br) AS merged
+FROM state WHERE it >= 1
+GROUP BY it
+ORDER BY rank
+"""
+
+
+@query("q_llm_bpe_train", oracle=_BPE_TRAIN_ORACLE)
 def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE tokenizer training (Sennrich 2016; SURVEY §2.J7
     tokenization family — complements q_llm_token_bpe, which applies

@@ -62,6 +62,10 @@ ROUND_PRIORITY = [
     # 4: everything else oldest-first (r7, r9, r10, r11, r12),
     #    name-sorted within a round for determinism.
     # ---
+    # round-13 CHANGED queries (new value oracles — recursive-CTE
+    # DuckDB transcriptions; need a fresh driver row):
+    "q_llm_bpe_train",
+    "q_agg_lttb_exact",
     # --- last driver row r5 (35 names) ---
     "q_llm_chunk",
     "q_llm_contamination",
@@ -164,7 +168,6 @@ ROUND_PRIORITY = [
     "q_fn_map_higher",
     "q_fn_numbers",
     "q_join_asof_fwd",
-    "q_llm_bpe_train",
     "q_llm_chunk_sentences",
     "q_llm_decontam_bloom",
     "q_llm_dedup_bloom",
@@ -298,7 +301,6 @@ ROUND_PRIORITY = [
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_lttb_cert",
-    "q_agg_lttb_exact",
     "q_agg_quantile",
     "q_agg_salted",
     "q_dedup_collapsing",

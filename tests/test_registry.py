@@ -33,16 +33,12 @@ def test_oracle_map_is_subset_of_queries():
         # eigendecomposition has no DuckDB oracle; pinned by
         # tests/test_pca.py (≡ numpy fit + invariants)
         "q_llm_pca",
-        # iterative merge learning is not one SQL statement; pinned by
-        # tests/test_bpe.py (≡ reference implementation merge-for-merge)
-        "q_llm_bpe_train",
         # iterative IRLS fit is not one SQL statement; pinned by
         # tests/test_glm.py (≡ numpy IRLS to 1e-8 + invariants)
         "q_llm_logreg_fit",
-        # sequential greedy selection is not one SQL statement; the
-        # FULL recurrence is re-verified distributed by
-        # q_agg_lttb_cert + tests/test_lttb.py reference sweep
-        "q_agg_lttb_exact",
+        # q_llm_bpe_train and q_agg_lttb_exact moved to value-oracled
+        # in r13: recursive-CTE DuckDB transcriptions of the merge
+        # loop / greedy recurrence (VERDICT r12 item 4)
     }
 
 
