@@ -51,6 +51,8 @@ def _default_for(dtype: str) -> Column:
 def _default_step(dtype: str) -> Column:
     if dtype in _NUMERIC:
         return F.lit(1)
+    if dtype in ("float", "double"):
+        return F.lit(1.0)
     if dtype == "date":
         return F.expr("INTERVAL 1 DAY")
     if dtype.startswith("timestamp"):
@@ -78,8 +80,11 @@ def with_fill(
     if col not in dtypes:
         raise ValueError(f"WITH FILL column {col!r} not in result {list(dtypes)}")
     dtype = dtypes[col]
-    if dtype not in _NUMERIC and dtype != "date" and not dtype.startswith(
-        "timestamp"
+    if (
+        dtype not in _NUMERIC
+        and dtype not in ("float", "double")
+        and dtype != "date"
+        and not dtype.startswith("timestamp")
     ):
         raise ValueError(f"WITH FILL unsupported for sort column type {dtype!r}")
     for c in interpolate:
@@ -97,7 +102,21 @@ def with_fill(
     # TO is exclusive: sequence() is stop-inclusive, so overshoot is
     # trimmed with a filter below; the default (max) IS inclusive.
     hi = (to if to is not None else F.col("__hi")).cast(dtype)
-    spine = bounds.select(F.explode(F.sequence(lo, hi, step)).alias(col))
+    if dtype in ("float", "double"):
+        # Spark's sequence() is integral/temporal-only; build the
+        # float grid as lo + k·step over an integer index (one
+        # multiply per point — no accumulated float error)
+        n = F.floor((hi - lo) / step.cast("double")).cast("int")
+        spine = bounds.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n, F.lit(0))),
+                    lambda k: (lo + k.cast("double") * step.cast("double")).cast(dtype),
+                )
+            ).alias(col)
+        )
+    else:
+        spine = bounds.select(F.explode(F.sequence(lo, hi, step)).alias(col))
     if to is not None:
         spine = spine.where(F.col(col) < to.cast(dtype))
 

@@ -38,5 +38,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r12,
     queries_r12b,
     queries_r12c,
+    queries_r13,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

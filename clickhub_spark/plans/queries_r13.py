@@ -1,0 +1,110 @@
+"""Round-13 registered queries — probe battery 6 under the driver's
+value hash: COMPOSITIONS of dialect constructs (VERDICT r12 item 3).
+
+Batteries 1-5 probed expressions mostly in isolation; the round-12
+semantics bugs (any(), dateDiff, division) were exactly the kind
+isolation finds late.  These statements stack the constructs the
+round-13 probe session found real bugs in — QUALIFY + LIMIT BY in one
+statement (the LIMIT BY regex used to latch onto the ORDER BY inside
+the rewritten OVER clause), PREWHERE merged under a trailing QUALIFY
+(the clause scan used to swallow it), SELECT aliases inside QUALIFY
+windows (inlined like ClickHouse's alias substitution; Spark rejects
+lateral aliases in windows), and the -If combinators' EMPTY-SET type
+defaults (ClickHouse sumIf → 0 where Spark/DuckDB sum gives NULL).
+
+Reference: ClickHouse SELECT clause pipeline (PREWHERE → WHERE →
+GROUP BY → HAVING → window → QUALIFY → ORDER BY → LIMIT BY → LIMIT);
+the unit pins live in tests/test_sql_compat.py::test_probe_battery6_*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhub_spark.plans.queries_core import load
+from clickhub_spark.plans.registry import query
+from clickhub_spark.sql_compat import run
+
+
+def _events_view(spark: SparkSession, sf_dir: str) -> None:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+@query(
+    "q_ch_sql_battery6",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_id, ROUND(value * 2, 4) + 0.0 AS v2
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ROUND(value * 2, 4) + 0.0 DESC,
+                                            event_id) <= 3
+    )
+    SELECT user_id, event_id, v2 FROM q
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY v2 DESC, event_id) <= 2
+    ORDER BY user_id, v2 DESC, event_id
+    """,
+)
+def q_ch_sql_battery6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREWHERE + WHERE + alias-referencing QUALIFY + LIMIT BY stacked
+    in ONE literal ClickHouse statement: per user, QUALIFY keeps the
+    top-3 events by the ALIASED projection v2 (the shim inlines the
+    alias into the window, ClickHouse-style), then LIMIT 2 BY cuts to
+    2 per user in statement order.  The oracle composes DuckDB's
+    NATIVE QUALIFY twice — fully independent of the shim's
+    row_number subquery construction."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT user_id, event_id, round(value * 2, 4) + 0.0 AS v2
+        FROM events
+        PREWHERE user_id IS NOT NULL
+        WHERE value IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY v2 DESC, event_id) <= 3
+        ORDER BY user_id, v2 DESC, event_id
+        LIMIT 2 BY user_id
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_battery6b",
+    oracle="""
+    SELECT user_id,
+           ROUND(COALESCE(SUM(CASE WHEN value > 250 THEN value END), 0), 4)
+               + 0.0 AS hi_sum,
+           CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS BIGINT) AS hi_n,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY user_id
+    QUALIFY rank() OVER (ORDER BY COUNT(*) DESC, user_id) <= 40
+    ORDER BY user_id
+    """,
+)
+def q_ch_sql_battery6b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-set -If defaults under the driver hash: sumIf over a
+    condition many groups fail must return ClickHouse's 0, not NULL
+    (the oracle spells out COALESCE(..., 0) — DuckDB's FILTERed SUM
+    is NULL on empty, so a wrong render cannot silently agree), plus
+    countIf and a QUALIFY over the aggregate projection alias n."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT user_id,
+               round(sumIf(value, value > 250), 4) + 0.0 AS hi_sum,
+               countIf(value > 250) AS hi_n,
+               count() AS n
+        FROM events
+        PREWHERE user_id IS NOT NULL
+        WHERE value IS NOT NULL
+        GROUP BY user_id
+        QUALIFY rank() OVER (ORDER BY n DESC, user_id) <= 40
+        ORDER BY user_id
+        """,
+    )

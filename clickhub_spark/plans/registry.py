@@ -62,6 +62,9 @@ ROUND_PRIORITY = [
     # 4: everything else oldest-first (r7, r9, r10, r11, r12),
     #    name-sorted within a round for determinism.
     # ---
+    # round-13 NEW registrations (probe battery 6 compositions):
+    "q_ch_sql_battery6",
+    "q_ch_sql_battery6b",
     # round-13 CHANGED queries (new value oracles — recursive-CTE
     # DuckDB transcriptions; need a fresh driver row):
     "q_llm_bpe_train",

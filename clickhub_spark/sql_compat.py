@@ -771,23 +771,108 @@ def _rewrite_limit_by(sql: str) -> str:
     BY/LIMIT BY tail — the dialect subset the shim supports."""
     if not re.search(r"(?i)\bLIMIT\s+\d+\s+BY\b", sql):
         return sql
-    m = re.search(
-        r"(?is)^\s*(?P<body>.*?)"
-        r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
-        r"\s+LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<by>[\w`.\s,]+?)"
-        r"(?:\s+LIMIT\s+(?P<outer>\d+))?\s*;?\s*$",
-        sql,
-    )
-    if not m:
+    # locate the LIMIT n BY and the statement's own ORDER BY at paren
+    # DEPTH 0 outside string literals — a lazy regex latched onto the
+    # first ORDER BY anywhere, including inside an OVER(...) clause,
+    # shredding e.g. a QUALIFY-rewritten statement (probe battery 6)
+    spans = _literal_spans(sql)
+    depth = 0
+    order_start = order_kw_end = None
+    limit_start = None
+    j = 0
+    while j < len(sql):
+        if _in_spans(spans, j):
+            j += 1
+            continue
+        ch = sql[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch.isalpha()
+            and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_"))
+        ):
+            mo = re.match(r"ORDER\s+BY\b", sql[j:], re.IGNORECASE)
+            if mo:
+                order_start, order_kw_end = j, j + mo.end()
+                j = order_kw_end
+                continue
+            if re.match(r"LIMIT\s+\d+\s+BY\b", sql[j:], re.IGNORECASE):
+                limit_start = j
+                break
+        j += 1
+    if limit_start is None:
+        # LIMIT n BY at depth > 0: inside a derived-table subquery —
+        # recurse into the enclosing paren (same splice as QUALIFY)
+        for m_lb in re.finditer(r"\bLIMIT\s+\d+\s+BY\b", sql, re.IGNORECASE):
+            if _in_spans(spans, m_lb.start()):
+                continue
+            open_stack: list[int] = []
+            for k in range(m_lb.start()):
+                if _in_spans(spans, k):
+                    continue
+                if sql[k] == "(":
+                    open_stack.append(k)
+                elif sql[k] == ")" and open_stack:
+                    open_stack.pop()
+            if not open_stack:
+                return sql
+            open_pos = open_stack[-1]
+            d2, k = 1, open_pos + 1
+            while k < len(sql) and d2:
+                if not _in_spans(spans, k):
+                    if sql[k] == "(":
+                        d2 += 1
+                    elif sql[k] == ")":
+                        d2 -= 1
+                k += 1
+            if d2:
+                return sql
+            close = k - 1
+            inner = sql[open_pos + 1 : close]
+            new_inner = _rewrite_limit_by(inner)
+            if new_inner == inner:
+                return sql
+            return _rewrite_limit_by(
+                sql[: open_pos + 1] + new_inner + sql[close:]
+            )
         return sql
-    # with no ORDER BY, ClickHouse keeps an arbitrary n per group; the
-    # BY columns as window order make that choice deterministic here
-    order = m.group("order") or m.group("by")
-    outer = f" LIMIT {m.group('outer')}" if m.group("outer") else ""
+    tail_m = re.match(
+        r"(?is)LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<by>[\w`.\s,]+?)"
+        r"(?:\s+LIMIT\s+(?P<outer>\d+))?\s*;?\s*$",
+        sql[limit_start:],
+    )
+    if not tail_m:
+        return sql
+    if order_start is not None and order_start < limit_start:
+        body = sql[:order_start].strip()
+        order = sql[order_kw_end:limit_start].strip()
+    else:
+        body = sql[:limit_start].strip()
+        # with no ORDER BY, ClickHouse keeps an arbitrary n per group;
+        # the BY columns as window order make that deterministic here
+        order = tail_m.group("by")
+    outer = f" LIMIT {tail_m.group('outer')}" if tail_m.group("outer") else ""
+    body = _rewrite_limit_by(body)  # a second LIMIT BY in a subquery
+    # the window evaluates OVER the wrapped body (__lb), whose output
+    # columns are unqualified — table qualifiers from the original
+    # scope (t.g) would not resolve there, so strip them
+    def _strip_quals(text: str) -> str:
+        return "".join(
+            t
+            if lit
+            else re.sub(r"\b[A-Za-z_]\w*\.(\w+)\b", r"\1", t)
+            for lit, t in _split_quoted(text)
+        )
+
+    by = _strip_quals(tail_m.group("by"))
+    order = _strip_quals(order)
     return (
         f"SELECT * EXCEPT (__rn) FROM (SELECT __lb.*, row_number() OVER "
-        f"(PARTITION BY {m.group('by')} ORDER BY {order}) AS __rn "
-        f"FROM ({m.group('body')}) __lb) WHERE __rn <= {m.group('n')}{outer}"
+        f"(PARTITION BY {by} ORDER BY {order}) AS __rn "
+        f"FROM ({body}) __lb) WHERE __rn <= {tail_m.group('n')}{outer}"
     )
 
 
@@ -813,7 +898,7 @@ def _rewrite_array_join_clause(sql: str) -> str:
 
 _CLAUSE_AFTER_WHERE = re.compile(
     r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT"
-    r"|SETTINGS|FORMAT)\b",
+    r"|SETTINGS|FORMAT|QUALIFY)\b",
     re.IGNORECASE,
 )
 
@@ -829,18 +914,45 @@ def _rewrite_qualify(sql: str) -> str:
     m = re.search(r"\bQUALIFY\b", sql, re.IGNORECASE)
     if not m or _in_spans(spans, m.start()):
         return sql
-    # the QUALIFY keyword must sit at paren depth 0 (subquery QUALIFYs
-    # are rewritten when their own text passes through translate)
+    # a QUALIFY at paren depth > 0 lives inside a derived-table
+    # subquery: recurse into the ENCLOSING paren's text and splice
+    # the rewrite back (probe battery 6 — inline subqueries never
+    # pass through translate() on their own, so "handled when the
+    # subquery translates" was wrong for them)
     depth = 0
+    open_stack: list[int] = []
     for j in range(m.start()):
         if _in_spans(spans, j):
             continue
         if sql[j] == "(":
             depth += 1
+            open_stack.append(j)
         elif sql[j] == ")":
             depth -= 1
+            if open_stack:
+                open_stack.pop()
     if depth != 0:
-        return sql
+        if not open_stack:
+            return sql  # unbalanced — leave for Spark's parser
+        open_pos = open_stack[-1]
+        d2, j = 1, open_pos + 1
+        while j < len(sql) and d2:
+            if not _in_spans(spans, j):
+                if sql[j] == "(":
+                    d2 += 1
+                elif sql[j] == ")":
+                    d2 -= 1
+            j += 1
+        if d2:
+            return sql
+        close = j - 1
+        inner = sql[open_pos + 1 : close]
+        new_inner = _rewrite_qualify(inner)
+        if new_inner == inner:
+            return sql
+        return _rewrite_qualify(
+            sql[: open_pos + 1] + new_inner + sql[close:]
+        )
     # set-op guard: only a DEPTH-0 set operation outside string
     # literals conflicts with the wrap-in-subquery rewrite.  A UNION
     # inside a derived table, an EXCEPT in a string constant, or the
@@ -921,6 +1033,46 @@ def _rewrite_qualify(sql: str) -> str:
         k += 1
     if pos is None or not f:
         raise ValueError("QUALIFY needs a SELECT … FROM statement")
+    # ClickHouse lets QUALIFY reference SELECT-list ALIASES (it
+    # substitutes the aliased expression textually); Spark rejects a
+    # lateral column alias inside a window expression, so inline the
+    # alias expressions into the predicate the same way ClickHouse
+    # does (probe battery 6).  Iterate for alias-on-alias chains.
+    sel_m = re.match(r"\s*SELECT\s+(DISTINCT\s+)?", inner, re.IGNORECASE)
+    if sel_m:
+        items, buf, d2 = [], [], 0
+        for k2 in range(sel_m.end(), pos):
+            if _in_spans(inner_spans, k2):
+                buf.append(inner[k2])
+                continue
+            c2 = inner[k2]
+            if c2 == "(":
+                d2 += 1
+            elif c2 == ")":
+                d2 -= 1
+            if c2 == "," and d2 == 0:
+                items.append("".join(buf))
+                buf = []
+            else:
+                buf.append(c2)
+        items.append("".join(buf))
+        aliases = {}
+        for it in items:
+            ma = re.match(r"(?is)^\s*(.*\S)\s+AS\s+`?(\w+)`?\s*$", it)
+            if ma and ma.group(1).strip() != ma.group(2):
+                aliases[ma.group(2)] = ma.group(1).strip()
+        for _ in range(10):
+            new_pred = pred
+            for al, expr in aliases.items():
+                new_pred = "".join(
+                    t
+                    if lit
+                    else re.sub(rf"(?<![.\w`]){al}\b", f"({expr})", t)
+                    for lit, t in _split_quoted(new_pred)
+                )
+            if new_pred == pred:
+                break
+            pred = new_pred
     inner = (
         inner[:pos].rstrip() + f", ({pred}) AS __qualify " + inner[pos:]
     )
@@ -1085,8 +1237,31 @@ def translate(sql: str) -> str:
     out = _rewrite_parametric(out, "topK", _topk)
     # <agg>If(col, cond) → <agg>(CASE WHEN cond THEN col END); Spark
     # only has count_if.  Balanced-paren argument scan so nested calls
-    # work.
+    # work.  ClickHouse's non-OrNull aggregates return the TYPE
+    # DEFAULT when the condition matches nothing (probe battery 6):
+    # sumIf → 0, avgIf → nan (0/0) — Spark's NULL would silently
+    # diverge, so those two coalesce.  minIf/maxIf keep NULL: their
+    # CH default is type-dependent (0 / '' / 1970-01-01), which a
+    # text render can't know; NULL is the -OrNull behavior users
+    # reach for anyway.
+    out = _rewrite_call(
+        out,
+        "sumIf",
+        lambda a: f"coalesce(sum(CASE WHEN {a[1]} THEN {a[0]} END), 0)",
+        nargs=2,
+    )
+    out = _rewrite_call(
+        out,
+        "avgIf",
+        lambda a: (
+            f"coalesce(avg(CASE WHEN {a[1]} THEN {a[0]} END), "
+            f"CAST('NaN' AS DOUBLE))"
+        ),
+        nargs=2,
+    )
     for ch_name, spark_agg in _IF_COMBINATORS.items():
+        if ch_name in ("sumIf", "avgIf"):
+            continue
         out = _rewrite_call(
             out,
             ch_name,
@@ -2813,7 +2988,7 @@ def _rewrite_any_join(sql: str) -> str:
 
 #: FROM/TO literal: int, toDate('…'), toDateTime('…'); STEP literal:
 #: int or INTERVAL n UNIT.
-_FILL_LIT = r"(?:toDate(?:Time)?\('[^']*'\)|INTERVAL\s+\d+\s+\w+|-?\d+)"
+_FILL_LIT = r"(?:toDate(?:Time)?\('[^']*'\)|INTERVAL\s+\d+\s+\w+|-?\d+(?:\.\d+)?)"
 
 _WITH_FILL_RE = re.compile(
     r"ORDER\s+BY\s+`?(\w+)`?\s*(ASC|DESC)?\s+WITH\s+FILL"
@@ -2839,6 +3014,8 @@ def _fill_literal(text: str):
         return F.to_timestamp(F.lit(m.group(1)))
     if re.fullmatch(r"INTERVAL\s+\d+\s+\w+", text, re.IGNORECASE):
         return F.expr(text)
+    if re.fullmatch(r"-?\d+\.\d+", text):
+        return F.lit(float(text))
     return F.lit(int(text))
 
 

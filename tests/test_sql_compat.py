@@ -534,7 +534,7 @@ def test_string_literals_inert_in_call_rewrites(spark):
     )
     assert (
         translate("SELECT sumIf(x, s = 'a,b(') FROM t")
-        == "SELECT sum(CASE WHEN s = 'a,b(' THEN x END) FROM t"
+        == "SELECT coalesce(sum(CASE WHEN s = 'a,b(' THEN x END), 0) FROM t"
     )
     spark.createDataFrame([("a,b,c",)], "s string").createOrReplaceTempView("t_split")
     assert run(spark, "SELECT splitByChar(',', s) AS parts FROM t_split").first().parts == [
@@ -1865,3 +1865,259 @@ def test_advice_fixes_round13(spark):
     # a 'prewhere' inside a string literal stays verbatim
     s = run(spark, "SELECT 'use prewhere x' AS s").first()["s"]
     assert s == "use prewhere x"
+
+
+@pytest.fixture(scope="module")
+def b6(spark):
+    spark.createDataFrame(
+        [(1, "a", 1.0, [1, 2, 3]), (2, "a", 2.0, [4, 5]), (3, "b", 3.0, []),
+         (4, "b", 4.0, [6]), (5, "b", 5.0, [7, 8]), (6, "c", 6.0, [9])],
+        "id int, g string, v double, arr array<int>",
+    ).createOrReplaceTempView("b6_t")
+    return "b6_t"
+
+
+def test_probe_battery6_qualify_compositions(spark, b6):
+    """Probe battery 6 (VERDICT r12 item 3) — COMPOSITIONS of dialect
+    constructs.  Each case here reproduced a real round-13 bug:
+    QUALIFY+LIMIT BY (the LIMIT BY regex latched onto the ORDER BY
+    inside the rewritten OVER clause), PREWHERE+WHERE+QUALIFY (the
+    clause scan did not stop at QUALIFY), QUALIFY inside a derived
+    table (depth>0 was skipped entirely), and QUALIFY referencing
+    SELECT aliases (Spark rejects lateral aliases in windows; the
+    shim now inlines the aliased expression like ClickHouse)."""
+    got = [
+        (r.id, r.g)
+        for r in run(
+            spark,
+            "SELECT id, g, v FROM b6_t QUALIFY row_number() OVER "
+            "(PARTITION BY g ORDER BY v DESC) = 1 LIMIT 1 BY g",
+        ).collect()
+    ]
+    assert sorted(got) == [(2, "a"), (5, "b"), (6, "c")]
+    got = [
+        r.id
+        for r in run(
+            spark,
+            "SELECT id, v FROM b6_t PREWHERE id > 1 WHERE v < 5 "
+            "QUALIFY row_number() OVER (ORDER BY v DESC) <= 2",
+        ).collect()
+    ]
+    assert sorted(got) == [3, 4]
+    got = {
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT * FROM (SELECT g, v FROM b6_t QUALIFY row_number() "
+            "OVER (PARTITION BY g ORDER BY v) = 1) ORDER BY g",
+        ).collect()
+    }
+    assert got == {("a", 1.0), ("b", 3.0), ("c", 6.0)}
+    # SELECT aliases (incl. alias-on-alias chains) inside the QUALIFY
+    # predicate — inlined like ClickHouse's alias substitution
+    got = {
+        (r.g, r.vv)
+        for r in run(
+            spark,
+            "SELECT g, v * 10 AS vv FROM b6_t QUALIFY row_number() OVER "
+            "(PARTITION BY g ORDER BY vv DESC) = 1",
+        ).collect()
+    }
+    assert got == {("a", 20.0), ("b", 50.0), ("c", 60.0)}
+    got = {
+        (r.g, r.v2)
+        for r in run(
+            spark,
+            "SELECT g, v + 1 AS v1, v1 * 2 AS v2 FROM b6_t "
+            "QUALIFY max(v2) OVER (PARTITION BY g) = v2",
+        ).collect()
+    }
+    assert got == {("a", 6.0), ("b", 12.0), ("c", 14.0)}
+    # named WINDOW + QUALIFY / CTE + QUALIFY / agg-projection QUALIFY
+    got = {
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT g, v, row_number() OVER w AS r FROM b6_t "
+            "WINDOW w AS (PARTITION BY g ORDER BY v DESC) "
+            "QUALIFY row_number() OVER w = 1",
+        ).collect()
+    }
+    assert got == {("a", 2.0), ("b", 5.0), ("c", 6.0)}
+    got = {
+        r.g
+        for r in run(
+            spark,
+            "WITH top AS (SELECT g, max(v) AS m FROM b6_t GROUP BY g) "
+            "SELECT g, m FROM top QUALIFY rank() OVER (ORDER BY m DESC) <= 2",
+        ).collect()
+    }
+    assert got == {"b", "c"}
+    got = {
+        (r.G2, r.n)
+        for r in run(
+            spark,
+            "SELECT upper(g) AS G2, count() AS n FROM b6_t GROUP BY g "
+            "QUALIFY rank() OVER (ORDER BY n DESC, G2) <= 2",
+        ).collect()
+    }
+    assert got == {("B", 3), ("A", 2)}
+
+
+def test_probe_battery6_limit_by_compositions(spark, b6):
+    """LIMIT BY at depth > 0 (derived tables), at both levels at
+    once, with qualified BY columns, and after a window-carrying
+    statement — the depth-aware rewrite of _rewrite_limit_by."""
+    n = run(
+        spark,
+        "SELECT count() AS n FROM (SELECT g, v FROM b6_t "
+        "ORDER BY v DESC LIMIT 2 BY g)",
+    ).first()["n"]
+    assert n == 5  # a:2 b:2 c:1
+    got = {
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT t.g, t.v FROM (SELECT g, v FROM b6_t ORDER BY v DESC "
+            "LIMIT 1 BY g) t WHERE t.v > 2 ORDER BY t.g LIMIT 1 BY t.g",
+        ).collect()
+    }
+    assert got == {("b", 5.0), ("c", 6.0)}
+    # window ORDER BY inside OVER() must NOT be mistaken for the
+    # statement ORDER BY feeding the LIMIT BY window
+    got = [
+        (r.g, r.v, r.s)
+        for r in run(
+            spark,
+            "SELECT g, v, sum(v) OVER (PARTITION BY g ORDER BY v) AS s "
+            "FROM b6_t ORDER BY v LIMIT 1 BY g",
+        ).collect()
+    ]
+    assert sorted(got) == [("a", 1.0, 1.0), ("b", 3.0, 3.0), ("c", 6.0, 6.0)]
+    # SELECT alias as the LIMIT BY sort key still resolves
+    got = [
+        (r.g, r.lv)
+        for r in run(
+            spark,
+            "SELECT g, least(v, 4) AS lv FROM b6_t ORDER BY lv LIMIT 2 BY g",
+        ).collect()
+    ]
+    assert sorted(got) == [
+        ("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("c", 4.0)
+    ]
+
+
+def test_probe_battery6_statement_stacks(spark, b6):
+    """FINAL+SAMPLE+PREWHERE+LIMIT BY in one statement; GLOBAL IN;
+    tuple-IN subqueries; EXISTS with LIMIT BY; dialect functions in
+    JOIN ON; parametric aggregates in correlated subqueries."""
+    spark.sql(f"SELECT * FROM {b6}").createOrReplaceTempView("b6_t_final")
+    got = [
+        (r.id, r.g)
+        for r in run(
+            spark,
+            "SELECT id, g FROM b6_t FINAL SAMPLE 1 PREWHERE id > 1 "
+            "WHERE id < 6 ORDER BY id LIMIT 1 BY g",
+        ).collect()
+    ]
+    assert sorted(got) == [(2, "a"), (3, "b")]
+    n = run(
+        spark,
+        "SELECT count() AS n FROM b6_t WHERE id GLOBAL IN "
+        "(SELECT id FROM b6_t WHERE v > 3)",
+    ).first()["n"]
+    assert n == 3
+    n = run(
+        spark,
+        "SELECT count() AS n FROM b6_t WHERE (g, id) IN "
+        "(SELECT g, id FROM b6_t WHERE v > 3)",
+    ).first()["n"]
+    assert n == 3
+    got = [
+        r.g
+        for r in run(
+            spark,
+            "SELECT g FROM b6_t a WHERE EXISTS (SELECT 1 FROM b6_t b "
+            "WHERE b.g = a.g AND b.v > 5) ORDER BY g LIMIT 1 BY g",
+        ).collect()
+    ]
+    assert got == ["c"]
+    got = [
+        (r.id, r.bid)
+        for r in run(
+            spark,
+            "SELECT a.id, b.id AS bid FROM b6_t a INNER JOIN b6_t b "
+            "ON a.g = b.g AND intDiv(a.id, 2) = intDiv(b.id, 2) "
+            "WHERE a.id < b.id ORDER BY a.id",
+        ).collect()
+    ]
+    assert got == [(4, 5)]
+    got = {
+        r.g
+        for r in run(
+            spark,
+            "SELECT a.g FROM b6_t a WHERE a.v > (SELECT "
+            "quantileExact(0.5)(v) FROM b6_t b WHERE b.g = a.g)",
+        ).collect()
+    }
+    assert got == {"a", "b"}
+
+
+def test_probe_battery6_empty_set_aggregates(spark, b6):
+    """ClickHouse non-OrNull aggregates return TYPE DEFAULTS on an
+    empty (condition-filtered) set: sumIf -> 0, avgIf -> nan; the
+    NULL Spark would return is silently-wrong data."""
+    import math
+
+    rows = {
+        r.g: (r.s, r.a)
+        for r in run(
+            spark,
+            "SELECT g, sumIf(v, has(arr, 4)) AS s, avgIf(v, v > 100) AS a "
+            "FROM b6_t GROUP BY g",
+        ).collect()
+    }
+    assert rows["a"][0] == 2.0 and rows["b"][0] == 0.0 and rows["c"][0] == 0.0
+    assert all(math.isnan(a) for _, a in rows.values())
+    # non-empty avgIf still averages
+    a = run(
+        spark, "SELECT avgIf(v, v > 3) AS a FROM b6_t"
+    ).first()["a"]
+    assert a == 5.0
+    # sumIf inside HAVING composes
+    got = {
+        r.g
+        for r in run(
+            spark,
+            "SELECT g, max(v) AS m FROM b6_t GROUP BY g "
+            "HAVING sumIf(v, v > 1) > 5",
+        ).collect()
+    }
+    assert got == {"b", "c"}
+
+
+def test_probe_battery6_float_with_fill(spark, b6):
+    """WITH FILL over a float/double sort column (integer-index grid,
+    lo + k*step) with decimal STEP literals and INTERPOLATE."""
+    rows = [
+        (r.v, r.g)
+        for r in run(
+            spark,
+            "SELECT v, g FROM b6_t WHERE g = 'b' ORDER BY v "
+            "WITH FILL FROM 1 TO 6 STEP 0.5 INTERPOLATE (g)",
+        ).collect()
+    ]
+    vs = [v for v, _ in rows]
+    assert vs == [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5]
+    assert dict(rows)[1.0] == "" and dict(rows)[3.5] == "b"
+    # default step 1.0, QUALIFY in the derived table feeding the fill
+    rows = [
+        (r.v, r.g)
+        for r in run(
+            spark,
+            "SELECT * FROM (SELECT g, v FROM b6_t QUALIFY row_number() "
+            "OVER (PARTITION BY g ORDER BY v) = 1) ORDER BY v WITH FILL",
+        ).collect()
+    ]
+    assert [v for v, _ in rows] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    assert dict(rows)[3.0] == "b" and dict(rows)[4.0] == ""
