@@ -1291,7 +1291,15 @@ class Warehouse:
             from clickhub_spark.operators.dedup import final_view
 
             keys = list(td.order_by)
-            version = td.version_columns() or keys
+            # ENGINE-ARG version first — ReplacingMergeTree(ver) must
+            # collapse by ver, exactly like read_final; falling back
+            # to keys here silently kept an ARBITRARY row per key
+            # (found by the r13 concurrency race test)
+            version = (
+                self._engine_arg_cols(td)
+                or td.version_columns()
+                or keys
+            )
 
             def transform(df, _k=keys, _v=version):  # noqa: ANN001
                 return final_view(df, keys=_k, version=_v)
@@ -1393,9 +1401,29 @@ class Warehouse:
         for old parts the same way) and DROPped columns are simply
         not read."""
         td = self._require(qualified)
-        df = spark.read.schema(td.full_schema()).parquet(
-            os.path.join(self._dir(td.database, td.name), "data")
-        )
+        data = os.path.join(self._dir(td.database, td.name), "data")
+        # concurrency contract (writer.compact): the OPTIMIZE swap is
+        # two renames, so a reader can observe the dir missing for an
+        # instant.  Wait it out (bounded) when swap markers prove a
+        # mutation is in flight; NEVER "recover" here — renaming
+        # .__old back while the writer is between its two renames
+        # would make the writer's second rename fail and strand the
+        # new data (only the next MUTATION may call recover_table).
+        if not os.path.isdir(data):
+            import glob as _glob
+            import time as _time
+
+            for _ in range(100):
+                if os.path.isdir(data):
+                    break
+                if not (
+                    os.path.isdir(f"{data}.__old")
+                    or _glob.glob(f"{data}.__compact_*")
+                    or _glob.glob(f"{data}.__mutating_*")
+                ):
+                    break  # genuinely empty table — fail fast below
+                _time.sleep(0.05)
+        df = spark.read.schema(td.full_schema()).parquet(data)
         for c in td.columns:
             if c.default is not None:
                 df = df.withColumn(
