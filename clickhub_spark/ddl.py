@@ -598,6 +598,76 @@ def _literal(text: str):
 
 
 # --------------------------------------------------------------------------
+# Materialized-view block trigger — the ONE implementation of
+# ClickHouse's insert-trigger semantics (README.md:247-268): the MV
+# SELECT runs over the INSERTED BLOCK ONLY, never the source table.
+# Used by Warehouse._trigger_mvs (DDL-defined MVs) and by
+# streaming/freshness.py's stars maintenance (the streaming transport
+# of the same loop) so the two paths cannot drift (VERDICT r12 #8).
+# --------------------------------------------------------------------------
+
+
+def mv_block_output(
+    spark,
+    mv_select: str,
+    source_q: str,
+    batch: "DataFrame",
+    rewrite_refs=None,
+):
+    """Run an MV SELECT over one inserted block and return the output
+    DataFrame.  ``source_q`` is the db-qualified source the SELECT
+    reads FROM; references to it are substituted with the block.
+
+    Table-position references (after FROM/JOIN) — db.tbl, db_tbl, or
+    the bare name — become ``__mv_batch AS <name>`` (an explicit or
+    implicit alias already present is kept), so column qualifiers
+    like ``ev.x`` still resolve (ADVICE r12); remaining db.tbl /
+    db_tbl occurrences are column QUALIFIERS, rewritten to the bare
+    name.  String literals are never touched.  ``rewrite_refs`` lets
+    the caller map OTHER table references (e.g. the Warehouse's
+    db.tbl → db_tbl view names) before execution."""
+    from clickhub_spark.sql_compat import _split_quoted
+    from clickhub_spark.sql_compat import run as _run
+
+    db, name = source_q.split(".", 1)
+    _kw = (
+        "WHERE|GROUP|ORDER|HAVING|LIMIT|JOIN|INNER|LEFT|"
+        "RIGHT|FULL|CROSS|ON|USING|UNION|INTERSECT|EXCEPT|"
+        "SETTINGS|QUALIFY|PREWHERE|SAMPLE|FINAL|WINDOW|"
+        "FORMAT|ARRAY"
+    )
+    table_ref = re.compile(
+        rf"(\b(?:FROM|JOIN)\s+)"
+        rf"(?:{db}\.{name}|{db}_{name}|{name})\b"
+        rf"(\s+AS\s+\w+|\s+(?!(?:{_kw})\b)[A-Za-z_]\w*)?",
+        re.IGNORECASE,
+    )
+
+    def _sub_table(mm: "re.Match[str]") -> str:
+        alias = mm.group(2) or f" AS {name}"
+        return f"{mm.group(1)}__mv_batch{alias}"
+
+    segs = _split_quoted(mv_select)
+    for k, (lit, txt) in enumerate(segs):
+        if lit:
+            continue
+        txt = table_ref.sub(_sub_table, txt)
+        txt = re.sub(rf"\b{db}\.{name}\b", name, txt)
+        txt = re.sub(rf"\b{db}_{name}\b", name, txt)
+        segs[k] = (False, txt)
+    sel = "".join(t for _, t in segs)
+    # inside foreachBatch the micro-batch frame belongs to a CLONED
+    # session whose temp-view catalog is separate from the outer one —
+    # register and run on the batch's own session (`spark` is kept in
+    # the signature for call-site symmetry, but the batch knows best)
+    session = batch.sparkSession
+    batch.createOrReplaceTempView("__mv_batch")
+    if rewrite_refs is not None:
+        sel = rewrite_refs(sel)
+    return _run(session, sel)
+
+
+# --------------------------------------------------------------------------
 # Warehouse — the executor
 # --------------------------------------------------------------------------
 
@@ -1156,47 +1226,13 @@ class Warehouse:
                     f"(definition cycle?)"
                 )
             for mv in mvs:
-                db, name = source_q.split(".", 1)
-                # replace only TABLE-position references (after FROM/
-                # JOIN): db.tbl, db_tbl, or the bare name — aliased
-                # back AS the bare table name so column qualifiers
-                # like `ev.x` still resolve (ADVICE r12); an explicit
-                # `AS alias` already present is kept instead.  Other
-                # db.tbl / db_tbl occurrences are column QUALIFIERS —
-                # rewritten to the bare name, which now resolves via
-                # the alias.  String literals are never touched.
-                from clickhub_spark.sql_compat import _split_quoted
-
-                _kw = (
-                    "WHERE|GROUP|ORDER|HAVING|LIMIT|JOIN|INNER|LEFT|"
-                    "RIGHT|FULL|CROSS|ON|USING|UNION|INTERSECT|EXCEPT|"
-                    "SETTINGS|QUALIFY|PREWHERE|SAMPLE|FINAL|WINDOW|"
-                    "FORMAT|ARRAY"
+                out = mv_block_output(
+                    spark,
+                    mv.select,
+                    source_q,
+                    batch,
+                    rewrite_refs=self._rewrite_table_refs,
                 )
-                table_ref = re.compile(
-                    rf"(\b(?:FROM|JOIN)\s+)"
-                    rf"(?:{db}\.{name}|{db}_{name}|{name})\b"
-                    rf"(\s+AS\s+\w+|\s+(?!(?:{_kw})\b)[A-Za-z_]\w*)?",
-                    re.IGNORECASE,
-                )
-
-                def _sub_table(mm: "re.Match[str]") -> str:
-                    alias = mm.group(2) or f" AS {name}"
-                    return f"{mm.group(1)}__mv_batch{alias}"
-
-                segs = _split_quoted(mv.select)
-                for k, (lit, txt) in enumerate(segs):
-                    if lit:
-                        continue
-                    txt = table_ref.sub(_sub_table, txt)
-                    txt = re.sub(rf"\b{db}\.{name}\b", name, txt)
-                    txt = re.sub(rf"\b{db}_{name}\b", name, txt)
-                    segs[k] = (False, txt)
-                sel = "".join(t for _, t in segs)
-                batch.createOrReplaceTempView("__mv_batch")
-                from clickhub_spark.sql_compat import run as _run
-
-                out = _run(spark, self._rewrite_table_refs(sel))
                 tgt = self._require(mv.mv_target)
                 schema = tgt.ingest_schema()
                 names = [f.name for f in schema.fields if f.name in out.columns]
