@@ -237,27 +237,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures via xxhash64 with per-permutation seeds.
 
-    Wide-column form: one groupBy(id) with ``num_perm`` min-aggregates
-    (columns h0..hN).  This keeps the shuffled row count at |shingles|
-    instead of |shingles|×num_perm — at 100 TB the explode form would
-    multiply shuffle volume 32×; the wide form's partial aggregation
-    collapses each doc to a single row map-side.
+    MAP-ONLY form (r13): the per-doc signature is computed inside one
+    projection — shingle base hashes as an ARRAY column, then
+    ``array_min(transform(hs, h -> xxhash64(h, p)))`` per permutation
+    — so signature computation shuffles NOTHING.  The r12 wide
+    groupBy(id) form already kept the exchange at |docs| rows via
+    map-side partial min; this removes even that exchange (and the
+    aggregate hash map) — at 100 TB the only shuffle left on the LSH
+    path is the banded bucket join.  Values are bit-identical to the
+    groupBy form: min over an array equals min over the exploded
+    distinct rows (duplicates never change a min).
 
     The shingle STRING is never materialized on this path: the base
-    hash is xxhash64 over the k word values directly (shingle_hashes),
-    and each permutation hashes the 8-byte base with its index as salt
-    — num_perm integer hashes instead of num_perm string hashes, and
-    no per-shingle concat allocation (measured ~12% faster locally
-    than string shingles + per-perm string hashing; the gap widens
-    with shingle length).  The md5 pipeline variants keep string
-    shingles — the oracle needs an engine-portable hash basis.
+    hash is xxhash64 over the k word values directly, and each
+    permutation hashes the 8-byte base with its index as salt —
+    num_perm integer hashes instead of num_perm string hashes, and no
+    per-shingle concat allocation.  The md5 pipeline variants keep
+    string shingles — the oracle needs an engine-portable hash basis.
     """
-    sh = shingle_hashes(df, text, id_col, k)
-    aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"h{p}")
+    words = F.col("__words")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - k)
+    hs = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(words, i + j + 1) for j in range(k)]),
+    )
+    base = (
+        _spread(df)
+        .withColumn("__words", F.split(F.col(text), " "))
+        .where(n >= k)
+        .withColumn("__hs", hs)
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__hs"), lambda h, p=p: F.xxhash64(h, F.lit(p)))
+        ).alias(f"h{p}")
         for p in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def minhash_candidate_pairs(
@@ -271,11 +288,19 @@ def minhash_candidate_pairs(
     """MinHash-LSH near-dup candidate pairs (SURVEY §2.J5).
 
     Hash each band of the signature (num_perm/bands columns → one
-    xxhash64), explode to (id, band, band_hash), group docs sharing a
-    bucket, emit pairs.  This is the 100 TB near-dup path: cost is
-    O(docs × num_perm) + bucket-local pair expansion — no global
-    self-join, and the bucket join shuffles only (band, hash, id)
-    triples.
+    xxhash64), explode to (id, band, band_hash), GROUP docs sharing a
+    bucket, emit bucket-local pairs.  This is the 100 TB near-dup
+    path: cost is O(docs × num_perm) + bucket-local pair expansion.
+
+    r13 shape: bucket GROUPING instead of a bucket self-JOIN — the
+    join form scanned the corpus and computed every signature TWICE
+    (once per join branch; nothing for AQE to reuse since the small
+    side broadcast), where one groupBy(band, hash) shuffles each
+    (band, hash, id) triple once.  Pair expansion is a two-level
+    explode (ids sorted; left index, then the tail slice), so the
+    per-row intermediate is O(bucket), never the O(bucket²) pair
+    array — a mega-bucket of near-identical docs streams exactly
+    like the join form did, without its duplicate corpus scan.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text, id_col, k, num_perm)
@@ -289,12 +314,21 @@ def minhash_candidate_pairs(
         F.col(id_col),
         F.posexplode(band_hashes).alias("band", "band_hash"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    lefts = buckets.select(
+        "ids", F.posexplode("ids").alias("__i", "id_a")
+    ).where(F.col("__i") < F.size("ids") - 1)
     return (
-        a.join(b, ["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        lefts.select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("__i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 

@@ -81,6 +81,10 @@ UNPARTITIONED_WINDOW_CANON = {
     # spec; sharded production twin q_llm_pack_sharded is plan-tested
     # SinglePartition-free (tests/test_plans.py)
     "q_llm_pack",
+    # global rank over the PER-USER aggregated table (users ≪ events);
+    # the corpus-sized input never passes through the window — the
+    # QUALIFY top-N is the statement's point (probe battery 6)
+    "q_ch_sql_battery6b",
     # cumulative window over a per-VALUE aggregated table (distinct
     # scores/values ≪ rows) — the q_llm_score_normalize technique;
     # the corpus-sized input never passes through the window

@@ -118,19 +118,24 @@ def main() -> int:
         pairs_big._jdf.queryExecution().explainString(mode)
     )
     out["plan_fingerprint_big"] = {k: v for k, v in fp.items() if v}
-    joins = fp.get("SortMergeJoin", 0) + fp.get("ShuffledHashJoin", 0)
     gates = {
         "no_cartesian": fp.get("CartesianProduct", 0) == 0,
         "no_nested_loop": fp.get("BroadcastNestedLoopJoin", 0) == 0,
         "no_python_row_udf": fp.get("BatchEvalPython", 0) == 0,
-        "bucket_join_is_shuffled_equi": joins >= 1,
+        # r13 shape: one shuffled groupBy(band, hash) bucket aggregate
+        # replaces the bucket self-join — and the corpus is scanned
+        # exactly ONCE (the join form computed every signature twice)
+        "bucket_group_is_shuffled_agg": fp.get("Exchange", 0) >= 1
+        and fp.get("HashAggregate", 0) + fp.get("ObjectHashAggregate", 0)
+        + fp.get("SortAggregate", 0) >= 1,
+        "single_corpus_scan": fp.get("Scan parquet", 0) == 1,
         "scaling_le_150x": out["scaling"] <= 150,
         "planted_recall_100pct": found_planted == planted_big,
         "selective_banding": out["pairs_big"] <= 3 * planted_big,
     }
     out["gates"] = gates
     out["gates_ok"] = all(gates.values())
-    with open("/root/repo/DEDUP_100X_r12.json", "w") as f:
+    with open("/root/repo/DEDUP_100X_r13.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0 if out["gates_ok"] else 1
