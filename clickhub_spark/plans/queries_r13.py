@@ -108,3 +108,40 @@ def q_ch_sql_battery6b(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """,
     )
+
+
+@query(
+    "q_ch_sql_battery6c",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(value) / 2, 4) + 0.0 AS half_total,
+           CAST(COUNT(CASE WHEN value > (SELECT AVG(value) FROM events)
+                           THEN 1 END) AS BIGINT) AS above
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_ch_sql_battery6c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's expression-WITH under the driver hash: one WITH
+    list binding a literal (k), a scalar subquery (vbar — the
+    corpus-wide mean), and a column expression (sum(value) AS total),
+    each substituted at its use sites per CH's alias model; the
+    oracle spells the substitutions out longhand in ANSI SQL."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        WITH 2 AS k,
+             (SELECT avg(value) FROM events) AS vbar,
+             sum(value) AS total
+        SELECT user_id,
+               round(total / k, 4) + 0.0 AS half_total,
+               countIf(value > vbar) AS above
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+    )

@@ -2864,30 +2864,13 @@ def translate(sql: str) -> str:
         if m3 and not _in_spans(spans3, m3.start()):
             out = out[: m3.start()]
             spans3 = _literal_spans(out)
-    # ClickHouse scalar WITH: `WITH <literal> AS <ident>, …` binds a
-    # CONSTANT to a name (not a CTE — no parenthesized subquery);
-    # substitute the literal at each identifier use
-    m3 = re.match(
-        r"(\s*)WITH\s+((?:-?\d+(?:\.\d+)?|'[^']*')\s+AS\s+\w+"
-        r"(?:\s*,\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s+AS\s+\w+)*)\s*(SELECT\b.*)$",
-        out,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if m3:
-        body = m3.group(3)
-        for entry in _split_top(m3.group(2)):
-            em = re.fullmatch(
-                r"(-?\d+(?:\.\d+)?|'[^']*')\s+AS\s+(\w+)", entry.strip(),
-                re.IGNORECASE | re.DOTALL,
-            )
-            if em:
-                lit, ident = em.group(1), em.group(2)
-                segs3 = _split_quoted(body)
-                body = "".join(
-                    t if is_lit else re.sub(rf"\b{ident}\b", lit, t)
-                    for is_lit, t in segs3
-                )
-        out = m3.group(1) + body
+    # ClickHouse scalar WITH: `WITH <expr> AS <ident>, …` binds an
+    # EXPRESSION to a name (CH substitutes it at every use — distinct
+    # from the CTE form `ident AS (subquery)`, which stays a CTE).
+    # Covers literals, scalar subqueries `(SELECT max(v) FROM t) AS
+    # mx`, and column expressions `sum(v) AS total` (probe battery 6
+    # session 2) — all by textual substitution, exactly CH's model.
+    out = _rewrite_scalar_with(out)
     # GLOBAL IN / GLOBAL JOIN: a distributed-execution hint (ship the
     # set to every shard); Catalyst chooses broadcast vs shuffle
     # itself, so the keyword is dropped
@@ -2907,13 +2890,19 @@ def translate(sql: str) -> str:
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", out,
         flags=re.IGNORECASE,
     )
-    # SELECT * REPLACE (expr AS col, …) → * EXCEPT (cols), exprs
-    # (Spark has EXCEPT natively but no REPLACE; the replaced columns
-    # move to the end of the projection — documented divergence, and
-    # immaterial to the driver's name-sorted compare)
+    # SELECT * [EXCEPT (cols)] REPLACE (expr AS col, …) → * EXCEPT
+    # (excepted + replaced), exprs (Spark has EXCEPT natively but no
+    # REPLACE; the replaced columns move to the end of the projection
+    # — documented divergence, and immaterial to the driver's
+    # name-sorted compare).  The CH canonical modifier order EXCEPT
+    # → REPLACE folds both into one EXCEPT (probe battery 6 s2).
     def _replace_mod(m4: re.Match) -> str:
-        entries = _split_top(m4.group(1))
-        cols = []
+        entries = _split_top(m4.group(2))
+        cols = [
+            c.strip().strip("`")
+            for c in (m4.group(1) or "").split(",")
+            if c.strip()
+        ]
         for e in entries:
             rm = re.match(r"(?s)(.+)\s+AS\s+(\w+)\s*$", e.strip(), re.IGNORECASE)
             if not rm:
@@ -2928,7 +2917,8 @@ def translate(sql: str) -> str:
         )
 
     out = re.sub(
-        r"\*\s+REPLACE\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        r"\*\s+(?:EXCEPT\s*\(([^)]*)\)\s*)?"
+        r"REPLACE\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
         _replace_mod,
         out,
         flags=re.IGNORECASE,
@@ -2937,6 +2927,63 @@ def translate(sql: str) -> str:
     out = _rewrite_array_join_clause(out)
     out = _rewrite_limit_by(out)
     return out
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse's expression-WITH: ``WITH <expr> AS <ident>, …``
+    binds an expression (literal, scalar subquery, or a column
+    expression like ``sum(v)``) to a name, substituted at every use —
+    CH's documented alias-substitution model.  Entries of the CTE
+    form ``ident AS (subquery)`` are left in place (a WITH list may
+    mix both).  Only a top-level WITH prefix is handled; nested ones
+    pass through to Spark's own CTE support."""
+    m = re.match(r"(\s*)WITH\b", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    spans = _literal_spans(sql)
+    # the entry list runs to the first depth-0 SELECT keyword
+    j, depth, body_start = m.end(), 0, None
+    while j < len(sql):
+        if _in_spans(spans, j):
+            j += 1
+            continue
+        ch = sql[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "Ss"
+            and not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+            and re.match(r"SELECT\b", sql[j:], re.IGNORECASE)
+        ):
+            body_start = j
+            break
+        j += 1
+    if body_start is None:
+        return sql
+    entries = _split_top(sql[m.end() : body_start])
+    body = sql[body_start:]
+    kept: list[str] = []
+    for entry in entries:
+        e = entry.strip()
+        if re.match(r"^`?\w+`?\s+AS\s*\(", e, re.IGNORECASE):
+            kept.append(e)  # standard CTE
+            continue
+        em = re.fullmatch(r"(?s)(.+)\s+AS\s+`?(\w+)`?", e, re.IGNORECASE)
+        if not em:
+            kept.append(e)
+            continue
+        expr, ident = em.group(1).strip(), em.group(2)
+        segs = _split_quoted(body)
+        body = "".join(
+            t if is_lit else re.sub(rf"(?<![.\w`]){ident}\b", f"({expr})", t)
+            for is_lit, t in segs
+        )
+    if kept:
+        return m.group(1) + "WITH " + ", ".join(kept) + " " + body
+    return m.group(1) + body
 
 
 def _rewrite_any_join(sql: str) -> str:
@@ -3115,6 +3162,55 @@ def _rewrite_asof_join(spark: SparkSession, sql: str) -> str:
     return sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
 
 
+def _rewrite_star_apply(spark: SparkSession, sql: str) -> str:
+    """ClickHouse's ``SELECT * [EXCEPT (…)] [REPLACE (…)] APPLY(fn)
+    FROM <table>`` column-transformer chain: apply ``fn`` to every
+    column the asterisk resolves to (CH names the outputs
+    ``fn(col)``).  Expanding the star needs the SCHEMA, so this is a
+    run()-level, session-aware rewrite (the asof-join pattern) —
+    supported for a plain registered view/table FROM; other shapes
+    raise with the supported form named."""
+    spans = _literal_spans(sql)
+    m = re.search(
+        r"SELECT\s+\*\s*(?:EXCEPT\s*\(([^)]*)\)\s*)?"
+        r"(?:REPLACE\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s*)?"
+        r"APPLY\s*\(\s*(\w+)\s*\)\s+FROM\s+`?(\w+)`?",
+        sql,
+        re.IGNORECASE,
+    )
+    if not m or _in_spans(spans, m.start()):
+        loose = re.search(r"\bAPPLY\s*\(", sql, re.IGNORECASE)
+        if loose and not _in_spans(spans, loose.start()):
+            raise ValueError(
+                "unsupported APPLY form: SELECT * [EXCEPT (…)] "
+                "[REPLACE (…)] APPLY(fn) FROM <registered table> is "
+                "the supported dialect subset"
+            )
+        return sql
+    exc = {
+        c.strip().strip("`") for c in (m.group(1) or "").split(",") if c.strip()
+    }
+    rep: dict[str, str] = {}
+    for e in _split_top(m.group(2) or ""):
+        rm = re.match(r"(?s)(.+)\s+AS\s+`?(\w+)`?\s*$", e.strip(), re.IGNORECASE)
+        if rm:
+            rep[rm.group(2)] = rm.group(1).strip()
+    fn, view = m.group(3), m.group(4)
+    cols = spark.table(view).columns
+    items = [
+        f"{fn}({rep.get(c, f'`{c}`')}) AS `{fn}({c})`"
+        for c in cols
+        if c not in exc
+    ]
+    return (
+        sql[: m.start()]
+        + "SELECT "
+        + ", ".join(items)
+        + f" FROM {view}"
+        + sql[m.end() :]
+    )
+
+
 def run(spark: SparkSession, sql: str) -> DataFrame:
     """Translate and execute a ClickHouse-dialect statement against
     the session's registered views.  ``ORDER BY … WITH FILL`` and
@@ -3136,6 +3232,7 @@ def run(spark: SparkSession, sql: str) -> DataFrame:
         spark_mode = "EXTENDED" if mode in ("AST", "SYNTAX") else "FORMATTED"
         return spark.sql(f"EXPLAIN {spark_mode} {inner}")
     sql = _rewrite_asof_join(spark, sql)
+    sql = _rewrite_star_apply(spark, sql)
     filled = parse_with_fill(sql)
     if filled is not None:
         from clickhub_spark.operators.fill import with_fill

@@ -2121,3 +2121,64 @@ def test_probe_battery6_float_with_fill(spark, b6):
     ]
     assert [v for v, _ in rows] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     assert dict(rows)[3.0] == "b" and dict(rows)[4.0] == ""
+
+
+def test_probe_battery6_scalar_with_and_modifiers(spark, b6):
+    """Probe battery 6, session 2: ClickHouse's expression-WITH
+    (literal / scalar subquery / column expression, substituted at
+    every use per CH's alias model; the CTE form stays a CTE), and
+    the * EXCEPT+REPLACE / APPLY column-transformer chains."""
+    got = [
+        r.id
+        for r in run(
+            spark,
+            "WITH (SELECT max(v) FROM b6_t) AS mx "
+            "SELECT id FROM b6_t WHERE v = mx",
+        ).collect()
+    ]
+    assert got == [6]
+    got = {
+        (r.g, r.t)
+        for r in run(
+            spark,
+            "WITH sum(v) AS total SELECT g, total AS t FROM b6_t GROUP BY g",
+        ).collect()
+    }
+    assert got == {("a", 3.0), ("b", 12.0), ("c", 6.0)}
+    # literal + subquery + expr entries in ONE WITH list
+    row = run(
+        spark,
+        "WITH 2 AS k, (SELECT min(v) FROM b6_t) AS lo, max(v) AS hi "
+        "SELECT (hi - lo) / k AS half_range FROM b6_t",
+    ).first()
+    assert row.half_range == 2.5
+    # the CTE form in the same list survives
+    n = run(
+        spark,
+        "WITH top AS (SELECT g FROM b6_t WHERE v > 4), 1 AS one "
+        "SELECT count() + one AS n FROM top",
+    ).first()["n"]
+    assert n == 3
+    # * EXCEPT + REPLACE combined (canonical CH modifier order)
+    rows = run(
+        spark,
+        "SELECT * EXCEPT (arr) REPLACE(v * 2 AS v) FROM b6_t "
+        "ORDER BY id LIMIT 2",
+    ).collect()
+    assert sorted(rows[0].asDict().keys()) == ["g", "id", "v"]
+    assert [r.v for r in rows] == [2.0, 4.0]
+    # * EXCEPT + APPLY: fn over every remaining column, CH names
+    row = run(
+        spark, "SELECT * EXCEPT (arr, g) APPLY(max) FROM b6_t"
+    ).first()
+    assert row["max(id)"] == 6 and row["max(v)"] == 6.0
+    # REPLACE + APPLY composes (replaced expression feeds the fn)
+    row = run(
+        spark,
+        "SELECT * EXCEPT (arr, g, id) REPLACE(v * 10 AS v) APPLY(sum) "
+        "FROM b6_t",
+    ).first()
+    assert row["sum(v)"] == 210.0
+    # out-of-subset APPLY shapes raise with the supported form named
+    with pytest.raises(ValueError, match="APPLY"):
+        run(spark, "SELECT * APPLY(max) FROM (SELECT 1 AS x)")
