@@ -876,6 +876,66 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """ClickHouse ``ORDER BY o LIMIT n WITH TIES`` — keep every row
+    tied with the n-th on the ORDER BY key — as a rank() window (rank
+    ≤ n IS the with-ties cut).  Depth-0, literal-safe scan like
+    _rewrite_limit_by; table qualifiers stripped from the ORDER list
+    for the wrapped scope."""
+    if not re.search(r"(?i)\bWITH\s+TIES\b", sql):
+        return sql
+    spans = _literal_spans(sql)
+    depth = 0
+    order_start = order_kw_end = None
+    limit_m = None
+    j = 0
+    while j < len(sql):
+        if _in_spans(spans, j):
+            j += 1
+            continue
+        ch = sql[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch.isalpha()
+            and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_"))
+        ):
+            mo = re.match(r"ORDER\s+BY\b", sql[j:], re.IGNORECASE)
+            if mo:
+                order_start, order_kw_end = j, j + mo.end()
+                j = order_kw_end
+                continue
+            ml = re.match(
+                r"LIMIT\s+(\d+)\s+WITH\s+TIES\s*;?\s*$", sql[j:], re.IGNORECASE
+            )
+            if ml:
+                limit_m = (j, ml)
+                break
+        j += 1
+    if limit_m is None or order_start is None:
+        raise ValueError(
+            "unsupported LIMIT WITH TIES form: a top-level ORDER BY "
+            "followed by LIMIT n WITH TIES at statement end is the "
+            "supported dialect subset"
+        )
+    lpos, ml = limit_m
+    order = "".join(
+        t
+        if lit
+        else re.sub(r"\b[A-Za-z_]\w*\.(\w+)\b", r"\1", t)
+        for lit, t in _split_quoted(sql[order_kw_end:lpos].strip())
+    )
+    body = sql[:order_start].strip()
+    return (
+        f"SELECT * EXCEPT (__rk) FROM (SELECT __wt.*, rank() OVER "
+        f"(ORDER BY {order}) AS __rk FROM ({body}) __wt) "
+        f"WHERE __rk <= {ml.group(1)} ORDER BY {order}"
+    )
+
+
 def _rewrite_array_join_clause(sql: str) -> str:
     """ClickHouse's ``[LEFT] ARRAY JOIN <expr> AS <alias>`` CLAUSE
     (unnest-per-row; distinct from the arrayJoin() function) → Spark
@@ -2522,18 +2582,90 @@ def translate(sql: str) -> str:
         ),
     )
     out = re.sub(r"\barrayZip\s*\(", "arrays_zip(", out)
-    # map-merging aggregates need an explode + re-aggregate (two
-    # operators), which a single expression rewrite cannot express —
+    # arrayFold(lambda, arr, init) → aggregate(arr, init, lambda)
+    # (same (acc, x) lambda shape; CH's multi-array form has no
+    # single-HOF Spark analog and raises with the zip shape named)
+    def _array_fold(a: list[str]) -> str:
+        if len(a) != 3:
+            raise ValueError(
+                "arrayFold over multiple arrays is not supported — "
+                "arrays_zip them first and fold the struct array"
+            )
+        return f"aggregate({a[1]}, {a[2]}, {a[0]})"
+
+    out = _rewrite_call(out, "arrayFold", _array_fold, nargs=3)
+    # map-merging aggregates over a MAP column: collect the group's
+    # maps and fold with map_zip_with (key union; NULL side = absent
+    # key).  One expression — no explode/re-aggregate stage.  Key
+    # ORDER in the result map is engine-arbitrary (ClickHouse returns
+    # key-sorted maps; Spark maps are unordered — documented
+    # divergence).  The two-parallel-ARRAYS ClickHouse form still
+    # raises with the registered query named.
+    def _map_merge(a: list[str], combine: str, what: str) -> str:
+        if len(a) != 1:
+            raise ValueError(
+                f"{what}(keys, values) over parallel arrays needs an "
+                "explode + re-aggregate — use the registered DataFrame "
+                "query q_agg_summap (plans/queries_r5.py); the Map-"
+                f"column form {what}(m) is supported directly"
+            )
+        cl = f"collect_list({a[0]})"
+        return (
+            f"aggregate(slice({cl}, 2, size({cl}) - 1), "
+            f"element_at({cl}, 1), "
+            f"(__acc, __mm) -> map_zip_with(__acc, __mm, "
+            f"(__k, __a, __b) -> {combine}))"
+        )
+
+    out = _rewrite_call(
+        out, "sumMap",
+        lambda a: _map_merge(
+            a,
+            "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+            "ELSE __a + __b END",
+            "sumMap",
+        ),
+    )
+    out = _rewrite_call(
+        out, "minMap",
+        lambda a: _map_merge(
+            a,
+            "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+            "ELSE least(__a, __b) END",
+            "minMap",
+        ),
+    )
+    out = _rewrite_call(
+        out, "maxMap",
+        lambda a: _map_merge(
+            a,
+            "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+            "ELSE greatest(__a, __b) END",
+            "maxMap",
+        ),
+    )
+    # uniqState / uniqMerge — the partial-aggregation pair, mapped to
+    # Spark's Datasketches HLL: the STATE is a real mergeable sketch
+    # (binary column, storable in a SummingMergeTree-style partial
+    # table), uniqMerge unions and estimates.  Same ±2% class as
+    # ClickHouse's uniq sketch.
+    out = _rewrite_call(
+        out, "uniqState",
+        lambda a: (
+            f"hll_sketch_agg({a[0]})"
+            if len(a) == 1
+            else f"hll_sketch_agg(xxhash64({', '.join(a)}))"
+        ),
+    )
+    out = _rewrite_call(
+        out, "uniqMerge",
+        lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
+    )
+    # aggregates that genuinely need operators, and data-order scans —
     # point at the registered DataFrame query instead of failing with
     # an opaque UNRESOLVED_ROUTINE
     spans_unr = _literal_spans(out)
     for unr, pointer in (
-        ("sumMap", "needs an explode + re-aggregate — use the registered "
-                   "DataFrame query q_agg_summap (plans/queries_r5.py)"),
-        ("minMap", "needs an explode + re-aggregate — use q_agg_summap's "
-                   "shape with min (plans/queries_r5.py)"),
-        ("maxMap", "needs an explode + re-aggregate — use q_agg_summap's "
-                   "shape with max (plans/queries_r5.py)"),
         # battery 4: data-ORDER-dependent scans — an aggregate rewrite
         # has no row order to scan; use a window over an explicit sort
         ("deltaSum", "is a data-order scan — use a sum over a lag() "
@@ -2926,6 +3058,7 @@ def translate(sql: str) -> str:
     # structural clauses last, over the function-translated text
     out = _rewrite_array_join_clause(out)
     out = _rewrite_limit_by(out)
+    out = _rewrite_limit_with_ties(out)
     return out
 
 

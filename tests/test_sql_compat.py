@@ -1186,8 +1186,11 @@ def test_array_scan_probe_battery(spark):
 
 
 def test_summap_unrenderable_pointer(spark):
+    # the Map-column form renders since r13 (map_zip_with fold) —
+    # only the parallel-arrays form keeps the pointer
     with pytest.raises(ValueError, match="q_agg_summap"):
-        translate("SELECT sumMap(map(s, v)) FROM t")
+        translate("SELECT sumMap(ks, vs) FROM t")
+    assert "map_zip_with" in translate("SELECT sumMap(map(s, v)) FROM t")
     # inert inside literals
     assert "sumMap" in translate("SELECT 'use sumMap(x)' AS s")
 
@@ -2182,3 +2185,64 @@ def test_probe_battery6_scalar_with_and_modifiers(spark, b6):
     # out-of-subset APPLY shapes raise with the supported form named
     with pytest.raises(ValueError, match="APPLY"):
         run(spark, "SELECT * APPLY(max) FROM (SELECT 1 AS x)")
+
+
+def test_probe_battery6_map_fold_state_ties(spark, b6):
+    """Probe battery 6, session 3: map-merging aggregates over Map
+    columns (collect_list + map_zip_with fold — key union, no
+    explode stage), arrayFold → aggregate(), uniqState/uniqMerge →
+    Datasketches HLL (a REAL mergeable binary state), and LIMIT n
+    WITH TIES via a rank() window."""
+    spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"a": 5, "c": 1})],
+        "id int, m map<string,int>",
+    ).createOrReplaceTempView("b6_maps")
+    sm = run(spark, "SELECT sumMap(m) AS sm FROM b6_maps").first()["sm"]
+    assert sm == {"a": 6, "b": 2, "c": 1}
+    mm = run(spark, "SELECT maxMap(m) AS mm FROM b6_maps").first()["mm"]
+    assert mm == {"a": 5, "b": 2, "c": 1}
+    mn = run(spark, "SELECT minMap(m) AS mn FROM b6_maps").first()["mn"]
+    assert mn == {"a": 1, "b": 2, "c": 1}
+    # grouped form merges within each group
+    spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"a": 2, "b": 1}), (2, {"z": 9})],
+        "k int, m map<string,int>",
+    ).createOrReplaceTempView("b6_maps2")
+    rows = {
+        r.k: r.sm
+        for r in run(
+            spark, "SELECT k, sumMap(m) AS sm FROM b6_maps2 GROUP BY k"
+        ).collect()
+    }
+    assert rows == {1: {"a": 3, "b": 1}, 2: {"z": 9}}
+    # the parallel-arrays ClickHouse form still raises with a pointer
+    with pytest.raises(ValueError, match="q_agg_summap"):
+        translate("SELECT sumMap(ks, vs) FROM t")
+    # arrayFold((acc, x) -> …, arr, init) → aggregate(arr, init, fn)
+    f = run(
+        spark,
+        "SELECT arrayFold((acc, x) -> acc + x, arr, 100) AS f "
+        "FROM b6_t WHERE id = 1",
+    ).first()["f"]
+    assert f == 106
+    with pytest.raises(ValueError, match="arrayFold"):
+        translate("SELECT arrayFold((a, x, y) -> a + x + y, u, w, 0) FROM t")
+    # uniqState partials merge across groups like the engine's states
+    u = run(
+        spark,
+        "SELECT uniqMerge(s) AS u FROM (SELECT g, uniqState(id) AS s "
+        "FROM b6_t GROUP BY g)",
+    ).first()["u"]
+    assert u == 6
+    # LIMIT n WITH TIES keeps every row tied with the n-th
+    got = [
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT g, v FROM b6_t UNION ALL SELECT 'x' AS g, 3.0 AS v "
+            "ORDER BY v LIMIT 3 WITH TIES",
+        ).collect()
+    ]
+    assert sorted(got) == [("a", 1.0), ("a", 2.0), ("b", 3.0), ("x", 3.0)]
+    with pytest.raises(ValueError, match="WITH TIES"):
+        translate("SELECT g FROM t LIMIT 3 WITH TIES")  # no ORDER BY
