@@ -761,6 +761,12 @@ class Warehouse:
                 return self._insert_select(m_sel, spark)
             return self._insert(sql, spark)
         if verb.startswith("ALTER TABLE"):
+            if re.match(
+                r"\s*ALTER\s+TABLE\s+(?:`?\w+`?\.)?`?\w+`?\s+(DELETE|UPDATE)\b",
+                sql,
+                re.IGNORECASE,
+            ):
+                return self._mutate(sql, spark)
             return self._alter(sql)
         if verb.startswith("OPTIMIZE"):
             return self._optimize(sql, spark)
@@ -1297,6 +1303,142 @@ class Warehouse:
         self._persist(td)
         return "ok"
 
+    def _mutate(self, sql: str, spark: SparkSession | None) -> str:
+        """ClickHouse mutations as statements:
+
+        - ``ALTER TABLE t DELETE WHERE p`` / ``ALTER TABLE t UPDATE
+          a = e, … WHERE p`` on a MergeTree table rewrite the parts
+          through writer.compact's crash-safe swap (the mutation IS a
+          forced merge in ClickHouse too); predicates/expressions run
+          through the dialect shim.
+        - On a KeeperMap table they execute the reference importer's
+          LITERAL coordination statements (repo/importer.py:146-147,
+          175): ``UPDATE worker_id = 'w', started_time = '…' WHERE
+          repo_name = 'r' AND worker_id = ''`` is the key-specific
+          CAS claim (queue.claim_key — 'claimed 0' when another
+          worker won, exactly the 0-rows-matched UPDATE), and
+          ``DELETE WHERE repo_name = 'r'`` is the release.
+        """
+        from clickhub_spark.sql_compat import translate as _translate
+
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+"
+            r"(DELETE|UPDATE)\b\s*(.*)$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        db, name = m.group(1) or "default", m.group(2)
+        td = self._require(f"{db}.{name}")
+        kind, rest = m.group(3).upper(), m.group(4).strip()
+        if kind == "DELETE":
+            wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+            if not wm:
+                raise DdlError("ALTER TABLE … DELETE needs a WHERE clause")
+            pred = wm.group(1).strip()
+            assigns: dict[str, str] = {}
+        else:
+            um = re.match(
+                r"(.*?)\s+WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL
+            )
+            if not um:
+                raise DdlError("ALTER TABLE … UPDATE needs a WHERE clause")
+            assigns = {}
+            for entry in _split_top(um.group(1)):
+                am = re.match(r"(?s)`?(\w+)`?\s*=\s*(.+)$", entry.strip())
+                if not am:
+                    raise DdlError(f"bad UPDATE assignment: {entry!r}")
+                assigns[am.group(1)] = am.group(2).strip()
+            pred = um.group(2).strip()
+        if td.engine == "KeeperMap":
+            return self._mutate_keeper(td, kind, assigns, pred)
+        if td.engine not in _MERGE_TREE_ENGINES:
+            raise DdlError(
+                f"mutations apply to MergeTree/KeeperMap tables, not "
+                f"{td.engine}"
+            )
+        if spark is None:
+            raise DdlError("a MergeTree mutation needs a SparkSession")
+        data = os.path.join(self._dir(td.database, td.name), "data")
+        if not os.path.isdir(data):
+            return "empty"
+        cols = {c.name for c in td.columns}
+        bad = [c for c in assigns if c not in cols]
+        if bad:
+            raise DdlError(f"UPDATE references unknown columns {bad}")
+        if any(c in td.order_by for c in assigns):
+            raise DdlError(
+                "UPDATE of an ORDER BY key column is not allowed "
+                "(ClickHouse rejects sorting-key mutations)"
+            )
+        pred_sql = _translate(pred)
+
+        def transform(df, _p=pred_sql, _a=assigns):  # noqa: ANN001
+            cond = F.expr(_p)
+            if kind == "DELETE":
+                return df.where(~F.coalesce(cond, F.lit(False)))
+            for c, e in _a.items():
+                df = df.withColumn(
+                    c,
+                    F.when(cond, F.expr(_translate(e))).otherwise(F.col(c)),
+                )
+            return df
+
+        from clickhub_spark.sources.writer import compact
+
+        n = compact(
+            spark,
+            data,
+            sort_cols=list(td.order_by),
+            partition_by=(
+                ["_partition_id"] if td.partition_expr is not None else None
+            ),
+            transform=transform,
+        )
+        self._bump_catalog()
+        return f"mutated to {n}"
+
+    def _mutate_keeper(
+        self, td: TableDef, kind: str, assigns: dict[str, str], pred: str
+    ) -> str:
+        """The importer's coordination statements over the queue
+        backend (see _mutate docstring).  Supported predicate shape:
+        ``repo_name = '<r>' [AND worker_id = '<w>']`` — other
+        predicates raise naming the supported form."""
+        key = td.primary_key[0]
+        pm = re.fullmatch(
+            rf"`?{key}`?\s*=\s*'([^']*)'"
+            r"(?:\s+AND\s+`?worker_id`?\s*=\s*'([^']*)')?",
+            pred.strip(),
+            re.IGNORECASE,
+        )
+        if not pm:
+            raise DdlError(
+                f"KeeperMap mutation supports `{key} = '<key>' [AND "
+                f"worker_id = '<w>']` predicates; got {pred[:60]!r}"
+            )
+        repo, guard = pm.group(1), pm.group(2)
+        q = self.queue(td.qualified)
+        if kind == "DELETE":
+            worker = guard
+            if worker is None:
+                job = next(
+                    (j for j in q.list_jobs() if j.repo_name == repo), None
+                )
+                worker = job.worker_id if job else ""
+            q.release(repo, worker)
+            return "released"
+        if guard != "":
+            raise DdlError(
+                "KeeperMap UPDATE is the optimistic claim — the WHERE "
+                "must guard worker_id = '' (repo/importer.py:146-147)"
+            )
+        wid = assigns.get("worker_id")
+        if not wid:
+            raise DdlError("KeeperMap UPDATE must assign worker_id")
+        wid = wid.strip("'")
+        job = q.claim_key(repo, wid)
+        return f"claimed {1 if job else 0}"
+
     def _optimize(self, sql: str, spark: SparkSession | None) -> str:
         """``OPTIMIZE TABLE t [FINAL] [DEDUPLICATE]`` — the MergeTree
         background-merge, on demand: compacts the part files (writer.
@@ -1563,6 +1705,31 @@ class Warehouse:
         engine."""
         out = []
         for q, td in self._tables.items():
+            if td.engine == "KeeperMap":
+                # coordination state as a queryable view — the
+                # reference's verify-read (`SELECT worker_id FROM
+                # task_table WHERE repo_name = …`, importer.py:151)
+                # runs verbatim; the key column takes the declared
+                # PRIMARY KEY name
+                base = f"{td.database}_{td.name}"
+                key = td.primary_key[0]
+                jobs = self.queue(q).list_jobs()
+                spark.createDataFrame(
+                    [
+                        (
+                            j.repo_name,
+                            int(j.priority),
+                            float(j.scheduled),
+                            float(j.started_time),
+                            j.worker_id,
+                        )
+                        for j in jobs
+                    ],
+                    f"`{key}` string, priority int, scheduled double, "
+                    "started_time double, worker_id string",
+                ).createOrReplaceTempView(base)
+                out.append(base)
+                continue
             if td.engine not in _MERGE_TREE_ENGINES:
                 continue
             base = f"{td.database}_{td.name}"

@@ -195,6 +195,35 @@ class WorkQueue(_WorkLoop):
                     return job
         return None
 
+    def claim_key(self, repo_name: str, worker_id: str) -> Job | None:
+        """Key-SPECIFIC optimistic claim — the reference's literal
+        ``ALTER TABLE … UPDATE worker_id=… WHERE repo_name=… AND
+        worker_id=''`` statement (repo/importer.py:146-147), exposed
+        so the DDL statement path can execute it verbatim.  Same CAS
+        rename + verify-read as claim(); None when the job is absent
+        or already claimed (the 0-rows-matched UPDATE)."""
+        src = os.path.join(self.root, _safe(repo_name) + ".job")
+        try:
+            with open(src) as f:
+                job = Job(**json.load(f))
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        if job.worker_id:
+            return None
+        dst = src + f".claimed.{worker_id}"
+        try:
+            os.rename(src, dst)  # the CAS: exactly one renamer wins
+        except FileNotFoundError:
+            return None
+        job.worker_id = worker_id
+        job.started_time = time.time()
+        with open(dst, "w") as f:
+            json.dump(job.__dict__, f)
+        with open(dst) as f:  # verify-read (repo/importer.py:148-155)
+            if json.load(f)["worker_id"] == worker_id:
+                return job
+        return None
+
     # -- release (reference repo/importer.py:175) ------------------------
 
     def release(self, repo_name: str, worker_id: str) -> None:
@@ -307,6 +336,28 @@ class SqliteWorkQueue(_WorkLoop):
                 ).fetchone()
             if row and row[0] == worker_id:
                 return Job(name, priority, scheduled, started, worker_id)
+        return None
+
+    def claim_key(self, repo_name: str, worker_id: str) -> Job | None:
+        """Key-specific optimistic claim (see WorkQueue.claim_key) —
+        the conditional UPDATE is the CAS, rowcount the verdict."""
+        started = time.time()
+        with self._conn() as con:
+            cur = con.execute(
+                "UPDATE jobs SET worker_id=?, started_time=?"
+                " WHERE repo_name=? AND worker_id=''",
+                (worker_id, started, repo_name),
+            )
+            if cur.rowcount != 1:
+                return None
+        with self._conn() as con:  # verify-read after commit
+            row = con.execute(
+                "SELECT repo_name, priority, scheduled, started_time,"
+                " worker_id FROM jobs WHERE repo_name=?",
+                (repo_name,),
+            ).fetchone()
+        if row and row[4] == worker_id:
+            return Job(*row)
         return None
 
     def release(self, repo_name: str, worker_id: str) -> None:

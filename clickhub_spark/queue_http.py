@@ -158,18 +158,29 @@ class QueueCoordinator:
             self._snapshot_locked()
             return dict(rec)
 
-    def claim(self, worker_id: str, retries: int = 2, lease_s: float = DEFAULT_LEASE_S) -> dict | None:
+    def claim(
+        self,
+        worker_id: str,
+        retries: int = 2,
+        lease_s: float = DEFAULT_LEASE_S,
+        repo_name: str | None = None,
+    ) -> dict | None:
         """Hand the best claimable job to ``worker_id`` with a fresh
         fencing token.  Claimable = unclaimed, OR claimed but lease
         expired (the dead-worker recovery path — divergence from the
-        reference's drop-forever, documented in the module header)."""
+        reference's drop-forever, documented in the module header).
+        ``repo_name`` narrows to a key-SPECIFIC claim (the literal
+        conditional-UPDATE shape, repo/importer.py:146-147)."""
         now = time.time()
         with self._lock:
             free = [
                 r
                 for r in self._jobs.values()
-                if r["worker_id"] == ""
-                or (r["lease_deadline"] and r["lease_deadline"] <= now)
+                if (
+                    r["worker_id"] == ""
+                    or (r["lease_deadline"] and r["lease_deadline"] <= now)
+                )
+                and (repo_name is None or r["repo_name"] == repo_name)
             ]
             free.sort(key=lambda r: (-r["priority"], r["scheduled"], r["repo_name"]))
             for rec in free[:retries]:
@@ -367,6 +378,7 @@ def make_coordinator(
                         body["worker_id"],
                         int(body.get("retries", 2)),
                         float(body.get("lease_s", DEFAULT_LEASE_S)),
+                        body.get("repo_name"),
                     )
                     self._json(200 if rec else 204, {"job": rec})
                 elif self.path == "/renew":
@@ -543,11 +555,18 @@ class HttpWorkQueue(_WorkLoop):
             (self._to_job(r) for r in body["jobs"]), key=lambda j: j.repo_name
         )
 
-    def claim(self, worker_id: str, retries: int = 2) -> Job | None:
-        code, body = self._call(
-            "/claim",
-            {"worker_id": worker_id, "retries": retries, "lease_s": self.lease_s},
-        )
+    def claim_key(self, repo_name: str, worker_id: str) -> Job | None:
+        """Key-specific optimistic claim (see WorkQueue.claim_key) —
+        the /claim endpoint narrowed to one repo_name."""
+        return self.claim(worker_id, retries=1, _repo_name=repo_name)
+
+    def claim(
+        self, worker_id: str, retries: int = 2, _repo_name: str | None = None
+    ) -> Job | None:
+        req = {"worker_id": worker_id, "retries": retries, "lease_s": self.lease_s}
+        if _repo_name is not None:
+            req["repo_name"] = _repo_name
+        code, body = self._call("/claim", req)
         if code == 204 or not body.get("job"):
             return None
         rec = body["job"]

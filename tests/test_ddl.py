@@ -931,3 +931,109 @@ def test_parse_insert_values_hardening():
     assert rows == [["close ) paren"]]
     with pytest.raises(DdlError, match="unbalanced"):
         parse_insert_values("INSERT INTO t (a, b VALUES (1, 2)")
+
+
+def test_alter_mutations_merge_tree(spark, wh):
+    """ALTER TABLE … DELETE / UPDATE … WHERE on MergeTree tables —
+    ClickHouse mutations through the statement path, rewriting parts
+    via the crash-safe compact swap."""
+    wh.execute(
+        "CREATE TABLE default.mt (`k` Int64, `v` Int64, `s` String) "
+        "ENGINE = MergeTree ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO default.mt (k, v, s) VALUES "
+        "(1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c'), (4, 40, 'd')",
+        spark=spark,
+    )
+    assert wh.execute(
+        "ALTER TABLE default.mt DELETE WHERE v >= 40", spark=spark
+    ).startswith("mutated")
+    assert wh.read(spark, "default.mt").count() == 3
+    wh.execute(
+        "ALTER TABLE default.mt UPDATE v = v * 100, s = upper(s) "
+        "WHERE k <= 2",
+        spark=spark,
+    )
+    rows = {
+        r.k: (r.v, r.s) for r in wh.read(spark, "default.mt").collect()
+    }
+    assert rows == {1: (1000, "A"), 2: (2000, "B"), 3: (30, "c")}
+    # dialect constructs in the predicate go through the shim
+    wh.execute(
+        "ALTER TABLE default.mt DELETE WHERE modulo(k, 2) = 1", spark=spark
+    )
+    assert {r.k for r in wh.read(spark, "default.mt").collect()} == {2}
+    # guards: sorting-key mutation and missing WHERE
+    with pytest.raises(DdlError, match="ORDER BY key"):
+        wh.execute("ALTER TABLE default.mt UPDATE k = 9 WHERE v = 1",
+                   spark=spark)
+    with pytest.raises(DdlError, match="WHERE"):
+        wh.execute("ALTER TABLE default.mt DELETE", spark=spark)
+
+
+def test_keeper_map_claim_flow_as_literal_statements(spark, wh):
+    """The reference importer's coordination flow (repo/importer.py:
+    136-175) as LITERAL statements: optimistic UPDATE claim with the
+    worker_id = '' guard, verify-read SELECT, losing claimant gets
+    0 rows matched, post-import DELETE releases."""
+    from clickhub_spark.sql_compat import run
+
+    wh.execute(
+        "CREATE TABLE default.tasks (`repo_name` String, `priority` Int64, "
+        "`scheduled` Float64, `started_time` Float64, `worker_id` String) "
+        "ENGINE = KeeperMap('tasks') PRIMARY KEY repo_name"
+    )
+    wh.execute(
+        "INSERT INTO default.tasks (repo_name, priority) "
+        "VALUES ('apache/spark', 1)",
+    )
+    # the literal claim statement (importer.py:146-147)
+    got = wh.execute(
+        "ALTER TABLE default.tasks UPDATE worker_id = 'w1', "
+        "started_time = '2024-01-01 00:00:00' "
+        "WHERE repo_name = 'apache/spark' AND worker_id = ''",
+        spark=spark,
+    )
+    assert got == "claimed 1"
+    # verify-read (importer.py:151): the table is a queryable view
+    wh.register_views(spark)
+    owner = run(
+        spark,
+        "SELECT worker_id FROM default_tasks "
+        "WHERE repo_name = 'apache/spark'",
+    ).first()["worker_id"]
+    assert owner == "w1"
+    # the losing claimant's conditional UPDATE matches 0 rows
+    got = wh.execute(
+        "ALTER TABLE default.tasks UPDATE worker_id = 'w2', "
+        "started_time = '2024-01-01 00:00:01' "
+        "WHERE repo_name = 'apache/spark' AND worker_id = ''",
+        spark=spark,
+    )
+    assert got == "claimed 0"
+    wh.register_views(spark)
+    assert run(
+        spark,
+        "SELECT worker_id FROM default_tasks "
+        "WHERE repo_name = 'apache/spark'",
+    ).first()["worker_id"] == "w1"
+    # release (importer.py:175) — delete whether success or failure
+    wh.execute(
+        "ALTER TABLE default.tasks DELETE WHERE repo_name = 'apache/spark'",
+        spark=spark,
+    )
+    wh.register_views(spark)
+    assert run(spark, "SELECT count() AS n FROM default_tasks").first().n == 0
+    # a re-schedule after release works (the row is gone, not claimed)
+    wh.execute(
+        "INSERT INTO default.tasks (repo_name, priority) "
+        "VALUES ('apache/spark', 2)",
+    )
+    # unsupported predicate shapes raise with the supported form
+    with pytest.raises(DdlError, match="repo_name"):
+        wh.execute(
+            "ALTER TABLE default.tasks UPDATE worker_id = 'w' "
+            "WHERE priority = 2",
+            spark=spark,
+        )

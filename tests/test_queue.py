@@ -781,3 +781,37 @@ def test_heartbeat_warns_on_persistent_misses(caplog):
     assert len(caplog.records) == 1
     msg = caplog.records[0].getMessage()
     assert "acme/unreachable" in msg and "http 401" in msg
+
+
+def test_claim_key_specific_cas(make_queue):
+    """claim_key — the reference's literal key-specific conditional
+    UPDATE (repo/importer.py:146-147): exactly one of two racing
+    claimants wins the SAME key; the loser's CAS reports None (the
+    0-rows-matched UPDATE); an absent or already-claimed key is None;
+    other keys stay claimable."""
+    q = make_queue()
+    q.schedule("apache/spark", priority=1)
+    q.schedule("apache/kafka", priority=9)
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def racer(wid):
+        barrier.wait()
+        results[wid] = q.claim_key("apache/spark", wid)
+
+    ts = [threading.Thread(target=racer, args=(w,)) for w in ("w1", "w2")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    winners = [w for w, job in results.items() if job is not None]
+    assert len(winners) == 1
+    w = winners[0]
+    assert results[w].repo_name == "apache/spark"
+    assert results[w].worker_id == w
+    # re-claim of a claimed key fails; absent key fails
+    assert q.claim_key("apache/spark", "w3") is None
+    assert q.claim_key("no/such", "w3") is None
+    # the OTHER key is untouched and still claimable by key
+    job = q.claim_key("apache/kafka", "w4")
+    assert job is not None and job.worker_id == "w4"
