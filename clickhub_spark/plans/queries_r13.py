@@ -145,3 +145,92 @@ def q_ch_sql_battery6c(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """,
     )
+
+
+@query(
+    "q_ch_ddl_mutate",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(100  AS BIGINT), 'cold'),
+        (CAST(2 AS BIGINT), CAST(2000 AS BIGINT), 'hot'),
+        (CAST(3 AS BIGINT), CAST(300  AS BIGINT), 'cold'),
+        (CAST(5 AS BIGINT), CAST(500  AS BIGINT), 'cold')
+    ) AS t(k, v, status)
+    """,
+)
+def q_ch_ddl_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse mutations under driver correctness: a scratch
+    warehouse runs literal ``ALTER TABLE … UPDATE/DELETE … WHERE``
+    statements (the dialect's modulo() in the predicate goes through
+    the shim), plus the reference importer's KeeperMap claim flow
+    (repo/importer.py:146-175) — the optimistic UPDATE, the losing
+    claimant's 0-rows-matched UPDATE, the verify-read SELECT, and the
+    release DELETE — asserted inline so any regression turns this
+    driver row red.  Content is fixed (sf-independent); the oracle is
+    the hand-computed post-mutation table."""
+    import os
+    import shutil
+    import tempfile
+
+    from clickhub_spark.ddl import Warehouse
+
+    root = tempfile.gettempdir() + f"/chwh_ddl_mutate_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+    wh.execute(
+        "CREATE TABLE default.metrics (`k` Int64, `v` Int64, "
+        "`status` String) ENGINE = MergeTree ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO default.metrics (k, v, status) VALUES "
+        + ", ".join(f"({k}, {k * 100}, 'cold')" for k in range(1, 7)),
+        spark=spark,
+    )
+    wh.execute(
+        "ALTER TABLE default.metrics UPDATE v = v * 10, status = 'hot' "
+        "WHERE modulo(k, 2) = 0",
+        spark=spark,
+    )
+    wh.execute(
+        "ALTER TABLE default.metrics DELETE WHERE v >= 4000", spark=spark
+    )
+    # the importer's literal coordination statements (KeeperMap)
+    wh.execute(
+        "CREATE TABLE default.tasks (`repo_name` String, `priority` "
+        "Int64, `scheduled` Float64, `started_time` Float64, "
+        "`worker_id` String) ENGINE = KeeperMap('tasks') "
+        "PRIMARY KEY repo_name"
+    )
+    wh.execute(
+        "INSERT INTO default.tasks (repo_name, priority) "
+        "VALUES ('org/alpha', 1)"
+    )
+    won = wh.execute(
+        "ALTER TABLE default.tasks UPDATE worker_id = 'w1', "
+        "started_time = '0' WHERE repo_name = 'org/alpha' "
+        "AND worker_id = ''",
+        spark=spark,
+    )
+    lost = wh.execute(
+        "ALTER TABLE default.tasks UPDATE worker_id = 'w2', "
+        "started_time = '0' WHERE repo_name = 'org/alpha' "
+        "AND worker_id = ''",
+        spark=spark,
+    )
+    wh.register_views(spark)
+    owner = run(
+        spark,
+        "SELECT worker_id FROM default_tasks WHERE repo_name = 'org/alpha'",
+    ).first()["worker_id"]
+    if (won, lost, owner) != ("claimed 1", "claimed 0", "w1"):
+        raise AssertionError(
+            f"KeeperMap claim flow broke: {(won, lost, owner)!r}"
+        )
+    wh.execute(
+        "ALTER TABLE default.tasks DELETE WHERE repo_name = 'org/alpha'",
+        spark=spark,
+    )
+    return run(
+        spark,
+        "SELECT k, v, status FROM default_metrics ORDER BY k",
+    )

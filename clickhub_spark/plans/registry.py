@@ -65,6 +65,7 @@ ROUND_PRIORITY = [
     # round-13 NEW registrations (probe battery 6 compositions):
     "q_ch_sql_battery6",
     "q_ch_sql_battery6c",
+    "q_ch_ddl_mutate",
     "q_ch_sql_battery6b",
     # round-13 CHANGED queries (new value oracles — recursive-CTE
     # DuckDB transcriptions; need a fresh driver row):
