@@ -794,3 +794,94 @@ def test_prewhere_merge_equals_conjunction(spark):
                 ).collect()
             }
             assert got == want, (p1, p2)
+
+
+def test_map_merge_renders_match_python_model(spark):
+    """sumMap/minMap/maxMap over random grouped maps vs a direct
+    python dict fold (key union; NULL side = absent key)."""
+    import random
+
+    from clickhub_spark.sql_compat import run
+
+    rng = random.Random(13013)
+    keys = ["a", "b", "c", "d", "e"]
+    rows = [
+        (
+            rng.randint(0, 6),
+            {
+                k: rng.randint(-50, 50)
+                for k in rng.sample(keys, rng.randint(1, len(keys)))
+            },
+        )
+        for _ in range(120)
+    ]
+    spark.createDataFrame(
+        rows, "grp int, m map<string,int>"
+    ).createOrReplaceTempView("prop_maps")
+    got = {
+        r.grp: (r.s, r.mn, r.mx)
+        for r in run(
+            spark,
+            "SELECT grp, sumMap(m) AS s, minMap(m) AS mn, maxMap(m) AS mx "
+            "FROM prop_maps GROUP BY grp",
+        ).collect()
+    }
+    model: dict = {}
+    for grp, m in rows:
+        s, mn, mx = model.setdefault(grp, ({}, {}, {}))
+        for k, v in m.items():
+            s[k] = s.get(k, 0) + v
+            mn[k] = min(mn.get(k, v), v)
+            mx[k] = max(mx.get(k, v), v)
+    assert set(got) == set(model)
+    for grp, (s, mn, mx) in model.items():
+        assert got[grp] == (s, mn, mx), grp
+
+
+def test_array_fold_render_matches_python(spark):
+    import functools
+    import random
+
+    rng = random.Random(14014)
+    rows = [
+        (i, [rng.randint(-9, 9) for _ in range(rng.randint(0, 8))])
+        for i in range(120)
+    ]
+    got = _dialect_batch(
+        spark,
+        rows,
+        "__row_id int, arr array<int>",
+        ["arrayFold((acc, x) -> acc * 2 + x, arr, 1)"],
+    )
+    by_id = {r["__row_id"]: r["r0"] for r in got}
+    for i, arr in rows:
+        want = functools.reduce(lambda a, x: a * 2 + x, arr, 1)
+        assert by_id[i] == want, (arr, by_id[i], want)
+
+
+def test_limit_with_ties_matches_python_model(spark):
+    """LIMIT n WITH TIES over random duplicate-heavy data vs the
+    direct definition: all rows whose sort key <= the n-th smallest."""
+    import random
+
+    from clickhub_spark.sql_compat import run
+
+    rng = random.Random(15015)
+    for trial in range(4):
+        rows = [
+            (i, rng.randint(0, 5)) for i in range(rng.randint(3, 25))
+        ]
+        n = rng.randint(1, len(rows))
+        spark.createDataFrame(rows, "id int, v int").createOrReplaceTempView(
+            "prop_ties"
+        )
+        got = sorted(
+            (r.id, r.v)
+            for r in run(
+                spark,
+                f"SELECT id, v FROM prop_ties ORDER BY v LIMIT {n} WITH TIES",
+            ).collect()
+        )
+        cutoff = sorted(v for _, v in rows)[n - 1]
+        want = sorted((i, v) for i, v in rows if v <= cutoff)
+        assert got == want, (trial, n, cutoff)
