@@ -47,76 +47,23 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # driver row is older than round 4 (VERDICT r9 item 2's done
 # criterion).
 ROUND_PRIORITY = [
-    # --- ROUND-13 WINDOW (VERDICT r12 item 1; the rotation gate in
-    # tests/test_registry.py was RED on the r12 final tree demanding
+    # --- ROUND-14 WINDOW (VERDICT r13 item 1; the rotation gate in
+    # tests/test_registry.py was RED on the r13 final tree demanding
     # exactly this).  Regenerated oldest-driver-row-first from
     # `python tools/staleness.py`:
-    # 1: new round-13 registrations are inserted at the TOP of this
+    # 1: new round-14 registrations are inserted at the TOP of this
     #    list as they land (never-checked names must sit inside the
-    #    ~50-name driver window);
-    # 2: the full 35-name r5 block (at exactly 7-rounds stale in the
-    #    r13 simulation — the MAX_AGE bound) leads;
-    # 3: r6 names fill the remainder of the window (15 of 46; the 31
-    #    deferred sit at 7-rounds stale and MUST lead the round-14
-    #    window — the r9-skip backlog fully drains at r15);
-    # 4: everything else oldest-first (r7, r9, r10, r11, r12),
-    #    name-sorted within a round for determinism.
+    #    ~50-name driver window; keep new registrations <= 13 so the
+    #    37 r6 names below stay inside the window);
+    # 2: the full 37-name r6 block (at exactly 8-rounds stale if
+    #    skipped — the r9-skip backlog tail) leads;
+    # 3: r7 names fill the remainder of the window (13 of 44; the 31
+    #    deferred sit at 7-rounds stale and MUST lead the round-15
+    #    window — the backlog fully drains at r15);
+    # 4: everything else oldest-first (r7 remainder, r9, r10, r11,
+    #    r12, r13), name-sorted within a round for determinism.
     # ---
-    # round-13 NEW registrations (probe battery 6 compositions):
-    "q_ch_sql_battery6",
-    "q_ch_sql_battery6c",
-    "q_ch_ddl_mutate",
-    "q_ch_sql_battery6b",
-    # round-13 CHANGED queries (new value oracles — recursive-CTE
-    # DuckDB transcriptions; need a fresh driver row):
-    "q_llm_bpe_train",
-    "q_agg_lttb_exact",
-    # --- last driver row r5 (35 names) ---
-    "q_llm_chunk",
-    "q_llm_contamination",
-    "q_llm_corpus_pipeline",
-    "q_llm_dedup_apply",
-    "q_llm_dedup_apply_near",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_groups",
-    "q_llm_dedup_incremental",
-    "q_llm_dedup_jaccard",
-    "q_llm_dedup_minhash",
-    "q_llm_dedup_minhash_md5",
-    "q_llm_dedup_substring",
-    "q_llm_fingerprint",
-    "q_llm_knn",
-    "q_llm_lang_id",
-    "q_llm_minhash_sim",
-    "q_llm_pack",
-    "q_llm_pii_scrub",
-    "q_llm_quality",
-    "q_llm_repetition",
-    "q_llm_textstats",
-    "q_llm_token_bpe",
-    "q_multimodal_meta",
-    "q_sample_stratified",
-    "q_stream_session",
-    "q_stream_tumble",
-    "q_udf_agg",
-    "q_udf_scalar",
-    "q_udf_table",
-    "q_win_dist",
-    "q_win_lag",
-    "q_win_range",
-    "q_win_rank",
-    "q_win_running",
-    "q_win_topn_group",
-    # --- last driver row r6 (46 names) ---
-    "q_agg_bitmap",
-    "q_agg_bitops",
-    "q_agg_corr",
-    "q_agg_deltasum",
-    "q_agg_entropy",
-    "q_agg_ks_test",
-    "q_agg_ks_test_by",
-    "q_agg_mad",
-    "q_agg_mannwhitney",
+    # --- last driver row r6 (37 names) ---
     "q_agg_mannwhitney_by",
     "q_agg_moments",
     "q_agg_quantiles_multi",
@@ -154,7 +101,7 @@ ROUND_PRIORITY = [
     "q_win_neighbor",
     "q_win_nth",
     "q_win_ntile",
-    # --- last driver row r7 (45 names) ---
+    # --- last driver row r7 (44 names) ---
     "q_agg_auc",
     "q_agg_contingency",
     "q_agg_interval_length_sum",
@@ -299,7 +246,7 @@ ROUND_PRIORITY = [
     "q_tpch_q21",
     "q_tpch_q22",
     "q_tpch_q9",
-    # --- last driver row r11 (50 names) ---
+    # --- last driver row r11 (49 names) ---
     "q_agg_approx_quantile",
     "q_agg_argmax",
     "q_agg_array_combinator",
@@ -400,6 +347,57 @@ ROUND_PRIORITY = [
     "q_tpch_q6",
     "q_win_firstlast",
     "q_win_pctrank",
+    # --- last driver row r13 (50 names) ---
+    "q_agg_bitmap",
+    "q_agg_bitops",
+    "q_agg_corr",
+    "q_agg_deltasum",
+    "q_agg_entropy",
+    "q_agg_ks_test",
+    "q_agg_ks_test_by",
+    "q_agg_lttb_exact",
+    "q_agg_mad",
+    "q_agg_mannwhitney",
+    "q_ch_ddl_mutate",
+    "q_ch_sql_battery6",
+    "q_ch_sql_battery6b",
+    "q_ch_sql_battery6c",
+    "q_llm_bpe_train",
+    "q_llm_chunk",
+    "q_llm_contamination",
+    "q_llm_corpus_pipeline",
+    "q_llm_dedup_apply",
+    "q_llm_dedup_apply_near",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_groups",
+    "q_llm_dedup_incremental",
+    "q_llm_dedup_jaccard",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_minhash_md5",
+    "q_llm_dedup_substring",
+    "q_llm_fingerprint",
+    "q_llm_knn",
+    "q_llm_lang_id",
+    "q_llm_minhash_sim",
+    "q_llm_pack",
+    "q_llm_pii_scrub",
+    "q_llm_quality",
+    "q_llm_repetition",
+    "q_llm_textstats",
+    "q_llm_token_bpe",
+    "q_multimodal_meta",
+    "q_sample_stratified",
+    "q_stream_session",
+    "q_stream_tumble",
+    "q_udf_agg",
+    "q_udf_scalar",
+    "q_udf_table",
+    "q_win_dist",
+    "q_win_lag",
+    "q_win_range",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_topn_group",
 ]
 
 
