@@ -1376,12 +1376,20 @@ class Warehouse:
             cond = F.expr(_p)
             if kind == "DELETE":
                 return df.where(~F.coalesce(cond, F.lit(False)))
-            for c, e in _a.items():
-                df = df.withColumn(
-                    c,
-                    F.when(cond, F.expr(_translate(e))).otherwise(F.col(c)),
-                )
-            return df
+            # ClickHouse (like standard SQL UPDATE) evaluates EVERY
+            # assignment expression against the PRE-mutation row:
+            # ``UPDATE a = b, b = a`` swaps.  One select with all
+            # assignments — a chained withColumn would let a later
+            # assignment read an earlier one's new value (ADVICE r13).
+            out = [
+                F.when(cond, F.expr(_translate(_a[c.name])))
+                .otherwise(F.col(c.name))
+                .alias(c.name)
+                if c.name in _a
+                else F.col(c.name)
+                for c in df.schema.fields
+            ]
+            return df.select(*out)
 
         from clickhub_spark.sources.writer import compact
 

@@ -164,13 +164,19 @@ class QueueCoordinator:
         retries: int = 2,
         lease_s: float = DEFAULT_LEASE_S,
         repo_name: str | None = None,
+        strict: bool = False,
     ) -> dict | None:
         """Hand the best claimable job to ``worker_id`` with a fresh
         fencing token.  Claimable = unclaimed, OR claimed but lease
         expired (the dead-worker recovery path — divergence from the
         reference's drop-forever, documented in the module header).
         ``repo_name`` narrows to a key-SPECIFIC claim (the literal
-        conditional-UPDATE shape, repo/importer.py:146-147)."""
+        conditional-UPDATE shape, repo/importer.py:146-147).
+        ``strict`` requires ``worker_id == ''`` and IGNORES lease
+        expiry — the exact conditional-UPDATE CAS the file and sqlite
+        backends implement for claim_key, so ``… WHERE worker_id=''``
+        returns the same claimed-count on every backend (ADVICE
+        r13)."""
         now = time.time()
         with self._lock:
             free = [
@@ -178,7 +184,11 @@ class QueueCoordinator:
                 for r in self._jobs.values()
                 if (
                     r["worker_id"] == ""
-                    or (r["lease_deadline"] and r["lease_deadline"] <= now)
+                    or (
+                        not strict
+                        and r["lease_deadline"]
+                        and r["lease_deadline"] <= now
+                    )
                 )
                 and (repo_name is None or r["repo_name"] == repo_name)
             ]
@@ -379,6 +389,7 @@ def make_coordinator(
                         int(body.get("retries", 2)),
                         float(body.get("lease_s", DEFAULT_LEASE_S)),
                         body.get("repo_name"),
+                        bool(body.get("strict", False)),
                     )
                     self._json(200 if rec else 204, {"job": rec})
                 elif self.path == "/renew":
@@ -557,15 +568,27 @@ class HttpWorkQueue(_WorkLoop):
 
     def claim_key(self, repo_name: str, worker_id: str) -> Job | None:
         """Key-specific optimistic claim (see WorkQueue.claim_key) —
-        the /claim endpoint narrowed to one repo_name."""
-        return self.claim(worker_id, retries=1, _repo_name=repo_name)
+        the /claim endpoint narrowed to one repo_name, in STRICT mode:
+        only ``worker_id == ''`` is claimable, lease expiry ignored,
+        matching the file/sqlite conditional-UPDATE CAS exactly
+        (ADVICE r13 — backends must agree on 'claimed 0' vs
+        'claimed 1' for the same statement)."""
+        return self.claim(
+            worker_id, retries=1, _repo_name=repo_name, _strict=True
+        )
 
     def claim(
-        self, worker_id: str, retries: int = 2, _repo_name: str | None = None
+        self,
+        worker_id: str,
+        retries: int = 2,
+        _repo_name: str | None = None,
+        _strict: bool = False,
     ) -> Job | None:
         req = {"worker_id": worker_id, "retries": retries, "lease_s": self.lease_s}
         if _repo_name is not None:
             req["repo_name"] = _repo_name
+        if _strict:
+            req["strict"] = True
         code, body = self._call("/claim", req)
         if code == 204 or not body.get("job"):
             return None

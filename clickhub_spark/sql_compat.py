@@ -273,7 +273,9 @@ def _in_spans(spans: list[tuple[int, int]], i: int) -> bool:
     return any(s <= i < e for s, e in spans)
 
 
-def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
+def _rewrite_call(
+    sql: str, name: str, render, nargs: int = 1, with_tail: bool = False
+) -> str:
     """Rewrite every ``name(...)`` call, scanning balanced parentheses
     AND square brackets so nested calls like
     ``toStartOfWeek(CAST(x AS DATE))`` and array literals like
@@ -283,7 +285,10 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
     quoting rules _rewrite_array_literals applies) — without this,
     ``splitByChar(',', s)`` split ON the quoted comma and rendered
     corrupted SQL (round-6 regression test).
-    ``render`` receives the list of top-level comma-split arguments.
+    ``render`` receives the list of top-level comma-split arguments
+    (plus, when ``with_tail`` is set, the SQL text FOLLOWING the
+    close paren — so a render can adapt to window position, e.g.
+    sumIf's coalesce wrapper is illegal before ``OVER``).
     Matches that START inside a string literal are skipped entirely
     (``_literal_spans`` — ADVICE r6)."""
     out = []
@@ -333,7 +338,7 @@ def _rewrite_call(sql: str, name: str, render, nargs: int = 1) -> str:
         if depth or len(args) < nargs:
             out.append(sql[m.start() : j])  # malformed: leave untouched
         else:
-            out.append(render(args))
+            out.append(render(args, sql[j:]) if with_tail else render(args))
         i = j
 
 
@@ -881,8 +886,13 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     tied with the n-th on the ORDER BY key — as a rank() window (rank
     ≤ n IS the with-ties cut).  Depth-0, literal-safe scan like
     _rewrite_limit_by; table qualifiers stripped from the ORDER list
-    for the wrapped scope."""
-    if not re.search(r"(?i)\bWITH\s+TIES\b", sql):
+    for the wrapped scope.  The bare text "WITH TIES" in a string
+    literal or a CTE/identifier named ``ties`` is NOT a match (ADVICE
+    r13): only a depth-0, non-literal ``LIMIT n WITH TIES`` token
+    triggers a rewrite (or, at depth > 0, a recursion into the
+    enclosing paren); with no real match the SQL passes through, and
+    the ValueError is reserved for a real match lacking ORDER BY."""
+    if not re.search(r"(?i)\bLIMIT\s+\d+\s+WITH\s+TIES\b", sql):
         return sql
     spans = _literal_spans(sql)
     depth = 0
@@ -915,7 +925,46 @@ def _rewrite_limit_with_ties(sql: str) -> str:
                 limit_m = (j, ml)
                 break
         j += 1
-    if limit_m is None or order_start is None:
+    if limit_m is None:
+        # LIMIT n WITH TIES at depth > 0 (inside a derived-table
+        # subquery): recurse into the enclosing paren and splice —
+        # the same pattern as _rewrite_limit_by / _rewrite_qualify
+        for m_wt in re.finditer(
+            r"(?i)\bLIMIT\s+\d+\s+WITH\s+TIES\b", sql
+        ):
+            if _in_spans(spans, m_wt.start()):
+                continue
+            open_stack: list[int] = []
+            for k in range(m_wt.start()):
+                if _in_spans(spans, k):
+                    continue
+                if sql[k] == "(":
+                    open_stack.append(k)
+                elif sql[k] == ")" and open_stack:
+                    open_stack.pop()
+            if not open_stack:
+                return sql
+            open_pos = open_stack[-1]
+            d2, k = 1, open_pos + 1
+            while k < len(sql) and d2:
+                if not _in_spans(spans, k):
+                    if sql[k] == "(":
+                        d2 += 1
+                    elif sql[k] == ")":
+                        d2 -= 1
+                k += 1
+            if d2:
+                return sql
+            close = k - 1
+            inner = sql[open_pos + 1 : close]
+            new_inner = _rewrite_limit_with_ties(inner)
+            if new_inner == inner:
+                return sql
+            return _rewrite_limit_with_ties(
+                sql[: open_pos + 1] + new_inner + sql[close:]
+            )
+        return sql  # literal-only occurrences: pass through
+    if order_start is None:
         raise ValueError(
             "unsupported LIMIT WITH TIES form: a top-level ORDER BY "
             "followed by LIMIT n WITH TIES at statement end is the "
@@ -1303,21 +1352,28 @@ def translate(sql: str) -> str:
     # diverge, so those two coalesce.  minIf/maxIf keep NULL: their
     # CH default is type-dependent (0 / '' / 1970-01-01), which a
     # text render can't know; NULL is the -OrNull behavior users
-    # reach for anyway.
+    # reach for anyway.  In WINDOW position (a trailing OVER) the
+    # coalesce wrapper is illegal — coalesce is not a window function
+    # — so the render keeps the bare sum(CASE …) there; an OVER
+    # window never produces the empty-group row anyway (ADVICE r13).
+    def _if_agg_render(spark_agg: str, default: str):
+        def render(a: list[str], tail: str) -> str:
+            bare = f"{spark_agg}(CASE WHEN {a[1]} THEN {a[0]} END)"
+            if re.match(r"(?is)\s*OVER\b", tail):
+                return bare
+            return f"coalesce({bare}, {default})"
+
+        return render
+
     out = _rewrite_call(
-        out,
-        "sumIf",
-        lambda a: f"coalesce(sum(CASE WHEN {a[1]} THEN {a[0]} END), 0)",
-        nargs=2,
+        out, "sumIf", _if_agg_render("sum", "0"), nargs=2, with_tail=True
     )
     out = _rewrite_call(
         out,
         "avgIf",
-        lambda a: (
-            f"coalesce(avg(CASE WHEN {a[1]} THEN {a[0]} END), "
-            f"CAST('NaN' AS DOUBLE))"
-        ),
+        _if_agg_render("avg", "CAST('NaN' AS DOUBLE)"),
         nargs=2,
+        with_tail=True,
     )
     for ch_name, spark_agg in _IF_COMBINATORS.items():
         if ch_name in ("sumIf", "avgIf"):
@@ -2908,15 +2964,24 @@ def translate(sql: str) -> str:
     # silently wrong.  Rendered any_value(x, true): ClickHouse any()
     # SKIPS NULLs, Spark's default does not (ADVICE r12) — the
     # matching close paren is found at depth outside literal spans so
-    # commas/parens nested in x are inert.
-    spans_any = _literal_spans(out)
-    any_edits: list[tuple[int, int, int]] = []
-    for m_any in re.finditer(r"\bany\s*\(", out):
+    # commas/parens nested in x are inert.  Edits apply ONE at a time
+    # with a re-scan of the mutated string: a pre-computed edit list
+    # went stale when one any() nested inside another — the inner
+    # insert shifted the outer's cached close paren (ADVICE r13).
+    _any_pat = re.compile(r"\bany\s*\(")
+    pos = 0
+    while True:
+        spans_any = _literal_spans(out)
+        m_any = _any_pat.search(out, pos)
+        if not m_any:
+            break
         if _in_spans(spans_any, m_any.start()):
+            pos = m_any.end()
             continue
         prev = out[: m_any.start()].rstrip()
         if prev and prev[-1] in "=<>!":
-            continue  # quantified comparison, not the aggregate
+            pos = m_any.end()  # quantified comparison, not the aggregate
+            continue
         depth, j = 1, m_any.end()
         while j < len(out) and depth:
             if not _in_spans(spans_any, j):
@@ -2926,11 +2991,12 @@ def translate(sql: str) -> str:
                     depth -= 1
             j += 1
         if depth:
-            continue  # unbalanced — leave for Spark's parser to report
-        any_edits.append((m_any.start(), m_any.end(), j - 1))
-    for start, open_end, close in reversed(any_edits):
+            pos = m_any.end()  # unbalanced — leave for Spark's parser
+            continue
+        close = j - 1
         out = out[:close] + ", true" + out[close:]
-        out = out[:start] + "any_value(" + out[open_end:]
+        out = out[: m_any.start()] + "any_value(" + out[m_any.end() :]
+        pos = m_any.start()  # re-scan: a nested any( may still be inside
     # PREWHERE is ClickHouse's manual predicate-pushdown hint; Catalyst
     # pushes predicates itself, so it is plain WHERE here.  When BOTH
     # clauses appear, ClickHouse applies their conjunction — merge the

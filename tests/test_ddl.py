@@ -972,6 +972,27 @@ def test_alter_mutations_merge_tree(spark, wh):
         wh.execute("ALTER TABLE default.mt DELETE", spark=spark)
 
 
+def test_alter_update_assignments_read_pre_mutation_row(spark, wh):
+    """ADVICE r13: ClickHouse (like standard SQL UPDATE) evaluates
+    EVERY assignment against the PRE-mutation row — ``UPDATE a = b,
+    b = a`` swaps.  A chained withColumn let the second assignment
+    read the first's NEW value (a = old_b, b = old_b)."""
+    wh.execute(
+        "CREATE TABLE default.swp (`k` Int64, `a` Int64, `b` Int64) "
+        "ENGINE = MergeTree ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO default.swp (k, a, b) VALUES (1, 10, 20), (2, 3, 4)",
+        spark=spark,
+    )
+    wh.execute(
+        "ALTER TABLE default.swp UPDATE a = b, b = a WHERE k = 1",
+        spark=spark,
+    )
+    rows = {r.k: (r.a, r.b) for r in wh.read(spark, "default.swp").collect()}
+    assert rows == {1: (20, 10), 2: (3, 4)}
+
+
 def test_keeper_map_claim_flow_as_literal_statements(spark, wh):
     """The reference importer's coordination flow (repo/importer.py:
     136-175) as LITERAL statements: optimistic UPDATE claim with the

@@ -248,6 +248,34 @@ def test_http_dead_worker_lease_recovery_and_fencing(http_coord):
     assert not qb.is_scheduled("acme/orphaned")
 
 
+def test_http_claim_key_is_strict_cas_despite_expired_lease(http_coord):
+    """ADVICE r13: claim_key is the reference's literal
+    ``UPDATE … WHERE worker_id = ''`` conditional CAS — the file and
+    sqlite backends return None for ANY claimed job, lease or no
+    lease.  The HTTP backend's /claim treated an expired lease as
+    claimable, so the same statement answered 'claimed 1' vs
+    'claimed 0' depending on backend.  Strict mode pins the parity:
+    claim_key never steals an expired-lease claim; the general
+    claim() reclaim path still does."""
+    import time as _time
+
+    from clickhub_spark.queue_http import HttpWorkQueue
+
+    url, _ = http_coord
+    qa = HttpWorkQueue(url, lease_s=0.2)
+    qb = HttpWorkQueue(url, lease_s=300.0)
+    qa.schedule("acme/leased")
+    assert qa.claim_key("acme/leased", "worker-a") is not None
+    _time.sleep(0.3)  # lease expires; job still shows worker-a
+    # strict key-CAS: worker_id != '' → 0 rows matched → None,
+    # exactly like WorkQueue.claim_key / SqliteWorkQueue.claim_key
+    assert qb.claim_key("acme/leased", "worker-b") is None
+    # the recovery path is claim(), which MAY reclaim after expiry
+    job = qb.claim("worker-b")
+    assert job is not None and job.repo_name == "acme/leased"
+    qb.release("acme/leased", "worker-b")
+
+
 def test_http_infinite_lease_matches_reference_drop_semantics(http_coord):
     """lease_s=0 restores the reference's behavior exactly: a claimed
     job whose worker died is never reclaimed (dropped in flight)."""

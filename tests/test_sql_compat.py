@@ -2246,3 +2246,63 @@ def test_probe_battery6_map_fold_state_ties(spark, b6):
     assert sorted(got) == [("a", 1.0), ("a", 2.0), ("b", 3.0), ("x", 3.0)]
     with pytest.raises(ValueError, match="WITH TIES"):
         translate("SELECT g FROM t LIMIT 3 WITH TIES")  # no ORDER BY
+
+
+def test_advice_r13_rewrite_edge_cases(spark, b6):
+    """ADVICE r13 regressions: (1) the text WITH TIES in a string
+    literal / a CTE named ties / a subquery LIMIT WITH TIES must not
+    crash translate; (2) sumIf/avgIf in WINDOW position keep the bare
+    sum(CASE …) — coalesce is not a window function; (3) nested any()
+    edits must not corrupt each other's close-paren offsets."""
+    # (1) WITH TIES false positives pass through; subquery form works
+    assert translate("SELECT 'WITH TIES' AS note, x FROM t") == (
+        "SELECT 'WITH TIES' AS note, x FROM t"
+    )
+    assert translate(
+        "WITH ties AS (SELECT x FROM t) SELECT * FROM ties"
+    ) == "WITH ties AS (SELECT x FROM t) SELECT * FROM ties"
+    got = [
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT * FROM (SELECT g, v FROM b6_t UNION ALL "
+            "SELECT 'x' AS g, 3.0 AS v ORDER BY v LIMIT 3 WITH TIES) "
+            "sub WHERE v > 1",
+        ).collect()
+    ]
+    assert sorted(got) == [("a", 2.0), ("b", 3.0), ("x", 3.0)]
+    # (2) -If combinators as window functions: ClickHouse allows
+    # sumIf(...) OVER (...); the coalesce default applies only in
+    # plain aggregate position (an OVER window has no empty group)
+    rows = run(
+        spark,
+        "SELECT g, sumIf(v, v > 1) OVER (PARTITION BY g) AS s, "
+        "avgIf(v, v > 100) OVER (PARTITION BY g) AS a "
+        "FROM b6_t WHERE g IN ('a', 'b') ORDER BY g, v",
+    ).collect()
+    assert [(r.g, r.s, r.a) for r in rows] == [
+        ("a", 2.0, None),
+        ("a", 2.0, None),
+        ("b", 12.0, None),
+        ("b", 12.0, None),
+        ("b", 12.0, None),
+    ]
+    # plain aggregate position still coalesces to the CH type default
+    agg = run(
+        spark,
+        "SELECT sumIf(v, v > 100) AS s, avgIf(v, v > 100) AS a FROM b6_t",
+    ).first()
+    assert agg.s == 0 and str(agg.a) == "nan"
+    # (3) nested any(): each call gets its own ignoreNulls flag (the
+    # nested form only ANALYZES in a subquery — this pins the render,
+    # which previously produced a 3-arg any_value and dropped the
+    # outer flag)
+    assert translate("SELECT any(if(any(y) > 0, x, x)) FROM t") == (
+        "SELECT any_value(if(any_value(y, true) > 0, x, x), true) FROM t"
+    )
+    nested = run(
+        spark,
+        "SELECT any(s) AS n FROM (SELECT g, any(v) AS s "
+        "FROM b6_t GROUP BY g)",
+    ).first()["n"]
+    assert nested in (1.0, 3.0, 6.0)
