@@ -39,5 +39,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r12b,
     queries_r12c,
     queries_r13,
+    queries_r14,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

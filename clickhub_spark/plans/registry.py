@@ -63,6 +63,11 @@ ROUND_PRIORITY = [
     # 4: everything else oldest-first (r7 remainder, r9, r10, r11,
     #    r12, r13), name-sorted within a round for determinism.
     # ---
+    # round-14 NEW registrations (probe battery 7: GROUP BY modifiers,
+    # DISTINCT ON, LIMIT OFFSET BY, named WINDOW clause):
+    "q_ch_sql_battery7",
+    "q_ch_sql_battery7b",
+    "q_ch_sql_battery7c",
     # --- last driver row r6 (37 names) ---
     "q_agg_mannwhitney_by",
     "q_agg_moments",

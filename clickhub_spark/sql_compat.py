@@ -772,9 +772,14 @@ def _rewrite_limit_by(sql: str) -> str:
     per group, then an optional overall limit) → a row_number window
     subquery.  Spark has no LIMIT BY; the window PARTITION BY the BY
     columns ordered by the statement's ORDER BY reproduces the
-    per-group cut exactly.  Scoped to a single top-level ORDER
-    BY/LIMIT BY tail — the dialect subset the shim supports."""
-    if not re.search(r"(?i)\bLIMIT\s+\d+\s+BY\b", sql):
+    per-group cut exactly.  The offset forms ``LIMIT m, n BY g`` and
+    ``LIMIT n OFFSET m BY g`` (skip the first m rows per group, keep
+    the next n — probe battery 7) filter ``m < rn <= m + n`` instead.
+    Scoped to a single top-level ORDER BY/LIMIT BY tail — the dialect
+    subset the shim supports."""
+    if not re.search(
+        r"(?i)\bLIMIT\s+\d+\s*(?:,\s*\d+\s+|OFFSET\s+\d+\s+)?\s*BY\b", sql
+    ):
         return sql
     # locate the LIMIT n BY and the statement's own ORDER BY at paren
     # DEPTH 0 outside string literals — a lazy regex latched onto the
@@ -804,14 +809,22 @@ def _rewrite_limit_by(sql: str) -> str:
                 order_start, order_kw_end = j, j + mo.end()
                 j = order_kw_end
                 continue
-            if re.match(r"LIMIT\s+\d+\s+BY\b", sql[j:], re.IGNORECASE):
+            if re.match(
+                r"LIMIT\s+\d+\s*(?:,\s*\d+\s+|OFFSET\s+\d+\s+)?\s*BY\b",
+                sql[j:],
+                re.IGNORECASE,
+            ):
                 limit_start = j
                 break
         j += 1
     if limit_start is None:
         # LIMIT n BY at depth > 0: inside a derived-table subquery —
         # recurse into the enclosing paren (same splice as QUALIFY)
-        for m_lb in re.finditer(r"\bLIMIT\s+\d+\s+BY\b", sql, re.IGNORECASE):
+        for m_lb in re.finditer(
+            r"\bLIMIT\s+\d+\s*(?:,\s*\d+\s+|OFFSET\s+\d+\s+)?\s*BY\b",
+            sql,
+            re.IGNORECASE,
+        ):
             if _in_spans(spans, m_lb.start()):
                 continue
             open_stack: list[int] = []
@@ -845,12 +858,22 @@ def _rewrite_limit_by(sql: str) -> str:
             )
         return sql
     tail_m = re.match(
-        r"(?is)LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<by>[\w`.\s,]+?)"
+        r"(?is)LIMIT\s+(?P<a>\d+)\s*"
+        r"(?:,\s*(?P<b>\d+)\s+|OFFSET\s+(?P<off>\d+)\s+)?"
+        r"\s*BY\s+(?P<by>[\w`.\s,]+?)"
         r"(?:\s+LIMIT\s+(?P<outer>\d+))?\s*;?\s*$",
         sql[limit_start:],
     )
     if not tail_m:
         return sql
+    # ClickHouse offset forms: LIMIT off, n BY g  /  LIMIT n OFFSET
+    # off BY g — skip the first `off` rows of each group
+    if tail_m.group("b") is not None:
+        skip, keep = int(tail_m.group("a")), int(tail_m.group("b"))
+    elif tail_m.group("off") is not None:
+        skip, keep = int(tail_m.group("off")), int(tail_m.group("a"))
+    else:
+        skip, keep = 0, int(tail_m.group("a"))
     if order_start is not None and order_start < limit_start:
         body = sql[:order_start].strip()
         order = sql[order_kw_end:limit_start].strip()
@@ -877,7 +900,9 @@ def _rewrite_limit_by(sql: str) -> str:
     return (
         f"SELECT * EXCEPT (__rn) FROM (SELECT __lb.*, row_number() OVER "
         f"(PARTITION BY {by} ORDER BY {order}) AS __rn "
-        f"FROM ({body}) __lb) WHERE __rn <= {tail_m.group('n')}{outer}"
+        f"FROM ({body}) __lb) WHERE "
+        + (f"__rn > {skip} AND " if skip else "")
+        + f"__rn <= {skip + keep}{outer}"
     )
 
 
@@ -983,6 +1008,132 @@ def _rewrite_limit_with_ties(sql: str) -> str:
         f"(ORDER BY {order}) AS __rk FROM ({body}) __wt) "
         f"WHERE __rk <= {ml.group(1)} ORDER BY {order}"
     )
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """ClickHouse/Postgres ``SELECT DISTINCT ON (cols) …`` — one row
+    per distinct ``cols`` tuple (probe battery 7).  Spark has no
+    DISTINCT ON; rewrite as a row_number() window PARTITION BY the ON
+    columns keeping rank 1.  Row choice: the statement's trailing
+    ORDER BY picks the winner (Postgres/DuckDB semantics — ClickHouse
+    keeps an arbitrary first-seen row, so any deterministic choice is
+    a valid transcription; DuckDB's makes the oracle agree); with no
+    ORDER BY the ON columns order the window (deterministic
+    arbitrary).  Depth-0 statements rewrite in place; a DISTINCT ON
+    inside a derived table recurses into the enclosing paren (the
+    _rewrite_limit_by splice).  ORDER BY terms must be FROM-scope
+    columns (not projection aliases) — the supported subset."""
+    spans = _literal_spans(sql)
+    m = None
+    for cand in re.finditer(r"(?i)\bDISTINCT\s+ON\s*\(", sql):
+        if not _in_spans(spans, cand.start()):
+            m = cand
+            break
+    if m is None:
+        return sql
+    depth = 0
+    open_stack: list[int] = []
+    for j in range(m.start()):
+        if _in_spans(spans, j):
+            continue
+        if sql[j] == "(":
+            depth += 1
+            open_stack.append(j)
+        elif sql[j] == ")":
+            depth -= 1
+            if open_stack:
+                open_stack.pop()
+    if depth != 0:
+        if not open_stack:
+            return sql
+        open_pos = open_stack[-1]
+        d2, k = 1, open_pos + 1
+        while k < len(sql) and d2:
+            if not _in_spans(spans, k):
+                if sql[k] == "(":
+                    d2 += 1
+                elif sql[k] == ")":
+                    d2 -= 1
+            k += 1
+        if d2:
+            return sql
+        close = k - 1
+        inner = sql[open_pos + 1 : close]
+        new_inner = _rewrite_distinct_on(inner)
+        if new_inner == inner:
+            return sql
+        return _rewrite_distinct_on(
+            sql[: open_pos + 1] + new_inner + sql[close:]
+        )
+    # the ON (…) column list, balanced-paren scan
+    d2, k = 1, m.end()
+    while k < len(sql) and d2:
+        if not _in_spans(spans, k):
+            if sql[k] == "(":
+                d2 += 1
+            elif sql[k] == ")":
+                d2 -= 1
+        k += 1
+    if d2:
+        return sql  # unbalanced — leave for Spark's parser
+    on_cols = sql[m.end() : k - 1].strip()
+    head = sql[: m.start()]  # "SELECT " (DISTINCT ON consumed)
+    rest = sql[k:]  # select list + FROM … [ORDER BY …] [LIMIT n]
+    rspans = _literal_spans(rest)
+    depth = 0
+    from_pos = order_pos = order_kw_end = limit_pos = None
+    j = 0
+    while j < len(rest):
+        if _in_spans(rspans, j):
+            j += 1
+            continue
+        ch = rest[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch.isalpha()
+            and (j == 0 or not (rest[j - 1].isalnum() or rest[j - 1] == "_"))
+        ):
+            if from_pos is None and re.match(r"FROM\b", rest[j:], re.IGNORECASE):
+                from_pos = j
+            mo = re.match(r"ORDER\s+BY\b", rest[j:], re.IGNORECASE)
+            if mo:
+                order_pos, order_kw_end = j, j + mo.end()
+                j = order_kw_end
+                continue
+            if limit_pos is None and re.match(
+                r"LIMIT\b", rest[j:], re.IGNORECASE
+            ):
+                limit_pos = j
+        j += 1
+    if from_pos is None:
+        raise ValueError("DISTINCT ON needs a SELECT … FROM statement")
+    tail_start = order_pos if order_pos is not None else limit_pos
+    body_end = tail_start if tail_start is not None else len(rest)
+    tail = rest[body_end:].strip().rstrip(";").strip()
+    if order_pos is not None:
+        wend = (
+            limit_pos
+            if limit_pos is not None and limit_pos > order_pos
+            else len(rest)
+        )
+        worder = rest[order_kw_end:wend].strip().rstrip(";").strip()
+    else:
+        worder = on_cols
+    select_list = rest[:from_pos].strip().rstrip(",")
+    inner = (
+        f"{head}{select_list}, row_number() OVER "
+        f"(PARTITION BY {on_cols} ORDER BY {worder}) AS __don "
+        f"{rest[from_pos:body_end].strip()}"
+    )
+    out = (
+        f"SELECT * EXCEPT (__don) FROM ({inner.strip()}) __don_q "
+        f"WHERE __don = 1"
+    )
+    return f"{out} {tail}" if tail else out
 
 
 def _rewrite_array_join_clause(sql: str) -> str:
@@ -3125,6 +3276,7 @@ def translate(sql: str) -> str:
     out = _rewrite_array_join_clause(out)
     out = _rewrite_limit_by(out)
     out = _rewrite_limit_with_ties(out)
+    out = _rewrite_distinct_on(out)
     return out
 
 

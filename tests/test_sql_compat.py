@@ -2248,6 +2248,136 @@ def test_probe_battery6_map_fold_state_ties(spark, b6):
         translate("SELECT g FROM t LIMIT 3 WITH TIES")  # no ORDER BY
 
 
+def test_probe_battery7_group_modifiers_native(spark, b6):
+    """Probe battery 7 (VERDICT r13 item 2), part 1: constructs Spark
+    supports NATIVELY must pass through translate untouched — GROUP BY
+    … WITH ROLLUP / WITH CUBE (modifier spelling), GROUP BY ALL, and
+    the named WINDOW w AS (…) clause."""
+    for q in (
+        "SELECT g, sum(v) AS s FROM b6_t GROUP BY g WITH ROLLUP",
+        "SELECT g, id, sum(v) AS s FROM b6_t GROUP BY g, id WITH CUBE",
+        "SELECT g, sum(v) AS s FROM b6_t GROUP BY ALL",
+        "SELECT g, sum(v) OVER w AS s, rank() OVER w AS r FROM b6_t "
+        "WINDOW w AS (PARTITION BY g ORDER BY v)",
+    ):
+        assert translate(q) == q, q
+    # WITH ROLLUP produces the subtotal + grand-total rows
+    rows = {
+        (r.g, r.s)
+        for r in run(
+            spark, "SELECT g, sum(v) AS s FROM b6_t GROUP BY g WITH ROLLUP"
+        ).collect()
+    }
+    assert rows == {("a", 3.0), ("b", 12.0), ("c", 6.0), (None, 21.0)}
+    # GROUP BY ALL groups by every non-aggregate projection
+    rows2 = {
+        (r.g, r.n)
+        for r in run(
+            spark, "SELECT g, count() AS n FROM b6_t GROUP BY ALL"
+        ).collect()
+    }
+    assert rows2 == {("a", 2), ("b", 3), ("c", 1)}
+    # one named window shared by two functions
+    r1 = run(
+        spark,
+        "SELECT g, v, rank() OVER w AS r, sum(v) OVER w AS rs FROM b6_t "
+        "WHERE g = 'b' WINDOW w AS (ORDER BY v)",
+    ).collect()
+    assert [(x.v, x.r, x.rs) for x in r1] == [
+        (3.0, 1, 3.0),
+        (4.0, 2, 7.0),
+        (5.0, 3, 12.0),
+    ]
+
+
+def test_probe_battery7_distinct_on(spark, b6):
+    """Probe battery 7, part 2: DISTINCT ON (cols) — one row per ON
+    tuple, the statement ORDER BY choosing the winner; no ORDER BY →
+    deterministic-arbitrary (ON-column order).  False positives
+    (plain DISTINCT, the text in a literal) pass through; a subquery
+    DISTINCT ON recurses."""
+    got = {
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT DISTINCT ON (g) g, v FROM b6_t ORDER BY g, v DESC",
+        ).collect()
+    }
+    assert got == {("a", 2.0), ("b", 5.0), ("c", 6.0)}
+    # winner flips with the ORDER BY direction
+    got2 = {
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT DISTINCT ON (g) g, v FROM b6_t ORDER BY g, v",
+        ).collect()
+    }
+    assert got2 == {("a", 1.0), ("b", 3.0), ("c", 6.0)}
+    # multi-column ON; trailing LIMIT applies AFTER the dedup
+    n = run(
+        spark,
+        "SELECT DISTINCT ON (g) g, v FROM b6_t ORDER BY g, v LIMIT 2",
+    ).count()
+    assert n == 2
+    # no ORDER BY: still exactly one row per group
+    assert run(spark, "SELECT DISTINCT ON (g) g, v FROM b6_t").count() == 3
+    # inside a derived table
+    c = run(
+        spark,
+        "SELECT count(*) AS c FROM (SELECT DISTINCT ON (g) g, v "
+        "FROM b6_t ORDER BY g, v)",
+    ).first()["c"]
+    assert c == 3
+    # pass-throughs
+    assert translate("SELECT DISTINCT g FROM t") == "SELECT DISTINCT g FROM t"
+    assert translate("SELECT 'DISTINCT ON (x)' AS s FROM t") == (
+        "SELECT 'DISTINCT ON (x)' AS s FROM t"
+    )
+
+
+def test_probe_battery7_limit_offset_by(spark, b6):
+    """Probe battery 7, part 3: the offset forms of LIMIT BY —
+    ``LIMIT n OFFSET m BY g`` and ClickHouse's short ``LIMIT m, n BY
+    g`` — skip the first m rows per group, keep the next n."""
+    got = [
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT g, v FROM b6_t ORDER BY v DESC "
+            "LIMIT 1 OFFSET 1 BY g",
+        ).collect()
+    ]
+    assert sorted(got) == [("a", 1.0), ("b", 4.0)]  # c has no 2nd row
+    # comma form: LIMIT offset, n BY — same cut
+    got2 = [
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT g, v FROM b6_t ORDER BY v DESC LIMIT 1, 2 BY g",
+        ).collect()
+    ]
+    assert sorted(got2) == [("a", 1.0), ("b", 3.0), ("b", 4.0)]
+    # outer LIMIT still applies after the per-group cut
+    n = run(
+        spark,
+        "SELECT g, v FROM b6_t ORDER BY v DESC LIMIT 1, 2 BY g LIMIT 2",
+    ).count()
+    assert n == 2
+    # the plain form is untouched by the extension
+    got3 = [
+        (r.g, r.v)
+        for r in run(
+            spark,
+            "SELECT g, v FROM b6_t ORDER BY v DESC LIMIT 1 BY g",
+        ).collect()
+    ]
+    assert sorted(got3) == [("a", 2.0), ("b", 5.0), ("c", 6.0)]
+    # a plain LIMIT n OFFSET m (no BY) is Spark-native and untouched
+    assert translate("SELECT g FROM t ORDER BY g LIMIT 3 OFFSET 6") == (
+        "SELECT g FROM t ORDER BY g LIMIT 3 OFFSET 6"
+    )
+
+
 def test_advice_r13_rewrite_edge_cases(spark, b6):
     """ADVICE r13 regressions: (1) the text WITH TIES in a string
     literal / a CTE named ties / a subquery LIMIT WITH TIES must not

@@ -85,6 +85,10 @@ UNPARTITIONED_WINDOW_CANON = {
     # the corpus-sized input never passes through the window — the
     # QUALIFY top-N is the statement's point (probe battery 6)
     "q_ch_sql_battery6b",
+    # named-WINDOW rank/running-sum over the PER-EVENT-TYPE aggregate
+    # (a handful of types ≪ events) — same bounded-aggregate shape;
+    # the battery's point is the WINDOW w AS clause (probe battery 7)
+    "q_ch_sql_battery7b",
     # cumulative window over a per-VALUE aggregated table (distinct
     # scores/values ≪ rows) — the q_llm_score_normalize technique;
     # the corpus-sized input never passes through the window
