@@ -1588,8 +1588,10 @@ class Warehouse:
         not read."""
         td = self._require(qualified)
         data = os.path.join(self._dir(td.database, td.name), "data")
-        # concurrency contract (writer.compact): the OPTIMIZE swap is
-        # two renames, so a reader can observe the dir missing for an
+        # concurrency contract (writer.compact): on Linux the OPTIMIZE
+        # swap is one atomic renameat2 exchange and this branch is
+        # unreachable mid-swap; on fallback platforms the swap is two
+        # renames, so a reader can observe the dir missing for an
         # instant.  Wait it out (bounded) when swap markers prove a
         # mutation is in flight; NEVER "recover" here — renaming
         # .__old back while the writer is between its two renames

@@ -237,11 +237,7 @@ def compact_accumulator(
     folded = max(max_id if max_id is not None else -1, prev_folded)
     with open(os.path.join(tmp, _MARKER), "w") as fh:
         json.dump({"folded_through": folded, "checkpoint_id": ck_id}, fh)
-    old = f"{acc_path}.__old"
-    import shutil
+    from clickhub_spark.operators.mutate import _swap
 
-    shutil.rmtree(old, ignore_errors=True)  # leftover from a crashed rmtree
-    os.rename(acc_path, old)
-    os.rename(tmp, acc_path)
-    shutil.rmtree(old)
+    _swap(acc_path, tmp)  # atomic exchange, or two-rename fallback
     return n

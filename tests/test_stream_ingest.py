@@ -275,3 +275,36 @@ def test_compact_crash_recovery_fixed_old_name(spark, tmp_path):
     assert n == 100
     assert spark.read.parquet(table).count() == 100
     assert not os.path.exists(table + ".__old")
+
+
+def test_swap_is_atomic_exchange_with_prev_generation(spark, tmp_path):
+    """VERDICT r13 item 4: on Linux the copy-on-write swap is ONE
+    renameat2 RENAME_EXCHANGE — the table path never transiently
+    disappears — and the displaced generation is parked at
+    <path>.__prev (for in-flight scans) until the next mutation
+    retires it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhub_spark.operators import mutate
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    if not mutate.exchange_dirs(a, b):  # pragma: no cover
+        import pytest
+
+        pytest.skip("renameat2 RENAME_EXCHANGE unsupported here")
+    table = str(tmp_path / "t")
+    spark.range(100).withColumnRenamed("id", "k").write.parquet(table)
+    n = mutate.delete_where(spark, table, F.col("k") >= 60)
+    assert n == 60
+    # old generation parked, one deep
+    assert os.path.isdir(table + ".__prev")
+    assert spark.read.parquet(table + ".__prev").count() == 100
+    assert not os.path.exists(table + ".__old")
+    # a second mutation retires generation N-2 and parks N-1
+    n = mutate.delete_where(spark, table, F.col("k") >= 30)
+    assert n == 30
+    assert spark.read.parquet(table).count() == 30
+    assert spark.read.parquet(table + ".__prev").count() == 60
