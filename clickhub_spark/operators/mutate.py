@@ -80,49 +80,59 @@ def exchange_dirs(a: str, b: str) -> bool:
     raise OSError(err, os.strerror(err), a)
 
 
-def recover_table(path: str) -> bool:
+def recover_table(path: str, old: str | None = None) -> bool:
     """Crash recovery for the copy-on-write swap: if a previous
     mutation died between its two renames, the table dir is missing
-    and the data sits at the FIXED ``<path>.__old`` name — restore
+    and the data sits at the FIXED ``<path>.__old`` name (or the
+    caller's ``old`` override for partition-scoped swaps) — restore
     it.  Returns True if a recovery happened.  Called automatically
     at the start of every mutation; exposed for readers that find the
     path missing."""
-    old = f"{path}.__old"
+    old = old or f"{path}.__old"
     if not os.path.exists(path) and os.path.isdir(old):
         os.rename(old, path)
         return True
     return False
 
 
-def _rewrite(spark: SparkSession, path: str, transform) -> int:
+def _rewrite(
+    spark: SparkSession, path: str, transform, scratch_base: str | None = None
+) -> int:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    recover_table(path)
+    base = scratch_base or path
+    recover_table(path, old=f"{base}.__old")
     df = spark.read.parquet(path)
     # count observed ON the write job (the incremental_append pattern):
     # a separate count() action would run the full transform twice
     obs = Observation()
     out = transform(df).observe(obs, F.count(F.lit(1)).alias("n"))
-    tmp = f"{path}.__mutating_{uuid.uuid4().hex[:8]}"
+    tmp = f"{base}.__mutating_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
     n = obs.get["n"]
-    _swap(path, tmp)
+    _swap(path, tmp, base=base)
     return n
 
 
-def _swap(path: str, tmp: str) -> None:
+def _swap(path: str, tmp: str, base: str | None = None) -> None:
     """Publish ``tmp`` as the table at ``path``.  Preferred route: one
     atomic renameat2 RENAME_EXCHANGE — the path never transiently
     disappears, so a concurrent reader can never hit path-not-found
     (VERDICT r13 item 4).  The displaced OLD data (now at ``tmp``) is
-    parked at the fixed ``<path>.__prev`` for ONE generation instead
+    parked at the fixed ``<base>.__prev`` for ONE generation instead
     of deleted immediately: an executor mid-scan on old file handles
-    keeps its files until the NEXT mutation retires them.  Fallback
-    (no renameat2): the documented two-rename + recover_table
-    contract, where readers wait out the brief window."""
+    keeps its files until the NEXT mutation retires them.  ``base``
+    defaults to ``path``; partition-scoped swaps pass an
+    UNDERSCORE-prefixed sibling so the parked/temp dirs stay invisible
+    to hive partition discovery (Spark skips ``_*`` paths — a
+    ``day=3.__prev`` sibling would otherwise be discovered as a bogus
+    partition value).  Fallback (no renameat2): the documented
+    two-rename + recover_table contract, where readers wait out the
+    brief window."""
+    base = base or path
     if exchange_dirs(tmp, path):
-        prev = f"{path}.__prev"
+        prev = f"{base}.__prev"
         shutil.rmtree(prev, ignore_errors=True)  # retire generation N-2
         os.rename(tmp, prev)
         return
@@ -130,7 +140,7 @@ def _swap(path: str, tmp: str) -> None:
     # renames leaves the data at a deterministic location that
     # recover_table restores — random suffixes made the stranded dir
     # unidentifiable.
-    old = f"{path}.__old"
+    old = f"{base}.__old"
     shutil.rmtree(old, ignore_errors=True)  # leftover from a crashed rmtree
     os.rename(path, old)
     os.rename(tmp, path)
@@ -154,6 +164,91 @@ def update_where(
         return df
 
     return _rewrite(spark, path, transform)
+
+
+def _mutate_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    values: list,
+    transform,
+) -> int:
+    """Partition-pruned mutation on a hive-layout table
+    (``<path>/<partition_col>=<value>/``): rewrite ONLY the partitions
+    named in ``values`` — each through its own atomic ``_swap`` — and
+    never read, shuffle, or rewrite the rest.  This is the 100 TB
+    mutation shape (ClickHouse's mutations likewise rewrite only the
+    parts whose min/max index can match): cost scales with TOUCHED
+    data, not table size — tools/smoke_mutation_pruned.py certifies
+    ~flat delete time as the table grows 10x with fixed partition
+    size.  The partition column is a dir name, not a stored column:
+    it is re-materialized as a literal for the transform's predicate
+    and dropped again before the write.  Returns surviving rows
+    across the touched partitions."""
+    from pyspark.sql import functions as F
+
+    total = 0
+    for v in values:
+        part = os.path.join(path, f"{partition_col}={v}")
+        if not os.path.isdir(part):
+            continue
+        # scratch dirs UNDERSCORE-prefixed so hive partition discovery
+        # never sees the temp/parked generations as partition values
+        scratch = os.path.join(path, f"_mutpart_{partition_col}_{v}")
+        total += _rewrite(
+            spark,
+            part,
+            lambda df, _v=v: transform(
+                df.withColumn(partition_col, F.lit(_v))
+            ).drop(partition_col),
+            scratch_base=scratch,
+        )
+    return total
+
+
+def delete_where_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    values: list,
+    predicate: Column,
+) -> int:
+    """DELETE … WHERE on a hive-partitioned table touching only the
+    ``values`` partitions (see ``_mutate_partitions``).  The predicate
+    may reference ``partition_col``.  Returns surviving rows in the
+    touched partitions."""
+    return _mutate_partitions(
+        spark, path, partition_col, values, lambda df: df.where(~predicate)
+    )
+
+
+def update_where_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    values: list,
+    predicate: Column,
+    assignments: dict[str, Column],
+) -> int:
+    """UPDATE … WHERE on a hive-partitioned table touching only the
+    ``values`` partitions (see ``_mutate_partitions``).  All
+    assignments evaluate against the pre-mutation row (one select,
+    the ClickHouse/standard-SQL contract)."""
+    from pyspark.sql import functions as F
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.when(predicate, assignments[f.name])
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
+    return _mutate_partitions(spark, path, partition_col, values, transform)
 
 
 def insert_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
