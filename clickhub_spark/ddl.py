@@ -767,6 +767,14 @@ class Warehouse:
                 re.IGNORECASE,
             ):
                 return self._mutate(sql, spark)
+            m_drop = re.match(
+                r"\s*ALTER\s+TABLE\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+"
+                r"DROP\s+PARTITION\s+(?:'([^']*)'|(\w+))\s*$",
+                sql,
+                re.IGNORECASE,
+            )
+            if m_drop:
+                return self._drop_partition(m_drop)
             return self._alter(sql)
         if verb.startswith("OPTIMIZE"):
             return self._optimize(sql, spark)
@@ -1303,6 +1311,32 @@ class Warehouse:
         self._persist(td)
         return "ok"
 
+    def _drop_partition(self, m: re.Match) -> str:
+        """``ALTER TABLE t DROP PARTITION <value>`` — remove the whole
+        ``_partition_id=<value>`` directory: no data read, no rewrite,
+        O(1) filesystem metadata work (the MergeTree partition-drop,
+        the reference's retention story at scale; the TTL analog
+        operators/mutate.drop_expired_partitions does the same by
+        cutoff).  Whole-directory removal is atomic from a reader's
+        LISTING perspective; in-flight readers of the dropped
+        partition fail like any vacuumed table — run during a
+        maintenance window, same as the reference."""
+        import shutil as _shutil
+
+        db, name = m.group(1) or "default", m.group(2)
+        value = m.group(3) if m.group(3) is not None else m.group(4)
+        td = self._require(f"{db}.{name}")
+        if td.partition_expr is None:
+            raise DdlError("DROP PARTITION requires a PARTITION BY table")
+        part = os.path.join(
+            self._dir(td.database, td.name), "data", f"_partition_id={value}"
+        )
+        if not os.path.isdir(part):
+            return f"dropped 0 partitions (no partition {value})"
+        _shutil.rmtree(part)
+        self._bump_catalog()
+        return f"dropped partition {value}"
+
     def _mutate(self, sql: str, spark: SparkSession | None) -> str:
         """ClickHouse mutations as statements:
 
@@ -1318,6 +1352,12 @@ class Warehouse:
           CAS claim (queue.claim_key — 'claimed 0' when another
           worker won, exactly the 0-rows-matched UPDATE), and
           ``DELETE WHERE repo_name = 'r'`` is the release.
+        - ``… DELETE/UPDATE … IN PARTITION <value> WHERE p`` on a
+          PARTITION BY table routes to the partition-PRUNED rewrite
+          (operators/mutate.delete/update_where_partitioned): only the
+          named ``_partition_id`` directory is read and swapped — the
+          100 TB mutation shape, flat-time-certified by
+          tools/smoke_mutation_pruned.py.
         """
         from clickhub_spark.sql_compat import translate as _translate
 
@@ -1330,6 +1370,17 @@ class Warehouse:
         db, name = m.group(1) or "default", m.group(2)
         td = self._require(f"{db}.{name}")
         kind, rest = m.group(3).upper(), m.group(4).strip()
+        in_partition: str | None = None
+        pm = re.match(
+            r"(?is)(.*?)\s*\bIN\s+PARTITION\s+(?:'([^']*)'|(\w+))"
+            r"\s+(WHERE\s+.*)$",
+            rest,
+        )
+        if pm:
+            in_partition = pm.group(2) if pm.group(2) is not None else pm.group(3)
+            rest = (pm.group(1).strip() + " " + pm.group(4).strip()).strip()
+            if td.partition_expr is None:
+                raise DdlError("IN PARTITION requires a PARTITION BY table")
         if kind == "DELETE":
             wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
             if not wm:
@@ -1371,6 +1422,25 @@ class Warehouse:
                 "(ClickHouse rejects sorting-key mutations)"
             )
         pred_sql = _translate(pred)
+        if in_partition is not None:
+            from clickhub_spark.operators.mutate import (
+                delete_where_partitioned,
+                update_where_partitioned,
+            )
+
+            if kind == "DELETE":
+                n = delete_where_partitioned(
+                    spark, data, "_partition_id", [in_partition],
+                    F.coalesce(F.expr(pred_sql), F.lit(False)),
+                )
+            else:
+                n = update_where_partitioned(
+                    spark, data, "_partition_id", [in_partition],
+                    F.coalesce(F.expr(pred_sql), F.lit(False)),
+                    {c: F.expr(_translate(e)) for c, e in assigns.items()},
+                )
+            self._bump_catalog()
+            return f"mutated partition {in_partition} to {n}"
 
         def transform(df, _p=pred_sql, _a=assigns):  # noqa: ANN001
             cond = F.expr(_p)

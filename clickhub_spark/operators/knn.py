@@ -106,17 +106,23 @@ def build_ivf_index(
     n_cells: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_rows: int = 200_000,
 ) -> str:
     """One-time IVF index build: KMeans coarse quantizer → write the
     table CELL-PARTITIONED to ``path/data/cell=N/`` plus the tiny
     centroid table to ``path/centroids``.
 
-    This is the 100 TB shape: the fit + assignment is a single
-    distributed job run once, and because ``cell`` is a parquet
-    partition column, every later probe is PARTITION PRUNING at the
-    file listing level (nprobe/n_cells of the files are even opened) —
-    not a filter scan.  Centroids are n_cells × dim doubles, a
-    parameter table, not data.
+    This is the 100 TB shape: the quantizer FIT runs on a bounded
+    deterministic hash-sample of at most ``train_rows`` vectors
+    (standard IVF practice — FAISS trains coarse quantizers on
+    ~max(10k, 50·k) samples; fitting on the full corpus OOMed the
+    10M-vector smoke and would be O(corpus) iterations at 10⁹), while
+    the cell ASSIGNMENT of every vector is one map-only distributed
+    pass.  Because ``cell`` is a parquet partition column, every
+    later probe is PARTITION PRUNING at the file listing level
+    (nprobe/n_cells of the files are even opened) — not a filter
+    scan.  Centroids are n_cells × dim doubles, a parameter table,
+    not data.
 
     The write goes to ``path + ".tmp"`` then renames, so a concurrent
     reader of an existing index never sees a half-written one
@@ -129,9 +135,18 @@ def build_ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     feats = emb.withColumn("__f", array_to_vector(as_double(F.col(vec_col))))
+    train = feats
+    n = emb.count()
+    if train_rows and n > train_rows:
+        # deterministic 1-in-mod hash sample on the id — same rows
+        # every build, no full sort, no driver-side collection
+        mod = max(int(n // train_rows), 1)
+        train = feats.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
     model = KMeans(
         k=n_cells, seed=42, featuresCol="__f", predictionCol="cell"
-    ).fit(feats)
+    ).fit(train)
     assigned = model.transform(feats).drop("__f")
 
     tmp = path + ".tmp"

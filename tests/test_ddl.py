@@ -492,6 +492,68 @@ def test_partition_by_prunes_and_survives_optimize(spark, wh):
     assert Warehouse(wh.root).table_def("git.pt").partition_expr == "toYYYYMM(time)"
 
 
+def test_mutations_in_partition_and_drop_partition(spark, wh):
+    """``ALTER TABLE … DELETE/UPDATE … IN PARTITION v WHERE p`` routes
+    to the partition-PRUNED rewrite — only the named _partition_id dir
+    is read and swapped (flat-time-certified by
+    tools/smoke_mutation_pruned.py); ``ALTER TABLE … DROP PARTITION
+    v`` removes the directory with no data read (the MergeTree
+    partition drop)."""
+    import os
+
+    wh.execute(
+        "CREATE TABLE git.pm (`k` Int64, `time` DateTime, `v` Int64) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(time) ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO git.pm (k, time, v) VALUES "
+        "(1, '2024-01-05 00:00:00', 10), (2, '2024-01-20 00:00:00', 20), "
+        "(3, '2024-02-01 00:00:00', 30), (4, '2024-02-09 00:00:00', 40), "
+        "(5, '2024-03-01 00:00:00', 50)",
+        spark=spark,
+    )
+    data = os.path.join(wh.root, "git", "pm", "data")
+    jan_files = sorted(os.listdir(os.path.join(data, "_partition_id=202401")))
+    # pruned UPDATE: only February rewritten; January files untouched
+    out = wh.execute(
+        "ALTER TABLE git.pm UPDATE v = v + 1000 IN PARTITION '202402' "
+        "WHERE k >= 4",
+        spark=spark,
+    )
+    assert out.startswith("mutated partition 202402")
+    rows = {r.k: r.v for r in wh.read(spark, "git.pm").collect()}
+    assert rows == {1: 10, 2: 20, 3: 30, 4: 1040, 5: 50}
+    assert sorted(
+        os.listdir(os.path.join(data, "_partition_id=202401"))
+    ) == jan_files
+    # pruned DELETE (bare partition token form)
+    wh.execute(
+        "ALTER TABLE git.pm DELETE IN PARTITION 202401 WHERE v = 10",
+        spark=spark,
+    )
+    assert {r.k for r in wh.read(spark, "git.pm").collect()} == {2, 3, 4, 5}
+    # DROP PARTITION removes the whole directory, other partitions stay
+    assert wh.execute("ALTER TABLE git.pm DROP PARTITION '202402'") == (
+        "dropped partition 202402"
+    )
+    assert not os.path.isdir(os.path.join(data, "_partition_id=202402"))
+    assert {r.k for r in wh.read(spark, "git.pm").collect()} == {2, 5}
+    assert wh.execute("ALTER TABLE git.pm DROP PARTITION '209912'").startswith(
+        "dropped 0"
+    )
+    # guards: IN PARTITION / DROP PARTITION need a PARTITION BY table
+    wh.execute(
+        "CREATE TABLE git.nop (`k` Int64) ENGINE = MergeTree ORDER BY (k)"
+    )
+    with pytest.raises(DdlError, match="PARTITION BY"):
+        wh.execute(
+            "ALTER TABLE git.nop DELETE IN PARTITION '1' WHERE k = 1",
+            spark=spark,
+        )
+    with pytest.raises(DdlError, match="PARTITION BY"):
+        wh.execute("ALTER TABLE git.nop DROP PARTITION '1'")
+
+
 # --- round-12 session 3: warehouse statement surface -------------------------
 
 
