@@ -144,9 +144,16 @@ def build_ivf_index(
         train = feats.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
         )
-    model = KMeans(
-        k=n_cells, seed=42, featuresCol="__f", predictionCol="cell"
-    ).fit(train)
+    # persist the (small) training sample: Lloyd's is iterative and
+    # would otherwise re-scan + re-filter the full corpus every
+    # iteration (~20 corpus scans at 10M vectors in the scale smoke)
+    train = train.select(id_col, "__f").persist()
+    try:
+        model = KMeans(
+            k=n_cells, seed=42, featuresCol="__f", predictionCol="cell"
+        ).fit(train)
+    finally:
+        train.unpersist()
     assigned = model.transform(feats).drop("__f")
 
     tmp = path + ".tmp"
