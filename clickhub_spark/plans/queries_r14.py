@@ -113,6 +113,105 @@ def q_ch_sql_battery7b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ch_sql_battery8",
+    oracle="""
+    SELECT event_type AS etype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) + 0.0 AS sv
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def q_ch_sql_battery8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe battery 8: ``GROUP BY ALL WITH TOTALS`` — the composition
+    that exposed a real r14 shim bug (the TOTALS rewrite emitted
+    ``GROUPING SETS ((ALL), ())``; ALL now expands to the
+    non-aggregate select items first).  The totals row carries a NULL
+    key on both sides (the WHERE filters genuine NULLs, so no
+    collision).  The oracle spells the grouping AND the sets out
+    longhand — independent of both the ALL expansion and the TOTALS
+    rewrite."""
+    _events_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT event_type AS etype,
+               count() AS n,
+               round(sum(value), 4) + 0.0 AS sv
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY ALL WITH TOTALS
+        """,
+    )
+
+
+@query(
+    "q_ch_ddl_partition",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), '202401', CAST(10   AS BIGINT)),
+        (CAST(2 AS BIGINT), '202401', CAST(20   AS BIGINT)),
+        (CAST(4 AS BIGINT), '202402', CAST(1040 AS BIGINT))
+    ) AS t(k, part, v)
+    """,
+)
+def q_ch_ddl_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped mutations under driver correctness: a scratch
+    warehouse with ``PARTITION BY toYYYYMM(time)`` runs the literal
+    ``ALTER TABLE … UPDATE … IN PARTITION v WHERE p``, ``… DELETE IN
+    PARTITION v WHERE p`` and ``… DROP PARTITION v`` statements — each
+    routed to the partition-PRUNED rewrite (only the named
+    ``_partition_id`` directory is read/swapped; flat-time-certified
+    at 10M rows by tools/smoke_mutation_pruned.py, the 100 TB
+    mutation shape).  Content is fixed (sf-independent); the oracle
+    is the hand-computed post-mutation table."""
+    import os
+    import shutil
+    import tempfile
+
+    from clickhub_spark.ddl import Warehouse
+
+    root = tempfile.gettempdir() + f"/chwh_ddl_partition_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+    wh.execute(
+        "CREATE TABLE default.pf (`k` Int64, `time` DateTime, `v` Int64) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(time) ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO default.pf (k, time, v) VALUES "
+        "(1, '2024-01-05 00:00:00', 10), (2, '2024-01-20 00:00:00', 20), "
+        "(3, '2024-02-01 00:00:00', 30), (4, '2024-02-09 00:00:00', 40), "
+        "(5, '2024-03-01 00:00:00', 50), (6, '2024-03-02 00:00:00', 60)",
+        spark=spark,
+    )
+    out1 = wh.execute(
+        "ALTER TABLE default.pf UPDATE v = v + 1000 IN PARTITION "
+        "'202402' WHERE k >= 4",
+        spark=spark,
+    )
+    out2 = wh.execute(
+        "ALTER TABLE default.pf DELETE IN PARTITION 202402 WHERE k = 3",
+        spark=spark,
+    )
+    out3 = wh.execute("ALTER TABLE default.pf DROP PARTITION '202403'")
+    if not (
+        out1.startswith("mutated partition 202402")
+        and out2.startswith("mutated partition 202402")
+        and out3 == "dropped partition 202403"
+    ):
+        raise AssertionError(
+            f"partition statement path broke: {(out1, out2, out3)!r}"
+        )
+    wh.register_views(spark)
+    return run(
+        spark,
+        "SELECT k, _partition_id AS part, v FROM default_pf ORDER BY k",
+    )
+
+
+@query(
     "q_ch_sql_battery7c",
     oracle="""
     SELECT DISTINCT ON (event_type) event_type, user_id, event_id, value

@@ -68,6 +68,8 @@ ROUND_PRIORITY = [
     "q_ch_sql_battery7",
     "q_ch_sql_battery7b",
     "q_ch_sql_battery7c",
+    "q_ch_ddl_partition",
+    "q_ch_sql_battery8",
     # --- last driver row r6 (37 names) ---
     "q_agg_mannwhitney_by",
     "q_agg_moments",

@@ -1010,6 +1010,154 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     )
 
 
+#: Spark aggregate-function names as they appear in RENDERED SQL (the
+#: GROUP BY ALL expansion runs after the dialect renames, so only the
+#: Spark spellings matter here)
+_SPARK_AGG_NAMES = frozenset(
+    {
+        "sum", "count", "avg", "mean", "min", "max", "any_value",
+        "first", "last", "first_value", "last_value", "collect_list",
+        "collect_set", "stddev", "stddev_pop", "stddev_samp",
+        "variance", "var_pop", "var_samp", "covar_pop", "covar_samp",
+        "corr", "percentile", "percentile_approx", "median", "mode",
+        "approx_count_distinct", "count_if", "bool_and", "bool_or",
+        "max_by", "min_by", "skewness", "kurtosis", "sum_distinct",
+        "bit_and", "bit_or", "bit_xor", "grouping", "grouping_id",
+        "count_min_sketch", "hll_sketch_agg", "hll_union_agg",
+        "regr_avgx", "regr_avgy", "regr_count", "regr_r2",
+        "regr_slope", "regr_intercept", "regr_sxx", "regr_sxy",
+        "regr_syy", "try_sum", "try_avg", "listagg", "array_agg",
+    }
+)
+
+
+def _non_aggregate_select_items(sql: str) -> list[str]:
+    """The select-list items of the OUTERMOST statement that contain
+    no aggregate-function call, aliases stripped — ClickHouse's (and
+    Spark's own) ``GROUP BY ALL`` expansion rule.  Used to spell the
+    grouping columns out when a construct needs them textually
+    (GROUP BY ALL WITH TOTALS)."""
+    spans = _literal_spans(sql)
+    m_sel = re.match(r"(?is)\s*SELECT\s+(DISTINCT\s+)?", sql)
+    if not m_sel:
+        return []
+    # depth-0 FROM ends the select list
+    depth, j, from_pos = 0, m_sel.end(), None
+    while j < len(sql):
+        if _in_spans(spans, j):
+            j += 1
+            continue
+        ch = sql[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "Ff"
+            and re.match(r"FROM\b", sql[j:], re.IGNORECASE)
+            and not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+        ):
+            from_pos = j
+            break
+        j += 1
+    if from_pos is None:
+        return []
+    items, buf, d2 = [], [], 0
+    for k in range(m_sel.end(), from_pos):
+        if _in_spans(spans, k):
+            buf.append(sql[k])
+            continue
+        c = sql[k]
+        if c == "(":
+            d2 += 1
+        elif c == ")":
+            d2 -= 1
+        if c == "," and d2 == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    items.append("".join(buf))
+    out: list[str] = []
+    for it in items:
+        has_agg = any(
+            re.search(rf"(?i)\b{re.escape(fn)}\s*\(", t)
+            for lit, t in _split_quoted(it)
+            if not lit
+            for fn in _SPARK_AGG_NAMES
+        ) or re.search(r"(?i)\bcount\s*\(\s*\*", it)
+        if has_agg:
+            continue
+        expr = re.sub(r"(?is)\s+AS\s+`?\w+`?\s*$", "", it.strip()).strip()
+        if expr:
+            out.append(expr)
+    return out
+
+
+def _expand_group_by_all_totals(sql: str) -> str:
+    """``GROUP BY ALL WITH TOTALS`` → ``GROUP BY <non-agg select
+    items> WITH TOTALS`` (the TOTALS pass then turns that into
+    GROUPING SETS).  ALL must expand against the select list of the
+    statement that CONTAINS the clause: a depth-0 match uses the
+    outermost list; a match inside a derived table recurses into the
+    enclosing paren (the _rewrite_limit_by splice).  Plain GROUP BY
+    ALL without TOTALS stays Spark-native and untouched."""
+    spans = _literal_spans(sql)
+    m = None
+    for cand in re.finditer(r"(?is)\bGROUP BY\s+ALL\s+WITH TOTALS\b", sql):
+        if not _in_spans(spans, cand.start()):
+            m = cand
+            break
+    if m is None:
+        return sql
+    depth = 0
+    open_stack: list[int] = []
+    for j in range(m.start()):
+        if _in_spans(spans, j):
+            continue
+        if sql[j] == "(":
+            depth += 1
+            open_stack.append(j)
+        elif sql[j] == ")":
+            depth -= 1
+            if open_stack:
+                open_stack.pop()
+    if depth != 0:
+        if not open_stack:
+            return sql
+        open_pos = open_stack[-1]
+        d2, k = 1, open_pos + 1
+        while k < len(sql) and d2:
+            if not _in_spans(spans, k):
+                if sql[k] == "(":
+                    d2 += 1
+                elif sql[k] == ")":
+                    d2 -= 1
+            k += 1
+        if d2:
+            return sql
+        close = k - 1
+        inner = sql[open_pos + 1 : close]
+        new_inner = _expand_group_by_all_totals(inner)
+        if new_inner == inner:
+            return sql
+        return _expand_group_by_all_totals(
+            sql[: open_pos + 1] + new_inner + sql[close:]
+        )
+    cols = _non_aggregate_select_items(sql)
+    if not cols:
+        raise ValueError(
+            "GROUP BY ALL WITH TOTALS: no non-aggregate select "
+            "items to group by — spell the grouping columns"
+        )
+    return _expand_group_by_all_totals(
+        sql[: m.start()]
+        + f"GROUP BY {', '.join(cols)} WITH TOTALS"
+        + sql[m.end() :]
+    )
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """ClickHouse/Postgres ``SELECT DISTINCT ON (cols) …`` — one row
     per distinct ``cols`` tuple (probe battery 7).  Spark has no
@@ -3188,7 +3336,11 @@ def translate(sql: str) -> str:
     # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ()): the totals
     # row is the empty grouping set (its group columns read NULL, like
     # ClickHouse's zero-value row).  Non-greedy up to WITH TOTALS keeps
-    # trailing HAVING/ORDER BY/LIMIT intact.
+    # trailing HAVING/ORDER BY/LIMIT intact.  ``GROUP BY ALL WITH
+    # TOTALS`` (probe battery 8) first expands ALL to the
+    # non-aggregate select items — GROUPING SETS ((ALL), ()) is not a
+    # thing; plain GROUP BY ALL without TOTALS stays Spark-native.
+    out = _expand_group_by_all_totals(out)
     out = re.sub(
         r"GROUP BY\s+(.+?)\s+WITH TOTALS",
         r"GROUP BY GROUPING SETS ((\1), ())",

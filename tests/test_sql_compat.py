@@ -2378,6 +2378,102 @@ def test_probe_battery7_limit_offset_by(spark, b6):
     )
 
 
+def test_probe_battery8_r14_compositions(spark, b6):
+    """Probe battery 8 — COMPOSITIONS of the round-14 constructs with
+    the existing clause rewrites.  GROUP BY ALL WITH TOTALS was the
+    real bug found (the TOTALS rewrite emitted GROUPING SETS ((ALL),
+    ()) — ALL now expands to the non-aggregate select items first);
+    the rest pin that the combinations keep working."""
+    # GROUP BY ALL WITH TOTALS: ALL expands, totals row appears
+    assert translate(
+        "SELECT g, sum(v) AS s FROM b6_t GROUP BY ALL WITH TOTALS"
+    ) == "SELECT g, sum(v) AS s FROM b6_t GROUP BY GROUPING SETS ((g), ())"
+    rows = sorted(
+        (
+            (r.g, r.n, r.s)
+            for r in run(
+                spark,
+                "SELECT g, count() AS n, sum(v) AS s FROM b6_t "
+                "GROUP BY ALL WITH TOTALS",
+            ).collect()
+        ),
+        key=str,
+    )
+    assert rows == [
+        ("a", 2, 3.0),
+        ("b", 3, 12.0),
+        ("c", 1, 6.0),
+        (None, 6, 21.0),
+    ]
+    # expression select items expand too (alias stripped)
+    assert "GROUPING SETS ((upper(g)), ())" in translate(
+        "SELECT upper(g) AS gg, count() AS n FROM t GROUP BY ALL WITH TOTALS"
+    )
+    # DISTINCT ON over a QUALIFY subquery
+    got = sorted(
+        tuple(r)
+        for r in run(
+            spark,
+            "SELECT DISTINCT ON (g) g, v FROM (SELECT g, v FROM b6_t "
+            "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) <= 2) "
+            "ORDER BY g, v DESC",
+        ).collect()
+    )
+    assert got == [("a", 2.0), ("b", 4.0), ("c", 6.0)]
+    # DISTINCT ON over a LIMIT WITH TIES subquery
+    got = sorted(
+        tuple(r)
+        for r in run(
+            spark,
+            "SELECT DISTINCT ON (g) g, v FROM (SELECT g, v FROM b6_t "
+            "ORDER BY v LIMIT 4 WITH TIES) ORDER BY g, v",
+        ).collect()
+    )
+    assert got == [("a", 1.0), ("b", 3.0)]
+    # DISTINCT ON + PREWHERE
+    got = sorted(
+        tuple(r)
+        for r in run(
+            spark,
+            "SELECT DISTINCT ON (g) g, v FROM b6_t PREWHERE v > 1 "
+            "ORDER BY g, v",
+        ).collect()
+    )
+    assert got == [("a", 2.0), ("b", 3.0), ("c", 6.0)]
+    # DISTINCT ON with an EXPRESSION in the ON list
+    assert (
+        run(
+            spark,
+            "SELECT DISTINCT ON (g, id % 2) g, id, v FROM b6_t "
+            "ORDER BY g, id % 2, v DESC",
+        ).count()
+        == 5
+    )
+    # named WINDOW + QUALIFY referencing its output alias
+    got = sorted(
+        tuple(r)
+        for r in run(
+            spark,
+            "SELECT g, v, rank() OVER w AS r FROM b6_t "
+            "WINDOW w AS (PARTITION BY g ORDER BY v) QUALIFY r <= 1",
+        ).collect()
+    )
+    assert got == [("a", 1.0, 1), ("b", 3.0, 1), ("c", 6.0, 1)]
+    # WITH ROLLUP + HAVING on the aggregate alias
+    rows = sorted(
+        (
+            (r.g, r.n)
+            for r in run(
+                spark,
+                "SELECT g, count() AS n FROM b6_t GROUP BY g "
+                "WITH ROLLUP HAVING n > 1",
+            ).collect()
+        ),
+        key=str,
+    )
+    assert rows == [("a", 2), ("b", 3), (None, 6)]
+
+
 def test_advice_r13_rewrite_edge_cases(spark, b6):
     """ADVICE r13 regressions: (1) the text WITH TIES in a string
     literal / a CTE named ties / a subquery LIMIT WITH TIES must not
