@@ -857,23 +857,50 @@ def _rewrite_limit_by(sql: str) -> str:
                 sql[: open_pos + 1] + new_inner + sql[close:]
             )
         return sql
-    tail_m = re.match(
+    head_m = re.match(
         r"(?is)LIMIT\s+(?P<a>\d+)\s*"
         r"(?:,\s*(?P<b>\d+)\s+|OFFSET\s+(?P<off>\d+)\s+)?"
-        r"\s*BY\s+(?P<by>[\w`.\s,]+?)"
-        r"(?:\s+LIMIT\s+(?P<outer>\d+))?\s*;?\s*$",
+        r"\s*BY\s+",
         sql[limit_start:],
     )
-    if not tail_m:
+    if not head_m:
+        return sql
+    # the BY list may contain EXPRESSIONS (lower(g), id % 2) — scan
+    # balanced text up to a depth-0 trailing `LIMIT n` or statement
+    # end instead of a plain-column regex (probe battery 8)
+    by_start = limit_start + head_m.end()
+    j2, d3 = by_start, 0
+    by_end, outer_n = len(sql), None
+    while j2 < len(sql):
+        if _in_spans(spans, j2):
+            j2 += 1
+            continue
+        c3 = sql[j2]
+        if c3 == "(":
+            d3 += 1
+        elif c3 == ")":
+            d3 -= 1
+        elif (
+            d3 == 0
+            and c3 in "Ll"
+            and not (sql[j2 - 1].isalnum() or sql[j2 - 1] == "_")
+        ):
+            mo2 = re.match(r"LIMIT\s+(\d+)\s*;?\s*$", sql[j2:], re.IGNORECASE)
+            if mo2:
+                by_end, outer_n = j2, mo2.group(1)
+                break
+        j2 += 1
+    by_text = sql[by_start:by_end].strip().rstrip(";").strip()
+    if not by_text:
         return sql
     # ClickHouse offset forms: LIMIT off, n BY g  /  LIMIT n OFFSET
     # off BY g — skip the first `off` rows of each group
-    if tail_m.group("b") is not None:
-        skip, keep = int(tail_m.group("a")), int(tail_m.group("b"))
-    elif tail_m.group("off") is not None:
-        skip, keep = int(tail_m.group("off")), int(tail_m.group("a"))
+    if head_m.group("b") is not None:
+        skip, keep = int(head_m.group("a")), int(head_m.group("b"))
+    elif head_m.group("off") is not None:
+        skip, keep = int(head_m.group("off")), int(head_m.group("a"))
     else:
-        skip, keep = 0, int(tail_m.group("a"))
+        skip, keep = 0, int(head_m.group("a"))
     if order_start is not None and order_start < limit_start:
         body = sql[:order_start].strip()
         order = sql[order_kw_end:limit_start].strip()
@@ -881,8 +908,8 @@ def _rewrite_limit_by(sql: str) -> str:
         body = sql[:limit_start].strip()
         # with no ORDER BY, ClickHouse keeps an arbitrary n per group;
         # the BY columns as window order make that deterministic here
-        order = tail_m.group("by")
-    outer = f" LIMIT {tail_m.group('outer')}" if tail_m.group("outer") else ""
+        order = by_text
+    outer = f" LIMIT {outer_n}" if outer_n else ""
     body = _rewrite_limit_by(body)  # a second LIMIT BY in a subquery
     # the window evaluates OVER the wrapped body (__lb), whose output
     # columns are unqualified — table qualifiers from the original
@@ -895,7 +922,7 @@ def _rewrite_limit_by(sql: str) -> str:
             for lit, t in _split_quoted(text)
         )
 
-    by = _strip_quals(tail_m.group("by"))
+    by = _strip_quals(by_text)
     order = _strip_quals(order)
     return (
         f"SELECT * EXCEPT (__rn) FROM (SELECT __lb.*, row_number() OVER "

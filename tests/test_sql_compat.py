@@ -2472,6 +2472,31 @@ def test_probe_battery8_r14_compositions(spark, b6):
         key=str,
     )
     assert rows == [("a", 2), ("b", 3), (None, 6)]
+    # LIMIT BY over an EXPRESSION list (the plain-column regex used to
+    # pass these through unrewritten, a guaranteed Spark parse error)
+    got = sorted(
+        tuple(r)
+        for r in run(
+            spark,
+            "SELECT g, id, v FROM b6_t ORDER BY v DESC "
+            "LIMIT 1 BY g, id % 2",
+        ).collect()
+    )
+    assert got == [
+        ("a", 1, 1.0),
+        ("a", 2, 2.0),
+        ("b", 4, 4.0),
+        ("b", 5, 5.0),
+        ("c", 6, 6.0),
+    ]
+    got2 = sorted(
+        tuple(r)
+        for r in run(
+            spark,
+            "SELECT g, v FROM b6_t ORDER BY v LIMIT 1 BY upper(g) LIMIT 2",
+        ).collect()
+    )
+    assert len(got2) == 2 and got2[0] == ("a", 1.0)
 
 
 def test_advice_r13_rewrite_edge_cases(spark, b6):
