@@ -885,3 +885,79 @@ def test_limit_with_ties_matches_python_model(spark):
         cutoff = sorted(v for _, v in rows)[n - 1]
         want = sorted((i, v) for i, v in rows if v <= cutoff)
         assert got == want, (trial, n, cutoff)
+
+
+def test_limit_offset_by_matches_python_model(spark):
+    """LIMIT n OFFSET m BY g (and the comma form) over random
+    duplicate-heavy data vs the direct python model: per group sorted
+    by the statement ORDER BY (id tiebreak), skip m, keep n."""
+    import random
+
+    from clickhub_spark.sql_compat import run
+
+    rng = random.Random(14014)
+    for trial in range(4):
+        rows = [
+            (i, rng.randint(0, 3), rng.randint(0, 9))
+            for i in range(rng.randint(4, 30))
+        ]
+        m, n = rng.randint(0, 2), rng.randint(1, 3)
+        spark.createDataFrame(
+            rows, "id int, g int, v int"
+        ).createOrReplaceTempView("prop_lob")
+        form = (
+            f"LIMIT {n} OFFSET {m} BY g"
+            if trial % 2
+            else f"LIMIT {m}, {n} BY g"
+        )
+        got = sorted(
+            (r.id, r.g, r.v)
+            for r in run(
+                spark,
+                f"SELECT id, g, v FROM prop_lob ORDER BY v, id {form}",
+            ).collect()
+        )
+        want = []
+        for g in {g for _, g, _ in rows}:
+            grp = sorted(
+                ((i, gg, v) for i, gg, v in rows if gg == g),
+                key=lambda t: (t[2], t[0]),
+            )
+            want.extend(grp[m : m + n])
+        assert got == sorted(want), (trial, form)
+
+
+def test_distinct_on_matches_python_model(spark):
+    """DISTINCT ON (g) over random data vs the direct python model:
+    one row per g — the first under the statement ORDER BY."""
+    import random
+
+    from clickhub_spark.sql_compat import run
+
+    rng = random.Random(16016)
+    for trial in range(4):
+        rows = [
+            (i, rng.randint(0, 4), rng.randint(0, 9))
+            for i in range(rng.randint(3, 25))
+        ]
+        spark.createDataFrame(
+            rows, "id int, g int, v int"
+        ).createOrReplaceTempView("prop_don")
+        desc = "DESC" if trial % 2 else ""
+        got = sorted(
+            (r.g, r.v, r.id)
+            for r in run(
+                spark,
+                f"SELECT DISTINCT ON (g) g, v, id FROM prop_don "
+                f"ORDER BY g, v {desc}, id",
+            ).collect()
+        )
+        want = []
+        for g in {g for _, g, _ in rows}:
+            grp = sorted(
+                ((i, gg, v) for i, gg, v in rows if gg == g),
+                key=lambda t: (-t[2] if trial % 2 else t[2], t[0]),
+            )
+            i0, g0, v0 = grp[0]
+            want.append((g0, v0, i0))
+        assert got == sorted(want), trial
