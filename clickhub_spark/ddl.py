@@ -219,6 +219,17 @@ def create_statement(td: TableDef) -> str:
     return out
 
 
+def _check_partition_value(value: str) -> None:
+    """A partition value names a FILESYSTEM DIRECTORY
+    (``_partition_id=<value>``): reject path metacharacters so a
+    quoted value like ``'202401/..'`` cannot traverse out of the data
+    dir (rmtree-ing the whole table).  Hive partition values here come
+    from ``CAST(<partition expr> AS STRING)`` — word chars, dots and
+    dashes cover every real value; anything else is hostile input."""
+    if not value or not re.fullmatch(r"[\w.\-]+", value) or ".." in value:
+        raise DdlError(f"invalid partition value {value!r}")
+
+
 def _split_top(text: str, sep: str = ",") -> list[str]:
     """Split at top-level ``sep`` — nested parens and single-quoted
     strings (with backslash escapes) are opaque."""
@@ -1320,11 +1331,15 @@ class Warehouse:
         cutoff).  Whole-directory removal is atomic from a reader's
         LISTING perspective; in-flight readers of the dropped
         partition fail like any vacuumed table — run during a
-        maintenance window, same as the reference."""
+        maintenance window, same as the reference.  The value is
+        validated against path traversal before any filesystem use
+        ('202401/..' would otherwise resolve to the data dir itself
+        and rmtree the whole table)."""
         import shutil as _shutil
 
         db, name = m.group(1) or "default", m.group(2)
         value = m.group(3) if m.group(3) is not None else m.group(4)
+        _check_partition_value(value)
         td = self._require(f"{db}.{name}")
         if td.partition_expr is None:
             raise DdlError("DROP PARTITION requires a PARTITION BY table")
@@ -1371,16 +1386,26 @@ class Warehouse:
         td = self._require(f"{db}.{name}")
         kind, rest = m.group(3).upper(), m.group(4).strip()
         in_partition: str | None = None
-        pm = re.match(
-            r"(?is)(.*?)\s*\bIN\s+PARTITION\s+(?:'([^']*)'|(\w+))"
-            r"\s+(WHERE\s+.*)$",
+        from clickhub_spark.sql_compat import _in_spans, _literal_spans
+
+        pm = None
+        rest_spans = _literal_spans(rest)
+        for cand in re.finditer(
+            r"(?is)\bIN\s+PARTITION\s+(?:'([^']*)'|(\w+))\s+(?=WHERE\s)",
             rest,
-        )
+        ):
+            # the keyword inside a string literal is data, not clause
+            # (a predicate like note = 'IN PARTITION 5 WHERE x' must
+            # not silently rescope the mutation)
+            if not _in_spans(rest_spans, cand.start()):
+                pm = cand
+                break
         if pm:
-            in_partition = pm.group(2) if pm.group(2) is not None else pm.group(3)
-            rest = (pm.group(1).strip() + " " + pm.group(4).strip()).strip()
+            in_partition = pm.group(1) if pm.group(1) is not None else pm.group(2)
+            rest = (rest[: pm.start()].strip() + " " + rest[pm.end():].strip()).strip()
             if td.partition_expr is None:
                 raise DdlError("IN PARTITION requires a PARTITION BY table")
+            _check_partition_value(in_partition)
         if kind == "DELETE":
             wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
             if not wm:
@@ -1432,12 +1457,14 @@ class Warehouse:
                 n = delete_where_partitioned(
                     spark, data, "_partition_id", [in_partition],
                     F.coalesce(F.expr(pred_sql), F.lit(False)),
+                    sort_cols=list(td.order_by),
                 )
             else:
                 n = update_where_partitioned(
                     spark, data, "_partition_id", [in_partition],
                     F.coalesce(F.expr(pred_sql), F.lit(False)),
                     {c: F.expr(_translate(e)) for c, e in assigns.items()},
+                    sort_cols=list(td.order_by),
                 )
             self._bump_catalog()
             return f"mutated partition {in_partition} to {n}"

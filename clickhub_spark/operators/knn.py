@@ -139,8 +139,12 @@ def build_ivf_index(
     n = emb.count()
     if train_rows and n > train_rows:
         # deterministic 1-in-mod hash sample on the id — same rows
-        # every build, no full sort, no driver-side collection
-        mod = max(int(n // train_rows), 1)
+        # every build, no full sort, no driver-side collection.
+        # CEILING division: floor would let the sample run up to
+        # ~2x train_rows (and the FULL corpus for train_rows < n <
+        # 2*train_rows, reintroducing the fit this bound exists to
+        # avoid)
+        mod = max(-(-n // train_rows), 1)
         train = feats.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
         )

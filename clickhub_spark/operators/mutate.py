@@ -96,23 +96,54 @@ def recover_table(path: str, old: str | None = None) -> bool:
 
 
 def _rewrite(
-    spark: SparkSession, path: str, transform, scratch_base: str | None = None
+    spark: SparkSession,
+    path: str,
+    transform,
+    scratch_base: str | None = None,
+    sort_cols: list[str] | None = None,
+    compression: str | None = None,
 ) -> int:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     base = scratch_base or path
     recover_table(path, old=f"{base}.__old")
+    _clean_stale_tmps(base)
     df = spark.read.parquet(path)
     # count observed ON the write job (the incremental_append pattern):
     # a separate count() action would run the full transform twice
     obs = Observation()
-    out = transform(df).observe(obs, F.count(F.lit(1)).alias("n"))
+    out = transform(df)
+    if sort_cols:
+        # keep the MergeTree sorted-parts invariant through the
+        # rewrite (the whole-table route gets this from compact)
+        out = out.sortWithinPartitions(*sort_cols)
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
     tmp = f"{base}.__mutating_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.parquet(tmp)
     n = obs.get["n"]
     _swap(path, tmp, base=base)
     return n
+
+
+def _clean_stale_tmps(base: str) -> None:
+    """Remove stranded scratch generations from CRASHED swaps: a death
+    between the atomic exchange and the ``.__prev`` park leaves the
+    displaced data at a random ``.__mutating_``/``.__compact_`` name
+    that no reader needs (the table itself is intact after the
+    exchange) but that leaks disk and makes Warehouse.read's
+    swap-in-flight wait heuristic spin.  Safe under the documented
+    single-mutator contract: any such sibling existing when a NEW
+    mutation starts must be a crash leftover."""
+    import glob as _glob
+
+    for stale in _glob.glob(f"{base}.__mutating_*") + _glob.glob(
+        f"{base}.__compact_*"
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def _swap(path: str, tmp: str, base: str | None = None) -> None:
@@ -172,6 +203,7 @@ def _mutate_partitions(
     partition_col: str,
     values: list,
     transform,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Partition-pruned mutation on a hive-layout table
     (``<path>/<partition_col>=<value>/``): rewrite ONLY the partitions
@@ -202,6 +234,8 @@ def _mutate_partitions(
                 df.withColumn(partition_col, F.lit(_v))
             ).drop(partition_col),
             scratch_base=scratch,
+            sort_cols=sort_cols,
+            compression="zstd",
         )
     return total
 
@@ -212,13 +246,15 @@ def delete_where_partitioned(
     partition_col: str,
     values: list,
     predicate: Column,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """DELETE … WHERE on a hive-partitioned table touching only the
     ``values`` partitions (see ``_mutate_partitions``).  The predicate
     may reference ``partition_col``.  Returns surviving rows in the
     touched partitions."""
     return _mutate_partitions(
-        spark, path, partition_col, values, lambda df: df.where(~predicate)
+        spark, path, partition_col, values,
+        lambda df: df.where(~predicate), sort_cols=sort_cols,
     )
 
 
@@ -229,6 +265,7 @@ def update_where_partitioned(
     values: list,
     predicate: Column,
     assignments: dict[str, Column],
+    sort_cols: list[str] | None = None,
 ) -> int:
     """UPDATE … WHERE on a hive-partitioned table touching only the
     ``values`` partitions (see ``_mutate_partitions``).  All
@@ -248,7 +285,9 @@ def update_where_partitioned(
             ]
         )
 
-    return _mutate_partitions(spark, path, partition_col, values, transform)
+    return _mutate_partitions(
+        spark, path, partition_col, values, transform, sort_cols=sort_cols
+    )
 
 
 def insert_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:

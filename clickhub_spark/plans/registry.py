@@ -53,13 +53,15 @@ ROUND_PRIORITY = [
     # `python tools/staleness.py`:
     # 1: new round-14 registrations are inserted at the TOP of this
     #    list as they land (never-checked names must sit inside the
-    #    ~50-name driver window; keep new registrations <= 13 so the
-    #    37 r6 names below stay inside the window);
+    #    ~50-name driver window; with 5 new registrations landed, 42
+    #    of the 50 slots are new+r6 — at most 13 new registrations
+    #    total keep the 37 r6 names below inside the window);
     # 2: the full 37-name r6 block (at exactly 8-rounds stale if
     #    skipped — the r9-skip backlog tail) leads;
-    # 3: r7 names fill the remainder of the window (13 of 44; the 31
-    #    deferred sit at 7-rounds stale and MUST lead the round-15
-    #    window — the backlog fully drains at r15);
+    # 3: r7 names fill the remainder of the window (8 of 44 with the
+    #    5 new registrations; the 36 deferred sit at 8-rounds stale in
+    #    the r15 simulation and MUST lead the round-15 window — 14
+    #    slots remain there for new r15 registrations);
     # 4: everything else oldest-first (r7 remainder, r9, r10, r11,
     #    r12, r13), name-sorted within a round for determinism.
     # ---

@@ -214,9 +214,10 @@ def compact(
     import shutil
     import uuid
 
-    from clickhub_spark.operators.mutate import recover_table
+    from clickhub_spark.operators.mutate import _clean_stale_tmps, recover_table
 
     recover_table(path)  # a previous swap may have died mid-rename
+    _clean_stale_tmps(path)  # crash-stranded scratch generations
     df = spark.read.parquet(path)
     if transform is not None:
         # OPTIMIZE TABLE … FINAL/DEDUPLICATE (ddl.py): the merge pass

@@ -893,6 +893,25 @@ def _rewrite_limit_by(sql: str) -> str:
     by_text = sql[by_start:by_end].strip().rstrip(";").strip()
     if not by_text:
         return sql
+    # any depth-0 clause keyword left in the BY text means the tail
+    # is a form this rewrite does not support (LIMIT n OFFSET m,
+    # SETTINGS, FORMAT after the BY list): pass the SQL through
+    # unchanged rather than swallowing the clause into PARTITION BY
+    for m_kw in re.finditer(
+        r"(?i)\b(LIMIT|OFFSET|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT)\b",
+        by_text,
+    ):
+        d4 = 0
+        bad = True
+        for k4 in range(m_kw.start()):
+            if by_text[k4] == "(":
+                d4 += 1
+            elif by_text[k4] == ")":
+                d4 -= 1
+        if d4 != 0:
+            bad = False  # inside an expression's parens: fine
+        if bad and not _in_spans(_literal_spans(by_text), m_kw.start()):
+            return sql
     # ClickHouse offset forms: LIMIT off, n BY g  /  LIMIT n OFFSET
     # off BY g — skip the first `off` rows of each group
     if head_m.group("b") is not None:
@@ -1114,7 +1133,15 @@ def _non_aggregate_select_items(sql: str) -> list[str]:
             if not lit
             for fn in _SPARK_AGG_NAMES
         ) or re.search(r"(?i)\bcount\s*\(\s*\*", it)
-        if has_agg:
+        # WINDOW expressions are excluded from GROUP BY ALL too (both
+        # ClickHouse's and Spark's own rule) — a window fn inside
+        # GROUP BY is illegal SQL
+        has_window = any(
+            re.search(r"(?i)\bOVER\b", t)
+            for lit, t in _split_quoted(it)
+            if not lit
+        )
+        if has_agg or has_window:
             continue
         expr = re.sub(r"(?is)\s+AS\s+`?\w+`?\s*$", "", it.strip()).strip()
         if expr:
@@ -1302,7 +1329,7 @@ def _rewrite_distinct_on(sql: str) -> str:
     inner = (
         f"{head}{select_list}, row_number() OVER "
         f"(PARTITION BY {on_cols} ORDER BY {worder}) AS __don "
-        f"{rest[from_pos:body_end].strip()}"
+        f"{rest[from_pos:body_end].strip().rstrip(';').strip()}"
     )
     out = (
         f"SELECT * EXCEPT (__don) FROM ({inner.strip()}) __don_q "

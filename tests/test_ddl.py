@@ -552,6 +552,61 @@ def test_mutations_in_partition_and_drop_partition(spark, wh):
         )
     with pytest.raises(DdlError, match="PARTITION BY"):
         wh.execute("ALTER TABLE git.nop DROP PARTITION '1'")
+    # review r14: a partition value names a filesystem dir — path
+    # metacharacters would traverse out and rmtree the whole table
+    for hostile in ("202401/..", "../../x", "a/b"):
+        with pytest.raises(DdlError, match="invalid partition value"):
+            wh.execute(f"ALTER TABLE git.pm DROP PARTITION '{hostile}'")
+        with pytest.raises(DdlError, match="invalid partition value"):
+            wh.execute(
+                f"ALTER TABLE git.pm DELETE IN PARTITION '{hostile}' "
+                "WHERE k = 1",
+                spark=spark,
+            )
+    # review r14: the IN PARTITION keyword inside a STRING LITERAL is
+    # data — it must not silently rescope the mutation
+    wh.execute(
+        "CREATE TABLE git.lit (`k` Int64, `time` DateTime, `note` String) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(time) ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO git.lit (k, time, note) VALUES "
+        "(1, '2024-01-05 00:00:00', 'keep IN PARTITION 5 WHERE x'), "
+        "(2, '2024-02-01 00:00:00', 'b')",
+        spark=spark,
+    )
+    wh.execute(
+        "ALTER TABLE git.lit DELETE WHERE "
+        "note = 'keep IN PARTITION 5 WHERE x'",
+        spark=spark,
+    )
+    assert {r.k for r in wh.read(spark, "git.lit").collect()} == {2}
+    # review r14: a pruned mutation keeps the partition SORTED on the
+    # ORDER BY key (the MergeTree sorted-parts invariant)
+    wh.execute(
+        "INSERT INTO git.lit (k, time, note) VALUES "
+        "(9, '2024-02-02 00:00:00', 'c'), (5, '2024-02-03 00:00:00', 'd')",
+        spark=spark,
+    )
+    wh.execute(
+        "ALTER TABLE git.lit UPDATE note = 'e' IN PARTITION '202402' "
+        "WHERE k >= 0",
+        spark=spark,
+    )
+    import glob as _glob
+
+    part_files = sorted(
+        _glob.glob(
+            os.path.join(
+                wh.root, "git", "lit", "data", "_partition_id=202402",
+                "*.parquet",
+            )
+        )
+    )
+    assert part_files
+    for f in part_files:  # each rewritten file internally sorted on k
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks), (f, ks)
 
 
 # --- round-12 session 3: warehouse statement surface -------------------------

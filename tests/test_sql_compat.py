@@ -2497,6 +2497,19 @@ def test_probe_battery8_r14_compositions(spark, b6):
         ).collect()
     )
     assert len(got2) == 2 and got2[0] == ("a", 1.0)
+    # review r14: an UNSUPPORTED tail after the BY list passes
+    # through unchanged instead of being swallowed into PARTITION BY
+    q = "SELECT g, v FROM t ORDER BY v LIMIT 2 BY g LIMIT 10 OFFSET 5"
+    assert translate(q) == q
+    # review r14: DISTINCT ON tolerates a trailing semicolon
+    assert ";" not in translate("SELECT DISTINCT ON (k) k, v FROM t;")
+    # review r14: window expressions are excluded from the GROUP BY
+    # ALL expansion (a window fn inside GROUP BY is illegal SQL)
+    out = translate(
+        "SELECT k, row_number() OVER (ORDER BY sum(v)) AS rn, "
+        "sum(v) AS s FROM t GROUP BY ALL WITH TOTALS"
+    )
+    assert "GROUPING SETS ((k), ())" in out, out
 
 
 def test_advice_r13_rewrite_edge_cases(spark, b6):

@@ -33,12 +33,16 @@ def main() -> None:
         "note": (
             "Final-tree verification (sequence per the verify skill: "
             "plan_guard refresh + empty fingerprint diff first, then "
-            "full pytest, then the oracle gates). 331 registered "
-            "queries, 3 new this round: q_ch_sql_battery7/7b/7c "
+            "full pytest, then the oracle gates). 333 registered "
+            "queries, 5 new this round: q_ch_sql_battery7/7b/7c "
             "(probe battery 7 — GROUP BY WITH ROLLUP/CUBE modifier "
             "spelling, GROUP BY ALL, named WINDOW clause, DISTINCT "
             "ON rewrite, LIMIT n OFFSET m BY — each with an "
-            "INDEPENDENT DuckDB-native oracle). Five ADVICE r13 "
+            "INDEPENDENT DuckDB-native oracle), q_ch_sql_battery8 "
+            "(GROUP BY ALL WITH TOTALS — the battery-8 composition "
+            "that found a real expansion bug), and q_ch_ddl_partition "
+            "(IN PARTITION mutations + DROP PARTITION, hand-computed "
+            "oracle). Five ADVICE r13 "
             "defects fixed (WITH TIES false positives, UPDATE "
             "pre-mutation assignment order, window-position -If "
             "combinators, nested any() renders, strict HTTP "
