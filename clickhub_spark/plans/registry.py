@@ -47,78 +47,24 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # driver row is older than round 4 (VERDICT r9 item 2's done
 # criterion).
 ROUND_PRIORITY = [
-    # --- ROUND-14 WINDOW (VERDICT r13 item 1; the rotation gate in
-    # tests/test_registry.py was RED on the r13 final tree demanding
+    # --- ROUND-15 WINDOW (VERDICT r14 item 1; the rotation gate in
+    # tests/test_registry.py was RED on the r14 final tree demanding
     # exactly this).  Regenerated oldest-driver-row-first from
     # `python tools/staleness.py`:
-    # 1: new round-14 registrations are inserted at the TOP of this
+    # 1: new round-15 registrations are inserted at the TOP of this
     #    list as they land (never-checked names must sit inside the
-    #    ~50-name driver window; with 5 new registrations landed, 42
-    #    of the 50 slots are new+r6 — at most 13 new registrations
-    #    total keep the 37 r6 names below inside the window);
-    # 2: the full 37-name r6 block (at exactly 8-rounds stale if
-    #    skipped — the r9-skip backlog tail) leads;
-    # 3: r7 names fill the remainder of the window (8 of 44 with the
-    #    5 new registrations; the 36 deferred sit at 8-rounds stale in
-    #    the r15 simulation and MUST lead the round-15 window — 14
-    #    slots remain there for new r15 registrations);
-    # 4: everything else oldest-first (r7 remainder, r9, r10, r11,
-    #    r12, r13), name-sorted within a round for determinism.
+    #    ~50-name driver window; at most 14 new registrations keep
+    #    the full 36-name r7 block below inside the window);
+    # 2: the 36-name r7 block (at exactly 8-rounds stale if skipped
+    #    — the LAST of the r9-skip backlog) leads;
+    # 3: r9 names fill the remainder of the window (~14-N of 48 with
+    #    N new registrations), pre-draining the 48-name r9 block so
+    #    the r16 window (r9 remainder + new) fits in 50 slots
+    #    (VERDICT r14 item 7: steady state from here is <=7);
+    # 4: everything else oldest-first (r10, r11, r12, r13, r14),
+    #    name-sorted within a round for determinism.
     # ---
-    # round-14 NEW registrations (probe battery 7: GROUP BY modifiers,
-    # DISTINCT ON, LIMIT OFFSET BY, named WINDOW clause):
-    "q_ch_sql_battery7",
-    "q_ch_sql_battery7b",
-    "q_ch_sql_battery7c",
-    "q_ch_ddl_partition",
-    "q_ch_sql_battery8",
-    # --- last driver row r6 (37 names) ---
-    "q_agg_mannwhitney_by",
-    "q_agg_moments",
-    "q_agg_quantiles_multi",
-    "q_agg_ttest",
-    "q_fn_datetime2",
-    "q_fn_dictget",
-    "q_fn_encode",
-    "q_fn_geo",
-    "q_fn_ip",
-    "q_fn_string2",
-    "q_llm_dataset_card",
-    "q_llm_docstore_join",
-    "q_llm_embed_quant",
-    "q_llm_importance_sample",
-    "q_llm_kmeans_assign",
-    "q_llm_ngram_lm",
-    "q_llm_quality_v2",
-    "q_llm_semdedup",
-    "q_llm_tfidf",
-    "q_mutate_delete",
-    "q_mutate_update",
-    "q_pivot",
-    "q_queue_fs",
-    "q_scan_bloom",
-    "q_scan_csv",
-    "q_scan_jsonl",
-    "q_scan_orc",
-    "q_scan_zorder",
-    "q_seq_count",
-    "q_sessionize",
-    "q_sort_global",
-    "q_system_parts",
-    "q_unpivot",
-    "q_win_locf",
-    "q_win_neighbor",
-    "q_win_nth",
-    "q_win_ntile",
-    # --- last driver row r7 (44 names) ---
-    "q_agg_auc",
-    "q_agg_contingency",
-    "q_agg_interval_length_sum",
-    "q_agg_lttb",
-    "q_agg_max_intersections",
-    "q_agg_moving_array",
-    "q_agg_ols",
-    "q_agg_quantile_weighted",
+    # --- last driver row r7 (36 names) ---
     "q_agg_resample",
     "q_agg_sample_group",
     "q_agg_summap",
@@ -407,6 +353,57 @@ ROUND_PRIORITY = [
     "q_win_rank",
     "q_win_running",
     "q_win_topn_group",
+    # --- last driver row r14 (50 names) ---
+    "q_agg_auc",
+    "q_agg_contingency",
+    "q_agg_interval_length_sum",
+    "q_agg_lttb",
+    "q_agg_mannwhitney_by",
+    "q_agg_max_intersections",
+    "q_agg_moments",
+    "q_agg_moving_array",
+    "q_agg_ols",
+    "q_agg_quantile_weighted",
+    "q_agg_quantiles_multi",
+    "q_agg_ttest",
+    "q_ch_ddl_partition",
+    "q_ch_sql_battery7",
+    "q_ch_sql_battery7b",
+    "q_ch_sql_battery7c",
+    "q_ch_sql_battery8",
+    "q_fn_datetime2",
+    "q_fn_dictget",
+    "q_fn_encode",
+    "q_fn_geo",
+    "q_fn_ip",
+    "q_fn_string2",
+    "q_llm_dataset_card",
+    "q_llm_docstore_join",
+    "q_llm_embed_quant",
+    "q_llm_importance_sample",
+    "q_llm_kmeans_assign",
+    "q_llm_ngram_lm",
+    "q_llm_quality_v2",
+    "q_llm_semdedup",
+    "q_llm_tfidf",
+    "q_mutate_delete",
+    "q_mutate_update",
+    "q_pivot",
+    "q_queue_fs",
+    "q_scan_bloom",
+    "q_scan_csv",
+    "q_scan_jsonl",
+    "q_scan_orc",
+    "q_scan_zorder",
+    "q_seq_count",
+    "q_sessionize",
+    "q_sort_global",
+    "q_system_parts",
+    "q_unpivot",
+    "q_win_locf",
+    "q_win_neighbor",
+    "q_win_nth",
+    "q_win_ntile",
 ]
 
 
