@@ -1082,8 +1082,33 @@ def _non_aggregate_select_items(sql: str) -> list[str]:
     no aggregate-function call, aliases stripped — ClickHouse's (and
     Spark's own) ``GROUP BY ALL`` expansion rule.  Used to spell the
     grouping columns out when a construct needs them textually
-    (GROUP BY ALL WITH TOTALS)."""
+    (GROUP BY ALL WITH TOTALS).  A leading depth-0 WITH clause is
+    skipped (balanced scan to the top-level SELECT) so CTE-prefixed
+    statements expand instead of raising (ADVICE r14)."""
     spans = _literal_spans(sql)
+    if re.match(r"(?is)\s*WITH\b", sql):
+        d, k, sel = 0, 0, None
+        while k < len(sql):
+            if _in_spans(spans, k):
+                k += 1
+                continue
+            c = sql[k]
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+            elif (
+                d == 0
+                and c in "Ss"
+                and not (k and (sql[k - 1].isalnum() or sql[k - 1] == "_"))
+                and re.match(r"SELECT\b", sql[k:], re.IGNORECASE)
+            ):
+                sel = k
+                break
+            k += 1
+        if sel is None:
+            return []
+        return _non_aggregate_select_items(sql[sel:])
     m_sel = re.match(r"(?is)\s*SELECT\s+(DISTINCT\s+)?", sql)
     if not m_sel:
         return []
@@ -1144,9 +1169,63 @@ def _non_aggregate_select_items(sql: str) -> list[str]:
         if has_agg or has_window:
             continue
         expr = re.sub(r"(?is)\s+AS\s+`?\w+`?\s*$", "", it.strip()).strip()
+        expr = _strip_implicit_alias(expr)
         if expr:
             out.append(expr)
     return out
+
+
+# tokens after which a trailing bare identifier is a CONTINUATION of
+# the expression, not an implicit alias (`x IS NULL`, `a OR b`,
+# `INTERVAL 1 day`, `CASE … END`), plus words that cannot BE an alias
+_ALIAS_STOP = frozenset(
+    "and or not in is like ilike between case when then else end "
+    "null true false distinct interval cast exists all any "
+    "year years quarter quarters month months week weeks day days "
+    "hour hours minute minutes second seconds".split()
+)
+
+
+def _strip_implicit_alias(expr: str) -> str:
+    """Strip a trailing IMPLICIT column alias (``upper(g) gg`` — no
+    AS keyword), mirroring the AS-form strip: ClickHouse and Spark
+    both exclude the alias from GROUP BY ALL expansion (ADVICE r14:
+    the AS-only strip rendered ``GROUP BY GROUPING SETS ((upper(g)
+    gg), ())``).  A bare identifier is an alias only when the token
+    BEFORE it ends an expression (identifier, ``)``, ``]``, literal,
+    or number) — after an operator or connective keyword it is part
+    of the expression (``a + b``, ``x IS NULL``, ``INTERVAL 1
+    day``)."""
+    m = re.search(r"(?is)\s+(`?)([A-Za-z_]\w*)\1\s*$", expr)
+    if not m:
+        return expr
+    ident = m.group(2).lower()
+    if ident in _ALIAS_STOP:
+        return expr
+    head = expr[: m.start()].rstrip()
+    if not head:
+        return expr
+    spans = _literal_spans(expr)
+    if _in_spans(spans, m.start()):
+        return expr
+    # the identifier must sit at depth 0 of the item
+    d = 0
+    for k in range(m.start()):
+        if _in_spans(spans, k):
+            continue
+        if expr[k] in "([":
+            d += 1
+        elif expr[k] in ")]":
+            d -= 1
+    if d != 0:
+        return expr
+    last = head[-1]
+    if last in ")]'\"`" or last.isalnum() or last == "_":
+        tail_word = re.search(r"([A-Za-z_]\w*)$", head)
+        if tail_word and tail_word.group(1).lower() in _ALIAS_STOP:
+            return expr
+        return head
+    return expr
 
 
 def _expand_group_by_all_totals(sql: str) -> str:
@@ -1315,7 +1394,6 @@ def _rewrite_distinct_on(sql: str) -> str:
         raise ValueError("DISTINCT ON needs a SELECT … FROM statement")
     tail_start = order_pos if order_pos is not None else limit_pos
     body_end = tail_start if tail_start is not None else len(rest)
-    tail = rest[body_end:].strip().rstrip(";").strip()
     if order_pos is not None:
         wend = (
             limit_pos
@@ -1325,6 +1403,34 @@ def _rewrite_distinct_on(sql: str) -> str:
         worder = rest[order_kw_end:wend].strip().rstrip(";").strip()
     else:
         worder = on_cols
+    # outer tail: keep LIMIT verbatim, but keep only the ON-column
+    # ORDER BY terms — non-projected sort columns (the Postgres-
+    # canonical `ORDER BY u, ts DESC`) are unresolvable OUTSIDE the
+    # wrapper, and the window has already enforced the winner
+    # (ADVICE r14)
+    tail_parts = []
+    if order_pos is not None:
+        on_set = {
+            re.sub(r"\s+", " ", c.strip().strip("`")).lower()
+            for c in on_cols.split(",")
+        }
+        kept = []
+        for term in worder.split(","):
+            bare = re.sub(
+                r"(?is)\s+(ASC|DESC)\b(\s+NULLS\s+(FIRST|LAST))?\s*$",
+                "",
+                term.strip(),
+            )
+            bare = re.sub(
+                r"(?is)\s+NULLS\s+(FIRST|LAST)\s*$", "", bare
+            ).strip()
+            if re.sub(r"\s+", " ", bare.strip("`")).lower() in on_set:
+                kept.append(term.strip())
+        if kept:
+            tail_parts.append("ORDER BY " + ", ".join(kept))
+    if limit_pos is not None:
+        tail_parts.append(rest[limit_pos:].strip().rstrip(";").strip())
+    tail = " ".join(tail_parts)
     select_list = rest[:from_pos].strip().rstrip(",")
     inner = (
         f"{head}{select_list}, row_number() OVER "
@@ -1338,23 +1444,379 @@ def _rewrite_distinct_on(sql: str) -> str:
     return f"{out} {tail}" if tail else out
 
 
-def _rewrite_array_join_clause(sql: str) -> str:
-    """ClickHouse's ``[LEFT] ARRAY JOIN <expr> AS <alias>`` CLAUSE
-    (unnest-per-row; distinct from the arrayJoin() function) → Spark
-    ``LATERAL VIEW [OUTER] explode``.  LEFT keeps rows whose array is
-    empty/NULL (alias reads NULL) — exactly LATERAL VIEW OUTER."""
+def _sub_outside_literals(sql: str, pattern: str, repl: str) -> str:
+    """``re.sub`` applied only to the non-literal segments of ``sql``
+    (string literals pass through byte-identical).  For patterns whose
+    matches cannot straddle a literal boundary."""
+    return "".join(
+        seg if is_lit else re.sub(pattern, repl, seg, flags=re.IGNORECASE)
+        for is_lit, seg in _split_quoted(sql)
+    )
 
-    def repl(m: re.Match) -> str:
-        outer = "OUTER " if m.group("left") else ""
-        return (
-            f"LATERAL VIEW {outer}explode({m.group('expr')}) "
-            f"__aj_{m.group('alias')} AS {m.group('alias')}"
+
+def _rewrite_with_totals(sql: str) -> str:
+    """``GROUP BY <cols> WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((<cols>), ())``: the totals row is the empty grouping set (its
+    group columns read NULL, like ClickHouse's zero-value row).
+
+    Literal-guarded (VERDICT r14 finding 2: the old raw re.sub
+    corrupted ``SELECT 'GROUP BY g WITH TOTALS' AS s`` in place) and
+    paired with the NEAREST preceding GROUP BY at the same paren
+    depth (the old non-greedy match could absorb an intervening
+    subquery's GROUP BY).
+
+    A trailing HAVING is exempted for the totals row: ClickHouse
+    ALWAYS emits the totals row when WITH TOTALS is specified — under
+    the default ``totals_mode = 'before_having'`` its contents
+    aggregate ALL source rows, which is exactly what the empty
+    grouping set computes — so the predicate becomes ``(<pred>) OR
+    grouping_id() = 2^n - 1`` (the all-bits id only the totals row
+    carries).  Pinned against a hand-built UNION ALL oracle in probe
+    battery 9."""
+    spans = _literal_spans(sql)
+    m = None
+    for cand in re.finditer(r"(?is)\bWITH\s+TOTALS\b", sql):
+        if not _in_spans(spans, cand.start()):
+            m = cand
+            break
+    if m is None:
+        return sql
+
+    def depth_at(pos: int) -> int:
+        d = 0
+        for k in range(pos):
+            if _in_spans(spans, k):
+                continue
+            if sql[k] == "(":
+                d += 1
+            elif sql[k] == ")":
+                d -= 1
+        return d
+
+    m_depth = depth_at(m.start())
+    gb = None
+    for g in re.finditer(r"(?is)\bGROUP\s+BY\b", sql[: m.start()]):
+        if _in_spans(spans, g.start()):
+            continue
+        if depth_at(g.start()) == m_depth:
+            gb = g
+    if gb is None:
+        return sql  # stray WITH TOTALS — leave for Spark's parser
+    cols = sql[gb.end() : m.start()].strip()
+    # column count → the totals row's grouping_id() (all bits set)
+    cspans = _literal_spans(cols)
+    n, d = 1, 0
+    for k, c in enumerate(cols):
+        if _in_spans(cspans, k):
+            continue
+        if c in "([":
+            d += 1
+        elif c in ")]":
+            d -= 1
+        elif c == "," and d == 0:
+            n += 1
+    tail = sql[m.end() :]
+    mh = None
+    tspans = _literal_spans(tail)
+    for h in re.finditer(r"(?is)\bHAVING\b", tail):
+        if _in_spans(tspans, h.start()):
+            continue
+        d = 0
+        for k in range(h.start()):
+            if _in_spans(tspans, k):
+                continue
+            if tail[k] == "(":
+                d += 1
+            elif tail[k] == ")":
+                d -= 1
+        if d == 0:
+            mh = h
+        break
+    if mh is not None:
+        # predicate runs to the next depth-0 trailing clause
+        j, pred_end, d = mh.end(), len(tail), 0
+        end_kw = re.compile(
+            r"(?is)\b(ORDER\s+BY|LIMIT|WINDOW|QUALIFY|SETTINGS|FORMAT"
+            r"|UNION|INTERSECT|EXCEPT)\b"
         )
+        while j < len(tail):
+            if _in_spans(tspans, j):
+                j += 1
+                continue
+            c = tail[j]
+            if c == "(":
+                d += 1
+            elif c == ")":
+                if d == 0:
+                    pred_end = j
+                    break
+                d -= 1
+            elif c == ";" and d == 0:
+                pred_end = j
+                break
+            elif (
+                d == 0
+                and c.isalpha()
+                and not (tail[j - 1].isalnum() or tail[j - 1] == "_")
+                and end_kw.match(tail, j)
+            ):
+                pred_end = j
+                break
+            j += 1
+        pred = tail[mh.end() : pred_end].strip()
+        tail = (
+            tail[: mh.end()]
+            + f" ({pred}) OR grouping_id() = {2 ** n - 1} "
+            + tail[pred_end:]
+        )
+    out = (
+        sql[: gb.start()]
+        + f"GROUP BY GROUPING SETS (({cols}), ())"
+        + tail
+    )
+    return _rewrite_with_totals(out)
 
-    return re.sub(
-        r"(?is)\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)",
-        repl,
-        sql,
+
+_AJ_ITEM_END = re.compile(
+    r"(?is)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY"
+    r"|LIMIT|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT"
+    r"|(?:LEFT\s+)?ARRAY\s+JOIN"
+    r"|(?:INNER|CROSS)\s+JOIN|(?:FULL|RIGHT|LEFT)\s+(?:OUTER\s+)?JOIN"
+    r"|LEFT\s+(?:SEMI|ANTI)\s+JOIN|JOIN)\b"
+)
+
+
+def _rewrite_array_join_clause(sql: str) -> str:
+    """ClickHouse's ``[LEFT] ARRAY JOIN <items>`` CLAUSE (unnest one
+    row per array element; distinct from the arrayJoin() function) →
+    Spark ``LATERAL VIEW [OUTER] explode``.  LEFT keeps rows whose
+    array is empty/NULL (elements read NULL) — exactly LATERAL VIEW
+    OUTER.
+
+    Three forms (VERDICT r14 item 2 — the old single-regex render
+    mangled two of them and rewrote string literals):
+
+    - ``ARRAY JOIN arr AS a`` — in-place
+      ``LATERAL VIEW explode(arr) __aj_a AS a`` (original array stays
+      addressable, matching CH).
+    - ``ARRAY JOIN arr`` (bare: the element REPLACES the column in
+      scope, CH's most common spelling) — the relation is wrapped in
+      a subquery projecting ``* EXCEPT (arr, __aj_e0), __aj_e0 AS
+      arr`` because a LATERAL VIEW output column that shadows a base
+      column is AMBIGUOUS_REFERENCE in Spark.
+    - ``ARRAY JOIN arr1 AS a, arr2 AS b, …`` (multi: CH zips
+      POSITIONALLY and errors when lengths differ) — posexplode the
+      first array behind a CASE that ``raise_error``s on any length
+      mismatch (evaluated per input row, so unequal lengths fail even
+      when the anchor array is empty), then chain
+      ``LATERAL VIEW explode(array(element_at(arrK, __aj_pos + 1)))``
+      for the rest; the wrap hides ``__aj_pos`` from ``SELECT *``.
+
+    Matches inside string literals are skipped; a clause inside a
+    derived table recurses into the enclosing paren (the
+    _rewrite_qualify splice).  Bare non-column expressions raise, as
+    ClickHouse itself does ("No alias for non-trivial ARRAY JOIN").
+    Caveat (documented, loud): the wrapped forms hide base-relation
+    ALIASES from outer clauses — qualified references like ``t.col``
+    around a bare/multi ARRAY JOIN fail analysis; use plain column
+    names (CH queries conventionally do)."""
+    spans = _literal_spans(sql)
+    m = None
+    for cand in re.finditer(r"(?is)\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\b", sql):
+        if not _in_spans(spans, cand.start()):
+            m = cand
+            break
+    if m is None:
+        return sql
+    # depth>0 → recurse into the enclosing paren and splice back
+    depth = 0
+    open_stack: list[int] = []
+    for j in range(m.start()):
+        if _in_spans(spans, j):
+            continue
+        if sql[j] == "(":
+            depth += 1
+            open_stack.append(j)
+        elif sql[j] == ")":
+            depth -= 1
+            if open_stack:
+                open_stack.pop()
+    if depth != 0:
+        if not open_stack:
+            return sql
+        open_pos = open_stack[-1]
+        d2, k = 1, open_pos + 1
+        while k < len(sql) and d2:
+            if not _in_spans(spans, k):
+                if sql[k] == "(":
+                    d2 += 1
+                elif sql[k] == ")":
+                    d2 -= 1
+            k += 1
+        if d2:
+            return sql
+        close = k - 1
+        inner = sql[open_pos + 1 : close]
+        new_inner = _rewrite_array_join_clause(inner)
+        if new_inner == inner:
+            return sql
+        return _rewrite_array_join_clause(
+            sql[: open_pos + 1] + new_inner + sql[close:]
+        )
+    outer = "OUTER " if m.group("left") else ""
+    # the item list runs to the next depth-0 clause keyword / ';' / end
+    j, items_end = m.end(), len(sql)
+    d2 = 0
+    while j < len(sql):
+        if _in_spans(spans, j):
+            j += 1
+            continue
+        ch = sql[j]
+        if ch == "(":
+            d2 += 1
+        elif ch == ")":
+            d2 -= 1
+        elif d2 == 0:
+            if ch == ";":
+                items_end = j
+                break
+            if ch.isalpha() and (
+                j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+            ):
+                mk = _AJ_ITEM_END.match(sql, j)
+                if mk:
+                    items_end = j
+                    break
+        j += 1
+    items_text = sql[m.end() : items_end]
+    # split on depth-0 commas (literals inert)
+    item_spans = _literal_spans(items_text)
+    items, buf, d3 = [], [], 0
+    for k, c in enumerate(items_text):
+        if _in_spans(item_spans, k):
+            buf.append(c)
+            continue
+        if c == "(" or c == "[":
+            d3 += 1
+        elif c == ")" or c == "]":
+            d3 -= 1
+        if c == "," and d3 == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    items.append("".join(buf))
+    parsed: list[tuple[str, str | None]] = []  # (expr, alias|None)
+    for it in items:
+        it = it.strip()
+        if not it:
+            raise ValueError("ARRAY JOIN: empty item in the array list")
+        # rightmost depth-0 `AS <ident>` tail (CAST(x AS T) sits at
+        # depth>0 and is inert)
+        ispans = _literal_spans(it)
+        alias = None
+        d4 = 0
+        for k in range(len(it)):
+            if _in_spans(ispans, k):
+                continue
+            c = it[k]
+            if c == "(" or c == "[":
+                d4 += 1
+            elif c == ")" or c == "]":
+                d4 -= 1
+            elif (
+                d4 == 0
+                and c in "Aa"
+                and (k == 0 or not (it[k - 1].isalnum() or it[k - 1] == "_"))
+            ):
+                ma = re.match(r"(?is)AS\s+(`?)(\w+)\1\s*$", it[k:])
+                if ma:
+                    alias = ma.group(2)
+                    it = it[:k].strip()
+                    break
+        parsed.append((it, alias))
+    aliased_ok = all(a is not None for _, a in parsed)
+    if len(parsed) == 1 and aliased_ok:
+        expr, alias = parsed[0]
+        rendered = (
+            f"LATERAL VIEW {outer}explode({expr}) __aj_{alias} AS {alias}"
+        )
+        return _rewrite_array_join_clause(
+            sql[: m.start()] + rendered + " " + sql[items_end:]
+        )
+    # bare and/or multi items: wrap the FROM relation in a subquery so
+    # bare elements can shadow their source column and __aj_pos stays
+    # hidden.  Bare items must be simple (possibly qualified) columns.
+    for expr, alias in parsed:
+        if alias is None and not re.fullmatch(r"[\w.`]+", expr):
+            raise ValueError(
+                f"ARRAY JOIN: no alias for non-trivial expression "
+                f"{expr!r} — add AS <alias> (ClickHouse requires this "
+                f"too)"
+            )
+    # locate the depth-0 FROM that owns the clause (the last one
+    # before it at depth 0, outside literals)
+    from_m = None
+    for fc in re.finditer(r"(?is)\bFROM\b", sql[: m.start()]):
+        if _in_spans(spans, fc.start()):
+            continue
+        d5 = 0
+        for k in range(fc.start()):
+            if _in_spans(spans, k):
+                continue
+            if sql[k] == "(":
+                d5 += 1
+            elif sql[k] == ")":
+                d5 -= 1
+        if d5 == 0:
+            from_m = fc
+    if from_m is None:
+        raise ValueError("ARRAY JOIN: no FROM clause to attach to")
+    rel = sql[from_m.end() : m.start()].strip()
+    gen_names = [
+        a if a is not None else f"__aj_e{i}"
+        for i, (_, a) in enumerate(parsed)
+    ]
+    lvs = []
+    if len(parsed) == 1:
+        lvs.append(
+            f"LATERAL VIEW {outer}explode({parsed[0][0]}) __aj0 "
+            f"AS {gen_names[0]}"
+        )
+        hidden = []
+    else:
+        checks = " OR ".join(
+            f"size({e}) <> size({parsed[0][0]})" for e, _ in parsed[1:]
+        )
+        anchor = (
+            f"CASE WHEN {checks} THEN raise_error('ARRAY JOIN: arrays "
+            f"must have identical sizes') ELSE {parsed[0][0]} END"
+        )
+        lvs.append(
+            f"LATERAL VIEW {outer}posexplode({anchor}) __aj0 "
+            f"AS __aj_pos, {gen_names[0]}"
+        )
+        for i, (e, _) in enumerate(parsed[1:], start=1):
+            lvs.append(
+                f"LATERAL VIEW explode(array(element_at({e}, "
+                f"__aj_pos + 1))) __aj{i} AS {gen_names[i]}"
+            )
+        hidden = ["__aj_pos"]
+    except_cols = list(hidden)
+    reproj = []
+    for i, (e, a) in enumerate(parsed):
+        if a is None:
+            col = e.split(".")[-1].strip("`")
+            except_cols.extend([col, gen_names[i]])
+            reproj.append(f"{gen_names[i]} AS {col}")
+    proj = "*"
+    if except_cols:
+        proj = f"* EXCEPT ({', '.join(except_cols)})"
+    if reproj:
+        proj += ", " + ", ".join(reproj)
+    subq = f"(SELECT {proj} FROM {rel} {' '.join(lvs)}) __aj_sq"
+    return _rewrite_array_join_clause(
+        sql[: from_m.start()] + f"FROM {subq} " + sql[items_end:]
     )
 
 
@@ -3395,18 +3857,15 @@ def translate(sql: str) -> str:
     # non-aggregate select items — GROUPING SETS ((ALL), ()) is not a
     # thing; plain GROUP BY ALL without TOTALS stays Spark-native.
     out = _expand_group_by_all_totals(out)
-    out = re.sub(
-        r"GROUP BY\s+(.+?)\s+WITH TOTALS",
-        r"GROUP BY GROUPING SETS ((\1), ())",
-        out,
-        flags=re.IGNORECASE | re.DOTALL,
-    )
+    out = _rewrite_with_totals(out)
     # now() is identical.  FINAL: route `<table> FINAL` to the
     # registered `<table>_final` dedup view (catalog.register_final_views)
     # so the ReplacingMergeTree read semantics survive translation; a
     # bare trailing FINAL with no preceding table name is dropped.
-    out = re.sub(r"\b(\w+)\s+FINAL\b", r"\1_final", out)
-    out = re.sub(r"\bFINAL\b", "", out)
+    # Both subs are literal-guarded (VERDICT r14 finding 2: `SELECT
+    # 'run OPTIMIZE TABLE t FINAL now'` was corrupted in place).
+    out = _sub_outside_literals(out, r"\b(\w+)\s+FINAL\b", r"\1_final")
+    out = _sub_outside_literals(out, r"\bFINAL\b", "")
     # [1, 2, 3] array literals → array(1, 2, 3); x[1] subscripts kept
     out = _rewrite_array_literals(out)
     # --- statement-level passes (round-12 probe battery 3) ---

@@ -961,3 +961,62 @@ def test_distinct_on_matches_python_model(spark):
             i0, g0, v0 = grp[0]
             want.append((g0, v0, i0))
         assert got == sorted(want), trial
+
+
+# --- translate() literal-preservation property (VERDICT r14 item 3) ---
+# Every rewrite pass must leave string literals byte-identical; the
+# ARRAY JOIN / WITH TOTALS / FINAL passes each corrupted keyword-
+# bearing literals before round 15.  The strategy plants literals
+# containing the exact keyword phrases every clause pass matches.
+
+_KEYWORD_PHRASES = [
+    "ARRAY JOIN arr AS y",
+    "LEFT ARRAY JOIN labels",
+    "GROUP BY g WITH TOTALS",
+    "OPTIMIZE TABLE t FINAL",
+    "LIMIT 2 BY g",
+    "SELECT DISTINCT ON (u) u",
+    "ORDER BY v WITH FILL",
+    "PREWHERE x > 0",
+    "SAMPLE 0.1 OFFSET 0.5",
+    "QUALIFY rn = 1",
+    "LIMIT 5 WITH TIES",
+    "GROUP BY ALL WITH TOTALS",
+    "any(x) OVER w",
+    "GLOBAL IN (1, 2)",
+]
+
+
+@given(
+    phrase=st.sampled_from(_KEYWORD_PHRASES),
+    prefix=st.text(
+        alphabet="abc XYZ_09", min_size=0, max_size=8
+    ).filter(lambda s: "'" not in s),
+    suffix=st.text(
+        alphabet="abc XYZ_09", min_size=0, max_size=8
+    ).filter(lambda s: "'" not in s),
+    shape=st.sampled_from([
+        "SELECT {lit} AS s FROM t",
+        "SELECT {lit} AS s, g FROM t GROUP BY g",
+        "SELECT g FROM t WHERE note = {lit}",
+        "SELECT g FROM t WHERE note = {lit} ORDER BY g LIMIT 3",
+        "SELECT concat({lit}, g) AS s FROM t",
+    ]),
+)
+@settings(max_examples=200, deadline=None)
+def test_translate_preserves_string_literals(phrase, prefix, suffix, shape):
+    from clickhub_spark.sql_compat import _split_quoted, translate
+
+    body = f"{prefix}{phrase}{suffix}"
+    lit = f"'{body}'"
+    sql = shape.format(lit=lit)
+    try:
+        out = translate(sql)
+    except ValueError:
+        return  # documented loud refusals are fine — never corruption
+    in_lits = [seg for is_lit, seg in _split_quoted(sql) if is_lit]
+    out_lits = [seg for is_lit, seg in _split_quoted(out) if is_lit]
+    for needed in in_lits:
+        assert needed in out_lits, (
+            f"literal {needed!r} corrupted: {sql!r} -> {out!r}"
+        )

@@ -2570,3 +2570,170 @@ def test_advice_r13_rewrite_edge_cases(spark, b6):
         "FROM b6_t GROUP BY g)",
     ).first()["n"]
     assert nested in (1.0, 3.0, 6.0)
+
+
+@pytest.fixture(scope="module")
+def b9(spark):
+    spark.createDataFrame(
+        [
+            (1, "a", 1.0, ["x", "y"], [10, 20]),
+            (2, "a", 2.0, ["z"], [30]),
+            (3, "b", 3.0, [], []),
+        ],
+        "id int, g string, v double, labels array<string>, nums array<int>",
+    ).createOrReplaceTempView("b9_t")
+    return "b9_t"
+
+
+def test_array_join_bare_form(spark, b9):
+    """VERDICT r14 finding 1b: bare ``ARRAY JOIN arr`` (no alias — the
+    most common ClickHouse spelling; the element REPLACES the column
+    in scope) previously passed through untranslated and Spark parsed
+    a bogus table join."""
+    rows = run(spark, "SELECT id, labels FROM b9_t ARRAY JOIN labels")
+    assert sorted((r.id, r.labels) for r in rows.collect()) == [
+        (1, "x"), (1, "y"), (2, "z"),
+    ]
+    # LEFT keeps the empty-array row with a NULL element
+    left = run(spark, "SELECT id, labels FROM b9_t LEFT ARRAY JOIN labels")
+    assert sorted(((r.id, r.labels) for r in left.collect()), key=str) == sorted(
+        [(1, "x"), (1, "y"), (2, "z"), (3, None)], key=str
+    )
+    # SELECT * sees the element column, not engine helpers
+    star = run(spark, "SELECT * FROM b9_t ARRAY JOIN labels")
+    assert not [c for c in star.columns if c.startswith("__aj")]
+    # downstream clauses still attach
+    grp = run(
+        spark,
+        "SELECT labels, count() AS c FROM b9_t ARRAY JOIN labels "
+        "WHERE id < 3 GROUP BY labels ORDER BY labels",
+    )
+    assert [(r.labels, r.c) for r in grp.collect()] == [
+        ("x", 1), ("y", 1), ("z", 1),
+    ]
+
+
+def test_array_join_multi_zips_positionally(spark, b9):
+    """VERDICT r14 finding 1a: multi-array ``ARRAY JOIN a AS x, b AS
+    y`` zips POSITIONALLY in ClickHouse (the old render emitted
+    PARSE_SYNTAX_ERROR SQL).  Unequal lengths raise, as CH does."""
+    rows = run(
+        spark,
+        "SELECT id, l, n FROM b9_t ARRAY JOIN labels AS l, nums AS n",
+    )
+    assert sorted((r.id, r.l, r.n) for r in rows.collect()) == [
+        (1, "x", 10), (1, "y", 20), (2, "z", 30),
+    ]
+    # mixed bare + aliased
+    mixed = run(
+        spark, "SELECT id, labels, n FROM b9_t ARRAY JOIN labels, nums AS n"
+    )
+    assert sorted((r.id, r.labels, r.n) for r in mixed.collect()) == [
+        (1, "x", 10), (1, "y", 20), (2, "z", 30),
+    ]
+    # SELECT * must not leak the position helper
+    star = run(spark, "SELECT * FROM b9_t ARRAY JOIN labels AS l, nums AS n")
+    assert not [c for c in star.columns if c.startswith("__aj")]
+    # unequal sizes: runtime error (ClickHouse errors too)
+    spark.sql(
+        "SELECT array(1, 2) AS a, array(9) AS b"
+    ).createOrReplaceTempView("b9_bad")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="identical sizes"):
+        run(spark, "SELECT x, y FROM b9_bad ARRAY JOIN a AS x, b AS y").collect()
+    # bare non-column expression: loud refusal (CH requires an alias)
+    with _pytest.raises(ValueError, match="alias"):
+        translate("SELECT x FROM b9_t ARRAY JOIN arrayConcat(labels, labels)")
+
+
+def test_array_join_subquery_and_expression(spark, b9):
+    """A clause inside a derived table splices (the _rewrite_qualify
+    recursion); an ALIASED expression item explodes in place."""
+    sub = run(
+        spark,
+        "SELECT l FROM (SELECT l FROM b9_t ARRAY JOIN labels AS l) q "
+        "ORDER BY l",
+    )
+    assert [r.l for r in sub.collect()] == ["x", "y", "z"]
+    expr = run(
+        spark,
+        "SELECT id, n2 FROM b9_t ARRAY JOIN arrayMap(x -> x * 2, nums) AS n2",
+    )
+    assert sorted((r.id, r.n2) for r in expr.collect()) == [
+        (1, 20), (1, 40), (2, 60),
+    ]
+
+
+def test_literal_guard_array_join_totals_final(spark, b9):
+    """VERDICT r14 findings 1c + 2: the ARRAY JOIN, WITH TOTALS, and
+    FINAL passes rewrote string literals in place — silent data
+    corruption, the worst class.  All three repros from the verdict
+    must round-trip byte-identical now."""
+    for q in [
+        "SELECT 'ARRAY JOIN arr AS y' AS s FROM b9_t",
+        "SELECT 'GROUP BY g WITH TOTALS' AS s FROM b9_t",
+        "SELECT 'run OPTIMIZE TABLE t FINAL now' AS s FROM b9_t",
+    ]:
+        assert translate(q) == q
+        lit = q.split("'")[1]
+        assert run(spark, q).first().s == lit
+
+
+def test_totals_row_survives_having(spark, b9):
+    """VERDICT r14 finding 3: ClickHouse ALWAYS emits the totals row
+    when WITH TOTALS is specified — under the default totals_mode =
+    'before_having' it aggregates ALL source rows; HAVING filters
+    only the per-group rows.  The GROUPING SETS render previously
+    applied HAVING to the totals row too."""
+    rows = sorted(
+        (
+            (r.g, r.s)
+            for r in run(
+                spark,
+                "SELECT g, sum(v) AS s FROM b9_t "
+                "GROUP BY g WITH TOTALS HAVING count() > 1",
+            ).collect()
+        ),
+        key=str,
+    )
+    # only a (2 rows) passes HAVING; totals row (6.0 over ALL rows) stays
+    assert rows == sorted([("a", 3.0), (None, 6.0)], key=str)
+    # a HAVING no group passes still emits the totals row
+    only_totals = run(
+        spark,
+        "SELECT g, sum(v) AS s FROM b9_t "
+        "GROUP BY g WITH TOTALS HAVING sum(v) > 100",
+    ).collect()
+    assert [(r.g, r.s) for r in only_totals] == [(None, 6.0)]
+
+
+def test_advice_r14_group_by_all_and_distinct_on(spark, b9):
+    """ADVICE r14: (1) implicit SELECT-item aliases (no AS) are
+    stripped from the GROUP BY ALL expansion; (2) a leading CTE no
+    longer breaks the expansion scan; (3) DISTINCT ON's outer ORDER
+    BY drops non-projected sort columns (the window already enforced
+    the winner) so the canonical Postgres form analyzes."""
+    assert translate(
+        "SELECT upper(g) gg, sum(v) AS s FROM b9_t GROUP BY ALL WITH TOTALS"
+    ) == (
+        "SELECT upper(g) gg, sum(v) AS s FROM b9_t "
+        "GROUP BY GROUPING SETS ((upper(g)), ())"
+    )
+    cte = sorted(
+        (
+            (r.g, r.s)
+            for r in run(
+                spark,
+                "WITH c AS (SELECT g, v FROM b9_t) "
+                "SELECT g, sum(v) AS s FROM c GROUP BY ALL WITH TOTALS",
+            ).collect()
+        ),
+        key=str,
+    )
+    assert cte == sorted([("a", 3.0), ("b", 3.0), (None, 6.0)], key=str)
+    don = run(
+        spark,
+        "SELECT DISTINCT ON (g) g, id FROM b9_t ORDER BY g, v DESC",
+    )
+    assert [(r.g, r.id) for r in don.collect()] == [("a", 2), ("b", 3)]
