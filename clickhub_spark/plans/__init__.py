@@ -40,5 +40,6 @@ from clickhub_spark.plans import (  # noqa: F401
     queries_r12c,
     queries_r13,
     queries_r14,
+    queries_r15,
 )
 from clickhub_spark.plans.registry import all_specs  # noqa: F401

@@ -1,0 +1,199 @@
+"""Round-15 registered queries — probe battery 9 under the driver's
+value hash: the dialect surface the round-14 verdict flagged
+(VERDICT r14 items 2-4).
+
+- ``ARRAY JOIN`` beyond the single-aliased form: the multi-array zip
+  (ClickHouse unnests POSITIONALLY and errors on length mismatch) and
+  the bare no-alias form (the element REPLACES the column in scope —
+  CH's most common spelling; reference users explode exactly such
+  array columns, create_db.py:88,92 labels/assignees).  DuckDB's
+  Postgres-style multi-``unnest`` zip is the independent oracle.
+- ``GROUP BY … WITH TOTALS HAVING``: ClickHouse ALWAYS emits the
+  totals row (totals_mode = 'before_having' default aggregates ALL
+  source rows); the oracle is a hand-built UNION ALL of the filtered
+  per-group rows and an unconditional grand-total row — it cannot
+  agree with a render that lets HAVING drop the totals row.
+- ``SAMPLE k OFFSET m``: deterministic md5 hash-range slice over the
+  table's declared sampling key (set_sample_key ≙ SAMPLE BY); the
+  oracle spells the identical hex-range predicate, so both engines
+  must select the same row SET — closing the last loud SAMPLE
+  ValueError in the shim.
+- ``untuple()`` / tuple ``.N`` access: tuple() renders to a
+  named_struct with ``_N`` fields; untuple expands via the
+  inline(array(…)) generator and ``t.2`` reads ``_2``.
+
+Unit pins live in tests/test_sql_compat.py::test_array_join_* /
+test_totals_row_survives_having / test_probe_battery9_*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhub_spark.plans.queries_core import load
+from clickhub_spark.plans.registry import query
+from clickhub_spark.sql_compat import run, set_sample_key
+
+
+def _docs_view(spark: SparkSession, sf_dir: str) -> None:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+@query(
+    "q_ch_sql_battery9",
+    oracle="""
+    SELECT doc_id, unnest(ARRAY[lang, source]) AS tag,
+           unnest(ARRAY[n_chars, n_chars * 2]) AS weight
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+)
+def q_ch_sql_battery9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-array ``ARRAY JOIN a AS x, b AS y`` — ClickHouse zips the
+    arrays POSITIONALLY (row i pairs a[i] with b[i]; unequal lengths
+    are an error, which the render enforces via a per-row
+    raise_error CASE).  The oracle is DuckDB's independent
+    Postgres-style zip: two ``unnest`` calls in one select list.
+    Rendered as posexplode of the anchor + chained element_at lateral
+    views — map-side only, no shuffle, scale-free."""
+    _docs_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT doc_id, tag, weight
+        FROM documents
+        ARRAY JOIN [lang, source] AS tag, [n_chars, n_chars * 2] AS weight
+        WHERE doc_id % 7 = 0
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_battery9b",
+    oracle="""
+    SELECT tags, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(ARRAY[lang, source]) AS tags FROM documents
+    ) t
+    GROUP BY tags
+    ORDER BY n DESC, tags
+    """,
+)
+def q_ch_sql_battery9b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare ``ARRAY JOIN arr`` — no alias, so the unnested ELEMENT
+    replaces the array column in scope (CH's most common spelling;
+    previously passed through untranslated and mis-parsed as a table
+    join).  The render wraps the relation in a subquery projecting
+    ``* EXCEPT`` so the element can legally shadow its source column,
+    then groups by the element."""
+    _docs_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT tags, count() AS n
+        FROM (SELECT [lang, source] AS tags FROM documents) d
+        ARRAY JOIN tags
+        GROUP BY tags
+        ORDER BY n DESC, tags
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_battery9c",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    HAVING COUNT(*) > 40
+    UNION ALL
+    SELECT NULL AS lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    """,
+)
+def q_ch_sql_battery9c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY … WITH TOTALS HAVING`` — the totals row must
+    SURVIVE the HAVING filter (ClickHouse always emits it; under the
+    default totals_mode = 'before_having' it aggregates ALL source
+    rows).  The oracle is a hand-built UNION ALL: filtered per-group
+    rows plus an UNCONDITIONAL whole-table row — a render that lets
+    HAVING drop the totals row cannot hash-match it."""
+    _docs_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT lang, count() AS n, sum(n_chars) AS chars
+        FROM documents
+        GROUP BY lang WITH TOTALS
+        HAVING count() > 40
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_battery9d",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id,
+           CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_sum
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) >= '33333333'
+      AND substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '66666666'
+    """,
+)
+def q_ch_sql_battery9d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SAMPLE 0.2 OFFSET 0.2`` — ClickHouse's relative sample takes
+    the [m, m+k) slice of the sampling-key hash space: deterministic,
+    repeatable, and disjoint across OFFSET strata (how distributed
+    workers split a table).  The render is an md5 hex-range predicate
+    over the DECLARED sampling key (set_sample_key ≙ the table's
+    SAMPLE BY clause); the oracle spells the identical predicate, so
+    both engines must pick the same row SET — aggregates over the
+    slice pin membership, not just cardinality.  Scale posture: the
+    predicate is a map-side filter pushed to the scan; no shuffle."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    set_sample_key("events", "event_id")
+    return run(
+        spark,
+        """
+        SELECT count() AS n,
+               min(event_id) AS lo_id,
+               max(event_id) AS hi_id,
+               sum(CAST(user_id AS BIGINT)) AS uid_sum
+        FROM events SAMPLE 0.2 OFFSET 0.2
+        """,
+    )
+
+
+@query(
+    "q_ch_sql_battery9e",
+    oracle="""
+    SELECT lang AS _1, CAST(COUNT(*) AS BIGINT) AS _2,
+           CAST(MAX(n_chars) AS BIGINT) AS widest
+    FROM documents
+    GROUP BY lang
+    ORDER BY _1
+    """,
+)
+def q_ch_sql_battery9e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``untuple()`` + tuple ``.N`` access — tuple() renders to a
+    named_struct with positional ``_N`` fields; untuple(t) expands
+    them into columns via the inline(array(t)) generator (t.* only
+    resolves for column references) and ``tp.2``-style access reads a
+    single field.  Column names ``_1``/``_2`` are the CH-compatible
+    positional names, matched by the oracle's aliases."""
+    _docs_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT untuple(tp) , tuple(mx, mx).2 AS widest
+        FROM (
+            SELECT tuple(lang, count()) AS tp, max(n_chars) AS mx
+            FROM documents GROUP BY lang
+        ) g
+        ORDER BY tp.1
+        """,
+    )

@@ -64,6 +64,14 @@ ROUND_PRIORITY = [
     # 4: everything else oldest-first (r10, r11, r12, r13, r14),
     #    name-sorted within a round for determinism.
     # ---
+    # round-15 NEW registrations (probe battery 9: ARRAY JOIN forms,
+    # WITH TOTALS + HAVING totals-row existence, SAMPLE k OFFSET m,
+    # untuple/tuple .N access):
+    "q_ch_sql_battery9",
+    "q_ch_sql_battery9b",
+    "q_ch_sql_battery9c",
+    "q_ch_sql_battery9d",
+    "q_ch_sql_battery9e",
     # --- last driver row r7 (36 names) ---
     "q_agg_resample",
     "q_agg_sample_group",

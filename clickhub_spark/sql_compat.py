@@ -273,6 +273,20 @@ def _in_spans(spans: list[tuple[int, int]], i: int) -> bool:
     return any(s <= i < e for s, e in spans)
 
 
+# table → sampling-key expression for SAMPLE … OFFSET (ClickHouse
+# reads this from the table's SAMPLE BY clause; here it is declared
+# per table name, case-insensitive).  ddl.py's CREATE TABLE parser
+# and user code both register through set_sample_key.
+_SAMPLE_KEYS: dict[str, str] = {}
+
+
+def set_sample_key(table: str, key_expr: str) -> None:
+    """Declare ``table``'s sampling key (the SAMPLE BY analog) so
+    ``SAMPLE k OFFSET m`` can render its deterministic md5 hash-range
+    slice over it."""
+    _SAMPLE_KEYS[table.lower()] = key_expr
+
+
 def _rewrite_call(
     sql: str, name: str, render, nargs: int = 1, with_tail: bool = False
 ) -> str:
@@ -2555,6 +2569,26 @@ def translate(sql: str) -> str:
         return f"({a[0]})._{a[1].strip()}"
 
     out = _rewrite_call(out, "tupleElement", _tuple_element, nargs=2)
+    # untuple(t) expands a tuple into its element columns (select-list
+    # only in CH too).  inline(array(t)) is the Spark generator that
+    # expands ANY struct expression — `t.*` only resolves for column
+    # references (probe battery 9).  Spark allows one generator per
+    # select list; a second untuple fails loudly at analysis.
+    out = _rewrite_call(out, "untuple", lambda a: f"inline(array({a[0]}))")
+    # tuple positional access `t.1` → the tuple() render's `_N` struct
+    # fields.  The token before the dot must be an identifier or a
+    # close-paren — a digit stays a decimal literal (1.5), and string
+    # literals are inert (probe battery 9).
+    out = "".join(
+        seg
+        if is_lit
+        else re.sub(
+            r"\b(?<![\d.])([A-Za-z_]\w*|\))\s*\.\s*(\d+)\b(?!\s*\.\d)",
+            r"\1._\2",
+            seg,
+        )
+        for is_lit, seg in _split_quoted(out)
+    )
     # greatCircleDistance(lon1, lat1, lon2, lat2) → meters, haversine
     # on ClickHouse's sphere radius 6372797.560856 m
     out = _rewrite_call(
@@ -3827,28 +3861,70 @@ def translate(sql: str) -> str:
     # QUALIFY: the post-window filter — wrap, filter, drop the helper
     out = _rewrite_qualify(out)
     # SAMPLE k (fraction or n/m) → TABLESAMPLE (… PERCENT); SAMPLE n
-    # (n ≥ 1, approximate row target) → TABLESAMPLE (n ROWS).  The
-    # OFFSET form has no Spark analog and raises.
+    # (n ≥ 1, approximate row target) → TABLESAMPLE (n ROWS).
+    # SAMPLE k OFFSET m (both fractions) → a deterministic md5
+    # hash-range predicate over the table's REGISTERED sampling key
+    # (set_sample_key — ClickHouse's own model: SAMPLE BY is table
+    # metadata, and OFFSET selects the [m, m+k) slice of the key-hash
+    # space, repeatable and disjoint across workers).  The first 8
+    # md5 hex chars compare as a monotone proxy for the 32-bit hash
+    # value, so any engine computes the identical row set (probe
+    # battery 9; closes the last loud SAMPLE ValueError).
     spans_smp = _literal_spans(out)
     m_smp = re.search(
         r"\bSAMPLE\s+(\d+(?:\.\d+)?)(\s*/\s*(\d+))?(\s+OFFSET\b)?", out
     )
     if m_smp and not _in_spans(spans_smp, m_smp.start()):
         if m_smp.group(4):
-            raise ValueError("SAMPLE … OFFSET has no Spark TABLESAMPLE analog")
-        if m_smp.group(3):
-            frac = float(m_smp.group(1)) / float(m_smp.group(3))
-            repl = f"TABLESAMPLE ({frac * 100:g} PERCENT)"
-        else:
-            # k in [0, 1] is a FRACTION in ClickHouse (SAMPLE 1 = the
-            # whole table); only k > 1 is an approximate row target
-            v = float(m_smp.group(1))
-            repl = (
-                f"TABLESAMPLE ({v * 100:g} PERCENT)"
-                if v <= 1
-                else f"TABLESAMPLE ({int(v)} ROWS)"
+            m_off = re.search(
+                r"(?is)\b(?P<tbl>\w+)\s+SAMPLE\s+(?P<k>\d+(?:\.\d+)?)"
+                r"\s+OFFSET\s+(?P<m>\d+(?:\.\d+)?)",
+                out,
             )
-        out = out[: m_smp.start()] + repl + out[m_smp.end() :]
+            if not m_off or _in_spans(spans_smp, m_off.start()):
+                raise ValueError(
+                    "SAMPLE … OFFSET: could not locate the sampled table"
+                )
+            tbl = m_off.group("tbl")
+            k, m_frac = float(m_off.group("k")), float(m_off.group("m"))
+            if not (0 < k <= 1 and 0 <= m_frac < 1):
+                raise ValueError(
+                    "SAMPLE k OFFSET m supports fractional k, m in [0, 1] "
+                    "(ClickHouse's relative-sample form)"
+                )
+            key = _SAMPLE_KEYS.get(tbl.lower())
+            if key is None:
+                raise ValueError(
+                    f"SAMPLE … OFFSET needs a sampling key for {tbl!r} — "
+                    f"declare one with sql_compat.set_sample_key"
+                    f"('{tbl}', '<column>') (ClickHouse reads it from the "
+                    f"table's SAMPLE BY clause)"
+                )
+            h = f"substr(md5(CAST({key} AS STRING)), 1, 8)"
+            lo = format(int(m_frac * 16**8), "08x")
+            preds = [f"{h} >= '{lo}'"]
+            if m_frac + k < 1:
+                hi = format(int((m_frac + k) * 16**8), "08x")
+                preds.append(f"{h} < '{hi}'")
+            sub = (
+                f"(SELECT * FROM {tbl} WHERE {' AND '.join(preds)}) {tbl}"
+            )
+            out = out[: m_off.start()] + sub + out[m_off.end() :]
+        else:
+            if m_smp.group(3):
+                frac = float(m_smp.group(1)) / float(m_smp.group(3))
+                repl = f"TABLESAMPLE ({frac * 100:g} PERCENT)"
+            else:
+                # k in [0, 1] is a FRACTION in ClickHouse (SAMPLE 1 =
+                # the whole table); only k > 1 is an approximate row
+                # target
+                v = float(m_smp.group(1))
+                repl = (
+                    f"TABLESAMPLE ({v * 100:g} PERCENT)"
+                    if v <= 1
+                    else f"TABLESAMPLE ({int(v)} ROWS)"
+                )
+            out = out[: m_smp.start()] + repl + out[m_smp.end() :]
     # GROUP BY … WITH TOTALS → GROUPING SETS ((cols), ()): the totals
     # row is the empty grouping set (its group columns read NULL, like
     # ClickHouse's zero-value row).  Non-greedy up to WITH TOTALS keeps
