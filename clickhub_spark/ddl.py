@@ -1346,9 +1346,24 @@ class Warehouse:
         part = os.path.join(
             self._dir(td.database, td.name), "data", f"_partition_id={value}"
         )
+        # the partition's mutation scratch siblings
+        # (_mutpart__partition_id_<v>[.__prev/.__old/.__mutating_*/…])
+        # go too: they leak disk otherwise, and a crash-stranded
+        # .__old for this value would be RESURRECTED by recover_table
+        # on a later mutation of the same partition value (ADVICE r14)
+        import glob as _glob
+
+        data_dir = os.path.join(self._dir(td.database, td.name), "data")
+        scratch = os.path.join(data_dir, f"_mutpart__partition_id_{value}")
+        stale = [p for p in [scratch, *_glob.glob(scratch + ".*")]
+                 if os.path.isdir(p)]
         if not os.path.isdir(part):
+            for p in stale:
+                _shutil.rmtree(p, ignore_errors=True)
             return f"dropped 0 partitions (no partition {value})"
         _shutil.rmtree(part)
+        for p in stale:
+            _shutil.rmtree(p, ignore_errors=True)
         self._bump_catalog()
         return f"dropped partition {value}"
 

@@ -445,10 +445,18 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index_path: str | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Build-once PQ ANN (artifact keyed on files + logical plan, like
     ivf_topk): train + encode on first call, every later query is a
-    codes-only scan."""
+    codes-only scan.
+
+    ``rerank=N`` routes the probe through the certified TWO-STAGE
+    serving path (pq_rerank_topk: ADC top-N candidates, exact cosine
+    re-rank to top-k).  Single-stage ADC (rerank=None) is the recall-
+    certification path only — its rank quality decays with corpus
+    size (ANN_SCALE_r14: the 0.35 recall floor FAILED at 10M vectors
+    while two-stage held ≥0.6), so serve with rerank at scale."""
     row = (
         emb.where(F.col(id_col) == query_id)
         .select(as_double(F.col(vec_col)).alias("v"))
@@ -472,6 +480,18 @@ def pq_topk(
         from clickhub_spark.artifacts import prune_stale
 
         prune_stale(index_path)
+    if rerank is not None:
+        return pq_rerank_topk(
+            emb.sparkSession,
+            index_path,
+            emb,
+            list(row.v),
+            k=k,
+            rerank=rerank,
+            vec_col=vec_col,
+            id_col=id_col,
+            exclude_id=query_id,
+        )
     return pq_probe_topk(
         emb.sparkSession, index_path, list(row.v), k=k, exclude_id=query_id
     )

@@ -33,9 +33,13 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
-#: tri-state cache for renameat2(RENAME_EXCHANGE) support — None until
-#: first probed, then True/False for the process lifetime
+#: renameat2(RENAME_EXCHANGE) support — False only when the syscall
+#: itself is absent (ENOSYS / no libc symbol), which is process-global
 _EXCHANGE_OK: bool | None = None
+#: EINVAL/ENOTSUP are PER-FILESYSTEM verdicts (e.g. one table on NFS
+#: must not downgrade every other table's swap to the non-atomic
+#: two-rename fallback — ADVICE r14); keyed on st_dev
+_EXCHANGE_DEV_OK: dict[int, bool] = {}
 
 
 def exchange_dirs(a: str, b: str) -> bool:
@@ -52,6 +56,12 @@ def exchange_dirs(a: str, b: str) -> bool:
     global _EXCHANGE_OK
     if _EXCHANGE_OK is False:
         return False
+    try:
+        dev = os.stat(a).st_dev
+    except OSError:
+        dev = None
+    if dev is not None and _EXCHANGE_DEV_OK.get(dev) is False:
+        return False
     import ctypes
     import errno as _errno
 
@@ -66,16 +76,23 @@ def exchange_dirs(a: str, b: str) -> bool:
             ctypes.c_uint,
         ]
     except (OSError, AttributeError):
-        _EXCHANGE_OK = False
+        _EXCHANGE_OK = False  # no syscall anywhere: process-global
         return False
     at_fdcwd, rename_exchange = -100, 2
     rc = fn(at_fdcwd, os.fsencode(a), at_fdcwd, os.fsencode(b), rename_exchange)
     if rc == 0:
         _EXCHANGE_OK = True
+        if dev is not None:
+            _EXCHANGE_DEV_OK[dev] = True
         return True
     err = ctypes.get_errno()
-    if err in (_errno.EINVAL, _errno.ENOSYS, getattr(_errno, "ENOTSUP", 95)):
-        _EXCHANGE_OK = False  # fs/kernel can't: fall back forever
+    if err == _errno.ENOSYS:
+        _EXCHANGE_OK = False  # kernel lacks renameat2: global verdict
+        return False
+    if err in (_errno.EINVAL, getattr(_errno, "ENOTSUP", 95), _errno.EXDEV):
+        # this FILESYSTEM can't exchange — remember per device only
+        if dev is not None:
+            _EXCHANGE_DEV_OK[dev] = False
         return False
     raise OSError(err, os.strerror(err), a)
 

@@ -853,13 +853,26 @@ def q_llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-20 (SURVEY §2.J6 scale path #3,
     operators/knn.build_pq_index): m-byte codes replace raw vectors
     (32× compression at m=8/dim=64), probes scan only the codes table
-    with per-subspace lookup tables.  Rows-only: quantized distances
-    are engine-internal; recall vs brute force pinned in
-    tests/test_approx.py."""
+    with per-subspace lookup tables.
+
+    Serves the certified TWO-STAGE path (VERDICT r14 item 5): ADC
+    top-200 candidates, exact cosine re-rank to top-20 — single-stage
+    ADC rank quality decays with corpus size (its 0.35 recall floor
+    failed at 10M vectors, ANN_SCALE_r14, while two-stage held ≥0.6),
+    so the registered query is the production serving shape and the
+    raw ADC path remains only as the recall-certification probe
+    (q_llm_knn_pq_recall, tests/test_approx.py).  Rows-only:
+    quantized candidate selection is engine-internal; sims of the
+    final top-20 are exact cosine."""
     from clickhub_spark.operators.knn import pq_topk
 
     return pq_topk(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=20, m=16, n_codes=32
+        load(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=20,
+        m=16,
+        n_codes=32,
+        rerank=200,
     )
 
 

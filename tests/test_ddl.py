@@ -533,10 +533,26 @@ def test_mutations_in_partition_and_drop_partition(spark, wh):
     )
     assert {r.k for r in wh.read(spark, "git.pm").collect()} == {2, 3, 4, 5}
     # DROP PARTITION removes the whole directory, other partitions stay
+    # — INCLUDING the partition's mutation-scratch siblings: a
+    # crash-stranded .__old for the value would otherwise be
+    # resurrected by recover_table on a later mutation of the same
+    # partition value (ADVICE r14)
+    stranded = os.path.join(data, "_mutpart__partition_id_202402.__old")
+    os.makedirs(stranded, exist_ok=True)
+    other = os.path.join(data, "_mutpart__partition_id_202403.__old")
+    os.makedirs(other, exist_ok=True)
     assert wh.execute("ALTER TABLE git.pm DROP PARTITION '202402'") == (
         "dropped partition 202402"
     )
     assert not os.path.isdir(os.path.join(data, "_partition_id=202402"))
+    assert not [
+        d for d in os.listdir(data)
+        if d.startswith("_mutpart__partition_id_202402")
+    ]
+    assert os.path.isdir(other)  # other partitions' scratch untouched
+    import shutil as _sh
+
+    _sh.rmtree(other)
     assert {r.k for r in wh.read(spark, "git.pm").collect()} == {2, 5}
     assert wh.execute("ALTER TABLE git.pm DROP PARTITION '209912'").startswith(
         "dropped 0"
