@@ -157,7 +157,11 @@ def baseline_gate(now: dict[str, float]) -> dict | None:
         # ambient load — the gate is only meaningful at the
         # baseline's own scale
         return {"skipped": f"run sf {sf} != baseline sf {base_doc.get('sf')}"}
-    base = {**base_doc.get("queries", {}), **base_doc.get("tpch", {})}
+    base = {
+        **base_doc.get("queries", {}),
+        **base_doc.get("tpch", {}),
+        **base_doc.get("pipeline", {}),
+    }
     excluded = set(base_doc.get("excluded", {}))
     cal = {
         q: (now[q], base[q])
@@ -344,7 +348,9 @@ def main() -> None:
     # cross-round comparison should read FIRST — it does not move with
     # ambient VM load the way the absolute totals do.  Only meaningful
     # at the baseline's own scale (sf0.1 full run).
-    gate = baseline_gate({**timings, **out.get("tpch", {})})
+    gate = baseline_gate(
+        {**timings, **out.get("tpch", {}), **out.get("pipeline", {})}
+    )
     if gate is not None:
         out["baseline_gate"] = gate
     # Output contract (changed round 6, VERDICT r5 item 5): the driver

@@ -126,6 +126,10 @@ class TableDef:
     #: — materialized at write as the hive partition dir
     #: ``_partition_id`` (ClickHouse's virtual column of that name)
     partition_expr: str | None = None
+    #: raw ClickHouse SAMPLE BY expression — registered with
+    #: sql_compat.set_sample_key so ``SAMPLE k OFFSET m`` renders its
+    #: deterministic hash-range slice over this key
+    sample_by: str | None = None
     #: engine "View" / "MaterializedView": the stored SELECT text
     select: str | None = None
     #: engine "MaterializedView": the ``TO db.table`` target and the
@@ -208,6 +212,8 @@ def create_statement(td: TableDef) -> str:
         out += "(" + ", ".join(td.engine_args) + ")"
     if td.partition_expr:
         out += f" PARTITION BY {td.partition_expr}"
+    if td.sample_by:
+        out += f" SAMPLE BY {td.sample_by}"
     if td.primary_key:
         out += f" PRIMARY KEY ({', '.join(td.primary_key)})"
     if td.order_by:
@@ -468,6 +474,12 @@ def parse_create_table(sql: str) -> TableDef:
         re.IGNORECASE,
     )
     partition_expr = pm.group(1).strip().strip("`") if pm else None
+    sb = re.search(
+        r"SAMPLE\s+BY\s+(\w+\s*\([^)]*\)|\([^)]*\)|[\w`]+)",
+        tail,
+        re.IGNORECASE,
+    )
+    sample_by = sb.group(1).strip().strip("`") if sb else None
     settings: dict[str, str] = {}
     sm = re.search(r"SETTINGS\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
     if sm:
@@ -486,6 +498,7 @@ def parse_create_table(sql: str) -> TableDef:
         settings=settings,
         if_not_exists=if_not_exists,
         partition_expr=partition_expr,
+        sample_by=sample_by,
     )
 
 
@@ -1859,6 +1872,14 @@ class Warehouse:
             if not os.path.isdir(data_dir):
                 continue
             self.read(spark, q).createOrReplaceTempView(base)
+            if td.sample_by:
+                # the declared SAMPLE BY key powers SAMPLE … OFFSET's
+                # deterministic hash-range render (ClickHouse's model:
+                # the sampling key is table metadata, not query text)
+                from clickhub_spark.sql_compat import set_sample_key
+
+                set_sample_key(base, td.sample_by)
+                set_sample_key(td.name, td.sample_by)
             out.append(base)
             if td.engine in self._FINAL_ENGINES:
                 self.read_final(spark, q).createOrReplaceTempView(f"{base}_final")
@@ -1983,6 +2004,7 @@ def _tabledef_to_json(td: TableDef) -> dict:
         "primary_key": td.primary_key,
         "settings": td.settings,
         "partition_expr": td.partition_expr,
+        "sample_by": td.sample_by,
         "select": td.select,
         "mv_target": td.mv_target,
         "mv_source": td.mv_source,
@@ -2022,6 +2044,7 @@ def _tabledef_from_json(d: dict) -> TableDef:
         primary_key=d.get("primary_key", []),
         settings=d.get("settings", {}),
         partition_expr=d.get("partition_expr"),
+        sample_by=d.get("sample_by"),
         select=d.get("select"),
         mv_target=d.get("mv_target"),
         mv_source=d.get("mv_source"),

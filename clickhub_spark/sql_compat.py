@@ -3877,8 +3877,10 @@ def translate(sql: str) -> str:
     if m_smp and not _in_spans(spans_smp, m_smp.start()):
         if m_smp.group(4):
             m_off = re.search(
-                r"(?is)\b(?P<tbl>\w+)\s+SAMPLE\s+(?P<k>\d+(?:\.\d+)?)"
-                r"\s+OFFSET\s+(?P<m>\d+(?:\.\d+)?)",
+                r"(?is)\b(?P<tbl>\w+)\s+SAMPLE\s+"
+                r"(?P<k>\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?)"
+                r"\s+OFFSET\s+"
+                r"(?P<m>\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?)",
                 out,
             )
             if not m_off or _in_spans(spans_smp, m_off.start()):
@@ -3886,7 +3888,13 @@ def translate(sql: str) -> str:
                     "SAMPLE … OFFSET: could not locate the sampled table"
                 )
             tbl = m_off.group("tbl")
-            k, m_frac = float(m_off.group("k")), float(m_off.group("m"))
+
+            def _frac(text: str) -> float:
+                # ClickHouse spells both 0.1 and 1/10
+                num, _, den = text.partition("/")
+                return float(num) / float(den) if den else float(num)
+
+            k, m_frac = _frac(m_off.group("k")), _frac(m_off.group("m"))
             if not (0 < k <= 1 and 0 <= m_frac < 1):
                 raise ValueError(
                     "SAMPLE k OFFSET m supports fractional k, m in [0, 1] "

@@ -1191,3 +1191,37 @@ def test_keeper_map_claim_flow_as_literal_statements(spark, wh):
             "WHERE priority = 2",
             spark=spark,
         )
+
+
+def test_sample_by_round_trip_and_sample_offset(spark, wh):
+    """``SAMPLE BY`` is table metadata (ClickHouse reads SAMPLE …
+    OFFSET's key from it): parse → SHOW CREATE round-trip, and the
+    registered view serves ``SAMPLE k OFFSET m`` as the deterministic
+    md5 hash-range slice — disjoint strata that union back to the
+    whole table."""
+    wh.execute(
+        "CREATE TABLE git.sb (`k` Int64, `v` Int64) ENGINE = MergeTree "
+        "ORDER BY (k) SAMPLE BY k"
+    )
+    assert wh.table_def("git.sb").sample_by == "k"
+    assert "SAMPLE BY k" in wh.execute("SHOW CREATE TABLE git.sb")
+    # reload keeps it
+    assert Warehouse(wh.root).table_def("git.sb").sample_by == "k"
+    wh.execute(
+        "INSERT INTO git.sb (k, v) VALUES "
+        + ", ".join(f"({i}, {i * 10})" for i in range(200)),
+        spark=spark,
+    )
+    wh.register_views(spark)
+    from clickhub_spark.sql_compat import run
+
+    halves = [
+        run(spark, f"SELECT k FROM git_sb SAMPLE 1/2 OFFSET {o}").collect()
+        for o in ("0", "1/2")
+    ]
+    ks = sorted(r.k for h in halves for r in h)
+    assert ks == list(range(200))  # disjoint strata cover the table
+    assert 40 < len(halves[0]) < 160  # md5 splits roughly in half
+    # repeatable: same slice selects the same rows
+    again = run(spark, "SELECT k FROM git_sb SAMPLE 1/2 OFFSET 0").collect()
+    assert sorted(r.k for r in again) == sorted(r.k for r in halves[0])
