@@ -109,6 +109,12 @@ class ColumnDef:
     enum_labels: dict[int, str] | None = None
     materialized: str | None = None  # MATERIALIZED expression text
     default: str | None = None  # DEFAULT expression text
+    #: prior names from RENAME COLUMN (newest first) — rename is an
+    #: INSTANT metadata change like ClickHouse's, so parquet written
+    #: before it still carries an old name; reads coalesce through
+    #: this history, and any full rewrite (OPTIMIZE, MODIFY COLUMN)
+    #: clears it
+    renamed_from: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -163,6 +169,42 @@ class TableDef:
         engine-arg version keeps the last-inserted row; the ingest-time
         MATERIALIZED DateTime column is that insertion order."""
         return [c.name for c in self.columns if c.materialized is not None]
+
+
+def _read_schema(td: TableDef) -> StructType:
+    """The declared schema EXTENDED with every column's rename
+    history (at the column's current type — a type only changes via
+    MODIFY COLUMN, which rewrites the files and clears the history).
+    An explicit union schema is what makes mixed-name parquet safe:
+    Spark's sampled-footer read of a mixed directory silently DROPS
+    whichever spelling the sampled file lacks (verified live — plain
+    read of {a}-file + {b}-file returned only ``a`` and lost row 2's
+    value)."""
+    fields = [
+        StructField(c.name, c.spark_type, True) for c in td.columns
+    ]
+    declared = {c.name for c in td.columns}
+    for c in td.columns:
+        for old in c.renamed_from:
+            if old not in declared:
+                fields.append(StructField(old, c.spark_type, True))
+                declared.add(old)
+    return StructType(fields)
+
+
+def _normalize_renames(df: DataFrame, td: TableDef) -> DataFrame:
+    """Coalesce each renamed column through its historical names
+    (newest first — files written before the rename carry an old
+    name, files written after carry the current one; no file carries
+    both non-NULL) and drop the historical columns."""
+    for c in td.columns:
+        hist = [h for h in c.renamed_from if h in df.columns]
+        if not hist:
+            continue
+        df = df.withColumn(
+            c.name, F.coalesce(F.col(c.name), *[F.col(h) for h in hist])
+        ).drop(*hist)
+    return df
 
 
 def ch_type_of(dt: DataType) -> str:
@@ -799,7 +841,15 @@ class Warehouse:
             )
             if m_drop:
                 return self._drop_partition(m_drop)
-            return self._alter(sql)
+            m_det = re.match(
+                r"\s*ALTER\s+TABLE\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+"
+                r"(DETACH|ATTACH)\s+PARTITION\s+(?:'([^']*)'|(\w+))\s*$",
+                sql,
+                re.IGNORECASE,
+            )
+            if m_det:
+                return self._detach_attach_partition(m_det)
+            return self._alter(sql, spark)
         if verb.startswith("OPTIMIZE"):
             return self._optimize(sql, spark)
         if verb.startswith("SHOW"):
@@ -1287,23 +1337,33 @@ class Warehouse:
         finally:
             self._mv_depth -= 1
 
-    def _alter(self, sql: str) -> str:
+    def _alter(self, sql: str, spark: SparkSession | None = None) -> str:
         """``ALTER TABLE t ADD COLUMN [IF NOT EXISTS] name Type
-        [DEFAULT expr]`` / ``DROP COLUMN [IF EXISTS] name`` — a pure
-        metadata update, like ClickHouse's instant ALTER: no data
-        rewrite.  ADDed columns read as their DEFAULT (or NULL) from
-        pre-ALTER parquet files via the schema-on-read projection in
-        :meth:`read`; DROPped columns simply leave the read schema
-        (parquet ignores extra file columns)."""
+        [DEFAULT expr]`` / ``DROP COLUMN [IF EXISTS] name`` /
+        ``RENAME COLUMN [IF EXISTS] a TO b`` — pure metadata updates,
+        like ClickHouse's instant ALTERs: no data rewrite.  ADDed
+        columns read as their DEFAULT (or NULL) from pre-ALTER parquet
+        files via the schema-on-read projection in :meth:`read`;
+        DROPped columns simply leave the read schema (parquet ignores
+        extra file columns); RENAMEd columns record the old name in
+        the column's ``renamed_from`` history, which reads coalesce
+        through until the next full rewrite clears it.
+
+        ``MODIFY COLUMN name NewType`` is the one data-REWRITING form
+        here — exactly ClickHouse, where MODIFY COLUMN is a mutation
+        that rewrites parts with the cast applied (only metadata-ish
+        changes like comments are instant there)."""
         m = re.match(
             r"\s*ALTER\s+TABLE\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+"
-            r"(ADD|DROP)\s+COLUMN\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?(.*)$",
+            r"(ADD|DROP|MODIFY|RENAME)\s+COLUMN\s+"
+            r"(IF\s+(?:NOT\s+)?EXISTS\s+)?(.*)$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise DdlError(
-                f"unsupported ALTER TABLE form (ADD/DROP COLUMN only): "
+                f"unsupported ALTER TABLE form (ADD/DROP/MODIFY/RENAME "
+                f"COLUMN, DROP/DETACH/ATTACH PARTITION, DELETE, UPDATE): "
                 f"{sql[:80]!r}"
             )
         db, name, action, guarded, rest = (
@@ -1311,7 +1371,7 @@ class Warehouse:
             m.group(2),
             m.group(3).upper(),
             m.group(4) is not None,
-            m.group(5).strip(),
+            m.group(5).strip().rstrip(";").strip(),
         )
         td = self._require(f"{db}.{name}")
         if action == "DROP":
@@ -1326,13 +1386,101 @@ class Warehouse:
             td.columns = [c for c in td.columns if c.name != col]
             self._persist(td)
             return "ok"
+        if action == "RENAME":
+            return self._rename_column(td, rest, guarded)
+        if action == "MODIFY":
+            return self._modify_column(td, rest, spark)
         cdef = _parse_column(rest)
         if any(c.name == cdef.name for c in td.columns):
             if guarded:
                 return "exists"
             raise DdlError(f"column {cdef.name!r} already exists on {td.qualified}")
+        for c in td.columns:
+            if cdef.name in c.renamed_from:
+                # re-using a previously-renamed name: old files' data
+                # under that name belongs to the RENAMED column's
+                # history; the new column must not shadow it, and the
+                # history entry can no longer be served unambiguously
+                # — drop it (old files read NULL for c through this
+                # name, exactly as if the rename had rewritten)
+                c.renamed_from = [h for h in c.renamed_from if h != cdef.name]
         td.columns.append(cdef)
         self._persist(td)
+        return "ok"
+
+    def _rename_column(self, td: TableDef, rest: str, guarded: bool) -> str:
+        """``RENAME COLUMN [IF EXISTS] a TO b`` — instant metadata
+        change (ClickHouse renames are not mutations): the old name
+        goes into ``renamed_from`` and schema-on-read coalesces
+        through it for files written before the rename."""
+        rm = re.match(r"`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$", rest, re.IGNORECASE)
+        if not rm:
+            raise DdlError(f"unparseable RENAME COLUMN: {rest!r}")
+        old, new = rm.group(1), rm.group(2)
+        src = next((c for c in td.columns if c.name == old), None)
+        if src is None:
+            if guarded:
+                return "absent"
+            raise DdlError(f"column {old!r} does not exist on {td.qualified}")
+        if any(c.name == new for c in td.columns):
+            raise DdlError(f"column {new!r} already exists on {td.qualified}")
+        if old in td.order_by or old in td.primary_key or old in (
+            self._engine_arg_cols(td)
+        ):
+            raise DdlError(f"cannot rename key/engine column {old!r}")
+        src.name = new
+        src.renamed_from = [old, *src.renamed_from]
+        self._persist(td)
+        return "ok"
+
+    def _modify_column(
+        self, td: TableDef, rest: str, spark: SparkSession | None
+    ) -> str:
+        """``MODIFY COLUMN name NewType`` — the ClickHouse mutation:
+        rewrite the parts with the cast applied (through the same
+        crash-safe swap OPTIMIZE uses), then update the declared
+        type.  The rewrite reads through :meth:`read` (declared
+        schema + rename history), so mixed-name files from an earlier
+        instant RENAME are normalized — and the histories cleared —
+        as a side effect."""
+        cdef = _parse_column(rest)
+        tgt = next((c for c in td.columns if c.name == cdef.name), None)
+        if tgt is None:
+            raise DdlError(
+                f"column {cdef.name!r} does not exist on {td.qualified}"
+            )
+        if spark is None:
+            raise DdlError("MODIFY COLUMN needs a SparkSession")
+        data = os.path.join(self._dir(td.database, td.name), "data")
+        if os.path.isdir(data):
+            from clickhub_spark.sources.writer import compact
+
+            schema = _read_schema(td)
+
+            def transform(df, _td=td, _c=cdef):  # noqa: ANN001
+                df = _normalize_renames(df, _td)
+                return df.withColumn(
+                    _c.name, F.col(_c.name).cast(_c.spark_type)
+                )
+
+            compact(
+                spark,
+                data,
+                sort_cols=list(td.order_by),
+                partition_by=(
+                    ["_partition_id"] if td.partition_expr is not None
+                    else None
+                ),
+                transform=transform,
+                read_schema=schema,
+            )
+        tgt.ch_type = cdef.ch_type
+        tgt.spark_type = cdef.spark_type
+        tgt.enum_labels = cdef.enum_labels
+        for c in td.columns:
+            c.renamed_from = []  # every file now carries current names
+        self._persist(td)
+        self._bump_catalog()
         return "ok"
 
     def _drop_partition(self, m: re.Match) -> str:
@@ -1379,6 +1527,38 @@ class Warehouse:
             _shutil.rmtree(p, ignore_errors=True)
         self._bump_catalog()
         return f"dropped partition {value}"
+
+    def _detach_attach_partition(self, m: re.Match) -> str:
+        """``ALTER TABLE t DETACH PARTITION v`` / ``ATTACH PARTITION
+        v`` — move the ``_partition_id=<v>`` directory out of (into)
+        the data dir, under the table's ``detached/`` sibling:
+        ClickHouse's take-a-partition-offline primitive (backup,
+        quarantine, re-ingest), O(1) filesystem metadata at any table
+        size — one rename, no data read.  Readers never see detached
+        data (it lives outside the data root); ATTACH is the reverse
+        rename and fails if the partition already exists in data."""
+        db, name = m.group(1) or "default", m.group(2)
+        action = m.group(3).upper()
+        value = m.group(4) if m.group(4) is not None else m.group(5)
+        _check_partition_value(value)
+        td = self._require(f"{db}.{name}")
+        if td.partition_expr is None:
+            raise DdlError(f"{action} PARTITION requires a PARTITION BY table")
+        tdir = self._dir(td.database, td.name)
+        live = os.path.join(tdir, "data", f"_partition_id={value}")
+        parked = os.path.join(tdir, "detached", f"_partition_id={value}")
+        src, dst = (live, parked) if action == "DETACH" else (parked, live)
+        if not os.path.isdir(src):
+            return f"{action.lower()}ed 0 partitions (no partition {value})"
+        if os.path.isdir(dst):
+            raise DdlError(
+                f"partition {value} already present at the "
+                f"{action.lower()} destination"
+            )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+        self._bump_catalog()
+        return f"{action.lower()}ed partition {value}"
 
     def _mutate(self, sql: str, spark: SparkSession | None) -> str:
         """ClickHouse mutations as statements:
@@ -1623,6 +1803,16 @@ class Warehouse:
 
         from clickhub_spark.sources.writer import compact
 
+        inner2 = transform
+
+        def transform(df, _inner=inner2, _td=td):  # noqa: ANN001
+            # normalize any instant-RENAME history first: the merge
+            # rewrites every file to the declared column names (and
+            # the explicit read schema below keeps mixed-name file
+            # sets lossless)
+            df = _normalize_renames(df, _td)
+            return _inner(df) if _inner else df
+
         n = compact(
             spark,
             data,
@@ -1631,7 +1821,12 @@ class Warehouse:
                 ["_partition_id"] if td.partition_expr is not None else None
             ),
             transform=transform,
+            read_schema=_read_schema(td),
         )
+        if any(c.renamed_from for c in td.columns):
+            for c in td.columns:
+                c.renamed_from = []
+            self._persist(td)
         self._bump_catalog()
         return f"optimized {n}"
 
@@ -1736,7 +1931,8 @@ class Warehouse:
                 ):
                     break  # genuinely empty table — fail fast below
                 _time.sleep(0.05)
-        df = spark.read.schema(td.full_schema()).parquet(data)
+        df = spark.read.schema(_read_schema(td)).parquet(data)
+        df = _normalize_renames(df, td)
         for c in td.columns:
             if c.default is not None:
                 df = df.withColumn(
@@ -2014,6 +2210,7 @@ def _tabledef_to_json(td: TableDef) -> dict:
                 "type": c.ch_type,
                 "materialized": c.materialized,
                 "default": c.default,
+                "renamed_from": c.renamed_from,
             }
             for c in td.columns
         ],
@@ -2032,6 +2229,7 @@ def _tabledef_from_json(d: dict) -> TableDef:
                 labels,
                 c.get("materialized"),
                 c.get("default"),
+                renamed_from=c.get("renamed_from", []),
             )
         )
     return TableDef(

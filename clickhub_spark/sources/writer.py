@@ -190,6 +190,7 @@ def compact(
     target_files: int = 8,
     partition_by: list[str] | None = None,
     transform=None,
+    read_schema=None,
 ) -> int:
     """Compact a table's small files (streaming foreachBatch appends
     accumulate one file per micro-batch) into ``target_files`` sorted
@@ -218,7 +219,14 @@ def compact(
 
     recover_table(path)  # a previous swap may have died mid-rename
     _clean_stale_tmps(path)  # crash-stranded scratch generations
-    df = spark.read.parquet(path)
+    # an explicit read_schema makes MIXED-schema file sets safe (an
+    # instant RENAME COLUMN leaves old-name files behind): Spark's
+    # sampled-footer schema silently DROPS whichever spelling the
+    # sampled file lacks — verified live in the ddl rename tests
+    reader = spark.read
+    if read_schema is not None:
+        reader = reader.schema(read_schema)
+    df = reader.parquet(path)
     if transform is not None:
         # OPTIMIZE TABLE … FINAL/DEDUPLICATE (ddl.py): the merge pass
         # applies the engine's merge semantics (final_view dedup,

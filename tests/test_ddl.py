@@ -1225,3 +1225,119 @@ def test_sample_by_round_trip_and_sample_offset(spark, wh):
     # repeatable: same slice selects the same rows
     again = run(spark, "SELECT k FROM git_sb SAMPLE 1/2 OFFSET 0").collect()
     assert sorted(r.k for r in again) == sorted(r.k for r in halves[0])
+
+
+def test_rename_column_instant_with_mixed_files(spark, wh):
+    """RENAME COLUMN is an INSTANT metadata change (ClickHouse's
+    model — renames are not mutations): files written before the
+    rename keep the old column name, and schema-on-read coalesces
+    through the recorded history.  A later OPTIMIZE rewrites every
+    file to the current names and clears the history."""
+    wh.execute(
+        "CREATE TABLE git.rn (`k` Int64, `v` Int64) ENGINE = MergeTree "
+        "ORDER BY (k)"
+    )
+    wh.execute("INSERT INTO git.rn (k, v) VALUES (1, 10), (2, 20)", spark=spark)
+    assert wh.execute("ALTER TABLE git.rn RENAME COLUMN v TO val") == "ok"
+    # instant: no rewrite happened, old files still carry `v`
+    rows = {r.k: r.val for r in wh.read(spark, "git.rn").collect()}
+    assert rows == {1: 10, 2: 20}
+    # new writes use the new name; mixed files still read correctly
+    wh.execute("INSERT INTO git.rn (k, val) VALUES (3, 30)", spark=spark)
+    rows = {r.k: r.val for r in wh.read(spark, "git.rn").collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}
+    assert "`val` Int64" in wh.execute("SHOW CREATE TABLE git.rn")
+    # reload keeps the history
+    td2 = Warehouse(wh.root).table_def("git.rn")
+    assert next(c for c in td2.columns if c.name == "val").renamed_from == ["v"]
+    # OPTIMIZE rewrites to current names (the explicit read schema is
+    # what makes the mixed-name file set lossless) and clears history
+    assert wh.execute("OPTIMIZE TABLE git.rn", spark=spark) == "optimized 3"
+    td3 = wh.table_def("git.rn")
+    assert next(c for c in td3.columns if c.name == "val").renamed_from == []
+    rows = {r.k: r.val for r in wh.read(spark, "git.rn").collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}
+    # guards
+    with pytest.raises(DdlError, match="does not exist"):
+        wh.execute("ALTER TABLE git.rn RENAME COLUMN nope TO x")
+    assert wh.execute(
+        "ALTER TABLE git.rn RENAME COLUMN IF EXISTS nope TO x"
+    ) == "absent"
+    with pytest.raises(DdlError, match="key"):
+        wh.execute("ALTER TABLE git.rn RENAME COLUMN k TO kk")
+
+
+def test_modify_column_rewrites_with_cast(spark, wh):
+    """MODIFY COLUMN is the data-REWRITING alter (exactly ClickHouse,
+    where it is a mutation rewriting parts with the cast applied):
+    the declared type changes AND every file is rewritten through the
+    crash-safe swap."""
+    wh.execute(
+        "CREATE TABLE git.mc (`k` Int64, `v` Int64) ENGINE = MergeTree "
+        "ORDER BY (k)"
+    )
+    wh.execute("INSERT INTO git.mc (k, v) VALUES (1, 10), (2, 20)", spark=spark)
+    assert wh.execute(
+        "ALTER TABLE git.mc MODIFY COLUMN v String", spark=spark
+    ) == "ok"
+    assert "`v` String" in wh.execute("SHOW CREATE TABLE git.mc")
+    df = wh.read(spark, "git.mc")
+    assert dict(df.dtypes)["v"] == "string"
+    assert {r.k: r.v for r in df.collect()} == {1: "10", 2: "20"}
+    # reload keeps the new type
+    assert Warehouse(wh.root).table_def("git.mc").columns[1].ch_type == "String"
+    # composes with a prior instant rename: the rewrite normalizes
+    # old-name files and clears the history
+    wh.execute("ALTER TABLE git.mc RENAME COLUMN v TO s")
+    wh.execute("ALTER TABLE git.mc MODIFY COLUMN s Int64", spark=spark)
+    td = wh.table_def("git.mc")
+    assert next(c for c in td.columns if c.name == "s").renamed_from == []
+    assert {r.k: r.s for r in wh.read(spark, "git.mc").collect()} == {1: 10, 2: 20}
+    with pytest.raises(DdlError, match="does not exist"):
+        wh.execute("ALTER TABLE git.mc MODIFY COLUMN nope Int32", spark=spark)
+
+
+def test_detach_attach_partition(spark, wh):
+    """DETACH takes a partition offline with ONE rename (no data
+    read, any table size); ATTACH is the reverse.  Readers never see
+    the detached directory."""
+    import os
+
+    wh.execute(
+        "CREATE TABLE git.da (`k` Int64, `time` DateTime, `v` Int64) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(time) ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO git.da (k, time, v) VALUES "
+        "(1, '2024-01-05 00:00:00', 10), (2, '2024-02-01 00:00:00', 20), "
+        "(3, '2024-02-09 00:00:00', 30)",
+        spark=spark,
+    )
+    assert wh.execute("ALTER TABLE git.da DETACH PARTITION '202402'") == (
+        "detached partition 202402"
+    )
+    assert {r.k for r in wh.read(spark, "git.da").collect()} == {1}
+    tdir = os.path.join(wh.root, "git", "da")
+    assert os.path.isdir(
+        os.path.join(tdir, "detached", "_partition_id=202402")
+    )
+    # attach restores it, byte-identical
+    assert wh.execute("ALTER TABLE git.da ATTACH PARTITION '202402'") == (
+        "attached partition 202402"
+    )
+    assert {r.k for r in wh.read(spark, "git.da").collect()} == {1, 2, 3}
+    # absent partitions are a no-op, not an error
+    assert wh.execute("ALTER TABLE git.da DETACH PARTITION '209901'").startswith(
+        "detached 0"
+    )
+    assert wh.execute("ALTER TABLE git.da ATTACH PARTITION '209901'").startswith(
+        "attached 0"
+    )
+    # traversal guard applies here too
+    with pytest.raises(DdlError, match="invalid partition value"):
+        wh.execute("ALTER TABLE git.da DETACH PARTITION '2024/..'")
+    wh.execute(
+        "CREATE TABLE git.nopart (`k` Int64) ENGINE = MergeTree ORDER BY (k)"
+    )
+    with pytest.raises(DdlError, match="PARTITION BY"):
+        wh.execute("ALTER TABLE git.nopart DETACH PARTITION '1'")
