@@ -2138,10 +2138,10 @@ class Warehouse:
         cache_key = (id(spark), getattr(self, "_catalog_version", 0))
         if getattr(self, "_sys_views_key", None) == cache_key:
             return ["system_tables", "system_columns", "system_parts",
-                    "system_databases"]
+                    "system_databases", "system_detached_parts"]
         from clickhub_spark.introspect import table_parts
 
-        tbl_rows, col_rows, part_rows = [], [], []
+        tbl_rows, col_rows, part_rows, det_rows = [], [], [], []
         for td in self._tables.values():
             data = os.path.join(self._dir(td.database, td.name), "data")
             total_rows = total_bytes = 0
@@ -2152,6 +2152,12 @@ class Warehouse:
                 )
                 total_rows += p.rows
                 total_bytes += p.bytes
+            det = os.path.join(self._dir(td.database, td.name), "detached")
+            for p in (table_parts(det) if os.path.isdir(det) else []):
+                det_rows.append(
+                    (td.database, td.name, p.partition, p.file,
+                     p.rows, p.bytes)
+                )
             tbl_rows.append(
                 (td.database, td.name, td.engine, total_rows, total_bytes)
             )
@@ -2183,11 +2189,18 @@ class Warehouse:
                 [(d,) for d in sorted({t.database for t in self._tables.values()})],
                 "name string",
             ),
+            (
+                # ClickHouse's system.detached_parts — what ALTER
+                # TABLE … DETACH PARTITION parked, awaiting ATTACH
+                "system_detached_parts", det_rows,
+                "database string, table string, partition_id string, "
+                "name string, rows long, bytes_on_disk long",
+            ),
         ):
             spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
         self._sys_views_key = cache_key
         return ["system_tables", "system_columns", "system_parts",
-                "system_databases"]
+                "system_databases", "system_detached_parts"]
 
 
 def _tabledef_to_json(td: TableDef) -> dict:

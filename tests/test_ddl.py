@@ -1321,6 +1321,19 @@ def test_detach_attach_partition(spark, wh):
     assert os.path.isdir(
         os.path.join(tdir, "detached", "_partition_id=202402")
     )
+    # system.detached_parts lists what DETACH parked
+    from clickhub_spark.sql_compat import run
+
+    wh.register_system_views(spark)
+    det = run(
+        spark,
+        "SELECT `table`, partition_id, rows FROM system.detached_parts",
+    ).collect()
+    # partition_id carries the relative part-dir name, the same
+    # convention system.parts uses (introspect.table_parts)
+    assert [(r["table"], r.partition_id, r.rows) for r in det] == [
+        ("da", "_partition_id=202402", 2)
+    ]
     # attach restores it, byte-identical
     assert wh.execute("ALTER TABLE git.da ATTACH PARTITION '202402'") == (
         "attached partition 202402"
