@@ -197,3 +197,49 @@ def q_ch_sql_battery9e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY tp.1
         """,
     )
+
+
+@query(
+    "q_ch_sql_battery9f",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE ARRAY[lang, source] END AS tags,
+               CASE WHEN doc_id % 5 = 0 THEN CAST([] AS BIGINT[])
+                    ELSE ARRAY[n_chars, n_chars * 2] END AS ws
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(tags) = 0
+                       THEN [CAST(NULL AS VARCHAR)] ELSE tags END) AS tag,
+           unnest(CASE WHEN len(ws) = 0
+                       THEN [CAST(NULL AS BIGINT)] ELSE ws END) AS weight
+    FROM d
+    """,
+)
+def q_ch_sql_battery9f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LEFT ARRAY JOIN a AS x, b AS y`` with EMPTY arrays — the
+    empty-array rows survive with NULL elements (CH's LEFT form; the
+    inner form drops them).  Pinned against a DuckDB oracle that
+    models LEFT by substituting a [NULL] singleton for empty arrays
+    before the zip-unnest.  This row also pins the try_element_at
+    render: Spark's OUTER generator feeds the chained zip generator
+    an internal pos of -1 before its null-out projection, so a plain
+    element_at throws INVALID_ARRAY_INDEX (found live, round 15)."""
+    _docs_view(spark, sf_dir)
+    return run(
+        spark,
+        """
+        SELECT doc_id, tag, weight
+        FROM (
+            SELECT doc_id,
+                   if(doc_id % 5 = 0, [], [lang, source]) AS tags,
+                   if(doc_id % 5 = 0,
+                      arrayResize([1], 0),
+                      [n_chars, n_chars * 2]) AS ws
+            FROM documents WHERE doc_id % 3 = 0
+        ) d
+        LEFT ARRAY JOIN tags AS tag, ws AS weight
+        """,
+    )

@@ -72,6 +72,7 @@ ROUND_PRIORITY = [
     "q_ch_sql_battery9c",
     "q_ch_sql_battery9d",
     "q_ch_sql_battery9e",
+    "q_ch_sql_battery9f",
     # --- last driver row r7 (36 names) ---
     "q_agg_resample",
     "q_agg_sample_group",

@@ -1811,8 +1811,15 @@ def _rewrite_array_join_clause(sql: str) -> str:
             f"AS __aj_pos, {gen_names[0]}"
         )
         for i, (e, _) in enumerate(parsed[1:], start=1):
+            # try_element_at, not element_at: under LEFT (OUTER) the
+            # empty-anchor row reaches this chained generator with an
+            # internal pos of -1 before Spark's null-out projection
+            # (verified live — element_at throws
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT); sizes are already
+            # enforced by the anchor's raise_error CASE, so try_ can
+            # only ever surface the correct LEFT-join NULL
             lvs.append(
-                f"LATERAL VIEW explode(array(element_at({e}, "
+                f"LATERAL VIEW explode(array(try_element_at({e}, "
                 f"__aj_pos + 1))) __aj{i} AS {gen_names[i]}"
             )
         hidden = ["__aj_pos"]

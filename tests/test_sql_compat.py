@@ -2634,6 +2634,17 @@ def test_array_join_multi_zips_positionally(spark, b9):
     # SELECT * must not leak the position helper
     star = run(spark, "SELECT * FROM b9_t ARRAY JOIN labels AS l, nums AS n")
     assert not [c for c in star.columns if c.startswith("__aj")]
+    # LEFT multi: the empty-array row survives with NULL elements —
+    # the chained generator must use try_element_at (Spark's OUTER
+    # generator feeds an internal pos of -1 before its null-out
+    # projection; element_at threw INVALID_ARRAY_INDEX)
+    left = run(
+        spark,
+        "SELECT id, l, n FROM b9_t LEFT ARRAY JOIN labels AS l, nums AS n",
+    )
+    assert sorted(((r.id, r.l, r.n) for r in left.collect()), key=str) == sorted(
+        [(1, "x", 10), (1, "y", 20), (2, "z", 30), (3, None, None)], key=str
+    )
     # unequal sizes: runtime error (ClickHouse errors too)
     spark.sql(
         "SELECT array(1, 2) AS a, array(9) AS b"
