@@ -2557,15 +2557,23 @@ def translate(sql: str) -> str:
 
     out = _rewrite_call(out, "transform", _ch_transform, nargs=2)
     # tuple(…) → named_struct with positional _N names; tupleElement
-    # reads them back (literal index only — the tuple() form's naming)
-    out = _rewrite_call(
-        out, "tuple",
-        lambda a: (
-            "named_struct("
-            + ", ".join(f"'_{i + 1}', {arg}" for i, arg in enumerate(a))
-            + ")"
-        ),
-    )
+    # reads them back (literal index only — the tuple() form's naming).
+    # Fixpoint loop: _rewrite_call resumes scanning AFTER each
+    # replaced call, so a tuple nested in another tuple's ARGUMENTS
+    # survives one pass (found by round-15 composition probing:
+    # `tuple(tuple(1, 2), 3)` kept the inner call); the loop
+    # terminates because the render emits no `tuple(` of its own.
+    prev_tuple = None
+    while prev_tuple != out:
+        prev_tuple = out
+        out = _rewrite_call(
+            out, "tuple",
+            lambda a: (
+                "named_struct("
+                + ", ".join(f"'_{i + 1}', {arg}" for i, arg in enumerate(a))
+                + ")"
+            ),
+        )
 
     def _tuple_element(a: list[str]) -> str:
         if not re.fullmatch(r"\d+", a[1].strip()):
@@ -2583,15 +2591,20 @@ def translate(sql: str) -> str:
     # select list; a second untuple fails loudly at analysis.
     out = _rewrite_call(out, "untuple", lambda a: f"inline(array({a[0]}))")
     # tuple positional access `t.1` → the tuple() render's `_N` struct
-    # fields.  The token before the dot must be an identifier or a
-    # close-paren — a digit stays a decimal literal (1.5), and string
-    # literals are inert (probe battery 9).
+    # fields, including chains (`t.1.2` reads a nested tuple).  The
+    # token before the first dot must be an identifier or a close-paren
+    # — a digit stays a decimal literal (1.5; the digit-lookbehind
+    # guards only the identifier head, so `tuple(a, 3).1` still
+    # rewrites) — and string literals are inert (probe battery 9).
+    def _dot_chain(m: re.Match) -> str:
+        return m.group(1) + re.sub(r"\.\s*(\d+)", r"._\1", m.group(2))
+
     out = "".join(
         seg
         if is_lit
         else re.sub(
-            r"\b(?<![\d.])([A-Za-z_]\w*|\))\s*\.\s*(\d+)\b(?!\s*\.\d)",
-            r"\1._\2",
+            r"((?<![\d.])\b[A-Za-z_]\w*|\))((?:\s*\.\s*\d+)+)(?!\w)",
+            _dot_chain,
             seg,
         )
         for is_lit, seg in _split_quoted(out)

@@ -2748,3 +2748,26 @@ def test_advice_r14_group_by_all_and_distinct_on(spark, b9):
         "SELECT DISTINCT ON (g) g, id FROM b9_t ORDER BY g, v DESC",
     )
     assert [(r.g, r.id) for r in don.collect()] == [("a", 2), ("b", 3)]
+
+
+def test_nested_tuple_and_chained_dot_access(spark, b9):
+    """Round-15 composition probing: a tuple() nested in another
+    tuple's ARGUMENTS survived one _rewrite_call pass (the scanner
+    resumes after each replaced call) — now fixpoint-looped; and
+    ``t.1.2`` chains rewrite through nested _N fields, including
+    after a digit-final argument list (the decimal-literal lookbehind
+    guards only the identifier head)."""
+    assert translate("SELECT tuple(tuple(1, 2), 3).1.2 AS x") == (
+        "SELECT named_struct('_1', named_struct('_1', 1, '_2', 2), "
+        "'_2', 3)._1._2 AS x"
+    )
+    row = run(
+        spark,
+        "SELECT tuple(tuple(g, id), v).1.2 AS inner_id, "
+        "tuple(id, 3).2 AS three FROM b9_t WHERE id = 1",
+    ).first()
+    assert (row.inner_id, row.three) == (1, 3)
+    # decimal literals are untouched
+    assert translate("SELECT 1.5 AS v, x + .25 AS w FROM t") == (
+        "SELECT 1.5 AS v, x + .25 AS w FROM t"
+    )
