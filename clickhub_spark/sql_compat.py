@@ -352,6 +352,18 @@ def _rewrite_call(
         if depth or len(args) < nargs:
             out.append(sql[m.start() : j])  # malformed: leave untouched
         else:
+            # the scanner resumes AFTER the close paren, so a same-name
+            # call nested in the ARGUMENTS would survive untranslated
+            # (round-15 probing: `tuple(tuple(1, 2), 3)` kept the
+            # inner call) — recurse into each argument first.  Safe:
+            # args shrink strictly, and renders receive the rewritten
+            # inner text exactly as they would from any other pass
+            # that ran earlier.
+            if re.search(rf"\b{name}\s*\(", "".join(args)):
+                args = [
+                    _rewrite_call(a, name, render, nargs, with_tail)
+                    for a in args
+                ]
             out.append(render(args, sql[j:]) if with_tail else render(args))
         i = j
 
@@ -2558,22 +2570,16 @@ def translate(sql: str) -> str:
     out = _rewrite_call(out, "transform", _ch_transform, nargs=2)
     # tuple(…) → named_struct with positional _N names; tupleElement
     # reads them back (literal index only — the tuple() form's naming).
-    # Fixpoint loop: _rewrite_call resumes scanning AFTER each
-    # replaced call, so a tuple nested in another tuple's ARGUMENTS
-    # survives one pass (found by round-15 composition probing:
-    # `tuple(tuple(1, 2), 3)` kept the inner call); the loop
-    # terminates because the render emits no `tuple(` of its own.
-    prev_tuple = None
-    while prev_tuple != out:
-        prev_tuple = out
-        out = _rewrite_call(
-            out, "tuple",
-            lambda a: (
-                "named_struct("
-                + ", ".join(f"'_{i + 1}', {arg}" for i, arg in enumerate(a))
-                + ")"
-            ),
-        )
+    # Nested tuple(tuple(…), …) is covered by _rewrite_call's
+    # argument recursion (round-15 fix).
+    out = _rewrite_call(
+        out, "tuple",
+        lambda a: (
+            "named_struct("
+            + ", ".join(f"'_{i + 1}', {arg}" for i, arg in enumerate(a))
+            + ")"
+        ),
+    )
 
     def _tuple_element(a: list[str]) -> str:
         if not re.fullmatch(r"\d+", a[1].strip()):
