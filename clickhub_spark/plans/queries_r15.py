@@ -243,3 +243,91 @@ def q_ch_sql_battery9f(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT ARRAY JOIN tags AS tag, ws AS weight
         """,
     )
+
+
+@query(
+    "q_ch_ddl_alter",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), '202401', CAST(10   AS DOUBLE)),
+        (CAST(2 AS BIGINT), '202401', CAST(20   AS DOUBLE)),
+        (CAST(3 AS BIGINT), '202402', CAST(30   AS DOUBLE)),
+        (CAST(4 AS BIGINT), '202402', CAST(40   AS DOUBLE)),
+        (CAST(5 AS BIGINT), '202403', CAST(1050 AS DOUBLE))
+    ) AS t(k, part, val)
+    """,
+)
+def q_ch_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 ALTER surface under driver correctness: a scratch
+    PARTITION BY warehouse runs the literal statements
+
+    - ``RENAME COLUMN v TO val`` (INSTANT metadata — files written
+      before it keep the old name; schema-on-read coalesces through
+      the recorded history),
+    - an INSERT after the rename (mixed-name files now on disk),
+    - ``MODIFY COLUMN val Float64`` (the data-REWRITING alter, as in
+      ClickHouse where MODIFY is a mutation: rewrites every file via
+      the crash-safe swap — normalizing the mixed names — and casts),
+    - ``UPDATE val = val + 1000 IN PARTITION '202403'`` over the
+      renamed+cast column,
+    - a ``DETACH PARTITION '202404' `` / ``ATTACH PARTITION
+      '202404'`` round trip plus a final ``DROP PARTITION '202404'``
+      (all O(1) directory renames — PARTITION_LIFECYCLE_r15.json
+      certifies flat time at 10M rows).
+
+    Content is fixed (sf-independent); the oracle is the
+    hand-computed post-ALTER table."""
+    import os
+    import shutil
+    import tempfile
+
+    from clickhub_spark.ddl import Warehouse
+
+    root = tempfile.gettempdir() + f"/chwh_ddl_alter_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+    wh.execute(
+        "CREATE TABLE default.al (`k` Int64, `time` DateTime, `v` Int64) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(time) ORDER BY (k)"
+    )
+    wh.execute(
+        "INSERT INTO default.al (k, time, v) VALUES "
+        "(1, '2024-01-05 00:00:00', 10), (2, '2024-01-20 00:00:00', 20), "
+        "(3, '2024-02-01 00:00:00', 30), (5, '2024-03-01 00:00:00', 50)",
+        spark=spark,
+    )
+    outs = [wh.execute("ALTER TABLE default.al RENAME COLUMN v TO val")]
+    # mixed-name files: this INSERT writes `val`, the first wrote `v`
+    wh.execute(
+        "INSERT INTO default.al (k, time, val) VALUES "
+        "(4, '2024-02-09 00:00:00', 40), (6, '2024-04-01 00:00:00', 60)",
+        spark=spark,
+    )
+    outs.append(
+        wh.execute("ALTER TABLE default.al MODIFY COLUMN val Float64",
+                   spark=spark)
+    )
+    outs.append(
+        wh.execute(
+            "ALTER TABLE default.al UPDATE val = val + 1000 "
+            "IN PARTITION '202403' WHERE k = 5",
+            spark=spark,
+        )
+    )
+    outs.append(wh.execute("ALTER TABLE default.al DETACH PARTITION '202404'"))
+    outs.append(wh.execute("ALTER TABLE default.al ATTACH PARTITION '202404'"))
+    outs.append(wh.execute("ALTER TABLE default.al DROP PARTITION '202404'"))
+    want = ("ok", "ok", None, "detached partition 202404",
+            "attached partition 202404", "dropped partition 202404")
+    for got, exp in zip(outs, want):
+        if exp is not None and not str(got).startswith(exp.split()[0]):
+            raise AssertionError(f"ALTER statement path broke: {outs!r}")
+    wh.register_views(spark)
+    # CAST the partition dir value explicitly: hive partition-column
+    # type inference flips numeric-looking values between int and
+    # string depending on which writer produced the directory
+    return run(
+        spark,
+        "SELECT k, CAST(_partition_id AS String) AS part, val "
+        "FROM default_al ORDER BY k",
+    )

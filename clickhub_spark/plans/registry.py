@@ -73,6 +73,7 @@ ROUND_PRIORITY = [
     "q_ch_sql_battery9d",
     "q_ch_sql_battery9e",
     "q_ch_sql_battery9f",
+    "q_ch_ddl_alter",
     # --- last driver row r7 (36 names) ---
     "q_agg_resample",
     "q_agg_sample_group",
