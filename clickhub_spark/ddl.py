@@ -198,7 +198,10 @@ def _normalize_renames(df: DataFrame, td: TableDef) -> DataFrame:
     name, files written after carry the current one; no file carries
     both non-NULL) and drop the historical columns."""
     for c in td.columns:
-        hist = [h for h in c.renamed_from if h in df.columns]
+        hist = [
+            h for h in c.renamed_from
+            if h in df.columns and h != c.name
+        ]
         if not hist:
             continue
         df = df.withColumn(
@@ -1429,7 +1432,11 @@ class Warehouse:
         ):
             raise DdlError(f"cannot rename key/engine column {old!r}")
         src.name = new
-        src.renamed_from = [old, *src.renamed_from]
+        # a rename CYCLE (v -> val -> v) makes the target name an
+        # on-disk spelling again: drop it from the history or the
+        # normalize pass would coalesce-and-drop the live column
+        # (found by round-15 hostile probing)
+        src.renamed_from = [old, *[h for h in src.renamed_from if h != new]]
         self._persist(td)
         return "ok"
 

@@ -1257,6 +1257,19 @@ def test_rename_column_instant_with_mixed_files(spark, wh):
     assert next(c for c in td3.columns if c.name == "val").renamed_from == []
     rows = {r.k: r.val for r in wh.read(spark, "git.rn").collect()}
     assert rows == {1: 10, 2: 20, 3: 30}
+    # rename CYCLE back to an on-disk spelling (v -> val -> v2 -> v):
+    # the target name must leave the history or normalize would
+    # coalesce-and-drop the live column (round-15 hostile probe)
+    wh.execute("ALTER TABLE git.rn RENAME COLUMN val TO v2")
+    wh.execute("ALTER TABLE git.rn RENAME COLUMN v2 TO v")
+    wh.execute("INSERT INTO git.rn (k, v) VALUES (4, 40)", spark=spark)
+    assert {r.k: r.v for r in wh.read(spark, "git.rn").collect()} == {
+        1: 10, 2: 20, 3: 30, 4: 40,
+    }
+    assert next(
+        c for c in wh.table_def("git.rn").columns if c.name == "v"
+    ).renamed_from == ["v2", "val"]
+    wh.execute("ALTER TABLE git.rn RENAME COLUMN v TO val")
     # guards
     with pytest.raises(DdlError, match="does not exist"):
         wh.execute("ALTER TABLE git.rn RENAME COLUMN nope TO x")
