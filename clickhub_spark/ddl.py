@@ -940,6 +940,13 @@ class Warehouse:
         shutil.rmtree(self._dir(db, name), ignore_errors=True)
         self._tables.pop(q)
         self._queues.pop(q, None)
+        # drop the table's sampling-key registrations too — a stale
+        # key would silently slice a LATER same-named table by the
+        # wrong column (review r15)
+        from clickhub_spark.sql_compat import _SAMPLE_KEYS
+
+        _SAMPLE_KEYS.pop(name.lower(), None)
+        _SAMPLE_KEYS.pop(f"{db}_{name}".lower(), None)
         self._bump_catalog()
         return "ok"
 
@@ -1398,15 +1405,20 @@ class Warehouse:
             if guarded:
                 return "exists"
             raise DdlError(f"column {cdef.name!r} already exists on {td.qualified}")
-        for c in td.columns:
-            if cdef.name in c.renamed_from:
-                # re-using a previously-renamed name: old files' data
-                # under that name belongs to the RENAMED column's
-                # history; the new column must not shadow it, and the
-                # history entry can no longer be served unambiguously
-                # — drop it (old files read NULL for c through this
-                # name, exactly as if the rename had rewritten)
-                c.renamed_from = [h for h in c.renamed_from if h != cdef.name]
+        if any(cdef.name in c.renamed_from for c in td.columns):
+            # re-using a previously-renamed name: pre-rename files
+            # still PHYSICALLY carry this column name, so the new
+            # column would read the renamed column's old values out
+            # of them (ghost data — review r15).  Normalize the files
+            # to the declared names first; afterwards the new column
+            # reads NULL/DEFAULT from every file, like ClickHouse.
+            if spark is None:
+                raise DdlError(
+                    f"ADD COLUMN {cdef.name!r} re-uses a renamed "
+                    f"column's old name — needs a SparkSession to "
+                    f"normalize the files first"
+                )
+            self._normalize_table_files(td, spark)
         td.columns.append(cdef)
         self._persist(td)
         return "ok"
@@ -1431,6 +1443,21 @@ class Warehouse:
             self._engine_arg_cols(td)
         ):
             raise DdlError(f"cannot rename key/engine column {old!r}")
+        # dangling-reference guard (review r15): the old name may be
+        # baked into expression metadata that is evaluated by name on
+        # every later read/insert
+        refs = [("PARTITION BY", td.partition_expr), ("SAMPLE BY", td.sample_by)]
+        refs += [
+            (f"column {c.name!r} DEFAULT", c.default) for c in td.columns
+        ] + [
+            (f"column {c.name!r} MATERIALIZED", c.materialized)
+            for c in td.columns
+        ]
+        for what, expr in refs:
+            if expr and re.search(rf"\b{re.escape(old)}\b", expr):
+                raise DdlError(
+                    f"cannot rename {old!r}: referenced by {what} ({expr})"
+                )
         src.name = new
         # a rename CYCLE (v -> val -> v) makes the target name an
         # on-disk spelling again: drop it from the history or the
@@ -1458,6 +1485,14 @@ class Warehouse:
             )
         if spark is None:
             raise DdlError("MODIFY COLUMN needs a SparkSession")
+        if self._has_detached(td):
+            # detached files would keep the OLD type (and any old
+            # names) past this rewrite and fail or mis-read after a
+            # later ATTACH (review r15)
+            raise DdlError(
+                f"{td.qualified} has detached partitions — ATTACH or "
+                f"DROP them before MODIFY COLUMN rewrites the table"
+            )
         data = os.path.join(self._dir(td.database, td.name), "data")
         if os.path.isdir(data):
             from clickhub_spark.sources.writer import compact
@@ -1652,6 +1687,11 @@ class Warehouse:
         data = os.path.join(self._dir(td.database, td.name), "data")
         if not os.path.isdir(data):
             return "empty"
+        # mutations read/rewrite the raw files: normalize any pending
+        # instant-RENAME history first, or the sampled-footer read
+        # would silently drop whichever spelling it lacks — permanent
+        # data loss (review r15)
+        self._normalize_table_files(td, spark)
         cols = {c.name for c in td.columns}
         bad = [c for c in assigns if c not in cols]
         if bad:
@@ -1759,6 +1799,51 @@ class Warehouse:
         job = q.claim_key(repo, wid)
         return f"claimed {1 if job else 0}"
 
+    def _detached_dir(self, td: TableDef) -> str:
+        return os.path.join(self._dir(td.database, td.name), "detached")
+
+    def _has_detached(self, td: TableDef) -> bool:
+        det = self._detached_dir(td)
+        return os.path.isdir(det) and any(os.scandir(det))
+
+    def _normalize_table_files(self, td: TableDef, spark: SparkSession) -> None:
+        """Rewrite the table's files to the DECLARED column names when
+        an instant RENAME left old-name files behind — any path that
+        reads raw parquet (mutations, ADD COLUMN re-using a historical
+        name) must run through this first: Spark's sampled-footer read
+        of a mixed-name file set silently drops whichever spelling the
+        sampled file lacks (review r15).  Clears the histories; no-op
+        without history.  Refuses when DETACHed partitions exist —
+        they would keep old-name files past the history clear and read
+        as NULL after ATTACH."""
+        if not any(c.renamed_from for c in td.columns):
+            return
+        if self._has_detached(td):
+            raise DdlError(
+                f"{td.qualified} has detached partitions holding "
+                f"pre-rename column names — ATTACH or DROP them before "
+                f"an operation that rewrites the files"
+            )
+        data = os.path.join(self._dir(td.database, td.name), "data")
+        if os.path.isdir(data):
+            from clickhub_spark.sources.writer import compact
+
+            compact(
+                spark,
+                data,
+                sort_cols=list(td.order_by),
+                partition_by=(
+                    ["_partition_id"] if td.partition_expr is not None
+                    else None
+                ),
+                transform=lambda df, _td=td: _normalize_renames(df, _td),
+                read_schema=_read_schema(td),
+            )
+        for c in td.columns:
+            c.renamed_from = []
+        self._persist(td)
+        self._bump_catalog()
+
     def _optimize(self, sql: str, spark: SparkSession | None) -> str:
         """``OPTIMIZE TABLE t [FINAL] [DEDUPLICATE]`` — the MergeTree
         background-merge, on demand: compacts the part files (writer.
@@ -1820,6 +1905,15 @@ class Warehouse:
             df = _normalize_renames(df, _td)
             return _inner(df) if _inner else df
 
+        if any(c.renamed_from for c in td.columns) and self._has_detached(td):
+            # clearing the history while detached partitions hold
+            # old-name files would make a later ATTACH read NULLs
+            # (review r15)
+            raise DdlError(
+                f"{td.qualified} has detached partitions holding "
+                f"pre-rename column names — ATTACH or DROP them before "
+                f"OPTIMIZE rewrites the table"
+            )
         n = compact(
             spark,
             data,

@@ -89,7 +89,12 @@ def exchange_dirs(a: str, b: str) -> bool:
     if err == _errno.ENOSYS:
         _EXCHANGE_OK = False  # kernel lacks renameat2: global verdict
         return False
-    if err in (_errno.EINVAL, getattr(_errno, "ENOTSUP", 95), _errno.EXDEV):
+    if err == _errno.EXDEV:
+        # a cross-device PAIR can't exchange — that says nothing
+        # about this filesystem's support, so don't cache (review
+        # r15: caching it downgraded every later same-fs swap)
+        return False
+    if err in (_errno.EINVAL, getattr(_errno, "ENOTSUP", 95)):
         # this FILESYSTEM can't exchange — remember per device only
         if dev is not None:
             _EXCHANGE_DEV_OK[dev] = False

@@ -1207,6 +1207,7 @@ def _non_aggregate_select_items(sql: str) -> list[str]:
 _ALIAS_STOP = frozenset(
     "and or not in is like ilike between case when then else end "
     "null true false distinct interval cast exists all any "
+    "div mod xor regexp rlike glob escape collate from to at "
     "year years quarter quarters month months week weeks day days "
     "hour hours minute minutes second seconds".split()
 )
@@ -1544,7 +1545,27 @@ def _rewrite_with_totals(sql: str) -> str:
     tail = sql[m.end() :]
     mh = None
     tspans = _literal_spans(tail)
+    # the HAVING must belong to THIS select: stop looking at the
+    # first depth-0 set-operation boundary (a later UNION branch's
+    # HAVING must not inherit the totals exemption — review r15)
+    scope_end = len(tail)
+    for b in re.finditer(r"(?is)\b(UNION|INTERSECT|EXCEPT)\b", tail):
+        if _in_spans(tspans, b.start()):
+            continue
+        d = 0
+        for k in range(b.start()):
+            if _in_spans(tspans, k):
+                continue
+            if tail[k] == "(":
+                d += 1
+            elif tail[k] == ")":
+                d -= 1
+        if d == 0 and not tail[: b.start()].rstrip().endswith("*"):
+            scope_end = b.start()
+            break
     for h in re.finditer(r"(?is)\bHAVING\b", tail):
+        if h.start() >= scope_end:
+            break
         if _in_spans(tspans, h.start()):
             continue
         d = 0
@@ -2609,7 +2630,7 @@ def translate(sql: str) -> str:
         seg
         if is_lit
         else re.sub(
-            r"((?<![\d.])\b[A-Za-z_]\w*|\))((?:\s*\.\s*\d+)+)(?!\w)",
+            r"((?<!\d)\b[A-Za-z_]\w*|\))((?:\s*\.\s*\d+)+)(?!\w)",
             _dot_chain,
             seg,
         )
@@ -3903,7 +3924,7 @@ def translate(sql: str) -> str:
     if m_smp and not _in_spans(spans_smp, m_smp.start()):
         if m_smp.group(4):
             m_off = re.search(
-                r"(?is)\b(?P<tbl>\w+)\s+SAMPLE\s+"
+                r"(?is)\b(?P<tbl>\w+(?:\.\w+)?)\s+SAMPLE\s+"
                 r"(?P<k>\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?)"
                 r"\s+OFFSET\s+"
                 r"(?P<m>\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?)",
@@ -3926,7 +3947,13 @@ def translate(sql: str) -> str:
                     "SAMPLE k OFFSET m supports fractional k, m in [0, 1] "
                     "(ClickHouse's relative-sample form)"
                 )
-            key = _SAMPLE_KEYS.get(tbl.lower())
+            # qualified names look up db.table first, then the bare
+            # table; the subquery alias is the LAST segment so later
+            # references to the table name keep resolving
+            alias = tbl.split(".")[-1]
+            key = _SAMPLE_KEYS.get(tbl.lower()) or _SAMPLE_KEYS.get(
+                alias.lower()
+            )
             if key is None:
                 raise ValueError(
                     f"SAMPLE … OFFSET needs a sampling key for {tbl!r} — "
@@ -3941,7 +3968,7 @@ def translate(sql: str) -> str:
                 hi = format(int((m_frac + k) * 16**8), "08x")
                 preds.append(f"{h} < '{hi}'")
             sub = (
-                f"(SELECT * FROM {tbl} WHERE {' AND '.join(preds)}) {tbl}"
+                f"(SELECT * FROM {tbl} WHERE {' AND '.join(preds)}) {alias}"
             )
             out = out[: m_off.start()] + sub + out[m_off.end() :]
         else:
