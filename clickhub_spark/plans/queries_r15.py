@@ -331,3 +331,36 @@ def q_ch_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT k, CAST(_partition_id AS String) AS part, val "
         "FROM default_al ORDER BY k",
     )
+
+
+@query(
+    "q_ch_sql_battery10",
+    oracle="""
+    SELECT CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
+    FROM lineitem
+    """,
+)
+def q_ch_sql_battery10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COLUMNS('regex') APPLY(fn)`` — ClickHouse's dynamic column
+    selector (pick columns by NAME pattern, then apply an aggregate
+    to each; the wide-table idiom).  Expansion needs the schema, so
+    it is a run()-level session-aware rewrite like star-APPLY; CH
+    names the outputs ``fn(col)``, matched by the oracle's quoted
+    aliases.  The regex picks the two integral lineitem measures so
+    the sums are exact at every SF."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    out = run(
+        spark,
+        "SELECT COLUMNS('^l_(quantity|linenumber)$') APPLY(sum) "
+        "FROM lineitem",
+    )
+    # the registry convention forbids parens in output names (driver
+    # compares sorted column names); CH's fn(col) spelling itself is
+    # pinned by tests/test_sql_compat.py::test_columns_regex_selector
+    from pyspark.sql import functions as F
+
+    return out.select(
+        F.col("`sum(l_quantity)`").alias("sum_qty"),
+        F.col("`sum(l_linenumber)`").alias("sum_linenumber"),
+    )

@@ -74,6 +74,7 @@ ROUND_PRIORITY = [
     "q_ch_sql_battery9e",
     "q_ch_sql_battery9f",
     "q_ch_ddl_alter",
+    "q_ch_sql_battery10",
     # --- last driver row r7 (36 names) ---
     "q_agg_resample",
     "q_agg_sample_group",

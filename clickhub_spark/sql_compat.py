@@ -4364,6 +4364,71 @@ def _rewrite_star_apply(spark: SparkSession, sql: str) -> str:
     )
 
 
+def _rewrite_columns_selector(spark: SparkSession, sql: str) -> str:
+    """ClickHouse's dynamic column selector ``COLUMNS('regex')``
+    [+ ``APPLY(fn)``]: expands to the FROM table's columns whose NAME
+    matches the re2 pattern (partial match, like CH).  Star-expansion
+    needs the SCHEMA, so this is a run()-level, session-aware rewrite
+    (the _rewrite_star_apply pattern).  The statement's first depth-0
+    FROM names the registered view; other shapes raise with the
+    supported form named.  CH errors on an empty match — so do we."""
+    spans = _literal_spans(sql)
+    m = None
+    for cand in re.finditer(
+        r"(?is)\bCOLUMNS\s*\(\s*'([^']*)'\s*\)"
+        r"(\s*APPLY\s*\(\s*(\w+)\s*\))?",
+        sql,
+    ):
+        if not _in_spans(spans, cand.start()):
+            m = cand
+            break
+    if m is None:
+        return sql
+    fm = None
+    for fc in re.finditer(r"(?is)\bFROM\s+`?(\w+)`?", sql):
+        if _in_spans(spans, fc.start()):
+            continue
+        d = 0
+        for k in range(fc.start()):
+            if _in_spans(spans, k):
+                continue
+            if sql[k] == "(":
+                d += 1
+            elif sql[k] == ")":
+                d -= 1
+        if d == 0:
+            fm = fc
+            break
+    if fm is None:
+        raise ValueError(
+            "COLUMNS('regex') needs a depth-0 FROM <registered table> "
+            "to expand against"
+        )
+    view = fm.group(1)
+    try:
+        cols = spark.table(view).columns
+    except Exception as exc:
+        raise ValueError(
+            f"COLUMNS('regex'): FROM table {view!r} is not a "
+            f"registered view"
+        ) from exc
+    rx = re.compile(m.group(1))
+    hit = [c for c in cols if rx.search(c)]
+    if not hit:
+        raise ValueError(
+            f"COLUMNS({m.group(1)!r}) matches no column of {view!r} "
+            f"(ClickHouse errors on an empty selector too)"
+        )
+    if m.group(3):
+        fn = m.group(3)
+        items = [f"{fn}(`{c}`) AS `{fn}({c})`" for c in hit]
+    else:
+        items = [f"`{c}`" for c in hit]
+    return _rewrite_columns_selector(
+        spark, sql[: m.start()] + ", ".join(items) + sql[m.end() :]
+    )
+
+
 def run(spark: SparkSession, sql: str) -> DataFrame:
     """Translate and execute a ClickHouse-dialect statement against
     the session's registered views.  ``ORDER BY … WITH FILL`` and
@@ -4385,6 +4450,9 @@ def run(spark: SparkSession, sql: str) -> DataFrame:
         spark_mode = "EXTENDED" if mode in ("AST", "SYNTAX") else "FORMATTED"
         return spark.sql(f"EXPLAIN {spark_mode} {inner}")
     sql = _rewrite_asof_join(spark, sql)
+    # COLUMNS first: its APPLY composition would otherwise trip the
+    # star-APPLY guard before the selector expands
+    sql = _rewrite_columns_selector(spark, sql)
     sql = _rewrite_star_apply(spark, sql)
     filled = parse_with_fill(sql)
     if filled is not None:

@@ -2771,3 +2771,23 @@ def test_nested_tuple_and_chained_dot_access(spark, b9):
     assert translate("SELECT 1.5 AS v, x + .25 AS w FROM t") == (
         "SELECT 1.5 AS v, x + .25 AS w FROM t"
     )
+
+
+def test_columns_regex_selector(spark, b9):
+    """``COLUMNS('regex')`` dynamic selector (+ APPLY composition):
+    expands to the FROM table's name-matching columns at run() time
+    (schema-aware, like star-APPLY); empty matches refuse loudly as
+    ClickHouse does; literals are inert."""
+    rows = run(spark, "SELECT COLUMNS('^(id|v)$') FROM b9_t ORDER BY id")
+    assert rows.columns == ["id", "v"]
+    agg = run(spark, "SELECT COLUMNS('^(id|v)$') APPLY(max) FROM b9_t").first()
+    assert (agg["max(id)"], agg["max(v)"]) == (3, 3.0)
+    mixed = run(spark, "SELECT g, COLUMNS('^v$') FROM b9_t WHERE id = 2").first()
+    assert (mixed.g, mixed.v) == ("a", 2.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="matches no column"):
+        run(spark, "SELECT COLUMNS('zzz') FROM b9_t")
+    assert run(
+        spark, "SELECT 'see COLUMNS(\\'^l\\') docs' AS s FROM b9_t LIMIT 1"
+    ).first().s == "see COLUMNS('^l') docs"
