@@ -32,17 +32,19 @@ def main() -> None:
         "note": (
             "Final-tree verification (sequence per the verify skill: "
             "plan_guard refresh + empty fingerprint diff first, then "
-            "full pytest, then the oracle gates). 340 registered "
-            "queries, 7 new this round: probe battery 9 — "
+            "full pytest, then the oracle gates). 341 registered "
+            "queries, 8 new this round: probe battery 9 — "
             "q_ch_sql_battery9/9b/9f (ARRAY JOIN multi-zip, bare "
             "form, LEFT-with-empties — DuckDB multi-unnest oracles), "
             "q_ch_sql_battery9c (WITH TOTALS + HAVING totals-row "
             "existence vs a hand-built UNION ALL oracle), "
             "q_ch_sql_battery9d (SAMPLE k OFFSET m as a declared-key "
             "md5 hash-range slice, membership-pinned), "
-            "q_ch_sql_battery9e (untuple + tuple .N access), and "
+            "q_ch_sql_battery9e (untuple + tuple .N access), "
             "q_ch_ddl_alter (RENAME/MODIFY COLUMN + DETACH/ATTACH/"
-            "DROP PARTITION flow, hand-computed oracle). All five "
+            "DROP PARTITION flow, hand-computed oracle), and "
+            "q_ch_sql_battery10 (COLUMNS('regex') APPLY dynamic "
+            "column selector). All five "
             "ADVICE r14 items fixed; the three verdict-flagged "
             "literal-corruption passes (ARRAY JOIN, WITH TOTALS, "
             "FINAL) are literal-span guarded with a hypothesis "
