@@ -484,7 +484,16 @@ def q_dedup_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickhub_spark.operators.dedup.final_view."""
     from clickhub_spark.operators.dedup import final_view
 
-    li = load(spark, sf_dir, "lineitem")
+    # r16 (guide §2.3 — project before the exchange): final_view's
+    # max_by(struct(ALL columns)) is opaque to Catalyst's column
+    # pruning, so without the explicit select the aggregate shuffled
+    # every lineitem column (16) to emit 4.  Selecting the key +
+    # version + output columns up front cuts the shuffled row to the 5
+    # columns the query actually consumes; survivor choice is
+    # unchanged (same key, same version ordering).
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
     return final_view(
         li,
         keys=["l_orderkey"],

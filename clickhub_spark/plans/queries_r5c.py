@@ -1359,8 +1359,14 @@ def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "blk")
         .where((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("na") - F.col("nb")) <= 20))
-        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("bigint"))
-        .where(F.col("edit_dist") <= 40)
+        # r16 (guide §1.2 per-task work): pass the 40 cutoff INTO
+        # levenshtein — Spark's threshold form runs the banded DP
+        # (O(len·k) and early-exits) instead of the full O(len²)
+        # matrix, returning -1 above the cutoff.  For kept rows the
+        # value is the exact distance, so `dist != -1` ≡ the old
+        # `dist <= 40` filter row-for-row (oracle unchanged).
+        .withColumn("edit_dist", F.levenshtein("ta", "tb", 40).cast("bigint"))
+        .where(F.col("edit_dist") != -1)
     )
     return pairs.select("id_a", "id_b", "edit_dist").orderBy("id_a", "id_b")
 

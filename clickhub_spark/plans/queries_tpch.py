@@ -118,7 +118,27 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equality filter (one shuffle on partkey; no subquery
     re-execution).  Dims broadcast; the window partition is the join
     key so Catalyst reuses the exchange."""
-    ps = _supplycost(spark, sf_dir)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    # r16 (guide §3.2 semi-join pre-filter): every surviving output
+    # row has a partkey from the highly selective part filter, and
+    # BOTH the per-pair MIN aggregate and the per-partkey window MIN
+    # are partitioned by l_partkey — so the partkey restriction
+    # commutes below them.  A broadcast LEFT SEMI on the tiny filtered
+    # part list prunes LINEITEM at the scan, before the (l_partkey,
+    # l_suppkey) aggregate shuffle and the window, instead of after
+    # the window as the r15 plan did.  At 100 TB this is the
+    # difference between shuffling the whole derived-partsupp table
+    # and ~p_selectivity of it.  Results identical (oracle-verified).
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
@@ -127,9 +147,6 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .withColumn("mn", F.min("ps_supplycost").over(Window.partitionBy("l_partkey")))
-    )
-    p = load(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
     )
     return (
         eu.where(F.col("ps_supplycost") == F.col("mn"))
@@ -528,23 +545,32 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipper of a multi-supplier finished order.  One aggregate builds
     both the per-order max and the supplier count; a HAVING count=1
     enforces uniqueness of the argmax — no correlated re-scans."""
-    li = load(spark, sf_dir, "lineitem")
-    om = (
-        li.groupBy(F.col("l_orderkey").alias("om_orderkey"))
-        .agg(
-            F.max("l_shipdate").alias("mx"),
-            F.count_distinct("l_suppkey").alias("nsup"),
-        )
-        .where(F.col("nsup") >= 2)
+    # r16 restructure (guide §2.4 — remove shuffles outright): the r15
+    # plan scanned lineitem TWICE (once for the per-order aggregate,
+    # once to join back on shipdate = mx) and paid a distinct exchange
+    # on the joined result.  One pass instead: collapse lineitem to
+    # distinct (orderkey, suppkey) pairs carrying each supplier's max
+    # shipdate — a supplier shipped at the order's last date iff its
+    # own max equals the order max — then a window over l_orderkey
+    # restates mx (max of pair maxima) and nsup (count of pair rows =
+    # count of distinct suppliers).  The following uniq aggregate is
+    # keyed by the same l_orderkey, so it reuses the window's
+    # partitioning with no further exchange.  Two shuffles of
+    # pair-sized data replace two full scans + three fact-sized
+    # shuffles; results identical (oracle-verified).
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    latest = (
-        li.join(
-            om,
-            (li.l_orderkey == om.om_orderkey) & (li.l_shipdate == F.col("mx")),
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sd")
     )
+    wp = Window.partitionBy("l_orderkey")
+    pw = pairs.withColumn("mx", F.max("sd").over(wp)).withColumn(
+        "nsup", F.count(F.lit(1)).over(wp)
+    )
+    latest = pw.where(
+        (F.col("nsup") >= 2) & (F.col("sd") == F.col("mx"))
+    ).select("l_orderkey", "l_suppkey")
     uniq = (
         latest.groupBy("l_orderkey")
         .agg(F.max("l_suppkey").alias("l_suppkey"), F.count("*").alias("c"))
