@@ -17,12 +17,17 @@ same design: partition-partial bitmaps via ``mapInPandas`` (one
 ``m/8``-byte row per partition, OR-reduced in a single final task),
 and double-hashed probes g_i(x) = h1 + i·h2 (Kirsch & Mitzenmacher
 2006) over a 64-bit input hash computed JVM-side with ``xxhash64``.
+The probe side is pure JVM codegen since r16 (guide §4.1): the bitmap
+is an array<bigint> literal in the plan and the k bit-tests are
+shift/mask expressions — no Python worker anywhere on the per-batch
+screening path (the build's numpy bit-scatter keeps its vectorized
+``mapInPandas``, one Python pass per partition at build time only).
 
 Memory bounds, stated: the build moves P partial bitmaps (P·m/8
 bytes) through one shuffle and collects ONE bitmap to the driver; the
-probe ships the bitmap to executors inside the UDF closure (fine to
-tens of MiB; a multi-GiB bloom would switch to
-``SparkContext.broadcast``, same semantics).
+probe embeds the bitmap in the serialized plan/tasks (fine to tens of
+MiB; a multi-GiB bloom would switch to ``SparkContext.broadcast`` +
+a rejoined screen, same semantics).
 """
 
 from __future__ import annotations
@@ -33,7 +38,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 
 def optimal_k(m_bits: int, n_items: int) -> int:
@@ -97,31 +101,45 @@ def might_contain(df: DataFrame, hash_col: str, bitmap: bytes, k: int) -> DataFr
     """Filter to rows whose hash MIGHT be in the bloom (map-side; no
     shuffle).  Guaranteed to keep every true member.  A NULL hash is
     treated as not-contained (dropped) — the build side never inserts
-    NULL, and an unmasked NULL turns into NaN under ``to_numpy()``
-    whose int64 view would kill the task (ADVICE r5).  Nulls are
-    filtered JVM-side BEFORE the probe, not just masked in the UDF:
-    Arrow transfers int64-with-nulls as float64, which corrupts hash
-    values beyond 2^53 for the whole batch — the pre-filter keeps the
-    transfer int64-exact."""
+    NULL.
+
+    r16 (guide §4.1 — eliminate the Python boundary): the probe used
+    to be a pandas UDF, so EVERY screened row crossed JVM→Arrow→
+    Python→JVM just to test k bits (ArrowEvalPython in every consumer
+    plan; same-session A/B on q_llm_decontam_bloom's screen+verify
+    shape: 3.38 s → 2.28 s exec).  Now the bitmap enters the plan as
+    ONE string literal that ``cast(split(...) as array<bigint>)``
+    constant-folds into a single array literal during optimization
+    (verified: no ``split`` in the optimized plan) — NOT an
+    ``array(w0, w1, …)`` SQL text (an 8192-child CreateArray choked
+    the analyzer: 21.9 s plan build) and NOT ``F.lit(ndarray)``
+    (~5.5 s of py4j per-element conversion).  The k double-hashed
+    probes are pure JVM codegen: ``h1 = h & 0xFFFFFFFF``,
+    ``h2 = (h >>> 32) | 1``, ``pos_i = (h1 + i*h2) % m_bits`` (exact
+    in int64: operands < 2^36) and bit test
+    ``(words[pos div 64] >>> (pos % 64)) & 1`` — little-endian int64
+    words make this bit-identical to the build side's uint8 indexing
+    ``bm[pos >> 3] & (1 << (pos & 7))``, so the positions match
+    `_positions` exactly (pinned by the no-false-negative tests).
+    The old Arrow float64-null corruption hazard is gone with the
+    boundary; the JVM-side isNotNull pre-filter stays (NULL = not
+    contained)."""
+    if len(bitmap) % 8:
+        raise ValueError("bitmap length must be a multiple of 8 bytes")
     m_bits = len(bitmap) * 8
-    bm = np.frombuffer(bitmap, dtype=np.uint8)
-
-    @F.pandas_udf(BooleanType())
-    def probe(h: pd.Series) -> pd.Series:
-        if h.empty:
-            return pd.Series([], dtype=bool)
-        valid = h.notna()
-        if not valid.all():
-            # Unexpected: the JVM-side isNotNull pre-filter should
-            # keep nulls out of the probe, and a batch WITH nulls
-            # arrives as float64 over Arrow — lossy past 2^53, so
-            # probe positions could no longer match the build side.
-            # Stay contract-safe (no false negatives, ever): pass all
-            # non-null rows through unscreened; downstream verify
-            # joins drop the extra candidates.
-            return pd.Series(valid.to_numpy())
-        pos = _positions(h.to_numpy(), m_bits, k)
-        hit = (bm[pos >> 3] & (1 << (pos & 7))) != 0
-        return pd.Series(hit.all(axis=0))
-
-    return df.where(F.col(hash_col).isNotNull()).where(probe(F.col(hash_col)))
+    words = np.frombuffer(bitmap, dtype="<i8")
+    wstr = ",".join(str(int(w)) for w in words)
+    lit_words = F.expr(f"cast(split('{wstr}', ',') as array<bigint>)")
+    h = F.col(hash_col)
+    h1 = h.bitwiseAND(F.lit(4294967295))
+    h2 = F.call_function("shiftrightunsigned", h, F.lit(32)).bitwiseOR(F.lit(1))
+    hit = None
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
+        word = F.element_at(lit_words, (pos / F.lit(64)).cast("int") + F.lit(1))
+        test = (
+            F.call_function("shiftrightunsigned", word, (pos % F.lit(64)).cast("int"))
+            .bitwiseAND(F.lit(1)) == F.lit(1)
+        )
+        hit = test if hit is None else (hit & test)
+    return df.where(h.isNotNull()).where(hit)

@@ -447,8 +447,14 @@ _ALL = (
 )
 
 
-def register_sources(spark: SparkSession) -> None:
-    """Register every engine source on the session (idempotent —
-    re-registering a name replaces the class)."""
-    for cls in _ALL:
+def register_sources(spark: SparkSession, only=None) -> None:
+    """Register engine sources on the session (idempotent —
+    re-registering a name replaces the class).  ``only`` takes an
+    iterable of DataSource classes to restrict registration: each
+    ``spark.dataSource.register`` cloudpickles the class to the JVM,
+    and cold-session cost scales with the number of classes (measured
+    ~24 s all-five vs ~5.6 s one on a loaded box, ~4 s vs <1 s quiet
+    — guide §5, driver-side build cost), so query builders that need
+    one source should not pay for five."""
+    for cls in (_ALL if only is None else only):
         spark.dataSource.register(cls)
