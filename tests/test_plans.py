@@ -406,14 +406,15 @@ def test_interpolate_merges_direction_windows(spark):
 
 
 def test_bloom_screen_is_pre_join_filter(spark):
-    # the bloom probe must run as a Filter BELOW the verify join (the
-    # join's left input is already screened), and the verify join is
-    # the only join in the plan
+    # the bloom probe must run as a pure-JVM Filter (r16: the pandas
+    # UDF probe was rewritten as shift/mask expressions over a
+    # constant-folded array<bigint> literal — no Python worker on the
+    # screening path), and a join (the exact verify) must still be in
+    # the plan above the screened side
     plan = _plan(spark, "q_llm_dedup_bloom")
-    assert "pythonUDF" in plan or "ArrowEvalPython" in plan
-    join_pos = plan.find("Join")
-    probe_pos = max(plan.find("ArrowEvalPython"), plan.find("BatchEvalPython"))
-    assert join_pos != -1 and probe_pos != -1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "shiftrightunsigned" in plan  # the k bit-test probes
+    assert plan.find("Join") != -1
 
 
 def test_ks_and_mannwhitney_window_over_aggregated_input(spark):
