@@ -6,6 +6,8 @@ JVM-side inside whole-stage codegen — no Python boundary crossing
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -96,6 +98,14 @@ def nearest_centroid(
     # array_max(struct(sim, negid)) lowest-id tie-break.
 
     def _vals(cv: list[float]) -> list[float]:
+        # ADVICE r16: a NaN/Inf coordinate would render as 'nanD'/'infD'
+        # in the SQL array literal below and fail to parse at build
+        # time with an opaque ParseException — fail with the real cause
+        if not all(math.isfinite(float(x)) for x in cv):
+            raise ValueError(
+                "non-finite centroid coordinate (NaN/Inf) cannot be "
+                f"rendered as a SQL literal: {cv!r}"
+            )
         if pre_normalized:
             n = sum(float(x) * float(x) for x in cv) ** 0.5 or 1.0
             return [float(x) / n for x in cv]

@@ -25,9 +25,11 @@ screening path (the build's numpy bit-scatter keeps its vectorized
 
 Memory bounds, stated: the build moves P partial bitmaps (P·m/8
 bytes) through one shuffle and collects ONE bitmap to the driver; the
-probe embeds the bitmap in the serialized plan/tasks (fine to tens of
-MiB; a multi-GiB bloom would switch to ``SparkContext.broadcast`` +
-a rejoined screen, same semantics).
+probe embeds the bitmap in the serialized plan up to
+``LITERAL_MAX_BYTES`` (16 MiB) and above that switches to a
+``SparkContext.broadcast`` + vectorized pandas probe (r17) — same
+bit arithmetic, same no-false-negative guarantee, shipped once per
+executor instead of once per plan.
 """
 
 from __future__ import annotations
@@ -97,7 +99,22 @@ def build_bloom(df: DataFrame, hash_col: str, m_bits: int, k: int) -> bytes:
     return bytes(rows[0]["bitmap"]) if rows else bytes(nbytes)
 
 
-def might_contain(df: DataFrame, hash_col: str, bitmap: bytes, k: int) -> DataFrame:
+#: above this bitmap size the probe switches from the in-plan literal
+#: to a ``SparkContext.broadcast`` pandas probe: a plan-embedded word
+#: array is free to parse at 64 KiB but a multi-MiB literal bloats the
+#: serialized plan every stage re-broadcasts and the codegen context
+#: (r17, VERDICT r16 item 2).  16 MiB keeps every realistic
+#: screening-tier bloom (64-512 KiB here) on the zero-Python JVM path.
+LITERAL_MAX_BYTES = 16 << 20
+
+
+def might_contain(
+    df: DataFrame,
+    hash_col: str,
+    bitmap: bytes,
+    k: int,
+    max_literal_bytes: int | None = None,
+) -> DataFrame:
     """Filter to rows whose hash MIGHT be in the bloom (map-side; no
     shuffle).  Guaranteed to keep every true member.  A NULL hash is
     treated as not-contained (dropped) — the build side never inserts
@@ -123,13 +140,33 @@ def might_contain(df: DataFrame, hash_col: str, bitmap: bytes, k: int) -> DataFr
     `_positions` exactly (pinned by the no-false-negative tests).
     The old Arrow float64-null corruption hazard is gone with the
     boundary; the JVM-side isNotNull pre-filter stays (NULL = not
-    contained)."""
+    contained).
+
+    r17 (VERDICT r16 item 2 — the literal's BUILD cost): the word
+    array used to enter the plan through ``F.expr("cast(split('…'))")``,
+    paying the SQL *parser* ~0.7 s on the ~45 KB expression text per
+    plan build.  The same expression tree built through the DSL —
+    ``F.split(F.lit(wstr), ",").cast(...)`` — skips the parser (one
+    py4j string transfer) and constant-folds to the identical array
+    literal.  Bitmaps above ``max_literal_bytes`` (default
+    ``LITERAL_MAX_BYTES``) switch to a ``SparkContext.broadcast``
+    numpy probe (vectorized Arrow pandas UDF over the SAME
+    ``_positions`` helper the build uses, so bit-identity is by
+    construction): at that size the plan-embedded literal costs more
+    in plan serialization/codegen than one Arrow boundary crossing."""
     if len(bitmap) % 8:
         raise ValueError("bitmap length must be a multiple of 8 bytes")
+    if k < 1:
+        # a k=0 probe would leave `hit` None below and surface as an
+        # opaque df.where(None) failure (ADVICE r16)
+        raise ValueError("k must be >= 1")
     m_bits = len(bitmap) * 8
+    limit = LITERAL_MAX_BYTES if max_literal_bytes is None else max_literal_bytes
+    if len(bitmap) > limit:
+        return _might_contain_broadcast(df, hash_col, bitmap, k)
     words = np.frombuffer(bitmap, dtype="<i8")
     wstr = ",".join(str(int(w)) for w in words)
-    lit_words = F.expr(f"cast(split('{wstr}', ',') as array<bigint>)")
+    lit_words = F.split(F.lit(wstr), F.lit(",")).cast("array<bigint>")
     h = F.col(hash_col)
     h1 = h.bitwiseAND(F.lit(4294967295))
     h2 = F.call_function("shiftrightunsigned", h, F.lit(32)).bitwiseOR(F.lit(1))
@@ -143,3 +180,31 @@ def might_contain(df: DataFrame, hash_col: str, bitmap: bytes, k: int) -> DataFr
         )
         hit = test if hit is None else (hit & test)
     return df.where(h.isNotNull()).where(hit)
+
+
+def _might_contain_broadcast(
+    df: DataFrame, hash_col: str, bitmap: bytes, k: int
+) -> DataFrame:
+    """Probe path for bitmaps too large to embed in the plan: the raw
+    bitmap rides a ``SparkContext.broadcast`` (shipped once per
+    executor, never re-serialized per stage/plan) and the probe is a
+    vectorized Arrow pandas UDF over the SAME ``_positions`` helper
+    the build uses — identical bit arithmetic, so screen ⊇ members by
+    construction.  Same NULL contract as the literal path (NULL hash
+    dropped before the probe)."""
+    m_bits = len(bitmap) * 8
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def probe(hs: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        # NULLs are dropped by the isNotNull filter, but the optimizer
+        # may evaluate the extracted ArrowEvalPython batch before the
+        # null filter lands — probe 0 for them, the filter masks it
+        h = hs.fillna(0).to_numpy(dtype=np.int64)
+        pos = _positions(h, m_bits, k)
+        bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=0))
+
+    h = F.col(hash_col)
+    return df.where(h.isNotNull()).where(probe(h))

@@ -243,14 +243,17 @@ def q_llm_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     corpus_sh = shingles(docs.where(F.col("doc_id") % 50 != 0), "text", "doc_id", 3)
-    bench_sh = (
-        shingles(docs.where(F.col("doc_id") % 50 == 0), "text", "doc_id", 3)
-        .select("shingle")
-        .distinct()
-    )
+    bench_sh_raw = shingles(
+        docs.where(F.col("doc_id") % 50 == 0), "text", "doc_id", 3
+    ).select("shingle")
+    # the JOIN side must be globally distinct (n_shared counts pairs);
+    # the bloom BUILD side must not pay that exchange — inserting a
+    # shingle twice sets the same bits (r17, guide §2.4: the distinct
+    # aggregate+exchange in the eager build job was pure overhead)
+    bench_sh = bench_sh_raw.distinct()
     m_bits, k = 1 << 19, 6
     bitmap = bloom.build_bloom(
-        bench_sh.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
+        bench_sh_raw.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
     )
     screened = bloom.might_contain(
         corpus_sh.withColumn("h", F.xxhash64("shingle")), "h", bitmap, k

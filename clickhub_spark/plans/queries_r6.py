@@ -591,20 +591,18 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhub_spark.operators.dedup import shingles
 
     docs = load(spark, sf_dir, "documents")
-    # r16 (guide §2.4 exchange reuse): the r15 plan ran the shingle
-    # explode TWICE — the firsts aggregate got its own Generate and so
-    # did the join probe side (firsts broadcasts, so the probe branch
-    # had no exchange of its own to share).  One repartition on the
-    # shingle key places a single canonical Exchange above the explode;
-    # the aggregate AND the join probe both read that shuffle output,
-    # so the corpus is exploded once per run (plan: 2 Generate → 1;
-    # same-session A/B 1.38 s → 1.30 s best, first-run ~2.5 s → ~1.7 s).
-    # A fuller rewrite (map-side denominator + per-doc novel counts,
-    # no join-back) measured SLOWER (2.28 s) — the extra exchange and
-    # serialized broadcast build cost more than the saved explode —
-    # and was discarded (guide §1.1: measure, keep the empirical
-    # winner).  Results identical: same rows, same aggregate.
-    sh = shingles(docs, "text", "doc_id", k=3).repartition("shingle")
+    # r17 (VERDICT r16 item 4): the r16 `repartition("shingle")` that
+    # claimed to share one explode between the aggregate and the join
+    # probe never produced a ReusedExchange — column pruning pushes
+    # branch-specific Projects below the repartition, so the two
+    # exchanges are not canonically equal and the executed AQE plan
+    # still runs 2 Generate nodes (verified on the executed plan, not
+    # the static dump).  The repartition was therefore a pure extra
+    # shuffle of every (doc_id, shingle) row and is removed.  The
+    # earlier fuller rewrite (map-side denominator + per-doc novel
+    # counts, no join-back) also measured slower (2.28 s) and stays
+    # discarded (guide §1.1: measure, keep the empirical winner).
+    sh = shingles(docs, "text", "doc_id", k=3)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, "shingle")

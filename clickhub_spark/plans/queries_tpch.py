@@ -78,16 +78,6 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _supplycost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived partsupp: per (part, supplier) pair seen in lineitem,
-    the minimum unit price is the supply-cost proxy (the testdata has
-    no partsupp table).  One exact-by-construction aggregate."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
-    )
-
-
 @query(
     "q_tpch_q2",
     oracle="""
@@ -557,7 +547,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by the same l_orderkey, so it reuses the window's
     # partitioning with no further exchange.  Two shuffles of
     # pair-sized data replace two full scans + three fact-sized
-    # shuffles; results identical (oracle-verified).
+    # shuffles; results identical (oracle-verified).  Non-null
+    # assumption, stated (ADVICE r16): nsup counts (orderkey, suppkey)
+    # pair ROWS where the old form counted DISTINCT non-null suppkeys —
+    # equivalent iff l_suppkey is never NULL, which TPC-H guarantees
+    # (l_suppkey is part of the lineitem key) and the oracle confirms
+    # on this data.
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )

@@ -80,6 +80,46 @@ def test_optimal_k():
     assert bloom.optimal_k(8, 0) == 1
 
 
+def test_k_below_one_rejected(spark):
+    # ADVICE r16: k=0 used to leave the probe predicate None and die
+    # inside df.where(None); now an explicit contract error.
+    import pytest
+
+    members = _hashed(spark, 0, 10)
+    bm = bloom.build_bloom(members, "h", M_BITS, K)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        bloom.might_contain(members, "h", bm, 0)
+
+
+def test_broadcast_probe_path_matches_literal_path(spark):
+    # r17 size gate: bitmaps above max_literal_bytes probe through a
+    # SparkContext.broadcast pandas UDF instead of the in-plan
+    # literal.  Same bit arithmetic => identical survivor sets (both
+    # members and the FP behaviour on non-members must agree
+    # bit-for-bit), and nulls keep the dropped-not-crashed contract.
+    members = _hashed(spark, 0, 2000)
+    bm = bloom.build_bloom(members, "h", M_BITS, K)
+    probes = _hashed(spark, 0, 5000, salt="|bcast").union(members)
+    lit = bloom.might_contain(probes, "h", bm, K)
+    bc = bloom.might_contain(probes, "h", bm, K, max_literal_bytes=0)
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in bc_plan  # really the broadcast pandas path
+    assert sorted(r.id for r in lit.collect()) == sorted(
+        r.id for r in bc.collect()
+    )
+    nulled = probes.withColumn(
+        "h", F.when(F.col("id") % 2 == 0, F.col("h"))
+    )
+    lit_n = sorted(r.id for r in bloom.might_contain(nulled, "h", bm, K).collect())
+    bc_n = sorted(
+        r.id
+        for r in bloom.might_contain(
+            nulled, "h", bm, K, max_literal_bytes=0
+        ).collect()
+    )
+    assert lit_n == bc_n
+
+
 def test_null_hashes_dropped_not_crashed(spark):
     # ADVICE r5: a NULL in hash_col used to NaN-poison the probe
     # batch (int64 view raised, killing the task).  Nulls must be
