@@ -337,21 +337,33 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape — order-priority checking: correlated EXISTS
-    done as a left-semi join with the correlation folded into the join
-    condition (no subquery re-execution, one shuffle)."""
+    with the correlation folded into the join condition.
+
+    r17 (guide §3.1 — check the build side): the left-semi form puts
+    the orders side on the stream and therefore LINEITEM on the
+    broadcast build — collecting the whole projected fact to the
+    driver per run.  Spark only builds left-semi hash joins on the
+    right, so the fix is the equivalent inner-join form: stream
+    lineitem against the BROADCAST quarter of orders (~1/16 of an
+    already-small dim) and de-correlate the EXISTS with
+    count_distinct(o_orderkey) — each qualifying order counted once,
+    exactly the semi-join semantics.  Quiet A/B best 0.77–1.89 s →
+    0.39–0.69 s, identical results.  At 100 TB the broadcast side is
+    the date-filtered orders slice (still the right build side), and
+    the fact never moves."""
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    l = load(spark, sf_dir, "lineitem")
-    semi = o.join(
-        l,
-        (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
-        "left_semi",
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = l.join(
+        F.broadcast(o),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
     )
     return (
-        semi.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
+        j.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_orderkey").alias("order_count"))
         .orderBy("o_orderpriority")
     )
 
@@ -424,20 +436,32 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     local-supplier constraint c_nationkey = s_nationkey expressed as a
     second equi-key on the supplier join, not a post-filter — so
     Catalyst keeps it inside the join condition and the nation/region
-    dims broadcast.  At 100 TB only the orders⋈lineitem edge shuffles;
-    everything else is broadcast-hash."""
-    c = load(spark, sf_dir, "customer")
+    dims broadcast.
+
+    r17 (guide §3.1 — check the build side): the r16 shape joined
+    customer⋈orders FIRST, so that derived relation (no size
+    estimate) streamed and Catalyst picked LINEITEM — the largest
+    table — as the broadcast build side of the next join.  Rewritten
+    with lineitem as the stream spine (l⋈o⋈c⋈s⋈n⋈r, every dim the
+    build side, explicit narrow projections per guide §2.3): quiet
+    A/B best 0.82–0.97 s → 0.44–0.50 s, identical results (inner
+    joins commute).  At 100 TB the same code degrades correctly: o/c
+    exceed the broadcast threshold and the l⋈o / ⋈c edges become
+    shuffle joins of the projected columns only."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    l = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
+    ).select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             s,
             (F.col("l_suppkey") == F.col("s_suppkey"))

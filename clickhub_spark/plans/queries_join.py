@@ -144,19 +144,18 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     region.  Dims broadcast; the only shuffles are lineitem↔orders and
     the final aggregation (SURVEY §2.C6).
 
-    r16 (guide §3.2 — put the selective side first): the join chain
-    used to run lineitem through FOUR successive hash probes
-    (l⋈o, ⋈c, ⋈n, ⋈r) with the region filter applied LAST, so every
-    lineitem row paid 4 probes and the l⋈o join carried all orders.
-    Now the dims reduce first — customer ⋈ nation ⋈ region('ASIA')
-    (~1/5 of customers) prunes orders, and lineitem is probed ONCE
-    against the pruned orders relation.  Inner joins commute, so the
-    result set is identical (same-session A/B: equal collect, cold
-    run 2.39 → 1.55 s, warm best tied).  c_asia and o_pruned carry NO
-    broadcast hint on purpose: at sf0.1 the optimizer broadcasts them
-    by size; at 100 TB (3B ASIA customers) the same code degrades to
-    a shuffle join instead of OOMing on a forced broadcast — only the
-    always-tiny nation/region keep explicit hints."""
+    r17 (VERDICT r16 item 3 — settle the r16 reorder with a clean
+    A/B): the r16 dims-first shape (customer⋈nation⋈ASIA pruning
+    orders before lineitem is probed once) LOST the quiet-box A/B at
+    sf0.1 in both cold and warm runs — old order best 0.41–0.51 s vs
+    dims-first 0.67–0.68 s, cold 0.66 vs 0.87 s — because it builds
+    two extra broadcast relations (c_asia, o_pruned) as separate
+    jobs whose latency exceeds the saved probe work.  Reverted to the
+    chained probe order; the r16 explicit 3-column lineitem /
+    2-column orders projections are KEPT (that part is free and
+    measured 0.58 → 0.51 s on its own: narrower build sides and
+    shuffle rows, guide §2.3).  Inner joins commute — both shapes are
+    oracle-identical."""
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -164,14 +163,11 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = F.broadcast(load(spark, sf_dir, "nation"))
     r = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
-    c_asia = (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, F.col("n_regionkey") == r.r_regionkey)
-        .select("c_custkey", "n_name")
-    )
-    o_pruned = o.join(c_asia, F.col("o_custkey") == F.col("c_custkey"))
     return (
-        l.join(o_pruned, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -553,9 +553,22 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalent iff l_suppkey is never NULL, which TPC-H guarantees
     # (l_suppkey is part of the lineitem key) and the oracle confirms
     # on this data.
+    # r17 (guide §3.2 — reduce the big side before shuffling it): the
+    # o_orderstatus='F' gate (~1/2 of orders) used to apply AFTER the
+    # pairs aggregate+window, so the fact shuffle carried every order.
+    # A broadcast left-semi on the F-order keys BEFORE the aggregate
+    # halves the pairs shuffle, and makes the later orders join
+    # redundant (uniq rows then ARE F-orders; o_orderkey is unique so
+    # that join only filtered).  Window/aggregate are partitioned by
+    # l_orderkey, so dropping non-F orders cannot affect any surviving
+    # order's mx/nsup — semantics identical (quiet A/B: equal results,
+    # best 1.19 → 0.88 s).
+    ok = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
-    )
+    ).join(F.broadcast(ok), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("sd")
     )
@@ -571,13 +584,11 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("l_suppkey").alias("l_suppkey"), F.count("*").alias("c"))
         .where(F.col("c") == 1)
     )
-    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        uniq.join(o, uniq.l_orderkey == o.o_orderkey)
-        .join(s, uniq.l_suppkey == s.s_suppkey)
+        uniq.join(s, uniq.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("s_name")
