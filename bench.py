@@ -337,6 +337,12 @@ def main() -> None:
         # and its full-recurrence distributed certification
         "q_agg_lttb_exact",
         "q_agg_lttb_cert",
+        # r17 additions (VERDICT r16 item 7 — the streaming surface
+        # had zero perf rows): the tumbling-window aggregate and the
+        # stream-stream interval join (q_stream_session was already a
+        # headline row).  Additions only; no existing row moved.
+        "q_stream_tumble",
+        "q_stream_join",
     ]
     if not os.environ.get("SPARK_GRAFT_NO_PIPELINE"):
         out["pipeline"], out["pipeline_detail"] = bench_set(

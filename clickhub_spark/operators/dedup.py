@@ -484,7 +484,16 @@ def write_minhash_store(
     alternative (re-minhashing the whole corpus per batch) is
     quadratic in total ingest."""
     banded = md5_banded_signatures(df, text, id_col, k, num_perm, bands)
-    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    # r17 (guide §6 — output file sizing): partitionBy("band") makes
+    # every write task emit one file PER band it holds, so the store
+    # fanned out to (write tasks × bands) small files.  Clustering by
+    # band first gives one task per band value → one file per band
+    # directory.  (At a scale where single-band files exceed ~1 GB,
+    # add a bh hash-range to the repartition key for more files per
+    # band.)
+    banded.repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(path)
     return path
 
 
@@ -816,11 +825,19 @@ def semantic_dedup(
     nrm = base.withColumn(
         "__n", F.nullif(norm(F.col("__v")), F.lit(0.0))
     ).withColumn("__nv", F.transform(F.col("__v"), lambda x: x / F.col("__n")))
-    # Small k inlines the (pre-normalized) centroids as codegen
-    # literals scored by plain dot products; large k (real SemDeDup
-    # uses k≈10⁴ cells) switches to the Arrow-batched matmul tier —
-    # both map-only, unit-tested equivalent.
-    if len(cent) <= 64:
+    # Small k inlines the (pre-normalized) centroids as literals
+    # scored by zip_with dot products; larger k switches to the
+    # Arrow-batched matmul tier — both map-only, unit-tested
+    # equivalent.  r17: cutoff 64 → 16.  zip_with is a higher-order
+    # function (CodegenFallback — interpreted per element), so the
+    # literal tier costs k·dim interpreted flops per row, and the
+    # k×dim array-of-arrays literal pays an F.expr parse per build;
+    # at the sqrt-law k=45 (sf0.1) the matmul tier measured 0.60 s vs
+    # 0.93 s exec and 1.1 s vs 5.9 s cold build, identical output.
+    # k ≤ 16 (n ≤ 256 corpora) keeps the literal tier, where one
+    # Arrow boundary crossing costs more than the tiny interpreted
+    # fold.
+    if len(cent) <= 16:
         cluster = nearest_centroid(F.col("__nv"), cent, pre_normalized=True)["cluster"]
     else:
         cluster = nearest_centroid_vectorized(F.col("__v"), cent)["cluster"]

@@ -257,14 +257,28 @@ def passage_dup_stats(
     from clickhub_spark.operators.dedup import shingles
 
     passages = shingles(df, text, id_col, k=w, distinct=False, stride=w)
-    h = passages.select(id_col, F.md5("shingle").alias("__ph"))
-    freq = h.groupBy("__ph").agg(F.count_distinct(id_col).alias("__nd"))
+    # r17 (guide §2.4): both consumers below need exactly (id, __ph),
+    # so one repartition on the passage hash canonicalizes the two
+    # branch exchanges and AQE reuses the shuffle — the corpus is
+    # exploded ONCE per run (ReusedExchange + single scan verified in
+    # the final AQE plan; quiet A/B best 0.98 → 0.80 s).  This is the
+    # same trick that did NOT work for ngram_novelty/lttb_cert, where
+    # branch-specific column pruning broke canonical equality.  The
+    # shared-with-another-doc test is min(id) != max(id) — equivalent
+    # to count_distinct(id) >= 2 with plain min/max partial aggregates
+    # instead of the distinct expansion.
+    h = passages.select(id_col, F.md5("shingle").alias("__ph")).repartition(
+        "__ph"
+    )
+    freq = h.groupBy("__ph").agg(
+        (F.min(id_col) != F.max(id_col)).alias("__dup")
+    )
     agg = (
         h.join(freq, "__ph")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_passages"),
-            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup"),
         )
     )
     frac = F.col("n_dup").cast("double") / F.col("n_passages")
