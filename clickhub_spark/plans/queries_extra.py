@@ -252,17 +252,27 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — shipping-priority: selective dim filter,
     two-fact join, grouped revenue, top-10.  Exercises the full
-    filter→join→agg→top-k pipeline in one plan."""
-    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    filter→join→agg→top-k pipeline in one plan.
+
+    r17 (guide §3.1 — same fix as q5/q10): the c⋈o-first order made
+    the derived relation stream and the date-filtered LINEITEM the
+    broadcast build side.  Lineitem-spine order (l⋈o⋈c, narrow
+    projections): quiet A/B best 0.57–0.85 → 0.32–0.51 s, identical
+    rows.  At 100 TB the l⋈o edge degrades to a shuffle of the
+    projected columns and the BUILDING-customer side stays the
+    build."""
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
     l = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
-    )
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -508,17 +518,26 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick the same row set (registry convention).  Revenue accumulates
     in DECIMAL(18,4) terms — exact, order-independent — because the
     double sum lands on a ROUND half-boundary at sf0.01 (378060.515)
-    and the two engines' fold orders rounded it differently."""
-    c = load(spark, sf_dir, "customer")
+    and the two engines' fold orders rounded it differently.
+
+    r17 (guide §3.1 — same fix as q3/q5): the c⋈o-first order left
+    the returnflag-filtered LINEITEM as a broadcast build side.
+    Lineitem-spine order with narrow projections: quiet A/B best
+    0.43–0.88 → 0.34–0.40 s, identical rows."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-    )
-    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    ).select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
     n = load(spark, sf_dir, "nation")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
