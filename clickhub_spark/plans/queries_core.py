@@ -447,14 +447,26 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles over event values — log-analytics
     latency percentiles (SURVEY §2.D13).  Spark `percentile` and DuckDB
-    `quantile_cont` share linear-interpolation semantics."""
+    `quantile_cont` share linear-interpolation semantics.
+
+    r17 (guide §2.3 — one aggregation buffer, not three): three scalar
+    `percentile` calls each buffered EVERY group value independently
+    (3× the aggregate state and three sorts per group); the array form
+    computes all three points from ONE buffer/sort.  Same function,
+    same interpolation, identical values (A/B equal; min 0.31 →
+    0.20 s)."""
+    ps = F.percentile(
+        "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    )
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", 0.5), 4).alias("p50"),
-            F.round(F.percentile("value", 0.95), 4).alias("p95"),
-            F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        .agg(ps.alias("__ps"))
+        .select(
+            "event_type",
+            F.round(F.col("__ps")[0], 4).alias("p50"),
+            F.round(F.col("__ps")[1], 4).alias("p95"),
+            F.round(F.col("__ps")[2], 4).alias("p99"),
         )
     )
 
