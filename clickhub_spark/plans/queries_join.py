@@ -424,8 +424,16 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
-        write_bucketed(orders, o_tbl, "o_orderkey", 8)
-        write_bucketed(lineitem, l_tbl, "l_orderkey", 8)
+        # the two bucketed writes are independent jobs on different
+        # tables — overlap them (guide §2.6) so the smaller orders
+        # write back-fills executor slots freed by the lineitem
+        # write's tail instead of running after it
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fo = pool.submit(write_bucketed, orders, o_tbl, "o_orderkey", 8)
+            fl = pool.submit(write_bucketed, lineitem, l_tbl, "l_orderkey", 8)
+            fo.result(), fl.result()
     o = spark.table(o_tbl)
     li = spark.table(l_tbl).withColumnRenamed("l_orderkey", "o_orderkey")
     return (

@@ -47,78 +47,33 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # driver row is older than round 4 (VERDICT r9 item 2's done
 # criterion).
 ROUND_PRIORITY = [
-    # --- ROUND-15 WINDOW (VERDICT r14 item 1; the rotation gate in
-    # tests/test_registry.py was RED on the r14 final tree demanding
-    # exactly this).  Regenerated oldest-driver-row-first from
-    # `python tools/staleness.py`:
-    # 1: new round-15 registrations are inserted at the TOP of this
-    #    list as they land (never-checked names must sit inside the
-    #    ~50-name driver window; at most 14 new registrations keep
-    #    the full 36-name r7 block below inside the window);
-    # 2: the 36-name r7 block (at exactly 8-rounds stale if skipped
-    #    — the LAST of the r9-skip backlog) leads;
-    # 3: r9 names fill the remainder of the window (~14-N of 48 with
-    #    N new registrations), pre-draining the 48-name r9 block so
-    #    the r16 window (r9 remainder + new) fits in 50 slots
-    #    (VERDICT r14 item 7: steady state from here is <=7);
-    # 4: everything else oldest-first (r10, r11, r12, r13, r14),
-    #    name-sorted within a round for determinism.
-    # ---
-    # round-15 NEW registrations (probe battery 9: ARRAY JOIN forms,
-    # WITH TOTALS + HAVING totals-row existence, SAMPLE k OFFSET m,
-    # untuple/tuple .N access):
-    "q_ch_sql_battery9",
-    "q_ch_sql_battery9b",
-    "q_ch_sql_battery9c",
-    "q_ch_sql_battery9d",
-    "q_ch_sql_battery9e",
-    "q_ch_sql_battery9f",
-    "q_ch_ddl_alter",
-    "q_ch_sql_battery10",
-    # --- last driver row r7 (36 names) ---
-    "q_agg_resample",
-    "q_agg_sample_group",
-    "q_agg_summap",
-    "q_agg_uniq_upto",
-    "q_fn_array_diff",
-    "q_fn_array_enumerate",
-    "q_fn_map",
-    "q_fn_map_higher",
-    "q_fn_numbers",
-    "q_join_asof_fwd",
-    "q_llm_chunk_sentences",
-    "q_llm_decontam_bloom",
-    "q_llm_dedup_bloom",
-    "q_llm_dedup_editdist",
+    # --- ROUND-17 WINDOW (rotation gate in tests/test_registry.py;
+    # regenerated from `python tools/staleness.py` at the r17 close).
+    # Slots 1-8: queries whose PLANS were restructured this
+    # optimization round (equivalence oracle-proven in-repo at
+    # sf0.001/0.01/0.1; the driver window re-verifies their hashes):
+    # lttb_cert (single cogrouped verify pass), quantile
+    # (single-buffer multi-percentile), tpch q3/q21 (join
+    # reorder/pre-filter), semdedup (matmul tier), multiway
+    # (dims-first revert + projections), dedup_passage
+    # (single-explode), decontam_bloom (no-distinct bloom build).
+    # Slots 9-50: the full 42-name r9 block — at exactly 8-rounds
+    # stale if skipped (MAX_AGE 7), name-sorted for determinism.
+    # The other r17-touched names (tpch q4/q5/q10, ngram_novelty)
+    # are ALREADY in the r9 block; dedup_bloom shares the bloom
+    # operator decontam re-verifies, and dedup_incremental /
+    # bucketed / kmeans_assign changed only build-time layout or
+    # error paths (exec rows unchanged, in-repo oracle green).
+    # Everything after the window: oldest-driver-row first (r10,
+    # r11, r12, r13, r14, r16), name-sorted within a round.
+    "q_agg_lttb_cert",
+    "q_agg_quantile",
+    "q_tpch_q3",
+    "q_tpch_q21",
+    "q_llm_semdedup",
+    "q_join_multiway",
     "q_llm_dedup_passage",
-    "q_llm_embed_matryoshka",
-    "q_llm_kmeans_update",
-    "q_llm_knn_ivf_exact",
-    "q_llm_logreg_fit",
-    "q_llm_pca",
-    "q_llm_quality_classifier",
-    "q_llm_score_normalize",
-    "q_llm_text_normalize",
-    "q_llm_url_canon",
-    "q_multimodal_jpeg_progressive",
-    "q_multimodal_video",
-    "q_mutate_ttl",
-    "q_scan_csv_permissive",
-    "q_scan_partition_prune",
-    "q_seq_next_node",
-    "q_sort_nulls",
-    "q_source_gitlog",
-    "q_source_numbers_ds",
-    "q_stream_enrich",
-    "q_stream_stateful",
-    "q_win_interpolate",
-    # --- last driver row r9 (48 names) ---
-    "q_agg_acf",
-    "q_agg_anova",
-    "q_agg_cohort_retention",
-    "q_agg_cusum",
-    "q_agg_ewma",
-    "q_agg_histogram",
+    "q_llm_decontam_bloom",
     "q_agg_kendall",
     "q_agg_kendall_by",
     "q_agg_mode",
@@ -161,7 +116,6 @@ ROUND_PRIORITY = [
     "q_tpch_q7",
     "q_tpch_q8",
     "q_win_running_distinct",
-    # --- last driver row r10 (50 names) ---
     "q_agg_approx_distinct",
     "q_agg_count",
     "q_agg_count_col",
@@ -209,17 +163,13 @@ ROUND_PRIORITY = [
     "q_tpch_q19",
     "q_tpch_q2",
     "q_tpch_q20",
-    "q_tpch_q21",
     "q_tpch_q22",
     "q_tpch_q9",
-    # --- last driver row r11 (49 names) ---
     "q_agg_approx_quantile",
     "q_agg_argmax",
     "q_agg_array_combinator",
     "q_agg_cube",
     "q_agg_grouping_sets",
-    "q_agg_lttb_cert",
-    "q_agg_quantile",
     "q_agg_salted",
     "q_dedup_collapsing",
     "q_dedup_replacing",
@@ -262,7 +212,6 @@ ROUND_PRIORITY = [
     "q_set_union",
     "q_set_union_all",
     "q_stream_join",
-    # --- last driver row r12 (50 names) ---
     "q_agg_collect",
     "q_ch_ddl_ctas",
     "q_ch_ddl_mv",
@@ -295,7 +244,6 @@ ROUND_PRIORITY = [
     "q_join_full_outer",
     "q_join_inner",
     "q_join_left",
-    "q_join_multiway",
     "q_join_range",
     "q_join_range_binned",
     "q_join_semi",
@@ -309,11 +257,9 @@ ROUND_PRIORITY = [
     "q_stream_slide",
     "q_topk_freq",
     "q_topk_multi",
-    "q_tpch_q3",
     "q_tpch_q6",
     "q_win_firstlast",
     "q_win_pctrank",
-    # --- last driver row r13 (50 names) ---
     "q_agg_bitmap",
     "q_agg_bitops",
     "q_agg_corr",
@@ -364,7 +310,6 @@ ROUND_PRIORITY = [
     "q_win_rank",
     "q_win_running",
     "q_win_topn_group",
-    # --- last driver row r14 (50 names) ---
     "q_agg_auc",
     "q_agg_contingency",
     "q_agg_interval_length_sum",
@@ -395,7 +340,6 @@ ROUND_PRIORITY = [
     "q_llm_kmeans_assign",
     "q_llm_ngram_lm",
     "q_llm_quality_v2",
-    "q_llm_semdedup",
     "q_llm_tfidf",
     "q_mutate_delete",
     "q_mutate_update",
@@ -415,6 +359,54 @@ ROUND_PRIORITY = [
     "q_win_neighbor",
     "q_win_nth",
     "q_win_ntile",
+    "q_agg_acf",
+    "q_agg_anova",
+    "q_agg_cohort_retention",
+    "q_agg_cusum",
+    "q_agg_ewma",
+    "q_agg_histogram",
+    "q_agg_resample",
+    "q_agg_sample_group",
+    "q_agg_summap",
+    "q_agg_uniq_upto",
+    "q_ch_ddl_alter",
+    "q_ch_sql_battery10",
+    "q_ch_sql_battery9",
+    "q_ch_sql_battery9b",
+    "q_ch_sql_battery9c",
+    "q_ch_sql_battery9d",
+    "q_ch_sql_battery9e",
+    "q_ch_sql_battery9f",
+    "q_fn_array_diff",
+    "q_fn_array_enumerate",
+    "q_fn_map",
+    "q_fn_map_higher",
+    "q_fn_numbers",
+    "q_join_asof_fwd",
+    "q_llm_chunk_sentences",
+    "q_llm_dedup_bloom",
+    "q_llm_dedup_editdist",
+    "q_llm_embed_matryoshka",
+    "q_llm_kmeans_update",
+    "q_llm_knn_ivf_exact",
+    "q_llm_logreg_fit",
+    "q_llm_pca",
+    "q_llm_quality_classifier",
+    "q_llm_score_normalize",
+    "q_llm_text_normalize",
+    "q_llm_url_canon",
+    "q_multimodal_jpeg_progressive",
+    "q_multimodal_video",
+    "q_mutate_ttl",
+    "q_scan_csv_permissive",
+    "q_scan_partition_prune",
+    "q_seq_next_node",
+    "q_sort_nulls",
+    "q_source_gitlog",
+    "q_source_numbers_ds",
+    "q_stream_enrich",
+    "q_stream_stateful",
+    "q_win_interpolate",
 ]
 
 
