@@ -12,21 +12,22 @@ the plain join (the oracle relation for q_llm_dedup_bloom).
 Spark's own BloomFilter lives behind ``bloom_filter_agg`` /
 ``might_contain``, which Spark 4.1 keeps internal to its runtime
 join-filter rewrite (not in the SQL function registry — verified
-UNRESOLVED_ROUTINE in this env), so the engine builds its own on the
-same design: partition-partial bitmaps via ``mapInPandas`` (one
-``m/8``-byte row per partition, OR-reduced in a single final task),
-and double-hashed probes g_i(x) = h1 + i·h2 (Kirsch & Mitzenmacher
-2006) over a 64-bit input hash computed JVM-side with ``xxhash64``.
-The probe side is pure JVM codegen since r16 (guide §4.1): the bitmap
-is an array<bigint> literal in the plan and the k bit-tests are
-shift/mask expressions — no Python worker anywhere on the per-batch
-screening path (the build's numpy bit-scatter keeps its vectorized
-``mapInPandas``, one Python pass per partition at build time only).
+UNRESOLVED_ROUTINE in this env), so the engine builds its own with
+double-hashed probes g_i(x) = h1 + i·h2 (Kirsch & Mitzenmacher 2006)
+over a 64-bit input hash computed JVM-side with ``xxhash64``.  Since
+r16/r17 BOTH sides are pure JVM on the default path (guide §4.1): the
+build explodes the k positions per hash and word-aggregates them
+(``groupBy(pos div 64).agg(bit_or(1 << pos%64))``, map-side partials),
+and the probe embeds the bitmap as an array<bigint> literal whose k
+bit-tests are shift/mask codegen expressions — no Python worker
+anywhere on either the build or the per-batch screening path.  (Very
+large bitmaps fall back: the build to partition-partial ``mapInPandas``
+bitmaps OR-reduced in one task, the probe to a broadcast pandas UDF.)
 
-Memory bounds, stated: the build moves P partial bitmaps (P·m/8
-bytes) through one shuffle and collects ONE bitmap to the driver; the
-probe embeds the bitmap in the serialized plan up to
-``LITERAL_MAX_BYTES`` (16 MiB) and above that switches to a
+Memory bounds, stated: the build shuffles at most P·m/64 partial
+words (same bound as P partial bitmaps) and collects ≤ m/64 word rows
+to the driver; the probe embeds the bitmap in the serialized plan up
+to ``LITERAL_MAX_BYTES`` (16 MiB) and above that switches to a
 ``SparkContext.broadcast`` + vectorized pandas probe (r17) — same
 bit arithmetic, same no-false-negative guarantee, shipped once per
 executor instead of once per plan.
@@ -64,12 +65,70 @@ def _set_bits(bitmap: np.ndarray, pos: np.ndarray) -> None:
     np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
 
+#: above this word count the build keeps the partition-partial-bitmap
+#: mapInPandas path: a JVM word-aggregate build must ``collect`` up to
+#: m/64 (int, long) Rows, and row-collect overhead beats the two
+#: Python stages somewhere in the multi-MiB range.  1M words = 8 MiB
+#: bitmap keeps every engine bloom (256-512 KiB → ≤8192 rows) on the
+#: zero-Python path.
+_JVM_BUILD_MAX_WORDS = 1 << 20
+
+
 def build_bloom(df: DataFrame, hash_col: str, m_bits: int, k: int) -> bytes:
     """Build the bitmap over ``df[hash_col]`` (a 64-bit integer column,
-    typically ``F.xxhash64(...)``).  m_bits must be a multiple of 8."""
+    typically ``F.xxhash64(...)``).  m_bits must be a multiple of 8.
+
+    r17 (guide §4.1, the BUILD side this time): the eager build job
+    used to run TWO Python stages — mapInPandas partition-partial
+    bitmaps, then a groupBy().applyInPandas OR-reduce — costing ~3 s
+    of Arrow/worker round-trips per build at sf0.1.  The default path
+    is now pure JVM: the same double-hash positions the probe computes
+    (h1 = h & 0xFFFFFFFF, h2 = (h >>> 32) | 1, pos_i = (h1 + i·h2) %
+    m_bits — exact in int64, operands < 2^36) explode k-wide, reduce
+    via ``groupBy(pos div 64).agg(bit_or(1 << pos % 64))`` (map-side
+    partial aggregation bounds the shuffle at P·m/64 words — the SAME
+    bound as the old partial bitmaps), and the driver assembles the
+    ≤ m/64 collected (word_idx, word) rows into little-endian int64
+    words — byte-identical to the numpy path (bit j of word w is byte
+    w·8 + j>>3, mask 1 << (j & 7); pinned by the partition-invariance
+    and no-false-negative tests).  Bitmaps above
+    ``_JVM_BUILD_MAX_WORDS`` keep the partial-bitmap Python path,
+    whose collect is one m/8-byte row regardless of m."""
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
     nbytes = m_bits // 8
+    n_words = (m_bits + 63) // 64
+    # NULL hashes are never inserted (matches the probe's NULL = not
+    # contained contract; a NaN would poison the numpy int64 view on
+    # the partial-bitmap path)
+    df = df.where(F.col(hash_col).isNotNull())
+    if n_words <= _JVM_BUILD_MAX_WORDS:
+        h = F.col(hash_col)
+        h1 = h.bitwiseAND(F.lit(4294967295))
+        h2 = F.call_function("shiftrightunsigned", h, F.lit(32)).bitwiseOR(
+            F.lit(1)
+        )
+        pos = F.explode(
+            F.array(*[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)])
+        ).alias("pos")
+        rows = (
+            df.select(pos)
+            .select(
+                (F.col("pos") / F.lit(64)).cast("int").alias("w"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("pos") % F.lit(64)).cast("int"),
+                ).alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("word"))
+            .collect()
+        )
+        buf = np.zeros(n_words, dtype="<i8")
+        for r in rows:
+            buf[r["w"]] = r["word"]
+        return buf.tobytes()[:nbytes]
 
     def partial(batches):
         bm = np.zeros(nbytes, dtype=np.uint8)

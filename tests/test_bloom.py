@@ -120,6 +120,28 @@ def test_broadcast_probe_path_matches_literal_path(spark):
     assert lit_n == bc_n
 
 
+def test_jvm_build_matches_python_build(spark):
+    # r17: the default build path is a pure-JVM explode + bit_or word
+    # aggregate (zero Python stages); bitmaps above
+    # _JVM_BUILD_MAX_WORDS keep the partial-bitmap mapInPandas path.
+    # The two must be byte-identical — same double-hash positions,
+    # same little-endian word layout — including on non-64-multiple
+    # byte lengths and with NULL hashes present on the build side.
+    df = _hashed(spark, 0, 3000).withColumn(
+        "h", F.when(F.col("id") % 7 != 0, F.col("h"))
+    )  # ~14% NULL hashes: both paths must skip them
+    old = bloom._JVM_BUILD_MAX_WORDS
+    try:
+        for m_bits in (M_BITS, 1 << 10, 8 * 3):  # 24 bits: partial word
+            bloom._JVM_BUILD_MAX_WORDS = 1 << 20
+            bm_jvm = bloom.build_bloom(df, "h", m_bits, K)
+            bloom._JVM_BUILD_MAX_WORDS = 0
+            bm_py = bloom.build_bloom(df, "h", m_bits, K)
+            assert bm_jvm == bm_py and len(bm_jvm) == m_bits // 8
+    finally:
+        bloom._JVM_BUILD_MAX_WORDS = old
+
+
 def test_null_hashes_dropped_not_crashed(spark):
     # ADVICE r5: a NULL in hash_col used to NaN-poison the probe
     # batch (int64 view raised, killing the task).  Nulls must be
