@@ -55,10 +55,28 @@ def _bigrams(df: DataFrame, text: str, id_col: str) -> DataFrame:
 
 def train_bigram_lm(df: DataFrame, text: str, id_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (bigram_counts[prev, w, cbw], unigram_counts[prev, cw],
-    vocab[v]) — the three relations of the smoothed model."""
+    vocab[v]) — the three relations of the smoothed model.
+
+    r17 (guide §2.4 — remove passes): unigram counts used to be a
+    SECOND corpus scan + bigram explode + corpus-sized shuffle on
+    ``prev``; they now derive from the vocab-bounded bigram table
+    (``sum(cbw)`` over ``w`` ≡ the count of bigram instances per
+    ``prev`` — exact integer algebra, same rows).  The bigram
+    aggregate is lazily persisted so its one corpus pass is shared:
+    in the inline scoring plan both model joins read the cached
+    table, and in the store path the bigram write populates it and
+    the unigram write scans KBs instead of the corpus.  The cache
+    entry is model-sized (vocabulary-bounded, the docstring's
+    "typically broadcastable"), never corpus-sized, and the
+    ContextCleaner reclaims it with the plan.  ``vocab`` keeps its
+    own corpus scan: it counts distinct tokens over ALL documents,
+    including single-token docs that contribute no bigram."""
     bg = _bigrams(df, text, id_col)
     bigram_counts = bg.groupBy("prev", "w").agg(F.count("*").alias("cbw"))
-    unigram_counts = bg.groupBy("prev").agg(F.count("*").alias("cw"))
+    bigram_counts = bigram_counts.persist()
+    unigram_counts = bigram_counts.groupBy("prev").agg(
+        F.sum("cbw").alias("cw")
+    )
     vocab = (
         df.select(F.explode(tokens(text)).alias("t"))
         .agg(F.count_distinct("t").alias("v"))
@@ -75,10 +93,36 @@ def write_lm_store(
     is scored-against for months, so training must not rerun per batch.
     Model size is bounded by observed bigram vocabulary, so the store
     is small (typically broadcastable on read)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     bigram_counts, unigram_counts, vocab = model
-    bigram_counts.write.mode("overwrite").parquet(f"{path}/bigrams")
-    unigram_counts.write.mode("overwrite").parquet(f"{path}/unigrams")
-    vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    # r17 (guide §2.6 — overlap independent jobs): the bigram and
+    # vocab writes are independent corpus passes, so the vocab job
+    # back-fills the bigram job's task tail instead of queuing behind
+    # it.  The unigram write waits for the bigram write: with
+    # train_bigram_lm's lazily persisted bigram table that ordering
+    # makes it a KB-scale cached-table scan, never a corpus pass.
+    # coalesce(1): the model is vocabulary-bounded ("typically
+    # broadcastable"), far under one target-size output file — and the
+    # persisted bigram table would otherwise write one shard per
+    # cached shuffle partition (the persist boundary blocks AQE's
+    # write coalescing; measured 32 files for a 46 KB table).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            lambda: bigram_counts.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/bigrams")
+        )
+        fv = pool.submit(
+            lambda: vocab.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/vocab")
+        )
+        fb.result()
+        unigram_counts.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/unigrams"
+        )
+        fv.result()
     return path
 
 
